@@ -1,0 +1,251 @@
+"""Transforms: the reference's per-row transform surface as Column expressions.
+
+Reference (graflo/architecture/contract/ingestion/transform.py + runtime actor
+transform.py + builtin library util/transform.py:41-516): a transform renames
+columns, applies a function over input columns (strategies ``single`` — one
+call over the tuple of inputs, ``each`` — unary fn per column, ``all`` — whole
+row), optionally pivots a scalar result into ``{key, value}`` ("dress"), or
+renames document *keys* by function.
+
+Spark design: every builtin compiles to native Column expressions (JVM-side,
+whole-stage-codegen); arbitrary Python callables get a vectorized pandas_udf
+escape hatch. A transform application is ``df.withColumns`` — no shuffle, no
+row-at-a-time Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Builtin library: name -> factory(input Columns, params) -> list[Column]
+# (one output Column per declared output). Mirrors reference util/transform.py
+# with native exprs instead of python calls.
+# --------------------------------------------------------------------------
+
+def _camel_to_snake(c: Column) -> Column:
+    return F.lower(F.regexp_replace(c, r"(?<=[a-z0-9])([A-Z])", r"_$1"))
+
+
+def _snake_to_camel(c: Column) -> Column:
+    # initcap each _-separated token then strip separators; keep first lower
+    parts = F.split(c, "_")
+    camel = F.concat_ws(
+        "",
+        F.element_at(parts, 1),
+        F.array_join(F.transform(F.slice(parts, 2, 100000), F.initcap), ""),
+    )
+    return camel
+
+
+BUILTINS: dict[str, Callable[..., list[Column]]] = {
+    # (reference util/transform.py: standardize — lowercase + whitespace fold)
+    "standardize": lambda cols, p: [
+        F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")) for c in cols
+    ],
+    "lower": lambda cols, p: [F.lower(c) for c in cols],
+    "upper": lambda cols, p: [F.upper(c) for c in cols],
+    "trim": lambda cols, p: [F.trim(c) for c in cols],
+    "camel_to_snake": lambda cols, p: [_camel_to_snake(c) for c in cols],
+    "snake_to_camel": lambda cols, p: [_snake_to_camel(c) for c in cols],
+    "try_int": lambda cols, p: [c.cast("string").try_cast("long") for c in cols],
+    "try_float": lambda cols, p: [c.cast("string").try_cast("double") for c in cols],
+    "round_str": lambda cols, p: [
+        F.format_number(c.cast("double"), int(p.get("ndigits", 2))) for c in cols
+    ],
+    "round": lambda cols, p: [F.round(c, int(p.get("ndigits", 2))) for c in cols],
+    "remove_prefix": lambda cols, p: [
+        F.regexp_replace(c, "^" + p["prefix"], "") for c in cols
+    ],
+    "remove_suffix": lambda cols, p: [
+        F.regexp_replace(c, p["suffix"] + "$", "") for c in cols
+    ],
+    "split_keep_part": lambda cols, p: [
+        F.element_at(F.split(c, p.get("sep", r"\s+")), int(p.get("index", 0)) + 1)
+        for c in cols
+    ],
+    # parse_date_standard(date_str) -> timestamp (reference parse_date_*)
+    "parse_date_standard": lambda cols, p: [
+        F.to_timestamp(c, p.get("format", "yyyy-MM-dd")) for c in cols
+    ],
+    # parse_date_ibes(yyyymmdd, hhmmss) -> one timestamp
+    "parse_date_ibes": lambda cols, p: [
+        F.to_timestamp(
+            F.concat_ws(" ", cols[0].cast("string"), cols[1].cast("string")),
+            "yyyyMMdd HH:mm:ss",
+        )
+    ],
+    "epoch_to_datetime": lambda cols, p: [
+        F.to_timestamp(F.from_unixtime(c.cast("long"))) for c in cols
+    ],
+    "datetime_to_epoch": lambda cols, p: [F.unix_timestamp(c) for c in cols],
+    "concat": lambda cols, p: [F.concat_ws(p.get("sep", " "), *cols)],
+    # cast_ibes_analyst("LAST  F") -> (last_name, initial)
+    "cast_ibes_analyst": lambda cols, p: [
+        F.trim(F.regexp_extract(cols[0], r"^(.*?)\s+(\S+)$", 1)),
+        F.regexp_extract(cols[0], r"^(.*?)\s+(\S+)$", 2),
+    ],
+}
+
+
+def register_builtin(name: str, factory: Callable[..., list[Column]]) -> None:
+    """Extend the named-transform registry (reference
+    ingestion_model.transforms merge, model.py:56-102)."""
+    BUILTINS[name] = factory
+
+
+@dataclass
+class Transform:
+    """One transform step.
+
+    Exactly one of ``rename`` / ``fn`` / ``python_fn`` is set. ``strategy``:
+    ``single`` (fn over the input tuple -> positional outputs), ``each``
+    (unary fn per input column, outputs align 1:1), ``all`` (whole-row).
+    ``dress`` pivots a scalar output into two columns
+    ``{key: <input col name>, value: <result>}`` (reference transform.py:95-105).
+    ``target="keys"`` renames *columns* by the function instead of values.
+    """
+
+    rename: dict[str, str] | None = None
+    fn: str | None = None
+    python_fn: Callable | None = None
+    input: list[str] = dc_field(default_factory=list)
+    output: list[str] = dc_field(default_factory=list)
+    params: dict[str, Any] = dc_field(default_factory=dict)
+    strategy: str = "single"
+    dress: dict[str, str] | None = None  # {"key": col, "value": col}
+    target: str = "fields"  # or "keys"
+    input_groups: list[list[str]] = dc_field(default_factory=list)
+    fail_on_missing: bool = False
+
+    def output_columns(self) -> list[str]:
+        if self.rename:
+            return list(self.rename.values())
+        if self.dress:
+            return [self.dress["key"], self.dress["value"]]
+        return list(self.output) or list(self.input)
+
+    # ---------------------------------------------------------------- apply
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.target == "keys":
+            return self._apply_keys(df)
+        if self.rename:
+            present = {k: v for k, v in self.rename.items() if k in df.columns}
+            return df.withColumnsRenamed(present)
+        if self.input_groups:
+            out = df
+            for group in self.input_groups:
+                out = self._apply_call(out, group)
+            return out
+        return self._apply_call(df, self.input)
+
+    def _apply_keys(self, df: DataFrame) -> DataFrame:
+        if self.fn not in BUILTINS:
+            raise ValueError(f"key-target transform needs a builtin fn, got {self.fn}")
+        include = set(self.params.get("include", df.columns))
+        exclude = set(self.params.get("exclude", ()))
+
+        def rename_one(name: str) -> str:
+            if name not in include or name in exclude:
+                return name
+            import re
+
+            if self.fn == "camel_to_snake":
+                return re.sub(r"(?<=[a-z0-9])([A-Z])", r"_\1", name).lower()
+            if self.fn == "lower":
+                return name.lower()
+            if self.fn == "upper":
+                return name.upper()
+            raise ValueError(f"unsupported key fn {self.fn}")
+
+        return df.toDF(*[rename_one(c) for c in df.columns])
+
+    def _missing_guard(self, df: DataFrame, cols: list[str]) -> bool:
+        missing = [c for c in cols if c not in df.columns]
+        if missing and self.fail_on_missing:
+            raise ValueError(f"transform inputs missing from frame: {missing}")
+        return not missing
+
+    def _apply_call(self, df: DataFrame, input_cols: list[str]) -> DataFrame:
+        outputs = self.output or input_cols
+        if not self._missing_guard(df, input_cols):
+            # error tolerance: null the declared outputs (reference
+            # actor/transform.py:277-294)
+            return df.withColumns({o: F.lit(None) for o in outputs})
+
+        if self.dress:
+            # wide->long pivot of one column: {key: input name, value: result}
+            key_col, val_col = self.dress["key"], self.dress["value"]
+            cols = self._result_columns(df, input_cols)
+            return df.withColumns(
+                {key_col: F.lit(input_cols[0]), val_col: cols[0]}
+            )
+
+        cols = self._result_columns(df, input_cols)
+        if len(cols) != len(outputs):
+            raise ValueError(
+                f"transform produced {len(cols)} columns for outputs {outputs}"
+            )
+        return df.withColumns(dict(zip(outputs, cols)))
+
+    def _result_columns(self, df: DataFrame, input_cols: list[str]) -> list[Column]:
+        in_cols = [F.col(c) for c in input_cols]
+        if self.fn is not None:
+            if self.fn not in BUILTINS:
+                raise ValueError(f"unknown builtin transform {self.fn!r}")
+            factory = BUILTINS[self.fn]
+            if self.strategy == "each":
+                return [factory([c], self.params)[0] for c in in_cols]
+            return list(factory(in_cols, self.params))
+        if self.python_fn is not None:
+            return self._pandas_udf_columns(df, input_cols)
+        raise ValueError("transform has neither fn nor python_fn nor rename")
+
+    def _pandas_udf_columns(self, df: DataFrame, input_cols: list[str]) -> list[Column]:
+        """Vectorized escape hatch for arbitrary Python callables (reference
+        Transform.call with module.foo — invoked per row there; Arrow-batched
+        here)."""
+        fn = self.python_fn
+        n_out = max(len(self.output), 1)
+        params = self.params
+
+        if self.strategy == "all":
+            def batch(it):
+                for pdf in it:
+                    rows = pdf.to_dict("records")
+                    res = [fn(r, **params) for r in rows]
+                    yield pd.DataFrame({"_out0": res})
+
+            # strategy=all is rare; route through mapInPandas at call site
+            raise NotImplementedError(
+                "strategy='all' python transforms: use mapInPandas wrapper"
+            )
+
+        from pyspark.sql.functions import pandas_udf
+
+        if n_out == 1:
+            @pandas_udf("string")
+            def u(*series: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [fn(*vals, **params) for vals in zip(*series)], dtype=object
+                ).astype(str)
+
+            return [u(*[F.col(c) for c in input_cols])]
+
+        # tuple-returning fn -> struct udf, then unpack positionally
+        struct_type = ", ".join(f"_o{i} string" for i in range(n_out))
+
+        @pandas_udf(f"struct<{struct_type}>")
+        def u_multi(*series: pd.Series) -> pd.DataFrame:
+            results = [fn(*vals, **params) for vals in zip(*series)]
+            return pd.DataFrame(
+                {f"_o{i}": [r[i] for r in results] for i in range(n_out)}
+            )
+
+        s = u_multi(*[F.col(c) for c in input_cols])
+        return [s.getField(f"_o{i}") for i in range(n_out)]
