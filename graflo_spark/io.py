@@ -1,0 +1,183 @@
+"""Sources: format-dispatched readers + declarative SelectSpec joins.
+
+Reference: graflo/data_source/chunker.py (CSV/TSV/JSONL/JSON/parquet/XML
+chunkers with extension guessing, :465-549), data_source/sql.py (JDBC),
+filter/select.py (SelectSpec: base table + JoinClauses + select + where) and
+hq/auto_join.py (derived LEFT JOINs + IS NOT NULL guards).
+
+Spark design: `spark.read.*` covers every file family natively (gzip
+transparently); SelectSpec compiles to a `df.join(...)` chain so Catalyst
+reorders/broadcasts instead of us generating SQL text.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graflo_spark.filters import FilterExpression
+
+_EXT_FORMAT = {
+    ".csv": "csv",
+    ".tsv": "tsv",
+    ".jsonl": "jsonl",
+    ".ndjson": "jsonl",
+    ".json": "json",
+    ".parquet": "parquet",
+    ".xml": "xml",
+}
+
+
+def guess_format(path: str) -> str:
+    """Extension-based type guessing, gzip-aware (reference chunker factory,
+    chunker.py:465-549)."""
+    p = path[:-3] if path.endswith(".gz") else path
+    for ext, fmt in _EXT_FORMAT.items():
+        if p.endswith(ext):
+            return fmt
+    raise ValueError(f"cannot guess format of {path!r}")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Read a file source; gzip is transparent to every Spark reader."""
+    fmt = fmt or guess_format(path)
+    if fmt == "csv":
+        opts = {"header": "true", "inferSchema": "true", **options}
+        return spark.read.options(**opts).csv(path, schema=schema)
+    if fmt == "tsv":
+        opts = {"header": "true", "inferSchema": "true", "sep": "\t", **options}
+        return spark.read.options(**opts).csv(path, schema=schema)
+    if fmt == "jsonl":
+        return spark.read.options(**options).json(path, schema=schema)
+    if fmt == "json":
+        # top-level JSON array (reference ijson streaming parse)
+        return spark.read.options(multiLine=True, **options).json(path, schema=schema)
+    if fmt == "parquet":
+        return spark.read.options(**options).parquet(path)
+    if fmt == "xml":
+        try:
+            return (
+                spark.read.format("xml").options(**options).load(path)
+            )  # needs spark-xml on the cluster
+        except Exception as e:  # pragma: no cover - gated dependency
+            raise NotImplementedError(
+                "XML source requires the spark-xml package on the cluster"
+            ) from e
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str | None = None,
+    table: str | None = None,
+    fetchsize: int = 10000,
+    num_partitions: int | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    **options,
+) -> DataFrame:
+    """JDBC source (reference data_source/sql.py: server-side streaming via
+    fetchmany -> fetchsize; parallelism via partition column bounds)."""
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "fetchsize", str(fetchsize)
+    )
+    if query is not None:
+        reader = reader.option("query", query)
+    elif table is not None:
+        reader = reader.option("dbtable", table)
+    else:
+        raise ValueError("need query or table")
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+@dataclass
+class JoinClause:
+    """One join of a SelectSpec (reference filter/select.py:28-65)."""
+
+    table: str
+    on: dict[str, str]  # base_col -> join_table_col
+    how: str = "left"
+    select_fields: list[str] | None = None
+    alias: str | None = None
+
+
+@dataclass
+class SelectSpec:
+    """Declarative relational view over registered tables (reference
+    filter/select.py:144-476): base table + join clauses + projection + where.
+    Compiles to a DataFrame join chain (Catalyst picks physical strategy)."""
+
+    base: str
+    joins: list[JoinClause] = dc_field(default_factory=list)
+    select: list[str] | None = None
+    where: FilterExpression | dict | list | None = None
+    not_null_guards: list[str] = dc_field(default_factory=list)
+
+    def compile(self, tables: dict[str, DataFrame]) -> DataFrame:
+        df = tables[self.base]
+        for j in self.joins:
+            right = tables[j.table]
+            if j.select_fields is not None:
+                right = right.select(
+                    *dict.fromkeys(list(j.on.values()) + j.select_fields)
+                )
+            cond = None
+            for lc, rc in j.on.items():
+                c = df[lc] == right[rc]
+                cond = c if cond is None else (cond & c)
+            df = df.join(right, cond, j.how)
+            # drop the duplicated right-side join keys
+            for lc, rc in j.on.items():
+                if rc in df.columns and rc != lc:
+                    df = df.drop(right[rc])
+        if self.where is not None:
+            df = df.filter(FilterExpression.parse(self.where).to_column())
+        for g in self.not_null_guards:
+            # auto-join NOT NULL guards (reference hq/auto_join.py:33-137)
+            df = df.filter(F.col(g).isNotNull())
+        if self.select is not None:
+            df = df.select(*self.select)
+        return df
+
+
+def type_lookup_spec(
+    base: str,
+    fk_col: str,
+    lookup_table: str,
+    lookup_key: str,
+    type_col: str,
+    out_col: str,
+) -> SelectSpec:
+    """The reference's ``type_lookup`` shorthand (select.py:302-357): resolve
+    an endpoint's type via an FK join."""
+    return SelectSpec(
+        base=base,
+        joins=[
+            JoinClause(
+                table=lookup_table,
+                on={fk_col: lookup_key},
+                how="left",
+                select_fields=[type_col],
+            )
+        ],
+    )

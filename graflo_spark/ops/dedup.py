@@ -1,0 +1,262 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes:
+    - exact dedup is one hash aggregate on the key (AQE handles skew);
+    - MinHash/LSH never compares all pairs: signatures are per-row map work
+      (JVM-side `transform`/`array_min`), candidate generation is an
+      equi-join on (band, band_hash) — the classic shuffle-bounded LSH;
+    - n-gram Jaccard uses blocking keys to bound the self-join;
+    - everything stays in native Column expressions — no Python in the
+      per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Representative row per duplicate group: keeps min(id) (deterministic)."""
+    return df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+
+
+def exact_dedup_keep_rows(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Full rows of the kept representatives."""
+    reps = exact_dedup(df, cols, id_col).select(id_col)
+    return df.join(reps, id_col, "left_semi")
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Sliding character k-shingles as an array (JVM-side, no UDF)."""
+    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k)
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    tokens = F.split(F.trim(text), r"\s+")
+    cnt = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """num_perm-wide MinHash signature: permutation i = murmur3 hash salted
+    with i; signature_i = min over shingles. All JVM-side.
+
+    NB: the salt must be bound via a closure factory — a 2-arg lambda would
+    make pyspark pass the array index as the second argument."""
+
+    def salted(salt: int):
+        return lambda s: F.hash(s, F.lit(salt))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, salted(i)))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with id_a < id_b; est_jaccard is
+    the signature agreement ratio. Verify candidates with
+    :func:`ngram_jaccard_pairs` when exactness matters.
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(char_shingles(F.col(text_col), shingle_k), num_perm).alias(
+            "sig"
+        ),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda z: z == 1,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree / F.lit(len(range(0, num_perm)))).alias("est_jaccard"),
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Keep one representative per near-duplicate cluster: drop the larger id
+    of every candidate pair above threshold (greedy, single pass — the
+    standard large-scale approximation of connected components)."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
+    drop = (
+        cand.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .dropDuplicates()
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    ngram_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over a blocked self-join.
+
+    ``block_cols`` bound the O(n^2): only rows sharing the blocking key are
+    compared. Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(word_ngrams(F.col(text_col), ngram_n)).alias("grams"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("grams").alias("grams_a"), *block_cols
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("grams").alias("grams_b"), *block_cols
+    )
+    pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    jac = (inter.cast("double") / union).alias("jaccard")
+    return pairs.select("id_a", "id_b", jac).filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: bit b of the fingerprint is the sign
+    of sum over tokens of (+1 if hash bit set else -1). Pure Column exprs."""
+    tokens = F.split(F.trim(text), r"\s+")
+
+    def vote_fn(mask: Column):
+        def merge(acc: Column, t: Column) -> Column:
+            bit_set = F.hash(t).cast("long").bitwiseAND(mask) != 0
+            return acc + F.when(bit_set, 1).otherwise(-1)
+
+        return merge
+
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = F.lit(1 << b).cast("long")
+        vote = F.aggregate(tokens, F.lit(0), vote_fn(mask))
+        fp = fp + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return fp
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidates: split the fingerprint into bands; pairs sharing
+    any band are compared by exact Hamming distance (<= max_hamming)."""
+    n_bands = bits // band_bits
+    fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("fp"))
+    banded = fp.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("fp", i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .cast("long")
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "band_val")
+    b = banded.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "band", "band_val")
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets.
+
+    Deterministic pseudo-random hyperplanes (hash-derived), bucket join,
+    exact cosine within bucket. Returns (id_a, id_b, cosine).
+    """
+    from graflo_spark.ops.simsearch import cosine_expr, lsh_bucket_expr
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    first = base.select("v").limit(1).collect()
+    dim = len(first[0][0]) if first else 0
+    bucketed = base.withColumn("bucket", lsh_bucket_expr(F.col("v"), dim, n_planes))
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline (and the oracle for the
+approximate paths); hyperplane-LSH bucketing is the scale path — at 100 TB
+the corpus is bucketed once (a write-side map pass), queries probe only
+matching buckets, and the per-bucket top-k is a window over a bounded set.
+
+All dot products are JVM-side ``aggregate``/``zip_with`` Column expressions —
+no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _plane_component(plane: int, dim_idx: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    from a splitmix-style integer hash so every executor and every run agrees
+    without shipping a matrix."""
+    x = (plane * 0x9E3779B97F4A7C15 + dim_idx * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 27
+    return (x % 2_000_001) / 1_000_000.0 - 1.0
+
+
+def lsh_bucket_expr(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Hyperplane-LSH bucket id: bit p = sign(vec . plane_p)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = None
+        for i in range(dim):
+            term = F.element_at(vec, i + 1).cast("double") * F.lit(
+                _plane_component(p, i)
+            )
+            dot = term if dot is None else dot + term
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return bucket
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus; rank per query. Returns (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("c_vec")
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket.
+
+    Recall can be raised by lowering n_planes (bigger buckets) or multi-probe
+    (future work). The corpus bucketing is a pure map pass — at scale, write
+    it once partitioned by bucket and get partition pruning on probe.
+    """
+    first = corpus.select(corpus_vec).limit(1).collect()
+    dim = len(first[0][0]) if first else 0
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("c_vec")
+    ).withColumn("bucket", lsh_bucket_expr(F.col("c_vec"), dim, n_planes))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_vec")
+    ).withColumn("bucket", lsh_bucket_expr(F.col("q_vec"), dim, n_planes))
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,99 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All native Column expressions (WSCG-friendly) and
+deliberately reproducible in ANSI SQL for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword-hit heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "en", "un", "por"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation runs
+    (a regex approximation of subword tokenizers)."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    nonpunct = F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return (F.length(text) - nonpunct).cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Count of stopword occurrences (word-boundary matches, lowercased)."""
+    words = "|".join(STOPWORDS[lang])
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(rf"\b({words})\b"), F.lit(1))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + low punctuation +
+    stopword presence (the usual pre-training quality gates)."""
+    n_tokens = token_count(text).cast("double")
+    len_ok = F.when((n_tokens >= 5) & (n_tokens <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) < 0.3, 1.0).otherwise(0.0)
+    stop_ok = F.when(
+        stopword_hits(text, "en").cast("double") / F.greatest(n_tokens, F.lit(1.0))
+        > 0.01,
+        1.0,
+    ).otherwise(0.0)
+    return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+def lang_id(text: Column, langs: list[str] | None = None) -> Column:
+    """Stopword-hit language ID: argmax over per-language hit counts,
+    'und' (undetermined) when nothing matches."""
+    langs = langs or list(STOPWORDS)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lg in langs:
+        h = stopword_hits(text, lg)
+        better = h > best_hits
+        best_lang = F.when(better, F.lit(lg)).otherwise(best_lang)
+        best_hits = F.when(better, h).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized content fingerprint: sha256 of lowercased,
+    whitespace-folded text — the exact-dedup key used by pretraining
+    pipelines."""
+    return F.sha2(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), 256)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_actual": F.length(t),
+            "n_tokens": token_count(t),
+            "n_tokens_bpe": bpe_ish_token_count(t),
+            "punct_ratio": punct_ratio(t),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

@@ -1,0 +1,298 @@
+"""Query surface: Node / Aggregate / Neighbor / Traverse over graph tables.
+
+Reference: graflo/architecture/query/models.py (typed, cap-validated query
+models — deliberately no raw query pass-through) + db/traversal.py
+(backend-neutral BFS). Spark design: a :class:`GraphView` of vertex/edge
+DataFrames; traversal is an iterative frontier-join BFS with a visited
+anti-join — each hop is one join against a unioned, type-erased edge list.
+
+Scale notes: the edge list is built once per traversal (union of per-type
+projections — column-pruned to the two endpoint keys); the frontier is tiny
+relative to the graph, so AQE turns every hop into a broadcast join; the
+visited set stays a DataFrame (no driver collect).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graflo_spark.filters import FilterExpression
+from graflo_spark.manifest import CoreSchema, EdgeId
+
+DEFAULT_EDGE_LIMIT = 1000  # reference db/traversal.py:34-36
+
+
+class Direction(str, enum.Enum):
+    OUT = "out"
+    IN = "in"
+    ANY = "any"
+
+
+class AggFn(str, enum.Enum):
+    COUNT = "count"
+    MAX = "max"
+    MIN = "min"
+    AVERAGE = "average"
+    SORTED_UNIQUE = "sorted_unique"
+
+
+@dataclass
+class QueryCaps:
+    """Hard ceilings with narrow-not-raise semantics (reference
+    query/models.py:54-131, query/caps.py): explicit requests beyond a cap
+    raise; defaults clamp silently."""
+
+    max_rows: int = 100_000
+    max_hops: int = 5
+    max_seeds: int = 1000
+
+    def clamp_rows(self, requested: int | None, explicit: bool) -> int:
+        if requested is None:
+            return self.max_rows
+        if requested > self.max_rows:
+            if explicit:
+                raise ValueError(f"limit {requested} exceeds cap {self.max_rows}")
+            return self.max_rows
+        return requested
+
+    def check_hops(self, hops: int) -> int:
+        if hops > self.max_hops:
+            raise ValueError(f"hops {hops} exceeds cap {self.max_hops}")
+        return hops
+
+    def check_seeds(self, n: int) -> int:
+        if n > self.max_seeds:
+            raise ValueError(f"{n} seeds exceed cap {self.max_seeds}")
+        return n
+
+
+@dataclass
+class GraphView:
+    """Uniform read surface over a GraphBatch or a GraphStore."""
+
+    vertices: dict[str, DataFrame]
+    edges: dict[EdgeId, DataFrame]
+    schema: CoreSchema
+
+    # ------------------------------------------------------------ node ops
+    def node_query(
+        self,
+        vertex: str,
+        filters: FilterExpression | dict | list | None = None,
+        project: list[str] | None = None,
+        limit: int | None = None,
+        caps: QueryCaps | None = None,
+        order_by: list[str] | None = None,
+    ) -> DataFrame:
+        """NodeQuery (reference query/models.py:133-140)."""
+        caps = caps or QueryCaps()
+        df = self.vertices[vertex]
+        if filters is not None:
+            df = df.filter(FilterExpression.parse(filters).to_column())
+        if project:
+            df = df.select(*project)
+        if order_by:
+            df = df.orderBy(*order_by)
+        n = caps.clamp_rows(limit, explicit=limit is not None)
+        return df.limit(n)
+
+    def aggregate(
+        self,
+        vertex: str,
+        fn: AggFn | str,
+        aggregated_field: str | None = None,
+        discriminant: str | None = None,
+        filters: FilterExpression | dict | list | None = None,
+    ) -> DataFrame:
+        """AggregateQuery (reference db/conn.py:611-634, query/models.py:252-283):
+        fns COUNT/MAX/MIN/AVERAGE/SORTED_UNIQUE; group-by only with COUNT."""
+        fn = AggFn(fn)
+        if fn != AggFn.COUNT and aggregated_field is None:
+            raise ValueError(f"{fn.value} requires aggregated_field")
+        if discriminant is not None and fn != AggFn.COUNT:
+            raise ValueError("discriminant (group-by) is only valid with COUNT")
+        df = self.vertices[vertex]
+        if filters is not None:
+            df = df.filter(FilterExpression.parse(filters).to_column())
+        if fn == AggFn.COUNT:
+            if discriminant:
+                return df.groupBy(discriminant).agg(F.count(F.lit(1)).alias("agg_value"))
+            return df.agg(F.count(F.lit(1)).alias("agg_value"))
+        col = F.col(aggregated_field)
+        expr = {
+            AggFn.MAX: F.max(col),
+            AggFn.MIN: F.min(col),
+            AggFn.AVERAGE: F.avg(col),
+            AggFn.SORTED_UNIQUE: F.sort_array(F.collect_set(col)),
+        }[fn]
+        return df.agg(expr.alias("agg_value"))
+
+    # ------------------------------------------------------------ edge ops
+    def _node_key(self, vertex: str, prefix: str) -> F.Column:
+        identity = self.schema.vertex(vertex).identity_fields
+        return F.concat_ws(
+            "\x1f", F.lit(vertex), *[F.col(f"{prefix}{f}").cast("string") for f in identity]
+        )
+
+    def vertex_key_col(self, vertex: str) -> F.Column:
+        identity = self.schema.vertex(vertex).identity_fields
+        return F.concat_ws(
+            "\x1f", F.lit(vertex), *[F.col(f).cast("string") for f in identity]
+        )
+
+    def typed_edge_list(
+        self,
+        relations: list[str] | None = None,
+        direction: Direction = Direction.OUT,
+    ) -> DataFrame:
+        """Type-erased edge list ``(src_key, dst_key, src_type, dst_type,
+        relation)`` — one union, pruned to key columns only."""
+        parts = []
+        for eid, df in self.edges.items():
+            rel = (
+                F.col("_relation")
+                if "_relation" in df.columns
+                else F.lit(eid.relation)
+            )
+            base = df.select(
+                self._node_key(eid.source, "_src_").alias("src_key"),
+                self._node_key(eid.target, "_dst_").alias("dst_key"),
+                F.lit(eid.source).alias("src_type"),
+                F.lit(eid.target).alias("dst_type"),
+                rel.cast("string").alias("relation"),
+            )
+            try:
+                declared = self.schema.edge(eid.source, eid.target, eid.relation)
+                directed = declared.directed
+            except KeyError:
+                directed = True
+            both = direction == Direction.ANY or not directed
+            if both:
+                rev = base.select(
+                    F.col("dst_key").alias("src_key"),
+                    F.col("src_key").alias("dst_key"),
+                    F.col("dst_type").alias("src_type"),
+                    F.col("src_type").alias("dst_type"),
+                    "relation",
+                )
+                base = base.unionByName(rev)
+            elif direction == Direction.IN:
+                base = base.select(
+                    F.col("dst_key").alias("src_key"),
+                    F.col("src_key").alias("dst_key"),
+                    F.col("dst_type").alias("src_type"),
+                    F.col("src_type").alias("dst_type"),
+                    "relation",
+                )
+            parts.append(base)
+        if not parts:
+            raise ValueError("graph has no edges")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if relations is not None:
+            out = out.filter(F.col("relation").isin(relations))
+        return out
+
+    def fetch_edges(
+        self,
+        vertex: str,
+        anchor: FilterExpression | dict | list,
+        direction: Direction = Direction.ANY,
+        limit: int = DEFAULT_EDGE_LIMIT,
+    ) -> DataFrame:
+        """Edges incident to anchor vertices (reference db/conn.py:483-527)."""
+        anchors = self.vertices[vertex].filter(
+            FilterExpression.parse(anchor).to_column()
+        )
+        akeys = anchors.select(self.vertex_key_col(vertex).alias("src_key"))
+        edges = self.typed_edge_list(direction=direction)
+        return edges.join(F.broadcast(akeys), "src_key").limit(limit)
+
+    # ----------------------------------------------------------- traversal
+    def neighbors(
+        self,
+        vertex: str,
+        anchor: FilterExpression | dict | list,
+        hops: int = 1,
+        direction: Direction = Direction.ANY,
+        relations: list[str] | None = None,
+        caps: QueryCaps | None = None,
+    ) -> DataFrame:
+        """k-hop adjacency of anchor vertices (reference NeighborQuery,
+        query/models.py:142-198; BFS db/traversal.py:113-243).
+
+        Returns ``(node_key, node_type, hop)`` for every reached node,
+        minimal hop per node, anchors at hop 0.
+        """
+        caps = caps or QueryCaps()
+        caps.check_hops(hops)
+        seeds = (
+            self.vertices[vertex]
+            .filter(FilterExpression.parse(anchor).to_column())
+            .select(
+                self.vertex_key_col(vertex).alias("node_key"),
+                F.lit(vertex).alias("node_type"),
+            )
+        )
+        edges = self.typed_edge_list(relations=relations, direction=direction)
+
+        visited = seeds.withColumn("hop", F.lit(0))
+        frontier = visited
+        for h in range(1, hops + 1):
+            nxt = (
+                edges.join(
+                    F.broadcast(frontier.select(F.col("node_key").alias("src_key"))),
+                    "src_key",
+                )
+                .select(
+                    F.col("dst_key").alias("node_key"),
+                    F.col("dst_type").alias("node_type"),
+                )
+                .dropDuplicates(["node_key"])
+            )
+            # cycle avoidance: visited-set anti-join (reference traversal.py
+            # row markers)
+            nxt = nxt.join(visited.select("node_key"), "node_key", "left_anti")
+            frontier = nxt.withColumn("hop", F.lit(h))
+            # materialize per hop: keeps the lineage short and lets AQE size
+            # the next hop's join from real stats
+            frontier = frontier.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
+            visited = visited.unionByName(frontier)
+        return visited
+
+    def traverse(
+        self,
+        seeds: list[tuple[str, FilterExpression | dict | list]],
+        hops: int = 1,
+        direction: Direction = Direction.ANY,
+        relations: list[str] | None = None,
+        caps: QueryCaps | None = None,
+    ) -> DataFrame:
+        """Multi-seed reachability, merged + deduped (reference TraverseQuery,
+        db/conn.py:791-829)."""
+        caps = caps or QueryCaps()
+        caps.check_seeds(len(seeds))
+        outs = [
+            self.neighbors(v, a, hops=hops, direction=direction, relations=relations, caps=caps)
+            for v, a in seeds
+        ]
+        merged = outs[0]
+        for o in outs[1:]:
+            merged = merged.unionByName(o)
+        return merged.groupBy("node_key", "node_type").agg(F.min("hop").alias("hop"))
+
+    def hydrate(self, nodes: DataFrame, vertex: str) -> DataFrame:
+        """Fetch full vertex docs for reached node keys (reference
+        bfs_neighbors far-endpoint hydration, traversal.py:412-433)."""
+        v = self.vertices[vertex]
+        keyed = v.withColumn("node_key", self.vertex_key_col(vertex))
+        return keyed.join(
+            nodes.filter(F.col("node_type") == vertex).select("node_key"), "node_key"
+        ).drop("node_key")

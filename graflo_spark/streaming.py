@@ -1,0 +1,132 @@
+"""Streaming ingest + event-time operators.
+
+Reference surface: a Kafka consumer source with stop conditions
+(graflo/data_source/kafka.py:27-247) feeding the same batch cast path;
+idempotency comes from upsert-on-identity. Spark design: Structured
+Streaming ``readStream`` -> ``foreachBatch`` running the *batch* compiler +
+store upsert — exactly-once effective semantics because re-delivered batches
+merge on identity keys.
+
+Watermarks / windowed aggregations / sessionization are net-new capability
+(per the BASELINE.json north star); batch twins of each operator exist so a
+DuckDB oracle can verify the semantics on the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graflo_spark.compiler import compile_resource
+from graflo_spark.manifest import CoreSchema
+from graflo_spark.steps import ResourceConfig
+from graflo_spark.store import GraphStore
+
+
+def kafka_source(
+    spark,
+    brokers: str,
+    topic: str,
+    value_schema,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka JSON-value stream (reference KafkaDataSource)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("doc")
+    ).select("doc.*")
+
+
+def stream_ingest(
+    stream: DataFrame,
+    schema: CoreSchema,
+    resource: ResourceConfig,
+    store: GraphStore,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """foreachBatch ingest: every micro-batch runs the batch compiler and
+    upserts — re-ingest is idempotent by merge-on-identity, so at-least-once
+    delivery yields exactly-once table state."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        gb = compile_resource(schema, resource, batch_df, persist=True)
+        store.write_batch(gb)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+# ----------------------------------------------------------- event-time ops
+def tumbling_window_agg(
+    events: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    group_cols: list[str],
+    aggs: dict[str, str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation; works identically on batch and
+    streaming DataFrames (watermark applies only to streams)."""
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    w = F.window(F.col(ts_col), window_duration)
+    exprs = [getattr(F, fn)(F.col(c)).alias(f"{fn}_{c}") for c, fn in aggs.items()]
+    return (
+        df.groupBy(w.alias("win"), *group_cols)
+        .agg(*exprs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            *[f"{fn}_{c}" for c, fn in aggs.items()],
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization: a session breaks after ``gap_minutes`` of
+    inactivity (lag + cumulative-sum of break flags). Streaming twin would be
+    ``session_window``/``applyInPandasWithState``; the batch form is the
+    oracle-checkable one."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    flagged = events.withColumn(
+        "__new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("__new_session")
+
+
+def replay_as_stream(spark, df: DataFrame, rate_rows_per_second: int = 1000):
+    """Replay a batch table as a stream for tests: writes it to an in-memory
+    rate-joined source is overkill locally — instead we chunk via
+    maxFilesPerTrigger over a temp parquet spill."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="graflo_stream_")
+    df.write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(d)

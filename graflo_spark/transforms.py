@@ -44,6 +44,7 @@ def _snake_to_camel(c: Column) -> Column:
 
 
 BUILTINS: dict[str, Callable[..., list[Column]]] = {
+    "identity": lambda cols, p: list(cols),
     # (reference util/transform.py: standardize — lowercase + whitespace fold)
     "standardize": lambda cols, p: [
         F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")) for c in cols

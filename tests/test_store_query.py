@@ -1,0 +1,88 @@
+"""GraphStore upsert semantics + query surface over stored tables."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from graflo_spark.catalog import build_star_graph, star_schema
+from graflo_spark.manifest import EdgeId
+from graflo_spark.query import AggFn, QueryCaps
+from graflo_spark.store import GraphStore
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir):
+    schema = star_schema()
+    root = tempfile.mkdtemp(prefix="graflo_store_")
+    st = GraphStore(spark, root, schema)
+    st.apply_target_schema()
+    batch = build_star_graph(spark, sf_dir)
+    st.write_batch(batch)
+    return st
+
+
+def test_upsert_idempotent(spark, sf_dir, store):
+    """Reloading the same batch must not change counts (reference
+    reload-merges-on-keys property, db/conn.py:390-404)."""
+    n0 = store.read_vertices("customer").count()
+    e0 = store.read_edges(EdgeId("order", "customer", "placed_by")).count()
+    batch = build_star_graph(spark, sf_dir)
+    store.write_batch(batch)
+    assert store.read_vertices("customer").count() == n0
+    assert store.read_edges(EdgeId("order", "customer", "placed_by")).count() == e0
+
+
+def test_upsert_updates_fields(spark, store):
+    cust = store.read_vertices("customer")
+    one = cust.limit(1).collect()[0]
+    patch = spark.createDataFrame(
+        [(one["c_custkey"], "PATCHED")], "c_custkey long, c_name string"
+    ).withColumn("c_custkey", F.col("c_custkey").cast("long"))
+    store.upsert_vertices("customer", patch)
+    got = (
+        store.read_vertices("customer")
+        .filter(F.col("c_custkey") == one["c_custkey"])
+        .collect()[0]
+    )
+    assert got["c_name"] == "PATCHED"
+    # non-null existing values survive a partial-row upsert
+    assert got["c_acctbal"] == one["c_acctbal"]
+
+
+def test_query_caps():
+    caps = QueryCaps(max_rows=10, max_hops=2, max_seeds=2)
+    assert caps.clamp_rows(None, explicit=False) == 10
+    with pytest.raises(ValueError):
+        caps.clamp_rows(100, explicit=True)
+    with pytest.raises(ValueError):
+        caps.check_hops(3)
+    with pytest.raises(ValueError):
+        caps.check_seeds(5)
+
+
+def test_view_roundtrip_aggregate(store, duck):
+    view = store.as_view()
+    got = {
+        r["c_mktsegment"]: r["agg_value"]
+        for r in view.aggregate("customer", AggFn.COUNT, discriminant="c_mktsegment").collect()
+    }
+    want = dict(duck.execute(
+        "SELECT c_mktsegment, COUNT(*) FROM customer GROUP BY 1").fetchall())
+    assert got == want
+
+
+def test_resolve_error_policy(spark, sf_dir):
+    from graflo_spark.resolve import resolve_endpoints
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("_src_n_nationkey"),
+        F.col("n_nationkey").alias("_dst_s_nationkey"),
+    )
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    dup = supplier.groupBy("s_nationkey").count().filter("count > 1").count()
+    if dup == 0:
+        pytest.skip("no ambiguous nationkeys at this sf")
+    with pytest.raises(ValueError, match="ambiguous"):
+        resolve_endpoints(nation, supplier, ["s_nationkey"], ["s_suppkey"],
+                          side="dst", policy="error")
