@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from graflo_spark.ops.util import ensure_min_parallelism
+
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Representative row per duplicate group: keeps min(id) (deterministic)."""
@@ -45,21 +47,61 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
-    """num_perm-wide MinHash signature: permutation i = murmur3 hash salted
-    with i; signature_i = min over shingles. All JVM-side.
+_MERSENNE_31 = (1 << 31) - 1
 
-    NB: the salt must be bound via a closure factory — a 2-arg lambda would
-    make pyspark pass the array index as the second argument."""
 
-    def salted(salt: int):
-        return lambda s: F.hash(s, F.lit(salt))
+def _perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a*h+b) mod p.
 
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, salted(i)))
-            for i in range(num_perm)
-        ]
+    Derived from a fixed seed so signatures are stable across runs/retries
+    (speculative-execution safe)."""
+    import random
+
+    rnd = random.Random(0x5EED)
+    return [
+        (rnd.randrange(1, _MERSENNE_31), rnd.randrange(0, _MERSENNE_31))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+) -> DataFrame:
+    """``(id, sig: array<long>)`` MinHash signatures.
+
+    Shape: explode shingles -> ONE xxhash64 per (doc, shingle) -> num_perm
+    min-aggregates over cheap affine re-permutations, all inside one
+    whole-stage-codegen'd partial+final hash aggregate. The alternative
+    (per-row higher-order ``transform``/``array_min``) is CodegenFallback
+    (interpreted) and re-evaluates the shingle subtree per permutation —
+    ~100x slower and the difference grows with document length.
+
+    Scale: shuffle is one row per (doc, distinct shingle) reduced map-side to
+    one 64-wide row per doc per partition before exchange.
+    """
+    coeffs = _perm_coeffs(num_perm)
+    df = ensure_min_parallelism(df)
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(char_shingles(F.col(text_col), shingle_k))
+        ).alias("s"),
+    )
+    hashed = shingled.select(
+        "id", F.xxhash64("s").bitwiseAND(F.lit(_MERSENNE_31)).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_31)).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return hashed.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -78,12 +120,7 @@ def minhash_lsh_candidates(
     :func:`ngram_jaccard_pairs` when exactness matters.
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(char_shingles(F.col(text_col), shingle_k), num_perm).alias(
-            "sig"
-        ),
-    )
+    sig = minhash_signatures(df, id_col, text_col, shingle_k, num_perm)
     banded = sig.select(
         "id",
         "sig",
@@ -178,24 +215,35 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", jac).filter(F.col("jaccard") >= min_jaccard)
 
 
-def simhash(text: Column, bits: int = 32) -> Column:
-    """SimHash over whitespace tokens: bit b of the fingerprint is the sign
-    of sum over tokens of (+1 if hash bit set else -1). Pure Column exprs."""
-    tokens = F.split(F.trim(text), r"\s+")
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """``(id, fp)`` SimHash fingerprints: bit b of fp is the sign of
+    sum over tokens of (+1 if hash-bit b set else -1).
 
-    def vote_fn(mask: Column):
-        def merge(acc: Column, t: Column) -> Column:
-            bit_set = F.hash(t).cast("long").bitwiseAND(mask) != 0
-            return acc + F.when(bit_set, 1).otherwise(-1)
-
-        return merge
-
-    fp = F.lit(0).cast("long")
+    Shape: explode tokens -> one murmur3 per (doc, token) -> ``bits``
+    conditional-sum aggregates -> recombine. Whole-stage codegen throughout
+    (a per-row ``F.aggregate`` over the token array is interpreted and walks
+    the array once per bit)."""
+    tokens = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
+    )
+    hashed = tokens.select("id", F.hash("t").cast("long").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    fp = None
     for b in range(bits):
-        mask = F.lit(1 << b).cast("long")
-        vote = F.aggregate(tokens, F.lit(0), vote_fn(mask))
-        fp = fp + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return fp
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return hashed.groupBy("id").agg(*votes).select("id", fp.alias("fp"))
 
 
 def simhash_candidates(
@@ -205,7 +253,7 @@ def simhash_candidates(
     """Near-dup candidates: split the fingerprint into bands; pairs sharing
     any band are compared by exact Hamming distance (<= max_hamming)."""
     n_bands = bits // band_bits
-    fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("fp"))
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
     banded = fp.select(
         "id",
         "fp",
