@@ -1103,6 +1103,344 @@ def analytics_nation_volume(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- inference (SURVEY §1.3)
+
+_UNIQ_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+
+
+@q(
+    "infer_uniqueness_customer",
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, COUNT(DISTINCT {c}) AS n_distinct, "
+        f"COUNT({c}) AS n_nonnull, COUNT(*) AS n_rows, "
+        f"CAST(COUNT(DISTINCT {c}) AS DOUBLE) / COUNT(*) AS uniqueness FROM customer"
+        for c in _UNIQ_COLS
+    ),
+)
+def infer_uniqueness_customer(spark, sf_dir):
+    """Identity-key discovery evidence: per-column uniqueness ratios in one
+    aggregate pass (reference db/identity_inference.py)."""
+    from graflo_spark import infer
+
+    return infer.column_uniqueness(load(spark, sf_dir, "customer"), _UNIQ_COLS)
+
+
+@q(
+    "infer_identity_orders",
+    "SELECT 'o_orderkey' AS proposed_identity, COUNT(*) AS n_rows, "
+    "COUNT(DISTINCT o_orderkey) AS n_distinct_key FROM orders",
+)
+def infer_identity_orders(spark, sf_dir):
+    """Greedy composite-key proposal (reference identity inference): most
+    selective no-null candidate first, extend until unique. On orders the
+    walk terminates at the natural key immediately — scale-factor-agnostic,
+    so the oracle holds at every sf (lineitem's multi-step walk is covered
+    by unit tests at a pinned sf). The oracle re-proves key uniqueness."""
+    from graflo_spark import infer
+
+    df = load(spark, sf_dir, "orders")
+    key = infer.propose_identity(
+        df, ["o_orderkey", "o_custkey", "o_orderstatus"], max_width=3
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(*key).alias("n_distinct_key"),
+    ).select(
+        F.lit(",".join(key)).alias("proposed_identity"), "n_rows", "n_distinct_key"
+    )
+
+
+_FK_CANDS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "supplier", "s_suppkey"),  # negative control
+]
+
+
+def _fk_sql() -> str:
+    parts = []
+    for ct, cc, pt, pc in _FK_CANDS:
+        parts.append(
+            f"SELECT '{ct}' AS child_table, '{cc}' AS child_column, "
+            f"'{pt}' AS parent_table, '{pc}' AS parent_column, "
+            "n_child_distinct, n_contained, "
+            "CAST(n_contained AS DOUBLE) / n_child_distinct AS containment FROM "
+            f"(SELECT (SELECT COUNT(DISTINCT {cc}) FROM {ct} WHERE {cc} IS NOT NULL) "
+            "AS n_child_distinct, "
+            f"(SELECT COUNT(DISTINCT {cc}) FROM {ct} WHERE {cc} IN "
+            f"(SELECT {pc} FROM {pt})) AS n_contained)"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _fk_evidence(spark, sf_dir):
+    from graflo_spark import infer
+
+    tables = {
+        t: load(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "part",
+                  "nation", "region")
+    }
+    cands = [infer.FkCandidate(*c) for c in _FK_CANDS]
+    return infer.fk_containment(tables, cands), tables
+
+
+@q("infer_fk_containment_star", _fk_sql())
+def infer_fk_containment_star(spark, sf_dir):
+    """FK discovery from data: distinct-value containment via semi-joins
+    (reference postgres 3NF inference, schema_inference.py:24-110 — proven
+    from the data instead of catalog metadata). Includes a negative control
+    pair that must score well below 1.0."""
+    out, _ = _fk_evidence(spark, sf_dir)
+    return out
+
+
+_CLASSIFY_PROJ = {
+    "customer": ["c_custkey", "c_nationkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    "nation": ["n_nationkey", "n_regionkey"],
+}
+
+
+def _classify_uniq_sql() -> str:
+    parts = []
+    for t, cols in _CLASSIFY_PROJ.items():
+        greatest = ", ".join(f"(SELECT COUNT(DISTINCT {c}) FROM {t})" for c in cols)
+        parts.append(
+            f"SELECT '{t}' AS table_name, CAST((SELECT COUNT(*) FROM {t}) = "
+            f"GREATEST({greatest}) AS BIGINT) AS has_unique_column"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@q(
+    "infer_table_classification",
+    f"WITH fk AS ({_fk_sql()}), "
+    "fks AS (SELECT child_table AS table_name, COUNT(DISTINCT child_column) AS n_fks "
+    "FROM fk WHERE containment >= 0.999 GROUP BY 1), "
+    f"uniq AS ({_classify_uniq_sql()}) "
+    "SELECT u.table_name, COALESCE(f.n_fks, 0) AS n_fks, u.has_unique_column, "
+    "CASE WHEN COALESCE(f.n_fks, 0) >= 2 AND u.has_unique_column = 0 "
+    "THEN 'junction' ELSE 'vertex' END AS table_kind "
+    "FROM uniq u LEFT JOIN fks f USING (table_name)",
+)
+def infer_table_classification(spark, sf_dir):
+    """Vertex-vs-junction table classification from inferred FKs + uniqueness
+    (reference architecture/onto_sql.py: junction tables become edges).
+    lineitem (no single-column key, 3 proven FKs) classifies as junction."""
+    from graflo_spark import infer
+
+    ev, tables = _fk_evidence(spark, sf_dir)
+    proj = {t: tables[t].select(*cols) for t, cols in _CLASSIFY_PROJ.items()}
+    out = infer.classify_tables(proj, ev)
+    return out.withColumn(
+        "has_unique_column", F.col("has_unique_column").cast("long")
+    )
+
+
+# ------------------------------------------------------- more sources (§2.1)
+
+@q(
+    "rdf_pivot_nation",
+    "SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS _uri, "
+    "n_name AS name, CAST(n_regionkey AS VARCHAR) AS region FROM nation",
+)
+def rdf_pivot_nation(spark, sf_dir):
+    """RDF source shape: triples grouped by subject -> flat docs
+    (reference data_source/rdf.py). Triples are derived from the nation
+    table, then pivoted back with explicit predicate values (no discovery
+    job at scale)."""
+    from graflo_spark.io import triples_to_docs
+
+    nat = load(spark, sf_dir, "nation")
+    triples = nat.selectExpr(
+        "concat('nation/', CAST(n_nationkey AS STRING)) AS subject",
+        "stack(2, 'name', n_name, 'region', CAST(n_regionkey AS STRING)) "
+        "AS (predicate, object)",
+    )
+    return triples_to_docs(triples, predicates=["name", "region"])
+
+
+@q(
+    "source_time_window_events",
+    "SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, event_type, value "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-15 00:00:00'",
+)
+def source_time_window_events(spark, sf_dir):
+    """Time-window source filter (reference column_time_filter bindings):
+    a plain Catalyst predicate that reaches the scan — partition pruning on
+    date-partitioned tables."""
+    from graflo_spark.io import column_time_filter
+
+    ev = _events_ts(spark, sf_dir)
+    out = column_time_filter(
+        ev, "ts",
+        after=F.lit("2024-01-10 00:00:00").cast("timestamp"),
+        before=F.lit("2024-01-15 00:00:00").cast("timestamp"),
+    )
+    return out.select(
+        "event_id", F.unix_timestamp("ts").alias("ts_epoch"), "event_type", "value"
+    )
+
+
+# ------------------------------------------- edge machinery extensions (§2.3)
+
+@q(
+    "edge_homogeneous_combinations",
+    "SELECT a.c_custkey AS _src_c_custkey, b.c_custkey AS _dst_c_custkey "
+    "FROM customer a JOIN customer b "
+    "ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey",
+)
+def edge_homogeneous_combinations(spark, sf_dir):
+    """COMBINATIONS casting for self-edges: unordered item pairs within the
+    document (reference edge_render.py:89-99,215-228 — combinations(2) over
+    co-located items). Members arrays are sorted, so position order ==
+    custkey order and the oracle is a plain a<b self-join."""
+    cust = load(spark, sf_dir, "customer")
+    docs = cust.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list(F.struct("c_custkey", "c_name"))).alias("members")
+    )
+    schema = CoreSchema(
+        vertices=[Vertex("customer", [Field("c_custkey", FieldType.INT)],
+                         identity=["c_custkey"])],
+        edges=[Edge("customer", "customer")],
+    )
+    res = ResourceConfig("nations", steps=[
+        DescendStep(key="members", steps=[VertexStep(name="customer")]),
+        EdgeStep.single(source="customer", target="customer",
+                        casting="combinations"),
+    ], infer_edges=False, doc_key=["c_nationkey"])
+    b = compile_resource(schema, res, docs)
+    eid = list(b.edges)[0]
+    return b.edges[eid]
+
+
+@q(
+    "edge_vertex_weights_nation",
+    "SELECT s_suppkey AS _src_s_suppkey, s_nationkey AS _dst_n_nationkey, "
+    "n_name AS \"nation@n_name\" "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey",
+)
+def edge_vertex_weights_nation(spark, sf_dir):
+    """Vertex-derived edge weights: copy fields from a third vertex onto edge
+    docs with name@field columns (reference vertex_weights,
+    edge_render.py:417-482). Weight side broadcast — no edge shuffle."""
+    from graflo_spark.compiler import add_vertex_weights
+
+    schema = star_schema()
+    res = ResourceConfig("supplier", steps=[
+        VertexStep(name="supplier"),
+        VertexStep(name="nation", mapping={"n_nationkey": "s_nationkey"},
+                   extraction_scope="mapped_only", lookup_only=True),
+    ])
+    b = compile_resource(schema, res, load(spark, sf_dir, "supplier"))
+    eid = [e for e in b.edges if e.target == "nation"][0]
+    enriched = add_vertex_weights(
+        b.edges[eid], load(spark, sf_dir, "nation"),
+        on={"_dst_n_nationkey": "n_nationkey"}, fields=["n_name"], prefix="nation",
+    )
+    return enriched.select("_src_s_suppkey", "_dst_n_nationkey", "nation@n_name")
+
+
+# --------------------------------------------------- store / sink ops (§2.2)
+
+@q(
+    "store_upsert_roundtrip",
+    "SELECT c_custkey, "
+    "CASE WHEN c_custkey <= 500 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal, "
+    "c_mktsegment FROM customer",
+)
+def store_upsert_roundtrip(spark, sf_dir):
+    """Upsert-on-identity semantics end-to-end: write base vertices, upsert
+    an overlay (updated balances, NULL segment), read back. Newer fields win
+    but NULLs never clobber existing values (reference merge-on-keys reload,
+    db/conn.py:390-404)."""
+    import tempfile
+
+    from graflo_spark.store import GraphStore
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment")
+    schema = CoreSchema(vertices=[Vertex(
+        "customer",
+        [Field("c_custkey", FieldType.INT), Field("c_acctbal", FieldType.DOUBLE),
+         Field("c_mktsegment")],
+        identity=["c_custkey"])])
+    # the snapshot dir must outlive this call (the caller consumes the lazy
+    # DataFrame); tiny, and mkdtemp under the system tmp is reaped by the OS
+    root = tempfile.mkdtemp(prefix="graflo_store_")
+    store = GraphStore(spark, root, schema)
+    store.apply_target_schema()
+    store.upsert_vertices("customer", cust)
+    overlay = cust.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    store.upsert_vertices("customer", overlay)
+    return store.read_vertices("customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment")
+
+
+# ----------------------------------------------- query surface addenda (§2.9)
+
+@q(
+    "fetch_edges_nation_anchor",
+    "SELECT 'nation' || chr(31) || '3' AS src_key, "
+    "'customer' || chr(31) || CAST(c_custkey AS VARCHAR) AS dst_key, "
+    "'nation' AS src_type, 'customer' AS dst_type, 'located_in' AS relation "
+    "FROM customer WHERE c_nationkey = 3 "
+    "UNION ALL SELECT 'nation' || chr(31) || '3', "
+    "'supplier' || chr(31) || CAST(s_suppkey AS VARCHAR), 'nation', 'supplier', "
+    "'located_in' FROM supplier WHERE s_nationkey = 3 "
+    "UNION ALL SELECT 'nation' || chr(31) || '3', "
+    "'region' || chr(31) || CAST(n_regionkey AS VARCHAR), 'nation', 'region', "
+    "'part_of' FROM nation WHERE n_nationkey = 3",
+)
+def fetch_edges_nation_anchor(spark, sf_dir):
+    """fetch_edges: all edges incident to one anchor vertex, ANY direction
+    (reference db/conn.py:483-527)."""
+    view = star_view(spark, sf_dir)
+    return view.fetch_edges(
+        "nation", {"field": "n_nationkey", "op": "==", "value": 3},
+        direction=Direction.ANY, limit=100_000)
+
+
+# ------------------------------------------------- streaming addenda (§2.10)
+
+@q(
+    "window_sliding_events",
+    "WITH w AS (SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events "
+    "UNION ALL SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value "
+    "FROM events) "
+    "SELECT CAST(epoch(ws) AS BIGINT) AS window_start_epoch, event_type, "
+    "COUNT(*) AS n, " + dsum_sql("value") + " AS sum_value FROM w GROUP BY 1, 2",
+)
+def window_sliding_events(spark, sf_dir):
+    """Sliding (hopping) event-time windows, 2h width / 1h hop: each event
+    lands in two windows (net-new streaming capability; batch twin is
+    oracle-checkable — the oracle materializes the two hops as a UNION)."""
+    from graflo_spark.streaming import sliding_window_agg
+
+    ev = _events_ts(spark, sf_dir)
+    out = sliding_window_agg(ev, "ts", "2 hours", "1 hour", ["event_type"],
+                             {"value": "count"})
+    ev2 = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+    return ev2.select(
+        F.unix_timestamp("w.start").alias("window_start_epoch"),
+        "event_type", "n", "sum_value")
+
+
 def entry_flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: full star-schema graph build -> per-type golden counts."""
     return build_star_graph(spark, sf_dir).counts()

@@ -421,22 +421,27 @@ class ResourceCompiler:
             and link.match_source_key is None
             and link.match_target_key is None
         )
-        pairs: list[tuple[VertexExtract, VertexExtract, bool]] = []
-        if homogeneous:
+        pairs: list[tuple[VertexExtract, VertexExtract, str]] = []
+        if homogeneous and link.casting == "combinations":
+            # unordered item pairs within the document (reference
+            # COMBINATIONS casting for self-edges, edge_render.py:89-99)
+            for e in srcs:
+                pairs.append((e, e, "combo"))
+        elif homogeneous:
             # star from the minimal location: emitter = first extract (and
             # position 0 within it); receivers = everything else
             emitter = srcs[0]
             for r in srcs:
-                pairs.append((emitter, r, True))
+                pairs.append((emitter, r, "star"))
         else:
             for se in srcs:
                 for te in tgts:
-                    pairs.append((se, te, False))
+                    pairs.append((se, te, "plain"))
 
         out = []
         eid = EdgeId(link.source, link.target, link.relation)
-        for se, te, star in pairs:
-            edf = self._render_pair(se, te, src_fields, tgt_fields, weights, link, star)
+        for se, te, mode in pairs:
+            edf = self._render_pair(se, te, src_fields, tgt_fields, weights, link, mode)
             if edf is not None:
                 out.append((eid, edf))
         return out
@@ -449,14 +454,18 @@ class ResourceCompiler:
         tgt_fields: list[str],
         weights: list[str],
         link: EdgeLink,
-        star: bool,
+        mode: str = "plain",
     ) -> DataFrame | None:
         src_exprs = se.match_exprs(src_fields)
         tgt_exprs = te.match_exprs(tgt_fields)
         if src_exprs is None or tgt_exprs is None:
             return None  # endpoint cannot be matched from this site
 
-        same_frame = se.frame is te.frame and not star
+        star = mode == "star"
+        combo = mode == "combo"
+        same_frame = se.frame is te.frame and mode == "plain"
+        if combo and not se.frame.pos_cols:
+            return None  # single location per doc: nothing to pair
 
         def weight_expr(w: str, side_prefix: dict[str, str]) -> Column | None:
             # precedence per reference edge_render.py:357-373 — target vertex
@@ -511,11 +520,16 @@ class ResourceCompiler:
                     else:
                         return None  # single root location: no star partner
                 join_keys = [DOC_ID]
+            elif combo:
+                join_keys = [DOC_ID]
 
             s_sel = [F.col(k) for k in join_keys]
             s_sel += [src_exprs[f].alias(f"_src_{f}") for f in src_fields]
             t_sel = [F.col(k) for k in join_keys]
             t_sel += [tgt_exprs[f].alias(f"_dst_{f}") for f in tgt_fields]
+            if combo:
+                s_sel += [F.col(p).alias(f"__sp_{p}") for p in se.frame.pos_cols]
+                t_sel += [F.col(p).alias(f"__tp_{p}") for p in te.frame.pos_cols]
             s_weights, t_weights = [], []
             for w in weights:
                 if w in te.field_exprs:
@@ -543,6 +557,17 @@ class ResourceCompiler:
             left = sdf.select(*s_sel)
             right = tdf.select(*t_sel)
             joined = left.join(right, join_keys)
+            if combo:
+                # unordered pairs: strict lexicographic order on the position
+                # tuple (the reference's combinations(2) over items)
+                lt = None
+                eq = None
+                for p in se.frame.pos_cols:
+                    sp, tp = F.col(f"__sp_{p}"), F.col(f"__tp_{p}")
+                    step_lt = (sp < tp) if eq is None else (eq & (sp < tp))
+                    lt = step_lt if lt is None else (lt | step_lt)
+                    eq = (sp == tp) if eq is None else (eq & (sp == tp))
+                joined = joined.filter(lt)
             sel = [F.col(f"_src_{f}") for f in src_fields]
             sel += [F.col(f"_dst_{f}") for f in tgt_fields]
             for w in weights:
@@ -673,3 +698,34 @@ def compile_resource(
     schema: CoreSchema, resource: ResourceConfig, df: DataFrame, persist: bool = True
 ) -> GraphBatch:
     return ResourceCompiler(schema, resource).compile(df, persist=persist)
+
+
+def add_vertex_weights(
+    edge_df: DataFrame,
+    weight_df: DataFrame,
+    on: dict[str, str],
+    fields: list[str],
+    prefix: str,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Vertex-derived edge weights: copy ``fields`` from a third vertex type
+    onto edge docs, columns named ``{prefix}@{field}`` (reference
+    ``vertex_weights`` / ``Weight.cfield`` prefixing, edge_render.py:417-482,
+    graph_types/index_config.py:45-60).
+
+    ``on`` maps edge columns -> weight-vertex columns. The weight vertex is a
+    dimension table; broadcast by default so a 100 TB edge set never
+    shuffles (disable for a large weight side and let AQE pick the join).
+    """
+    sel = [F.col(c).alias(f"__wk_{i}") for i, c in enumerate(on.values())]
+    sel += [F.col(f).alias(f"{prefix}@{f}") for f in fields]
+    w = weight_df.select(*sel).dropDuplicates([f"__wk_{i}" for i in range(len(on))])
+    if broadcast_weights:
+        w = F.broadcast(w)
+    cond = None
+    for i, ec in enumerate(on.keys()):
+        c = edge_df[ec] == w[f"__wk_{i}"]
+        cond = c if cond is None else (cond & c)
+    return edge_df.join(w, cond, "left").drop(
+        *[f"__wk_{i}" for i in range(len(on))]
+    )

@@ -75,6 +75,56 @@ def read_source(
     raise ValueError(f"unknown format {fmt!r}")
 
 
+def column_time_filter(
+    df: DataFrame,
+    column: str,
+    after=None,
+    before=None,
+) -> DataFrame:
+    """Time-window source filter (reference contract/bindings/
+    column_time_filter.py + ingestion_parameters datetime_after/before):
+    half-open ``[after, before)``. A plain Catalyst predicate, so it reaches
+    the scan — on date-partitioned tables this is partition pruning."""
+    if after is not None:
+        df = df.filter(F.col(column) >= F.lit(after))
+    if before is not None:
+        df = df.filter(F.col(column) < F.lit(before))
+    return df
+
+
+def triples_to_docs(
+    triples: DataFrame,
+    subject: str = "subject",
+    predicate: str = "predicate",
+    obj: str = "object",
+    predicates: list[str] | None = None,
+) -> DataFrame:
+    """RDF source: triples grouped by subject -> one flat doc per subject
+    with predicate columns (reference data_source/rdf.py:1-424 builds the
+    same flat dicts with ``_uri`` keys).
+
+    Pass ``predicates`` explicitly at scale — it skips the distinct-values
+    discovery job Spark otherwise runs before a pivot. Multi-valued
+    predicates keep the min value (deterministic); use
+    :func:`triples_to_multidocs` to keep all values as arrays.
+    """
+    g = triples.groupBy(F.col(subject).alias("_uri"))
+    piv = g.pivot(predicate, predicates) if predicates else g.pivot(predicate)
+    return piv.agg(F.min(obj))
+
+
+def triples_to_multidocs(
+    triples: DataFrame,
+    subject: str = "subject",
+    predicate: str = "predicate",
+    obj: str = "object",
+    predicates: list[str] | None = None,
+) -> DataFrame:
+    g = triples.groupBy(F.col(subject).alias("_uri"))
+    piv = g.pivot(predicate, predicates) if predicates else g.pivot(predicate)
+    return piv.agg(F.sort_array(F.collect_list(obj)))
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -88,6 +88,11 @@ class EdgeLink:
     relation_field: str | None = None
     relation_map: dict[str, str] = dc_field(default_factory=dict)
     relation_from_key: bool = False
+    # casting override (reference edge_render.py:215-228 auto-choice):
+    # None=auto (pair/product by location, star for homogeneous),
+    # "combinations" = unordered item pairs within the document (the
+    # reference's COMBINATIONS for self-edges)
+    casting: str | None = None
 
 
 @dataclass

@@ -97,6 +97,34 @@ def tumbling_window_agg(
     )
 
 
+def sliding_window_agg(
+    events: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    slide_duration: str,
+    group_cols: list[str],
+    aggs: dict[str, str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    duration/slide windows. Batch and streaming identical semantics."""
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    w = F.window(F.col(ts_col), window_duration, slide_duration)
+    exprs = [getattr(F, fn)(F.col(c)).alias(f"{fn}_{c}") for c, fn in aggs.items()]
+    return (
+        df.groupBy(w.alias("win"), *group_cols)
+        .agg(*exprs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            *[f"{fn}_{c}" for c, fn in aggs.items()],
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str,

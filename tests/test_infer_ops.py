@@ -1,0 +1,167 @@
+"""Tests for inference, vertex weights, combinations casting, time filter,
+RDF pivot — behaviors not (or only partially) covered by the oracle catalog."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+
+
+def test_propose_identity_multi_step(spark):
+    """The greedy walk genuinely extends: at sf0.01 lineitem's
+    (l_orderkey, l_linenumber) is NOT unique and the proposal is 3-wide."""
+    from graflo_spark import infer
+
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    key = infer.propose_identity(
+        df, ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"], max_width=4
+    )
+    assert key == ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def test_propose_identity_no_key(spark, tables):
+    from graflo_spark import infer
+
+    key = infer.propose_identity(tables["nation"], ["n_regionkey"], max_width=1)
+    assert key == []
+
+
+def test_column_uniqueness_values(spark, tables, duck):
+    from graflo_spark import infer
+
+    got = {
+        r["column_name"]: r
+        for r in infer.column_uniqueness(tables["customer"], ["c_custkey", "c_nationkey"]).collect()
+    }
+    n, d = duck.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT c_nationkey) FROM customer"
+    ).fetchone()
+    assert got["c_custkey"]["n_distinct"] == n
+    assert got["c_nationkey"]["n_distinct"] == d
+    assert got["c_custkey"]["uniqueness"] == 1.0
+
+
+def test_fk_containment_negative_control(spark, tables):
+    from graflo_spark import infer
+
+    ev = infer.fk_containment(
+        tables,
+        [
+            infer.FkCandidate("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            infer.FkCandidate("orders", "o_custkey", "supplier", "s_suppkey"),
+        ],
+    ).collect()
+    by = {(r["child_table"], r["child_column"], r["parent_table"]): r for r in ev}
+    assert by[("lineitem", "l_orderkey", "orders")]["containment"] == 1.0
+    assert by[("orders", "o_custkey", "supplier")]["containment"] < 0.5
+
+
+def test_combinations_vs_star_counts(spark, tables):
+    """COMBINATIONS yields n*(n-1)/2 pairs per doc; star yields n-1."""
+    from graflo_spark.catalog import compile_resource
+    from graflo_spark.manifest import CoreSchema, Edge, Field, FieldType, Vertex
+    from graflo_spark.steps import DescendStep, EdgeStep, ResourceConfig, VertexStep
+
+    docs = tables["customer"].groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list(F.struct("c_custkey"))).alias("members"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sizes = {r["c_nationkey"]: r["n"] for r in docs.select("c_nationkey", "n").collect()}
+    want_combo = sum(n * (n - 1) // 2 for n in sizes.values())
+    want_star = sum(n - 1 for n in sizes.values())
+
+    schema = CoreSchema(
+        vertices=[Vertex("customer", [Field("c_custkey", FieldType.INT)],
+                         identity=["c_custkey"])],
+        edges=[Edge("customer", "customer")],
+    )
+
+    def build(casting):
+        res = ResourceConfig("nations", steps=[
+            DescendStep(key="members", steps=[VertexStep(name="customer")]),
+            EdgeStep.single(source="customer", target="customer", casting=casting),
+        ], infer_edges=False, doc_key=["c_nationkey"])
+        b = compile_resource(schema, res, docs)
+        return b.edges[list(b.edges)[0]].count()
+
+    assert build("combinations") == want_combo
+    assert build(None) == want_star
+
+
+def test_add_vertex_weights_left_join(spark, tables):
+    from graflo_spark.compiler import add_vertex_weights
+
+    edges = tables["supplier"].select(
+        F.col("s_suppkey").alias("_src_s_suppkey"),
+        F.col("s_nationkey").alias("_dst_n_nationkey"),
+    )
+    # drop one nation from the weight side -> its edges keep NULL weight
+    weights = tables["nation"].filter(F.col("n_nationkey") != 0)
+    out = add_vertex_weights(
+        edges, weights, on={"_dst_n_nationkey": "n_nationkey"},
+        fields=["n_name"], prefix="nation",
+    )
+    assert out.count() == edges.count()  # left join never drops edges
+    n_null = out.filter(F.col("nation@n_name").isNull()).count()
+    n_zero = edges.filter(F.col("_dst_n_nationkey") == 0).count()
+    assert n_null == n_zero
+
+
+def test_column_time_filter_pushdown(spark, sf_dir):
+    """The predicate must reach the parquet scan (PushedFilters)."""
+    from graflo_spark.io import column_time_filter
+
+    ev = load(spark, sf_dir, "events")  # ts is epoch-ns long here
+    out = column_time_filter(ev, "event_id", after=10, before=2000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(event_id,10)" in plan
+    lo, hi = out.agg(F.min("event_id"), F.max("event_id")).first()
+    assert lo >= 10 and hi < 2000
+
+
+def test_triples_roundtrip(spark, tables):
+    from graflo_spark.io import triples_to_docs, triples_to_multidocs
+
+    nat = tables["nation"]
+    triples = nat.selectExpr(
+        "concat('nation/', CAST(n_nationkey AS STRING)) AS subject",
+        "stack(2, 'name', n_name, 'region', CAST(n_regionkey AS STRING)) "
+        "AS (predicate, object)",
+    )
+    docs = triples_to_docs(triples, predicates=["name", "region"])
+    assert docs.count() == nat.count()
+    assert set(docs.columns) == {"_uri", "name", "region"}
+    multi = triples_to_multidocs(triples, predicates=["name"])
+    row = multi.filter(F.col("_uri") == "nation/0").first()
+    assert isinstance(row["name"], list) and len(row["name"]) == 1
+
+
+def test_store_upsert_null_never_clobbers(spark, tables, tmp_path):
+    from graflo_spark.manifest import CoreSchema, Field, FieldType, Vertex
+    from graflo_spark.store import GraphStore
+
+    schema = CoreSchema(vertices=[Vertex(
+        "customer",
+        [Field("c_custkey", FieldType.INT), Field("c_mktsegment")],
+        identity=["c_custkey"])])
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    base = tables["customer"].select("c_custkey", "c_mktsegment")
+    store.upsert_vertices("customer", base)
+    overlay = base.limit(10).select(
+        "c_custkey", F.lit(None).cast("string").alias("c_mktsegment"))
+    store.upsert_vertices("customer", overlay)
+    out = store.read_vertices("customer")
+    assert out.filter(F.col("c_mktsegment").isNull()).count() == 0
+
+
+def test_sliding_window_total_rows(spark, sf_dir):
+    """Each event lands in exactly duration/slide windows."""
+    from graflo_spark.streaming import sliding_window_agg
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    out = sliding_window_agg(ev, "ts", "2 hours", "1 hour", [], {"value": "count"})
+    total = out.agg(F.sum("count_value")).first()[0]
+    assert total == 2 * ev.count()
