@@ -161,6 +161,78 @@ def read_jdbc(
 
 
 @dataclass
+class ApiSourceConfig:
+    """REST API source config (reference data_source/api.py:38-221):
+    pagination mode offset|page|cursor, retry with backoff, page-size cap."""
+
+    pagination: str = "offset"  # offset | page | cursor
+    page_size: int = 100
+    max_pages: int = 1000
+    max_retries: int = 3
+    backoff_seconds: float = 0.5
+    # names of the request params (reference carry-params)
+    offset_param: str = "offset"
+    page_param: str = "page"
+    cursor_param: str = "cursor"
+    limit_param: str = "limit"
+
+
+def read_api_source(
+    spark: SparkSession,
+    fetch_page,
+    config: ApiSourceConfig | None = None,
+    schema=None,
+) -> DataFrame:
+    """Paginated API source -> DataFrame (reference data_source/api.py +
+    api_response.py). ``fetch_page(params: dict) -> (rows: list[dict],
+    next_cursor: str | None)`` is injectable — an HTTP client in production,
+    a stub in tests (this container has no network libs).
+
+    The fetch loop is inherently driver-side (the reference's too); rows land
+    in one ``createDataFrame`` so everything downstream is distributed. For
+    large APIs, shard the fetch by key range and union the frames.
+    """
+    import time
+
+    cfg = config or ApiSourceConfig()
+    rows: list[dict] = []
+    cursor: str | None = None
+    for page_no in range(cfg.max_pages):
+        params = {cfg.limit_param: cfg.page_size}
+        if cfg.pagination == "offset":
+            params[cfg.offset_param] = page_no * cfg.page_size
+        elif cfg.pagination == "page":
+            params[cfg.page_param] = page_no
+        elif cfg.pagination == "cursor":
+            if page_no > 0 and cursor is None:
+                break
+            if cursor is not None:
+                params[cfg.cursor_param] = cursor
+        else:
+            raise ValueError(f"unknown pagination {cfg.pagination!r}")
+
+        last_err: Exception | None = None
+        for attempt in range(cfg.max_retries):
+            try:
+                batch, cursor = fetch_page(params)
+                last_err = None
+                break
+            except Exception as e:  # retry with backoff (reference :137-166)
+                last_err = e
+                time.sleep(cfg.backoff_seconds * (2**attempt))
+        if last_err is not None:
+            raise last_err
+        if not batch:
+            break
+        rows.extend(batch)
+        if len(batch) < cfg.page_size and cfg.pagination != "cursor":
+            break
+    if schema is None and not rows:
+        raise ValueError("empty API result needs an explicit schema")
+    return spark.createDataFrame(rows, schema=schema)
+
+
+@dataclass
 class JoinClause:
     """One join of a SelectSpec (reference filter/select.py:28-65)."""
 
