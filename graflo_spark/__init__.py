@@ -9,7 +9,11 @@ Key entry points:
     - :class:`graflo_spark.manifest.CoreSchema` / :class:`GraphManifest`
     - :class:`graflo_spark.compiler.ResourceCompiler` — resource DF -> GraphBatch
     - :class:`graflo_spark.store.GraphStore` — parquet-backed graph tables
+    - :class:`graflo_spark.engine.GraphEngine` — define/ingest/export/migrate
     - :mod:`graflo_spark.query` — Node/Neighbor/Traverse/Aggregate queries
+    - :mod:`graflo_spark.infer` — identity/FK/table-kind inference
+    - :mod:`graflo_spark.evolve` — manifest evolution ops + diff/plan/apply
+    - :mod:`graflo_spark.errors` — doc-error budget + failure sink
     - :mod:`graflo_spark.ops` — LLM-pipeline operators (dedup, simsearch, text)
 """
 

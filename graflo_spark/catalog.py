@@ -1413,6 +1413,25 @@ def fetch_edges_nation_anchor(spark, sf_dir):
         direction=Direction.ANY, limit=100_000)
 
 
+@q("ivf_topk_embeddings")  # approximate (KMeans partitions): rows-only check
+def ivf_topk_embeddings(spark, sf_dir):
+    """IVF approximate top-k: KMeans-partitioned corpus, probe the 2 nearest
+    centroids per query (the 100 TB scale path alongside LSH; with
+    n_probe == n_centroids this equals brute force — pinned in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ss.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=2)
+
+
+@q("winnowing_fingerprints_documents")  # hash-valued: rows-only check
+def winnowing_fingerprints_documents(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (MOSS scheme): k-gram hashes ->
+    window mins -> distinct fingerprint set per doc. Shared runs of
+    k+window-1 chars always share a fingerprint (pinned in tests)."""
+    docs = load(spark, sf_dir, "documents")
+    return ts.winnowing_fingerprints(docs, "doc_id", "text")
+
+
 # ------------------------------------------------- streaming addenda (§2.10)
 
 @q(

@@ -117,12 +117,36 @@ class ResourceCompiler:
         self._n = 0
 
     # ------------------------------------------------------------------ api
+    def _doc_id_matters(self) -> bool:
+        """True when the non-deterministic doc id feeds results: nested
+        descents (cross-frame joins key on it) or minted identities (it seeds
+        the digest). Flat natural-identity resources never observe it, so
+        their base needn't be persisted — one less materialization per
+        resource."""
+
+        def walk(steps) -> bool:
+            for s in steps:
+                if isinstance(s, DescendStep):
+                    return True
+                if isinstance(s, VertexStep):
+                    v = self.schema.vertex(s.name)
+                    if v.identity_mode in (IdentityMode.ASSIGNED, IdentityMode.BLANK):
+                        return True
+                if isinstance(s, VertexRouterStep):
+                    for name in s.type_map.values():
+                        v = self.schema.vertex(name)
+                        if v.identity_mode in (IdentityMode.ASSIGNED, IdentityMode.BLANK):
+                            return True
+            return False
+
+        return walk(self.resource.steps)
+
     def compile(self, df: DataFrame, persist: bool = True) -> GraphBatch:
         self.extracts, self.edge_jobs = [], []
         self._explicit_pairs = set()
 
         base = self._prepare_base(df)
-        if persist and self.resource.doc_key is None:
+        if persist and self.resource.doc_key is None and self._doc_id_matters():
             # monotonically_increasing_id must not be recomputed differently
             # across the DAG branches that re-read the base
             base = base.persist(StorageLevel.MEMORY_AND_DISK)

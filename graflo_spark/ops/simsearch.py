@@ -95,6 +95,72 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: K-Means-partition the corpus,
+    probe only the ``n_probe`` centroids nearest each query.
+
+    Scale path: the clustering is distributed (MLlib KMeans), cluster
+    assignment is a map pass, and at 100 TB the corpus is written once
+    partitioned by ``cluster`` so a probe prunes to n_probe/n_centroids of
+    the data. With ``n_probe == n_centroids`` results equal brute force
+    (the recall=1 sanity point the tests pin).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).cast("array<double>").alias("c_vec"),
+    ).withColumn("__fv", array_to_vector(F.col("c_vec")))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="cluster"
+    ).fit(c)
+    assigned = model.transform(c).drop("__fv")
+
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cluster INT, centroid ARRAY<DOUBLE>",
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("q_vec"),
+    )
+    # rank centroids per query (tiny cross join), keep n_probe
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "q_vec", "cluster",
+        cosine_expr(F.col("q_vec"), F.col("centroid")).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), "cluster")
+    probes = (
+        qc.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "q_vec", "cluster")
+    )
+    joined = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

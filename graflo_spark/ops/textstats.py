@@ -84,6 +84,39 @@ def fingerprint(text: Column) -> Column:
     return F.sha2(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), 256)
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 7,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of MOSS):
+    hash every k-gram, slide a window of ``window`` consecutive hashes, keep
+    each window's min — the distinct mins are the fingerprint set. Guarantees
+    any shared run of length >= k + window - 1 produces a shared fingerprint.
+
+    Shape: explode k-grams -> one xxhash64 per gram -> window-min over
+    position (one shuffle on doc id) -> distinct. Returns
+    ``(id, fp)`` rows."""
+    from pyspark.sql import Window as W
+
+    from graflo_spark.ops.dedup import char_shingles
+    from graflo_spark.ops.util import ensure_min_parallelism
+
+    grams = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(char_shingles(F.col(text_col), k)).alias("pos", "g"),
+    )
+    hashed = grams.select("id", "pos", F.xxhash64("g").alias("h"))
+    w = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(

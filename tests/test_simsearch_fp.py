@@ -1,0 +1,57 @@
+"""IVF top-k and winnowing fingerprint tests."""
+
+from pyspark.sql import functions as F
+
+from graflo_spark.ops import simsearch as ss
+from graflo_spark.ops import textstats as ts
+
+
+def test_ivf_full_probe_equals_brute_force(spark, tables):
+    """n_probe == n_centroids means no pruning: IVF must return exactly the
+    brute-force top-k (validates all the plumbing around the pruning)."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = ss.brute_force_topk(queries, emb, k=5)
+    ivf = ss.ivf_topk(queries, emb, k=5, n_centroids=4, n_probe=4)
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute.collect()}
+    i = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()}
+    assert b == i
+
+
+def test_ivf_pruned_is_subset_shape(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ss.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=2).collect()
+    assert all(1 <= r["rank"] <= 5 for r in out)
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Docs sharing a run of >= k + window - 1 chars share a fingerprint;
+    identical docs have identical fingerprint sets."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "CCCCCC " + shared + " DDDD"),
+        (3, shared),
+        (4, "completely different content with no overlap at all zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = ts.winnowing_fingerprints(df, "doc_id", "text", k=7, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]  # shared run -> shared fingerprint
+    assert by_doc[3] <= by_doc[1] | by_doc[2] or by_doc[3]
+    assert not (by_doc[4] & by_doc[3])
+
+    # determinism: same text -> same fingerprint set
+    df2 = spark.createDataFrame([(9, shared)], "doc_id long, text string")
+    fp2 = {r["fp"] for r in ts.winnowing_fingerprints(
+        df2, "doc_id", "text", k=7, window=4).collect()}
+    assert fp2 == by_doc[3]
