@@ -133,10 +133,9 @@ class ResourceCompiler:
                     if v.identity_mode in (IdentityMode.ASSIGNED, IdentityMode.BLANK):
                         return True
                 if isinstance(s, VertexRouterStep):
-                    for name in s.type_map.values():
-                        v = self.schema.vertex(name)
-                        if v.identity_mode in (IdentityMode.ASSIGNED, IdentityMode.BLANK):
-                            return True
+                    # router extracts live on per-type filtered sub-frames;
+                    # edges across roles join those frames on the doc id
+                    return True
             return False
 
         return walk(self.resource.steps)
@@ -177,6 +176,12 @@ class ResourceCompiler:
                 df = df.na.replace("", None, subset=string_cols)
         if self.resource.doc_key:
             doc_id = F.xxhash64(*[F.col(c) for c in self.resource.doc_key])
+        elif not self._doc_id_matters():
+            # flat natural-identity resources never observe the doc id (edges
+            # are same-row projections, merge ties break on content instead) —
+            # and adding monotonically_increasing_id here would BLOCK
+            # predicate pushdown to the scan (nondeterministic projection)
+            return df
         else:
             doc_id = F.monotonically_increasing_id()
         return df.withColumn(DOC_ID, doc_id)
@@ -670,10 +675,16 @@ class ResourceCompiler:
                 if e.filter_cond is not None:
                     df = df.filter(e.filter_cond)
                 sel = [c.alias(f) for f, c in e.field_exprs.items()]
-                # document-order marker for last-non-null fragment merge
-                order = F.col(DOC_ID) * F.lit(1 << 20)
-                for i, p in enumerate(e.frame.pos_cols):
-                    order = order + F.col(p)
+                if DOC_ID in df.columns:
+                    # document-order marker for last-non-null fragment merge
+                    order = F.col(DOC_ID) * F.lit(1 << 20)
+                    for i, p in enumerate(e.frame.pos_cols):
+                        order = order + F.col(p)
+                else:
+                    # doc-id-free resource: break merge ties on content — a
+                    # deterministic hash keeps the merge stable across runs
+                    # and partition layouts without blocking pushdown
+                    order = F.xxhash64(*[c.cast("string") for c in e.field_exprs.values()])
                 sel.append(order.alias("__ord"))
                 parts.append(df.select(*sel))
             u = parts[0]
