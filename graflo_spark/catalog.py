@@ -1290,6 +1290,25 @@ def source_time_window_events(spark, sf_dir):
     )
 
 
+@q(
+    "auto_join_enriched_customer",
+    "SELECT c_custkey, c_nationkey, n_name FROM customer "
+    "LEFT JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE c_nationkey IS NOT NULL",
+)
+def auto_join_enriched_customer(spark, sf_dir):
+    """Auto-JOIN derivation (reference hq/auto_join.py): FKs proven from the
+    data become LEFT JOINs + IS NOT NULL guards, compiled to a join chain."""
+    from graflo_spark import infer
+    from graflo_spark.io import derive_join_spec
+
+    tables = {t: load(spark, sf_dir, t) for t in ("customer", "nation")}
+    ev = infer.fk_containment(
+        tables, [infer.FkCandidate("customer", "c_nationkey", "nation", "n_nationkey")])
+    spec = derive_join_spec("customer", ev, select_fields={"nation": ["n_name"]})
+    return spec.compile(tables).select("c_custkey", "c_nationkey", "n_name")
+
+
 # ------------------------------------------- edge machinery extensions (§2.3)
 
 @q(

@@ -140,6 +140,15 @@ class FilterExpression:
     def is_leaf(self) -> bool:
         return self.logic is None
 
+    def to_dict(self) -> dict:
+        """Serialize to the dict parse form (YAML manifest round-trip)."""
+        if self.is_leaf:
+            out: dict = {"field": self.field, "op": self.op}
+            if self.op not in ("IS_NULL", "IS_NOT_NULL"):
+                out["value"] = self.value
+            return out
+        return {self.logic: [i.to_dict() for i in self.items]}
+
     # ------------------------------------------------------------ backends
     def to_column(self, resolver: Any = None) -> Column:
         """Compile to a Catalyst Column expression (parenthesization is

@@ -282,6 +282,63 @@ class SelectSpec:
         return df
 
 
+def derive_join_spec(
+    base: str,
+    fk_evidence,
+    select_fields: dict[str, list[str]] | None = None,
+    containment_threshold: float = 0.999,
+) -> SelectSpec:
+    """Auto-JOIN derivation (reference hq/auto_join.py:33-137): build the
+    LEFT JOINs + IS NOT NULL guards for a resource from FK evidence.
+
+    ``fk_evidence`` is the output of :func:`graflo_spark.infer.fk_containment`
+    (or any frame with the same columns) — proven FKs of ``base`` become
+    joins; guards keep only rows whose FK resolves. The reference derives
+    this from manifest connectors; here the FKs can come straight from data.
+    """
+    rows = [
+        r for r in fk_evidence.collect()
+        if r["child_table"] == base and r["containment"] >= containment_threshold
+    ]
+    joins, guards = [], []
+    for r in sorted(rows, key=lambda r: (r["parent_table"], r["child_column"])):
+        joins.append(
+            JoinClause(
+                table=r["parent_table"],
+                on={r["child_column"]: r["parent_column"]},
+                how="left",
+                select_fields=(select_fields or {}).get(r["parent_table"]),
+            )
+        )
+        guards.append(r["child_column"])
+    return SelectSpec(base=base, joins=joins, not_null_guards=guards)
+
+
+def bulk_stage_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    compression: str | None = "gzip",
+) -> dict:
+    """Bulk-load staging (reference TigerGraph path, db/conn.py:700-731 +
+    db/tigergraph/bulk_csv.py): write the frame as CSV part-files and return
+    a loading-job descriptor an external bulk loader consumes. Distributed
+    write — one part per partition, no driver round-trip."""
+    w = df.write.mode("overwrite").option("header", str(header).lower()).option("sep", sep)
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+    return {
+        "path": path,
+        "format": "csv",
+        "separator": sep,
+        "header": header,
+        "compression": compression,
+        "columns": df.columns,
+    }
+
+
 def type_lookup_spec(
     base: str,
     fk_col: str,

@@ -188,6 +188,24 @@ class GraphStore:
             return []
         return [v.name for v in self.schema.vertices if os.path.isdir(os.path.join(vdir, v.name))]
 
+    def extra_weights(
+        self,
+        edge_df: DataFrame,
+        vertex: str,
+        on: dict[str, str],
+        fields: list[str],
+        prefix: str | None = None,
+    ) -> DataFrame:
+        """DB-round-trip edge enrichment (reference extra_weights,
+        hq/db_writer.py:355-387 + fetch_present_documents): join edges
+        against the *persisted* vertex table — dimension side broadcast."""
+        from graflo_spark.compiler import add_vertex_weights
+
+        return add_vertex_weights(
+            edge_df, self.read_vertices(vertex), on=on, fields=fields,
+            prefix=prefix or vertex,
+        )
+
     def as_view(self) -> "GraphView":
         from graflo_spark.query import GraphView
 
