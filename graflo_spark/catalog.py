@@ -153,14 +153,23 @@ _TABLE_FOR_RESOURCE = {
 }
 
 
+_STAR_CACHE: dict[tuple[int, str], GraphBatch] = {}
+
+
 def build_star_graph(spark: SparkSession, sf_dir: str) -> GraphBatch:
-    schema = star_schema()
-    batch: GraphBatch | None = None
-    for res in star_resources():
-        df = load(spark, sf_dir, _TABLE_FOR_RESOURCE[res.name])
-        b = compile_resource(schema, res, df)
-        batch = b if batch is None else batch.union(b)
-    return batch.pick_unique(schema)
+    """Compile the 7-resource star manifest. The result is a *lazy* plan;
+    memoized per (session, sf_dir) because plan construction alone is ~5s of
+    py4j round-trips and several catalog queries share it."""
+    key = (id(spark), sf_dir)
+    if key not in _STAR_CACHE:
+        schema = star_schema()
+        batch: GraphBatch | None = None
+        for res in star_resources():
+            df = load(spark, sf_dir, _TABLE_FOR_RESOURCE[res.name])
+            b = compile_resource(schema, res, df)
+            batch = b if batch is None else batch.union(b)
+        _STAR_CACHE[key] = batch.pick_unique(schema)
+    return _STAR_CACHE[key]
 
 
 def star_view(spark: SparkSession, sf_dir: str) -> GraphView:

@@ -240,7 +240,11 @@ class GraphView:
             )
         )
         edges = self.typed_edge_list(relations=relations, direction=direction)
-
+        # NB: measured at sf0.1, persisting the edge list for the hop loop is
+        # a net LOSS locally (full materialization of every typed edge costs
+        # more than the k recomputations it saves); when traversing a
+        # GraphStore the edge tables are parquet already, so recompute = a
+        # cheap columnar re-scan. Revisit only for very deep traversals.
         visited = seeds.withColumn("hop", F.lit(0))
         frontier = visited
         for h in range(1, hops + 1):
