@@ -14,8 +14,10 @@ DuckDB oracle can verify the semantics on the events table.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from graflo_spark.compiler import compile_resource
 from graflo_spark.manifest import CoreSchema
@@ -147,6 +149,65 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     ).drop("__new_session")
+
+
+def stateful_running_agg(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running (count, sum) maintained across micro-batches. The
+    reference has no stateful streaming — this is the net-new Spark
+    capability (BASELINE north star); the batch twin is a plain groupBy,
+    which the tests compare against.
+
+    ``timeout_minutes`` opts into a processing-time state eviction. It is
+    off by default: a pending processing-time timeout keeps the query
+    scheduling no-data micro-batches, which breaks quiescence
+    (``processAllAvailable`` never returns) and burns cycles in tests and
+    in any finite replay.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"key": [str(key[0])], "n": [n], "total": [total]})
+
+    return (
+        stream.groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
 
 
 def replay_as_stream(spark, df: DataFrame, rate_rows_per_second: int = 1000):
