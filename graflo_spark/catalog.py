@@ -954,10 +954,31 @@ def lsh_topk_embeddings(spark, sf_dir):
 
 @q("embedding_near_dup_pairs")  # approximate: rows-only check
 def embedding_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via LSH buckets."""
+    """Embedding-cosine near-duplicate pairs via banded LSH (the scale
+    path; recall vs the exact twin is pinned in tests). Threshold 0.4 is
+    data-meaningful for the synthetic embeddings (max pair cosine ~0.51)."""
     emb = load(spark, sf_dir, "embeddings")
     return dd.embedding_near_dup(emb, "vec_id", "embedding",
-                                 threshold=0.9, n_planes=8)
+                                 threshold=0.4, n_bands=16, band_planes=2)
+
+
+@q(
+    "embedding_near_dup_exact",
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "ROUND(list_inner_product(a.v, b.v) / "
+    "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) "
+    "AS cosine FROM e a JOIN e b ON a.vec_id < b.vec_id "
+    "WHERE list_inner_product(a.v, b.v) / "
+    "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4",
+)
+def embedding_near_dup_exact(spark, sf_dir):
+    """Exact all-pairs embedding near-dup (correctness baseline for the
+    banded-LSH scale path). Double-cast before the dot product keeps Spark
+    and DuckDB bit-identical pre-round."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = dd.embedding_near_dup_exact(emb, "vec_id", "embedding", threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @q("multimodal_feature_plumbing")  # synthetic input: rows-only check

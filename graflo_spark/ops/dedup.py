@@ -286,25 +286,72 @@ def embedding_near_dup(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_bands: int = 8,
+    band_planes: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets.
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH
+    (OR-construction): ``n_bands`` independent hash tables of
+    ``band_planes`` bits each; a pair is a candidate if it collides in ANY
+    band, then exact cosine filters.  For plane-agreement probability
+    ``p = 1 - theta/pi`` the candidate probability is
+    ``1 - (1 - p^band_planes)^n_bands`` — e.g. cosine 0.9 with 8x4 gives
+    ~0.998 recall, where a single 16-bit table gives ~0.17.
 
-    Deterministic pseudo-random hyperplanes (hash-derived), bucket join,
-    exact cosine within bucket. Returns (id_a, id_b, cosine).
+    Deterministic hash-derived hyperplanes (no matrix to ship), candidate
+    generation is one equi-join on (band, bucket) after a posexplode —
+    shuffle-bounded, never all-pairs. Returns (id_a, id_b, cosine).
     """
     from graflo_spark.ops.simsearch import cosine_expr, lsh_bucket_expr
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     first = base.select("v").limit(1).collect()
     dim = len(first[0][0]) if first else 0
-    bucketed = base.withColumn("bucket", lsh_bucket_expr(F.col("v"), dim, n_planes))
-    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    band_arr = F.array(*[
+        lsh_bucket_expr(F.col("v"), dim, band_planes, plane_offset=b * band_planes)
+        for b in range(n_bands)
+    ])
+    bucketed = base.select(
+        "id", "v", F.posexplode(band_arr).alias("band", "bucket")
+    )
+    a = bucketed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "bucket"
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "bucket"
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # before cosine: score each pair once
+    )
     cos = cosine_expr(F.col("v_a"), F.col("v_b"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_near_dup_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact all-pairs embedding near-dup: the correctness baseline / oracle
+    twin of :func:`embedding_near_dup`.  O(n^2) — only for validation at
+    small SF and recall measurement; the banded LSH is the scale path.
+    Vectors are cast to double before the dot product so Spark and a
+    DuckDB ``CAST(... AS DOUBLE[])`` oracle agree bit-for-bit.
+    """
+    from graflo_spark.ops.simsearch import cosine_expr
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
     )

@@ -46,14 +46,18 @@ def _plane_component(plane: int, dim_idx: int) -> float:
     return (x % 2_000_001) / 1_000_000.0 - 1.0
 
 
-def lsh_bucket_expr(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """Hyperplane-LSH bucket id: bit p = sign(vec . plane_p)."""
+def lsh_bucket_expr(
+    vec: Column, dim: int, n_planes: int = 16, plane_offset: int = 0
+) -> Column:
+    """Hyperplane-LSH bucket id: bit p = sign(vec . plane_{offset+p}).
+    ``plane_offset`` selects an independent plane family so banded
+    (OR-construction) callers get distinct hash tables."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         dot = None
         for i in range(dim):
             term = F.element_at(vec, i + 1).cast("double") * F.lit(
-                _plane_component(p, i)
+                _plane_component(plane_offset + p, i)
             )
             dot = term if dot is None else dot + term
         bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)

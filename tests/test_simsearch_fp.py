@@ -55,3 +55,27 @@ def test_winnowing_shared_run_guarantee(spark):
     fp2 = {r["fp"] for r in ts.winnowing_fingerprints(
         df2, "doc_id", "text", k=7, window=4).collect()}
     assert fp2 == by_doc[3]
+
+
+def test_banded_lsh_near_dup_recall(spark, tables):
+    """Banded LSH (16x2) at threshold 0.3 must recover nearly all exact
+    pairs (theory: ~0.999 candidate prob at cosine 0.3), and every pair it
+    returns must be a true pair (cosine is exact post-filter)."""
+    from graflo_spark.ops import dedup as dd
+
+    emb = tables["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_near_dup_exact(
+            emb, "vec_id", "embedding", threshold=0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_near_dup(
+            emb, "vec_id", "embedding", threshold=0.3,
+            n_bands=16, band_planes=2).collect()
+    }
+    assert exact, "fixture should contain pairs at cosine >= 0.3"
+    assert lsh <= exact  # no false positives: exact cosine filters candidates
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} below floor"
