@@ -120,10 +120,18 @@ def minhash_lsh_candidates(
     :func:`ngram_jaccard_pairs` when exactness matters.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, shingle_k, num_perm)
+    # The sig table feeds three consumers (band explode + two hydration
+    # joins); Catalyst does not reuse the aggregate subtree across them, so
+    # without persist the shingle explosion runs 3x. One row per doc makes
+    # this the natural materialization point at any scale.
+    sig = minhash_signatures(df, id_col, text_col, shingle_k, num_perm).persist()
+    # Candidate generation carries ONLY ids through the band join and the
+    # pair dedup — a pair colliding in m bands would otherwise ship both
+    # 64-long signatures m times through two shuffles. Signatures are
+    # re-attached afterwards (one join per side on the one-row-per-doc sig
+    # table): dedup early, hydrate late.
     banded = sig.select(
         "id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -141,16 +149,18 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
-    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     pairs = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    hydrated = pairs.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
     agree = F.size(
         F.filter(
@@ -158,10 +168,10 @@ def minhash_lsh_candidates(
             lambda z: z == 1,
         )
     )
-    return pairs.select(
+    return hydrated.select(
         "id_a",
         "id_b",
-        (agree / F.lit(len(range(0, num_perm)))).alias("est_jaccard"),
+        (agree / F.lit(num_perm)).alias("est_jaccard"),
     )
 
 

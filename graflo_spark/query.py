@@ -234,42 +234,140 @@ class GraphView:
         seeds = (
             self.vertices[vertex]
             .filter(FilterExpression.parse(anchor).to_column())
-            .select(
-                self.vertex_key_col(vertex).alias("node_key"),
-                F.lit(vertex).alias("node_type"),
-            )
+            .select(*[
+                F.col(f).alias(f"k_{i}")
+                for i, f in enumerate(self.schema.vertex(vertex).identity_fields)
+            ])
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
         )
-        edges = self.typed_edge_list(relations=relations, direction=direction)
-        # NB: measured at sf0.1, persisting the edge list for the hop loop is
-        # a net LOSS locally (full materialization of every typed edge costs
-        # more than the k recomputations it saves); when traversing a
-        # GraphStore the edge tables are parquet already, so recompute = a
-        # cheap columnar re-scan. Revisit only for very deep traversals.
-        visited = seeds.withColumn("hop", F.lit(0))
-        frontier = visited
+        # Type-aware BFS: the frontier is a per-vertex-type dict of native
+        # identity keys, and each hop joins ONLY the edge types whose source
+        # type currently has a frontier. Versus a type-erased union-of-all-
+        # edges join this (a) never scans edge types unreachable this hop —
+        # at scale, per-type edge tables make that real partition pruning —
+        # and (b) joins on native key columns instead of building a string
+        # node_key for every edge row in the graph.
+        adjacency = self._adjacency(relations, direction)
+        visited: dict[str, DataFrame] = {vertex: seeds.withColumn("hop", F.lit(0))}
+        frontier: dict[str, DataFrame] = {vertex: seeds}
         for h in range(1, hops + 1):
-            nxt = (
-                edges.join(
-                    F.broadcast(frontier.select(F.col("node_key").alias("src_key"))),
-                    "src_key",
+            reached: dict[str, DataFrame] = {}
+            for src_t, dst_t, adj_df, n_dst in adjacency:
+                if src_t not in frontier:
+                    continue
+                fr = frontier[src_t]
+                n_src = len(fr.columns)
+                probe = fr.select(*[
+                    F.col(f"k_{i}").alias(f"a_{i}") for i in range(n_src)
+                ])
+                nxt = (
+                    adj_df.join(F.broadcast(probe), [f"a_{i}" for i in range(n_src)])
+                    .select(*[
+                        F.col(f"b_{i}").alias(f"k_{i}") for i in range(n_dst)
+                    ])
+                    .dropDuplicates()
                 )
-                .select(
-                    F.col("dst_key").alias("node_key"),
-                    F.col("dst_type").alias("node_type"),
+                reached[dst_t] = (
+                    reached[dst_t].unionByName(nxt) if dst_t in reached else nxt
                 )
-                .dropDuplicates(["node_key"])
-            )
-            # cycle avoidance: visited-set anti-join (reference traversal.py
-            # row markers)
-            nxt = nxt.join(visited.select("node_key"), "node_key", "left_anti")
-            frontier = nxt.withColumn("hop", F.lit(h))
-            # materialize per hop: keeps the lineage short and lets AQE size
-            # the next hop's join from real stats
-            frontier = frontier.localCheckpoint(eager=True)
-            if frontier.isEmpty():
+            frontier = {}
+            for t, df in reached.items():
+                new = df.dropDuplicates()
+                if t in visited:
+                    # cycle avoidance: visited-set anti-join (reference
+                    # traversal.py row markers)
+                    new = new.join(
+                        visited[t].drop("hop"),
+                        [f"k_{i}" for i in range(len(new.columns))],
+                        "left_anti",
+                    )
+                # materialize per hop: keeps lineage short and lets AQE size
+                # the next hop's join from real stats
+                new = new.localCheckpoint(eager=True)
+                if new.isEmpty():
+                    continue
+                frontier[t] = new
+                keyed = new.withColumn("hop", F.lit(h))
+                visited[t] = (
+                    visited[t].unionByName(keyed) if t in visited else keyed
+                )
+            if not frontier:
                 break
-            visited = visited.unionByName(frontier)
-        return visited
+        outs = []
+        for t, df in visited.items():
+            identity = self.schema.vertex(t).identity_fields
+            outs.append(
+                df.select(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(t),
+                        *[
+                            F.col(f"k_{i}").cast("string")
+                            for i in range(len(identity))
+                        ],
+                    ).alias("node_key"),
+                    F.lit(t).alias("node_type"),
+                    "hop",
+                )
+            )
+        merged = outs[0]
+        for o in outs[1:]:
+            merged = merged.unionByName(o)
+        return merged
+
+    def _adjacency(
+        self,
+        relations: list[str] | None,
+        direction: Direction,
+    ) -> list[tuple[str, str, DataFrame, int]]:
+        """Per-edge-type adjacency projections for the typed BFS: each entry
+        is ``(src_type, dst_type, df[a_0..a_m, b_0..b_n], n_dst_keys)`` in
+        traversal orientation (reversed entries added per direction /
+        undirected semantics, matching :meth:`typed_edge_list`)."""
+        out: list[tuple[str, str, DataFrame, int]] = []
+        for eid, df in self.edges.items():
+            if "_relation" in df.columns:
+                if relations is not None:
+                    df = df.filter(F.col("_relation").isin(relations))
+            elif relations is not None and eid.relation not in relations:
+                continue
+            src_id = self.schema.vertex(eid.source).identity_fields
+            dst_id = self.schema.vertex(eid.target).identity_fields
+            try:
+                directed = self.schema.edge(
+                    eid.source, eid.target, eid.relation
+                ).directed
+            except KeyError:
+                directed = True
+
+            def proj(a_fields, a_pre, b_fields, b_pre, df=df):
+                return df.select(
+                    *[
+                        F.col(f"{a_pre}{f}").alias(f"a_{i}")
+                        for i, f in enumerate(a_fields)
+                    ],
+                    *[
+                        F.col(f"{b_pre}{f}").alias(f"b_{i}")
+                        for i, f in enumerate(b_fields)
+                    ],
+                )
+
+            fwd = direction in (Direction.OUT, Direction.ANY) or not directed
+            rev = direction in (Direction.IN, Direction.ANY) or not directed
+            if fwd:
+                out.append(
+                    (eid.source, eid.target,
+                     proj(src_id, "_src_", dst_id, "_dst_"), len(dst_id))
+                )
+            if rev:
+                out.append(
+                    (eid.target, eid.source,
+                     proj(dst_id, "_dst_", src_id, "_src_"), len(src_id))
+                )
+        if not out:
+            raise ValueError("graph has no edges")
+        return out
 
     def traverse(
         self,
