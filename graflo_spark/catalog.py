@@ -911,12 +911,32 @@ def minhash_dedup_documents(spark, sf_dir):
         "doc_id", "lang", "source")
 
 
-@q("simhash_candidates_documents")  # approximate: rows-only check
+_SIMHASH_ORACLE = (
+    "WITH tok AS (SELECT doc_id, ('0x'||substr(md5(t.tok),1,8))::BIGINT AS h "
+    "FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text),'\\s+')) AS tok "
+    "FROM documents) t), "
+    "votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+    "FROM tok, range(0, 32) r(b) GROUP BY doc_id, b), "
+    "fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS fp "
+    "FROM votes GROUP BY doc_id), "
+    "banded AS (SELECT doc_id, fp, b AS band, (fp >> (b * 8)) & 255 AS band_val "
+    "FROM fp, range(0, 4) r(b)), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "a.fp AS fp_a, b.fp AS fp_b "
+    "FROM banded a JOIN banded b ON a.band = b.band AND a.band_val = b.band_val "
+    "AND a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming FROM pairs "
+    "WHERE bit_count(xor(fp_a, fp_b)) <= 3"
+)
+
+
+@q("simhash_candidates_documents", _SIMHASH_ORACLE)
 def simhash_candidates_documents(spark, sf_dir):
     """SimHash near-dup candidates: 32-bit fingerprint, 4x8-bit band blocking,
-    Hamming <= 3 (north-star dedup)."""
+    Hamming <= 3 (north-star dedup). Portable md5 token hash so the DuckDB
+    oracle reproduces the fingerprints bit-for-bit."""
     df = load(spark, sf_dir, "documents")
-    return dd.simhash_candidates(df, "doc_id", "text")
+    return dd.simhash_candidates(df, "doc_id", "text", portable_hash=True)
 
 
 # ------------------------------------------- LLM-pipeline: similarity search
@@ -1472,13 +1492,26 @@ def ivf_topk_embeddings(spark, sf_dir):
     return ss.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=2)
 
 
-@q("winnowing_fingerprints_documents")  # hash-valued: rows-only check
+_WINNOWING_ORACLE = (
+    "WITH pos AS (SELECT doc_id, text, "
+    "unnest(range(1, greatest(length(text) - 6, 1) + 1)) AS i FROM documents), "
+    "g AS (SELECT doc_id, i AS pos, "
+    "('0x'||substr(md5(substr(text, CAST(i AS INT), 7)),1,15))::BIGINT AS h "
+    "FROM pos), "
+    "w AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g) "
+    "SELECT DISTINCT doc_id AS id, fp FROM w"
+)
+
+
+@q("winnowing_fingerprints_documents", _WINNOWING_ORACLE)
 def winnowing_fingerprints_documents(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (MOSS scheme): k-gram hashes ->
     window mins -> distinct fingerprint set per doc. Shared runs of
-    k+window-1 chars always share a fingerprint (pinned in tests)."""
+    k+window-1 chars always share a fingerprint (pinned in tests). Portable
+    md5 gram hash so the DuckDB oracle reproduces fingerprints exactly."""
     docs = load(spark, sf_dir, "documents")
-    return ts.winnowing_fingerprints(docs, "doc_id", "text")
+    return ts.winnowing_fingerprints(docs, "doc_id", "text", portable_hash=True)
 
 
 # ------------------------------------------------- streaming addenda (§2.10)

@@ -64,14 +64,9 @@ def read_source(
     if fmt == "parquet":
         return spark.read.options(**options).parquet(path)
     if fmt == "xml":
-        try:
-            return (
-                spark.read.format("xml").options(**options).load(path)
-            )  # needs spark-xml on the cluster
-        except Exception as e:  # pragma: no cover - gated dependency
-            raise NotImplementedError(
-                "XML source requires the spark-xml package on the cluster"
-            ) from e
+        # native in Spark 4 (SPARK-44265); rowTag is mandatory for the reader
+        opts = {"rowTag": "row", **options}
+        return spark.read.format("xml").options(**opts).load(path)
     raise ValueError(f"unknown format {fmt!r}")
 
 

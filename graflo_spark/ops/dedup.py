@@ -226,12 +226,18 @@ def ngram_jaccard_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """``(id, fp)`` SimHash fingerprints: bit b of fp is the sign of
     sum over tokens of (+1 if hash-bit b set else -1).
 
-    Shape: explode tokens -> one murmur3 per (doc, token) -> ``bits``
+    ``portable_hash`` swaps murmur3 for a 32-bit md5-derived token hash a
+    SQL oracle reproduces exactly (DuckDB
+    ``('0x'||substr(md5(t),1,8))::BIGINT``) — for cross-engine
+    verification; the default stays the fast path.
+
+    Shape: explode tokens -> one token hash per (doc, token) -> ``bits``
     conditional-sum aggregates -> recombine. Whole-stage codegen throughout
     (a per-row ``F.aggregate`` over the token array is interpreted and walks
     the array once per bit)."""
@@ -239,7 +245,12 @@ def simhash_fingerprints(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
     )
-    hashed = tokens.select("id", F.hash("t").cast("long").alias("h"))
+    h = (
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+        if portable_hash
+        else F.hash("t").cast("long")
+    )
+    hashed = tokens.select("id", h.alias("h"))
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1)
@@ -258,12 +269,12 @@ def simhash_fingerprints(
 
 def simhash_candidates(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, band_bits: int = 8,
-    max_hamming: int = 3,
+    max_hamming: int = 3, portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: split the fingerprint into bands; pairs sharing
     any band are compared by exact Hamming distance (<= max_hamming)."""
     n_bands = bits // band_bits
-    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    fp = simhash_fingerprints(df, id_col, text_col, bits, portable_hash)
     banded = fp.select(
         "id",
         "fp",

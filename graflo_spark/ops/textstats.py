@@ -90,13 +90,19 @@ def winnowing_fingerprints(
     text_col: str,
     k: int = 7,
     window: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (the rolling-hash scheme of MOSS):
     hash every k-gram, slide a window of ``window`` consecutive hashes, keep
     each window's min — the distinct mins are the fingerprint set. Guarantees
     any shared run of length >= k + window - 1 produces a shared fingerprint.
 
-    Shape: explode k-grams -> one xxhash64 per gram -> window-min over
+    ``portable_hash`` swaps xxhash64 for a 60-bit md5-derived hash that a
+    SQL oracle (DuckDB ``('0x'||substr(md5(g),1,15))::BIGINT``) reproduces
+    exactly — slower, for cross-engine verification; the default stays the
+    fast path.
+
+    Shape: explode k-grams -> one hash per gram -> window-min over
     position (one shuffle on doc id) -> distinct. Returns
     ``(id, fp)`` rows."""
     from pyspark.sql import Window as W
@@ -108,7 +114,12 @@ def winnowing_fingerprints(
         F.col(id_col).alias("id"),
         F.posexplode(char_shingles(F.col(text_col), k)).alias("pos", "g"),
     )
-    hashed = grams.select("id", "pos", F.xxhash64("g").alias("h"))
+    h = (
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+        if portable_hash
+        else F.xxhash64("g")
+    )
+    hashed = grams.select("id", "pos", h.alias("h"))
     w = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     return (
         hashed.withColumn("fp", F.min("h").over(w))

@@ -49,3 +49,19 @@ def test_store_extra_weights(spark, tables, tmp_path):
         edges, "nation", on={"_dst_n_nationkey": "n_nationkey"}, fields=["n_name"])
     assert out.count() == edges.count()
     assert out.filter(F.col("nation@n_name").isNull()).count() == 0
+
+
+def test_read_source_xml_native(spark, tmp_path):
+    """Spark 4 ships a native XML reader; read_source must route to it with
+    a default rowTag and full ingest-compatible schema inference."""
+    from graflo_spark.io import read_source
+
+    p = str(tmp_path / "cities.xml")
+    with open(p, "w") as f:
+        f.write(
+            "<rows><row><name>ams</name><pop>900</pop></row>"
+            "<row><name>rot</name><pop>650</pop></row></rows>"
+        )
+    df = read_source(spark, p)
+    rows = {(r["name"], r["pop"]) for r in df.collect()}
+    assert rows == {("ams", 900), ("rot", 650)}
