@@ -85,11 +85,12 @@ def minhash_signatures(
     """
     coeffs = _perm_coeffs(num_perm)
     df = ensure_min_parallelism(df)
+    # no array_distinct: the min aggregate is duplicate-insensitive (min over
+    # a multiset equals min over its set), and measured at sf0.1 the per-row
+    # hash-set build costs ~2x more than the extra exploded rows it removes
     shingled = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(char_shingles(F.col(text_col), shingle_k))
-        ).alias("s"),
+        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("s"),
     )
     hashed = shingled.select(
         "id", F.xxhash64("s").bitwiseAND(F.lit(_MERSENNE_31)).alias("h")
@@ -162,6 +163,9 @@ def minhash_lsh_candidates(
     ).join(
         sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
+    # NB: a flat 64-term element_at equality sum was tried here and measured
+    # ~3x SLOWER than this zip_with at sf0.1 — the wide expression chain
+    # defeats codegen; the higher-order function is fine on 64-wide arrays.
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
