@@ -403,17 +403,28 @@ class ResourceCompiler:
     def _select_extracts(
         self, name: str, role: str | None, match_key: str | None, exclude_key: str | None
     ) -> list[VertexExtract]:
-        out = []
-        for e in self.extracts:
-            if e.name != name:
-                continue
-            if role is not None and e.role != role:
-                continue
-            if match_key is not None and match_key not in e.frame.path:
-                continue
-            if exclude_key is not None and exclude_key in e.frame.path:
-                continue
-            out.append(e)
+        """Endpoint site selection (reference role slots,
+        steps/models.py:347-377 + edge_render location filters): an endpoint
+        with an explicit role binds only to that role's extracts; an unroled
+        endpoint binds to the default (unroled) slot, falling back to all
+        extracts of the type only when no unroled extract exists."""
+        def pick(want_role: str | None) -> list[VertexExtract]:
+            out = []
+            for e in self.extracts:
+                if e.name != name:
+                    continue
+                if want_role is not ... and e.role != want_role:
+                    continue
+                if match_key is not None and match_key not in e.frame.path:
+                    continue
+                if exclude_key is not None and exclude_key in e.frame.path:
+                    continue
+                out.append(e)
+            return out
+
+        out = pick(role)
+        if not out and role is None:
+            out = pick(...)  # no default slot: any role qualifies
         return sorted(out, key=lambda e: (len(e.frame.path), e.frame.path, e.order))
 
     def _match_fields(self, vertex: Vertex, secondary: str | None) -> list[str]:

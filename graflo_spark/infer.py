@@ -19,6 +19,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graflo_spark.manifest import CoreSchema, Edge, Field, Vertex
+from graflo_spark.steps import EdgeLink, EdgeStep, ResourceConfig, VertexStep
+
 
 def column_uniqueness(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Per-column uniqueness evidence in ONE aggregate pass.
@@ -179,3 +182,123 @@ def classify_tables(
             .alias("table_kind"),
         )
     )
+
+
+# --- OWL / RDFS ontology -> schema inference (SURVEY §1.3 family 2) --------
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+_OWL_NS = "http://www.w3.org/2002/07/owl#"
+
+
+def _local(col: F.Column) -> F.Column:
+    """URI local name: fragment after '#', else last path segment
+    (reference hq/rdf_inferencer.py:_local_name)."""
+    return F.element_at(F.split(col, "[#/]"), -1)
+
+
+def infer_schema_from_ontology(
+    triples: DataFrame,
+    subject: str = "subject",
+    predicate: str = "predicate",
+    obj: str = "object",
+) -> tuple[CoreSchema, list[ResourceConfig]]:
+    """Infer a graph schema + per-class resource pipelines from an OWL/RDFS
+    TBox, given as a triples DataFrame.
+
+    Mapping (reference hq/rdf_inferencer.py:98-260):
+        - ``owl:Class`` / ``rdfs:Class``           -> Vertex (identity ``_uri``)
+        - ``owl:DatatypeProperty`` + ``rdfs:domain`` -> Field on domain vertex
+        - ``owl:ObjectProperty`` + domain x range    -> Edge(domain, range, prop)
+        - one ResourceConfig per class: extract the class vertex, then for
+          every outgoing object property extract the range vertex from the
+          predicate column (``mapping={_uri: relation}``) and emit the edge —
+          including self-edges (domain == range).
+
+    Spark shape: the TBox is filtered/joined distributively (three predicate
+    filters + two equi-joins on the property subject), then the small result
+    (class/property inventories are KBs even for huge ontologies) is
+    collected to the driver to build the manifest. The ABox — the 100 TB
+    side — never flows through here.
+    """
+    t = triples.select(
+        F.col(subject).alias("s"), F.col(predicate).alias("p"), F.col(obj).alias("o")
+    )
+    classes_df = (
+        t.filter(
+            (F.col("p") == _RDF_TYPE)
+            & F.col("o").isin(_OWL_NS + "Class", _RDFS_NS + "Class")
+        )
+        .filter(~F.col("s").startswith(_OWL_NS) & ~F.col("s").startswith(_RDFS_NS))
+        .select(_local(F.col("s")).alias("cls"))
+        .distinct()
+    )
+    props = t.filter(F.col("p") == _RDF_TYPE).select("s", F.col("o").alias("kind"))
+    domains = t.filter(F.col("p") == _RDFS_NS + "domain").select(
+        "s", _local(F.col("o")).alias("domain")
+    )
+    ranges = t.filter(F.col("p") == _RDFS_NS + "range").select(
+        "s", _local(F.col("o")).alias("range")
+    )
+    dprops = (
+        props.filter(F.col("kind") == _OWL_NS + "DatatypeProperty")
+        .join(domains, "s")
+        .select(_local(F.col("s")).alias("prop"), "domain")
+        .distinct()
+    )
+    oprops = (
+        props.filter(F.col("kind") == _OWL_NS + "ObjectProperty")
+        .join(domains, "s")
+        .join(ranges, "s")  # cartesian of declared domains x ranges per property
+        .select(_local(F.col("s")).alias("prop"), "domain", "range")
+        .distinct()
+    )
+
+    class_names = sorted(r["cls"] for r in classes_df.collect())
+    class_set = set(class_names)
+    fields_by_class: dict[str, list[str]] = {c: ["_key", "_uri"] for c in class_names}
+    for r in sorted(dprops.collect(), key=lambda r: (r["domain"], r["prop"])):
+        if r["domain"] in fields_by_class:
+            fields_by_class[r["domain"]].append(r["prop"])
+    edge_defs = sorted(
+        (
+            (r["domain"], r["range"], r["prop"])
+            for r in oprops.collect()
+            if r["domain"] in class_set and r["range"] in class_set
+        ),
+    )
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex(c, [Field(f) for f in fields], identity=["_uri"])
+            for c, fields in fields_by_class.items()
+        ],
+        edges=[Edge(s, tgt, relation=rel) for s, tgt, rel in edge_defs],
+    )
+    resources = []
+    for c in class_names:
+        steps: list = [VertexStep(name=c)]
+        for s, tgt, rel in edge_defs:
+            if s != c:
+                continue
+            # range vertex referenced by URI in the predicate column; role
+            # disambiguates self-edges (domain == range, e.g. `cites`)
+            steps.append(
+                VertexStep(
+                    name=tgt,
+                    mapping={"_uri": rel},
+                    extraction_scope="mapped_only",
+                    role=rel,
+                )
+            )
+            steps.append(
+                EdgeStep(
+                    links=[
+                        EdgeLink(
+                            source=c, target=tgt, relation=rel, target_role=rel
+                        )
+                    ]
+                )
+            )
+        resources.append(ResourceConfig(name=c, steps=steps, infer_edges=False))
+    return schema, resources

@@ -87,12 +87,20 @@ def column_time_filter(
     return df
 
 
+def localize_uri(col: F.Column) -> F.Column:
+    """URI -> local name: fragment after ``#``, else last path segment
+    (reference data_source/rdf.py key localization / hq/rdf_inferencer.py
+    ``_local_name``)."""
+    return F.element_at(F.split(col, "[#/]"), -1)
+
+
 def triples_to_docs(
     triples: DataFrame,
     subject: str = "subject",
     predicate: str = "predicate",
     obj: str = "object",
     predicates: list[str] | None = None,
+    localize: bool = False,
 ) -> DataFrame:
     """RDF source: triples grouped by subject -> one flat doc per subject
     with predicate columns (reference data_source/rdf.py:1-424 builds the
@@ -102,7 +110,11 @@ def triples_to_docs(
     discovery job Spark otherwise runs before a pivot. Multi-valued
     predicates keep the min value (deterministic); use
     :func:`triples_to_multidocs` to keep all values as arrays.
+    ``localize=True`` maps predicate URIs to their local names first, so doc
+    columns line up with ontology-inferred pipelines.
     """
+    if localize:
+        triples = triples.withColumn(predicate, localize_uri(F.col(predicate)))
     g = triples.groupBy(F.col(subject).alias("_uri"))
     piv = g.pivot(predicate, predicates) if predicates else g.pivot(predicate)
     return piv.agg(F.min(obj))

@@ -165,3 +165,65 @@ def test_sliding_window_total_rows(spark, sf_dir):
     out = sliding_window_agg(ev, "ts", "2 hours", "1 hour", [], {"value": "count"})
     total = out.agg(F.sum("count_value")).first()[0]
     assert total == 2 * ev.count()
+
+
+def test_infer_schema_from_ontology(spark):
+    """OWL TBox -> schema: classes->vertices, datatype props->fields,
+    object props->edges (incl. self-edge), then the inferred resource
+    pipelines actually run an ABox end-to-end."""
+    from graflo_spark import infer
+    from graflo_spark.compiler import compile_resource
+    from graflo_spark.io import triples_to_docs
+
+    EX = "http://example.org/onto#"
+    OWL = "http://www.w3.org/2002/07/owl#"
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    tbox = [
+        (EX + "Publication", TYPE, OWL + "Class"),
+        (EX + "Author", TYPE, RDFS + "Class"),
+        (OWL + "Thing", TYPE, OWL + "Class"),  # owl-namespace class: excluded
+        (EX + "title", TYPE, OWL + "DatatypeProperty"),
+        (EX + "title", RDFS + "domain", EX + "Publication"),
+        (EX + "cites", TYPE, OWL + "ObjectProperty"),
+        (EX + "cites", RDFS + "domain", EX + "Publication"),
+        (EX + "cites", RDFS + "range", EX + "Publication"),
+        (EX + "authored_by", TYPE, OWL + "ObjectProperty"),
+        (EX + "authored_by", RDFS + "domain", EX + "Publication"),
+        (EX + "authored_by", RDFS + "range", EX + "Author"),
+    ]
+    triples = spark.createDataFrame(tbox, ["subject", "predicate", "object"])
+    schema, resources = infer.infer_schema_from_ontology(triples)
+
+    assert sorted(schema.vertex_names) == ["Author", "Publication"]
+    pub = schema.vertex("Publication")
+    assert pub.identity == ["_uri"]
+    assert "title" in pub.field_names
+    eids = {(e.source, e.target, e.relation) for e in schema.edges}
+    assert eids == {
+        ("Publication", "Publication", "cites"),
+        ("Publication", "Author", "authored_by"),
+    }
+
+    # ABox: two publications, one citing the other, each with an author
+    abox = [
+        (EX + "p1", EX + "title", "Paper One"),
+        (EX + "p1", EX + "cites", EX + "p2"),
+        (EX + "p1", EX + "authored_by", EX + "a1"),
+        (EX + "p2", EX + "title", "Paper Two"),
+        (EX + "p2", EX + "authored_by", EX + "a2"),
+    ]
+    docs = triples_to_docs(
+        spark.createDataFrame(abox, ["subject", "predicate", "object"]),
+        localize=True,
+    )
+    res = next(r for r in resources if r.name == "Publication")
+    batch = compile_resource(schema, res, docs)
+    vcounts = {name: df.count() for name, df in batch.vertices.items()}
+    assert vcounts["Publication"] >= 2  # p1, p2 (+ cited p2 ref merges on _uri)
+    assert vcounts["Author"] == 2
+    ecounts = {eid: df.count() for eid, df in batch.edges.items()}
+    cites = next(v for k, v in ecounts.items() if k.relation == "cites")
+    authored = next(v for k, v in ecounts.items() if k.relation == "authored_by")
+    assert cites == 1
+    assert authored == 2
