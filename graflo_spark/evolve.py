@@ -20,7 +20,14 @@ from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import functions as F
 
-from graflo_spark.manifest import CoreSchema, Edge, EdgeId, Field, Vertex
+from graflo_spark.manifest import (
+    CoreSchema,
+    Edge,
+    EdgeId,
+    Field,
+    IndexConfig,
+    Vertex,
+)
 
 
 @dataclass
@@ -319,6 +326,122 @@ class MergeVerticesOp(EvolutionOp):
                 merged = merged.dropDuplicates(identity)
             store._write_snapshot(store._table_dir("vertices", self.into), merged)
             shutil.rmtree(store._table_dir("vertices", self.other), ignore_errors=True)
+
+
+@dataclass
+class RenameEdgeRelationOp(EvolutionOp):
+    """Rename an edge type's relation (reference RenameEdgesOp). The edge
+    table directory embeds the relation, so migration is a rename."""
+
+    edge_id: EdgeId = None  # type: ignore[assignment]
+    new_relation: str = ""
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        new_id = EdgeId(self.edge_id.source, self.edge_id.target, self.new_relation)
+        if any(e.edge_id == new_id for e in s.edges):
+            raise ValueError(f"edge {new_id} already declared")
+        for e in s.edges:
+            if e.edge_id == self.edge_id:
+                e.relation = self.new_relation
+                return s
+        raise KeyError(self.edge_id)
+
+    def migrate(self, store) -> None:
+        import os
+
+        old_dir = store._table_dir("edges", self.edge_id.table_name())
+        if not os.path.isdir(old_dir):
+            return
+        new_id = EdgeId(self.edge_id.source, self.edge_id.target, self.new_relation)
+        os.rename(old_dir, store._table_dir("edges", new_id.table_name()))
+        # _relation column carries the relation name on dynamic edges
+        try:
+            df = store.read_edges(new_id)
+        except FileNotFoundError:
+            return
+        if "_relation" in df.columns:
+            store._write_snapshot(
+                store._table_dir("edges", new_id.table_name()),
+                df.withColumn("_relation", F.lit(self.new_relation)),
+            )
+
+
+# ------------------------------------------------------------------- indexes
+
+@dataclass
+class AddIndexOp(EvolutionOp):
+    """Declare an index on a vertex or edge type (reference AddIndexesOp);
+    migration rewrites the table with the new sort layout and verifies a
+    ``unique`` constraint before accepting it."""
+
+    vertex: str = ""
+    edge_id: EdgeId | None = None
+    index: IndexConfig = None  # type: ignore[assignment]
+
+    def _target(self, schema: CoreSchema):
+        if self.edge_id is not None:
+            return schema.edge(
+                self.edge_id.source, self.edge_id.target, self.edge_id.relation
+            )
+        return schema.vertex(self.vertex)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        t = self._target(s)
+        if any(i.fields == self.index.fields and i.type == self.index.type
+               for i in t.indexes):
+            raise ValueError(f"index on {self.index.fields} already declared")
+        if isinstance(t, Vertex):
+            missing = [c for c in self.index.fields if c not in t.field_names]
+            if missing:
+                raise ValueError(
+                    f"index fields {missing} not declared on vertex {t.name!r}"
+                )
+        t.indexes.append(self.index)
+        return s
+
+    def migrate(self, store) -> None:
+        if self.edge_id is not None:
+            try:
+                df = store.read_edges(self.edge_id)
+            except FileNotFoundError:
+                return
+            store._write_snapshot(
+                store._table_dir("edges", self.edge_id.table_name()),
+                store._apply_index_layout(df, [self.index]),
+            )
+            return
+        try:
+            df = store.read_vertices(self.vertex)
+        except FileNotFoundError:
+            return
+        if self.index.unique:
+            store.verify_unique_indexes(self.vertex)
+        store._write_snapshot(
+            store._table_dir("vertices", self.vertex),
+            store._apply_index_layout(df, [self.index]),
+        )
+
+
+@dataclass
+class RemoveIndexOp(EvolutionOp):
+    vertex: str = ""
+    edge_id: EdgeId | None = None
+    fields: tuple[str, ...] = ()
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        t = (
+            s.edge(self.edge_id.source, self.edge_id.target, self.edge_id.relation)
+            if self.edge_id is not None
+            else s.vertex(self.vertex)
+        )
+        before = len(t.indexes)
+        t.indexes = [i for i in t.indexes if i.fields != tuple(self.fields)]
+        if len(t.indexes) == before:
+            raise KeyError(self.fields)
+        return s
 
 
 # ---------------------------------------------------------------- composites

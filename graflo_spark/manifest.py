@@ -77,6 +77,33 @@ class IdentityMode(str, enum.Enum):
     ASSIGNED = "assigned"
 
 
+class IndexType(str, enum.Enum):
+    """Reference index kinds (graph_types/index_config.py:63-125). Spark has
+    no secondary indexes; see GraphStore._apply_index_layout for the physical
+    mapping (sort-by-index-fields -> parquet min/max data skipping)."""
+
+    PERSISTENT = "persistent"
+    HASH = "hash"
+    SKIPLIST = "skiplist"
+    FULLTEXT = "fulltext"
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """A declared secondary index (reference IndexConfig). ``unique`` is a
+    constraint the store can verify; ``sparse`` skips null keys."""
+
+    fields: tuple[str, ...]
+    type: IndexType = IndexType.PERSISTENT
+    unique: bool = False
+    sparse: bool = False
+
+    def __post_init__(self) -> None:
+        if not self.fields:
+            raise ValueError("index needs at least one field")
+        object.__setattr__(self, "fields", tuple(self.fields))
+
+
 @dataclass
 class Vertex:
     """A vertex type.
@@ -96,6 +123,7 @@ class Vertex:
     identity_funnel: list[list[str]] = dc_field(default_factory=list)
     secondary_identities: dict[str, list[str]] = dc_field(default_factory=dict)
     filters: FilterExpression | None = None
+    indexes: list[IndexConfig] = dc_field(default_factory=list)
 
     HASH_KEY = "_key"  # minted identity column for hash/blank/assigned modes
 
@@ -156,6 +184,7 @@ class Edge:
     properties: list[Field] = dc_field(default_factory=list)
     # extra uniqueness key columns among edge properties (edge.py:141-151)
     identities: list[str] = dc_field(default_factory=list)
+    indexes: list[IndexConfig] = dc_field(default_factory=list)
 
     @property
     def edge_id(self) -> EdgeId:

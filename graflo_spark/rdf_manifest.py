@@ -40,9 +40,10 @@ from graflo_spark.steps import (
     VertexStep,
 )
 from graflo_spark.yaml_io import (
+    _index_dict,
+    _index_from,
     resource_from_dict,
     resource_to_dict,
-    step_to_dict,
 )
 
 GF = "https://ontology.growgraph.dev/graflo/"
@@ -127,6 +128,8 @@ def manifest_to_triples(m: GraphManifest | CoreSchema) -> list[Triple]:
             t.append((si, GF + "keyFields", _jlit(v.secondary_identities[sec_name])))
         if v.filters is not None:
             t.append((vi, GF + "filters", _jlit(v.filters.to_dict())))
+        if v.indexes:
+            t.append((vi, GF + "indexes", _jlit([_index_dict(i) for i in v.indexes])))
     for eorder, e in enumerate(m.schema.edges):
         ei = _eiri(e)
         t.append((man, GF + "hasEdge", ei))
@@ -148,6 +151,8 @@ def manifest_to_triples(m: GraphManifest | CoreSchema) -> list[Triple]:
                 t.append((fi, GF + "fieldType", f.type.value))
         if e.identities:
             t.append((ei, GF + "edgeIdentities", _jlit(e.identities)))
+        if e.indexes:
+            t.append((ei, GF + "indexes", _jlit([_index_dict(i) for i in e.indexes])))
     for rorder, r in enumerate(m.resources):
         ri = IRI(GF + f"resource/{r.name}")
         t.append((man, GF + "hasResource", ri))
@@ -209,6 +214,9 @@ def triples_to_manifest(triples: Iterable[Triple]) -> GraphManifest:
                 ],
                 secondary_identities=sec,
                 filters=json.loads(filters) if filters else None,
+                indexes=[
+                    _index_from(d) for d in json.loads(one(vi, "indexes", "[]"))
+                ],
             )
         )
     vname_by_iri = {str(_viri(v.name)): v.name for v in vertices}
@@ -223,6 +231,9 @@ def triples_to_manifest(triples: Iterable[Triple]) -> GraphManifest:
                 type=EdgeType(one(ei, "edgeType", "direct")),
                 properties=[parse_field(fi) for fi in ordered(ei, "hasField")],
                 identities=json.loads(one(ei, "edgeIdentities", "[]")),
+                indexes=[
+                    _index_from(d) for d in json.loads(one(ei, "indexes", "[]"))
+                ],
             )
         )
     resources = []

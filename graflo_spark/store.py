@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graflo_spark.container import GraphBatch
-from graflo_spark.manifest import CoreSchema, EdgeId
+from graflo_spark.manifest import CoreSchema, EdgeId, IndexConfig, IndexType
 
 
 class GraphStore:
@@ -63,11 +63,28 @@ class GraphStore:
         os.makedirs(self.root, exist_ok=True)
         meta = {
             "vertices": {
-                v.name: {"identity": v.identity_fields, "fields": v.field_names}
+                v.name: {
+                    "identity": v.identity_fields,
+                    "fields": v.field_names,
+                    **(
+                        {"indexes": [self._index_meta(i) for i in v.indexes]}
+                        if v.indexes
+                        else {}
+                    ),
+                }
                 for v in self.schema.vertices
             },
             "edges": [
-                {"source": e.source, "target": e.target, "relation": e.relation}
+                {
+                    "source": e.source,
+                    "target": e.target,
+                    "relation": e.relation,
+                    **(
+                        {"indexes": [self._index_meta(i) for i in e.indexes]}
+                        if e.indexes
+                        else {}
+                    ),
+                }
                 for e in self.schema.edges
             ],
         }
@@ -84,6 +101,61 @@ class GraphStore:
     def introspect_schema(self) -> dict:
         with open(os.path.join(self.root, "graph_schema.json")) as f:
             return json.load(f)
+
+    # ------------------------------------------------------------- indexes
+    @staticmethod
+    def _index_meta(i: IndexConfig) -> dict:
+        return {
+            "fields": list(i.fields),
+            "type": i.type.value,
+            "unique": i.unique,
+            "sparse": i.sparse,
+        }
+
+    def _vertex_indexes(self, name: str) -> list[IndexConfig]:
+        try:
+            return self.schema.vertex(name).indexes
+        except KeyError:
+            return []
+
+    @staticmethod
+    def _apply_index_layout(df: DataFrame, indexes: list[IndexConfig]) -> DataFrame:
+        """Spark's honest analog of a secondary index (reference
+        Connection.define_indexes, db/conn.py:658-674): sort each file by the
+        first sortable index's fields so parquet row-group min/max statistics
+        give point-lookup data skipping. FULLTEXT has no columnar analog
+        (downstream text ops cover that surface)."""
+        for idx in indexes:
+            if idx.type is IndexType.FULLTEXT:
+                continue
+            cols = [c for c in idx.fields if c in df.columns]
+            if cols:
+                return df.sortWithinPartitions(*cols)
+        return df
+
+    def verify_unique_indexes(self, name: str) -> None:
+        """Enforce declared ``unique`` indexes (the reference delegates this
+        to backend DDL; here it is an explicit count == countDistinct check,
+        one aggregate per index). ``sparse`` uniqueness ignores null keys."""
+        indexes = [i for i in self._vertex_indexes(name) if i.unique]
+        if not indexes:
+            return
+        df = self.read_vertices(name)
+        for idx in indexes:
+            keyed = df
+            if idx.sparse:
+                keyed = keyed.na.drop(subset=list(idx.fields), how="any")
+            # struct() so null keys count as distinct values rather than
+            # being skipped by COUNT(DISTINCT col, ...)
+            total, distinct = keyed.select(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.struct(*[F.col(c) for c in idx.fields])).alias("d"),
+            ).first()
+            if total != distinct:
+                raise ValueError(
+                    f"unique index {idx.fields} on {name!r} violated: "
+                    f"{total} rows, {distinct} distinct keys"
+                )
 
     # -------------------------------------------------------------- write
     def upsert_vertices(self, name: str, df: DataFrame, dry: bool = False) -> None:
@@ -114,7 +186,10 @@ class GraphStore:
             )
         else:
             merged = incoming.drop("__gen").dropDuplicates()
-        self._write_snapshot(table_dir, merged.drop("__gen") if "__gen" in merged.columns else merged)
+        merged = merged.drop("__gen") if "__gen" in merged.columns else merged
+        self._write_snapshot(
+            table_dir, self._apply_index_layout(merged, self._vertex_indexes(name))
+        )
 
     def insert_edges(
         self, eid: EdgeId, df: DataFrame, on_duplicate: str = "ignore", dry: bool = False
@@ -144,6 +219,8 @@ class GraphStore:
             merged = incoming.groupBy(*key_cols).agg(*aggs)
         else:
             merged = incoming.select(*key_cols).dropDuplicates()
+        if edge is not None and edge.indexes:
+            merged = self._apply_index_layout(merged, edge.indexes)
         self._write_snapshot(table_dir, merged)
 
     def _declared(self, eid: EdgeId) -> bool:

@@ -24,6 +24,8 @@ from graflo_spark.manifest import (
     FieldType,
     GraphManifest,
     IdentityMode,
+    IndexConfig,
+    IndexType,
     Vertex,
 )
 from graflo_spark.steps import (
@@ -72,8 +74,29 @@ def _field_dict(f: Field) -> Any:
 
 _VERTEX_KEYS = {
     "name", "fields", "identity", "identity_mode", "identity_funnel",
-    "secondary_identities", "filters",
+    "secondary_identities", "filters", "indexes",
 }
+
+
+def _index_from(d: dict) -> IndexConfig:
+    _check_keys(d, {"fields", "type", "unique", "sparse"}, "index")
+    return IndexConfig(
+        fields=tuple(d["fields"]),
+        type=IndexType(d.get("type", "persistent")),
+        unique=d.get("unique", False),
+        sparse=d.get("sparse", False),
+    )
+
+
+def _index_dict(i: IndexConfig) -> dict:
+    out: dict = {"fields": list(i.fields)}
+    if i.type != IndexType.PERSISTENT:
+        out["type"] = i.type.value
+    if i.unique:
+        out["unique"] = True
+    if i.sparse:
+        out["sparse"] = True
+    return out
 
 
 def vertex_from_dict(d: dict) -> Vertex:
@@ -88,6 +111,7 @@ def vertex_from_dict(d: dict) -> Vertex:
             k: list(v) for k, v in d.get("secondary_identities", {}).items()
         },
         filters=FilterExpression.parse(d["filters"]) if d.get("filters") else None,
+        indexes=[_index_from(i) for i in d.get("indexes", [])],
     )
 
 
@@ -103,10 +127,15 @@ def vertex_to_dict(v: Vertex) -> dict:
         out["secondary_identities"] = {k: list(c) for k, c in v.secondary_identities.items()}
     if v.filters is not None:
         out["filters"] = v.filters.to_dict()
+    if v.indexes:
+        out["indexes"] = [_index_dict(i) for i in v.indexes]
     return out
 
 
-_EDGE_KEYS = {"source", "target", "relation", "directed", "properties", "identities"}
+_EDGE_KEYS = {
+    "source", "target", "relation", "directed", "properties", "identities",
+    "indexes",
+}
 
 
 def edge_from_dict(d: dict) -> Edge:
@@ -118,6 +147,7 @@ def edge_from_dict(d: dict) -> Edge:
         directed=d.get("directed", True),
         properties=[_field_from(f) for f in d.get("properties", [])],
         identities=list(d.get("identities", [])),
+        indexes=[_index_from(i) for i in d.get("indexes", [])],
     )
 
 
@@ -131,6 +161,8 @@ def edge_to_dict(e: Edge) -> dict:
         out["properties"] = [_field_dict(f) for f in e.properties]
     if e.identities:
         out["identities"] = list(e.identities)
+    if e.indexes:
+        out["indexes"] = [_index_dict(i) for i in e.indexes]
     return out
 
 

@@ -133,3 +133,84 @@ def test_migration_rewrites_store(spark, tables, tmp_path):
     assert out.count() == tables["customer"].count()
     # edge table dir followed the vertex rename
     assert store.schema.edges[0].source == "client"
+
+
+def test_rename_edge_relation():
+    s = base_schema()
+    s2 = ev.RenameEdgeRelationOp(EdgeId("Person", "city", "livesIn"),
+                                 "residesIn").apply(s)
+    assert s2.edges[0].relation == "residesIn"
+    with pytest.raises(KeyError):
+        ev.RenameEdgeRelationOp(EdgeId("Person", "city", "nope"), "x").apply(s)
+    with pytest.raises(ValueError):
+        ev.RenameEdgeRelationOp(EdgeId("Person", "city", "livesIn"),
+                                "livesIn").apply(s2.__class__(
+            vertices=s2.vertices,
+            edges=s2.edges + [Edge("Person", "city", relation="livesIn")]))
+
+
+def test_index_ops_and_unique_verification(spark, tables, tmp_path):
+    from graflo_spark.manifest import IndexConfig, IndexType
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex("customer",
+                   [Field("c_custkey", FieldType.INT), Field("c_name"),
+                    Field("c_mktsegment")],
+                   identity=["c_custkey"]),
+        ],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices(
+        "customer", tables["customer"].select("c_custkey", "c_name", "c_mktsegment"))
+
+    # add a unique index on the key (holds) and verify
+    plan = [ev.AddIndexOp(vertex="customer",
+                          index=IndexConfig(("c_custkey",), unique=True))]
+    schema2 = ev.apply_plan(schema, plan, store=store)
+    assert schema2.vertex("customer").indexes[0].unique
+    store.verify_unique_indexes("customer")
+
+    # index metadata lands in the store DDL
+    meta = store.introspect_schema()
+    assert meta["vertices"]["customer"]["indexes"][0]["fields"] == ["c_custkey"]
+
+    # a unique index on a non-unique column is rejected by verification
+    store.schema = ev.AddIndexOp(
+        vertex="customer", index=IndexConfig(("c_mktsegment",), unique=True)
+    ).apply(schema2)
+    with pytest.raises(ValueError, match="unique index"):
+        store.verify_unique_indexes("customer")
+
+    # undeclared field fails loudly; removal works
+    with pytest.raises(ValueError, match="not declared"):
+        ev.AddIndexOp(vertex="customer",
+                      index=IndexConfig(("nope",))).apply(schema2)
+    s3 = ev.RemoveIndexOp(vertex="customer", fields=("c_custkey",)).apply(schema2)
+    assert not s3.vertex("customer").indexes
+
+
+def test_index_layout_sorts_snapshot(spark, tables, tmp_path):
+    from graflo_spark.manifest import IndexConfig
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex("customer",
+                   [Field("c_custkey", FieldType.INT), Field("c_name")],
+                   identity=["c_custkey"],
+                   indexes=[IndexConfig(("c_name",))]),
+        ],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("customer", tables["customer"].select("c_custkey", "c_name"))
+    # within every parquet file, rows are sorted by the indexed column so
+    # row-group min/max stats give point-lookup data skipping
+    import pandas as pd
+
+    part = store.read_vertices("customer")
+    pdf = part.withColumn("_file", F.input_file_name()).toPandas()
+    for _, grp in pdf.groupby("_file"):
+        names = grp["c_name"].tolist()
+        assert names == sorted(names)
