@@ -1294,6 +1294,66 @@ def infer_table_classification(spark, sf_dir):
     )
 
 
+_INFER_MANIFEST_ORACLE = " UNION ALL ".join(
+    [
+        f"SELECT 'vertex' AS kind, '{t}' AS type_name, "
+        f"COUNT(DISTINCT {pk}) AS n FROM {t}"
+        for t, pk in [
+            ("customer", "c_custkey"), ("nation", "n_nationkey"),
+            ("orders", "o_orderkey"), ("part", "p_partkey"),
+            ("region", "r_regionkey"), ("supplier", "s_suppkey"),
+        ]
+    ]
+    + [
+        "SELECT 'edge', 'customer__nationkey__nation', "
+        "COUNT(DISTINCT (c_custkey, c_nationkey)) FROM customer "
+        "WHERE c_nationkey IS NOT NULL",
+        "SELECT 'edge', 'nation__regionkey__region', "
+        "COUNT(DISTINCT (n_nationkey, n_regionkey)) FROM nation "
+        "WHERE n_regionkey IS NOT NULL",
+        "SELECT 'edge', 'orders__custkey__customer', "
+        "COUNT(DISTINCT (o_orderkey, o_custkey)) FROM orders "
+        "WHERE o_custkey IS NOT NULL",
+        "SELECT 'edge', 'orders__orderkey_partkey__part', "
+        "COUNT(DISTINCT (l_orderkey, l_partkey)) FROM lineitem "
+        "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL",
+        "SELECT 'edge', 'orders__orderkey_suppkey__supplier', "
+        "COUNT(DISTINCT (l_orderkey, l_suppkey)) FROM lineitem "
+        "WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL",
+        "SELECT 'edge', 'part__partkey_suppkey__supplier', "
+        "COUNT(DISTINCT (l_partkey, l_suppkey)) FROM lineitem "
+        "WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL",
+        "SELECT 'edge', 'supplier__nationkey__nation', "
+        "COUNT(DISTINCT (s_suppkey, s_nationkey)) FROM supplier "
+        "WHERE s_nationkey IS NOT NULL",
+    ]
+)
+
+
+@q("infer_manifest_graph_counts", _INFER_MANIFEST_ORACLE)
+def infer_manifest_graph_counts(spark, sf_dir):
+    """The reference's flagship define-and-ingest-with-inference flow
+    (GraphEngine.infer_manifest, hq/graph_engine.py:184): propose PKs from
+    uniqueness, prove FKs by containment, classify lineitem as a junction,
+    then compile EVERY inferred resource and emit golden per-type counts.
+    Nothing about the star schema is declared — it is all discovered."""
+    from graflo_spark import infer
+    from graflo_spark.container import GraphBatch
+
+    tables = {
+        t: load(spark, sf_dir, t)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem")
+    }
+    manifest = infer.infer_manifest_from_tables(tables)
+    batch = GraphBatch()
+    for res in manifest.resources:
+        batch = batch.union(
+            compile_resource(manifest.schema, res, tables[res.name])
+        )
+    return batch.pick_unique(manifest.schema).counts()
+
+
 # ------------------------------------------------------- more sources (§2.1)
 
 @q(

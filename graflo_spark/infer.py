@@ -49,7 +49,10 @@ def column_uniqueness(df: DataFrame, cols: list[str] | None = None) -> DataFrame
 
 
 def propose_identity(
-    df: DataFrame, candidate_cols: list[str] | None = None, max_width: int = 4
+    df: DataFrame,
+    candidate_cols: list[str] | None = None,
+    max_width: int = 4,
+    table_name: str | None = None,
 ) -> list[str]:
     """Greedy composite-key proposal (reference identity_inference funnel:
     start from the most selective column, extend until the combination is
@@ -67,10 +70,44 @@ def propose_identity(
     n_rows = next(iter(stats.values()))["n_rows"]
     if n_rows == 0:
         return []
+    # Key plausibility: fractional columns are measures, not keys — a random
+    # double is accidentally unique at any sample size, so it must never
+    # outrank a true key. Key-like names (…key, …id) rank first: the cheap
+    # stand-in for the catalog PK metadata the reference reads
+    # (db/postgres/inference_utils.py); containment proof still gates FKs.
+    fractional = {
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float", "decimal")
+    }
+
+    def keylike(c: str) -> int:
+        low = c.lower()
+        return 0 if low.endswith(("key", "id", "_id")) else 1
+
+    def selfkey(c: str) -> int:
+        """0 when the key's name stems from its own table (``s_suppkey`` in
+        ``supplier``, ``customer_id`` in ``customer``) — the PK naming
+        convention; an FK column (``s_nationkey``) stems from *another*
+        table and must not win a tie against the true PK."""
+        if not table_name:
+            return 0
+        t = table_name.lower()
+        for base in (c.lower(), _norm_key(c).lower()):
+            stem = base
+            for suffix in ("key", "id"):
+                stem = stem.removesuffix(suffix)
+            stem = stem.rstrip("_")
+            if stem and (t.startswith(stem) or stem.startswith(t)):
+                return 0
+        return 1
+
     # no-null columns only, most selective first (name tiebreak = determinism)
     ranked = sorted(
-        (c for c, r in stats.items() if r["n_nonnull"] == n_rows),
-        key=lambda c: (-stats[c]["n_distinct"], c),
+        (
+            c for c, r in stats.items()
+            if r["n_nonnull"] == n_rows and c not in fractional
+        ),
+        key=lambda c: (keylike(c), selfkey(c), -stats[c]["n_distinct"], c),
     )
     chosen: list[str] = []
     for c in ranked[:max_width]:
@@ -182,6 +219,172 @@ def classify_tables(
             .alias("table_kind"),
         )
     )
+
+
+# --- relational 3NF -> manifest inference (SURVEY §1.3 family 1) -----------
+
+
+def _norm_key(name: str) -> str:
+    """Normalize a column name for FK-candidate matching: drop the
+    table-prefix segment (TPC-H style ``o_custkey``/``c_custkey`` ->
+    ``custkey``; plain names pass through). The match is only a *candidate*
+    generator — containment proof decides (reference reads pg catalog FKs,
+    db/postgres/inference_utils.py; data-first inference must earn them)."""
+    return name.split("_", 1)[1] if "_" in name else name
+
+
+def _spark_to_field_type(dt) -> "tuple":
+    from pyspark.sql import types as T
+
+    from graflo_spark.manifest import FieldType
+
+    scalar = {
+        T.LongType(): FieldType.INT,
+        T.IntegerType(): FieldType.INT,
+        T.ShortType(): FieldType.INT,
+        T.DoubleType(): FieldType.DOUBLE,
+        T.FloatType(): FieldType.FLOAT,
+        T.BooleanType(): FieldType.BOOL,
+        T.StringType(): FieldType.STRING,
+        T.TimestampType(): FieldType.DATETIME,
+        T.DateType(): FieldType.DATETIME,
+    }
+    if isinstance(dt, T.ArrayType):
+        item = scalar.get(dt.elementType)
+        return (FieldType.LIST, item) if item else (None, None)
+    return (scalar.get(dt), None)
+
+
+def infer_manifest_from_tables(
+    tables: dict[str, "DataFrame"],
+    containment_threshold: float = 0.999,
+    max_width: int = 4,
+):
+    """Relational-3NF manifest inference, end to end (reference
+    ``GraphEngine.infer_manifest`` over postgres introspection,
+    hq/graph_engine.py:184 + db/postgres/schema_inference.py:24-110 — but
+    data-proven instead of catalog-read):
+
+    1. per-table identity proposal (greedy uniqueness funnel);
+    2. FK candidates by normalized-name match against single-column PKs,
+       proven by distinct-containment (>= ``containment_threshold``);
+    3. junction classification: >= 2 proven FKs and no unique column ->
+       the table becomes pairwise edges, not a vertex;
+    4. vertex tables with FKs -> one resource extracting the vertex plus a
+       mapped-only endpoint vertex per FK and the connecting edge (the
+       reference's auto-join shape, hq/auto_join.py:33-137).
+
+    Returns a :class:`~graflo_spark.manifest.GraphManifest`. Spark cost: one
+    uniqueness aggregate per table, one distinct-semi-join per FK candidate
+    (parent side distinct-projected first), nothing quadratic in rows.
+    """
+    from graflo_spark.manifest import GraphManifest
+
+    identities = {
+        name: propose_identity(df, max_width=max_width, table_name=name)
+        for name, df in tables.items()
+    }
+    single_pk = {
+        name: ident[0] for name, ident in identities.items() if len(ident) == 1
+    }
+    candidates = []
+    for child, df in tables.items():
+        for col in df.columns:
+            for parent, pk in single_pk.items():
+                if parent == child:
+                    continue
+                if _norm_key(col) == _norm_key(pk):
+                    candidates.append(FkCandidate(child, col, parent, pk))
+    proven: dict[str, list[FkCandidate]] = {name: [] for name in tables}
+    if candidates:
+        ev = fk_containment(tables, candidates).collect()
+        by_key = {
+            (r["child_table"], r["child_column"], r["parent_table"]): r["containment"]
+            for r in ev
+        }
+        for c in candidates:
+            if by_key.get((c.child_table, c.child_column, c.parent_table), 0.0) >= containment_threshold:
+                proven[c.child_table].append(c)
+    has_unique = {
+        name: len(identities[name]) == 1 for name in tables
+    }
+    junctions = {
+        name
+        for name in tables
+        if len({c.child_column for c in proven[name]}) >= 2 and not has_unique[name]
+    }
+
+    vertices, edges, resources = [], [], []
+    for name in sorted(tables):
+        if name in junctions:
+            continue
+        fields = []
+        for f in tables[name].schema.fields:
+            t, item = _spark_to_field_type(f.dataType)
+            fields.append(Field(f.name, t, item))
+        vertices.append(Vertex(name, fields, identity=identities[name]))
+    vertex_names = {v.name for v in vertices}
+
+    def endpoint_steps(table: str) -> tuple[list, list]:
+        """(lookup vertex steps, edge links) for a table's proven FKs."""
+        vsteps, links = [], []
+        for c in sorted(proven[table], key=lambda c: c.child_column):
+            if c.parent_table not in vertex_names:
+                continue
+            vsteps.append(
+                VertexStep(
+                    name=c.parent_table,
+                    mapping={c.parent_column: c.child_column},
+                    extraction_scope="mapped_only",
+                    role=c.child_column,
+                )
+            )
+            links.append((c.parent_table, c.child_column))
+        return vsteps, links
+
+    for name in sorted(tables):
+        if name in junctions:
+            vsteps, links = endpoint_steps(name)
+            steps: list = list(vsteps)
+            for i in range(len(links)):
+                for j in range(i + 1, len(links)):
+                    (src, src_role), (tgt, tgt_role) = links[i], links[j]
+                    rel = _norm_key(links[i][1]) + "_" + _norm_key(links[j][1])
+                    edges.append(Edge(src, tgt, relation=rel))
+                    steps.append(
+                        EdgeStep(
+                            links=[
+                                EdgeLink(
+                                    source=src,
+                                    target=tgt,
+                                    relation=rel,
+                                    source_role=src_role,
+                                    target_role=tgt_role,
+                                )
+                            ]
+                        )
+                    )
+            resources.append(ResourceConfig(name=name, steps=steps, infer_edges=False))
+        else:
+            steps = [VertexStep(name=name)]
+            vsteps, links = endpoint_steps(name)
+            steps += vsteps
+            for tgt, role in links:
+                rel = _norm_key(role)
+                edges.append(Edge(name, tgt, relation=rel))
+                steps.append(
+                    EdgeStep(
+                        links=[
+                            EdgeLink(
+                                source=name, target=tgt, relation=rel,
+                                target_role=role,
+                            )
+                        ]
+                    )
+                )
+            resources.append(ResourceConfig(name=name, steps=steps, infer_edges=False))
+    schema = CoreSchema(vertices=vertices, edges=edges)
+    return GraphManifest(schema=schema, resources=resources)
 
 
 # --- OWL / RDFS ontology -> schema inference (SURVEY §1.3 family 2) --------

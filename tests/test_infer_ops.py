@@ -227,3 +227,47 @@ def test_infer_schema_from_ontology(spark):
     authored = next(v for k, v in ecounts.items() if k.relation == "authored_by")
     assert cites == 1
     assert authored == 2
+
+
+def test_infer_manifest_from_tables(spark, tables):
+    """Relational-3NF manifest inference end-to-end on TPC-H: PKs proposed,
+    FKs proven by containment, lineitem classified as a junction, and an
+    inferred resource compiles and produces correct counts."""
+    from graflo_spark import infer
+    from graflo_spark.compiler import compile_resource
+
+    rel = {
+        n: tables[n]
+        for n in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem")
+    }
+    manifest = infer.infer_manifest_from_tables(rel)
+    schema = manifest.schema
+
+    # lineitem has >=2 proven FKs and no unique column -> junction, not vertex
+    assert "lineitem" not in schema.vertex_names
+    assert sorted(schema.vertex_names) == [
+        "customer", "nation", "orders", "part", "region", "supplier"]
+    assert schema.vertex("customer").identity == ["c_custkey"]
+    assert schema.vertex("orders").identity == ["o_orderkey"]
+
+    pairs = {(e.source, e.target) for e in schema.edges}
+    assert ("nation", "region") in pairs          # n_regionkey FK
+    assert ("customer", "nation") in pairs        # c_nationkey FK
+    assert ("orders", "customer") in pairs        # o_custkey FK
+    # junction pairwise edges among lineitem's FK targets
+    assert ("orders", "part") in pairs and ("orders", "supplier") in pairs
+
+    # compile the inferred orders resource: order vertices + edge to customer
+    res = manifest.resource("orders")
+    batch = compile_resource(schema, res, rel["orders"])
+    assert batch.vertices["orders"].count() == rel["orders"].count()
+    eid = next(k for k in batch.edges if k.target == "customer")
+    assert batch.edges[eid].count() == rel["orders"].count()
+
+    # compile the junction resource: lineitem rows become order-part edges
+    jres = manifest.resource("lineitem")
+    jbatch = compile_resource(schema, jres, rel["lineitem"])
+    jeid = next(k for k in jbatch.edges if {k.source, k.target} == {"orders", "part"})
+    assert jbatch.edges[jeid].count() == rel["lineitem"].dropDuplicates(
+        ["l_orderkey", "l_partkey"]).count()
