@@ -15,6 +15,7 @@ row-at-a-time Python in the hot path.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Callable
 
@@ -91,7 +92,62 @@ BUILTINS: dict[str, Callable[..., list[Column]]] = {
         F.trim(F.regexp_extract(cols[0], r"^(.*?)\s+(\S+)$", 1)),
         F.regexp_extract(cols[0], r"^(.*?)\s+(\S+)$", 2),
     ],
+    # parse_date_conf("20230101") -> (year, month, day) as longs
+    # (reference util/transform.py:85-99)
+    "parse_date_conf": lambda cols, p: [
+        F.substring(cols[0].cast("string"), 1, 4).cast("long"),
+        F.substring(cols[0].cast("string"), 5, 2).cast("long"),
+        F.substring(cols[0].cast("string"), 7, 2).cast("long"),
+    ],
+    # parse_date_yahoo("2023-01-01") -> "2023-01-01T12:00:00Z"
+    # (reference util/transform.py:123-137 — noon-pinned ISO 8601 string)
+    "parse_date_yahoo": lambda cols, p: [F.concat(cols[0], F.lit("T12:00:00Z"))],
+    # parse_date_reference("1923, May 10") -> 1923 (first 4-digit year in a
+    # human-written date reference, reference util/transform.py:210-223)
+    "parse_date_reference": lambda cols, p: [
+        F.regexp_extract(cols[0], r"\b(\d{4})\b", 1).try_cast("long")
+    ],
+    "parse_multi_item": lambda cols, p: _parse_multi_item(cols[0], p),
 }
+
+
+def _parse_multi_item(col: Column, params: dict) -> list[Column]:
+    """Quoted/bracketed multi-item string -> per-key arrays (reference
+    util/transform.py:328-377: ``'[name: John, age: 30] [name: Jane]'`` with
+    ``keys={"name": "full_name", "age": "age"}`` yields ``full_name =
+    ["John", "Jane"]``, ``age = ["30", null]``).
+
+    Pure higher-order Column expressions (regexp_extract_all + transform) —
+    stays inside codegen; the reference's quoted-vs-bracketed switch becomes
+    a per-row ``when``. One output array per mapped key, in ``keys`` order.
+    """
+    keys: dict[str, str] = params["keys"]
+    quoted = F.concat(
+        F.regexp_extract_all(col, F.lit(r'"(.*?)"'), F.lit(1)),
+        F.regexp_extract_all(col, F.lit(r"'(.*?)'"), F.lit(1)),
+    )
+    bracketed = F.regexp_extract_all(col, F.lit(r"\[([^]]+)\]"), F.lit(1))
+    items = F.when(col.contains("'"), quoted).otherwise(bracketed)
+    out = []
+    def value_for(item: Column, key: str) -> Column:
+        # "k: v" entries; regexp_extract rejects lambda-variable inputs, so
+        # split_part/filter (Column-native) do the per-entry key match
+        entries = F.split(item, ",")
+        matched = F.filter(
+            entries,
+            lambda e: F.trim(F.split_part(e, F.lit(":"), F.lit(1))) == F.lit(key),
+        )
+        first = F.get(matched, 0)
+        return F.nullif(F.trim(F.split_part(first, F.lit(":"), F.lit(2))), F.lit(""))
+
+    def item_fn(k: str):
+        # NB: not `lambda item, k=src_key: ...` — PySpark reads the lambda's
+        # arity, and a defaulted second parameter would bind the array INDEX
+        return lambda item: value_for(item, k)
+
+    for src_key in keys:
+        out.append(F.transform(items, item_fn(src_key)))
+    return out
 
 
 def register_builtin(name: str, factory: Callable[..., list[Column]]) -> None:
