@@ -86,3 +86,20 @@ def test_resolve_error_policy(spark, sf_dir):
     with pytest.raises(ValueError, match="ambiguous"):
         resolve_endpoints(nation, supplier, ["s_nationkey"], ["s_suppkey"],
                           side="dst", policy="error")
+
+
+def test_store_dry_run_writes_nothing(spark, tables, tmp_path, capsys):
+    from graflo_spark.manifest import CoreSchema, Field, Vertex
+    from graflo_spark.store import GraphStore
+
+    schema = CoreSchema(vertices=[
+        Vertex("customer", [Field("c_custkey")], identity=["c_custkey"])])
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("customer", tables["customer"].select("c_custkey"),
+                          dry=True)
+    # dry mode explains the plan instead of writing a snapshot
+    assert "Physical Plan" in capsys.readouterr().out
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        store.read_vertices("customer")
