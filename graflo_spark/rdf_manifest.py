@@ -297,7 +297,10 @@ def to_ntriples(triples: Iterable[Triple]) -> str:
 
 def from_ntriples(text: str) -> list[Triple]:
     triples: list[Triple] = []
-    for line in text.splitlines():
+    # split on "\n" only: \n and \r in literals are escaped, but exotic
+    # line separators (\x0b,  , ...) may legally sit raw inside a
+    # literal and must not break the line framing
+    for line in text.split("\n"):
         line = line.strip()
         if not line or line.startswith("#"):
             continue
