@@ -1,0 +1,156 @@
+"""Command-line surface (reference graflo/cli/: ingest.py,
+migrate_schema.py plan/apply, plot_manifest.py — click there, stdlib
+argparse here; same verbs).
+
+Usage::
+
+    python -m graflo_spark.cli ingest --manifest m.yaml --store /graph \\
+        --source customer=/data/customer.parquet --source orders=/data/orders.parquet
+    python -m graflo_spark.cli migrate-schema plan --old a.yaml --new b.yaml
+    python -m graflo_spark.cli migrate-schema apply --old a.yaml --new b.yaml --store /graph
+    python -m graflo_spark.cli plot-manifest m.yaml -o manifest.dot
+    python -m graflo_spark.cli export-rdf m.yaml -o manifest.nt
+    python -m graflo_spark.cli import-rdf manifest.nt -o m.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _load_manifest(path: str):
+    from graflo_spark.yaml_io import load_manifest
+
+    return load_manifest(path)
+
+
+def cmd_ingest(args) -> int:
+    from graflo_spark.engine import GraphEngine
+    from graflo_spark.io import read_source
+    from graflo_spark.session import get_spark
+
+    m = _load_manifest(args.manifest)
+    spark = get_spark("graflo-ingest")
+    pairs = []
+    sources = dict(kv.split("=", 1) for kv in args.source)
+    for res in m.resources:
+        if res.name not in sources:
+            if args.strict:
+                print(f"no source for resource {res.name!r}", file=sys.stderr)
+                return 2
+            continue
+        pairs.append((res, read_source(spark, sources[res.name])))
+    engine = GraphEngine(spark, m.schema, args.store)
+    engine.define_and_ingest(pairs, recreate=args.recreate)
+    engine.export_graph().counts().show(200, truncate=False)
+    return 0
+
+
+def cmd_migrate_plan(args) -> int:
+    from graflo_spark import evolve
+
+    old = _load_manifest(args.old).schema
+    new = _load_manifest(args.new).schema
+    for op in evolve.diff(old, new):
+        print(type(op).__name__, vars(op))
+    return 0
+
+
+def cmd_migrate_apply(args) -> int:
+    from graflo_spark import evolve
+    from graflo_spark.session import get_spark
+    from graflo_spark.store import GraphStore
+
+    old = _load_manifest(args.old).schema
+    new = _load_manifest(args.new).schema
+    plan = evolve.diff(old, new)
+    store = GraphStore(get_spark("graflo-migrate"), args.store, old)
+    evolve.apply_plan(old, plan, store=store)
+    print(f"applied {len(plan)} ops to {args.store}")
+    return 0
+
+
+def cmd_plot(args) -> int:
+    from graflo_spark.plot import manifest_to_dot
+
+    dot = manifest_to_dot(
+        _load_manifest(args.manifest),
+        include_fields=not args.no_fields,
+        include_resources=not args.no_resources,
+    )
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(dot)
+    else:
+        print(dot, end="")
+    return 0
+
+
+def cmd_export_rdf(args) -> int:
+    from graflo_spark.rdf_manifest import save_manifest_rdf
+
+    save_manifest_rdf(_load_manifest(args.manifest), args.output)
+    return 0
+
+
+def cmd_import_rdf(args) -> int:
+    from graflo_spark.rdf_manifest import load_manifest_rdf
+    from graflo_spark.yaml_io import save_manifest
+
+    save_manifest(load_manifest_rdf(args.input), args.output)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="graflo-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="run a manifest's resources into a graph store")
+    ing.add_argument("--manifest", required=True)
+    ing.add_argument("--store", required=True)
+    ing.add_argument("--source", action="append", default=[],
+                     metavar="RESOURCE=PATH")
+    ing.add_argument("--recreate", action="store_true")
+    ing.add_argument("--strict", action="store_true",
+                     help="fail when a resource has no bound source")
+    ing.set_defaults(fn=cmd_ingest)
+
+    mig = sub.add_parser("migrate-schema", help="diff two manifests")
+    msub = mig.add_subparsers(dest="subcmd", required=True)
+    plan = msub.add_parser("plan")
+    plan.add_argument("--old", required=True)
+    plan.add_argument("--new", required=True)
+    plan.set_defaults(fn=cmd_migrate_plan)
+    apply_ = msub.add_parser("apply")
+    apply_.add_argument("--old", required=True)
+    apply_.add_argument("--new", required=True)
+    apply_.add_argument("--store", required=True)
+    apply_.set_defaults(fn=cmd_migrate_apply)
+
+    plot = sub.add_parser("plot-manifest", help="emit Graphviz DOT")
+    plot.add_argument("manifest")
+    plot.add_argument("-o", "--output")
+    plot.add_argument("--no-fields", action="store_true")
+    plot.add_argument("--no-resources", action="store_true")
+    plot.set_defaults(fn=cmd_plot)
+
+    erdf = sub.add_parser("export-rdf", help="manifest -> N-Triples")
+    erdf.add_argument("manifest")
+    erdf.add_argument("-o", "--output", required=True)
+    erdf.set_defaults(fn=cmd_export_rdf)
+
+    irdf = sub.add_parser("import-rdf", help="N-Triples -> YAML manifest")
+    irdf.add_argument("input")
+    irdf.add_argument("-o", "--output", required=True)
+    irdf.set_defaults(fn=cmd_import_rdf)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""CLI + DOT plot surface (reference graflo/cli/, plot/plotter.py)."""
+
+import os
+
+from graflo_spark import cli, plot, yaml_io
+
+MANIFEST_YAML = """
+schema:
+  vertices:
+    - name: customer
+      fields: [{name: c_custkey, type: int}, c_name]
+      identity: [c_custkey]
+    - name: nation
+      fields: [{name: n_nationkey, type: int}]
+      identity: [n_nationkey]
+  edges:
+    - {source: customer, target: nation, relation: located_in}
+resources:
+  - name: customer
+    steps:
+      - vertex: customer
+      - vertex:
+          name: nation
+          mapping: {n_nationkey: c_nationkey}
+          extraction_scope: mapped_only
+"""
+
+
+def _write_manifest(tmp_path) -> str:
+    p = str(tmp_path / "m.yaml")
+    with open(p, "w") as fh:
+        fh.write(MANIFEST_YAML)
+    return p
+
+
+def test_manifest_to_dot(tmp_path):
+    m = yaml_io.loads_manifest(MANIFEST_YAML)
+    dot = plot.manifest_to_dot(m)
+    assert dot.startswith("digraph manifest {")
+    assert '"customer"' in dot and '"nation"' in dot
+    assert '"customer" -> "nation" [label="located_in"];' in dot
+    assert "*c_custkey" in dot  # identity starred
+    assert '"resource::customer" -> "customer"' in dot
+    # schema-only render
+    slim = plot.manifest_to_dot(m.schema, include_fields=False)
+    assert "c_name" not in slim
+
+
+def test_cli_plot_and_rdf_roundtrip(tmp_path, capsys):
+    mpath = _write_manifest(tmp_path)
+    dot_out = str(tmp_path / "m.dot")
+    assert cli.main(["plot-manifest", mpath, "-o", dot_out]) == 0
+    assert "digraph" in open(dot_out).read()
+
+    nt = str(tmp_path / "m.nt")
+    assert cli.main(["export-rdf", mpath, "-o", nt]) == 0
+    back = str(tmp_path / "m2.yaml")
+    assert cli.main(["import-rdf", nt, "-o", back]) == 0
+    m1 = yaml_io.load_manifest(mpath)
+    m2 = yaml_io.load_manifest(back)
+    assert yaml_io.manifest_to_dict(m1) == yaml_io.manifest_to_dict(m2)
+
+
+def test_cli_migrate_plan(tmp_path, capsys):
+    old = _write_manifest(tmp_path)
+    new_yaml = MANIFEST_YAML.replace("c_name", "c_name\n        - c_phone")
+    new = str(tmp_path / "new.yaml")
+    with open(new, "w") as fh:
+        fh.write(new_yaml)
+    assert cli.main(["migrate-schema", "plan", "--old", old, "--new", new]) == 0
+    out = capsys.readouterr().out
+    assert "AddPropertyOp" in out and "c_phone" in out
+
+
+def test_cli_ingest_end_to_end(tmp_path, spark, sf_dir):
+    mpath = _write_manifest(tmp_path)
+    store_dir = str(tmp_path / "graph")
+    src = os.path.join(sf_dir, "customer.parquet")
+    rc = cli.main([
+        "ingest", "--manifest", mpath, "--store", store_dir,
+        "--source", f"customer={src}",
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(store_dir, "vertices", "customer"))
+    assert os.path.isdir(os.path.join(store_dir, "vertices", "nation"))
