@@ -1602,6 +1602,70 @@ def window_sliding_events(spark, sf_dir):
         "event_type", "n", "sum_value")
 
 
+@q(
+    "descend_any_key_customers",
+    "SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 5000.0 OR c_acctbal < 0.0",
+)
+def descend_any_key_customers(spark, sf_dir):
+    """any_key descent: one branch per descendable document key (reference
+    actor/descend.py:134-152 — `any_key` iterates every key's items). Docs
+    carry two member arrays (`rich`, `poor`) plus a scalar doc key; any_key
+    fans into both arrays (the scalar is skipped — a scalar sub-doc can never
+    satisfy a vertex projection) and the extracted vertices union + dedup."""
+    cust = load(spark, sf_dir, "customer")
+    member = F.struct("c_custkey", "c_acctbal")
+    docs = cust.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list(
+            F.when(F.col("c_acctbal") > 5000.0, member))).alias("rich"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("c_acctbal") < 0.0, member))).alias("poor"),
+    )
+    schema = CoreSchema(vertices=[
+        Vertex("customer", [Field("c_custkey", FieldType.INT)],
+               identity=["c_custkey"]),
+    ])
+    res = ResourceConfig("nations", steps=[
+        DescendStep(any_key=True, steps=[VertexStep(name="customer")]),
+    ], infer_edges=False, doc_key=["c_nationkey"])
+    b = compile_resource(schema, res, docs)
+    return b.vertices["customer"].select("c_custkey")
+
+
+_QUALITY_TOKENS = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+                   "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+_QUALITY_STOPS = rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ts.STOPWORDS['en'])})\b', 1))"
+
+
+@q(
+    "text_quality_documents",
+    "WITH s AS (SELECT doc_id, text, "
+    f"{_QUALITY_TOKENS} AS n_tok, {_QUALITY_STOPS} AS n_stop, "
+    "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) "
+    "/ greatest(length(text), 1) AS pr FROM documents) "
+    "SELECT doc_id, "
+    "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe, "
+    "ROUND(pr, 6) AS punct_ratio, "
+    "ROUND(((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) + "
+    "(CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.0 END) + "
+    "(CASE WHEN CAST(n_stop AS DOUBLE) / greatest(n_tok, 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)"
+    ") / 3.0, 6) AS quality FROM s",
+)
+def text_quality_documents(spark, sf_dir):
+    """Quality scoring + BPE-ish token estimate (north-star text ops):
+    length-band / punctuation-ratio / stopword-presence gates composed into a
+    [0,1] score, and a subword-ish token count (alnum runs + isolated
+    punctuation marks) — the pre-training quality filters, all native Column
+    exprs reproduced exactly by the DuckDB oracle."""
+    df = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        ts.bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.round(ts.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(ts.quality_score(t), 6).alias("quality"),
+    )
+
+
 def entry_flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: full star-schema graph build -> per-type golden counts."""
     return build_star_graph(spark, sf_dir).counts()

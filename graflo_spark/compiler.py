@@ -218,11 +218,15 @@ class ResourceCompiler:
 
     def _descend(self, frame: Frame, step: DescendStep) -> list[Frame]:
         if step.any_key:
-            dtype = None
+            # every descendable (array/struct/map) key becomes a branch; a
+            # scalar value is a one-item sub-doc in the reference
+            # (descend.py:141-148) from which no vertex projection can ever
+            # succeed, so scalar columns are skipped rather than erroring
             keys = [
                 f.name
                 for f in frame.df.schema.fields
                 if not f.name.startswith("__")
+                and isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
             ]
             frames = []
             for k in keys:

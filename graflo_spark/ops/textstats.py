@@ -24,13 +24,12 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-ish token estimate: count word pieces + digits + punctuation runs
-    (a regex approximation of subword tokenizers)."""
+    """BPE-ish token estimate: alphanumeric runs + isolated non-space
+    punctuation marks (a regex approximation of subword tokenizers). A plain
+    match count — stays in the RE2 ∩ Java-regex subset (no lookaround), so a
+    SQL oracle reproduces it, and compiles to one codegen'd regexp pass."""
     return F.size(
-        F.filter(
-            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-            lambda s: F.length(F.trim(s)) > 0,
-        )
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
     )
 
 
