@@ -1666,6 +1666,90 @@ def text_quality_documents(spark, sf_dir):
     )
 
 
+@q(
+    "edge_multi_link_lineitem",
+    "SELECT 'contains' AS link, l_orderkey AS src_orderkey, l_linenumber AS src_linenumber, "
+    "l_partkey AS dst_key FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey FROM lineitem) "
+    "UNION ALL SELECT 'supplied_by', l_orderkey, l_linenumber, l_suppkey "
+    "FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_suppkey FROM lineitem)",
+)
+def edge_multi_link_lineitem(spark, sf_dir):
+    """Multi-link edge step: ONE step whose links each emit an edge intent per
+    row (reference steps/models.py:379-511, actor/edge.py:80-102) — here a
+    lineitem row links to both its part and its supplier."""
+    schema = star_schema()
+    res = ResourceConfig("lineitem", steps=[
+        VertexStep(name="lineitem"),
+        VertexStep(name="part", mapping={"p_partkey": "l_partkey"},
+                   extraction_scope="mapped_only", lookup_only=True),
+        VertexStep(name="supplier", mapping={"s_suppkey": "l_suppkey"},
+                   extraction_scope="mapped_only", lookup_only=True),
+        EdgeStep(links=[
+            EdgeLink(source="lineitem", target="part", relation="contains"),
+            EdgeLink(source="lineitem", target="supplier", relation="supplied_by"),
+        ]),
+    ], infer_edges=False)
+    b = compile_resource(schema, res, load(spark, sf_dir, "lineitem"))
+    part_eid = [e for e in b.edges if e.target == "part"][0]
+    supp_eid = [e for e in b.edges if e.target == "supplier"][0]
+    # the contains edge dedups on identity+weights (declared properties);
+    # this projection drops the weights, so re-dedup to the projected key
+    contains = b.edges[part_eid].select(
+        F.lit("contains").alias("link"),
+        F.col("_src_l_orderkey").alias("src_orderkey"),
+        F.col("_src_l_linenumber").alias("src_linenumber"),
+        F.col("_dst_p_partkey").alias("dst_key")).dropDuplicates()
+    supplied = b.edges[supp_eid].select(
+        F.lit("supplied_by").alias("link"),
+        F.col("_src_l_orderkey").alias("src_orderkey"),
+        F.col("_src_l_linenumber").alias("src_linenumber"),
+        F.col("_dst_s_suppkey").alias("dst_key"))
+    return contains.unionByName(supplied)
+
+
+@q(
+    "store_edge_on_duplicate",
+    "SELECT o_orderkey AS _src_o_orderkey, o_custkey AS _dst_c_custkey, "
+    "CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice "
+    "FROM orders",
+)
+def store_edge_on_duplicate(spark, sf_dir):
+    """Edge insert on_duplicate semantics end-to-end (reference
+    insert_edges_batch, db/conn.py:406-441): base insert, then an
+    ``ignore`` overlay (old property values win), then an ``upsert``
+    overlay (new values win), read back."""
+    import tempfile
+
+    from graflo_spark.manifest import EdgeId
+    from graflo_spark.store import GraphStore
+
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("_src_o_orderkey"),
+        F.col("o_custkey").alias("_dst_c_custkey"),
+        F.col("o_totalprice"),
+    )
+    schema = CoreSchema(
+        vertices=[
+            Vertex("order", [Field("o_orderkey", FieldType.INT)], identity=["o_orderkey"]),
+            Vertex("customer", [Field("c_custkey", FieldType.INT)], identity=["c_custkey"]),
+        ],
+        edges=[Edge("order", "customer", relation="placed_by",
+                    properties=[Field("o_totalprice", FieldType.DOUBLE)])],
+    )
+    eid = EdgeId("order", "customer", "placed_by")
+    root = tempfile.mkdtemp(prefix="graflo_edges_")
+    store = GraphStore(spark, root, schema)
+    store.apply_target_schema()
+    store.insert_edges(eid, base)
+    ignored = base.filter(F.col("_src_o_orderkey") <= 1000).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    store.insert_edges(eid, ignored, on_duplicate="ignore")
+    upserted = base.filter(F.col("_src_o_orderkey") <= 1000).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5.0))
+    store.insert_edges(eid, upserted, on_duplicate="upsert")
+    return store.read_edges(eid)
+
+
 def entry_flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: full star-schema graph build -> per-type golden counts."""
     return build_star_graph(spark, sf_dir).counts()
