@@ -1750,6 +1750,33 @@ def store_edge_on_duplicate(spark, sf_dir):
     return store.read_edges(eid)
 
 
+@q(
+    "session_window_events",
+    "WITH g AS (SELECT user_id, ts, CASE WHEN lag_ts IS NULL OR "
+    "epoch(ts) - epoch(lag_ts) > 1800 THEN 1 ELSE 0 END AS brk "
+    "FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "AS lag_ts FROM events)), "
+    "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+    "SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch, "
+    "COUNT(*) AS n_events FROM s GROUP BY user_id, sid",
+)
+def session_window_events(spark, sf_dir):
+    """Native session windows (F.session_window, 30-min gap) per user —
+    the streaming-idiomatic sessionization twin; the oracle reconstructs the
+    same sessions with lag + cumulative break-sum."""
+    from graflo_spark.streaming import session_window_agg
+
+    ev = _events_ts(spark, sf_dir)
+    out = session_window_agg(ev, "ts", ["user_id"], "30 minutes",
+                             {"value": "count"})
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start_epoch"),
+        F.col("count_value").alias("n_events"),
+    )
+
+
 def entry_flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: full star-schema graph build -> per-type golden counts."""
     return build_star_graph(spark, sf_dir).counts()

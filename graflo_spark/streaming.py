@@ -127,6 +127,36 @@ def sliding_window_agg(
     )
 
 
+def session_window_agg(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str,
+    aggs: dict[str, str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Native session windows (``F.session_window``): per-key sessions that
+    close after ``gap`` of inactivity — the streaming-idiomatic twin of
+    :func:`sessionize` (which reconstructs sessions with lag + cumulative
+    sum). Works identically on batch and streaming frames; on streams the
+    watermark bounds session state."""
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    w = F.session_window(F.col(ts_col), gap)
+    exprs = [getattr(F, fn)(F.col(c)).alias(f"{fn}_{c}") for c, fn in aggs.items()]
+    return (
+        df.groupBy(w.alias("win"), *key_cols)
+        .agg(*exprs)
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *key_cols,
+            *[f"{fn}_{c}" for c, fn in aggs.items()],
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str,
