@@ -55,6 +55,11 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores INT64 TIMESTAMP(NANOS), which vanilla Spark refuses
+    # to read (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable, so set it
+    # here rather than relying on whoever built the SparkSession (the external
+    # correctness runner uses a vanilla session).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1018,7 +1023,9 @@ def multimodal_feature_plumbing(spark, sf_dir):
 def _events_ts(spark, sf_dir):
     """events.ts arrives as epoch-ns LONG (nanosAsLong); convert to timestamp."""
     df = load(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # Integer division: Column `/` promotes to double, and epoch-ns magnitudes
+    # (~1.7e18) exceed double's 53-bit mantissa, landing timestamps 1us off.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 @q(
