@@ -907,13 +907,46 @@ def ngram_jaccard_pairs_blocked(spark, sf_dir):
                                   ngram_n=3, min_jaccard=0.5)
 
 
-@q("minhash_dedup_documents")  # approximate: rows-only check (no SQL oracle)
+# MinHash oracle: the affine-permutation coefficients are deterministic
+# (seeded) Python ints — embed them as a VALUES table so DuckDB replays the
+# exact signature pipeline: md5-derived shingle hash -> 64 min-aggregates ->
+# md5 band keys -> candidate pairs -> >=0.7 agreement -> anti-join.
+_MINHASH_COEFFS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dd._perm_coeffs(64))
+)
+_MINHASH_DEDUP_ORACLE = (
+    "WITH coeffs(i, a, b) AS (VALUES " + _MINHASH_COEFFS + "), "
+    "sh AS (SELECT doc_id, unnest([substr(text, CAST(i AS INT), 5) "
+    "FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS s FROM documents), "
+    "h AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT & 2147483647 AS h FROM sh), "
+    "sig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS m "
+    "FROM h, coeffs GROUP BY doc_id, i), "
+    "sigs AS (SELECT doc_id, array_agg(m ORDER BY i) AS sig FROM sig GROUP BY doc_id), "
+    "banded AS (SELECT doc_id, b AS band, "
+    "('0x'||substr(md5(array_to_string(sig[b*4+1 : b*4+4], ',')),1,8))::BIGINT AS band_hash "
+    "FROM sigs, range(0, 16) r(b)), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a "
+    "JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash "
+    "AND a.doc_id < b.doc_id), "
+    "hyd AS (SELECT p.id_a, p.id_b, sa.sig AS sig_a, sb.sig AS sig_b FROM pairs p "
+    "JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b), "
+    "dropped AS (SELECT DISTINCT id_b FROM hyd "
+    "WHERE len([i FOR i IN range(1, 65) IF sig_a[i] = sig_b[i]]) / 64.0 >= 0.7) "
+    "SELECT doc_id, lang, source FROM documents "
+    "WHERE doc_id NOT IN (SELECT id_b FROM dropped)"
+)
+
+
+@q("minhash_dedup_documents", _MINHASH_DEDUP_ORACLE)
 def minhash_dedup_documents(spark, sf_dir):
     """MinHash+LSH near-dup dedup: shingle -> 64-perm signature -> 16-band
-    bucket join (north-star dedup; classic shuffle-bounded LSH)."""
+    bucket join (north-star dedup; classic shuffle-bounded LSH). Portable
+    md5 shingle/band hashes so the DuckDB oracle replays the signatures
+    bit-for-bit (same pattern as SimHash)."""
     df = load(spark, sf_dir, "documents")
-    return dd.minhash_dedup(df, "doc_id", "text", threshold=0.7).select(
-        "doc_id", "lang", "source")
+    return dd.minhash_dedup(
+        df, "doc_id", "text", threshold=0.7, portable_hash=True
+    ).select("doc_id", "lang", "source")
 
 
 _SIMHASH_ORACLE = (
@@ -946,8 +979,7 @@ def simhash_candidates_documents(spark, sf_dir):
 
 # ------------------------------------------- LLM-pipeline: similarity search
 
-@q(
-    "cosine_topk_bruteforce",
+_BRUTE_TOPK_ORACLE = (
     "WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5), "
     "s AS (SELECT query_id, vec_id AS neighbor_id, "
     "list_inner_product(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) / "
@@ -956,8 +988,11 @@ def simhash_candidates_documents(spark, sf_dir):
     "FROM embeddings CROSS JOIN q WHERE vec_id <> query_id) "
     "SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM "
     "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
-    "WHERE rank <= 5",
+    "WHERE rank <= 5"
 )
+
+
+@q("cosine_topk_bruteforce", _BRUTE_TOPK_ORACLE)
 def cosine_topk_bruteforce(spark, sf_dir):
     """Brute-force cosine top-k (exactness baseline for ANN; north-star
     similarity search). Dot products accumulate in index order on both
@@ -969,34 +1004,72 @@ def cosine_topk_bruteforce(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"), "rank")
 
 
-@q("lsh_topk_embeddings")  # approximate: rows-only check
+# LSH top-k oracle: the splitmix-derived hyperplane components are
+# deterministic doubles — embed the 8x64 plane matrix as literals so DuckDB
+# reproduces the exact bucket ids, then brute-forces within each bucket.
+_LSH_PLANES = ", ".join(
+    "({}, [{}])".format(
+        p, ", ".join(repr(ss._plane_component(p, i)) for i in range(64))
+    )
+    for p in range(8)
+)
+_LSH_TOPK_ORACLE = (
+    "WITH planes(p, comps) AS (VALUES " + _LSH_PLANES + "), "
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "bucketed AS (SELECT vec_id, v, "
+    "(SELECT sum(CASE WHEN list_inner_product(v, comps) > 0 THEN 1::BIGINT << p "
+    "ELSE 0 END) FROM planes) AS bucket FROM e), "
+    "q AS (SELECT vec_id AS query_id, v AS q_vec, bucket FROM bucketed "
+    "WHERE vec_id < 5), "
+    "s AS (SELECT query_id, c.vec_id AS neighbor_id, "
+    "list_inner_product(q_vec, c.v) / "
+    "(sqrt(list_inner_product(q_vec, q_vec)) * sqrt(list_inner_product(c.v, c.v))) "
+    "AS cosine FROM bucketed c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id) "
+    "SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5"
+)
+
+
+@q("lsh_topk_embeddings", _LSH_TOPK_ORACLE)
 def lsh_topk_embeddings(spark, sf_dir):
-    """Hyperplane-LSH bucketed approximate top-k (the 100 TB scale path)."""
+    """Hyperplane-LSH bucketed approximate top-k (the 100 TB scale path).
+    The deterministic splitmix planes let the DuckDB oracle reproduce the
+    bucket assignment exactly and brute-force within buckets."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ss.lsh_topk(queries, emb, k=5, n_planes=8)
+    out = ss.lsh_topk(queries, emb, k=5, n_planes=8)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
 
 
-@q("embedding_near_dup_pairs")  # approximate: rows-only check
-def embedding_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via banded LSH (the scale
-    path; recall vs the exact twin is pinned in tests). Threshold 0.4 is
-    data-meaningful for the synthetic embeddings (max pair cosine ~0.51)."""
-    emb = load(spark, sf_dir, "embeddings")
-    return dd.embedding_near_dup(emb, "vec_id", "embedding",
-                                 threshold=0.4, n_bands=16, band_planes=2)
-
-
-@q(
-    "embedding_near_dup_exact",
+_NEAR_DUP_EXACT_ORACLE = (
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
     "ROUND(list_inner_product(a.v, b.v) / "
     "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) "
     "AS cosine FROM e a JOIN e b ON a.vec_id < b.vec_id "
     "WHERE list_inner_product(a.v, b.v) / "
-    "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4",
+    "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4"
 )
+
+
+# The banded-LSH near-dup is graded against the EXACT all-pairs oracle: at
+# 16 bands x 2 planes and threshold 0.4 the OR-construction recall is ~1
+# (candidate-miss probability < 1e-4 per qualifying pair at these cosines),
+# so LSH output == exact output — asserting equality IS the recall test.
+@q("embedding_near_dup_pairs", _NEAR_DUP_EXACT_ORACLE)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via banded LSH (the scale
+    path). Threshold 0.4 is data-meaningful for the synthetic embeddings
+    (max pair cosine ~0.51); graded against the exact all-pairs SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = dd.embedding_near_dup(emb, "vec_id", "embedding",
+                                threshold=0.4, n_bands=16, band_planes=2)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@q("embedding_near_dup_exact", _NEAR_DUP_EXACT_ORACLE)
 def embedding_near_dup_exact(spark, sf_dir):
     """Exact all-pairs embedding near-dup (correctness baseline for the
     banded-LSH scale path). Double-cast before the dot product keeps Spark
@@ -1006,16 +1079,36 @@ def embedding_near_dup_exact(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@q("multimodal_feature_plumbing")  # synthetic input: rows-only check
+# Multimodal oracle: the synthetic payload is utf-8 'payload-<id>' and the
+# fake feature is an 8-bin byte histogram (acc[i%8] += byte, normalized) —
+# both computable in DuckDB from id alone. f0 round-trips through float32
+# (FEATURE_SCHEMA is array<float>), so the oracle casts through FLOAT too.
+_MULTIMODAL_ORACLE = (
+    "WITH m AS (SELECT unnest(range(0, 300)) AS media_id), "
+    "p AS (SELECT media_id, 'payload-' || media_id AS s FROM m), "
+    "codes AS (SELECT media_id, s, [ascii(substr(s, CAST(i AS INT), 1)) "
+    "FOR i IN range(1, length(s) + 1)] AS cs FROM p) "
+    "SELECT media_id, "
+    "(['image', 'audio', 'video'])[CAST(media_id % 3 AS INT) + 1] AS kind, "
+    "length(s)::BIGINT AS n_bytes, "
+    "round(CAST(CAST(list_sum([cs[CAST(i AS INT)] FOR i IN range(1, len(cs) + 1) "
+    "IF (i - 1) % 8 = 0]) / CAST(list_sum(cs) AS DOUBLE) AS FLOAT) AS DOUBLE), 6) "
+    "AS f0 FROM codes"
+)
+
+
+@q("multimodal_feature_plumbing", _MULTIMODAL_ORACLE)
 def multimodal_feature_plumbing(spark, sf_dir):
     """Multimodal binary-column plumbing: mapInPandas feature extraction over
     opaque payloads (decode kernel stubbed — deterministic fake; Arrow batch
-    shape / schema / partitioning real)."""
+    shape / schema / partitioning real). The fake byte-histogram feature is
+    reproduced by the DuckDB oracle from the synthetic payload bytes."""
     from graflo_spark.ops import multimodal as mm
 
     media = mm.synthetic_media(spark, 300)
     return mm.extract_features(media, dim=8).select(
-        "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+        "media_id", "kind", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"))
 
 
 # --------------------------------------------------- event-time / streaming
@@ -1549,14 +1642,21 @@ def fetch_edges_nation_anchor(spark, sf_dir):
         direction=Direction.ANY, limit=100_000)
 
 
-@q("ivf_topk_embeddings")  # approximate (KMeans partitions): rows-only check
+# Graded at the n_probe == n_centroids recall-1 point so the brute-force SQL
+# is an exact oracle: every cluster is probed, so the KMeans partitioning
+# (whose cluster ids no SQL engine reproduces) can't change the result —
+# what's verified is the IVF machinery: assignment, probe join, ranking.
+# The pruned n_probe < n_centroids path is recall-tested in tests/.
+@q("ivf_topk_embeddings", _BRUTE_TOPK_ORACLE)
 def ivf_topk_embeddings(spark, sf_dir):
-    """IVF approximate top-k: KMeans-partitioned corpus, probe the 2 nearest
-    centroids per query (the 100 TB scale path alongside LSH; with
-    n_probe == n_centroids this equals brute force — pinned in tests)."""
+    """IVF approximate top-k: KMeans-partitioned corpus, probe the nearest
+    centroids per query (the 100 TB scale path alongside LSH). Oracled at
+    the n_probe == n_centroids recall-1 configuration."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ss.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=2)
+    out = ss.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=8)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
 
 
 _WINNOWING_ORACLE = (

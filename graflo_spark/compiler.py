@@ -684,6 +684,13 @@ class ResourceCompiler:
         out: dict[str, DataFrame] = {}
         for name, extracts in by_name.items():
             v = extracts[0].vertex
+            # document-order marker for last-non-null fragment merge: a struct
+            # (doc_id, pos_level_0, pos_level_1, ...) compared lexicographically
+            # — each nesting level is its own field, so (1,0) never collides
+            # with (0,1) and no explode size can bleed into the next doc's
+            # range (an arithmetic doc_id*2^20+sum(pos) encoding had both
+            # defects). Padded to the group max arity so unionByName agrees.
+            max_pos = max((len(e.frame.pos_cols) for e in extracts), default=0)
             parts = []
             for e in extracts:
                 df = e.frame.df
@@ -691,15 +698,19 @@ class ResourceCompiler:
                     df = df.filter(e.filter_cond)
                 sel = [c.alias(f) for f, c in e.field_exprs.items()]
                 if DOC_ID in df.columns:
-                    # document-order marker for last-non-null fragment merge
-                    order = F.col(DOC_ID) * F.lit(1 << 20)
-                    for i, p in enumerate(e.frame.pos_cols):
-                        order = order + F.col(p)
+                    head = F.col(DOC_ID).cast("long")
+                    levels = [F.col(p).cast("long") for p in e.frame.pos_cols]
                 else:
                     # doc-id-free resource: break merge ties on content — a
                     # deterministic hash keeps the merge stable across runs
                     # and partition layouts without blocking pushdown
-                    order = F.xxhash64(*[c.cast("string") for c in e.field_exprs.values()])
+                    head = F.xxhash64(*[c.cast("string") for c in e.field_exprs.values()])
+                    levels = []
+                levels += [F.lit(0).cast("long")] * (max_pos - len(levels))
+                order = F.struct(
+                    head.alias("d"),
+                    *[lvl.alias(f"p{i}") for i, lvl in enumerate(levels)],
+                )
                 sel.append(order.alias("__ord"))
                 parts.append(df.select(*sel))
             u = parts[0]

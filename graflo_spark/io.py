@@ -62,11 +62,17 @@ def read_source(
         # top-level JSON array (reference ijson streaming parse)
         return spark.read.options(multiLine=True, **options).json(path, schema=schema)
     if fmt == "parquet":
-        return spark.read.options(**options).parquet(path)
+        reader = spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(path)
     if fmt == "xml":
         # native in Spark 4 (SPARK-44265); rowTag is mandatory for the reader
         opts = {"rowTag": "row", **options}
-        return spark.read.format("xml").options(**opts).load(path)
+        reader = spark.read.format("xml").options(**opts)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(path)
     raise ValueError(f"unknown format {fmt!r}")
 
 

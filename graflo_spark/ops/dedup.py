@@ -70,6 +70,7 @@ def minhash_signatures(
     text_col: str,
     shingle_k: int = 5,
     num_perm: int = 64,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """``(id, sig: array<long>)`` MinHash signatures.
 
@@ -92,9 +93,15 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(char_shingles(F.col(text_col), shingle_k)).alias("s"),
     )
-    hashed = shingled.select(
-        "id", F.xxhash64("s").bitwiseAND(F.lit(_MERSENNE_31)).alias("h")
+    # portable_hash swaps xxhash64 for a 32-bit md5-derived shingle hash a SQL
+    # oracle reproduces exactly (DuckDB ('0x'||substr(md5(s),1,8))::BIGINT) —
+    # same pattern as simhash_fingerprints; the default stays the fast path.
+    h = (
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+        if portable_hash
+        else F.xxhash64("s")
     )
+    hashed = shingled.select("id", h.bitwiseAND(F.lit(_MERSENNE_31)).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_31)).alias(
             f"_m{i}"
@@ -113,6 +120,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     num_perm: int = 64,
     bands: int = 16,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -125,7 +133,16 @@ def minhash_lsh_candidates(
     # joins); Catalyst does not reuse the aggregate subtree across them, so
     # without persist the shingle explosion runs 3x. One row per doc makes
     # this the natural materialization point at any scale.
-    sig = minhash_signatures(df, id_col, text_col, shingle_k, num_perm).persist()
+    sig = minhash_signatures(
+        df, id_col, text_col, shingle_k, num_perm, portable_hash
+    ).persist()
+    band_hash = (
+        # portable: md5-derived 32-bit band key (SQL-reproducible); default:
+        # murmur3 (narrower/faster). Both keep the shuffle key 8 bytes.
+        (lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"))
+        if portable_hash
+        else F.hash
+    )
     # Candidate generation carries ONLY ids through the band join and the
     # pair dedup — a pair colliding in m bands would otherwise ship both
     # 64-long signatures m times through two shuffles. Signatures are
@@ -136,7 +153,7 @@ def minhash_lsh_candidates(
         F.posexplode(
             F.array(
                 *[
-                    F.hash(
+                    band_hash(
                         F.array_join(
                             F.transform(
                                 F.slice("sig", b * rows_per_band + 1, rows_per_band),

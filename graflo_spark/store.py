@@ -214,8 +214,26 @@ class GraphStore:
             key_cols += [c for c in edge.identities if c in incoming.columns]
         value_cols = [c for c in incoming.columns if c not in key_cols + ["__gen"]]
         if value_cols:
-            order = F.col("__gen") if on_duplicate == "upsert" else -F.col("__gen")
-            aggs = [F.max_by(F.col(c), order).alias(c) for c in value_cols]
+            # upsert = never-null-out merge, matching upsert_vertices: a NULL
+            # in the incoming batch must not erase an existing value, so the
+            # max_by ordering is gated on the value being non-null.
+            if on_duplicate == "upsert":
+                aggs = [
+                    F.max_by(
+                        F.col(c), F.when(F.col(c).isNotNull(), F.col("__gen"))
+                    ).alias(c)
+                    for c in value_cols
+                ]
+            else:
+                # ignore = keep the existing row wholesale. All columns share
+                # ONE ordering (so the winner is a consistent row, not a
+                # per-column mix), and intra-batch ties (__gen equal) break on
+                # a value hash — deterministic regardless of partitioning.
+                order = F.struct(
+                    (-F.col("__gen")).alias("g"),
+                    F.xxhash64(*[F.col(c) for c in value_cols]).alias("h"),
+                )
+                aggs = [F.max_by(F.col(c), order).alias(c) for c in value_cols]
             merged = incoming.groupBy(*key_cols).agg(*aggs)
         else:
             merged = incoming.select(*key_cols).dropDuplicates()
