@@ -3,13 +3,23 @@
 Spark-native re-imagining of the reference's "graflo file backend"
 (graflo/db/graflo_backend/connection.py — chunked JSONL + in-memory edge
 index capped at 2M rows): one parquet directory per vertex type and per edge
-type, snapshot-versioned so upserts are atomic and re-ingest is idempotent
+type with incremental merge-on-identity upserts, so re-ingest is idempotent
 (the reference's reload-merges-on-keys property, db/conn.py:390-404).
 
-Scale notes: an upsert is a single shuffle on the identity columns (the
-merge aggregate); snapshots avoid read-modify-write races on object stores.
-On a production lakehouse the same API maps 1:1 onto Delta/Iceberg
-``MERGE INTO`` keyed on identity — this implementation keeps zero deps.
+Scale notes: tables are hash-bucketed on the merge key
+(``pmod(xxhash64(identity), n_buckets)`` Hive partitions). An upsert
+touches ONLY the buckets the incoming batch hashes into: existing rows are
+read with partition pruning on the bucket column and the rewrite uses
+dynamic partition overwrite — a 10k-row batch against a 10 TB table
+rewrites ~10k rows worth of buckets, not the table. The merge itself is a
+single shuffle on the identity columns. On a production lakehouse the same
+API maps 1:1 onto Delta/Iceberg ``MERGE INTO`` keyed on identity — this
+implementation keeps zero deps (the tradeoff: per-partition file swaps are
+not one atomic multi-bucket commit the way a Delta log entry is).
+
+Full-table rewrites (schema evolution ops) still go through versioned
+snapshots (`_write_snapshot`), which invalidate the bucketed layout; the
+next upsert re-buckets from the snapshot.
 """
 
 from __future__ import annotations
@@ -17,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,15 +36,98 @@ from graflo_spark.container import GraphBatch
 from graflo_spark.manifest import CoreSchema, EdgeId, IndexConfig, IndexType
 
 
+BUCKET_COL = "__b"
+
+
 class GraphStore:
-    def __init__(self, spark: SparkSession, root: str, schema: CoreSchema):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: CoreSchema,
+        n_buckets: int = 64,
+    ):
         self.spark = spark
         self.root = root
         self.schema = schema
+        # Size so one bucket of the LARGEST table fits an executor's merge
+        # aggregate: at 100 TB raise to O(10k). Recorded per table at first
+        # write (`_meta.json`) so later upserts keep hashing consistently
+        # even if the store object is built with a different default.
+        self.n_buckets = n_buckets
 
     # ------------------------------------------------------------- layout
     def _table_dir(self, kind: str, name: str) -> str:
         return os.path.join(self.root, kind, name)
+
+    def _buckets_dir(self, table_dir: str) -> str:
+        return os.path.join(table_dir, "buckets")
+
+    def _table_buckets(self, table_dir: str) -> int:
+        meta_path = os.path.join(table_dir, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                return json.load(f)["n_buckets"]
+        return self.n_buckets
+
+    def _record_buckets(self, table_dir: str) -> int:
+        meta_path = os.path.join(table_dir, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                return json.load(f)["n_buckets"]
+        os.makedirs(table_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
+        return self.n_buckets
+
+    @staticmethod
+    def _bucket_expr(key_cols: list[str], n: int) -> F.Column:
+        return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n))
+
+    def _read_buckets(self, table_dir: str, only: list[int] | None = None) -> DataFrame:
+        """Current table contents; ``only`` prunes to the given buckets via a
+        partition filter (no data files outside them are opened). mergeSchema
+        because an upsert adding a column rewrites only touched buckets."""
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            self._buckets_dir(table_dir)
+        )
+        if only is not None:
+            df = df.filter(F.col(BUCKET_COL).isin(only))
+        return df.drop(BUCKET_COL)
+
+    def _write_buckets(
+        self,
+        table_dir: str,
+        df: DataFrame,
+        key_cols: list[str],
+        n: int,
+        indexes: list[IndexConfig] | None = None,
+    ) -> None:
+        """Dynamic-partition-overwrite write: only the buckets present in
+        ``df`` are replaced; every other bucket's files are untouched."""
+        out = df.withColumn(BUCKET_COL, self._bucket_expr(key_cols, n))
+        # one shuffle partition per touched bucket -> one file per bucket,
+        # not one-file-per-bucket-per-task (small-files at scale); the index
+        # sort must come after this shuffle or it would be destroyed
+        out = out.repartition(F.col(BUCKET_COL))
+        if indexes:
+            out = self._apply_index_layout(out, indexes)
+        # The merge plan lazily READS the bucket files this write replaces, so
+        # write to a staging dir first (files are written exactly once), then
+        # commit by swapping each touched bucket directory — a per-bucket
+        # atomic rename on posix/HDFS. On S3-like stores use a manifest
+        # committer or a table format (Delta/Iceberg MERGE) for the commit.
+        staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex}")
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        bdir = self._buckets_dir(table_dir)
+        os.makedirs(bdir, exist_ok=True)
+        for entry in os.listdir(staging):
+            if entry.startswith(f"{BUCKET_COL}="):
+                dst = os.path.join(bdir, entry)
+                shutil.rmtree(dst, ignore_errors=True)
+                shutil.move(os.path.join(staging, entry), dst)
+        open(os.path.join(bdir, "_SUCCESS"), "w").close()
+        shutil.rmtree(staging, ignore_errors=True)
 
     def _latest_snapshot(self, table_dir: str) -> str | None:
         snaps = os.path.join(table_dir, "snapshots")
@@ -47,6 +141,9 @@ class GraphStore:
         return None
 
     def _write_snapshot(self, table_dir: str, df: DataFrame, keep: int = 2) -> None:
+        """Full-table versioned rewrite (schema evolution ops). Writing a
+        snapshot supersedes — and therefore invalidates — any bucketed
+        layout; the next upsert re-buckets from this snapshot."""
         snaps = os.path.join(table_dir, "snapshots")
         os.makedirs(snaps, exist_ok=True)
         gens = [int(d) for d in os.listdir(snaps) if d.isdigit()]
@@ -54,6 +151,7 @@ class GraphStore:
         df.write.mode("overwrite").parquet(os.path.join(snaps, str(nxt)))
         for g in sorted(gens, reverse=True)[keep - 1:]:
             shutil.rmtree(os.path.join(snaps, str(g)), ignore_errors=True)
+        shutil.rmtree(self._buckets_dir(table_dir), ignore_errors=True)
 
     # ---------------------------------------------------------------- DDL
     def apply_target_schema(self, recreate: bool = False) -> None:
@@ -158,9 +256,41 @@ class GraphStore:
                 )
 
     # -------------------------------------------------------------- write
+    def _existing_for_merge(
+        self, table_dir: str, incoming: DataFrame, bucket_cols: list[str]
+    ) -> tuple[DataFrame | None, bool]:
+        """Existing rows the incoming batch can merge with, pruned to the
+        buckets the batch hashes into. Returns (existing, migrating): when a
+        legacy full snapshot is the current layout, the whole table is
+        returned once and the write converts it to the bucketed layout."""
+        buckets_dir = self._buckets_dir(table_dir)
+        if os.path.exists(os.path.join(buckets_dir, "_SUCCESS")):
+            n = self._table_buckets(table_dir)
+            # touched-bucket list: bounded by n_buckets, never by data size
+            # (at very large n_buckets swap the isin for a broadcast semi-join)
+            touched = [
+                r[0]
+                for r in incoming.select(
+                    self._bucket_expr(bucket_cols, n).alias(BUCKET_COL)
+                )
+                .distinct()
+                .collect()
+            ]
+            return self._read_buckets(table_dir, only=touched), False
+        legacy = self._latest_snapshot(table_dir)
+        if legacy is not None:
+            return self.spark.read.parquet(legacy), True
+        return None, False
+
+    def _finish_write(self, table_dir: str, migrating: bool) -> None:
+        if migrating:
+            shutil.rmtree(os.path.join(table_dir, "snapshots"), ignore_errors=True)
+
     def upsert_vertices(self, name: str, df: DataFrame, dry: bool = False) -> None:
         """Match on identity, update-or-insert; newer batch fields win but
-        never null-out existing values (merge-on-keys reload semantics)."""
+        never null-out existing values (merge-on-keys reload semantics).
+        Incremental: only the identity-hash buckets the batch touches are
+        read and rewritten."""
         if dry:
             df.explain()
             return
@@ -168,11 +298,18 @@ class GraphStore:
             f for f in self.schema.vertex(name).identity_fields if f in df.columns
         ]
         table_dir = self._table_dir("vertices", name)
-        latest = self._latest_snapshot(table_dir)
+        n = self._record_buckets(table_dir)
+        # identity-less tables bucket on the full row hash: duplicates still
+        # collide in one bucket, so per-bucket dedup == global dedup.
+        # sorted() + xxhash64's skip-nulls make the bucket stable when later
+        # batches add columns (old rows carry nulls there).
+        bucket_cols = identity or sorted(df.columns)
+        existing, migrating = self._existing_for_merge(table_dir, df, bucket_cols)
         incoming = df.withColumn("__gen", F.lit(1))
-        if latest is not None:
-            existing = self.spark.read.parquet(latest).withColumn("__gen", F.lit(0))
-            incoming = existing.unionByName(incoming, allowMissingColumns=True)
+        if existing is not None:
+            incoming = existing.withColumn("__gen", F.lit(0)).unionByName(
+                incoming, allowMissingColumns=True
+            )
         if identity:
             value_cols = [c for c in incoming.columns if c not in identity + ["__gen"]]
             aggs = [
@@ -187,9 +324,10 @@ class GraphStore:
         else:
             merged = incoming.drop("__gen").dropDuplicates()
         merged = merged.drop("__gen") if "__gen" in merged.columns else merged
-        self._write_snapshot(
-            table_dir, self._apply_index_layout(merged, self._vertex_indexes(name))
+        self._write_buckets(
+            table_dir, merged, bucket_cols, n, indexes=self._vertex_indexes(name)
         )
+        self._finish_write(table_dir, migrating)
 
     def insert_edges(
         self, eid: EdgeId, df: DataFrame, on_duplicate: str = "ignore", dry: bool = False
@@ -201,17 +339,20 @@ class GraphStore:
             df.explain()
             return
         table_dir = self._table_dir("edges", eid.table_name())
-        latest = self._latest_snapshot(table_dir)
-        incoming = df.withColumn("__gen", F.lit(1))
-        if latest is not None:
-            existing = self.spark.read.parquet(latest).withColumn("__gen", F.lit(0))
-            incoming = existing.unionByName(incoming, allowMissingColumns=True)
-        key_cols = [c for c in incoming.columns if c.startswith(("_src_", "_dst_"))]
-        if "_relation" in incoming.columns:
+        n = self._record_buckets(table_dir)
+        key_cols = [c for c in df.columns if c.startswith(("_src_", "_dst_"))]
+        if "_relation" in df.columns:
             key_cols.append("_relation")
         edge = self.schema.edge(eid.source, eid.target, eid.relation) if self._declared(eid) else None
         if edge is not None and edge.identities:
-            key_cols += [c for c in edge.identities if c in incoming.columns]
+            key_cols += [c for c in edge.identities if c in df.columns]
+        bucket_cols = key_cols or sorted(df.columns)
+        existing, migrating = self._existing_for_merge(table_dir, df, bucket_cols)
+        incoming = df.withColumn("__gen", F.lit(1))
+        if existing is not None:
+            incoming = existing.withColumn("__gen", F.lit(0)).unionByName(
+                incoming, allowMissingColumns=True
+            )
         value_cols = [c for c in incoming.columns if c not in key_cols + ["__gen"]]
         if value_cols:
             # upsert = never-null-out merge, matching upsert_vertices: a NULL
@@ -237,9 +378,11 @@ class GraphStore:
             merged = incoming.groupBy(*key_cols).agg(*aggs)
         else:
             merged = incoming.select(*key_cols).dropDuplicates()
-        if edge is not None and edge.indexes:
-            merged = self._apply_index_layout(merged, edge.indexes)
-        self._write_snapshot(table_dir, merged)
+        self._write_buckets(
+            table_dir, merged, bucket_cols, n,
+            indexes=edge.indexes if edge is not None else None,
+        )
+        self._finish_write(table_dir, migrating)
 
     def _declared(self, eid: EdgeId) -> bool:
         try:
@@ -255,17 +398,24 @@ class GraphStore:
             self.insert_edges(eid, df, dry=dry)
 
     # --------------------------------------------------------------- read
-    def read_vertices(self, name: str) -> DataFrame:
-        latest = self._latest_snapshot(self._table_dir("vertices", name))
+    def _read_table(self, table_dir: str, label: str) -> DataFrame:
+        if os.path.exists(os.path.join(self._buckets_dir(table_dir), "_SUCCESS")):
+            return self._read_buckets(table_dir)
+        latest = self._latest_snapshot(table_dir)
         if latest is None:
-            raise FileNotFoundError(f"vertex table {name} is empty")
+            raise FileNotFoundError(f"{label} is empty")
         return self.spark.read.parquet(latest)
 
+    def read_vertices(self, name: str) -> DataFrame:
+        return self._read_table(
+            self._table_dir("vertices", name), f"vertex table {name}"
+        )
+
     def read_edges(self, eid: EdgeId) -> DataFrame:
-        latest = self._latest_snapshot(self._table_dir("edges", eid.table_name()))
-        if latest is None:
-            raise FileNotFoundError(f"edge table {eid.table_name()} is empty")
-        return self.spark.read.parquet(latest)
+        return self._read_table(
+            self._table_dir("edges", eid.table_name()),
+            f"edge table {eid.table_name()}",
+        )
 
     def edge_ids(self) -> list[EdgeId]:
         out = []

@@ -103,3 +103,54 @@ def test_store_dry_run_writes_nothing(spark, tables, tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         store.read_vertices("customer")
+
+
+def test_incremental_upsert_rewrites_only_touched_buckets(spark, tables, tmp_path):
+    """A small upsert must leave every bucket it does not touch byte-identical
+    on disk — the property that makes upserts O(batch), not O(table)."""
+    import hashlib
+    import os
+
+    from graflo_spark.manifest import CoreSchema, Field, Vertex
+    from graflo_spark.store import BUCKET_COL
+
+    schema = CoreSchema(
+        vertices=[Vertex("customer", [Field("c_custkey"), Field("c_name")],
+                         identity=["c_custkey"])],
+        edges=[],
+    )
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=16)
+    st.apply_target_schema()
+    st.upsert_vertices("customer", tables["customer"].select("c_custkey", "c_name"))
+
+    def bucket_digests(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            base = os.path.basename(dirpath)
+            if not base.startswith(f"{BUCKET_COL}="):
+                continue
+            h = hashlib.sha256()
+            for fn in sorted(f for f in files if f.endswith(".parquet")):
+                with open(os.path.join(dirpath, fn), "rb") as fh:
+                    h.update(fn.encode())
+                    h.update(fh.read())
+            out[base] = h.hexdigest()
+        return out
+
+    table_dir = st._table_dir("vertices", "customer")
+    before = bucket_digests(table_dir)
+    assert len(before) > 4  # the table actually spans buckets
+
+    patch = spark.createDataFrame([(1, "PATCHED")], "c_custkey long, c_name string")
+    st.upsert_vertices("customer", patch)
+    after = bucket_digests(table_dir)
+
+    touched = {b for b in before if before[b] != after.get(b)}
+    assert len(touched) == 1  # one row -> one bucket rewritten
+    untouched_same = [b for b in before if b not in touched and before[b] == after[b]]
+    assert len(untouched_same) == len(before) - 1
+
+    # and the merge semantics held
+    got = {r["c_custkey"]: r["c_name"] for r in st.read_vertices("customer").collect()}
+    assert got[1] == "PATCHED"
+    assert st.read_vertices("customer").count() == tables["customer"].count()
