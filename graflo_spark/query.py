@@ -25,6 +25,12 @@ from graflo_spark.manifest import CoreSchema, EdgeId
 
 DEFAULT_EDGE_LIMIT = 1000  # reference db/traversal.py:34-36
 
+# A BFS frontier larger than this is no longer "small side" material: at
+# ~1M keys the broadcast table is tens of MB per executor and a further hop
+# can approach the full vertex set, so the forced hint is dropped and AQE
+# chooses broadcast vs shuffle from the checkpointed frontier's real stats.
+BROADCAST_FRONTIER_MAX_ROWS = 1_000_000
+
 
 class Direction(str, enum.Enum):
     OUT = "out"
@@ -251,6 +257,13 @@ class GraphView:
         adjacency = self._adjacency(relations, direction)
         visited: dict[str, DataFrame] = {vertex: seeds.withColumn("hop", F.lit(0))}
         frontier: dict[str, DataFrame] = {vertex: seeds}
+        # Frontiers are eagerly checkpointed, so an exact count is nearly
+        # free — broadcast the probe side only while it is provably small.
+        # A multi-hop frontier on a dense graph can approach all vertices;
+        # a FORCED broadcast there OOMs executors at scale, so past the
+        # threshold the hint is dropped and AQE picks the join strategy
+        # from the checkpoint's real stats.
+        frontier_rows: dict[str, int] = {vertex: seeds.count()}
         for h in range(1, hops + 1):
             reached: dict[str, DataFrame] = {}
             for src_t, dst_t, adj_df, n_dst in adjacency:
@@ -261,8 +274,10 @@ class GraphView:
                 probe = fr.select(*[
                     F.col(f"k_{i}").alias(f"a_{i}") for i in range(n_src)
                 ])
+                if frontier_rows.get(src_t, 0) <= BROADCAST_FRONTIER_MAX_ROWS:
+                    probe = F.broadcast(probe)
                 nxt = (
-                    adj_df.join(F.broadcast(probe), [f"a_{i}" for i in range(n_src)])
+                    adj_df.join(probe, [f"a_{i}" for i in range(n_src)])
                     .select(*[
                         F.col(f"b_{i}").alias(f"k_{i}") for i in range(n_dst)
                     ])
@@ -272,6 +287,7 @@ class GraphView:
                     reached[dst_t].unionByName(nxt) if dst_t in reached else nxt
                 )
             frontier = {}
+            frontier_rows = {}
             for t, df in reached.items():
                 new = df.dropDuplicates()
                 if t in visited:
@@ -285,9 +301,11 @@ class GraphView:
                 # materialize per hop: keeps lineage short and lets AQE size
                 # the next hop's join from real stats
                 new = new.localCheckpoint(eager=True)
-                if new.isEmpty():
+                cnt = new.count()
+                if cnt == 0:
                     continue
                 frontier[t] = new
+                frontier_rows[t] = cnt
                 keyed = new.withColumn("hop", F.lit(h))
                 visited[t] = (
                     visited[t].unionByName(keyed) if t in visited else keyed

@@ -229,6 +229,8 @@ class Transform:
         return not missing
 
     def _apply_call(self, df: DataFrame, input_cols: list[str]) -> DataFrame:
+        if self.python_fn is not None and self.strategy == "all":
+            return self._apply_python_all(df)
         outputs = self.output or input_cols
         if not self._missing_guard(df, input_cols):
             # error tolerance: null the declared outputs (reference
@@ -263,6 +265,44 @@ class Transform:
             return self._pandas_udf_columns(df, input_cols)
         raise ValueError("transform has neither fn nor python_fn nor rename")
 
+    def _apply_python_all(self, df: DataFrame) -> DataFrame:
+        """``strategy='all'``: the callable receives the WHOLE row as a dict
+        (reference contract/ingestion/transform.py:591-595 — full-document
+        call; models.py:340-343 forbids ``input``/``input_groups`` with it).
+        One Arrow-batched mapInPandas pass appends the declared outputs —
+        string-typed, like every other python escape hatch here."""
+        outputs = self.output
+        if not outputs:
+            raise ValueError(
+                "strategy='all' python transforms require declared output fields"
+            )
+        from pyspark.sql import types as T
+
+        fn, params, n_out = self.python_fn, self.params, len(outputs)
+        # the callable sees the FULL document, including any column it
+        # overwrites; overwritten columns are replaced in the output schema
+        kept = [f for f in df.schema.fields if f.name not in outputs]
+        out_schema = T.StructType(
+            kept + [T.StructField(o, T.StringType()) for o in outputs]
+        )
+        kept_names = [f.name for f in kept]
+
+        def batch(it):
+            for pdf in it:
+                res = [fn(r, **params) for r in pdf.to_dict("records")]
+                if n_out == 1:
+                    cols = {
+                        outputs[0]: [None if v is None else str(v) for v in res]
+                    }
+                else:
+                    cols = {
+                        o: [None if r[i] is None else str(r[i]) for r in res]
+                        for i, o in enumerate(outputs)
+                    }
+                yield pdf[kept_names].assign(**cols)
+
+        return df.mapInPandas(batch, schema=out_schema)
+
     def _pandas_udf_columns(self, df: DataFrame, input_cols: list[str]) -> list[Column]:
         """Vectorized escape hatch for arbitrary Python callables (reference
         Transform.call with module.foo — invoked per row there; Arrow-batched
@@ -270,18 +310,6 @@ class Transform:
         fn = self.python_fn
         n_out = max(len(self.output), 1)
         params = self.params
-
-        if self.strategy == "all":
-            def batch(it):
-                for pdf in it:
-                    rows = pdf.to_dict("records")
-                    res = [fn(r, **params) for r in rows]
-                    yield pd.DataFrame({"_out0": res})
-
-            # strategy=all is rare; route through mapInPandas at call site
-            raise NotImplementedError(
-                "strategy='all' python transforms: use mapInPandas wrapper"
-            )
 
         from pyspark.sql.functions import pandas_udf
 

@@ -47,3 +47,27 @@ def test_parse_multi_item_quoted_with_missing_key(spark):
     row = out.first()
     assert row["full_name"] == ["John", "Jane"]
     assert row["age"] == ["30", None]
+
+
+def test_python_fn_strategy_all_whole_row(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+
+    def whole(row, sep="-"):
+        return f"{row['k']}{sep}{row['v']}"
+
+    out = Transform(python_fn=whole, strategy="all", output=["combo"],
+                    params={"sep": ":"}).apply(df)
+    assert {r["combo"] for r in out.collect()} == {"1:a", "2:b"}
+    assert out.columns == ["k", "v", "combo"]
+
+
+def test_python_fn_strategy_all_multi_output_overwrites(spark):
+    df = spark.createDataFrame([(3, "x")], ["k", "combo"])
+
+    def pair(row):
+        return (row["k"] * 2, row["combo"].upper())
+
+    out = Transform(python_fn=pair, strategy="all",
+                    output=["doubled", "combo"]).apply(df)
+    row = out.first()
+    assert (row["doubled"], row["combo"]) == ("6", "X")
