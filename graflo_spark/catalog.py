@@ -159,6 +159,23 @@ _TABLE_FOR_RESOURCE = {
 
 
 _STAR_CACHE: dict[tuple[int, str], GraphBatch] = {}
+_STAR_RAW_CACHE: dict[tuple[int, str], GraphBatch] = {}
+
+
+def build_star_graph_raw(spark: SparkSession, sf_dir: str) -> GraphBatch:
+    """Compile the 7-resource star manifest WITHOUT the final per-type
+    dedup — the input to either ``pick_unique`` (full batch semantics) or
+    ``counts_distinct`` (single-pass golden counts)."""
+    key = (id(spark), sf_dir)
+    if key not in _STAR_RAW_CACHE:
+        schema = star_schema()
+        batch: GraphBatch | None = None
+        for res in star_resources():
+            df = load(spark, sf_dir, _TABLE_FOR_RESOURCE[res.name])
+            b = compile_resource(schema, res, df)
+            batch = b if batch is None else batch.union(b)
+        _STAR_RAW_CACHE[key] = batch
+    return _STAR_RAW_CACHE[key]
 
 
 def build_star_graph(spark: SparkSession, sf_dir: str) -> GraphBatch:
@@ -167,13 +184,9 @@ def build_star_graph(spark: SparkSession, sf_dir: str) -> GraphBatch:
     py4j round-trips and several catalog queries share it."""
     key = (id(spark), sf_dir)
     if key not in _STAR_CACHE:
-        schema = star_schema()
-        batch: GraphBatch | None = None
-        for res in star_resources():
-            df = load(spark, sf_dir, _TABLE_FOR_RESOURCE[res.name])
-            b = compile_resource(schema, res, df)
-            batch = b if batch is None else batch.union(b)
-        _STAR_CACHE[key] = batch.pick_unique(schema)
+        _STAR_CACHE[key] = build_star_graph_raw(spark, sf_dir).pick_unique(
+            star_schema()
+        )
     return _STAR_CACHE[key]
 
 
@@ -376,8 +389,10 @@ UNION ALL SELECT 'edge', 'supplier__located_in__nation', COUNT(*) FROM supplier 
 def graph_type_counts(spark, sf_dir):
     """Full star-schema graph build -> per-type sizes (the reference's golden
     *_sizes.yaml check; SURVEY §5). Exercises 7 resources, lookup_only
-    endpoints, inferred edges, identity dedup."""
-    return build_star_graph(spark, sf_dir).counts()
+    endpoints, inferred edges, identity dedup — the dedup-count fused into
+    ONE two-level aggregation over all 14 types (2 exchanges total vs 28
+    for per-type dedup-then-count; see GraphBatch.counts_distinct)."""
+    return build_star_graph_raw(spark, sf_dir).counts_distinct(star_schema())
 
 
 @q(

@@ -78,3 +78,44 @@ class GraphBatch:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def counts_distinct(self, schema: CoreSchema) -> DataFrame:
+        """Per-type DISTINCT sizes in one aggregation pass, for use on a
+        pre-``pick_unique`` batch: equivalent to
+        ``pick_unique(schema).counts()`` but with 2 exchanges TOTAL instead
+        of 2 per type (each type's dedup-shuffle + single-partition count).
+
+        Every frame contributes ``(kind, type_name, k)`` rows where ``k`` is
+        the canonical JSON of the frame's dedup tuple (vertex identity
+        columns, full tuple for edges; ``ignoreNullFields=false`` so null
+        fields stay distinguishable — GROUP BY's null-safe equality is what
+        ``dropDuplicates`` uses too). One two-level groupBy then dedups and
+        counts all types at once, with map-side partial aggregation thinning
+        each type before the only wide shuffle."""
+
+        def keyed(df: DataFrame, kind: str, name: str, cols) -> DataFrame:
+            return df.select(
+                F.lit(kind).alias("kind"),
+                F.lit(name).alias("type_name"),
+                F.to_json(
+                    F.struct(*[F.col(c) for c in cols]),
+                    {"ignoreNullFields": "false"},
+                ).alias("k"),
+            )
+
+        parts = []
+        for name, df in sorted(self.vertices.items()):
+            identity = schema.vertex(name).identity_fields
+            keys = [c for c in identity if c in df.columns] or df.columns
+            parts.append(keyed(df, "vertex", name, keys))
+        for eid, df in sorted(self.edges.items(), key=lambda kv: kv[0].table_name()):
+            parts.append(keyed(df, "edge", eid.table_name(), df.columns))
+        if not parts:
+            raise ValueError("empty GraphBatch")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.groupBy("kind", "type_name")
+            .agg(F.count_distinct("k").alias("n"))
+        )

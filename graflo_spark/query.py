@@ -228,6 +228,7 @@ class GraphView:
         direction: Direction = Direction.ANY,
         relations: list[str] | None = None,
         caps: QueryCaps | None = None,
+        plan_sink: list[str] | None = None,
     ) -> DataFrame:
         """k-hop adjacency of anchor vertices (reference NeighborQuery,
         query/models.py:142-198; BFS db/traversal.py:113-243).
@@ -300,7 +301,20 @@ class GraphView:
                     )
                 # materialize per hop: keeps lineage short and lets AQE size
                 # the next hop's join from real stats
+                pre_ckpt = new
                 new = new.localCheckpoint(eager=True)
+                if plan_sink is not None:
+                    # the eager checkpoint just EXECUTED pre_ckpt's plan, so
+                    # its query execution now holds the FINAL adaptive plan
+                    # (AQE's actual join choice), which the checkpointed
+                    # frame's own plan (a scan of cached partitions) hides
+                    plan_sink.append(
+                        f"-- hop {h} -> {t}\n"
+                        + pre_ckpt._jdf.queryExecution().explainString(
+                            pre_ckpt.sparkSession._jvm.org.apache.spark.sql
+                            .execution.ExplainMode.fromString("formatted")
+                        )
+                    )
                 cnt = new.count()
                 if cnt == 0:
                     continue

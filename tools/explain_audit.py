@@ -84,6 +84,47 @@ def grade(plan: str) -> list[str]:
     return notes
 
 
+def traversal_hop_section(spark, sf_dir: str) -> str:
+    """Per-hop BFS join plans. The traversal checkpoints each frontier, so
+    the query's own final plan only shows the last post-checkpoint stage;
+    the hop joins — where the broadcast-vs-shuffle decision lives — execute
+    during construction. ``plan_sink`` captures each hop's FINAL adaptive
+    plan right after its eager checkpoint runs it."""
+    from graflo_spark.catalog import star_view
+    from graflo_spark.query import Direction
+
+    sink: list[str] = []
+    view = star_view(spark, sf_dir)
+    view.neighbors(
+        "customer",
+        {"field": "c_custkey", "op": "IN", "value": [1, 2, 3]},
+        hops=2,
+        direction=Direction.OUT,
+        plan_sink=sink,
+    )
+    out = io.StringIO()
+    out.write("\n## traverse per-hop joins (2-hop OUT from 3 customers)\n\n")
+    for plan in sink:
+        header, body = plan.split("\n", 1)
+        final = "isFinalPlan=true" in body
+        joins = re.findall(r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", body)
+        out.write(
+            f"- {header.lstrip('- ')} · AQE final plan: {final} · "
+            f"joins: {sorted(set(joins)) or ['none']}\n"
+        )
+    out.write(
+        "\nBelow threshold (frontier rows <= BROADCAST_FRONTIER_MAX_ROWS) the\n"
+        "probe side carries an explicit broadcast hint; above it the hint is\n"
+        "dropped and AQE picks the strategy from the checkpointed frontier's\n"
+        "real stats, so an unbounded frontier can never force an executor-OOM\n"
+        "broadcast. First hop tree:\n\n```\n"
+    )
+    if sink:
+        out.write(sink[0].split("\n\n")[0].strip() + "\n")
+    out.write("```\n")
+    return out.getvalue()
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or HEADLINES
@@ -120,6 +161,10 @@ def main() -> int:
             out.write("\n" + details.strip() + "\n")
         out.write("```\n")
         print(f"audited {name}")
+
+    if "traverse_2hop_customers" in names:
+        out.write(traversal_hop_section(spark, sf_dir))
+        print("audited traverse per-hop joins")
 
     with open("PLANS.md", "w") as f:
         f.write(out.getvalue())
