@@ -5,6 +5,14 @@ evolution/__init__.py:10-59 — Add/Remove/Rename Vertices/Edges/Properties,
 ReplaceIdentityOp, MergeVerticesOp, RetargetEdgesOp, ComposeManifestsOp,
 SanitizeOp, ...) plus a diff/plan/apply migration layer (graflo/migrate/).
 
+33 ops at reference parity: structural (add/remove/rename/merge for
+vertices, edges, properties — singular and plural forms), identity policy
+(ReplaceIdentityOp with natural/hash/funnel/assigned/blank targets and
+demote/keep/drop retire cascade, secondary-identity add/remove,
+edge-identity replacement), physical (field-type changes, vertex/edge
+indexes), projection (ProjectManifestOp with induced prune), inverse edges,
+resource renames, sanitize, compose.
+
 Spark design: every op is a pure ``CoreSchema -> CoreSchema`` transform
 (driver-side, no Spark involved), and ops that change physical layout also
 know how to migrate a :class:`GraphStore` — each table migration is one
@@ -25,6 +33,8 @@ from graflo_spark.manifest import (
     Edge,
     EdgeId,
     Field,
+    FieldType,
+    IdentityMode,
     IndexConfig,
     Vertex,
 )
@@ -196,19 +206,68 @@ class RenamePropertyOp(EvolutionOp):
 
 @dataclass
 class ReplaceIdentityOp(EvolutionOp):
-    """Swap a vertex's identity columns; data migration re-dedups on the new
-    key (reference ReplaceIdentityOp)."""
+    """Replace a vertex's identity POLICY — fields and/or mode (reference
+    ReplaceIdentityOp + IdentityReplacement, ops.py:144-267): targets are
+    ``natural`` (identity = the named columns), ``hash`` (digest of the
+    named columns), ``funnel`` (ordered fallback branches -> hash mode),
+    ``assigned`` / ``blank`` (synthetic key). ``retire`` says what becomes
+    of the OLD identity field-set: ``demote`` turns it into a secondary
+    identity named ``retire_as`` (lookup index follows), ``keep`` leaves
+    the fields as plain properties, ``drop`` removes them. Demotion
+    downgrades to ``keep`` when the old identity was synthetic or equals
+    the new one. Data migration re-dedups on the new key."""
 
     vertex: str = ""
     identity: list[str] = dc_field(default_factory=list)
+    mode: IdentityMode = IdentityMode.NATURAL
+    funnel: list[list[str]] = dc_field(default_factory=list)
+    retire: str = "demote"  # demote | keep | drop
+    retire_as: str | None = None
 
     def apply(self, schema: CoreSchema) -> CoreSchema:
+        if self.retire not in ("demote", "keep", "drop"):
+            raise ValueError(f"unknown retire policy {self.retire!r}")
+        if self.retire_as is not None and self.retire != "demote":
+            raise ValueError("retire_as is only meaningful with retire='demote'")
         s = _clone(schema)
         v = s.vertex(self.vertex)
-        missing = [c for c in self.identity if c not in v.field_names]
+        new_fields = self.identity + [c for b in self.funnel for c in b]
+        missing = [c for c in new_fields if c not in v.field_names]
         if missing:
             raise ValueError(f"identity columns {missing} not declared on {self.vertex}")
+        if self.mode in (IdentityMode.NATURAL, IdentityMode.HASH) and not (
+            self.identity or self.funnel
+        ):
+            raise ValueError(f"{self.mode.value} identity needs source fields")
+
+        old_identity = list(v.identity)
+        old_synthetic = v.identity_mode is not IdentityMode.NATURAL
         v.identity = list(self.identity)
+        v.identity_mode = self.mode
+        v.identity_funnel = [list(b) for b in self.funnel]
+
+        retire = self.retire
+        if retire == "demote" and (
+            old_synthetic or not old_identity or old_identity == self.identity
+        ):
+            # nothing meaningful to demote (reference: demotion downgrades
+            # to keep for synthetic or unchanged identities)
+            retire = "keep"
+        if retire == "demote":
+            name = self.retire_as or "retired_identity"
+            if name in v.secondary_identities:
+                raise ValueError(
+                    f"{self.vertex}: secondary identity {name!r} already declared"
+                )
+            v.secondary_identities[name] = old_identity
+            if not any(i.fields == tuple(old_identity) for i in v.indexes):
+                v.indexes.append(IndexConfig(tuple(old_identity)))
+        elif retire == "drop":
+            still_used = set(new_fields)
+            for cols in v.secondary_identities.values():
+                still_used.update(cols)
+            gone = [c for c in old_identity if c not in still_used]
+            v.fields = [f for f in v.fields if f.name not in gone]
         return s
 
     def migrate(self, store) -> None:
@@ -506,6 +565,702 @@ class ComposeManifestsOp(EvolutionOp):
             copy.deepcopy(e) for e in self.other.edges if e.edge_id not in have_edges
         ]
         return s
+
+
+# ----------------------------------------------------- plural structural ops
+
+def _validate_injective(renames: dict[str, str], kind: str) -> None:
+    """Reference ops.py validate_rename_map_is_injective: a collapsing rename
+    map silently merges types — reject it here with the op's own name."""
+    seen: dict[str, str] = {}
+    for old, new in renames.items():
+        if new in seen:
+            raise ValueError(
+                f"{kind} map collapses {seen[new]!r} and {old!r} into {new!r}; "
+                "use a merge op for that"
+            )
+        seen[new] = old
+
+
+@dataclass
+class RenameVerticesOp(EvolutionOp):
+    """Batch vertex rename (reference RenameVerticesOp, ops.py:356-373);
+    injective map, single clone + per-name rewrite."""
+
+    renames: dict[str, str] = dc_field(default_factory=dict)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        _validate_injective(self.renames, "rename_vertices")
+        s = schema
+        for old, new in self.renames.items():
+            s = RenameVertexOp(old, new).apply(s)
+        return s
+
+    def migrate(self, store) -> None:
+        for old, new in self.renames.items():
+            RenameVertexOp(old, new).migrate(store)
+
+
+@dataclass
+class RenameRelationsOp(EvolutionOp):
+    """Rename relations across ALL edges sharing them (reference
+    RenameRelationsOp, ops.py:375-392)."""
+
+    renames: dict[str, str] = dc_field(default_factory=dict)
+    # filled by apply() so migrate() knows which tables move
+    _renamed: list[EdgeId] = dc_field(default_factory=list)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        _validate_injective(self.renames, "rename_relations")
+        s = _clone(schema)
+        self._renamed = []
+        hit = False
+        for e in s.edges:
+            if e.relation in self.renames:
+                new_id = EdgeId(e.source, e.target, self.renames[e.relation])
+                if any(o.edge_id == new_id for o in s.edges):
+                    raise ValueError(f"edge {new_id} already declared")
+                self._renamed.append(e.edge_id)
+                e.relation = self.renames[e.relation]
+                hit = True
+        if not hit:
+            raise KeyError(f"no edge carries relations {sorted(self.renames)}")
+        return s
+
+    def migrate(self, store) -> None:
+        for eid in self._renamed:
+            RenameEdgeRelationOp(eid, self.renames[eid.relation]).migrate(store)
+
+
+@dataclass
+class RemoveEdgesOp(EvolutionOp):
+    """Remove every edge carrying the given relations (reference
+    RemoveEdgesOp, ops.py:418-427 — relation-addressed, unlike the
+    id-addressed RemoveEdgeOp)."""
+
+    relations: list[str] = dc_field(default_factory=list)
+    _removed: list[EdgeId] = dc_field(default_factory=list)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        rels = set(self.relations)
+        self._removed = [e.edge_id for e in s.edges if e.relation in rels]
+        if not self._removed:
+            raise KeyError(f"no edge carries relations {sorted(rels)}")
+        s.edges = [e for e in s.edges if e.relation not in rels]
+        return s
+
+    def migrate(self, store) -> None:
+        import shutil
+
+        for eid in self._removed:
+            shutil.rmtree(
+                store._table_dir("edges", eid.table_name()), ignore_errors=True
+            )
+
+
+@dataclass
+class AddVerticesOp(EvolutionOp):
+    """Plural AddVertexOp (reference AddVerticesOp, ops.py:493-514)."""
+
+    vertices: list[Vertex] = dc_field(default_factory=list)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        names = [v.name for v in self.vertices]
+        if len(names) != len(set(names)):
+            raise ValueError("add_vertices entries must be unique by name")
+        s = schema
+        for v in self.vertices:
+            s = AddVertexOp(v).apply(s)
+        return s
+
+
+@dataclass
+class AddEdgesOp(EvolutionOp):
+    """Plural AddEdgeOp (reference AddEdgesOp, ops.py:516-534)."""
+
+    edges: list[Edge] = dc_field(default_factory=list)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        ids = [e.edge_id for e in self.edges]
+        if len(ids) != len(set(ids)):
+            raise ValueError(
+                "add_edges entries must be unique by (source, target, relation)"
+            )
+        s = schema
+        for e in self.edges:
+            s = AddEdgeOp(e).apply(s)
+        return s
+
+
+@dataclass
+class MergeEdgesOp(EvolutionOp):
+    """Merge relation names into one canonical relation (reference
+    MergeEdgesOp, ops.py:429-442 / apply.py:1145). Edges that collapse onto
+    the same (source, target, into) triple merge: properties union, the
+    data migration unions their tables and dedups."""
+
+    sources: list[str] = dc_field(default_factory=list)
+    into: str = ""
+    _moved: list[tuple[EdgeId, EdgeId]] = dc_field(default_factory=list)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        if self.into in self.sources:
+            raise ValueError("merge_edges sources must not include `into`")
+        s = _clone(schema)
+        srcs = set(self.sources)
+        if not any(e.relation in srcs for e in s.edges):
+            raise KeyError(f"no edge carries relations {sorted(srcs)}")
+        kept: dict[EdgeId, Edge] = {}
+        self._moved = []
+        for e in s.edges:
+            if e.relation in srcs:
+                new_id = EdgeId(e.source, e.target, self.into)
+                self._moved.append((e.edge_id, new_id))
+                e.relation = self.into
+            if e.edge_id in kept:
+                dst = kept[e.edge_id]
+                have = {f.name for f in dst.properties}
+                dst.properties += [
+                    f for f in e.properties if f.name not in have
+                ]
+            else:
+                kept[e.edge_id] = e
+        s.edges = list(kept.values())
+        return s
+
+    def migrate(self, store) -> None:
+        import shutil
+
+        for old_id, new_id in self._moved:
+            try:
+                src_df = store.read_edges(old_id)
+            except FileNotFoundError:
+                continue
+            if "_relation" in src_df.columns:
+                src_df = src_df.withColumn("_relation", F.lit(self.into))
+            try:
+                dst_df = store.read_edges(new_id)
+            except FileNotFoundError:
+                dst_df = None
+            merged = (
+                src_df
+                if dst_df is None
+                else dst_df.unionByName(src_df, allowMissingColumns=True)
+            ).dropDuplicates()
+            store._write_snapshot(
+                store._table_dir("edges", new_id.table_name()), merged
+            )
+            shutil.rmtree(
+                store._table_dir("edges", old_id.table_name()), ignore_errors=True
+            )
+
+
+@dataclass
+class AddInverseEdgesOp(EvolutionOp):
+    """Add inverse relations for directed edges (reference AddInverseEdgesOp,
+    ops.py:481-491 / apply.py:1302). The inverse edge swaps endpoints and
+    carries the same properties/identities; the data migration writes the
+    inverse table by swapping the ``_src_``/``_dst_`` column prefixes — a
+    metadata-only projection, no shuffle."""
+
+    relations: dict[str, str] = dc_field(default_factory=dict)
+    _added: list[tuple[EdgeId, EdgeId]] = dc_field(default_factory=list)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        self._added = []
+        new_edges: list[Edge] = []
+        for e in s.edges:
+            if e.relation not in self.relations:
+                continue
+            if not e.directed:
+                # an undirected edge already means both directions; the
+                # reference only duplicates directed relations
+                continue
+            inv_rel = self.relations[e.relation]
+            inv_id = EdgeId(e.target, e.source, inv_rel)
+            if any(o.edge_id == inv_id for o in s.edges + new_edges):
+                raise ValueError(f"inverse edge {inv_id} already declared")
+            new_edges.append(
+                Edge(
+                    e.target,
+                    e.source,
+                    relation=inv_rel,
+                    directed=True,
+                    type=e.type,
+                    properties=copy.deepcopy(e.properties),
+                    identities=list(e.identities),
+                )
+            )
+            self._added.append((e.edge_id, inv_id))
+        if not self._added:
+            raise KeyError(
+                f"no directed edge carries relations {sorted(self.relations)}"
+            )
+        s.edges += new_edges
+        return s
+
+    def migrate(self, store) -> None:
+        for fwd_id, inv_id in self._added:
+            try:
+                df = store.read_edges(fwd_id)
+            except FileNotFoundError:
+                continue
+            swapped = df.select(*[
+                F.col(c).alias(
+                    "_dst_" + c[len("_src_"):] if c.startswith("_src_")
+                    else "_src_" + c[len("_dst_"):] if c.startswith("_dst_")
+                    else c
+                )
+                for c in df.columns
+            ])
+            if "_relation" in swapped.columns:
+                swapped = swapped.withColumn(
+                    "_relation", F.lit(inv_id.relation)
+                )
+            store._write_snapshot(
+                store._table_dir("edges", inv_id.table_name()), swapped
+            )
+
+
+@dataclass
+class SetEdgeDirectedOp(EvolutionOp):
+    """Set the ``directed`` flag on selected edges (reference
+    SetEdgeDirectedOp, ops.py:744-762 — small but load-bearing: ``directed``
+    decides what AddInverseEdgesOp may duplicate)."""
+
+    edges: list[EdgeId] = dc_field(default_factory=list)
+    directed: bool = True
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        wanted = set(self.edges)
+        hit = set()
+        for e in s.edges:
+            if e.edge_id in wanted:
+                e.directed = self.directed
+                hit.add(e.edge_id)
+        missing = wanted - hit
+        if missing:
+            raise KeyError(f"edges not declared: {sorted(map(str, missing))}")
+        return s
+
+
+# ----------------------------------------------------------- edge properties
+
+def _edges_by_relation(schema: CoreSchema, relation: str) -> list[Edge]:
+    hits = [e for e in schema.edges if e.relation == relation]
+    if not hits:
+        raise KeyError(f"no edge carries relation {relation!r}")
+    return hits
+
+
+@dataclass
+class AddEdgePropertiesOp(EvolutionOp):
+    """Declare new properties on every edge of each relation (reference
+    AddEdgePropertiesOp, ops.py:469-479)."""
+
+    additions: dict[str, list[Field]] = dc_field(default_factory=dict)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        for rel, fields in self.additions.items():
+            for e in _edges_by_relation(s, rel):
+                have = {f.name for f in e.properties}
+                dup = [f.name for f in fields if f.name in have]
+                if dup:
+                    raise ValueError(f"{rel}: properties {dup} already declared")
+                e.properties += copy.deepcopy(fields)
+        return s
+
+
+@dataclass
+class RemoveEdgePropertiesOp(EvolutionOp):
+    """Remove properties per relation (reference RemoveEdgePropertiesOp,
+    ops.py:457-467); migration drops the columns from every table of that
+    relation."""
+
+    removals: dict[str, list[str]] = dc_field(default_factory=dict)
+    _touched: list[EdgeId] = dc_field(default_factory=list)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        self._touched = []
+        for rel, names in self.removals.items():
+            gone = set(names)
+            used = gone & set().union(
+                *(set(e.identities) for e in _edges_by_relation(s, rel))
+            )
+            if used:
+                raise ValueError(
+                    f"{rel}: cannot remove identity columns {sorted(used)}"
+                )
+            for e in _edges_by_relation(s, rel):
+                e.properties = [f for f in e.properties if f.name not in gone]
+                self._touched.append(e.edge_id)
+        return s
+
+    def migrate(self, store) -> None:
+        for eid in self._touched:
+            try:
+                df = store.read_edges(eid)
+            except FileNotFoundError:
+                continue
+            drop = [c for c in self.removals.get(eid.relation, ()) if c in df.columns]
+            if drop:
+                store._write_snapshot(
+                    store._table_dir("edges", eid.table_name()), df.drop(*drop)
+                )
+
+
+@dataclass
+class RenameEdgePropertiesOp(EvolutionOp):
+    """Rename properties per relation (reference RenameEdgePropertiesOp,
+    ops.py:444-455); migration renames the columns."""
+
+    renames: dict[str, dict[str, str]] = dc_field(default_factory=dict)
+    _touched: list[EdgeId] = dc_field(default_factory=list)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        self._touched = []
+        for rel, mapping in self.renames.items():
+            _validate_injective(mapping, f"rename_edge_properties[{rel}]")
+            for e in _edges_by_relation(s, rel):
+                have = {f.name for f in e.properties}
+                missing = [o for o in mapping if o not in have]
+                if missing:
+                    raise KeyError(f"{rel}: properties {missing} not declared")
+                clash = [n for n in mapping.values() if n in have - set(mapping)]
+                if clash:
+                    raise ValueError(f"{rel}: rename collides with {clash}")
+                e.properties = [
+                    Field(mapping.get(f.name, f.name), f.type, f.item_type)
+                    for f in e.properties
+                ]
+                e.identities = [mapping.get(c, c) for c in e.identities]
+                self._touched.append(e.edge_id)
+        return s
+
+    def migrate(self, store) -> None:
+        for eid in self._touched:
+            try:
+                df = store.read_edges(eid)
+            except FileNotFoundError:
+                continue
+            mapping = {
+                o: n for o, n in self.renames.get(eid.relation, {}).items()
+                if o in df.columns
+            }
+            if mapping:
+                store._write_snapshot(
+                    store._table_dir("edges", eid.table_name()),
+                    df.withColumnsRenamed(mapping),
+                )
+
+
+# --------------------------------------------------------------- field types
+
+@dataclass
+class ChangeFieldTypesOp(EvolutionOp):
+    """Set the logical type of declared vertex/edge properties (reference
+    ChangeFieldTypesOp, ops.py:628-653). ``(type, item_type)`` tuples;
+    ``(None, None)`` clears the declared type. Data migration casts the
+    physical columns — one narrow projection per touched table."""
+
+    vertices: dict[str, dict[str, tuple]] = dc_field(default_factory=dict)
+    edges: dict[str, dict[str, tuple]] = dc_field(default_factory=dict)
+    _touched_edges: list[EdgeId] = dc_field(default_factory=list)
+
+    @staticmethod
+    def _respec(fields: list[Field], spec: dict[str, tuple], where: str) -> list[Field]:
+        have = {f.name for f in fields}
+        missing = [n for n in spec if n not in have]
+        if missing:
+            raise KeyError(f"{where}: fields {missing} not declared")
+        out = []
+        for f in fields:
+            if f.name in spec:
+                t, item = (spec[f.name] + (None,))[:2]
+                if t is FieldType.LIST and item is None:
+                    raise ValueError(f"{where}.{f.name}: LIST requires item_type")
+                if t is not FieldType.LIST and item is not None:
+                    raise ValueError(
+                        f"{where}.{f.name}: item_type only applies to LIST"
+                    )
+                out.append(Field(f.name, t, item))
+            else:
+                out.append(f)
+        return out
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        if not self.vertices and not self.edges:
+            raise ValueError(
+                "change_field_types requires at least one of vertices or edges"
+            )
+        s = _clone(schema)
+        for vname, spec in self.vertices.items():
+            v = s.vertex(vname)
+            v.fields = self._respec(v.fields, spec, vname)
+        self._touched_edges = []
+        for rel, spec in self.edges.items():
+            for e in _edges_by_relation(s, rel):
+                e.properties = self._respec(e.properties, spec, rel)
+                self._touched_edges.append(e.edge_id)
+        return s
+
+    @staticmethod
+    def _cast(df, spec: dict[str, tuple]):
+        casts = {}
+        for name, tup in spec.items():
+            t, item = (tup + (None,))[:2]
+            if t is None or name not in df.columns:
+                continue
+            casts[name] = F.col(name).cast(t.to_spark(item))
+        return df.withColumns(casts) if casts else None
+
+    def migrate(self, store) -> None:
+        for vname, spec in self.vertices.items():
+            try:
+                df = store.read_vertices(vname)
+            except FileNotFoundError:
+                continue
+            cast = self._cast(df, spec)
+            if cast is not None:
+                store._write_snapshot(store._table_dir("vertices", vname), cast)
+        for eid in self._touched_edges:
+            try:
+                df = store.read_edges(eid)
+            except FileNotFoundError:
+                continue
+            cast = self._cast(df, self.edges[eid.relation])
+            if cast is not None:
+                store._write_snapshot(
+                    store._table_dir("edges", eid.table_name()), cast
+                )
+
+
+# -------------------------------------------------------- secondary identity
+
+@dataclass
+class AddSecondaryIdentitiesOp(EvolutionOp):
+    """Declare alternate lookup keys (reference AddSecondaryIdentitiesOp,
+    ops.py:269-288). Each declared field-set also gains a non-unique index —
+    the reference derives one at finish_init; here it is appended explicitly
+    so the store's sort-layout data skipping covers the lookup."""
+
+    additions: dict[str, dict[str, list[str]]] = dc_field(default_factory=dict)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        for vname, sets in self.additions.items():
+            v = s.vertex(vname)
+            for key_name, cols in sets.items():
+                if key_name in v.secondary_identities:
+                    raise ValueError(
+                        f"{vname}: secondary identity {key_name!r} already declared"
+                    )
+                missing = [c for c in cols if c not in v.field_names]
+                if missing:
+                    raise ValueError(f"{vname}: fields {missing} not declared")
+                v.secondary_identities[key_name] = list(cols)
+                if not any(i.fields == tuple(cols) for i in v.indexes):
+                    v.indexes.append(IndexConfig(tuple(cols)))
+        return s
+
+
+@dataclass
+class RemoveSecondaryIdentitiesOp(EvolutionOp):
+    """Withdraw alternate lookup keys and their derived indexes (reference
+    RemoveSecondaryIdentitiesOp, ops.py:290-306). Entries address a key by
+    name or by field list."""
+
+    removals: dict[str, list] = dc_field(default_factory=dict)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        for vname, entries in self.removals.items():
+            v = s.vertex(vname)
+            for entry in entries:
+                if isinstance(entry, str):
+                    if entry not in v.secondary_identities:
+                        raise KeyError(f"{vname}: secondary identity {entry!r}")
+                    name = entry
+                else:
+                    matches = [
+                        k for k, cols in v.secondary_identities.items()
+                        if cols == list(entry)
+                    ]
+                    if not matches:
+                        raise KeyError(f"{vname}: secondary identity {entry}")
+                    name = matches[0]
+                cols = tuple(v.secondary_identities.pop(name))
+                v.indexes = [
+                    i for i in v.indexes if not (i.fields == cols and not i.unique)
+                ]
+        return s
+
+
+@dataclass
+class ReplaceEdgeIdentitiesOp(EvolutionOp):
+    """Replace edge uniqueness keys (reference ReplaceEdgeIdentitiesOp,
+    ops.py:330-353): per (source, target, relation) entry, the new extra key
+    columns among edge properties; empty list clears them. Data migration
+    re-dedups each table on endpoints + new keys."""
+
+    edges: dict[EdgeId, list[str]] = dc_field(default_factory=dict)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        s = _clone(schema)
+        for eid, identities in self.edges.items():
+            hit = [e for e in s.edges if e.edge_id == eid]
+            if not hit:
+                raise KeyError(str(eid))
+            e = hit[0]
+            prop_names = {f.name for f in e.properties}
+            missing = [c for c in identities if c not in prop_names]
+            if missing:
+                raise ValueError(
+                    f"{eid}: identity columns {missing} not among edge properties"
+                )
+            e.identities = list(identities)
+        return s
+
+    def migrate(self, store) -> None:
+        for eid, identities in self.edges.items():
+            try:
+                df = store.read_edges(eid)
+            except FileNotFoundError:
+                continue
+            keys = [c for c in df.columns if c.startswith(("_src_", "_dst_"))] + [
+                c for c in identities if c in df.columns
+            ]
+            store._write_snapshot(
+                store._table_dir("edges", eid.table_name()),
+                df.dropDuplicates(keys) if keys else df.dropDuplicates(),
+            )
+
+
+# ----------------------------------------------------------------- projection
+
+@dataclass
+class ProjectManifestOp(EvolutionOp):
+    """Slice the schema to a vertex/edge subgraph with consistent cascade
+    (reference ProjectManifestOp, ops.py:764-815). ``induced_prune``: with
+    ``keep_vertices`` set, listed vertices with no surviving incident edge
+    are dropped too. Data migration deletes the dropped tables."""
+
+    keep_vertices: list[str] | None = None
+    keep_edges: list[EdgeId] | None = None
+    strict: bool = True
+    _dropped_v: list[str] = dc_field(default_factory=list)
+    _dropped_e: list[EdgeId] = dc_field(default_factory=list)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        if not self.keep_vertices and not self.keep_edges:
+            raise ValueError(
+                "project_manifest requires keep_vertices or keep_edges"
+            )
+        s = _clone(schema)
+        if self.strict:
+            if self.keep_vertices:
+                unknown = set(self.keep_vertices) - set(s.vertex_names)
+                if unknown:
+                    raise ValueError(f"unknown vertices {sorted(unknown)}")
+            if self.keep_edges:
+                declared = {e.edge_id for e in s.edges}
+                unknown_e = set(self.keep_edges) - declared
+                if unknown_e:
+                    raise ValueError(
+                        f"unknown edges {sorted(map(str, unknown_e))}"
+                    )
+        keep_v = set(self.keep_vertices or s.vertex_names)
+        if self.keep_edges is None:
+            # keep every edge whose endpoints survive
+            keep_e = {
+                e.edge_id for e in s.edges
+                if e.source in keep_v and e.target in keep_v
+            }
+        else:
+            keep_e = {
+                eid for eid in self.keep_edges
+                if eid.source in keep_v and eid.target in keep_v
+            }
+        if self.keep_vertices:
+            # induced_prune: a listed vertex with no surviving incident edge
+            # is dropped — unless the projection keeps no edges at all, in
+            # which case the vertex list stands alone
+            touched = {v for eid in keep_e for v in (eid.source, eid.target)}
+            if keep_e:
+                keep_v = keep_v & touched
+        self._dropped_v = [v for v in s.vertex_names if v not in keep_v]
+        self._dropped_e = [e.edge_id for e in s.edges if e.edge_id not in keep_e]
+        s.vertices = [v for v in s.vertices if v.name in keep_v]
+        s.edges = [e for e in s.edges if e.edge_id in keep_e]
+        if not s.vertices:
+            raise ValueError("projection drops every vertex")
+        return s
+
+    def migrate(self, store) -> None:
+        import shutil
+
+        for name in self._dropped_v:
+            shutil.rmtree(
+                store._table_dir("vertices", name), ignore_errors=True
+            )
+        for eid in self._dropped_e:
+            shutil.rmtree(
+                store._table_dir("edges", eid.table_name()), ignore_errors=True
+            )
+
+
+@dataclass
+class RenameResourcesOp(EvolutionOp):
+    """Rename ingestion resources (reference RenameResourcesOp,
+    ops.py:394-416). Operates on a :class:`GraphManifest` — the one op here
+    that touches the ingestion side rather than the schema."""
+
+    resources: dict[str, str] = dc_field(default_factory=dict)
+
+    def apply(self, schema: CoreSchema) -> CoreSchema:
+        # schema untouched; resource renames live on the manifest
+        return schema
+
+    def apply_manifest(self, manifest):
+        _validate_injective(self.resources, "rename_resources")
+        names = {r.name for r in manifest.resources}
+        missing = set(self.resources) - names
+        if missing:
+            raise KeyError(f"resources not declared: {sorted(missing)}")
+        clash = set(self.resources.values()) & (names - set(self.resources))
+        if clash:
+            raise ValueError(f"rename collides with existing {sorted(clash)}")
+        out = copy.deepcopy(manifest)
+        for r in out.resources:
+            if r.name in self.resources:
+                r.name = self.resources[r.name]
+        return out
+
+
+# ops that rewrite the ingestion side of a manifest, not only the schema
+# (reference ops.py INGESTION_REWRITING_OPS / ops_reaching_ingestion)
+INGESTION_REWRITING_OPS = frozenset({
+    "RenameVerticesOp", "RenameVertexOp", "RenameRelationsOp",
+    "RenameEdgeRelationOp", "RenameResourcesOp", "MergeVerticesOp",
+    "MergeEdgesOp", "RetargetEdgesOp", "RemoveVertexOp", "RemoveEdgesOp",
+    "AddInverseEdgesOp", "ProjectManifestOp", "SanitizeOp",
+})
+
+
+def ops_reaching_ingestion(ops: list[EvolutionOp]) -> list[str]:
+    """Which of these ops would force ingestion-binding rewrites (reference
+    ops_reaching_ingestion, ops.py:1011)."""
+    return [
+        type(op).__name__
+        for op in ops
+        if type(op).__name__ in INGESTION_REWRITING_OPS
+    ]
 
 
 # ------------------------------------------------------------- diff/plan/apply

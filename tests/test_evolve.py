@@ -214,3 +214,304 @@ def test_index_layout_sorts_snapshot(spark, tables, tmp_path):
     for _, grp in pdf.groupby("_file"):
         names = grp["c_name"].tolist()
         assert names == sorted(names)
+
+
+# ------------------------------------------------------- round-2 parity ops
+
+def test_plural_rename_and_injectivity():
+    s = base_schema()
+    s2 = ev.RenameVerticesOp({"Person": "human", "city": "town"}).apply(s)
+    assert set(s2.vertex_names) == {"human", "town"}
+    assert (s2.edges[0].source, s2.edges[0].target) == ("human", "town")
+    with pytest.raises(ValueError):
+        ev.RenameVerticesOp({"Person": "x", "city": "x"}).apply(s)
+
+
+def test_rename_relations_across_edges():
+    s = base_schema()
+    s.edges.append(Edge("city", "city", relation="livesIn"))
+    s2 = ev.RenameRelationsOp({"livesIn": "residesIn"}).apply(s)
+    assert {e.relation for e in s2.edges} == {"residesIn"}
+    with pytest.raises(KeyError):
+        ev.RenameRelationsOp({"nope": "x"}).apply(s)
+
+
+def test_remove_edges_by_relation():
+    s = base_schema()
+    s.edges.append(Edge("city", "city", relation="twinnedWith"))
+    s2 = ev.RemoveEdgesOp(["livesIn"]).apply(s)
+    assert [e.relation for e in s2.edges] == ["twinnedWith"]
+    with pytest.raises(KeyError):
+        ev.RemoveEdgesOp(["nope"]).apply(s)
+
+
+def test_plural_add_ops_validate_uniqueness():
+    s = base_schema()
+    with pytest.raises(ValueError):
+        ev.AddVerticesOp([Vertex("a", [Field("x")]), Vertex("a", [Field("x")])]).apply(s)
+    with pytest.raises(ValueError):
+        ev.AddEdgesOp([Edge("Person", "city", relation="r"),
+                       Edge("Person", "city", relation="r")]).apply(s)
+    s2 = ev.AddVerticesOp([Vertex("a", [Field("x")], identity=["x"])]).apply(s)
+    s3 = ev.AddEdgesOp([Edge("Person", "a", relation="r")]).apply(s2)
+    assert any(e.relation == "r" for e in s3.edges)
+
+
+def test_merge_edges_collapses_relations():
+    s = base_schema()
+    s.edges += [Edge("Person", "city", relation="residentOf",
+                     properties=[Field("since", FieldType.INT)]),
+                Edge("city", "city", relation="residentOf")]
+    s2 = ev.MergeEdgesOp(["residentOf", "livesIn"], into="locatedIn").apply(s)
+    rels = sorted((e.source, e.target, e.relation) for e in s2.edges)
+    assert rels == [("Person", "city", "locatedIn"), ("city", "city", "locatedIn")]
+    # colliding (Person, city) pair merged and kept the property union
+    pc = [e for e in s2.edges if e.source == "Person"][0]
+    assert "since" in [f.name for f in pc.properties]
+    with pytest.raises(ValueError):
+        ev.MergeEdgesOp(["a", "b"], into="a").apply(s)
+
+
+def test_add_inverse_edges_directed_only():
+    s = base_schema()
+    s.edges.append(Edge("city", "city", relation="near", directed=False))
+    s2 = ev.AddInverseEdgesOp({"livesIn": "homeOf"}).apply(s)
+    inv = [e for e in s2.edges if e.relation == "homeOf"]
+    assert [(e.source, e.target) for e in inv] == [("city", "Person")]
+    # undirected relations are not duplicated
+    with pytest.raises(KeyError):
+        ev.AddInverseEdgesOp({"near": "nearInv"}).apply(s)
+    # collision with an existing declaration raises
+    s3 = ev.AddEdgeOp(Edge("city", "Person", relation="homeOf")).apply(s)
+    with pytest.raises(ValueError):
+        ev.AddInverseEdgesOp({"livesIn": "homeOf"}).apply(s3)
+
+
+def test_set_edge_directed():
+    s = base_schema()
+    s2 = ev.SetEdgeDirectedOp([EdgeId("Person", "city", "livesIn")],
+                              directed=False).apply(s)
+    assert s2.edges[0].directed is False
+    with pytest.raises(KeyError):
+        ev.SetEdgeDirectedOp([EdgeId("a", "b", "c")], directed=True).apply(s)
+
+
+def test_edge_property_ops():
+    s = base_schema()
+    s2 = ev.AddEdgePropertiesOp(
+        {"livesIn": [Field("since", FieldType.INT), Field("verified")]}).apply(s)
+    names = [f.name for f in s2.edges[0].properties]
+    assert names == ["since", "verified"]
+    with pytest.raises(ValueError):
+        ev.AddEdgePropertiesOp({"livesIn": [Field("since")]}).apply(s2)
+
+    s3 = ev.RenameEdgePropertiesOp({"livesIn": {"since": "from_year"}}).apply(s2)
+    assert "from_year" in [f.name for f in s3.edges[0].properties]
+    with pytest.raises(KeyError):
+        ev.RenameEdgePropertiesOp({"livesIn": {"nope": "x"}}).apply(s2)
+
+    s4 = ev.RemoveEdgePropertiesOp({"livesIn": ["verified"]}).apply(s3)
+    assert [f.name for f in s4.edges[0].properties] == ["from_year"]
+    # identity guard
+    s5 = ev.ReplaceEdgeIdentitiesOp(
+        {EdgeId("Person", "city", "livesIn"): ["from_year"]}).apply(s4)
+    with pytest.raises(ValueError):
+        ev.RemoveEdgePropertiesOp({"livesIn": ["from_year"]}).apply(s5)
+
+
+def test_replace_edge_identities():
+    s = base_schema()
+    s2 = ev.AddEdgePropertiesOp({"livesIn": [Field("since", FieldType.INT)]}).apply(s)
+    s3 = ev.ReplaceEdgeIdentitiesOp(
+        {EdgeId("Person", "city", "livesIn"): ["since"]}).apply(s2)
+    assert s3.edges[0].identities == ["since"]
+    s4 = ev.ReplaceEdgeIdentitiesOp(
+        {EdgeId("Person", "city", "livesIn"): []}).apply(s3)
+    assert s4.edges[0].identities == []
+    with pytest.raises(ValueError):
+        ev.ReplaceEdgeIdentitiesOp(
+            {EdgeId("Person", "city", "livesIn"): ["nope"]}).apply(s2)
+
+
+def test_change_field_types():
+    s = base_schema()
+    s2 = ev.ChangeFieldTypesOp(
+        vertices={"Person": {"fullName": (FieldType.STRING,)}}).apply(s)
+    f = [f for f in s2.vertex("Person").fields if f.name == "fullName"][0]
+    assert f.type is FieldType.STRING
+    # clearing a type
+    s3 = ev.ChangeFieldTypesOp(
+        vertices={"Person": {"personId": (None,)}}).apply(s2)
+    assert [f for f in s3.vertex("Person").fields if f.name == "personId"][0].type is None
+    with pytest.raises(ValueError):
+        ev.ChangeFieldTypesOp().apply(s)
+    with pytest.raises(ValueError):
+        ev.ChangeFieldTypesOp(
+            vertices={"Person": {"fullName": (FieldType.LIST,)}}).apply(s)
+    with pytest.raises(KeyError):
+        ev.ChangeFieldTypesOp(vertices={"Person": {"nope": (None,)}}).apply(s)
+
+
+def test_secondary_identity_ops():
+    s = base_schema()
+    s2 = ev.AddSecondaryIdentitiesOp(
+        {"Person": {"by_name": ["fullName"]}}).apply(s)
+    v = s2.vertex("Person")
+    assert v.secondary_identities["by_name"] == ["fullName"]
+    # derived non-unique lookup index appended
+    assert any(i.fields == ("fullName",) and not i.unique for i in v.indexes)
+    with pytest.raises(ValueError):
+        ev.AddSecondaryIdentitiesOp({"Person": {"by_name": ["fullName"]}}).apply(s2)
+
+    # removable by name or by field list; derived index goes with it
+    s3 = ev.RemoveSecondaryIdentitiesOp({"Person": ["by_name"]}).apply(s2)
+    assert not s3.vertex("Person").secondary_identities
+    assert not s3.vertex("Person").indexes
+    s4 = ev.RemoveSecondaryIdentitiesOp({"Person": [["fullName"]]}).apply(s2)
+    assert not s4.vertex("Person").secondary_identities
+    with pytest.raises(KeyError):
+        ev.RemoveSecondaryIdentitiesOp({"Person": ["nope"]}).apply(s2)
+
+
+def test_replace_identity_retire_policies():
+    s = base_schema()
+    # demote (default): old identity becomes a named secondary + lookup index
+    s2 = ev.ReplaceIdentityOp("Person", ["fullName"]).apply(s)
+    v = s2.vertex("Person")
+    assert v.identity == ["fullName"]
+    assert v.secondary_identities["retired_identity"] == ["personId"]
+    assert any(i.fields == ("personId",) for i in v.indexes)
+
+    # drop: old identity fields removed when nothing else uses them
+    s3 = ev.ReplaceIdentityOp("Person", ["fullName"], retire="drop").apply(s)
+    assert "personId" not in s3.vertex("Person").field_names
+
+    # keep: fields stay as plain properties
+    s4 = ev.ReplaceIdentityOp("Person", ["fullName"], retire="keep").apply(s)
+    v4 = s4.vertex("Person")
+    assert "personId" in v4.field_names and not v4.secondary_identities
+
+    # funnel target resolves to hash mode
+    from graflo_spark.manifest import IdentityMode
+    s5 = ev.ReplaceIdentityOp(
+        "Person", [], mode=IdentityMode.HASH,
+        funnel=[["fullName"], ["personId"]], retire="keep").apply(s)
+    v5 = s5.vertex("Person")
+    assert v5.identity_mode is IdentityMode.HASH
+    assert v5.identity_funnel == [["fullName"], ["personId"]]
+
+    with pytest.raises(ValueError):
+        ev.ReplaceIdentityOp("Person", ["fullName"], retire="nope").apply(s)
+    with pytest.raises(ValueError):
+        ev.ReplaceIdentityOp("Person", ["fullName"], retire="keep",
+                             retire_as="x").apply(s)
+
+
+def test_project_manifest_induced_prune():
+    s = base_schema()
+    s.vertices.append(Vertex("orphan", [Field("o_id")], identity=["o_id"]))
+    s2 = ev.ProjectManifestOp(keep_vertices=["Person", "city", "orphan"]).apply(s)
+    # orphan has no surviving incident edge -> induced prune drops it
+    assert set(s2.vertex_names) == {"Person", "city"}
+    assert len(s2.edges) == 1
+
+    s3 = ev.ProjectManifestOp(
+        keep_edges=[EdgeId("Person", "city", "livesIn")]).apply(s)
+    assert {e.edge_id for e in s3.edges} == {EdgeId("Person", "city", "livesIn")}
+
+    with pytest.raises(ValueError):
+        ev.ProjectManifestOp().apply(s)
+    with pytest.raises(ValueError):
+        ev.ProjectManifestOp(keep_vertices=["nope"]).apply(s)
+    # strict=False tolerates unknown selectors
+    s4 = ev.ProjectManifestOp(keep_vertices=["Person", "city", "nope"],
+                              strict=False).apply(s)
+    assert set(s4.vertex_names) == {"Person", "city"}
+
+
+def test_rename_resources_on_manifest():
+    from graflo_spark.manifest import GraphManifest
+    from graflo_spark.steps import ResourceConfig, VertexStep
+
+    m = GraphManifest(schema=base_schema(), resources=[
+        ResourceConfig("people", steps=[VertexStep(name="Person")]),
+        ResourceConfig("cities", steps=[VertexStep(name="city")]),
+    ])
+    op = ev.RenameResourcesOp({"people": "persons"})
+    m2 = op.apply_manifest(m)
+    assert {r.name for r in m2.resources} == {"persons", "cities"}
+    assert {r.name for r in m.resources} == {"people", "cities"}  # pure
+    with pytest.raises(KeyError):
+        ev.RenameResourcesOp({"nope": "x"}).apply_manifest(m)
+    with pytest.raises(ValueError):
+        ev.RenameResourcesOp({"people": "cities"}).apply_manifest(m)
+
+
+def test_ops_reaching_ingestion():
+    ops = [ev.RenameVerticesOp({"Person": "human"}),
+           ev.AddEdgePropertiesOp({"livesIn": [Field("x")]}),
+           ev.MergeEdgesOp(["a"], into="b")]
+    assert ev.ops_reaching_ingestion(ops) == ["RenameVerticesOp", "MergeEdgesOp"]
+
+
+def test_inverse_and_merge_edges_migrate_store(spark, tables, tmp_path):
+    schema = CoreSchema(
+        vertices=[
+            Vertex("customer", [Field("c_custkey", FieldType.INT)],
+                   identity=["c_custkey"]),
+            Vertex("nation", [Field("n_nationkey", FieldType.INT)],
+                   identity=["n_nationkey"]),
+        ],
+        edges=[Edge("customer", "nation", relation="located_in",
+                    properties=[Field("w", FieldType.INT)]),
+               Edge("customer", "nation", relation="registered_in")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    edges = tables["customer"].select(
+        F.col("c_custkey").alias("_src_c_custkey"),
+        F.col("c_nationkey").alias("_dst_n_nationkey"),
+        F.lit(1).alias("w"),
+    )
+    store.insert_edges(EdgeId("customer", "nation", "located_in"), edges)
+    store.insert_edges(EdgeId("customer", "nation", "registered_in"),
+                       edges.drop("w").limit(40))
+    n_located = store.read_edges(EdgeId("customer", "nation", "located_in")).count()
+
+    # inverse: swapped endpoint prefixes, same rows
+    plan = [ev.AddInverseEdgesOp({"located_in": "home_of"})]
+    schema2 = ev.apply_plan(schema, plan, store=store)
+    inv = store.read_edges(EdgeId("nation", "customer", "home_of"))
+    assert inv.count() == n_located
+    assert "_src_n_nationkey" in inv.columns and "_dst_c_custkey" in inv.columns
+    assert "w" in inv.columns
+
+    # merge: registered_in folds into located_in's table, deduped
+    plan2 = [ev.MergeEdgesOp(["registered_in"], into="located_in")]
+    schema3 = ev.apply_plan(schema2, plan2, store=store)
+    merged = store.read_edges(EdgeId("customer", "nation", "located_in"))
+    # registered rows carry w=NULL so they don't collide with located rows
+    assert merged.count() == n_located + 40
+    import os
+    assert not os.path.isdir(
+        store._table_dir("edges", "customer__registered_in__nation"))
+
+
+def test_change_field_types_migrates_store(spark, tables, tmp_path):
+    schema = CoreSchema(
+        vertices=[Vertex("customer",
+                         [Field("c_custkey", FieldType.INT), Field("c_acctbal")],
+                         identity=["c_custkey"])],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices(
+        "customer",
+        tables["customer"].select(
+            "c_custkey", F.col("c_acctbal").cast("string").alias("c_acctbal")),
+    )
+    plan = [ev.ChangeFieldTypesOp(
+        vertices={"customer": {"c_acctbal": (FieldType.DOUBLE,)}})]
+    ev.apply_plan(schema, plan, store=store)
+    out = store.read_vertices("customer")
+    assert dict(out.dtypes)["c_acctbal"] == "double"
