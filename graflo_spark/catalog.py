@@ -1493,6 +1493,42 @@ def rdf_pivot_nation(spark, sf_dir):
 
 
 @q(
+    "sparql_pivot_nation",
+    "SELECT 'http://ex/nation/' || CAST(n_nationkey AS VARCHAR) AS _uri, "
+    "CAST(n_nationkey AS VARCHAR) AS _key, "
+    "n_name AS name, CAST(n_regionkey AS VARCHAR) AS region FROM nation",
+)
+def sparql_pivot_nation(spark, sf_dir):
+    """SPARQL endpoint source (reference SparqlEndpointDataSource,
+    data_source/rdf.py:261-424): a fake endpoint pages triple bindings with
+    LIMIT/OFFSET over an ORDER BY ?s query; the groupBy-pivot is the
+    subject merge. The endpoint serves bindings derived from the nation
+    table, paged small enough that pagination is actually exercised."""
+    from graflo_spark.io import SparqlSourceConfig, read_sparql_source
+
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).collect()
+    bindings = []
+    for r in sorted(nat, key=lambda r: f"http://ex/nation/{r.n_nationkey}"):
+        s = f"http://ex/nation/{r.n_nationkey}"
+        bindings.append({"s": s, "p": "name", "o": r.n_name})
+        bindings.append({"s": s, "p": "region", "o": str(r.n_regionkey)})
+
+    def execute(query: str) -> list[dict]:
+        import re as _re
+
+        m = _re.search(r"LIMIT (\d+) OFFSET (\d+)", query)
+        limit, offset = int(m.group(1)), int(m.group(2))
+        return bindings[offset:offset + limit]
+
+    cfg = SparqlSourceConfig(endpoint_url="http://ex/sparql", page_size=16)
+    return read_sparql_source(
+        spark, execute, cfg, predicates=["name", "region"]
+    )
+
+
+@q(
     "source_time_window_events",
     "SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, event_type, value "
     "FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "

@@ -246,6 +246,81 @@ def read_api_source(
 
 
 @dataclass
+class SparqlSourceConfig:
+    """SPARQL endpoint source config (reference data_source/rdf.py:261-311
+    SparqlSourceConfig): either a generated ``?s ?p ?o`` query over an
+    optional ``rdf_class`` / named ``graph_uri``, or a custom query;
+    LIMIT/OFFSET pagination over triple bindings."""
+
+    endpoint_url: str = ""
+    rdf_class: str | None = None
+    graph_uri: str | None = None
+    sparql_query: str | None = None
+    page_size: int = 10_000
+    max_pages: int = 10_000
+
+    def build_query(self, offset: int = 0, limit: int | None = None) -> str:
+        """Reference build_query (rdf.py:283-311): custom query gets
+        LIMIT/OFFSET appended; otherwise a generated class-filtered
+        triples SELECT. ORDER BY ?s keeps one subject's bindings
+        contiguous across pages."""
+        if self.sparql_query:
+            base = self.sparql_query.rstrip().rstrip(";")
+        else:
+            graph_open = f"GRAPH <{self.graph_uri}> {{" if self.graph_uri else ""
+            graph_close = "}" if self.graph_uri else ""
+            class_filter = f"?s a <{self.rdf_class}> . " if self.rdf_class else ""
+            base = (
+                f"SELECT ?s ?p ?o WHERE {{ "
+                f"{graph_open} {class_filter}?s ?p ?o . {graph_close} }}"
+            )
+        effective_limit = limit if limit is not None else self.page_size
+        order = "" if "ORDER BY" in base.upper() else " ORDER BY ?s"
+        return f"{base}{order} LIMIT {effective_limit} OFFSET {offset}"
+
+
+def read_sparql_source(
+    spark: SparkSession,
+    execute,
+    config: SparqlSourceConfig,
+    predicates: list[str] | None = None,
+    localize: bool = True,
+) -> DataFrame:
+    """SPARQL endpoint -> one flat doc per subject (reference
+    SparqlEndpointDataSource.iter_batches, rdf.py:314-424).
+
+    ``execute(query: str) -> list[{"s","p","o"}]`` is injectable — a
+    SPARQLWrapper client in production, a stub in tests (this container has
+    no network libs), mirroring :func:`read_api_source`'s fetch_page.
+
+    Spark design: the reference merges triple rows into subject documents
+    in a hand-rolled streaming loop; here the paginated bindings land in
+    ONE triples DataFrame and :func:`triples_to_docs`' groupBy-pivot IS the
+    subject merge — distributed, and the pivot's value-discovery job is
+    skipped when ``predicates`` is given. Docs carry ``_uri`` plus the
+    reference's ``_key`` local-name column.
+    """
+    rows: list[dict] = []
+    for page_no in range(config.max_pages):
+        batch = execute(config.build_query(offset=page_no * config.page_size))
+        if not batch:
+            break
+        rows.extend(batch)
+        if len(batch) < config.page_size:
+            break
+    if not rows:
+        raise ValueError("empty SPARQL result")
+    triples = spark.createDataFrame(
+        [(r["s"], r["p"], r["o"]) for r in rows], "s string, p string, o string"
+    )
+    docs = triples_to_docs(
+        triples, subject="s", predicate="p", obj="o",
+        predicates=predicates, localize=localize,
+    )
+    return docs.withColumn("_key", localize_uri(F.col("_uri")))
+
+
+@dataclass
 class JoinClause:
     """One join of a SelectSpec (reference filter/select.py:28-65)."""
 

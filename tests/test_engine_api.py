@@ -132,3 +132,42 @@ def test_read_source_csv_jsonl_roundtrip(spark, tables, tmp_path):
     assert got_csv.count() == nat.count()
     assert got_jl.count() == nat.count()
     assert set(got_csv.columns) == {"n_nationkey", "n_name"}
+
+
+def test_sparql_source_config_and_pagination(spark):
+    from graflo_spark.io import SparqlSourceConfig, read_sparql_source
+
+    cfg = SparqlSourceConfig(rdf_class="http://ex/Nation",
+                             graph_uri="http://ex/g", page_size=3)
+    q = cfg.build_query(offset=6)
+    assert "GRAPH <http://ex/g>" in q and "?s a <http://ex/Nation>" in q
+    assert q.endswith("ORDER BY ?s LIMIT 3 OFFSET 6")
+    custom = SparqlSourceConfig(
+        sparql_query="SELECT ?s ?p ?o WHERE { ?s ?p ?o } ORDER BY ?o")
+    assert "ORDER BY ?s" not in custom.build_query()  # custom order kept
+
+    bindings = [
+        {"s": "http://ex/a#x", "p": "name", "o": "ada"},
+        {"s": "http://ex/a#x", "p": "age", "o": "1"},
+        {"s": "http://ex/b#y", "p": "name", "o": "bob"},
+        {"s": "http://ex/b#y", "p": "age", "o": "2"},
+    ]
+    calls = []
+
+    def execute(query):
+        import re
+        m = re.search(r"LIMIT (\d+) OFFSET (\d+)", query)
+        calls.append(query)
+        off = int(m.group(2))
+        return bindings[off:off + int(m.group(1))]
+
+    out = read_sparql_source(
+        spark, execute, SparqlSourceConfig(page_size=3),
+        predicates=["name", "age"])
+    rows = {r["_key"]: (r["name"], r["age"]) for r in out.collect()}
+    # subject split across page boundary still merges into one doc
+    assert rows == {"x": ("ada", "1"), "y": ("bob", "2")}
+    assert len(calls) == 2  # paginated: full page then short page
+
+    with pytest.raises(ValueError):
+        read_sparql_source(spark, lambda q: [], SparqlSourceConfig())
