@@ -14,10 +14,17 @@ built with ``concat`` so the exact bytes are engine-independent — the DuckDB
 oracle (:func:`digest_sql`) reproduces them byte-for-byte. Caveat: avoid
 floating-point fields in digests (Spark renders 1.5e7 as ``1.5E7``, DuckDB as
 ``15000000.0``); digest over strings/ints/dates only.
+
+For BYTE parity with digests the reference itself wrote (SURVEY §7.4.3
+co-validation), use the :func:`reference_digest` /
+:func:`reference_digest_expr` compat mode instead — exact
+``json.dumps(sort_keys=True, default=str)`` semantics, frozen under test
+vectors in ``tests/test_store_query.py``.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -91,3 +98,88 @@ def assigned_uuid_expr(seed_fields: list[str] | None = None) -> Column:
     if seed_fields:
         return F.sha2(_payload_expr(seed_fields), 256)  # noqa: E501
     return F.expr("uuid()")
+
+
+# ------------------------------------------------- reference-digest parity
+
+def reference_digest(doc, fields: list[str]) -> str:
+    """BYTE-EXACT reference digest (identity_digest.py:33-48
+    compute_hash_identity): sha256 over ``json.dumps(payload,
+    sort_keys=True, default=str)`` where payload is ``{field:
+    doc.get(field)}``. Python's JSON spacing, \\uXXXX escaping for
+    non-ASCII, unquoted ints/floats/bools, ``str()`` fallback for
+    dates/timestamps — all preserved. SURVEY §7.4.3's co-validation mode:
+    digests minted here equal the reference's on the same documents."""
+    import hashlib
+    import json
+
+    payload = {f: doc.get(f) for f in fields}
+    blob = json.dumps(payload, sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+def reference_funnel_identity(
+    doc, branches: list[list[str]],
+    branch_ids: list[str] | None = None,
+    include_branch_id: bool = False,
+) -> str | None:
+    """Reference compute_funnel_identity (identity_digest.py:51-71): first
+    branch whose fields are all present and non-empty ("" counts as empty)
+    wins; ``include_branch_id`` adds ``{"_branch": id}`` to the payload.
+    Returns None when no branch fires (document dropped downstream)."""
+    import hashlib
+    import json
+
+    for i, branch in enumerate(branches):
+        if any(doc.get(f) is None or doc.get(f) == "" for f in branch):
+            continue
+        payload = {f: doc.get(f) for f in branch}
+        if include_branch_id:
+            payload["_branch"] = (
+                branch_ids[i] if branch_ids else f"branch_{i}"
+            )
+        blob = json.dumps(payload, sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()
+    return None
+
+
+def reference_digest_expr(fields: list[str], resolver=None) -> Column:
+    """Arrow-batched Column computing :func:`reference_digest` — the compat
+    escape hatch when digests must match reference-written data. The hot
+    path stays on :func:`digest_expr` (pure codegen, oracle-reproducible);
+    this one needs Python because Spark cannot render Python's exact JSON
+    (ensure_ascii escaping, ``repr`` floats) in native expressions.
+
+    Value fidelity across Arrow: nullable ints arrive as pandas NA/NaN and
+    are mapped back to None; numpy scalars unbox to Python ints/floats/
+    bools; timestamps unbox via ``to_pydatetime`` so ``str()`` matches
+    ``datetime.datetime``'s rendering."""
+    from pyspark.sql.functions import pandas_udf
+
+    names = list(fields)
+
+    def _py(v):
+        import numpy as np
+
+        if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+            return None
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        if isinstance(v, np.bool_):
+            return bool(v)
+        if isinstance(v, pd.Timestamp):
+            return v.to_pydatetime()
+        return v
+
+    @pandas_udf("string")
+    def u(*series: pd.Series) -> pd.Series:
+        out = []
+        for vals in zip(*series):
+            doc = {n: _py(v) for n, v in zip(names, vals)}
+            out.append(reference_digest(doc, names))
+        return pd.Series(out, dtype=object)
+
+    get = resolver if resolver is not None else F.col
+    return u(*[get(f) for f in names])

@@ -154,3 +154,61 @@ def test_incremental_upsert_rewrites_only_touched_buckets(spark, tables, tmp_pat
     got = {r["c_custkey"]: r["c_name"] for r in st.read_vertices("customer").collect()}
     assert got[1] == "PATCHED"
     assert st.read_vertices("customer").count() == tables["customer"].count()
+
+
+def test_reference_digest_parity_frozen_vectors(spark):
+    """Byte parity with the reference digest algorithm
+    (identity_digest.py:33-48) on tricky values; hex digests FROZEN from
+    the reference algorithm -- drift in spacing, escaping, or type
+    rendering fails loudly."""
+    import datetime
+
+    from graflo_spark.identity import (
+        reference_digest, reference_digest_expr, reference_funnel_identity,
+    )
+
+    vectors = [
+        ({"a": 1, "b": "x"}, ["a", "b"],
+         "ce5c626fb40307427cf323b5c307a3ea230856fa4bad676eaaa2577b5a857a85"),
+        ({"a": None, "b": "x"}, ["a", "b"],
+         "0df9d48207408c4c1edfd438b7f753a4b28c0aba2e06ff2f76cd02adb3d43a5f"),
+        # ensure_ascii: non-ASCII must escape to \uXXXX inside the payload
+        ({"name": "café ☕", "n": 42}, ["name", "n"],
+         "f4770084c312af29c3064f8a6c07f5ad14771a6354220637ac8e44a0cb6ef138"),
+        # default=str renders dates/datetimes
+        ({"d": datetime.date(2024, 1, 2),
+          "ts": datetime.datetime(2024, 1, 2, 3, 4, 5)}, ["d", "ts"],
+         "418928609c8433677a927e3912d206a7fca7a1eae8f3dfb8a7e9d38fc33a6c25"),
+        ({"f": 1.5, "t": True}, ["f", "t"],
+         "e63d27b22e47e2044ffa38b293532b052214b269e511b8a4c68be5ae61d20467"),
+        ({"s": 'quote"back\\slash'}, ["s"],
+         "c64c6cd27fdf59eef968c1813c8ee503e10407f141dd060ac5293bf15dd0f197"),
+        ({"missing": None}, ["missing", "absent"],
+         "aaec1d32707308984cb0e05b1173906cef1625ad32a3d75f2e61e9bb95c78628"),
+    ]
+    for doc, fields, expect in vectors:
+        assert reference_digest(doc, fields) == expect, (doc, fields)
+
+    # the Arrow-batched Column agrees on a frame of mixed types
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "x"), (42, "café ☕")], "a long, b string")
+    got = [r[0] for r in df.select(
+        reference_digest_expr(["a", "b"])).collect()]
+    assert got[0] == vectors[0][2]
+    assert got[1] == vectors[1][2]
+    # int survives Arrow as unquoted JSON int even in a nullable column
+    assert got[2] == reference_digest({"a": 42, "b": "café ☕"}, ["a", "b"])
+
+    # funnel: empty string counts as empty; branch id marker matches
+    assert reference_funnel_identity(
+        {"email": "", "phone": "1", "cc": "US"},
+        [["email"], ["phone", "cc"]],
+    ) == reference_digest({"phone": "1", "cc": "US"}, ["phone", "cc"])
+    assert reference_funnel_identity({"email": ""}, [["email"]]) is None
+    import hashlib, json
+    withid = reference_funnel_identity(
+        {"email": "e@x"}, [["email"]], branch_ids=["email"],
+        include_branch_id=True)
+    payload = {"email": "e@x", "_branch": "email"}
+    assert withid == hashlib.sha256(
+        json.dumps(payload, sort_keys=True, default=str).encode()).hexdigest()
