@@ -1355,6 +1355,68 @@ def _fk_evidence(spark, sf_dir):
     return infer.fk_containment(tables, cands), tables
 
 
+_CROSS_ID_ORACLE = """
+WITH ords AS (SELECT DISTINCT o_custkey FROM orders),
+par AS (SELECT o.o_custkey AS custkey, c.c_name AS party_name
+        FROM ords o JOIN customer c ON o.o_custkey = c.c_custkey),
+cka AS (SELECT DISTINCT LOWER(NULLIF(TRIM(CAST(c_custkey AS VARCHAR)), '')) AS v
+        FROM customer WHERE c_custkey IS NOT NULL),
+ckb AS (SELECT DISTINCT LOWER(NULLIF(TRIM(CAST(custkey AS VARCHAR)), '')) AS v
+        FROM par WHERE custkey IS NOT NULL),
+cna AS (SELECT DISTINCT LOWER(NULLIF(TRIM(CAST(c_name AS VARCHAR)), '')) AS v
+        FROM customer WHERE c_name IS NOT NULL),
+cnb AS (SELECT DISTINCT LOWER(NULLIF(TRIM(CAST(party_name AS VARCHAR)), '')) AS v
+        FROM par WHERE party_name IS NOT NULL)
+SELECT 'c_custkey' AS canonical, 'c_custkey' AS left_field, 'custkey' AS right_field,
+       CAST((SELECT COUNT(*) FROM cka JOIN ckb USING (v)) AS DOUBLE) /
+       ((SELECT COUNT(*) FROM cka) + (SELECT COUNT(*) FROM ckb)
+        - (SELECT COUNT(*) FROM cka JOIN ckb USING (v))) AS jacc,
+       true AS chosen, 'natural' AS strategy
+UNION ALL
+SELECT 'c_name', 'c_name', 'party_name',
+       CAST((SELECT COUNT(*) FROM cna JOIN cnb USING (v)) AS DOUBLE) /
+       ((SELECT COUNT(*) FROM cna) + (SELECT COUNT(*) FROM cnb)
+        - (SELECT COUNT(*) FROM cna JOIN cnb USING (v))),
+       false, 'natural'
+"""
+
+
+@q("infer_cross_resource_identity", _CROSS_ID_ORACLE)
+def infer_cross_resource_identity(spark, sf_dir):
+    """Cross-resource identity proposal (reference
+    db/cross_resource_identity.py): two resources describing the same
+    party — the customer table and a distinct-custkey view of orders
+    carrying the customer name under a different column name — are aligned
+    by name+value evidence (distributed distinct-joins), then the shared
+    key is PROVEN by exact per-resource uniqueness aggregates. Output: one
+    row per surviving alignment with its value-overlap Jaccard and whether
+    its canonical field was chosen as the proven natural key."""
+    from graflo_spark.cross_identity import CrossResourceIdentityInferencer
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    parties = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct()
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_name").alias("party_name"),
+        )
+    )
+    prop = CrossResourceIdentityInferencer().infer(
+        {"customers": cust, "parties": parties}, vertex_name="party"
+    )
+    rows = [
+        (a.canonical, a.left_field, a.right_field, float(a.value_jaccard),
+         a.canonical in prop.identity, prop.strategy)
+        for a in prop.alignments
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "canonical string, left_field string, right_field string, "
+        "jacc double, chosen boolean, strategy string",
+    )
+
+
 @q("infer_fk_containment_star", _fk_sql())
 def infer_fk_containment_star(spark, sf_dir):
     """FK discovery from data: distinct-value containment via semi-joins

@@ -271,3 +271,32 @@ def test_infer_manifest_from_tables(spark, tables):
     jeid = next(k for k in jbatch.edges if {k.source, k.target} == {"orders", "part"})
     assert jbatch.edges[jeid].count() == rel["lineitem"].dropDuplicates(
         ["l_orderkey", "l_partkey"]).count()
+
+
+def test_cross_resource_identity_funnel_fallback(spark):
+    """When no shared field tuple keys every resource, the proposal falls
+    back to per-resource funnel branches (reference _fallback_proposal)."""
+    from graflo_spark.cross_identity import (
+        CrossResourceConfig, CrossResourceIdentityInferencer, name_similarity,
+    )
+
+    # resources share a non-unique 'segment' column; each keys itself
+    a = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], ["cust_id", "segment"])
+    b = spark.createDataFrame(
+        [(10, "A"), (11, "B"), (12, "B")], ["party_id", "segment"])
+    inf = CrossResourceIdentityInferencer(
+        CrossResourceConfig(min_pair_score=0.4))
+    prop = inf.infer({"a": a, "b": b}, vertex_name="party")
+    assert prop.strategy == "funnel"
+    assert prop.funnel == [["cust_id"], ["party_id"]]
+    assert prop.alignments[0].canonical == "segment"
+
+    # fewer than two resources is a stated no-viable case, not an error
+    none = inf.infer({"a": a})
+    assert none.strategy == "no_viable_identity" and "two resources" in none.reason
+
+    # alignment evidence: token overlap vs char ratio, better wins
+    assert name_similarity("customer_email", "email_address") > 0.3
+    assert name_similarity("phone", "phone_no") > 0.7
+    assert name_similarity("x", "x") == 1.0
