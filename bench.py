@@ -57,16 +57,25 @@ def main() -> None:
     # parquet footers of the measured dir: metadata only
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
-    timings: dict[str, float] = {}
+    # Per-query isolation: one regressed query must never zero out the whole
+    # artifact (round-2 BENCH shipped rc=1/no JSON because the measured loop
+    # aborted). Failures record null and the JSON line still prints.
+    timings: dict[str, float | None] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
+        try:
+            df = fn(spark, SF_DIR)
+            n = df.count()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            timings[name] = None
+            print(f"# {name}: FAILED {type(exc).__name__}: {exc}"[:500],
+                  file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_total_wall",

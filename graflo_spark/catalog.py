@@ -55,11 +55,15 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores INT64 TIMESTAMP(NANOS), which vanilla Spark refuses
-    # to read (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable, so set it
-    # here rather than relying on whoever built the SparkSession (the external
-    # correctness runner uses a vanilla session).
+    # events.parquet stores INT64 TIMESTAMP(NANOS). Spark <= 4.0 refuses to
+    # read it (PARQUET_TYPE_ILLEGAL) unless nanosAsLong surfaces it as epoch-ns
+    # BIGINT; Spark 4.1+ ignores that conf and reads it as TIMESTAMP_NTZ.
+    # Both confs are runtime-settable, so set them here rather than relying on
+    # whoever built the SparkSession (the external correctness runner uses a
+    # vanilla session). UTC matters: io.to_event_time's NTZ->TIMESTAMP cast is
+    # value-preserving only when the session zone is UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1129,11 +1133,11 @@ def multimodal_feature_plumbing(spark, sf_dir):
 # --------------------------------------------------- event-time / streaming
 
 def _events_ts(spark, sf_dir):
-    """events.ts arrives as epoch-ns LONG (nanosAsLong); convert to timestamp."""
-    df = load(spark, sf_dir, "events")
-    # Integer division: Column `/` promotes to double, and epoch-ns magnitudes
-    # (~1.7e18) exceed double's 53-bit mantissa, landing timestamps 1us off.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events.ts normalized to TIMESTAMP whatever the engine surfaced
+    (epoch-ns BIGINT under nanosAsLong, TIMESTAMP_NTZ under Spark 4.1+)."""
+    from graflo_spark.io import to_event_time
+
+    return to_event_time(load(spark, sf_dir, "events"))
 
 
 @q(

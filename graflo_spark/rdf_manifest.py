@@ -313,8 +313,15 @@ def from_ntriples(text: str) -> list[Triple]:
         if rest.startswith("<") and rest.endswith(">"):
             o = IRI(rest[1:-1])
         else:
-            lit, _, dtype = rest.rpartition("^^")
-            if not lit:  # plain literal, no datatype
+            # A datatyped literal is '"..."^^<iri>'. Anchor the split on the
+            # CLOSING quote ('"^^<'): interior quotes are escaped to \" by
+            # _nt_escape, so a raw '"^^<' can only be the datatype marker —
+            # a bare rpartition('^^') would eat '^^' inside the literal body
+            # (Hypothesis counterexample: literal '^^' round-tripped to '').
+            if rest.endswith(">") and '"^^<' in rest:
+                lit, _, dtype = rest.rpartition('"^^<')
+                lit, dtype = lit + '"', "<" + dtype
+            else:  # plain literal, no datatype
                 lit, dtype = rest, ""
             body = _nt_unescape(lit.strip()[1:-1])
             if dtype == f"<{_XSD}boolean>":

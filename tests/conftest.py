@@ -34,6 +34,15 @@ def tables(spark, sf_dir):
 
 
 @pytest.fixture(scope="session")
+def events(spark, sf_dir):
+    """events table with ts normalized to TIMESTAMP via the one shared
+    ingress helper — tests must not re-implement the ns->ts conversion."""
+    from graflo_spark.io import to_event_time
+
+    return to_event_time(load(spark, sf_dir, "events"))
+
+
+@pytest.fixture(scope="session")
 def duck(sf_dir):
     import duckdb
 

@@ -156,12 +156,11 @@ def test_store_upsert_null_never_clobbers(spark, tables, tmp_path):
     assert out.filter(F.col("c_mktsegment").isNull()).count() == 0
 
 
-def test_sliding_window_total_rows(spark, sf_dir):
+def test_sliding_window_total_rows(spark, events):
     """Each event lands in exactly duration/slide windows."""
     from graflo_spark.streaming import sliding_window_agg
 
-    ev = load(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev = events
     out = sliding_window_agg(ev, "ts", "2 hours", "1 hour", [], {"value": "count"})
     total = out.agg(F.sum("count_value")).first()[0]
     assert total == 2 * ev.count()

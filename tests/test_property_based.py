@@ -9,7 +9,7 @@ stability, N-Triples escaping) run example-per-example.
 
 import json
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from graflo_spark import rdf_manifest
 from graflo_spark.filters import FilterExpression
@@ -165,6 +165,10 @@ def _py_eval(e, row):
 
 @given(st.text(max_size=50))
 @settings(max_examples=300, deadline=None)
+@example("^^")  # r2 Hypothesis counterexample: bare rpartition('^^') ate it
+@example("<a> <b>")  # IRI-looking text inside a literal
+@example('"^^<x>"')  # datatype-marker-looking text inside a literal
+@example('a"^^<http://www.w3.org/2001/XMLSchema#integer>')
 def test_ntriples_literal_escape_roundtrip(s):
     line = rdf_manifest.to_ntriples([("s", "p", s)])
     (_, _, o), = rdf_manifest.from_ntriples(line)

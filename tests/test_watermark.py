@@ -75,10 +75,8 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert emitted2 == {(11, 0, "a"): 1}
 
 
-def test_session_window_batch_matches_sessionize(spark, tables):
-    ev = tables["events"].withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    ).select("user_id", "ts", "value")
+def test_session_window_batch_matches_sessionize(spark, events):
+    ev = events.select("user_id", "ts", "value")
     native = session_window_agg(ev, "ts", ["user_id"], "30 minutes", {"value": "count"})
     reconstructed = (
         sessionize(ev, "ts", "user_id", gap_minutes=30)
