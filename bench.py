@@ -28,7 +28,7 @@ BENCH_QUERIES = [
     "minhash_dedup_documents",
     "cosine_topk_bruteforce",
     "text_stats_documents",
-    "window_tumbling_events",
+    "window_tumbling_sliding_events",
 ]
 
 

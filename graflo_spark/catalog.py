@@ -421,16 +421,24 @@ def edge_lineitem_part_weights(spark, sf_dir):
 
 
 @q(
-    "edge_homogeneous_star",
+    "edge_homogeneous_star_combinations",
     "WITH m AS (SELECT c_nationkey, MIN(c_custkey) AS first_key FROM customer GROUP BY c_nationkey) "
-    "SELECT m.first_key AS _src_c_custkey, c.c_custkey AS _dst_c_custkey "
-    "FROM customer c JOIN m ON c.c_nationkey = m.c_nationkey AND c.c_custkey <> m.first_key",
+    "SELECT 'star' AS casting, m.first_key AS _src_c_custkey, c.c_custkey AS _dst_c_custkey "
+    "FROM customer c JOIN m ON c.c_nationkey = m.c_nationkey AND c.c_custkey <> m.first_key "
+    "UNION ALL "
+    "SELECT 'combinations', a.c_custkey, b.c_custkey "
+    "FROM customer a JOIN customer b "
+    "ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey",
 )
-def edge_homogeneous_star(spark, sf_dir):
-    """Homogeneous (self-type) edge: star from the first location — emitter =
-    lexicographically-minimal location, receivers = the rest (reference
-    _iter_emitter_receiver_group_pairs, edge_render.py:184-212). Built over
-    nested docs: one doc per nation holding its customers array."""
+def edge_homogeneous_star_combinations(spark, sf_dir):
+    """Homogeneous (self-type) edge castings over nested docs (one doc per
+    nation holding its sorted customers array), one driver row via a casting
+    column. ``star``: emitter = lexicographically-minimal location,
+    receivers = the rest (reference _iter_emitter_receiver_group_pairs,
+    edge_render.py:184-212). ``combinations``: unordered item pairs within
+    the document (edge_render.py:89-99,215-228 — combinations(2) over
+    co-located items); members arrays are sorted, so position order ==
+    custkey order and the oracle is a plain a<b self-join."""
     cust = load(spark, sf_dir, "customer")
     docs = cust.groupBy("c_nationkey").agg(
         F.sort_array(F.collect_list(F.struct("c_custkey", "c_name"))).alias("members")
@@ -440,13 +448,19 @@ def edge_homogeneous_star(spark, sf_dir):
                          identity=["c_custkey"])],
         edges=[Edge("customer", "customer")],
     )
-    res = ResourceConfig("nations", steps=[
-        DescendStep(key="members", steps=[VertexStep(name="customer")]),
-        EdgeStep.single(source="customer", target="customer"),
-    ], infer_edges=False, doc_key=["c_nationkey"])
-    b = compile_resource(schema, res, docs)
-    eid = list(b.edges)[0]
-    return b.edges[eid]
+    parts = []
+    for label, casting in (("star", None), ("combinations", "combinations")):
+        res = ResourceConfig("nations", steps=[
+            DescendStep(key="members", steps=[VertexStep(name="customer")]),
+            EdgeStep.single(source="customer", target="customer",
+                            casting=casting),
+        ], infer_edges=False, doc_key=["c_nationkey"])
+        b = compile_resource(schema, res, docs)
+        eid = list(b.edges)[0]
+        parts.append(b.edges[eid].select(
+            F.lit(label).alias("casting"),
+            "_src_c_custkey", "_dst_c_custkey"))
+    return parts[0].unionByName(parts[1])
 
 
 @q(
@@ -560,85 +574,68 @@ def _nation_supplier_edges(spark, sf_dir):
 
 
 @q(
-    "secondary_identity_all",
-    "SELECT n_nationkey AS _src_n_nationkey, s_suppkey AS _dst_s_suppkey "
-    "FROM nation JOIN supplier ON s_nationkey = n_nationkey",
-)
-def secondary_identity_all(spark, sf_dir):
-    """Secondary-identity endpoint resolution, policy=all (natural join
-    multiplicity; SURVEY §1.4 / §2.5; reference hq/endpoint_resolve.py)."""
-    from graflo_spark.resolve import resolve_endpoints
-
-    edges, supplier = _nation_supplier_edges(spark, sf_dir)
-    out = resolve_endpoints(edges, supplier, ["s_nationkey"], ["s_suppkey"],
-                            side="dst", policy="all")
-    return out.select("_src_n_nationkey", "_dst_s_suppkey")
-
-
-@q(
-    "secondary_identity_first",
-    "SELECT n_nationkey AS _src_n_nationkey, s_suppkey AS _dst_s_suppkey "
+    "secondary_identity_policies",
+    "SELECT 'all' AS policy, n_nationkey AS _src_n_nationkey, s_suppkey AS _dst_s_suppkey "
+    "FROM nation JOIN supplier ON s_nationkey = n_nationkey "
+    "UNION ALL "
+    "SELECT 'first', n_nationkey, s_suppkey "
     "FROM nation JOIN (SELECT s_nationkey, s_suppkey FROM supplier "
     "QUALIFY row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) = 1) "
-    "ON s_nationkey = n_nationkey",
-)
-def secondary_identity_first(spark, sf_dir):
-    """policy=first: deterministic first match via row_number (reference
-    ambiguity policy, graflo/onto.py:176-188)."""
-    from graflo_spark.resolve import resolve_endpoints
-
-    edges, supplier = _nation_supplier_edges(spark, sf_dir)
-    out = resolve_endpoints(edges, supplier, ["s_nationkey"], ["s_suppkey"],
-                            side="dst", policy="first")
-    return out.select("_src_n_nationkey", "_dst_s_suppkey")
-
-
-@q(
-    "secondary_identity_skip",
-    "SELECT n_nationkey AS _src_n_nationkey, s_suppkey AS _dst_s_suppkey "
+    "ON s_nationkey = n_nationkey "
+    "UNION ALL "
+    "SELECT 'skip', n_nationkey, s_suppkey "
     "FROM nation JOIN (SELECT s_nationkey, s_suppkey FROM supplier "
     "QUALIFY COUNT(*) OVER (PARTITION BY s_nationkey) = 1) "
     "ON s_nationkey = n_nationkey",
 )
-def secondary_identity_skip(spark, sf_dir):
-    """policy=skip: ambiguous secondary keys dropped entirely."""
+def secondary_identity_policies(spark, sf_dir):
+    """Secondary-identity endpoint resolution under every ambiguity policy
+    (SURVEY §1.4 / §2.5; reference hq/endpoint_resolve.py + graflo/
+    onto.py:176-188): ``all`` keeps natural join multiplicity, ``first``
+    keeps the deterministic first match (row_number), ``skip`` drops
+    ambiguous keys entirely. One driver row proves all three policies
+    (the ``error`` policy raises and is unit-tested). Merged from three
+    r2 entries so every §2 proof fits the driver's 50-query window."""
     from graflo_spark.resolve import resolve_endpoints
 
     edges, supplier = _nation_supplier_edges(spark, sf_dir)
-    out = resolve_endpoints(edges, supplier, ["s_nationkey"], ["s_suppkey"],
-                            side="dst", policy="skip")
-    return out.select("_src_n_nationkey", "_dst_s_suppkey")
+    parts = []
+    for policy in ("all", "first", "skip"):
+        out = resolve_endpoints(edges, supplier, ["s_nationkey"], ["s_suppkey"],
+                                side="dst", policy=policy)
+        parts.append(out.select(
+            F.lit(policy).alias("policy"),
+            "_src_n_nationkey", "_dst_s_suppkey"))
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
 @q(
-    "anti_join_absent_customers",
-    "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
-    "(SELECT o_custkey FROM orders)",
+    "semi_anti_existence_joins",
+    "SELECT 'present_part' AS kind, p_partkey AS item_key FROM part "
+    "WHERE p_partkey IN (SELECT l_partkey FROM lineitem) "
+    "UNION ALL SELECT 'absent_customer', c_custkey FROM customer "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
 )
-def anti_join_absent(spark, sf_dir):
-    """keep_absent_documents: left-anti existence join (SURVEY §2.5/§2.8;
-    reference db/conn.py:636-656)."""
-    from graflo_spark.resolve import keep_absent
-
-    cust = load(spark, sf_dir, "customer").select(F.col("c_custkey"))
-    orders = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"))
-    return keep_absent(cust, orders, ["c_custkey"])
-
-
-@q(
-    "semi_join_present_parts",
-    "SELECT p_partkey FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)",
-)
-def semi_join_present(spark, sf_dir):
-    """fetch_present_documents: left-semi existence join (reference
-    db/conn.py:529-553)."""
-    from graflo_spark.resolve import fetch_present
+def semi_anti_existence_joins(spark, sf_dir):
+    """Existence joins, both polarities in one driver row (SURVEY §2.5/§2.8):
+    fetch_present_documents = left-semi (reference db/conn.py:529-553),
+    keep_absent_documents = left-anti (db/conn.py:636-656)."""
+    from graflo_spark.resolve import fetch_present, keep_absent
 
     part = load(spark, sf_dir, "part").select("p_partkey")
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p_partkey"))
-    return fetch_present(part, li, ["p_partkey"])
+    present = fetch_present(part, li, ["p_partkey"]).select(
+        F.lit("present_part").alias("kind"),
+        F.col("p_partkey").alias("item_key"))
+
+    cust = load(spark, sf_dir, "customer").select(F.col("c_custkey"))
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    absent = keep_absent(cust, orders, ["c_custkey"]).select(
+        F.lit("absent_customer").alias("kind"),
+        F.col("c_custkey").alias("item_key"))
+    return present.unionByName(absent)
 
 
 @q(
@@ -675,32 +672,28 @@ def agg_count_by_segment(spark, sf_dir):
 
 
 @q(
-    "agg_sorted_unique_priorities",
-    "SELECT array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS agg_value FROM orders",
-)
-def agg_sorted_unique(spark, sf_dir):
-    """SORTED_UNIQUE aggregate -> sort_array(collect_set) (reference AggFn,
-    graflo/onto.py:120-137), string-joined for engine-neutral comparison."""
-    view = star_view(spark, sf_dir)
-    out = view.aggregate("order", AggFn.SORTED_UNIQUE,
-                         aggregated_field="o_orderpriority")
-    return out.select(F.array_join("agg_value", ",").alias("agg_value"))
-
-
-@q(
-    "agg_stats_acctbal",
+    "agg_stats_and_sorted_unique",
     "SELECT CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal, CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal, "
-    + davg_sql("c_acctbal") + " AS avg_bal, COUNT(*) AS n FROM customer",
+    + davg_sql("c_acctbal") + " AS avg_bal, COUNT(*) AS n, "
+    "(SELECT array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') FROM orders) "
+    "AS priorities FROM customer",
 )
-def agg_stats_acctbal(spark, sf_dir):
-    """MIN/MAX/AVERAGE aggregates with a decimal-exact average."""
+def agg_stats_and_sorted_unique(spark, sf_dir):
+    """MIN/MAX/AVERAGE aggregates (decimal-exact average) plus the
+    SORTED_UNIQUE aggregate -> sort_array(collect_set) (reference AggFn,
+    graflo/onto.py:120-137) in one single-row driver proof."""
+    view = star_view(spark, sf_dir)
+    uniq = view.aggregate("order", AggFn.SORTED_UNIQUE,
+                          aggregated_field="o_orderpriority"
+                          ).select(F.array_join("agg_value", ",").alias("priorities"))
     cust = load(spark, sf_dir, "customer")
-    return cust.agg(
+    stats = cust.agg(
         F.min("c_acctbal").alias("min_bal"),
         F.max("c_acctbal").alias("max_bal"),
         davg("c_acctbal").alias("avg_bal"),
         F.count(F.lit(1)).alias("n"),
     )
+    return stats.crossJoin(uniq)
 
 
 @q(
@@ -836,16 +829,34 @@ def select_spec_join_view(spark, sf_dir):
 
 # ------------------------------------------------- LLM-pipeline: text ops
 
+_QUALITY_TOKENS = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+                   "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+_QUALITY_STOPS = rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ts.STOPWORDS['en'])})\b', 1))"
+
+
 @q(
     "text_stats_documents",
-    "SELECT doc_id, length(text) AS n_chars_actual, "
-    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
-    "sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint "
-    "FROM documents",
+    "WITH s AS (SELECT doc_id, text, "
+    f"{_QUALITY_TOKENS} AS n_tok, {_QUALITY_STOPS} AS n_stop, "
+    "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) "
+    "/ greatest(length(text), 1) AS pr FROM documents) "
+    "SELECT doc_id, length(text) AS n_chars_actual, n_tok AS n_tokens, "
+    "sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint, "
+    "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe, "
+    "ROUND(pr, 6) AS punct_ratio, "
+    "ROUND(((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) + "
+    "(CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.0 END) + "
+    "(CASE WHEN CAST(n_stop AS DOUBLE) / greatest(n_tok, 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)"
+    ") / 3.0, 6) AS quality FROM s",
 )
 def text_stats_documents(spark, sf_dir):
-    """Text analysis: char/token counts + normalized content fingerprint
-    (north-star text ops; oracle restricted to the RE2∩Java regex subset)."""
+    """Text analysis suite in one driver row (north-star text ops; oracle
+    restricted to the RE2∩Java regex subset): char/whitespace-token counts +
+    normalized content fingerprint, plus the quality-scoring side — BPE-ish
+    subword token estimate (alnum runs + isolated punctuation), punctuation
+    ratio, and the [0,1] quality score composed from length-band /
+    punctuation / stopword-presence gates (the pre-training quality
+    filters). All native Column exprs, no UDFs."""
     df = load(spark, sf_dir, "documents")
     t = F.col("text")
     return df.select(
@@ -853,6 +864,9 @@ def text_stats_documents(spark, sf_dir):
         F.length(t).alias("n_chars_actual"),
         ts.token_count(t).alias("n_tokens"),
         ts.fingerprint(t).alias("fingerprint"),
+        ts.bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.round(ts.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(ts.quality_score(t), 6).alias("quality"),
     )
 
 
@@ -884,26 +898,31 @@ def lang_id_documents(spark, sf_dir):
 
 @q(
     "dedup_exact_documents",
-    "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    "SELECT 'exact' AS method, sha256(text) AS group_key, "
+    "MIN(doc_id) AS doc_id, COUNT(*) AS n_members FROM documents GROUP BY text "
+    "UNION ALL "
+    "SELECT 'fingerprint', sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), "
+    "MIN(doc_id), COUNT(*) FROM documents GROUP BY 2",
 )
 def dedup_exact_documents(spark, sf_dir):
-    """Exact dedup: hash-groupBy with deterministic representative."""
-    return dd.exact_dedup(load(spark, sf_dir, "documents"), ["text"], "doc_id")
-
-
-@q(
-    "dedup_fingerprint_documents",
-    "SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint, "
-    "MIN(doc_id) AS doc_id, COUNT(*) AS n_members FROM documents GROUP BY 1",
-)
-def dedup_fingerprint_documents(spark, sf_dir):
-    """Normalized-fingerprint dedup groups with member counts."""
+    """Exact dedup (hash-groupBy on raw text, deterministic min-id
+    representative) and normalized-fingerprint dedup groups with member
+    counts, one driver row each via a method column. The exact branch keys
+    the output by sha256(text) only for engine-neutral display; the operator
+    groups on the raw text."""
     df = load(spark, sf_dir, "documents")
-    return (
+    exact = dd.exact_dedup(df, ["text"], "doc_id", with_counts=True).select(
+        F.lit("exact").alias("method"),
+        F.sha2(F.col("text"), 256).alias("group_key"),
+        "doc_id", "n_members")
+    finger = (
         df.withColumn("fingerprint", ts.fingerprint(F.col("text")))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_members"))
+        .select(F.lit("fingerprint").alias("method"),
+                F.col("fingerprint").alias("group_key"), "doc_id", "n_members")
     )
+    return exact.unionByName(finger)
 
 
 @q(
@@ -1050,16 +1069,31 @@ _LSH_TOPK_ORACLE = (
 )
 
 
-@q("lsh_topk_embeddings", _LSH_TOPK_ORACLE)
-def lsh_topk_embeddings(spark, sf_dir):
-    """Hyperplane-LSH bucketed approximate top-k (the 100 TB scale path).
-    The deterministic splitmix planes let the DuckDB oracle reproduce the
-    bucket assignment exactly and brute-force within buckets."""
+@q(
+    "ann_topk_embeddings",
+    "SELECT 'ivf' AS method, * FROM (" + _BRUTE_TOPK_ORACLE + ") "
+    "UNION ALL SELECT 'lsh', * FROM (" + _LSH_TOPK_ORACLE + ")",
+)
+def ann_topk_embeddings(spark, sf_dir):
+    """Both approximate-nearest-neighbor scale paths in one driver row.
+    ``ivf``: KMeans-partitioned corpus, probe the nearest centroids per
+    query — graded at the n_probe == n_centroids recall-1 point so the
+    brute-force SQL is an exact oracle (every cluster probed, so the KMeans
+    partitioning, whose cluster ids no SQL engine reproduces, can't change
+    the result; what's verified is the IVF machinery: assignment, probe
+    join, ranking — the pruned n_probe < n_centroids path is recall-tested
+    in tests/). ``lsh``: hyperplane-LSH bucketed top-k; the deterministic
+    splitmix planes let DuckDB reproduce bucket assignment exactly and
+    brute-force within buckets."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = ss.lsh_topk(queries, emb, k=5, n_planes=8)
-    return out.select("query_id", "neighbor_id",
-                      F.round("cosine", 6).alias("cosine"), "rank")
+    ivf = ss.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=8).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"), "rank")
+    lsh = ss.lsh_topk(queries, emb, k=5, n_planes=8).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"), "rank")
+    return ivf.unionByName(lsh)
 
 
 _NEAR_DUP_EXACT_ORACLE = (
@@ -1088,14 +1122,10 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@q("embedding_near_dup_exact", _NEAR_DUP_EXACT_ORACLE)
-def embedding_near_dup_exact(spark, sf_dir):
-    """Exact all-pairs embedding near-dup (correctness baseline for the
-    banded-LSH scale path). Double-cast before the dot product keeps Spark
-    and DuckDB bit-identical pre-round."""
-    emb = load(spark, sf_dir, "embeddings")
-    out = dd.embedding_near_dup_exact(emb, "vec_id", "embedding", threshold=0.4)
-    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+# The exact all-pairs twin (dd.embedding_near_dup_exact) shares this oracle:
+# the banded-LSH entry above is already graded against the exact all-pairs
+# SQL, so a separate registry row added nothing — the Spark-side
+# exact-vs-LSH equality lives in tests/test_simsearch_fp.py instead.
 
 
 # Multimodal oracle: the synthetic payload is utf-8 'payload-<id>' and the
@@ -1141,43 +1171,90 @@ def _events_ts(spark, sf_dir):
 
 
 @q(
-    "window_tumbling_events",
-    "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch, "
-    "event_type, COUNT(*) AS n, " + dsum_sql("value") + " AS sum_value "
-    "FROM events GROUP BY 1, 2",
+    "window_tumbling_sliding_events",
+    "WITH w AS (SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS ws, event_type, value FROM events "
+    "UNION ALL SELECT 'sliding', date_trunc('hour', ts), event_type, value FROM events "
+    "UNION ALL SELECT 'sliding', date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events) "
+    "SELECT kind, CAST(epoch(ws) AS BIGINT) AS window_start_epoch, event_type, "
+    "COUNT(*) AS n, " + dsum_sql("value") + " AS sum_value FROM w GROUP BY 1, 2, 3",
 )
-def window_tumbling_events(spark, sf_dir):
-    """Tumbling event-time window aggregation (net-new streaming capability,
-    FIXTURES §7; batch twin of the watermarked streaming op — same
-    semantics, oracle-checkable)."""
-    from graflo_spark.streaming import tumbling_window_agg
+def window_tumbling_sliding_events(spark, sf_dir):
+    """Tumbling (1h) and sliding/hopping (2h width, 1h hop — every event in
+    two windows) event-time window aggregations, one driver row via a kind
+    column (net-new streaming capability, FIXTURES §7; batch twins of the
+    watermarked streaming ops — identical semantics, oracle-checkable).
+    Window starts and counts come FROM the operator outputs; only the
+    decimal-exact value sums (which the generic agg surface computes as
+    plain doubles) are joined in from an equivalent grouping so the hash
+    comparison is order-independent."""
+    from graflo_spark.streaming import sliding_window_agg, tumbling_window_agg
 
     ev = _events_ts(spark, sf_dir)
-    out = tumbling_window_agg(ev, "ts", "1 hour", ["event_type"],
-                              {"value": "count"})
-    # recompute count+decimal-exact sum on the windowed frame
-    ev2 = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("w"), "event_type").agg(
-        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
-    return ev2.select(
+    tum = tumbling_window_agg(ev, "ts", "1 hour", ["event_type"],
+                              {"value": "count"}).select(
+        F.lit("tumbling").alias("kind"),
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type", F.col("count_value").alias("n"))
+    sli = sliding_window_agg(ev, "ts", "2 hours", "1 hour", ["event_type"],
+                             {"value": "count"}).select(
+        F.lit("sliding").alias("kind"),
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type", F.col("count_value").alias("n"))
+    ops = tum.unionByName(sli)
+
+    hour = F.date_trunc("hour", F.col("ts"))
+    t_sum = ev.groupBy(hour.alias("w"), "event_type").agg(
+        dsum("value").alias("sum_value")).select(
+        F.lit("tumbling").alias("kind"),
         F.unix_timestamp("w").alias("window_start_epoch"),
-        "event_type", "n", "sum_value")
+        "event_type", "sum_value")
+    hops = ev.select(hour.alias("w"), "event_type", "value").unionByName(
+        ev.select((hour - F.expr("INTERVAL 1 HOUR")).alias("w"),
+                  "event_type", "value"))
+    s_sum = hops.groupBy("w", "event_type").agg(
+        dsum("value").alias("sum_value")).select(
+        F.lit("sliding").alias("kind"),
+        F.unix_timestamp("w").alias("window_start_epoch"),
+        "event_type", "sum_value")
+    sums = t_sum.unionByName(s_sum)
+    return ops.join(sums, ["kind", "window_start_epoch", "event_type"])
 
 
 @q(
     "sessionize_events",
-    "WITH g AS (SELECT user_id, CASE WHEN lag_ts IS NULL OR ts - lag_ts > INTERVAL 30 MINUTE "
-    "THEN 1 ELSE 0 END AS brk FROM (SELECT user_id, ts, "
-    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS lag_ts FROM events)) "
-    "SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions FROM g GROUP BY user_id",
+    "WITH g AS (SELECT user_id, ts, CASE WHEN lag_ts IS NULL OR "
+    "epoch(ts) - epoch(lag_ts) > 1800 THEN 1 ELSE 0 END AS brk "
+    "FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "AS lag_ts FROM events)), "
+    "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+    "per_session AS (SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) "
+    "AS session_start_epoch, COUNT(*) AS n_events FROM s GROUP BY user_id, sid) "
+    "SELECT method, user_id, session_start_epoch, n_events FROM per_session "
+    "CROSS JOIN (VALUES ('lag'), ('native')) m(method)",
 )
 def sessionize_events(spark, sf_dir):
-    """Sessionization: 30-min inactivity gap (lag + cumulative break-sum;
-    net-new streaming-adjacent operator, FIXTURES §7)."""
-    from graflo_spark.streaming import sessionize
+    """Sessionization with a 30-min inactivity gap, by BOTH implementations
+    in one driver row: ``lag`` = lag + cumulative break-sum reconstruction
+    (the batch form, FIXTURES §7), ``native`` = F.session_window (the
+    streaming-idiomatic twin). The oracle computes the lag reconstruction
+    once and expects the two methods to produce identical per-session rows
+    — hash equality IS the batch/native parity proof."""
+    from graflo_spark.streaming import session_window_agg, sessionize
 
     ev = _events_ts(spark, sf_dir)
     s = sessionize(ev, "ts", "user_id", gap_minutes=30)
-    return s.groupBy("user_id").agg(F.max("session_id").cast("long").alias("n_sessions"))
+    lag_sessions = s.groupBy("user_id", "session_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(F.lit("lag").alias("method"), "user_id",
+             "session_start_epoch", "n_events")
+    native = session_window_agg(ev, "ts", ["user_id"], "30 minutes",
+                                {"value": "count"}).select(
+        F.lit("native").alias("method"), "user_id",
+        F.unix_timestamp("session_start").alias("session_start_epoch"),
+        F.col("count_value").alias("n_events"))
+    return lag_sessions.unionByName(native)
 
 
 # --------------------------------------------------- analytics headliners
@@ -1278,45 +1355,49 @@ _UNIQ_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
 
 
 @q(
-    "infer_uniqueness_customer",
+    "infer_identity_keys",
     " UNION ALL ".join(
-        f"SELECT '{c}' AS column_name, COUNT(DISTINCT {c}) AS n_distinct, "
-        f"COUNT({c}) AS n_nonnull, COUNT(*) AS n_rows, "
+        f"SELECT 'uniqueness' AS kind, '{c}' AS name, COUNT(*) AS n_rows, "
+        f"COUNT(DISTINCT {c}) AS n_distinct, COUNT({c}) AS n_nonnull, "
         f"CAST(COUNT(DISTINCT {c}) AS DOUBLE) / COUNT(*) AS uniqueness FROM customer"
         for c in _UNIQ_COLS
-    ),
+    )
+    + " UNION ALL SELECT 'identity_proposal', 'o_orderkey', COUNT(*), "
+    "COUNT(DISTINCT o_orderkey), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE) "
+    "FROM orders",
 )
-def infer_uniqueness_customer(spark, sf_dir):
-    """Identity-key discovery evidence: per-column uniqueness ratios in one
-    aggregate pass (reference db/identity_inference.py)."""
+def infer_identity_keys(spark, sf_dir):
+    """Identity-key discovery, evidence and decision in one driver row
+    (reference db/identity_inference.py). ``uniqueness`` rows: per-column
+    uniqueness ratios over customer in one aggregate pass. The
+    ``identity_proposal`` row: greedy composite-key proposal over orders —
+    most selective no-null candidate first, extend until unique; the walk
+    terminates at the natural key immediately, scale-factor-agnostic, so
+    the oracle holds at every sf (lineitem's multi-step walk is covered by
+    unit tests at a pinned sf). The oracle re-proves key uniqueness."""
     from graflo_spark import infer
 
-    return infer.column_uniqueness(load(spark, sf_dir, "customer"), _UNIQ_COLS)
-
-
-@q(
-    "infer_identity_orders",
-    "SELECT 'o_orderkey' AS proposed_identity, COUNT(*) AS n_rows, "
-    "COUNT(DISTINCT o_orderkey) AS n_distinct_key FROM orders",
-)
-def infer_identity_orders(spark, sf_dir):
-    """Greedy composite-key proposal (reference identity inference): most
-    selective no-null candidate first, extend until unique. On orders the
-    walk terminates at the natural key immediately — scale-factor-agnostic,
-    so the oracle holds at every sf (lineitem's multi-step walk is covered
-    by unit tests at a pinned sf). The oracle re-proves key uniqueness."""
-    from graflo_spark import infer
+    uniq = infer.column_uniqueness(
+        load(spark, sf_dir, "customer"), _UNIQ_COLS).select(
+        F.lit("uniqueness").alias("kind"),
+        F.col("column_name").alias("name"),
+        "n_rows", "n_distinct", "n_nonnull", "uniqueness")
 
     df = load(spark, sf_dir, "orders")
     key = infer.propose_identity(
         df, ["o_orderkey", "o_custkey", "o_orderstatus"], max_width=3
     )
-    return df.agg(
+    proposal = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct(*key).alias("n_distinct_key"),
+        F.countDistinct(*key).alias("n_distinct"),
     ).select(
-        F.lit(",".join(key)).alias("proposed_identity"), "n_rows", "n_distinct_key"
+        F.lit("identity_proposal").alias("kind"),
+        F.lit(",".join(key)).alias("name"),
+        "n_rows", "n_distinct",
+        F.lit(None).cast("long").alias("n_nonnull"),
+        F.lit(None).cast("double").alias("uniqueness"),
     )
+    return uniq.unionByName(proposal)
 
 
 _FK_CANDS = [
@@ -1538,16 +1619,26 @@ def infer_manifest_graph_counts(spark, sf_dir):
 # ------------------------------------------------------- more sources (§2.1)
 
 @q(
-    "rdf_pivot_nation",
-    "SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS _uri, "
-    "n_name AS name, CAST(n_regionkey AS VARCHAR) AS region FROM nation",
+    "rdf_sparql_pivot_nation",
+    "SELECT 'file' AS source, 'nation/' || CAST(n_nationkey AS VARCHAR) AS _uri, "
+    "n_name AS name, CAST(n_regionkey AS VARCHAR) AS region FROM nation "
+    "UNION ALL "
+    "SELECT 'sparql', 'http://ex/nation/' || CAST(n_nationkey AS VARCHAR), "
+    "n_name, CAST(n_regionkey AS VARCHAR) FROM nation",
 )
-def rdf_pivot_nation(spark, sf_dir):
-    """RDF source shape: triples grouped by subject -> flat docs
-    (reference data_source/rdf.py). Triples are derived from the nation
-    table, then pivoted back with explicit predicate values (no discovery
-    job at scale)."""
-    from graflo_spark.io import triples_to_docs
+def rdf_sparql_pivot_nation(spark, sf_dir):
+    """Both RDF ingress paths in one driver row. ``file``: triples grouped
+    by subject -> flat docs (reference data_source/rdf.py) with explicit
+    predicate values (no discovery job at scale). ``sparql``: the endpoint
+    source (reference SparqlEndpointDataSource, data_source/rdf.py:261-424)
+    — a fake endpoint pages triple bindings with LIMIT/OFFSET over an
+    ORDER BY ?s query, the groupBy-pivot is the subject merge; paged small
+    enough that pagination is actually exercised."""
+    from graflo_spark.io import (
+        SparqlSourceConfig,
+        read_sparql_source,
+        triples_to_docs,
+    )
 
     nat = load(spark, sf_dir, "nation")
     triples = nat.selectExpr(
@@ -1555,28 +1646,12 @@ def rdf_pivot_nation(spark, sf_dir):
         "stack(2, 'name', n_name, 'region', CAST(n_regionkey AS STRING)) "
         "AS (predicate, object)",
     )
-    return triples_to_docs(triples, predicates=["name", "region"])
+    file_docs = triples_to_docs(triples, predicates=["name", "region"]).select(
+        F.lit("file").alias("source"), "_uri", "name", "region")
 
-
-@q(
-    "sparql_pivot_nation",
-    "SELECT 'http://ex/nation/' || CAST(n_nationkey AS VARCHAR) AS _uri, "
-    "CAST(n_nationkey AS VARCHAR) AS _key, "
-    "n_name AS name, CAST(n_regionkey AS VARCHAR) AS region FROM nation",
-)
-def sparql_pivot_nation(spark, sf_dir):
-    """SPARQL endpoint source (reference SparqlEndpointDataSource,
-    data_source/rdf.py:261-424): a fake endpoint pages triple bindings with
-    LIMIT/OFFSET over an ORDER BY ?s query; the groupBy-pivot is the
-    subject merge. The endpoint serves bindings derived from the nation
-    table, paged small enough that pagination is actually exercised."""
-    from graflo_spark.io import SparqlSourceConfig, read_sparql_source
-
-    nat = load(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    ).collect()
+    rows = nat.select("n_nationkey", "n_name", "n_regionkey").collect()
     bindings = []
-    for r in sorted(nat, key=lambda r: f"http://ex/nation/{r.n_nationkey}"):
+    for r in sorted(rows, key=lambda r: f"http://ex/nation/{r.n_nationkey}"):
         s = f"http://ex/nation/{r.n_nationkey}"
         bindings.append({"s": s, "p": "name", "o": r.n_name})
         bindings.append({"s": s, "p": "region", "o": str(r.n_regionkey)})
@@ -1589,9 +1664,10 @@ def sparql_pivot_nation(spark, sf_dir):
         return bindings[offset:offset + limit]
 
     cfg = SparqlSourceConfig(endpoint_url="http://ex/sparql", page_size=16)
-    return read_sparql_source(
+    sparql_docs = read_sparql_source(
         spark, execute, cfg, predicates=["name", "region"]
-    )
+    ).select(F.lit("sparql").alias("source"), "_uri", "name", "region")
+    return file_docs.unionByName(sparql_docs)
 
 
 @q(
@@ -1639,36 +1715,6 @@ def auto_join_enriched_customer(spark, sf_dir):
 # ------------------------------------------- edge machinery extensions (§2.3)
 
 @q(
-    "edge_homogeneous_combinations",
-    "SELECT a.c_custkey AS _src_c_custkey, b.c_custkey AS _dst_c_custkey "
-    "FROM customer a JOIN customer b "
-    "ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey",
-)
-def edge_homogeneous_combinations(spark, sf_dir):
-    """COMBINATIONS casting for self-edges: unordered item pairs within the
-    document (reference edge_render.py:89-99,215-228 — combinations(2) over
-    co-located items). Members arrays are sorted, so position order ==
-    custkey order and the oracle is a plain a<b self-join."""
-    cust = load(spark, sf_dir, "customer")
-    docs = cust.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_list(F.struct("c_custkey", "c_name"))).alias("members")
-    )
-    schema = CoreSchema(
-        vertices=[Vertex("customer", [Field("c_custkey", FieldType.INT)],
-                         identity=["c_custkey"])],
-        edges=[Edge("customer", "customer")],
-    )
-    res = ResourceConfig("nations", steps=[
-        DescendStep(key="members", steps=[VertexStep(name="customer")]),
-        EdgeStep.single(source="customer", target="customer",
-                        casting="combinations"),
-    ], infer_edges=False, doc_key=["c_nationkey"])
-    b = compile_resource(schema, res, docs)
-    eid = list(b.edges)[0]
-    return b.edges[eid]
-
-
-@q(
     "edge_vertex_weights_nation",
     "SELECT s_suppkey AS _src_s_suppkey, s_nationkey AS _dst_n_nationkey, "
     "n_name AS \"nation@n_name\" "
@@ -1698,41 +1744,86 @@ def edge_vertex_weights_nation(spark, sf_dir):
 # --------------------------------------------------- store / sink ops (§2.2)
 
 @q(
-    "store_upsert_roundtrip",
-    "SELECT c_custkey, "
-    "CASE WHEN c_custkey <= 500 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal, "
-    "c_mktsegment FROM customer",
+    "store_roundtrip_semantics",
+    "SELECT 'vertex_upsert' AS op, c_custkey AS k1, CAST(NULL AS BIGINT) AS k2, "
+    "CASE WHEN c_custkey <= 500 THEN c_acctbal + 100.0 ELSE c_acctbal END AS val, "
+    "c_mktsegment AS tag FROM customer "
+    "UNION ALL "
+    "SELECT 'edge_on_duplicate', o_orderkey, o_custkey, "
+    "CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 5.0 ELSE o_totalprice END, "
+    "CAST(NULL AS VARCHAR) FROM orders",
 )
-def store_upsert_roundtrip(spark, sf_dir):
-    """Upsert-on-identity semantics end-to-end: write base vertices, upsert
-    an overlay (updated balances, NULL segment), read back. Newer fields win
-    but NULLs never clobber existing values (reference merge-on-keys reload,
-    db/conn.py:390-404)."""
+def store_roundtrip_semantics(spark, sf_dir):
+    """GraphStore write semantics end-to-end, both sinks in one driver row.
+    ``vertex_upsert``: write base vertices, upsert an overlay (updated
+    balances, NULL segment), read back — newer fields win but NULLs never
+    clobber existing values (reference merge-on-keys reload,
+    db/conn.py:390-404). ``edge_on_duplicate``: base edge insert, an
+    ``ignore`` overlay (old property values win), then an ``upsert``
+    overlay (new values win), read back (reference insert_edges_batch,
+    db/conn.py:406-441)."""
     import tempfile
 
+    from graflo_spark.manifest import EdgeId
     from graflo_spark.store import GraphStore
 
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment")
-    schema = CoreSchema(vertices=[Vertex(
+    vschema = CoreSchema(vertices=[Vertex(
         "customer",
         [Field("c_custkey", FieldType.INT), Field("c_acctbal", FieldType.DOUBLE),
          Field("c_mktsegment")],
         identity=["c_custkey"])])
-    # the snapshot dir must outlive this call (the caller consumes the lazy
+    # the snapshot dirs must outlive this call (the caller consumes the lazy
     # DataFrame); tiny, and mkdtemp under the system tmp is reaped by the OS
-    root = tempfile.mkdtemp(prefix="graflo_store_")
-    store = GraphStore(spark, root, schema)
-    store.apply_target_schema()
-    store.upsert_vertices("customer", cust)
+    vroot = tempfile.mkdtemp(prefix="graflo_store_")
+    vstore = GraphStore(spark, vroot, vschema)
+    vstore.apply_target_schema()
+    vstore.upsert_vertices("customer", cust)
     overlay = cust.filter(F.col("c_custkey") <= 500).select(
         "c_custkey",
         (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
         F.lit(None).cast("string").alias("c_mktsegment"),
     )
-    store.upsert_vertices("customer", overlay)
-    return store.read_vertices("customer").select(
-        "c_custkey", "c_acctbal", "c_mktsegment")
+    vstore.upsert_vertices("customer", overlay)
+    vertices = vstore.read_vertices("customer").select(
+        F.lit("vertex_upsert").alias("op"),
+        F.col("c_custkey").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("c_acctbal").cast("double").alias("val"),
+        F.col("c_mktsegment").alias("tag"))
+
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("_src_o_orderkey"),
+        F.col("o_custkey").alias("_dst_c_custkey"),
+        F.col("o_totalprice"),
+    )
+    eschema = CoreSchema(
+        vertices=[
+            Vertex("order", [Field("o_orderkey", FieldType.INT)], identity=["o_orderkey"]),
+            Vertex("customer", [Field("c_custkey", FieldType.INT)], identity=["c_custkey"]),
+        ],
+        edges=[Edge("order", "customer", relation="placed_by",
+                    properties=[Field("o_totalprice", FieldType.DOUBLE)])],
+    )
+    eid = EdgeId("order", "customer", "placed_by")
+    eroot = tempfile.mkdtemp(prefix="graflo_edges_")
+    estore = GraphStore(spark, eroot, eschema)
+    estore.apply_target_schema()
+    estore.insert_edges(eid, base)
+    ignored = base.filter(F.col("_src_o_orderkey") <= 1000).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    estore.insert_edges(eid, ignored, on_duplicate="ignore")
+    upserted = base.filter(F.col("_src_o_orderkey") <= 1000).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5.0))
+    estore.insert_edges(eid, upserted, on_duplicate="upsert")
+    edges = estore.read_edges(eid).select(
+        F.lit("edge_on_duplicate").alias("op"),
+        F.col("_src_o_orderkey").cast("long").alias("k1"),
+        F.col("_dst_c_custkey").cast("long").alias("k2"),
+        F.col("o_totalprice").cast("double").alias("val"),
+        F.lit(None).cast("string").alias("tag"))
+    return vertices.unionByName(edges)
 
 
 # ----------------------------------------------- query surface addenda (§2.9)
@@ -1759,23 +1850,6 @@ def fetch_edges_nation_anchor(spark, sf_dir):
         direction=Direction.ANY, limit=100_000)
 
 
-# Graded at the n_probe == n_centroids recall-1 point so the brute-force SQL
-# is an exact oracle: every cluster is probed, so the KMeans partitioning
-# (whose cluster ids no SQL engine reproduces) can't change the result —
-# what's verified is the IVF machinery: assignment, probe join, ranking.
-# The pruned n_probe < n_centroids path is recall-tested in tests/.
-@q("ivf_topk_embeddings", _BRUTE_TOPK_ORACLE)
-def ivf_topk_embeddings(spark, sf_dir):
-    """IVF approximate top-k: KMeans-partitioned corpus, probe the nearest
-    centroids per query (the 100 TB scale path alongside LSH). Oracled at
-    the n_probe == n_centroids recall-1 configuration."""
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    out = ss.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=8)
-    return out.select("query_id", "neighbor_id",
-                      F.round("cosine", 6).alias("cosine"), "rank")
-
-
 _WINNOWING_ORACLE = (
     "WITH pos AS (SELECT doc_id, text, "
     "unnest(range(1, greatest(length(text) - 6, 1) + 1)) AS i FROM documents), "
@@ -1799,32 +1873,6 @@ def winnowing_fingerprints_documents(spark, sf_dir):
 
 
 # ------------------------------------------------- streaming addenda (§2.10)
-
-@q(
-    "window_sliding_events",
-    "WITH w AS (SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events "
-    "UNION ALL SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value "
-    "FROM events) "
-    "SELECT CAST(epoch(ws) AS BIGINT) AS window_start_epoch, event_type, "
-    "COUNT(*) AS n, " + dsum_sql("value") + " AS sum_value FROM w GROUP BY 1, 2",
-)
-def window_sliding_events(spark, sf_dir):
-    """Sliding (hopping) event-time windows, 2h width / 1h hop: each event
-    lands in two windows (net-new streaming capability; batch twin is
-    oracle-checkable — the oracle materializes the two hops as a UNION)."""
-    from graflo_spark.streaming import sliding_window_agg
-
-    ev = _events_ts(spark, sf_dir)
-    out = sliding_window_agg(ev, "ts", "2 hours", "1 hour", ["event_type"],
-                             {"value": "count"})
-    ev2 = (
-        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
-    )
-    return ev2.select(
-        F.unix_timestamp("w.start").alias("window_start_epoch"),
-        "event_type", "n", "sum_value")
-
 
 @q(
     "descend_any_key_customers",
@@ -1853,41 +1901,6 @@ def descend_any_key_customers(spark, sf_dir):
     ], infer_edges=False, doc_key=["c_nationkey"])
     b = compile_resource(schema, res, docs)
     return b.vertices["customer"].select("c_custkey")
-
-
-_QUALITY_TOKENS = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
-                   "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
-_QUALITY_STOPS = rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ts.STOPWORDS['en'])})\b', 1))"
-
-
-@q(
-    "text_quality_documents",
-    "WITH s AS (SELECT doc_id, text, "
-    f"{_QUALITY_TOKENS} AS n_tok, {_QUALITY_STOPS} AS n_stop, "
-    "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) "
-    "/ greatest(length(text), 1) AS pr FROM documents) "
-    "SELECT doc_id, "
-    "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe, "
-    "ROUND(pr, 6) AS punct_ratio, "
-    "ROUND(((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) + "
-    "(CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.0 END) + "
-    "(CASE WHEN CAST(n_stop AS DOUBLE) / greatest(n_tok, 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)"
-    ") / 3.0, 6) AS quality FROM s",
-)
-def text_quality_documents(spark, sf_dir):
-    """Quality scoring + BPE-ish token estimate (north-star text ops):
-    length-band / punctuation-ratio / stopword-presence gates composed into a
-    [0,1] score, and a subword-ish token count (alnum runs + isolated
-    punctuation marks) — the pre-training quality filters, all native Column
-    exprs reproduced exactly by the DuckDB oracle."""
-    df = load(spark, sf_dir, "documents")
-    t = F.col("text")
-    return df.select(
-        "doc_id",
-        ts.bpe_ish_token_count(t).alias("n_tokens_bpe"),
-        F.round(ts.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(ts.quality_score(t), 6).alias("quality"),
-    )
 
 
 @q(
@@ -1929,76 +1942,6 @@ def edge_multi_link_lineitem(spark, sf_dir):
         F.col("_src_l_linenumber").alias("src_linenumber"),
         F.col("_dst_s_suppkey").alias("dst_key"))
     return contains.unionByName(supplied)
-
-
-@q(
-    "store_edge_on_duplicate",
-    "SELECT o_orderkey AS _src_o_orderkey, o_custkey AS _dst_c_custkey, "
-    "CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice "
-    "FROM orders",
-)
-def store_edge_on_duplicate(spark, sf_dir):
-    """Edge insert on_duplicate semantics end-to-end (reference
-    insert_edges_batch, db/conn.py:406-441): base insert, then an
-    ``ignore`` overlay (old property values win), then an ``upsert``
-    overlay (new values win), read back."""
-    import tempfile
-
-    from graflo_spark.manifest import EdgeId
-    from graflo_spark.store import GraphStore
-
-    base = load(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("_src_o_orderkey"),
-        F.col("o_custkey").alias("_dst_c_custkey"),
-        F.col("o_totalprice"),
-    )
-    schema = CoreSchema(
-        vertices=[
-            Vertex("order", [Field("o_orderkey", FieldType.INT)], identity=["o_orderkey"]),
-            Vertex("customer", [Field("c_custkey", FieldType.INT)], identity=["c_custkey"]),
-        ],
-        edges=[Edge("order", "customer", relation="placed_by",
-                    properties=[Field("o_totalprice", FieldType.DOUBLE)])],
-    )
-    eid = EdgeId("order", "customer", "placed_by")
-    root = tempfile.mkdtemp(prefix="graflo_edges_")
-    store = GraphStore(spark, root, schema)
-    store.apply_target_schema()
-    store.insert_edges(eid, base)
-    ignored = base.filter(F.col("_src_o_orderkey") <= 1000).withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(1.0))
-    store.insert_edges(eid, ignored, on_duplicate="ignore")
-    upserted = base.filter(F.col("_src_o_orderkey") <= 1000).withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(5.0))
-    store.insert_edges(eid, upserted, on_duplicate="upsert")
-    return store.read_edges(eid)
-
-
-@q(
-    "session_window_events",
-    "WITH g AS (SELECT user_id, ts, CASE WHEN lag_ts IS NULL OR "
-    "epoch(ts) - epoch(lag_ts) > 1800 THEN 1 ELSE 0 END AS brk "
-    "FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
-    "AS lag_ts FROM events)), "
-    "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
-    "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
-    "SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch, "
-    "COUNT(*) AS n_events FROM s GROUP BY user_id, sid",
-)
-def session_window_events(spark, sf_dir):
-    """Native session windows (F.session_window, 30-min gap) per user —
-    the streaming-idiomatic sessionization twin; the oracle reconstructs the
-    same sessions with lag + cumulative break-sum."""
-    from graflo_spark.streaming import session_window_agg
-
-    ev = _events_ts(spark, sf_dir)
-    out = session_window_agg(ev, "ts", ["user_id"], "30 minutes",
-                             {"value": "count"})
-    return out.select(
-        "user_id",
-        F.unix_timestamp("session_start").alias("session_start_epoch"),
-        F.col("count_value").alias("n_events"),
-    )
 
 
 def entry_flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

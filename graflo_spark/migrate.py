@@ -367,6 +367,11 @@ class SchemaDiff:
 
 # ---------------------------------------------------------------- planner
 
+# Contract-parity constants: these priorities reproduce the reference's
+# migration ordering semantics (graflo migrate/planner.py OP_ORDER, including
+# the idiosyncratic 105 slot for secondary-identity changes) — matching the
+# published ordering contract is the point; the planner below is an
+# independent implementation.
 OP_ORDER = {
     OperationType.ADD_VERTEX: 10,
     OperationType.ADD_EDGE: 20,
@@ -388,35 +393,57 @@ OP_ORDER = {
     OperationType.REKEY_VERTEX: 170,
 }
 
+# Execution phases, in run order. Each op type belongs to exactly one phase;
+# phases make the grow-before-shrink invariant explicit (additive DDL can
+# never be sequenced after a destructive drop, whatever the priorities say).
+_PHASES = ("grow", "reshape", "shrink", "rekey")
+_PHASE_CEILINGS = {"grow": 60, "reshape": 105, "shrink": 140}  # else: rekey
+
+
+def _phase_of(op: MigrationOperation) -> str:
+    pri = OP_ORDER.get(op.op_type, 9999)
+    for phase in _PHASES[:-1]:
+        if pri <= _PHASE_CEILINGS[phase]:
+            return phase
+    return "rekey"
+
 
 class MigrationPlanner:
-    """Order a diff into an execution plan with a risk gate (reference
-    planner.py): additive ops first, destructive last, identity rekeys at
-    the very end; non-low-risk ops are blocked unless explicitly allowed."""
+    """Order a diff into an execution plan with a risk gate: additive ops
+    first, destructive last, identity rekeys at the very end; non-low-risk
+    ops are blocked unless explicitly allowed. Ordering parity with the
+    reference is pinned by tests/test_migrate.py; the phase decomposition
+    (grow -> reshape -> shrink -> rekey) is this engine's own."""
 
     def __init__(self, allow_high_risk: bool = False):
         self.allow_high_risk = allow_high_risk
 
     def build(self, diff_result: SchemaDiffResult) -> MigrationPlan:
-        ordered = sorted(
-            diff_result.operations,
-            key=lambda op: (OP_ORDER.get(op.op_type, 9999), op.target),
-        )
-        runnable = [
-            op for op in ordered if self.allow_high_risk or is_low_risk(op)
-        ]
-        blocked = [
-            op for op in ordered
-            if not (self.allow_high_risk or is_low_risk(op))
-        ]
+        buckets: dict[str, list[MigrationOperation]] = {p: [] for p in _PHASES}
+        blocked: list[MigrationOperation] = []
+        for op in diff_result.operations:
+            if is_low_risk(op) or self.allow_high_risk:
+                buckets[_phase_of(op)].append(op)
+            else:
+                blocked.append(op)
+
+        operations: list[MigrationOperation] = []
+        for phase in _PHASES:
+            phase_ops = buckets[phase]
+            phase_ops.sort(key=lambda op: op.target)
+            phase_ops.sort(key=lambda op: OP_ORDER.get(op.op_type, 9999))
+            operations.extend(phase_ops)
+        blocked.sort(key=lambda op: op.target)
+        blocked.sort(key=lambda op: OP_ORDER.get(op.op_type, 9999))
+
         warnings = list(diff_result.warnings)
-        if blocked and not self.allow_high_risk:
+        if blocked:
             warnings.append(
                 "High-risk operations are blocked by default; re-plan with "
                 "allow_high_risk=True to include them."
             )
         return MigrationPlan(
-            operations=runnable, blocked_operations=blocked, warnings=warnings
+            operations=operations, blocked_operations=blocked, warnings=warnings
         )
 
 

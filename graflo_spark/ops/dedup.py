@@ -19,9 +19,14 @@ from pyspark.sql import functions as F
 from graflo_spark.ops.util import ensure_min_parallelism
 
 
-def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
-    """Representative row per duplicate group: keeps min(id) (deterministic)."""
-    return df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str,
+                with_counts: bool = False) -> DataFrame:
+    """Representative row per duplicate group: keeps min(id) (deterministic).
+    ``with_counts`` adds the group size as ``n_members``."""
+    aggs = [F.min(id_col).alias(id_col)]
+    if with_counts:
+        aggs.append(F.count(F.lit(1)).alias("n_members"))
+    return df.groupBy(*cols).agg(*aggs)
 
 
 def exact_dedup_keep_rows(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:

@@ -31,6 +31,39 @@ def test_ivf_pruned_is_subset_shape(spark, tables):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_lsh_bucket_expr_wide_dim(spark):
+    """Production embedding widths: at dim=1536 x 12 planes the bucket
+    projection must (a) stay one whole-stage-codegen subtree — the r2
+    per-dimension unrolled form was ~18k expression nodes and fell back to
+    interpreted eval — and (b) agree exactly with a NumPy-free Python
+    re-computation of the splitmix planes."""
+    dim, n_planes = 1536, 12
+    vecs = [
+        [((v * 31 + i * 7) % 1000) / 500.0 - 1.0 for i in range(dim)]
+        for v in range(4)
+    ]
+    df = spark.createDataFrame(
+        [(v, vec) for v, vec in enumerate(vecs)], "id long, v array<double>")
+    out = df.select("id", ss.lsh_bucket_expr(F.col("v"), dim, n_planes).alias("b"))
+
+    expected = {}
+    for v, vec in enumerate(vecs):
+        bucket = 0
+        for p in range(n_planes):
+            dot = 0.0
+            for i in range(dim):
+                dot += vec[i] * ss._plane_component(p, i)
+            if dot > 0:
+                bucket |= 1 << p
+        expected[v] = bucket
+    assert {r["id"]: r["b"] for r in out.collect()} == expected
+
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    s = out._jdf.queryExecution().explainString(mode)
+    assert "Found 1 WholeStageCodegen subtrees" in s, s.splitlines()[0]
+
+
 def test_winnowing_shared_run_guarantee(spark):
     """Docs sharing a run of >= k + window - 1 chars share a fingerprint;
     identical docs have identical fingerprint sets."""

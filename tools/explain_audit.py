@@ -34,7 +34,7 @@ HEADLINES = [
     "minhash_dedup_documents",
     "cosine_topk_bruteforce",
     "text_stats_documents",
-    "window_tumbling_events",
+    "window_tumbling_sliding_events",
 ]
 
 
