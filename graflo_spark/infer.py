@@ -314,15 +314,33 @@ def infer_manifest_from_tables(
         if len({c.child_column for c in proven[name]}) >= 2 and not has_unique[name]
     }
 
-    vertices, edges, resources = [], [], []
-    for name in sorted(tables):
-        if name in junctions:
-            continue
+    table_fields = {}
+    for name in tables:
         fields = []
         for f in tables[name].schema.fields:
             t, item = _spark_to_field_type(f.dataType)
             fields.append(Field(f.name, t, item))
-        vertices.append(Vertex(name, fields, identity=identities[name]))
+        table_fields[name] = fields
+    return _assemble_manifest(table_fields, identities, proven, junctions)
+
+
+def _assemble_manifest(
+    table_fields: dict[str, list[Field]],
+    identities: dict[str, list[str]],
+    proven: dict[str, list[FkCandidate]],
+    junctions: set[str],
+):
+    """Shared manifest assembly for both inference front-ends (data-proven
+    tables and catalog introspection): non-junction tables become vertices
+    with their FK lookup steps + edges; junction tables become pairwise
+    edges between their FK endpoints."""
+    from graflo_spark.manifest import GraphManifest
+
+    vertices, edges, resources = [], [], []
+    for name in sorted(table_fields):
+        if name in junctions:
+            continue
+        vertices.append(Vertex(name, table_fields[name], identity=identities[name]))
     vertex_names = {v.name for v in vertices}
 
     def endpoint_steps(table: str) -> tuple[list, list]:
@@ -342,7 +360,7 @@ def infer_manifest_from_tables(
             links.append((c.parent_table, c.child_column))
         return vsteps, links
 
-    for name in sorted(tables):
+    for name in sorted(table_fields):
         if name in junctions:
             vsteps, links = endpoint_steps(name)
             steps: list = list(vsteps)
@@ -385,6 +403,122 @@ def infer_manifest_from_tables(
             resources.append(ResourceConfig(name=name, steps=steps, infer_edges=False))
     schema = CoreSchema(vertices=vertices, edges=edges)
     return GraphManifest(schema=schema, resources=resources)
+
+
+# --- information_schema (JDBC catalog) -> manifest inference ---------------
+
+# ANSI / postgres type names -> FieldType (reference
+# db/postgres/types.py PostgresTypeMapper semantics).
+_SQL_FIELD_TYPES = {
+    "smallint": "INT", "integer": "INT", "int": "INT", "bigint": "INT",
+    "serial": "INT", "bigserial": "INT",
+    "real": "FLOAT",
+    "double precision": "DOUBLE", "float": "DOUBLE",
+    "boolean": "BOOL",
+    "text": "STRING", "uuid": "STRING", "json": "STRING", "jsonb": "STRING",
+    "date": "DATETIME",
+}
+
+
+def _sql_to_field_type(data_type: str):
+    from graflo_spark.manifest import FieldType
+
+    t = data_type.strip().lower()
+    if t.endswith("[]"):
+        item = _sql_to_field_type(t[:-2])[0]
+        return FieldType.LIST, item
+    for prefix, name in (
+        ("timestamp", "DATETIME"), ("character varying", "STRING"),
+        ("varchar", "STRING"), ("character", "STRING"), ("char", "STRING"),
+        ("numeric", "DOUBLE"), ("decimal", "DOUBLE"),
+    ):
+        if t.startswith(prefix):
+            return FieldType[name], None
+    name = _SQL_FIELD_TYPES.get(t)
+    return (FieldType[name] if name else None), None
+
+
+def infer_manifest_from_information_schema(
+    columns: DataFrame,
+    table_constraints: DataFrame,
+    key_column_usage: DataFrame,
+    referential_constraints: DataFrame,
+):
+    """Relational manifest inference from ANSI catalog introspection — the
+    reference's postgres path (db/postgres/schema_inference.py:24-110 over
+    conn.introspect_schema(), which reads information_schema.tables /
+    table_constraints / key_column_usage), re-expressed over the four
+    standard catalog frames so the metadata layer is injectable: in
+    production each frame is one :func:`graflo_spark.io.read_jdbc` call
+    against ``information_schema.*`` (no JDBC server exists in the test
+    container, so tests inject in-memory frames with the same shapes).
+
+    Frame shapes (standard information_schema columns):
+      - columns(table_name, column_name, data_type, ordinal_position)
+      - table_constraints(table_name, constraint_name, constraint_type)
+      - key_column_usage(constraint_name, table_name, column_name,
+        ordinal_position)
+      - referential_constraints(constraint_name, unique_constraint_name)
+
+    Unlike :func:`infer_manifest_from_tables` (which PROVES keys from data),
+    the catalog is authoritative: PKs become identities, FKs become edges,
+    and a table whose >= 2 FKs cover its PK (the classic junction shape)
+    becomes pairwise edges instead of a vertex. Catalog frames are tiny
+    (thousands of rows at most), so a driver-side collect is the right
+    plan — no distributed join is warranted here.
+    """
+    cols = sorted(
+        columns.select("table_name", "column_name", "data_type",
+                       "ordinal_position").collect(),
+        key=lambda r: (r["table_name"], r["ordinal_position"]),
+    )
+    cons = table_constraints.select(
+        "table_name", "constraint_name", "constraint_type").collect()
+    kcu = sorted(
+        key_column_usage.select("constraint_name", "table_name", "column_name",
+                                "ordinal_position").collect(),
+        key=lambda r: (r["constraint_name"], r["ordinal_position"]),
+    )
+    refs = referential_constraints.select(
+        "constraint_name", "unique_constraint_name").collect()
+
+    table_fields: dict[str, list[Field]] = {}
+    for r in cols:
+        t, item = _sql_to_field_type(r["data_type"])
+        table_fields.setdefault(r["table_name"], []).append(
+            Field(r["column_name"], t, item))
+
+    kcu_by_con: dict[str, list] = {}
+    for r in kcu:
+        kcu_by_con.setdefault(r["constraint_name"], []).append(r)
+    con_type = {r["constraint_name"]: r["constraint_type"] for r in cons}
+    con_table = {r["constraint_name"]: r["table_name"] for r in cons}
+
+    identities: dict[str, list[str]] = {name: [] for name in table_fields}
+    for con, rows in kcu_by_con.items():
+        if con_type.get(con) == "PRIMARY KEY":
+            identities[con_table[con]] = [r["column_name"] for r in rows]
+
+    proven: dict[str, list[FkCandidate]] = {name: [] for name in table_fields}
+    for r in refs:
+        fk_con, uniq_con = r["constraint_name"], r["unique_constraint_name"]
+        child_rows = kcu_by_con.get(fk_con, [])
+        parent_rows = kcu_by_con.get(uniq_con, [])
+        if not child_rows or len(child_rows) != len(parent_rows):
+            continue
+        for c_row, p_row in zip(child_rows, parent_rows):
+            proven[c_row["table_name"]].append(FkCandidate(
+                c_row["table_name"], c_row["column_name"],
+                p_row["table_name"], p_row["column_name"]))
+
+    junctions = set()
+    for name in table_fields:
+        fk_cols = {c.child_column for c in proven[name]}
+        pk = set(identities[name])
+        if len(fk_cols) >= 2 and (not pk or pk <= fk_cols):
+            junctions.add(name)
+
+    return _assemble_manifest(table_fields, identities, proven, junctions)
 
 
 # --- OWL / RDFS ontology -> schema inference (SURVEY §1.3 family 2) --------

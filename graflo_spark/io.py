@@ -204,6 +204,40 @@ def read_jdbc(
     return reader.load()
 
 
+INFORMATION_SCHEMA_FRAMES = {
+    "columns": ["table_name", "column_name", "data_type", "ordinal_position"],
+    "table_constraints": ["table_name", "constraint_name", "constraint_type"],
+    "key_column_usage": [
+        "constraint_name", "table_name", "column_name", "ordinal_position"],
+    "referential_constraints": ["constraint_name", "unique_constraint_name"],
+}
+
+
+def read_information_schema(
+    spark: SparkSession, url: str, table_schema: str = "public", **options
+) -> dict[str, DataFrame]:
+    """The four ANSI catalog frames
+    :func:`graflo_spark.infer.infer_manifest_from_information_schema`
+    consumes, each via one :func:`read_jdbc` query (reference
+    db/postgres/conn.py introspect_schema reads the same catalog views).
+    ENV-GATED: needs a live JDBC server + driver jar; the test container has
+    neither, so tests inject equivalently-shaped in-memory frames instead —
+    this function is the production wiring, covered by a query-construction
+    unit test only."""
+    out = {}
+    for frame, cols in INFORMATION_SCHEMA_FRAMES.items():
+        where = (
+            f" WHERE table_schema = '{table_schema}'"
+            if "table_name" in cols else ""
+        )
+        out[frame] = read_jdbc(
+            spark, url,
+            query=f"SELECT {', '.join(cols)} FROM information_schema.{frame}{where}",
+            **options,
+        )
+    return out
+
+
 @dataclass
 class ApiSourceConfig:
     """REST API source config (reference data_source/api.py:38-221):
@@ -433,6 +467,24 @@ def derive_join_spec(
     return SelectSpec(base=base, joins=joins, not_null_guards=guards)
 
 
+# Object-store staging (reference object_storage/s3_client.py used by the
+# TigerGraph bulk path): no client code needed on Spark — the Hadoop
+# filesystem layer resolves the URI scheme, so staging to object storage is
+# the SAME distributed write as staging locally. Only normalization: bare
+# "s3://" means the legacy connector; Hadoop's maintained S3 connector
+# registers as "s3a://".
+_URI_SCHEME_ALIASES = {"s3": "s3a"}
+
+
+def normalize_staging_uri(path: str) -> str:
+    """Pass local paths through; rewrite aliased object-store schemes to the
+    Hadoop connector scheme (s3:// -> s3a://)."""
+    scheme, sep, rest = path.partition("://")
+    if not sep:
+        return path
+    return _URI_SCHEME_ALIASES.get(scheme, scheme) + "://" + rest
+
+
 def bulk_stage_csv(
     df: DataFrame,
     path: str,
@@ -443,7 +495,11 @@ def bulk_stage_csv(
     """Bulk-load staging (reference TigerGraph path, db/conn.py:700-731 +
     db/tigergraph/bulk_csv.py): write the frame as CSV part-files and return
     a loading-job descriptor an external bulk loader consumes. Distributed
-    write — one part per partition, no driver round-trip."""
+    write — one part per partition, no driver round-trip. ``path`` may be a
+    local path or any Hadoop-filesystem URI (``file://``, ``s3a://``,
+    ``gs://``, ``abfss://``, ``hdfs://``); object-store staging is the same
+    code path (reference object_storage/s3_client.py bulk usage)."""
+    path = normalize_staging_uri(path)
     w = df.write.mode("overwrite").option("header", str(header).lower()).option("sep", sep)
     if compression:
         w = w.option("compression", compression)

@@ -34,6 +34,24 @@ def test_bulk_stage_csv_roundtrip(spark, tables, tmp_path):
     assert back.count() == tables["nation"].count()
 
 
+def test_bulk_stage_csv_uri_path(spark, tables, tmp_path):
+    """Object-store staging contract: a Hadoop-filesystem URI goes through
+    the same writer code path as a local path (s3a://... behaves like the
+    file:// URI exercised here), and aliased schemes normalize to the
+    maintained connector."""
+    from graflo_spark.io import normalize_staging_uri
+
+    assert normalize_staging_uri("s3://bucket/stage") == "s3a://bucket/stage"
+    assert normalize_staging_uri("gs://bucket/x") == "gs://bucket/x"
+    assert normalize_staging_uri("/local/dir") == "/local/dir"
+
+    uri = f"file://{tmp_path}/uri_stage"
+    job = bulk_stage_csv(tables["region"].select("r_regionkey", "r_name"), uri)
+    assert job["path"] == uri
+    back = read_source(spark, uri, fmt="csv")
+    assert back.count() == tables["region"].count()
+
+
 def test_store_extra_weights(spark, tables, tmp_path):
     schema = CoreSchema(vertices=[
         Vertex("nation", [Field("n_nationkey", FieldType.INT), Field("n_name")],

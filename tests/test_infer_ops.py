@@ -272,6 +272,92 @@ def test_infer_manifest_from_tables(spark, tables):
         ["l_orderkey", "l_partkey"]).count()
 
 
+def test_infer_manifest_from_information_schema(spark):
+    """JDBC catalog-introspection contract (reference
+    db/postgres/schema_inference.py:24-110): the metadata layer is
+    injectable — these four frames are exactly what io.read_information_schema
+    fetches from a live server (env-gated: no JDBC server in the container).
+    PKs become identities, catalog FKs become edges without data proof, a
+    junction whose PK is covered by its two FKs becomes pairwise edges, SQL
+    types map to FieldTypes, and an inferred resource compiles end-to-end."""
+    from graflo_spark import infer
+    from graflo_spark.compiler import compile_resource
+    from graflo_spark.manifest import FieldType
+
+    columns = spark.createDataFrame([
+        ("customer", "c_custkey", "bigint", 1),
+        ("customer", "c_name", "character varying(25)", 2),
+        ("orders", "o_orderkey", "bigint", 1),
+        ("orders", "o_custkey", "bigint", 2),
+        ("orders", "o_totalprice", "numeric(12,2)", 3),
+        ("orders", "o_ts", "timestamp without time zone", 4),
+        ("orders", "o_flags", "text[]", 5),
+        ("part", "p_partkey", "integer", 1),
+        ("part", "p_name", "text", 2),
+        ("supplier", "s_suppkey", "integer", 1),
+        ("supplier", "s_acctbal", "double precision", 2),
+        ("part_supplier", "ps_partkey", "integer", 1),
+        ("part_supplier", "ps_suppkey", "integer", 2),
+        ("part_supplier", "ps_qty", "numeric", 3),
+    ], "table_name string, column_name string, data_type string, ordinal_position int")
+    constraints = spark.createDataFrame([
+        ("customer", "customer_pk", "PRIMARY KEY"),
+        ("orders", "orders_pk", "PRIMARY KEY"),
+        ("part", "part_pk", "PRIMARY KEY"),
+        ("supplier", "supplier_pk", "PRIMARY KEY"),
+        ("part_supplier", "ps_pk", "PRIMARY KEY"),
+        ("orders", "orders_cust_fk", "FOREIGN KEY"),
+        ("part_supplier", "ps_part_fk", "FOREIGN KEY"),
+        ("part_supplier", "ps_supp_fk", "FOREIGN KEY"),
+    ], "table_name string, constraint_name string, constraint_type string")
+    kcu = spark.createDataFrame([
+        ("customer_pk", "customer", "c_custkey", 1),
+        ("orders_pk", "orders", "o_orderkey", 1),
+        ("part_pk", "part", "p_partkey", 1),
+        ("supplier_pk", "supplier", "s_suppkey", 1),
+        ("ps_pk", "part_supplier", "ps_partkey", 1),
+        ("ps_pk", "part_supplier", "ps_suppkey", 2),
+        ("orders_cust_fk", "orders", "o_custkey", 1),
+        ("ps_part_fk", "part_supplier", "ps_partkey", 1),
+        ("ps_supp_fk", "part_supplier", "ps_suppkey", 1),
+    ], "constraint_name string, table_name string, column_name string, ordinal_position int")
+    refs = spark.createDataFrame([
+        ("orders_cust_fk", "customer_pk"),
+        ("ps_part_fk", "part_pk"),
+        ("ps_supp_fk", "supplier_pk"),
+    ], "constraint_name string, unique_constraint_name string")
+
+    manifest = infer.infer_manifest_from_information_schema(
+        columns, constraints, kcu, refs)
+    schema = manifest.schema
+
+    # junction (PK == its two FK columns) -> edges, not a vertex
+    assert sorted(schema.vertex_names) == ["customer", "orders", "part", "supplier"]
+    assert schema.vertex("orders").identity == ["o_orderkey"]
+
+    types = {f.name: f.type for f in schema.vertex("orders").fields}
+    assert types["o_orderkey"] == FieldType.INT
+    assert types["o_totalprice"] == FieldType.DOUBLE
+    assert types["o_ts"] == FieldType.DATETIME
+    flags = next(f for f in schema.vertex("orders").fields if f.name == "o_flags")
+    assert flags.type == FieldType.LIST and flags.item_type == FieldType.STRING
+    assert {f.name: f.type for f in schema.vertex("supplier").fields}[
+        "s_acctbal"] == FieldType.DOUBLE
+
+    pairs = {(e.source, e.target) for e in schema.edges}
+    assert ("orders", "customer") in pairs       # catalog FK, no data proof
+    assert ("part", "supplier") in pairs         # junction pairwise edge
+
+    # the inferred orders resource compiles and runs on actual rows
+    rows = spark.createDataFrame(
+        [(1, 10, 99.5, None, None), (2, 20, 5.0, None, None)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_ts timestamp, o_flags array<string>")
+    batch = compile_resource(schema, manifest.resource("orders"), rows)
+    assert batch.vertices["orders"].count() == 2
+    eid = next(k for k in batch.edges if k.target == "customer")
+    assert batch.edges[eid].count() == 2
+
+
 def test_cross_resource_identity_funnel_fallback(spark):
     """When no shared field tuple keys every resource, the proposal falls
     back to per-resource funnel branches (reference _fallback_proposal)."""
