@@ -834,29 +834,44 @@ _QUALITY_TOKENS = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
 _QUALITY_STOPS = rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ts.STOPWORDS['en'])})\b', 1))"
 
 
+def _lang_hits_sql(lang: str) -> str:
+    words = "|".join(ts.STOPWORDS[lang])
+    return rf"len(regexp_extract_all(lower(text), '\b({words})\b', 1))"
+
+
 @q(
     "text_stats_documents",
     "WITH s AS (SELECT doc_id, text, "
     f"{_QUALITY_TOKENS} AS n_tok, {_QUALITY_STOPS} AS n_stop, "
     "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) "
-    "/ greatest(length(text), 1) AS pr FROM documents) "
-    "SELECT doc_id, length(text) AS n_chars_actual, n_tok AS n_tokens, "
+    "/ greatest(length(text), 1) AS pr FROM documents), "
+    "h AS (SELECT doc_id, "
+    + ", ".join(f"{_lang_hits_sql(lg)} AS h_{lg}" for lg in ("en", "de", "fr", "es"))
+    + " FROM documents) "
+    "SELECT s.doc_id, length(text) AS n_chars_actual, n_tok AS n_tokens, "
     "sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint, "
     "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe, "
     "ROUND(pr, 6) AS punct_ratio, "
     "ROUND(((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) + "
     "(CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.0 END) + "
     "(CASE WHEN CAST(n_stop AS DOUBLE) / greatest(n_tok, 1.0) > 0.01 THEN 1.0 ELSE 0.0 END)"
-    ") / 3.0, 6) AS quality FROM s",
+    ") / 3.0, 6) AS quality, "
+    "CASE WHEN h_es > greatest(h_en, h_de, h_fr) AND h_es > 0 THEN 'es' "
+    "WHEN h_fr > greatest(h_en, h_de) AND h_fr > 0 THEN 'fr' "
+    "WHEN h_de > h_en AND h_de > 0 THEN 'de' "
+    "WHEN h_en > 0 THEN 'en' ELSE 'und' END AS lang_pred "
+    "FROM s JOIN h ON s.doc_id = h.doc_id",
 )
 def text_stats_documents(spark, sf_dir):
     """Text analysis suite in one driver row (north-star text ops; oracle
     restricted to the RE2∩Java regex subset): char/whitespace-token counts +
-    normalized content fingerprint, plus the quality-scoring side — BPE-ish
+    normalized content fingerprint, the quality-scoring side — BPE-ish
     subword token estimate (alnum runs + isolated punctuation), punctuation
-    ratio, and the [0,1] quality score composed from length-band /
-    punctuation / stopword-presence gates (the pre-training quality
-    filters). All native Column exprs, no UDFs."""
+    ratio, the [0,1] quality score composed from length-band / punctuation /
+    stopword-presence gates (the pre-training quality filters) — and
+    language ID (stopword-hit argmax; the oracle CASE chain replicates the
+    argmax's strict-greater update order). All native Column exprs, no
+    UDFs."""
     df = load(spark, sf_dir, "documents")
     t = F.col("text")
     return df.select(
@@ -867,31 +882,8 @@ def text_stats_documents(spark, sf_dir):
         ts.bpe_ish_token_count(t).alias("n_tokens_bpe"),
         F.round(ts.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(ts.quality_score(t), 6).alias("quality"),
+        ts.lang_id(t).alias("lang_pred"),
     )
-
-
-def _lang_hits_sql(lang: str) -> str:
-    words = "|".join(ts.STOPWORDS[lang])
-    return rf"len(regexp_extract_all(lower(text), '\b({words})\b', 1))"
-
-
-_LANG_ORACLE = (
-    "WITH h AS (SELECT doc_id, "
-    + ", ".join(f"{_lang_hits_sql(lg)} AS h_{lg}" for lg in ("en", "de", "fr", "es"))
-    + " FROM documents) SELECT doc_id, CASE "
-    "WHEN h_es > greatest(h_en, h_de, h_fr) AND h_es > 0 THEN 'es' "
-    "WHEN h_fr > greatest(h_en, h_de) AND h_fr > 0 THEN 'fr' "
-    "WHEN h_de > h_en AND h_de > 0 THEN 'de' "
-    "WHEN h_en > 0 THEN 'en' ELSE 'und' END AS lang_pred FROM h"
-)
-
-
-@q("lang_id_documents", _LANG_ORACLE)
-def lang_id_documents(spark, sf_dir):
-    """Language ID: stopword-hit argmax heuristic (north-star text op). The
-    oracle CASE chain replicates the argmax's strict-greater update order."""
-    df = load(spark, sf_dir, "documents")
-    return df.select("doc_id", ts.lang_id(F.col("text")).alias("lang_pred"))
 
 
 # ---------------------------------------------------- LLM-pipeline: dedup
@@ -948,12 +940,14 @@ def ngram_jaccard_pairs_blocked(spark, sf_dir):
 # MinHash oracle: the affine-permutation coefficients are deterministic
 # (seeded) Python ints — embed them as a VALUES table so DuckDB replays the
 # exact signature pipeline: md5-derived shingle hash -> 64 min-aggregates ->
-# md5 band keys -> candidate pairs -> >=0.7 agreement -> anti-join.
+# md5 band keys -> candidate pairs. The CTE chain through `hyd` (hydrated
+# candidate pairs) is shared by the greedy-dedup and the
+# connected-components-clustering oracles.
 _MINHASH_COEFFS = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(dd._perm_coeffs(64))
 )
-_MINHASH_DEDUP_ORACLE = (
-    "WITH coeffs(i, a, b) AS (VALUES " + _MINHASH_COEFFS + "), "
+_MINHASH_CHAIN = (
+    "coeffs(i, a, b) AS (VALUES " + _MINHASH_COEFFS + "), "
     "sh AS (SELECT doc_id, unnest([substr(text, CAST(i AS INT), 5) "
     "FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS s FROM documents), "
     "h AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT & 2147483647 AS h FROM sh), "
@@ -967,7 +961,10 @@ _MINHASH_DEDUP_ORACLE = (
     "JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash "
     "AND a.doc_id < b.doc_id), "
     "hyd AS (SELECT p.id_a, p.id_b, sa.sig AS sig_a, sb.sig AS sig_b FROM pairs p "
-    "JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b), "
+    "JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b)"
+)
+_MINHASH_DEDUP_ORACLE = (
+    "WITH " + _MINHASH_CHAIN + ", "
     "dropped AS (SELECT DISTINCT id_b FROM hyd "
     "WHERE len([i FOR i IN range(1, 65) IF sig_a[i] = sig_b[i]]) / 64.0 >= 0.7) "
     "SELECT doc_id, lang, source FROM documents "
@@ -985,6 +982,41 @@ def minhash_dedup_documents(spark, sf_dir):
     return dd.minhash_dedup(
         df, "doc_id", "text", threshold=0.7, portable_hash=True
     ).select("doc_id", "lang", "source")
+
+
+# Clustering oracle: verified pairs -> symmetric closure -> recursive
+# label reachability -> min label per node = the component representative.
+_MINHASH_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE " + _MINHASH_CHAIN + ", "
+    "vp AS (SELECT id_a, id_b FROM hyd "
+    "WHERE len([i FOR i IN range(1, 65) IF sig_a[i] = sig_b[i]]) / 64.0 >= 0.7), "
+    "sym AS (SELECT id_a AS a, id_b AS b FROM vp "
+    "UNION SELECT id_b, id_a FROM vp), "
+    "reach(node, label) AS (SELECT doc_id, doc_id FROM documents "
+    "UNION SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node) "
+    "SELECT node AS doc_id, MIN(label) AS cluster, "
+    "MIN(label) = node AS is_representative FROM reach GROUP BY node"
+)
+
+
+@q("near_dup_clusters_documents", _MINHASH_CLUSTERS_ORACLE)
+def near_dup_clusters_documents(spark, sf_dir):
+    """Near-duplicate CLUSTERING: MinHash-LSH candidate pairs verified at
+    >= 0.7 signature agreement, closed into duplicate groups by distributed
+    connected components (alternating star contraction,
+    ops/graphalgo.py — O(log n) rounds regardless of chain depth, unlike
+    the greedy drop-larger-id pass of ``minhash_dedup``), every doc
+    assigned its group's min-id representative. The DuckDB oracle computes
+    the same closure with a recursive CTE — transitive-closure agreement
+    IS the proof the distributed algorithm found exactly the right
+    components."""
+    from graflo_spark.ops import graphalgo as ga
+
+    df = load(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(
+        df, "doc_id", "text", portable_hash=True)
+    verified = cand.filter(F.col("est_jaccard") >= 0.7).select("id_a", "id_b")
+    return ga.near_dup_clusters(df, verified, id_col="doc_id")
 
 
 _SIMHASH_ORACLE = (

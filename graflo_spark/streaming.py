@@ -240,6 +240,28 @@ def stateful_running_agg(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming deduplication on key columns. With a watermark the dedup
+    state is BOUNDED — ``dropDuplicatesWithinWatermark`` evicts keys older
+    than the watermark, the only shape that survives an unbounded stream
+    (exact-dedup state on 100 TB/day would grow forever). Without a
+    watermark (or on a batch frame) falls back to global
+    ``dropDuplicates`` — exact, but unbounded state on streams, so reserve
+    it for finite replays. The batch twin of both is
+    :func:`graflo_spark.ops.dedup.exact_dedup`."""
+    if watermark and stream.isStreaming:
+        if ts_col is None:
+            raise ValueError("watermarked stream dedup needs ts_col")
+        return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols)
+    return stream.dropDuplicates(key_cols)
+
+
 def replay_as_stream(spark, df: DataFrame, rate_rows_per_second: int = 1000):
     """Replay a batch table as a stream for tests: writes it to an in-memory
     rate-joined source is overkill locally — instead we chunk via

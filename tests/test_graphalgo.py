@@ -1,0 +1,71 @@
+"""Connected components (alternating star contraction) vs a union-find
+reference, including a long-chain graph that defeats diameter-bound
+label propagation."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from graflo_spark.ops.graphalgo import connected_components, near_dup_clusters
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, pairs, max_iter=25):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=max_iter).collect()
+    }
+    assert got == _union_find(pairs)
+
+
+def test_cc_random_graph(spark):
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    _check(spark, pairs)
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    """A 200-node chain has diameter 199: min-label propagation would need
+    ~200 rounds; star contraction must finish far under max_iter=12."""
+    pairs = [(i, i + 1) for i in range(200)]
+    _check(spark, pairs, max_iter=12)
+
+
+def test_cc_multiple_components_and_roots(spark):
+    pairs = [(5, 3), (3, 9), (20, 21), (40, 40)]  # self-loop ignored
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got[5] == 3 and got[9] == 3 and got[3] == 3
+    assert got[20] == 20 and got[21] == 20
+    assert 40 not in got  # self-loop only -> no edge -> caller's outer join
+
+
+def test_near_dup_clusters_representatives(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 6), (2, 3)], "id_a long, id_b long")
+    out = near_dup_clusters(docs, pairs).collect()
+    cluster = {r["doc_id"]: r["cluster"] for r in out}
+    reps = {r["doc_id"] for r in out if r["is_representative"]}
+    assert cluster == {0: 0, 1: 1, 4: 1, 6: 1, 2: 2, 3: 2, 5: 5, 7: 7}
+    assert reps == {0, 1, 2, 5, 7}

@@ -68,3 +68,41 @@ def test_hydrate_returns_full_docs(spark, sf_dir):
     keys = {r["node_key"] for r in nodes.filter(F.col("node_type") == "customer")
             .select("node_key").collect()}
     assert n == len(keys)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Watermarked streaming dedup: duplicate keys arriving within the
+    watermark window emit once; state is bounded by the watermark (the only
+    dedup shape that survives an unbounded stream)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from graflo_spark.streaming import stream_dedup
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("k", T.LongType()),
+    ])
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(base + dt.timedelta(minutes=m), k)
+            for m, k in [(0, 1), (1, 1), (1, 2), (2, 2), (2, 1), (3, 3)]]
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream_dedup(stream, ["k"], ts_col="ts", watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory").queryName("dd_stream")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["k"] for r in spark.table("dd_stream").collect())
+    assert got == [1, 2, 3]
+
+    # batch fallback: plain dropDuplicates
+    batch = spark.createDataFrame(rows, schema)
+    assert stream_dedup(batch, ["k"]).count() == 3
