@@ -75,15 +75,24 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t is not None), 3)
+    failed = sorted(name for name, t in timings.items() if t is None)
+    # A crashed query must not make the headline look BETTER by summing
+    # fewer terms: with any failure, value is null and "failed" names them.
+    total = (
+        None if failed
+        else round(sum(t for t in timings.values() if t is not None), 3)
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }))
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

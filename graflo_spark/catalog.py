@@ -15,6 +15,7 @@ hash-equality hold across engines:
 
 from __future__ import annotations
 
+import weakref
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -162,36 +163,70 @@ _TABLE_FOR_RESOURCE = {
 }
 
 
-_STAR_CACHE: dict[tuple[int, str], GraphBatch] = {}
-_STAR_RAW_CACHE: dict[tuple[int, str], GraphBatch] = {}
+class _SessionPlanCache:
+    """Per-(session, key) plan cache, safe for long-lived processes.
+
+    Keying on bare ``id(spark)`` (the old design) can silently collide: a
+    stopped session gets GC'd, a new one lands at the same address, and the
+    new session is served plans bound to the DEAD session's JVM state. Here
+    each entry stores a *weakref* to its session and is validated on access —
+    ``ref() is spark`` can only hold for the live object that created the
+    entry, so a recycled id is detected and the entry rebuilt. A WeakKey
+    dict alone wouldn't work: cached GraphBatches hold DataFrames that
+    strongly reference their session, so the value would pin the key
+    forever. Instead the cache is a small LRU (``max_sessions``) — the plans
+    are cheap to rebuild (~5s of py4j) and the cap bounds both memory and
+    how long an idle session is pinned."""
+
+    def __init__(self, max_sessions: int = 4) -> None:
+        self.max_sessions = max_sessions
+        self._entries: dict[int, tuple[weakref.ref, dict[str, GraphBatch]]] = {}
+
+    def per_session(self, spark: SparkSession) -> dict[str, GraphBatch]:
+        key = id(spark)
+        entry = self._entries.get(key)
+        if entry is not None and entry[0]() is spark:
+            self._entries[key] = self._entries.pop(key)  # LRU touch
+            return entry[1]
+        # miss, or a recycled id pointing at a dead session's plans
+        fresh: dict[str, GraphBatch] = {}
+        self._entries.pop(key, None)
+        self._entries[key] = (weakref.ref(spark), fresh)
+        while len(self._entries) > self.max_sessions:
+            self._entries.pop(next(iter(self._entries)))
+        return fresh
+
+
+_STAR_CACHE = _SessionPlanCache()
+_STAR_RAW_CACHE = _SessionPlanCache()
 
 
 def build_star_graph_raw(spark: SparkSession, sf_dir: str) -> GraphBatch:
     """Compile the 7-resource star manifest WITHOUT the final per-type
     dedup — the input to either ``pick_unique`` (full batch semantics) or
     ``counts_distinct`` (single-pass golden counts)."""
-    key = (id(spark), sf_dir)
-    if key not in _STAR_RAW_CACHE:
+    per_session = _STAR_RAW_CACHE.per_session(spark)
+    if sf_dir not in per_session:
         schema = star_schema()
         batch: GraphBatch | None = None
         for res in star_resources():
             df = load(spark, sf_dir, _TABLE_FOR_RESOURCE[res.name])
             b = compile_resource(schema, res, df)
             batch = b if batch is None else batch.union(b)
-        _STAR_RAW_CACHE[key] = batch
-    return _STAR_RAW_CACHE[key]
+        per_session[sf_dir] = batch
+    return per_session[sf_dir]
 
 
 def build_star_graph(spark: SparkSession, sf_dir: str) -> GraphBatch:
     """Compile the 7-resource star manifest. The result is a *lazy* plan;
     memoized per (session, sf_dir) because plan construction alone is ~5s of
     py4j round-trips and several catalog queries share it."""
-    key = (id(spark), sf_dir)
-    if key not in _STAR_CACHE:
-        _STAR_CACHE[key] = build_star_graph_raw(spark, sf_dir).pick_unique(
+    per_session = _STAR_CACHE.per_session(spark)
+    if sf_dir not in per_session:
+        per_session[sf_dir] = build_star_graph_raw(spark, sf_dir).pick_unique(
             star_schema()
         )
-    return _STAR_CACHE[key]
+    return per_session[sf_dir]
 
 
 def star_view(spark: SparkSession, sf_dir: str) -> GraphView:

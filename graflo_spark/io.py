@@ -13,6 +13,7 @@ reorders/broadcasts instead of us generating SQL text.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -224,12 +225,24 @@ def read_information_schema(
     neither, so tests inject equivalently-shaped in-memory frames instead —
     this function is the production wiring, covered by a query-construction
     unit test only."""
+    # table_schema is interpolated into SQL text (Spark's JDBC `query` option
+    # has no parameter binding) — restrict it to a plain identifier so a
+    # quote can't break out of the literal, and double any embedded quote as
+    # defense in depth.
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$]*", table_schema):
+        raise ValueError(
+            f"table_schema must be a plain SQL identifier, got {table_schema!r}")
+    lit = table_schema.replace("'", "''")
     out = {}
     for frame, cols in INFORMATION_SCHEMA_FRAMES.items():
-        where = (
-            f" WHERE table_schema = '{table_schema}'"
-            if "table_name" in cols else ""
-        )
+        if "table_name" in cols:
+            where = f" WHERE table_schema = '{lit}'"
+        elif frame == "referential_constraints":
+            # scope by constraint_schema: identically-named constraints in
+            # other schemas would otherwise cross-wire FK resolution
+            where = f" WHERE constraint_schema = '{lit}'"
+        else:
+            where = ""
         out[frame] = read_jdbc(
             spark, url,
             query=f"SELECT {', '.join(cols)} FROM information_schema.{frame}{where}",

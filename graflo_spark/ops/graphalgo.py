@@ -81,20 +81,24 @@ def connected_components(
     if checkpoint:
         edges = edges.localCheckpoint(eager=True)
 
+    # Convergence criterion (Kiveris et al. §3): iterate until the edge set
+    # is STABLE across a full large-star/small-star round. A weaker check
+    # ("every parent is a root") is unsound — a node can hold edges to two
+    # distinct roots with no parent chain between them, so the loop would
+    # stop with a multi-parent forest and emit one node in two components.
+    prev = edges
+    prev_cnt = edges.count()
     for _ in range(max_iter):
         edges = _large_star(_symmetrize(edges))
         edges = _small_star(_symmetrize(edges))
         if checkpoint:
             edges = edges.localCheckpoint(eager=True)
-        # converged when the forest is flat: every parent is a root
-        # (no edge's target appears as a source pointing somewhere smaller)
-        deeper = (
-            edges.alias("e1")
-            .join(edges.alias("e2"), F.col("e1.b") == F.col("e2.a"), "inner")
-            .filter(F.col("e2.b") < F.col("e1.b"))
-        )
-        if deeper.limit(1).count() == 0:
+        cnt = edges.count()
+        if cnt == prev_cnt and edges.exceptAll(prev).limit(1).count() == 0:
+            # same cardinality + no edge outside prev ⇒ identical sets
+            # (both sides are distinct()), so another round is a no-op.
             break
+        prev, prev_cnt = edges, cnt
 
     comp = edges.select(
         F.col("a").alias("node"), F.col("b").alias("component"))

@@ -11,6 +11,8 @@ no Python in the row path.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,27 +108,41 @@ def brute_force_topk(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
+@dataclass
+class IvfIndex:
+    """A built IVF index: the corpus with cluster assignments plus the
+    centroid table. Build ONCE (``build_ivf_index``), probe MANY times
+    (``ivf_probe``) — at 100 TB the KMeans fit and the assignment map pass
+    are a one-off write-side cost, and ``write``/``read`` persist the
+    assignment partitioned by ``cluster`` so probes get partition pruning
+    from the parquet layout itself."""
+
+    assigned: DataFrame   # (neighbor_id, c_vec ARRAY<DOUBLE>, cluster INT)
+    centroids: DataFrame  # (cluster INT, centroid ARRAY<DOUBLE>)
+
+    def write(self, path: str) -> None:
+        self.assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+            f"{path}/assigned")
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @staticmethod
+    def read(spark, path: str) -> "IvfIndex":
+        return IvfIndex(
+            assigned=spark.read.parquet(f"{path}/assigned"),
+            centroids=spark.read.parquet(f"{path}/centroids"),
+        )
+
+
+def build_ivf_index(
     corpus: DataFrame,
-    k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 2,
-    query_id: str = "vec_id",
-    query_vec: str = "embedding",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: K-Means-partition the corpus,
-    probe only the ``n_probe`` centroids nearest each query.
-
-    Scale path: the clustering is distributed (MLlib KMeans), cluster
-    assignment is a map pass, and at 100 TB the corpus is written once
-    partitioned by ``cluster`` so a probe prunes to n_probe/n_centroids of
-    the data. With ``n_probe == n_centroids`` results equal brute force
-    (the recall=1 sanity point the tests pin).
-    """
+) -> IvfIndex:
+    """Fit distributed KMeans over the corpus and assign every vector to its
+    nearest centroid (one map pass). The returned index is reusable across
+    arbitrarily many query batches — no refit per query."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -144,12 +160,26 @@ def ivf_topk(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         "cluster INT, centroid ARRAY<DOUBLE>",
     )
+    return IvfIndex(assigned=assigned, centroids=centroids)
+
+
+def ivf_probe(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Probe a built IVF index: rank centroids per query (tiny broadcast
+    cross join), then scan only the ``n_probe`` matching clusters. With
+    ``n_probe == n_centroids`` results equal brute force (the recall=1
+    sanity point the oracle pins)."""
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("q_vec"),
     )
-    # rank centroids per query (tiny cross join), keep n_probe
-    qc = q.crossJoin(F.broadcast(centroids)).select(
+    qc = q.crossJoin(F.broadcast(index.centroids)).select(
         "query_id", "q_vec", "cluster",
         cosine_expr(F.col("q_vec"), F.col("centroid")).alias("c_cos"),
     )
@@ -159,7 +189,7 @@ def ivf_topk(
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "q_vec", "cluster")
     )
-    joined = assigned.join(F.broadcast(probes), "cluster").filter(
+    joined = index.assigned.join(F.broadcast(probes), "cluster").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = joined.select(
@@ -170,6 +200,26 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: K-Means-partition the corpus,
+    probe only the ``n_probe`` centroids nearest each query. Convenience
+    one-shot wrapper over ``build_ivf_index`` + ``ivf_probe`` — repeated
+    query batches should build the index once and call ``ivf_probe``."""
+    index = build_ivf_index(corpus, n_centroids, corpus_id, corpus_vec, seed)
+    return ivf_probe(index, queries, k, n_probe, query_id, query_vec)
 
 
 def lsh_topk(

@@ -42,6 +42,50 @@ def test_cc_random_graph(spark):
     _check(spark, pairs)
 
 
+def test_cc_regression_premature_convergence(spark):
+    """Regression: the old 'every parent is a root' convergence check could
+    stop with a multi-parent forest — this exact 16-edge graph is ONE
+    component but came back as three ({0,3,4}), with nodes 6 and 7 emitted
+    twice. The stable-edge-set criterion must return a single component and
+    exactly one row per node."""
+    pairs = [(7, 9), (7, 14), (2, 0), (15, 4), (11, 13), (12, 10), (14, 4),
+             (0, 6), (13, 6), (2, 8), (3, 9), (14, 12), (6, 12)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    rows = connected_components(df).collect()
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes)), "duplicate node rows"
+    assert {r["component"] for r in rows} == {0}
+    assert {r["node"]: r["component"] for r in rows} == _union_find(pairs)
+
+
+def test_cc_stress_many_random_sparse_graphs(spark):
+    """The advisor's failure mode hit ~1% of random sparse graphs; a batch
+    of seeded sparse graphs (checked in one Spark job via a graph_id column)
+    pins the fix. Union-find is the oracle."""
+    rng = random.Random(20260813)
+    graphs = []
+    for g in range(40):
+        n = rng.randrange(8, 24)
+        m = rng.randrange(n // 2, n + 6)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        graphs.append([(a, b) for a, b in pairs if a != b])
+    # one CC run per graph would be slow; offset node ids so all graphs
+    # coexist disjointly in a single run, then check per-graph
+    offset_pairs, expected = [], {}
+    for g, pairs in enumerate(graphs):
+        off = g * 1000
+        offset_pairs += [(a + off, b + off) for a, b in pairs]
+        expected.update(
+            {k + off: v + off for k, v in _union_find(pairs).items()})
+    if not offset_pairs:
+        return
+    df = spark.createDataFrame(offset_pairs, "id_a long, id_b long")
+    rows = connected_components(df).collect()
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes)), "duplicate node rows"
+    assert {r["node"]: r["component"] for r in rows} == expected
+
+
 def test_cc_long_chain_converges_in_log_rounds(spark):
     """A 200-node chain has diameter 199: min-label propagation would need
     ~200 rounds; star contraction must finish far under max_iter=12."""

@@ -272,6 +272,19 @@ def test_infer_manifest_from_tables(spark, tables):
         ["l_orderkey", "l_partkey"]).count()
 
 
+def test_read_information_schema_rejects_injection(spark):
+    """table_schema is interpolated into JDBC SQL text — anything that is
+    not a plain identifier must be rejected BEFORE any query is built."""
+    import pytest
+
+    from graflo_spark.io import read_information_schema
+
+    for bad in ("pub'lic", "a; DROP TABLE x--", "a b", "", "1abc", "x'||'y"):
+        with pytest.raises(ValueError, match="identifier"):
+            read_information_schema(spark, "jdbc:postgresql://h/db",
+                                    table_schema=bad)
+
+
 def test_infer_manifest_from_information_schema(spark):
     """JDBC catalog-introspection contract (reference
     db/postgres/schema_inference.py:24-110): the metadata layer is

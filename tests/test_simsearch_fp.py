@@ -31,6 +31,45 @@ def test_ivf_pruned_is_subset_shape(spark, tables):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_index_reused_across_query_batches_without_refit(
+        spark, tables, monkeypatch, tmp_path):
+    """The index lifecycle API: ONE build serves many query batches — no
+    KMeans refit per probe (counted via a fit spy) — and the index survives a
+    write/read round-trip partitioned by cluster."""
+    from pyspark.ml.clustering import KMeans
+
+    fits = []
+    orig_fit = KMeans.fit
+    monkeypatch.setattr(
+        KMeans, "fit", lambda self, df: (fits.append(1), orig_fit(self, df))[1])
+
+    emb = tables["embeddings"]
+    index = ss.build_ivf_index(emb, n_centroids=4)
+    batch1 = emb.filter(F.col("vec_id") < 3)
+    batch2 = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6))
+    got1 = ss.ivf_probe(index, batch1, k=5, n_probe=4).collect()
+    got2 = ss.ivf_probe(index, batch2, k=5, n_probe=4).collect()
+    assert len(fits) == 1, "probing must not refit KMeans"
+
+    # full-probe == brute force, for both batches, through the same index
+    for batch, got in ((batch1, got1), (batch2, got2)):
+        brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                 for r in ss.brute_force_topk(batch, emb, k=5).collect()}
+        assert {(r["query_id"], r["rank"]): r["neighbor_id"]
+                for r in got} == brute
+
+    # persistence: write partitioned-by-cluster, read back, same answers
+    path = str(tmp_path / "ivf_index")
+    index.write(path)
+    import os
+    assert any(d.startswith("cluster=") for d in os.listdir(f"{path}/assigned"))
+    reread = ss.IvfIndex.read(spark, path)
+    got1b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in ss.ivf_probe(reread, batch1, k=5, n_probe=4).collect()}
+    assert got1b == {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got1}
+    assert len(fits) == 1
+
+
 def test_lsh_bucket_expr_wide_dim(spark):
     """Production embedding widths: at dim=1536 x 12 planes the bucket
     projection must (a) stay one whole-stage-codegen subtree — the r2

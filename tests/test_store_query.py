@@ -11,6 +11,40 @@ from graflo_spark.query import AggFn, QueryCaps
 from graflo_spark.store import GraphStore
 
 
+def test_star_cache_session_isolation_and_id_reuse(spark, sf_dir):
+    """Two sessions must not share star-graph cache entries, a recycled
+    id(spark) must not serve a dead session's plans, and the LRU cap must
+    bound the cache."""
+    import weakref
+
+    from graflo_spark.catalog import _SessionPlanCache
+
+    cache = _SessionPlanCache(max_sessions=2)
+    a = spark.newSession()
+    b = spark.newSession()
+    da = cache.per_session(a)
+    da["x"] = "plan-for-a"
+    assert cache.per_session(b) == {}          # isolated
+    assert cache.per_session(a) is da          # memoized
+
+    # simulate id reuse after GC: swap a's entry for a dead weakref at the
+    # same key (what a recycled address looks like), then access with a
+    class _Dummy:
+        pass
+
+    tmp = _Dummy()
+    dead = weakref.ref(tmp)
+    del tmp
+    assert dead() is None
+    cache._entries[id(a)] = (dead, {"x": "stale-dead-session-plan"})
+    assert cache.per_session(a) == {}          # stale entry NOT served
+
+    # LRU cap: a third session evicts the oldest, cache stays bounded
+    c = spark.newSession()
+    cache.per_session(c)
+    assert len(cache._entries) <= 2
+
+
 @pytest.fixture(scope="module")
 def store(spark, sf_dir):
     schema = star_schema()
