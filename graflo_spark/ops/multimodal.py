@@ -14,7 +14,7 @@ executor memory.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -61,13 +61,22 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 8, target_rows_per_batch: int = 256
+    media: DataFrame,
+    dim: int = 8,
+    target_rows_per_batch: int = 256,
+    feature_kernel: "Callable[[bytes | None, int], list[float]] | None" = None,
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Real decode is stubbed behind `_fake_feature` (marked); batch shape,
-    schema and partitioning are production-real.
+    ``feature_kernel(payload, dim) -> list[float]`` is the injection seam: a
+    PIL/torch-equipped deployment plugs a real decode+embed kernel without
+    touching the Spark plumbing (it is pickled into the task closure, so it
+    must be a module-level callable). The default is the deterministic
+    ``_fake_feature`` byte-histogram — the test/oracle path in this
+    container, which has no media libraries. Batch shape, schema and
+    partitioning are production-real either way.
     """
+    kernel = feature_kernel if feature_kernel is not None else _fake_feature
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,7 +90,7 @@ def extract_features(
                             lambda p: len(p) if p is not None else 0
                         ),
                         "feature": chunk["payload"].map(
-                            lambda p: _fake_feature(p, dim)
+                            lambda p: kernel(p, dim)
                         ),
                     }
                 )
@@ -89,12 +98,22 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _fake_frame(payload: bytes | None, ts_ms: int) -> bytes:
+    """STUB frame decode: a real kernel seeks to ``ts_ms`` via ffmpeg and
+    returns the encoded frame; this returns a deterministic marker."""
+    return bytes(f"frame@{ts_ms}", "utf8")
+
+
 def sample_frames(
-    media: DataFrame, every_ms: int = 1000, target_rows_per_batch: int = 64
+    media: DataFrame,
+    every_ms: int = 1000,
+    target_rows_per_batch: int = 64,
+    frame_kernel: "Callable[[bytes | None, int], bytes] | None" = None,
 ) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits (media_id, frame_idx,
-    ts_ms, frame_payload) rows. Decode is stubbed: frame payload is a
-    deterministic slice marker, NOT a real decoded frame."""
+    ts_ms, frame_payload) rows. ``frame_kernel(payload, ts_ms) -> bytes`` is
+    the injection seam for a real ffmpeg decoder; the default ``_fake_frame``
+    is a deterministic slice marker, NOT a real decoded frame."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -103,6 +122,8 @@ def sample_frames(
             T.StructField("frame_payload", T.BinaryType()),
         ]
     )
+
+    kernel = frame_kernel if frame_kernel is not None else _fake_frame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,8 +134,7 @@ def sample_frames(
                     rows["media_id"].append(r["media_id"])
                     rows["frame_idx"].append(i)
                     rows["ts_ms"].append(ts)
-                    # STUB: a real impl decodes the frame at ts via ffmpeg
-                    rows["frame_payload"].append(bytes(f"frame@{ts}", "utf8"))
+                    rows["frame_payload"].append(kernel(r["payload"], ts))
             yield pd.DataFrame(rows)
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, schema=schema)

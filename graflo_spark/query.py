@@ -238,9 +238,15 @@ class GraphView:
         """
         caps = caps or QueryCaps()
         caps.check_hops(hops)
-        seeds = (
+        seeds = self._seed_frontier(
+            vertex, FilterExpression.parse(anchor).to_column())
+        return self._bfs({vertex: seeds}, hops, direction, relations, plan_sink)
+
+    def _seed_frontier(self, vertex: str, cond: F.Column) -> DataFrame:
+        """Identity-key frontier for seed vertices matching ``cond``."""
+        return (
             self.vertices[vertex]
-            .filter(FilterExpression.parse(anchor).to_column())
+            .filter(cond)
             .select(*[
                 F.col(f).alias(f"k_{i}")
                 for i, f in enumerate(self.schema.vertex(vertex).identity_fields)
@@ -248,6 +254,20 @@ class GraphView:
             .dropDuplicates()
             .localCheckpoint(eager=True)
         )
+
+    def _bfs(
+        self,
+        initial: dict[str, DataFrame],
+        hops: int,
+        direction: Direction,
+        relations: list[str] | None,
+        plan_sink: list[str] | None = None,
+    ) -> DataFrame:
+        """Multi-source, multi-type BFS from per-type seed frontiers.
+
+        Returns ``(node_key, node_type, hop)``, minimal hop per node over
+        ALL sources (seeds are hop 0).
+        """
         # Type-aware BFS: the frontier is a per-vertex-type dict of native
         # identity keys, and each hop joins ONLY the edge types whose source
         # type currently has a frontier. Versus a type-erased union-of-all-
@@ -256,15 +276,19 @@ class GraphView:
         # and (b) joins on native key columns instead of building a string
         # node_key for every edge row in the graph.
         adjacency = self._adjacency(relations, direction)
-        visited: dict[str, DataFrame] = {vertex: seeds.withColumn("hop", F.lit(0))}
-        frontier: dict[str, DataFrame] = {vertex: seeds}
+        visited: dict[str, DataFrame] = {
+            t: df.withColumn("hop", F.lit(0)) for t, df in initial.items()
+        }
+        frontier: dict[str, DataFrame] = dict(initial)
         # Frontiers are eagerly checkpointed, so an exact count is nearly
         # free — broadcast the probe side only while it is provably small.
         # A multi-hop frontier on a dense graph can approach all vertices;
         # a FORCED broadcast there OOMs executors at scale, so past the
         # threshold the hint is dropped and AQE picks the join strategy
         # from the checkpoint's real stats.
-        frontier_rows: dict[str, int] = {vertex: seeds.count()}
+        frontier_rows: dict[str, int] = {
+            t: df.count() for t, df in initial.items()
+        }
         for h in range(1, hops + 1):
             reached: dict[str, DataFrame] = {}
             for src_t, dst_t, adj_df, n_dst in adjacency:
@@ -410,17 +434,27 @@ class GraphView:
         caps: QueryCaps | None = None,
     ) -> DataFrame:
         """Multi-seed reachability, merged + deduped (reference TraverseQuery,
-        db/conn.py:791-829)."""
+        db/conn.py:791-829).
+
+        All seeds run as ONE multi-source BFS: same-type seed filters are
+        OR-merged into a single per-type frontier, so k seeds cost one
+        per-hop join chain instead of k full traversals. Equivalent because
+        min-hop from the merged frontier == min over per-seed min-hops
+        (the reference's merged-seed dedup semantics)."""
         caps = caps or QueryCaps()
         caps.check_seeds(len(seeds))
-        outs = [
-            self.neighbors(v, a, hops=hops, direction=direction, relations=relations, caps=caps)
-            for v, a in seeds
-        ]
-        merged = outs[0]
-        for o in outs[1:]:
-            merged = merged.unionByName(o)
-        return merged.groupBy("node_key", "node_type").agg(F.min("hop").alias("hop"))
+        caps.check_hops(hops)
+        by_type: dict[str, F.Column] = {}
+        for v, a in seeds:
+            cond = FilterExpression.parse(a).to_column()
+            by_type[v] = cond if v not in by_type else (by_type[v] | cond)
+        initial = {
+            v: self._seed_frontier(v, cond) for v, cond in by_type.items()
+        }
+        out = self._bfs(initial, hops, direction, relations)
+        # min() is a no-op on the BFS output (one row per node) but keeps
+        # the merged-result contract explicit
+        return out.groupBy("node_key", "node_type").agg(F.min("hop").alias("hop"))
 
     def hydrate(self, nodes: DataFrame, vertex: str) -> DataFrame:
         """Fetch full vertex docs for reached node keys (reference

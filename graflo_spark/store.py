@@ -46,6 +46,8 @@ class GraphStore:
         root: str,
         schema: CoreSchema,
         n_buckets: int = 64,
+        snapshot_keep: int = 2,
+        snapshot_size_cap_bytes: int = 10 * 1024**3,
     ):
         self.spark = spark
         self.root = root
@@ -55,6 +57,12 @@ class GraphStore:
         # write (`_meta.json`) so later upserts keep hashing consistently
         # even if the store object is built with a different default.
         self.n_buckets = n_buckets
+        # Snapshot retention: keep `snapshot_keep` full-table generations for
+        # rollback — but a full snapshot DOUBLES a table's storage, which at
+        # 100 TB is not a rounding error. Above the size cap only the newest
+        # generation is retained (the rollback window trades for storage).
+        self.snapshot_keep = snapshot_keep
+        self.snapshot_size_cap_bytes = snapshot_size_cap_bytes
 
     # ------------------------------------------------------------- layout
     def _table_dir(self, kind: str, name: str) -> str:
@@ -140,15 +148,37 @@ class GraphStore:
                 return d
         return None
 
-    def _write_snapshot(self, table_dir: str, df: DataFrame, keep: int = 2) -> None:
+    @staticmethod
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for fn in filenames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:
+                    pass
+        return total
+
+    def _write_snapshot(self, table_dir: str, df: DataFrame,
+                        keep: int | None = None) -> None:
         """Full-table versioned rewrite (schema evolution ops). Writing a
         snapshot supersedes — and therefore invalidates — any bucketed
-        layout; the next upsert re-buckets from this snapshot."""
+        layout; the next upsert re-buckets from this snapshot.
+
+        Retention is size-aware: a table whose new snapshot exceeds
+        ``snapshot_size_cap_bytes`` keeps only that newest generation —
+        ``snapshot_keep`` full copies of a big table is the storage-doubling
+        the cap exists to prevent."""
+        if keep is None:
+            keep = self.snapshot_keep
         snaps = os.path.join(table_dir, "snapshots")
         os.makedirs(snaps, exist_ok=True)
         gens = [int(d) for d in os.listdir(snaps) if d.isdigit()]
         nxt = (max(gens) + 1) if gens else 0
-        df.write.mode("overwrite").parquet(os.path.join(snaps, str(nxt)))
+        new_dir = os.path.join(snaps, str(nxt))
+        df.write.mode("overwrite").parquet(new_dir)
+        if self._dir_bytes(new_dir) > self.snapshot_size_cap_bytes:
+            keep = 1
         for g in sorted(gens, reverse=True)[keep - 1:]:
             shutil.rmtree(os.path.join(snaps, str(g)), ignore_errors=True)
         shutil.rmtree(self._buckets_dir(table_dir), ignore_errors=True)

@@ -102,6 +102,42 @@ def test_diff_roundtrip():
     assert evolved.vertex("Person").field_names == new.vertex("Person").field_names
 
 
+def test_snapshot_retention_size_cap(spark, tmp_path):
+    """Snapshot pruning policy: below the size cap, `snapshot_keep`
+    generations are retained for rollback; once a new snapshot exceeds the
+    cap, only that newest generation survives (a second full copy of a big
+    table is the storage-doubling the cap prevents)."""
+    import os
+
+    schema = CoreSchema(
+        vertices=[Vertex("v", [Field("id", FieldType.INT)], identity=["id"])],
+        edges=[],
+    )
+    df = spark.range(50).select(F.col("id").cast("int"))
+
+    def gens(root):
+        snaps = os.path.join(root, "vertices", "v", "snapshots")
+        return sorted(int(d) for d in os.listdir(snaps) if d.isdigit())
+
+    # generous cap: rolling window of snapshot_keep=2 generations
+    big = GraphStore(spark, str(tmp_path / "big"), schema,
+                     snapshot_size_cap_bytes=1 << 40)
+    tdir = big._table_dir("vertices", "v")
+    for _ in range(3):
+        big._write_snapshot(tdir, df)
+    assert gens(str(tmp_path / "big")) == [1, 2]
+
+    # 1-byte cap: every snapshot exceeds it, only the newest survives
+    small = GraphStore(spark, str(tmp_path / "small"), schema,
+                       snapshot_size_cap_bytes=1)
+    tdir = small._table_dir("vertices", "v")
+    for _ in range(3):
+        small._write_snapshot(tdir, df)
+    assert gens(str(tmp_path / "small")) == [2]
+    # the surviving snapshot is readable and complete
+    assert spark.read.parquet(small._latest_snapshot(tdir)).count() == 50
+
+
 def test_migration_rewrites_store(spark, tables, tmp_path):
     schema = CoreSchema(
         vertices=[

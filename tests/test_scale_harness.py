@@ -1,0 +1,71 @@
+"""Scale-harness generator invariants (at sf0.001 / factor 3, cheap):
+FK consistency of the blow-up, exact preservation of intra-replica
+duplicate structure, and ~zero cross-replica shingle overlap."""
+
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _gen(spark, sf_dir, tmp_path, factor=3):
+    sys.path.insert(0, "/root/repo")
+    from tools.scale_bench import generate
+
+    out = str(tmp_path / "blowup")
+    generate(spark, sf_dir, out, factor)
+    return out
+
+
+def test_blowup_fk_consistency_and_counts(spark, sf_dir, tmp_path):
+    out = _gen(spark, sf_dir, tmp_path, factor=3)
+    for t, key in (("orders", "o_orderkey"), ("customer", "c_custkey"),
+                   ("lineitem", "l_orderkey"), ("documents", "doc_id")):
+        base = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        blown = spark.read.parquet(f"{out}/{t}.parquet")
+        assert blown.count() == 3 * base.count()
+
+    orders = spark.read.parquet(f"{out}/orders.parquet")
+    customer = spark.read.parquet(f"{out}/customer.parquet")
+    lineitem = spark.read.parquet(f"{out}/lineitem.parquet")
+    # every FK resolves inside the blow-up (offsets applied consistently)
+    assert orders.join(customer, orders.o_custkey == customer.c_custkey,
+                       "left_anti").count() == 0
+    assert lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey,
+                         "left_anti").count() == 0
+    # keys stay unique after offsetting
+    assert orders.select("o_orderkey").distinct().count() == orders.count()
+
+
+def test_blowup_preserves_dedup_structure_linearly(spark, sf_dir, tmp_path):
+    """The alphabet-rotation salt is a bijection on char shingles: exact
+    duplicate groups must replicate exactly (distinct texts scale by the
+    factor), and cross-replica near-dup contamination must be zero — the
+    property that keeps scaling exponents honest."""
+    out = _gen(spark, sf_dir, tmp_path, factor=3)
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blown = spark.read.parquet(f"{out}/documents.parquet")
+    b_distinct = base.select("text").distinct().count()
+    assert blown.select("text").distinct().count() == 3 * b_distinct
+
+    from graflo_spark.ops.dedup import minhash_lsh_candidates
+
+    stride = int(base.agg(F.max("doc_id")).first()[0]) + 1
+    cand = minhash_lsh_candidates(blown, "doc_id", "text").filter(
+        F.col("est_jaccard") >= 0.7)
+    cross = cand.filter(
+        (F.col("id_a") / stride).cast("int")
+        != (F.col("id_b") / stride).cast("int"))
+    assert cross.count() == 0, "cross-replica near-dup contamination"
+    # intra-replica pairs: each replica reproduces the base pair set size
+    base_pairs = minhash_lsh_candidates(base, "doc_id", "text").filter(
+        F.col("est_jaccard") >= 0.7).count()
+    per_replica = (
+        cand.withColumn("rep", (F.col("id_a") / stride).cast("int"))
+        .groupBy("rep").count().collect()
+    )
+    assert {r["rep"] for r in per_replica} <= {0, 1, 2}
+    for r in per_replica:
+        # rotation changes hash draws, so the LSH *candidate* sample can
+        # differ slightly per replica; the >=0.7-verified pair count is
+        # hash-stable for replica 0 and near-identical for the others
+        assert abs(r["count"] - base_pairs) <= max(3, base_pairs * 0.1)

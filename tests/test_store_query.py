@@ -45,6 +45,50 @@ def test_star_cache_session_isolation_and_id_reuse(spark, sf_dir):
     assert len(cache._entries) <= 2
 
 
+def test_traverse_merges_same_type_seeds_into_one_bfs(spark):
+    """k seeds of one vertex type must cost ONE multi-source BFS (OR-merged
+    frontier), not k traversals — and the result must equal the per-seed
+    union at min hop."""
+    from graflo_spark.manifest import CoreSchema, Edge, EdgeId, Field, Vertex
+    from graflo_spark.query import Direction, GraphView
+
+    schema = CoreSchema(
+        vertices=[Vertex("n", [Field("id")], identity=["id"])],
+        edges=[Edge("n", "n", relation="to")],
+    )
+    verts = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    # chain 0->1->2->3, plus 5->6; seeds 0, 2, 5
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "_src_id long, _dst_id long")
+    view = GraphView(
+        vertices={"n": verts},
+        edges={EdgeId("n", "n", "to"): edges},
+        schema=schema,
+    )
+
+    calls = []
+    orig = GraphView._bfs
+
+    def spy(self, initial, *a, **kw):
+        calls.append({t: df.count() for t, df in initial.items()})
+        return orig(self, initial, *a, **kw)
+
+    GraphView._bfs = spy
+    try:
+        out = view.traverse(
+            [("n", {"field": "id", "op": "==", "value": s}) for s in (0, 2, 5)],
+            hops=1, direction=Direction.OUT)
+        got = {r["node_key"]: r["hop"] for r in out.collect()}
+    finally:
+        GraphView._bfs = orig
+
+    assert calls == [{"n": 3}]  # one BFS, one merged 3-seed frontier
+    # min-hop semantics: node 1 is hop 1 from seed 0; node 3 hop 1 from
+    # seed 2; seeds themselves hop 0 even when reachable from another seed
+    assert got == {"n\x1f0": 0, "n\x1f2": 0, "n\x1f5": 0,
+                   "n\x1f1": 1, "n\x1f3": 1, "n\x1f6": 1}
+
+
 @pytest.fixture(scope="module")
 def store(spark, sf_dir):
     schema = star_schema()
@@ -106,17 +150,16 @@ def test_view_roundtrip_aggregate(store, duck):
     assert got == want
 
 
-def test_resolve_error_policy(spark, sf_dir):
+def test_resolve_error_policy(spark):
+    """policy='error' must raise on a genuinely ambiguous secondary match.
+    Ambiguity is constructed inline (two suppliers sharing a nationkey) so
+    the test never depends on what a given scale factor happens to contain."""
     from graflo_spark.resolve import resolve_endpoints
 
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        F.col("n_nationkey").alias("_src_n_nationkey"),
-        F.col("n_nationkey").alias("_dst_s_nationkey"),
-    )
-    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    dup = supplier.groupBy("s_nationkey").count().filter("count > 1").count()
-    if dup == 0:
-        pytest.skip("no ambiguous nationkeys at this sf")
+    nation = spark.createDataFrame(
+        [(1, 1), (2, 2)], "_src_n_nationkey long, _dst_s_nationkey long")
+    supplier = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "s_suppkey long, s_nationkey long")
     with pytest.raises(ValueError, match="ambiguous"):
         resolve_endpoints(nation, supplier, ["s_nationkey"], ["s_suppkey"],
                           side="dst", policy="error")

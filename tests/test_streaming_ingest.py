@@ -106,3 +106,89 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # batch fallback: plain dropDuplicates
     batch = spark.createDataFrame(rows, schema)
     assert stream_dedup(batch, ["k"]).count() == 3
+
+
+def test_kafka_reader_options_contract():
+    """The option matrix of the kafka source (reference KafkaDataSource,
+    data_source/kafka.py:27-247), testable without a broker: exactly one
+    subscription mode; offsets/throttle/data-loss options rendered exactly
+    as the connector expects them."""
+    import pytest
+
+    from graflo_spark.streaming import kafka_reader_options
+
+    opts = kafka_reader_options("b1:9092,b2:9092", topic="events")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+    }
+
+    opts = kafka_reader_options(
+        "b:9092", subscribe_pattern="events-.*", starting_offsets="latest",
+        max_offsets_per_trigger=50_000, fail_on_data_loss=False)
+    assert opts["subscribePattern"] == "events-.*"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    assert opts["failOnDataLoss"] == "false"
+    assert "subscribe" not in opts
+
+    opts = kafka_reader_options(
+        "b:9092", assign={"events": [0, 2]},
+        starting_offsets='{"events":{"0":-2,"2":-2}}',
+        ending_offsets="latest")
+    import json
+    assert json.loads(opts["assign"]) == {"events": [0, 2]}
+    assert opts["endingOffsets"] == "latest"
+
+    # exactly-one-subscription-mode is enforced
+    for bad in (
+        dict(),
+        dict(topic="t", subscribe_pattern="t.*"),
+        dict(topic="t", assign={"t": [0]}),
+    ):
+        with pytest.raises(ValueError, match="exactly one"):
+            kafka_reader_options("b:9092", **bad)
+
+
+def test_kafka_value_parsing_against_recorded_wire_frame(spark):
+    """JSON value decoding against a recorded frame with the connector's
+    exact wire schema: well-formed payloads parse to typed columns,
+    malformed payloads become all-null docs (from_json semantics), and the
+    projection drops the wire columns."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import types as T
+
+    from graflo_spark.streaming import KAFKA_WIRE_SCHEMA, parse_kafka_values
+
+    payloads = [
+        {"event_id": 1, "etype": "click", "amount": 2.5},
+        {"event_id": 2, "etype": "view", "amount": None},
+        None,  # tombstone/null value
+        "NOT-JSON",
+    ]
+    ts = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = []
+    for i, p in enumerate(payloads):
+        blob = (
+            None if p is None
+            else (p if isinstance(p, bytes) else json.dumps(p).encode()
+                  if not isinstance(p, str) else p.encode())
+        )
+        rows.append((str(i).encode(), blob, "events", i % 2, i, ts, 0))
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+
+    value_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("etype", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    out = parse_kafka_values(raw, value_schema)
+    assert out.columns == ["event_id", "etype", "amount"]
+    got = {r["event_id"]: (r["etype"], r["amount"]) for r in out.collect()}
+    assert got[1] == ("click", 2.5)
+    assert got[2] == ("view", None)
+    assert got[None][0] is None  # null + malformed -> all-null docs
+    assert out.filter("event_id IS NULL").count() == 2

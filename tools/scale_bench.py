@@ -1,0 +1,176 @@
+"""Synthetic scale harness: prove headliner scaling beyond the largest
+shipped testdata (sf0.1).
+
+No sf>=0.1 parquet exists in the container, so this tool *generates* a
+deterministic ~Nx blow-up of sf0.1 into a temp dir (default /tmp) and runs
+selected headline queries at BOTH scales, reporting wall times and the
+observed scaling exponent  e = log(t_Nx / t_1x) / log(N)  — e ~= 1 is
+linear; anything clearly super-linear at fixed local resources means a plan
+that would not survive a real scale-up.
+
+Blow-up design (FK-consistent, dedup-structure-preserving):
+- Star tables (customer/supplier/part/orders/lineitem) are replicated
+  ``factor`` times with per-replica key offsets of stride = max(key)+1,
+  applied consistently on both sides of every FK — so the graph build
+  produces exactly factor x the vertices/edges per type.
+- region/nation are dimensions: copied once (a 10x fact blow-up does not
+  multiply dims; this matches how a real corpus grows).
+- documents: replicated with doc_id offsets; replica r>0 text goes through
+  a replica-specific alphabet rotation (bijective ``translate``). A
+  bijective char map is a bijection on char shingles, so every intra-replica
+  Jaccard similarity is preserved EXACTLY, while cross-replica shingle
+  overlap drops to ~0 — duplicate GROUPS scale linearly instead of
+  quadratically, which keeps the scaling measurement honest. (A weaker
+  token-insertion salt was tried first and left cross-replica Jaccard ~0.5,
+  inside the LSH candidate zone — the blow-up manufactured 45x the
+  candidate pairs and ~10-replica mega-clusters.)
+
+Usage:
+    python3 tools/scale_bench.py [factor] [out_root]
+Prints one JSON line:
+    {"metric": "scale_exponents", "factor": N, "queries": {name:
+      {"t_base": s, "t_scaled": s, "exponent": e, "rows_base": n,
+       "rows_scaled": n}}}
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+SCALE_QUERIES = [
+    "graph_type_counts",
+    "minhash_dedup_documents",
+    "near_dup_clusters_documents",
+]
+
+# (table, [key cols offset by own stride], {col: stride-source table})
+STAR_FACTS = [
+    ("customer", ["c_custkey"], {}),
+    ("supplier", ["s_suppkey"], {}),
+    ("part", ["p_partkey"], {}),
+    ("orders", ["o_orderkey"], {"o_custkey": "customer"}),
+    ("lineitem", [], {"l_orderkey": "orders", "l_partkey": "part",
+                      "l_suppkey": "supplier"}),
+]
+DIMS = ["region", "nation"]
+KEY_OF = {"customer": "c_custkey", "supplier": "s_suppkey",
+          "part": "p_partkey", "orders": "o_orderkey"}
+
+
+def generate(spark, base_dir: str, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    strides: dict[str, int] = {}
+    for t, key in KEY_OF.items():
+        df = spark.read.parquet(f"{base_dir}/{t}.parquet")
+        strides[t] = int(df.agg(F.max(key)).first()[0]) + 1
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
+
+    for t in DIMS:
+        spark.read.parquet(f"{base_dir}/{t}.parquet").write.mode(
+            "overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+    for t, own_keys, fks in STAR_FACTS:
+        df = spark.read.parquet(f"{base_dir}/{t}.parquet").select("*", reps)
+        for k in own_keys:
+            df = df.withColumn(
+                k, F.col(k) + F.col("__r") * F.lit(strides[t]))
+        for col, src in fks.items():
+            df = df.withColumn(
+                col, F.col(col) + F.col("__r") * F.lit(strides[src]))
+        df.drop("__r").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet")
+
+    if factor > 26:
+        raise ValueError("alphabet rotation supports factor <= 26")
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    stride_d = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    import string
+
+    lo, up = string.ascii_lowercase, string.ascii_uppercase
+    rotated = F.when(F.col("__r") == 0, F.col("text"))
+    for r in range(1, factor):
+        rotated = rotated.when(
+            F.col("__r") == r,
+            F.translate(F.col("text"), lo + up,
+                        lo[r:] + lo[:r] + up[r:] + up[:r]))
+    blown = (
+        docs.select("*", reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__r") * F.lit(stride_d))
+        .withColumn("text", rotated)
+        .drop("__r")
+    )
+    blown.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    # embeddings/events: not consumed by the scale queries; copy footers for
+    # any incidental load
+    for t in ("embeddings", "events"):
+        src = f"{base_dir}/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(
+                f"{out_dir}/{t}.parquet")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graflo_scale"
+    out_dir = os.path.join(
+        out_root, f"{os.path.basename(BASE_DIR.rstrip('/'))}_x{factor}")
+
+    from graflo_spark.catalog import QUERIES
+    from graflo_spark.session import get_spark
+
+    spark = get_spark("graflo-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        t0 = time.perf_counter()
+        generate(spark, BASE_DIR, out_dir, factor)
+        print(f"# generated {factor}x blow-up in "
+              f"{time.perf_counter() - t0:.1f}s -> {out_dir}", file=sys.stderr)
+
+    results: dict[str, dict] = {}
+    for name in SCALE_QUERIES:
+        fn = QUERIES[name]
+        fn(spark, "/root/testdata/sf0.001").count()  # codegen warm
+        entry: dict[str, float | int | None] = {}
+        for label, d in (("base", BASE_DIR), ("scaled", out_dir)):
+            t0 = time.perf_counter()
+            try:
+                n = fn(spark, d).count()
+            except Exception as exc:  # noqa: BLE001
+                print(f"# {name}@{label}: FAILED {exc}"[:300], file=sys.stderr)
+                entry[f"t_{label}"] = None
+                entry[f"rows_{label}"] = None
+                continue
+            entry[f"t_{label}"] = round(time.perf_counter() - t0, 3)
+            entry[f"rows_{label}"] = n
+            print(f"# {name}@{label}: {entry[f't_{label}']}s rows={n}",
+                  file=sys.stderr)
+        tb, ts = entry.get("t_base"), entry.get("t_scaled")
+        entry["exponent"] = (
+            round(math.log(ts / tb) / math.log(factor), 3)
+            if tb and ts else None
+        )
+        results[name] = entry
+
+    print(json.dumps({
+        "metric": "scale_exponents",
+        "factor": factor,
+        "base_dir": BASE_DIR,
+        "queries": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
