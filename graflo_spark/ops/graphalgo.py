@@ -88,6 +88,7 @@ def connected_components(
     # stop with a multi-parent forest and emit one node in two components.
     prev = edges
     prev_cnt = edges.count()
+    converged = False
     for _ in range(max_iter):
         edges = _large_star(_symmetrize(edges))
         edges = _small_star(_symmetrize(edges))
@@ -97,8 +98,15 @@ def connected_components(
         if cnt == prev_cnt and edges.exceptAll(prev).limit(1).count() == 0:
             # same cardinality + no edge outside prev ⇒ identical sets
             # (both sides are distinct()), so another round is a no-op.
+            converged = True
             break
         prev, prev_cnt = edges, cnt
+    if not converged:
+        # an unconverged forest can assign one node to two components —
+        # silently returning it would corrupt downstream dedup
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the star-contraction bound is O(log n) — raise max_iter")
 
     comp = edges.select(
         F.col("a").alias("node"), F.col("b").alias("component"))

@@ -231,13 +231,21 @@ def lsh_topk(
     query_vec: str = "embedding",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's hyperplane bucket.
+    """Approximate top-k: probe the query's hyperplane bucket.
 
-    Recall can be raised by lowering n_planes (bigger buckets) or multi-probe
-    (future work). The corpus bucketing is a pure map pass — at scale, write
-    it once partitioned by bucket and get partition pruning on probe.
+    ``multi_probe=1`` additionally probes every bucket at Hamming distance 1
+    (each of the ``n_planes`` sign bits flipped): a vector near a hyperplane
+    lands on either side with ~equal probability, so the 1-flip neighborhood
+    recovers most misses at the cost of probing n_planes+1 buckets per query
+    — the QUERY side fans out, the corpus is bucketed and scanned exactly as
+    before (and at scale stays written once, partitioned by bucket, with
+    partition pruning per probe). Recall can also be raised by lowering
+    n_planes (bigger buckets).
     """
+    if multi_probe not in (0, 1):
+        raise ValueError("multi_probe supports 0 (exact) or 1 (1-bit flips)")
     first = corpus.select(corpus_vec).limit(1).collect()
     dim = len(first[0][0]) if first else 0
     c = corpus.select(
@@ -246,9 +254,29 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("q_vec")
     ).withColumn("bucket", lsh_bucket_expr(F.col("q_vec"), dim, n_planes))
+    if multi_probe:
+        # fan the query row out to its bucket + all 1-bit-flip buckets;
+        # a (query, neighbor) pair reachable via several probes dedups in
+        # the top-k window (row_number over a deterministic order)
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                        for p in range(n_planes)
+                    ],
+                )
+            ),
+        )
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    if multi_probe:
+        # the same pair can arrive via several probed buckets — dedup on
+        # ids only (BEFORE scoring runs per surviving row)
+        joined = joined.dropDuplicates(["query_id", "neighbor_id"])
     scored = joined.select(
         "query_id",
         "neighbor_id",

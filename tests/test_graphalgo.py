@@ -113,3 +113,13 @@ def test_near_dup_clusters_representatives(spark):
     reps = {r["doc_id"] for r in out if r["is_representative"]}
     assert cluster == {0: 0, 1: 1, 4: 1, 6: 1, 2: 2, 3: 2, 5: 5, 7: 7}
     assert reps == {0, 1, 2, 5, 7}
+
+def test_cc_raises_on_max_iter_exhaustion(spark):
+    """An unconverged forest can assign one node two components; exhausting
+    max_iter must raise, never return silently."""
+    import pytest
+
+    pairs = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)

@@ -70,6 +70,25 @@ def test_ivf_index_reused_across_query_batches_without_refit(
     assert len(fits) == 1
 
 
+def test_ivf_probe_from_disk_gets_dynamic_partition_pruning(
+        spark, tables, tmp_path):
+    """The 100 TB payoff of IvfIndex.write's partitionBy(cluster): a probe
+    against the on-disk index must show a dynamic-partition-pruning filter
+    on `cluster` in the scan — the executor never opens files for clusters
+    the query doesn't probe."""
+    emb = tables["embeddings"]
+    index = ss.build_ivf_index(emb, n_centroids=4)
+    path = str(tmp_path / "ivf")
+    index.write(path)
+    reread = ss.IvfIndex.read(spark, path)
+    out = ss.ivf_probe(reread, emb.filter(F.col("vec_id") < 2),
+                       k=3, n_probe=1)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "dynamicpruningexpression(cluster" in plan, plan[:800]
+
+
 def test_lsh_bucket_expr_wide_dim(spark):
     """Production embedding widths: at dim=1536 x 12 planes the bucket
     projection must (a) stay one whole-stage-codegen subtree — the r2
@@ -101,6 +120,40 @@ def test_lsh_bucket_expr_wide_dim(spark):
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
     s = out._jdf.queryExecution().explainString(mode)
     assert "Found 1 WholeStageCodegen subtrees" in s, s.splitlines()[0]
+
+
+def test_lsh_topk_multi_probe_raises_recall(spark, tables):
+    """multi_probe=1 probes the query bucket plus all 1-bit-flip buckets:
+    recall vs brute force must not drop (and on this fixture strictly
+    rises), results contain no duplicate neighbors, ranks stay contiguous."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ss.brute_force_topk(queries, emb, k=5).collect()
+    }
+
+    def run(mp):
+        rows = ss.lsh_topk(queries, emb, k=5, n_planes=8,
+                           multi_probe=mp).collect()
+        seen = set()
+        per_q = {}
+        for r in rows:
+            key = (r["query_id"], r["neighbor_id"])
+            assert key not in seen, "duplicate neighbor in top-k"
+            seen.add(key)
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        for ranks in per_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        return seen
+
+    r0 = run(0) & brute
+    r1 = run(1) & brute
+    assert len(r1) >= len(r0)
+    assert len(r1) > 0
+    import pytest
+    with pytest.raises(ValueError, match="multi_probe"):
+        ss.lsh_topk(queries, emb, multi_probe=2)
 
 
 def test_winnowing_shared_run_guarantee(spark):
