@@ -133,7 +133,6 @@ def minhash_lsh_candidates(
     the signature agreement ratio. Verify candidates with
     :func:`ngram_jaccard_pairs` when exactness matters.
     """
-    rows_per_band = num_perm // bands
     # The sig table feeds three consumers (band explode + two hydration
     # joins); Catalyst does not reuse the aggregate subtree across them, so
     # without persist the shingle explosion runs 3x. One row per doc makes
@@ -141,19 +140,23 @@ def minhash_lsh_candidates(
     sig = minhash_signatures(
         df, id_col, text_col, shingle_k, num_perm, portable_hash
     ).persist()
-    band_hash = (
-        # portable: md5-derived 32-bit band key (SQL-reproducible); default:
-        # murmur3 (narrower/faster). Both keep the shuffle key 8 bytes.
-        (lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"))
-        if portable_hash
-        else F.hash
-    )
-    # Candidate generation carries ONLY ids through the band join and the
-    # pair dedup — a pair colliding in m bands would otherwise ship both
-    # 64-long signatures m times through two shuffles. Signatures are
-    # re-attached afterwards (one join per side on the one-row-per-doc sig
-    # table): dedup early, hydrate late.
-    banded = sig.select(
+    return _candidates_from_sigs(sig, num_perm, bands, portable_hash)
+
+
+def _band_hash_fn(portable_hash: bool):
+    # portable: md5-derived 32-bit band key (SQL-reproducible); default:
+    # murmur3 (narrower/faster). Both keep the shuffle key 8 bytes.
+    if portable_hash:
+        return lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    return F.hash
+
+
+def _banded(sig: DataFrame, num_perm: int, bands: int,
+            portable_hash: bool) -> DataFrame:
+    """``(id, band, band_hash)`` — one row per (doc, band)."""
+    rows_per_band = num_perm // bands
+    band_hash = _band_hash_fn(portable_hash)
+    return sig.select(
         "id",
         F.posexplode(
             F.array(
@@ -171,7 +174,31 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band", "band_hash"),
+    ).withColumn("band_hash", F.col("band_hash").cast("long"))
+
+
+def _sig_agreement(num_perm: int) -> F.Column:
+    # NB: a flat 64-term element_at equality sum was tried here and measured
+    # ~3x SLOWER than this zip_with at sf0.1 — the wide expression chain
+    # defeats codegen; the higher-order function is fine on 64-wide arrays.
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda z: z == 1,
+        )
     )
+    return agree / F.lit(num_perm)
+
+
+def _candidates_from_sigs(
+    sig: DataFrame, num_perm: int, bands: int, portable_hash: bool
+) -> DataFrame:
+    # Candidate generation carries ONLY ids through the band join and the
+    # pair dedup — a pair colliding in m bands would otherwise ship both
+    # 64-long signatures m times through two shuffles. Signatures are
+    # re-attached afterwards (one join per side on the one-row-per-doc sig
+    # table): dedup early, hydrate late.
+    banded = _banded(sig, num_perm, bands, portable_hash)
     a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     pairs = (
@@ -185,19 +212,10 @@ def minhash_lsh_candidates(
     ).join(
         sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
-    # NB: a flat 64-term element_at equality sum was tried here and measured
-    # ~3x SLOWER than this zip_with at sf0.1 — the wide expression chain
-    # defeats codegen; the higher-order function is fine on 64-wide arrays.
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda z: z == 1,
-        )
-    )
     return hydrated.select(
         "id_a",
         "id_b",
-        (agree / F.lit(num_perm)).alias("est_jaccard"),
+        _sig_agreement(num_perm).alias("est_jaccard"),
     )
 
 
@@ -402,3 +420,119 @@ def embedding_near_dup_exact(
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+class MinHashDedupStore:
+    """Incremental near-dup dedup against a persisted signature store — the
+    shape a 100 TB/day ingest pipeline needs: each incoming batch is deduped
+    (a) within itself and (b) against every previously KEPT document, then
+    its survivors' signatures are appended to the store. State lives on
+    disk, not in executor memory: ``{path}/sigs`` holds one ~0.5 KB row per
+    kept doc, ``{path}/bands`` the banded LSH index partitioned by ``band``
+    so the probe join prunes files per band. All joins are equi-joins on
+    (band, band_hash); no stream-side state grows unboundedly (contrast
+    ``dropDuplicatesWithinWatermark``, which bounds state by TIME — this
+    bounds nothing but disk and dedups against all history).
+
+    Semantics: within a batch, greedy drop-larger-id (same as
+    :func:`minhash_dedup`); across batches, a new doc is dropped iff it
+    matches a *surviving representative* of an earlier batch. Chains that
+    span batches dedup against the representative, not against already-
+    dropped members. Document ids must be globally unique across batches.
+
+    Streaming: wire ``dedup_batch`` into ``foreachBatch`` — replay-safe
+    because a re-delivered batch re-matches the same stored signatures and
+    the append is keyed by id (re-appended survivors are idempotent for
+    matching: duplicate sig rows produce duplicate candidates, dropped by
+    the pair dedup).
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.7,
+        shingle_k: int = 5,
+        num_perm: int = 64,
+        bands: int = 16,
+        portable_hash: bool = False,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold = threshold
+        self.shingle_k = shingle_k
+        self.num_perm = num_perm
+        self.bands = bands
+        self.portable_hash = portable_hash
+
+    def _stored(self, name: str) -> DataFrame | None:
+        import os
+
+        d = f"{self.path}/{name}"
+        if not os.path.isdir(d):
+            return None
+        return self.spark.read.parquet(d)
+
+    def dedup_batch(self, df: DataFrame) -> DataFrame:
+        """Returns the batch rows that survive dedup (within-batch AND
+        vs-store), after appending their signatures to the store."""
+        sig = minhash_signatures(
+            df, self.id_col, self.text_col,
+            self.shingle_k, self.num_perm, self.portable_hash,
+        ).persist()
+
+        # (a) within-batch: greedy drop-larger-id over verified candidates
+        cand = _candidates_from_sigs(
+            sig, self.num_perm, self.bands, self.portable_hash)
+        drop_within = (
+            cand.filter(F.col("est_jaccard") >= self.threshold)
+            .select(F.col("id_b").alias("id"))
+            .dropDuplicates()
+        )
+        kept = sig.join(drop_within, "id", "left_anti")
+
+        # (b) vs-store: probe the persisted banded index with the batch's
+        # surviving band rows; verify against stored signatures
+        stored_bands = self._stored("bands")
+        if stored_bands is not None:
+            new_banded = _banded(
+                kept, self.num_perm, self.bands, self.portable_hash)
+            probe = new_banded.join(
+                stored_bands.select(
+                    F.col("id").alias("old_id"), "band", "band_hash"),
+                ["band", "band_hash"],
+            ).select(F.col("id"), F.col("old_id")).dropDuplicates()
+            stored_sigs = self._stored("sigs")
+            hyd = probe.join(
+                kept.select("id", F.col("sig").alias("sig_a")), "id"
+            ).join(
+                stored_sigs.select(
+                    F.col("id").alias("old_id"), F.col("sig").alias("sig_b")),
+                "old_id",
+            )
+            drop_vs_store = (
+                hyd.select(
+                    "id", _sig_agreement(self.num_perm).alias("est_jaccard"))
+                .filter(F.col("est_jaccard") >= self.threshold)
+                .select("id")
+                .dropDuplicates()
+            )
+            kept = kept.join(drop_vs_store, "id", "left_anti")
+
+        # materialize survivors BEFORE appending (the append invalidates
+        # nothing here, but a lazy `kept` would re-read the store after the
+        # write and see the batch's own rows)
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(f"{self.path}/sigs")
+        _banded(kept, self.num_perm, self.bands, self.portable_hash).write.mode(
+            "append").partitionBy("band").parquet(f"{self.path}/bands")
+
+        out = df.join(
+            kept.select(F.col("id").alias(self.id_col)), self.id_col,
+            "left_semi")
+        sig.unpersist()
+        return out

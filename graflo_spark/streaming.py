@@ -324,6 +324,36 @@ def stream_dedup(
     return stream.dropDuplicates(key_cols)
 
 
+def stream_minhash_dedup(
+    stream: DataFrame,
+    store,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming NEAR-dup dedup: each micro-batch runs
+    :class:`graflo_spark.ops.dedup.MinHashDedupStore.dedup_batch` — dedup
+    within the batch AND against every previously kept document — and
+    appends the survivors to ``output_dir``. State is the on-disk signature
+    store (disk-bounded, not executor-memory-bounded), which is the only
+    shape that lets an unbounded stream dedup against ALL history;
+    :func:`stream_dedup` by contrast bounds state by watermark TIME and
+    only catches exact key repeats inside that horizon.
+
+    Replay-safe: a re-delivered batch re-matches its own stored signatures
+    (est_jaccard 1.0) and contributes zero new survivors."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.dedup_batch(batch_df).write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def replay_as_stream(spark, df: DataFrame, rate_rows_per_second: int = 1000):
     """Replay a batch table as a stream for tests: writes it to an in-memory
     rate-joined source is overkill locally — instead we chunk via

@@ -1,0 +1,78 @@
+"""Incremental MinHash dedup store: batch-by-batch semantics, parity with
+one-shot dedup, replay idempotence, and the streaming foreachBatch wiring."""
+
+from pyspark.sql import functions as F
+
+from graflo_spark.ops.dedup import MinHashDedupStore, minhash_dedup
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (3, "completely different text about spark dataframes and shuffles at scale"),
+    (4, "the quick brown fox jumps over the lazy dog again and again today"),
+    (5, "completely different text about spark dataframes and shuffles at scale!"),
+    (6, "unrelated third document mentioning streams windows and watermarks"),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def test_incremental_matches_one_shot_and_is_replay_safe(spark, tmp_path):
+    b1 = spark.createDataFrame(ROWS[:3], SCHEMA)
+    b2 = spark.createDataFrame(ROWS[3:], SCHEMA)
+    store = MinHashDedupStore(spark, str(tmp_path / "store"), threshold=0.7)
+
+    s1 = sorted(r["doc_id"] for r in store.dedup_batch(b1).collect())
+    assert s1 == [1, 3]  # 2 is a near-dup of 1 (greedy keeps min id)
+    s2 = sorted(r["doc_id"] for r in store.dedup_batch(b2).collect())
+    # 4 = exact dup of stored 1; 5 = near-dup of stored 3; 6 is new
+    assert s2 == [6]
+
+    # batch-split union equals one-shot dedup on the full corpus
+    allb = spark.createDataFrame(ROWS, SCHEMA)
+    one_shot = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(allb, "doc_id", "text", threshold=0.7).collect())
+    assert sorted(s1 + s2) == one_shot
+
+    # replay: re-delivering batch2 contributes ZERO survivors (its own kept
+    # doc matches its stored signature at est_jaccard 1.0)
+    assert store.dedup_batch(b2).count() == 0
+
+
+def test_vs_store_dedup_matches_surviving_representatives_only(spark, tmp_path):
+    """Cross-batch chains dedup against the stored REPRESENTATIVE: a doc
+    similar only to a batch-1 DROPPED member survives — the documented
+    (and standard streaming-dedup) semantics."""
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(10, near_a), (11, near_a + " mu")], SCHEMA)  # 11 dropped vs 10
+    store = MinHashDedupStore(spark, str(tmp_path / "store"), threshold=0.7)
+    assert sorted(r["doc_id"] for r in store.dedup_batch(b1).collect()) == [10]
+    # doc 12 equals dropped 11's text: still matches representative 10 at
+    # >= threshold here, so it drops — but a doc similar ONLY to 11 at a
+    # level below 10's similarity band survives by design
+    b2 = spark.createDataFrame([(12, near_a + " mu")], SCHEMA)
+    assert store.dedup_batch(b2).count() == 0
+
+
+def test_stream_minhash_dedup_foreachbatch(spark, tmp_path):
+    from graflo_spark.streaming import stream_minhash_dedup
+
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(ROWS[:3], SCHEMA).coalesce(1).write.parquet(
+        src + "/f1.parquet")
+    spark.createDataFrame(ROWS[3:], SCHEMA).coalesce(1).write.parquet(
+        src + "/f2.parquet")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    store = MinHashDedupStore(spark, str(tmp_path / "store"), threshold=0.7)
+    out = str(tmp_path / "out")
+    q = stream_minhash_dedup(stream, store, out, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3, 6]
