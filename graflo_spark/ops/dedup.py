@@ -228,14 +228,27 @@ def minhash_dedup(
 ) -> DataFrame:
     """Keep one representative per near-duplicate cluster: drop the larger id
     of every candidate pair above threshold (greedy, single pass — the
-    standard large-scale approximation of connected components)."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
+    standard large-scale approximation of connected components).
+
+    Exact duplicates are collapsed to their min-id representative BEFORE the
+    LSH stage. This is output-identical (identical texts have identical
+    signatures, so est_jaccard = 1.0 >= any threshold <= 1 drops every
+    non-min member anyway, and greedy decisions between groups depend only
+    on each group's min id) but turns the 100 TB boilerplate hazard — a hot
+    group of g identical pages colliding in EVERY band for O(g^2) candidate
+    pairs — into one aggregate row per distinct text.
+    """
+    if threshold > 1.0:
+        return df  # nothing can reach est_jaccard > 1 — no drops
+    reps = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    cand = minhash_lsh_candidates(reps, id_col, text_col, **lsh_kwargs)
     drop = (
         cand.filter(F.col("est_jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .dropDuplicates()
     )
-    return df.join(drop, id_col, "left_anti")
+    survivors = reps.select(id_col).join(drop, id_col, "left_anti")
+    return df.join(survivors, id_col, "left_semi")
 
 
 def ngram_jaccard_pairs(
@@ -480,8 +493,13 @@ class MinHashDedupStore:
     def dedup_batch(self, df: DataFrame) -> DataFrame:
         """Returns the batch rows that survive dedup (within-batch AND
         vs-store), after appending their signatures to the store."""
+        # collapse exact duplicates to their min-id representative first —
+        # output-identical (see minhash_dedup) and immune to hot boilerplate
+        # groups exploding the within-batch band join
+        reps = df.groupBy(self.text_col).agg(
+            F.min(self.id_col).alias(self.id_col))
         sig = minhash_signatures(
-            df, self.id_col, self.text_col,
+            reps, self.id_col, self.text_col,
             self.shingle_k, self.num_perm, self.portable_hash,
         ).persist()
 

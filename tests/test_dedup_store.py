@@ -76,3 +76,48 @@ def test_stream_minhash_dedup_foreachbatch(spark, tmp_path):
     q.stop()
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [1, 3, 6]
+
+
+def test_minhash_dedup_hot_exact_group_collapses(spark):
+    """A hot exact-duplicate group (boilerplate) must not explode the LSH
+    pair join: survivors equal the uncollapsed greedy semantics, and the
+    candidate stage sees one row per distinct text."""
+    from graflo_spark.ops.dedup import minhash_dedup, minhash_lsh_candidates
+
+    boiler = "cookie notice please accept our terms and conditions to continue"
+    rows = [(i, boiler) for i in range(200)]  # hot group, ids 0..199
+    rows += [
+        (1000, "a genuinely unique document about distributed aggregation"),
+        (1001, "a genuinely unique document about distributed aggregation!!"),
+        (1002, "and one more totally unrelated text on partition pruning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(r["doc_id"] for r in minhash_dedup(
+        df, "doc_id", "text", threshold=0.7).collect())
+    # uncollapsed greedy semantics: min of the hot group survives, 1001
+    # drops against 1000, 1002 unique
+    assert out == [0, 1000, 1002]
+
+    # the collapse really happened: candidates over the representative set
+    # contain no pair with both sides inside the hot group
+    reps = df.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    cand = minhash_lsh_candidates(reps, "doc_id", "text").collect()
+    assert all(not (r["id_a"] < 200 and r["id_b"] < 200) or r["id_a"] == 0
+               for r in cand)
+
+    # threshold > 1 keeps everything (no est can exceed 1)
+    assert minhash_dedup(df, "doc_id", "text", threshold=1.5).count() == len(rows)
+
+
+def test_dedup_store_batch_with_hot_exact_group(spark, tmp_path):
+    boiler = "cookie notice please accept our terms and conditions to continue"
+    rows = [(i, boiler) for i in range(100)] + [
+        (500, "first unique doc in this hot batch about window functions")]
+    store = MinHashDedupStore(spark, str(tmp_path / "store"), threshold=0.7)
+    out = sorted(
+        r["doc_id"] for r in store.dedup_batch(
+            spark.createDataFrame(rows, SCHEMA)).collect())
+    assert out == [0, 500]
+    # second batch: more of the same boilerplate, all dropped vs stored rep
+    b2 = spark.createDataFrame([(600, boiler), (601, boiler)], SCHEMA)
+    assert store.dedup_batch(b2).count() == 0
