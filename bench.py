@@ -29,6 +29,12 @@ BENCH_QUERIES = [
     "cosine_topk_bruteforce",
     "text_stats_documents",
     "window_tumbling_sliding_events",
+    # round 4: the two operator families the headline set was missing —
+    # near-dup clustering (LSH pairs -> connected components) and ANN
+    # (IVF + hyperplane LSH). Cross-round totals are compared per-query;
+    # BENCH_NOTES.md records when the set/work changed.
+    "near_dup_clusters_documents",
+    "ann_topk_embeddings",
 ]
 
 

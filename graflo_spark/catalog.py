@@ -1045,13 +1045,13 @@ def near_dup_clusters_documents(spark, sf_dir):
     the same closure with a recursive CTE — transitive-closure agreement
     IS the proof the distributed algorithm found exactly the right
     components."""
-    from graflo_spark.ops import graphalgo as ga
-
     df = load(spark, sf_dir, "documents")
-    cand = dd.minhash_lsh_candidates(
-        df, "doc_id", "text", portable_hash=True)
-    verified = cand.filter(F.col("est_jaccard") >= 0.7).select("id_a", "id_b")
-    return ga.near_dup_clusters(df, verified, id_col="doc_id")
+    # exact-duplicate collapse before candidates + expansion after CC:
+    # output-identical (identical texts join their representative's
+    # component via est=1.0 band collisions in the oracle's closure too)
+    # but immune to hot boilerplate groups — see ops/dedup.py
+    return dd.minhash_near_dup_clusters(
+        df, "doc_id", "text", threshold=0.7, portable_hash=True)
 
 
 _SIMHASH_ORACLE = (

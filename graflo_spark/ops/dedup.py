@@ -554,3 +554,44 @@ class MinHashDedupStore:
             "left_semi")
         sig.unpersist()
         return out
+
+
+def minhash_near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING with the exact-duplicate collapse: identical
+    texts are reduced to their min-id representative before candidate
+    generation, connected components run on the representative graph, and
+    members are expanded back via their text. Output-identical to running
+    :func:`graflo_spark.ops.graphalgo.near_dup_clusters` on all-pairs
+    candidates — identical texts always collide in every band, so exact-group
+    members join their representative's component through est=1.0 edges, and
+    the component minimum is always a representative — but a hot boilerplate
+    group of g identical pages costs one row instead of O(g^2) band-join
+    pairs. Returns ``(id_col, cluster, is_representative)``."""
+    from graflo_spark.ops import graphalgo as ga
+
+    reps = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    cand = minhash_lsh_candidates(reps, id_col, text_col, **lsh_kwargs)
+    verified = cand.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b")
+    rep_clusters = ga.near_dup_clusters(reps, verified, id_col=id_col)
+    return (
+        df.select(id_col, text_col)
+        .join(reps.select(F.col(id_col).alias("__rep_id"), text_col),
+              text_col)
+        .join(
+            rep_clusters.select(
+                F.col(id_col).alias("__rep_id"), "cluster"),
+            "__rep_id",
+        )
+        .select(
+            id_col,
+            "cluster",
+            (F.col(id_col) == F.col("cluster")).alias("is_representative"),
+        )
+    )

@@ -121,3 +121,38 @@ def test_dedup_store_batch_with_hot_exact_group(spark, tmp_path):
     # second batch: more of the same boilerplate, all dropped vs stored rep
     b2 = spark.createDataFrame([(600, boiler), (601, boiler)], SCHEMA)
     assert store.dedup_batch(b2).count() == 0
+
+
+def test_near_dup_clusters_collapsed_hot_group(spark):
+    """Clustering with the exact-dup collapse: a 300-member identical group
+    plus a cross-text near-dup chain must produce the same clusters as the
+    uncollapsed definition (computed via union-find on all verified pairs)."""
+    from graflo_spark.ops.dedup import (
+        minhash_lsh_candidates, minhash_near_dup_clusters)
+
+    boiler = "cookie notice please accept our terms and conditions to continue"
+    rows = [(i, boiler) for i in range(300)] + [
+        (1000, "a genuinely unique document about distributed aggregation"),
+        (1001, "a genuinely unique document about distributed aggregation!!"),
+        (1002, "and one more totally unrelated text on partition pruning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_near_dup_clusters(df, "doc_id", "text", threshold=0.7)
+    got = {r["doc_id"]: (r["cluster"], r["is_representative"])
+           for r in out.collect()}
+    assert len(got) == len(rows)  # every doc exactly once
+    for i in range(300):
+        assert got[i] == (0, i == 0)
+    assert got[1000] == (1000, True)
+    assert got[1001] == (1001, False) or got[1001][0] == 1000
+    assert got[1002] == (1002, True)
+
+    # ground truth via union-find over the (small) uncollapsed pair set of
+    # DISTINCT texts expanded to members — equivalently: 1001 clusters with
+    # 1000 iff their pair verifies
+    pair_10 = minhash_lsh_candidates(
+        spark.createDataFrame(rows[300:], "doc_id long, text string"),
+        "doc_id", "text").filter(
+        (F.col("id_a") == 1000) & (F.col("id_b") == 1001)
+        & (F.col("est_jaccard") >= 0.7)).count()
+    assert (got[1001][0] == 1000) == (pair_10 == 1)

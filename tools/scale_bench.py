@@ -25,8 +25,14 @@ Blow-up design (FK-consistent, dedup-structure-preserving):
   inside the LSH candidate zone — the blow-up manufactured 45x the
   candidate pairs and ~10-replica mega-clusters.)
 
+``--hot-group`` additionally rewrites 20% of the scaled documents to ONE
+identical boilerplate text — the adversarial corpus shape for LSH dedup
+(every member collides in every band). With the exact-duplicate collapse in
+``minhash_dedup`` this must stay ~flat vs the clean 10x run instead of
+exploding quadratically.
+
 Usage:
-    python3 tools/scale_bench.py [factor] [out_root]
+    python3 tools/scale_bench.py [factor] [out_root] [--hot-group]
 Prints one JSON line:
     {"metric": "scale_exponents", "factor": N, "queries": {name:
       {"t_base": s, "t_scaled": s, "exponent": e, "rows_base": n,
@@ -67,7 +73,8 @@ KEY_OF = {"customer": "c_custkey", "supplier": "s_suppkey",
           "part": "p_partkey", "orders": "o_orderkey"}
 
 
-def generate(spark, base_dir: str, out_dir: str, factor: int) -> None:
+def generate(spark, base_dir: str, out_dir: str, factor: int,
+             hot_group: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     strides: dict[str, int] = {}
     for t, key in KEY_OF.items():
@@ -110,6 +117,14 @@ def generate(spark, base_dir: str, out_dir: str, factor: int) -> None:
         .withColumn("text", rotated)
         .drop("__r")
     )
+    if hot_group:
+        # adversarial shape: 20% of all docs become ONE identical text
+        boiler = ("cookie notice please accept our terms and conditions to "
+                  "continue to the requested page thank you for visiting")
+        blown = blown.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(boiler)).otherwise(
+                F.col("text")))
     blown.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     # embeddings/events: not consumed by the scale queries; copy footers for
@@ -122,10 +137,13 @@ def generate(spark, base_dir: str, out_dir: str, factor: int) -> None:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graflo_scale"
+    args = [a for a in sys.argv[1:] if a != "--hot-group"]
+    hot_group = "--hot-group" in sys.argv[1:]
+    factor = int(args[0]) if args else 10
+    out_root = args[1] if len(args) > 1 else "/tmp/graflo_scale"
+    suffix = f"_x{factor}" + ("_hot" if hot_group else "")
     out_dir = os.path.join(
-        out_root, f"{os.path.basename(BASE_DIR.rstrip('/'))}_x{factor}")
+        out_root, f"{os.path.basename(BASE_DIR.rstrip('/'))}{suffix}")
 
     from graflo_spark.catalog import QUERIES
     from graflo_spark.session import get_spark
@@ -135,7 +153,7 @@ def main() -> None:
 
     if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
         t0 = time.perf_counter()
-        generate(spark, BASE_DIR, out_dir, factor)
+        generate(spark, BASE_DIR, out_dir, factor, hot_group=hot_group)
         print(f"# generated {factor}x blow-up in "
               f"{time.perf_counter() - t0:.1f}s -> {out_dir}", file=sys.stderr)
 
@@ -167,6 +185,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "scale_exponents",
         "factor": factor,
+        "hot_group": hot_group,
         "base_dir": BASE_DIR,
         "queries": results,
     }))
