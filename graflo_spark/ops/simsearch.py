@@ -139,10 +139,17 @@ def build_ivf_index(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
 ) -> IvfIndex:
     """Fit distributed KMeans over the corpus and assign every vector to its
     nearest centroid (one map pass). The returned index is reusable across
-    arbitrarily many query batches — no refit per query."""
+    arbitrarily many query batches — no refit per query.
+
+    ``max_iter`` bounds the fit cost (each iteration is a full corpus pass).
+    Centroid quality only affects RECALL of pruned probes
+    (``n_probe < n_centroids``) — correctness of what IS probed never
+    depends on it, and a full probe is exact under any centroids — so
+    latency-sensitive builds can lower it and recall-test the result."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -151,7 +158,8 @@ def build_ivf_index(
         F.col(corpus_vec).cast("array<double>").alias("c_vec"),
     ).withColumn("__fv", array_to_vector(F.col("c_vec")))
     model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="cluster"
+        k=n_centroids, seed=seed, featuresCol="__fv",
+        predictionCol="cluster", maxIter=max_iter,
     ).fit(c)
     assigned = model.transform(c).drop("__fv")
 
@@ -213,12 +221,14 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: K-Means-partition the corpus,
     probe only the ``n_probe`` centroids nearest each query. Convenience
     one-shot wrapper over ``build_ivf_index`` + ``ivf_probe`` — repeated
     query batches should build the index once and call ``ivf_probe``."""
-    index = build_ivf_index(corpus, n_centroids, corpus_id, corpus_vec, seed)
+    index = build_ivf_index(
+        corpus, n_centroids, corpus_id, corpus_vec, seed, max_iter)
     return ivf_probe(index, queries, k, n_probe, query_id, query_vec)
 
 

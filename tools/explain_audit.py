@@ -35,6 +35,8 @@ HEADLINES = [
     "cosine_topk_bruteforce",
     "text_stats_documents",
     "window_tumbling_sliding_events",
+    "near_dup_clusters_documents",
+    "ann_topk_embeddings",
 ]
 
 
