@@ -490,6 +490,37 @@ class MinHashDedupStore:
             return None
         return self.spark.read.parquet(d)
 
+    def compact(self, files_per_band: int = 1) -> None:
+        """Rewrite the store consolidated. Every ``dedup_batch`` appends one
+        file set per batch, so a long-running stream accumulates thousands
+        of small parquet files — the classic streaming small-files problem;
+        the probe join then pays per-file open cost instead of scan cost.
+        Run this periodically (e.g. from a maintenance trigger every N
+        batches): it coalesces ``sigs`` and each ``bands`` partition and
+        swaps directories atomically (write-staging-then-rename, same
+        commit pattern as GraphStore bucket writes)."""
+        import os
+        import shutil
+        import uuid
+
+        for name, writer in (
+            ("sigs", lambda df, p: df.coalesce(
+                max(files_per_band, 1)).write.parquet(p)),
+            ("bands", lambda df, p: df.repartition(
+                self.bands * files_per_band, "band").write.partitionBy(
+                "band").parquet(p)),
+        ):
+            cur = self._stored(name)
+            if cur is None:
+                continue
+            staging = f"{self.path}/.compact-{name}-{uuid.uuid4().hex}"
+            writer(cur, staging)
+            final = f"{self.path}/{name}"
+            old = f"{self.path}/.old-{name}-{uuid.uuid4().hex}"
+            os.rename(final, old)
+            os.rename(staging, final)
+            shutil.rmtree(old, ignore_errors=True)
+
     def dedup_batch(self, df: DataFrame) -> DataFrame:
         """Returns the batch rows that survive dedup (within-batch AND
         vs-store), after appending their signatures to the store."""

@@ -156,3 +156,32 @@ def test_near_dup_clusters_collapsed_hot_group(spark):
         (F.col("id_a") == 1000) & (F.col("id_b") == 1001)
         & (F.col("est_jaccard") >= 0.7)).count()
     assert (got[1001][0] == 1000) == (pair_10 == 1)
+
+
+def test_dedup_store_compaction(spark, tmp_path):
+    """compact() consolidates the per-batch small files without changing
+    dedup behavior."""
+    import glob
+
+    store = MinHashDedupStore(spark, str(tmp_path / "store"), threshold=0.7)
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(i * 10 + j, f"unique doc number {i * 10 + j} about topic "
+              f"{'alpha beta gamma delta epsilon ' * 3}{i * 10 + j}")
+             for j in range(3)], SCHEMA)
+        store.dedup_batch(batch)
+
+    sig_files_before = glob.glob(str(tmp_path / "store/sigs/*.parquet"))
+    assert len(sig_files_before) >= 3  # one file set per batch append
+    n_sigs = spark.read.parquet(str(tmp_path / "store/sigs")).count()
+
+    store.compact()
+    sig_files_after = glob.glob(str(tmp_path / "store/sigs/*.parquet"))
+    assert len(sig_files_after) == 1
+    assert spark.read.parquet(str(tmp_path / "store/sigs")).count() == n_sigs
+
+    # the store still dedups correctly after compaction (vs-store match)
+    dup = spark.createDataFrame(
+        [(999, "unique doc number 0 about topic "
+          f"{'alpha beta gamma delta epsilon ' * 3}0")], SCHEMA)
+    assert store.dedup_batch(dup).count() == 0
