@@ -456,6 +456,45 @@ class GraphView:
         # the merged-result contract explicit
         return out.groupBy("node_key", "node_type").agg(F.min("hop").alias("hop"))
 
+    def connected_components(
+        self,
+        relations: list[str] | None = None,
+        max_iter: int = 25,
+    ) -> DataFrame:
+        """Connected components over the (undirected view of the) graph:
+        ``(node_key, node_type, component)`` where ``component`` is the
+        lexicographically-minimal node_key of the component. Net-new vs the
+        reference query surface; distributed star contraction
+        (:func:`graflo_spark.ops.graphalgo.connected_components`, O(log n)
+        rounds regardless of diameter). Isolated vertices (no edges under
+        the relation filter) are their own singleton components."""
+        from graflo_spark.ops import graphalgo as ga
+
+        edges = self.typed_edge_list(
+            relations=relations, direction=Direction.OUT
+        ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
+        cc = ga.connected_components(edges, max_iter=max_iter)
+        parts = []
+        for name in self.vertices:
+            parts.append(
+                self.vertices[name].select(
+                    self.vertex_key_col(name).alias("node_key"),
+                    F.lit(name).alias("node_type"),
+                )
+            )
+        nodes = parts[0]
+        for p in parts[1:]:
+            nodes = nodes.unionByName(p)
+        return (
+            nodes.join(cc, nodes["node_key"] == cc["node"], "left")
+            .select(
+                "node_key",
+                "node_type",
+                F.coalesce(F.col("component"), F.col("node_key")).alias(
+                    "component"),
+            )
+        )
+
     def hydrate(self, nodes: DataFrame, vertex: str) -> DataFrame:
         """Fetch full vertex docs for reached node keys (reference
         bfs_neighbors far-endpoint hydration, traversal.py:412-433)."""

@@ -89,6 +89,42 @@ def test_traverse_merges_same_type_seeds_into_one_bfs(spark):
                    "n\x1f1": 1, "n\x1f3": 1, "n\x1f6": 1}
 
 
+def test_graphview_connected_components(spark):
+    """CC over the typed graph surface: cross-type components labeled by the
+    lexicographically-minimal node_key, isolated vertices as singletons,
+    relation filter narrows the edge set."""
+    from graflo_spark.manifest import CoreSchema, Edge, EdgeId, Field, Vertex
+    from graflo_spark.query import GraphView
+
+    schema = CoreSchema(
+        vertices=[Vertex("a", [Field("id")], identity=["id"]),
+                  Vertex("b", [Field("id")], identity=["id"])],
+        edges=[Edge("a", "b", relation="r1"), Edge("a", "a", relation="r2")],
+    )
+    va = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    vb = spark.createDataFrame([(1,), (9,)], "id long")
+    e_ab = spark.createDataFrame([(1, 1)], "_src_id long, _dst_id long")
+    e_aa = spark.createDataFrame([(2, 3)], "_src_id long, _dst_id long")
+    view = GraphView(
+        vertices={"a": va, "b": vb},
+        edges={EdgeId("a", "b", "r1"): e_ab, EdgeId("a", "a", "r2"): e_aa},
+        schema=schema,
+    )
+    got = {r["node_key"]: r["component"]
+           for r in view.connected_components().collect()}
+    assert got["a\x011".replace("\x01", "\x1f")] == got["b\x011".replace("\x01", "\x1f")]
+    assert got["a\x1f2"] == got["a\x1f3"]
+    assert got["b\x1f9"] == "b\x1f9"  # isolated singleton
+    assert len(got) == 5
+    # component label is the lexicographic min of member keys
+    assert got["a\x1f1"] == min("a\x1f1", "b\x1f1")
+    # relation filter: only r2 edges -> a1/b1 become singletons
+    only_r2 = {r["node_key"]: r["component"]
+               for r in view.connected_components(relations=["r2"]).collect()}
+    assert only_r2["a\x1f1"] == "a\x1f1" and only_r2["b\x1f1"] == "b\x1f1"
+    assert only_r2["a\x1f2"] == only_r2["a\x1f3"]
+
+
 @pytest.fixture(scope="module")
 def store(spark, sf_dir):
     schema = star_schema()
