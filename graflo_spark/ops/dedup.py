@@ -240,7 +240,11 @@ def minhash_dedup(
     """
     if threshold > 1.0:
         return df  # nothing can reach est_jaccard > 1 — no drops
-    reps = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    # NULL texts are excluded from the collapse: they have no shingles, so
+    # the uncollapsed pipeline could never pair them — they all survive.
+    # (groupBy would lump every NULL into one group and drop all but one.)
+    nonnull = df.filter(F.col(text_col).isNotNull())
+    reps = nonnull.groupBy(text_col).agg(F.min(id_col).alias(id_col))
     cand = minhash_lsh_candidates(reps, id_col, text_col, **lsh_kwargs)
     drop = (
         cand.filter(F.col("est_jaccard") >= threshold)
@@ -248,7 +252,8 @@ def minhash_dedup(
         .dropDuplicates()
     )
     survivors = reps.select(id_col).join(drop, id_col, "left_anti")
-    return df.join(survivors, id_col, "left_semi")
+    return df.filter(F.col(text_col).isNull()).unionByName(
+        df.join(survivors, id_col, "left_semi"))
 
 
 def ngram_jaccard_pairs(
@@ -495,18 +500,23 @@ class MinHashDedupStore:
         file set per batch, so a long-running stream accumulates thousands
         of small parquet files — the classic streaming small-files problem;
         the probe join then pays per-file open cost instead of scan cost.
-        Run this periodically (e.g. from a maintenance trigger every N
-        batches): it coalesces ``sigs`` and each ``bands`` partition and
-        swaps directories atomically (write-staging-then-rename, same
-        commit pattern as GraphStore bucket writes)."""
+        Duplicate rows from replayed batches are also dropped here.
+
+        SINGLE-WRITER op: run it from the same process that runs
+        ``dedup_batch`` (foreachBatch is sequential, so between batches is
+        safe); an append racing the swap would be deleted with the old
+        directory. The swap itself is staging-write + rename with rollback:
+        if the second rename fails, the original directory is restored, so
+        a crash can leave stale ``.compact-*``/``.old-*`` dirs to sweep but
+        never a store missing ``sigs`` or ``bands``."""
         import os
         import shutil
         import uuid
 
         for name, writer in (
-            ("sigs", lambda df, p: df.coalesce(
+            ("sigs", lambda df, p: df.dropDuplicates(["id"]).coalesce(
                 max(files_per_band, 1)).write.parquet(p)),
-            ("bands", lambda df, p: df.repartition(
+            ("bands", lambda df, p: df.dropDuplicates().repartition(
                 self.bands * files_per_band, "band").write.partitionBy(
                 "band").parquet(p)),
         ):
@@ -518,17 +528,24 @@ class MinHashDedupStore:
             final = f"{self.path}/{name}"
             old = f"{self.path}/.old-{name}-{uuid.uuid4().hex}"
             os.rename(final, old)
-            os.rename(staging, final)
+            try:
+                os.rename(staging, final)
+            except OSError:
+                os.rename(old, final)  # roll back; staging left for sweep
+                raise
             shutil.rmtree(old, ignore_errors=True)
 
     def dedup_batch(self, df: DataFrame) -> DataFrame:
         """Returns the batch rows that survive dedup (within-batch AND
-        vs-store), after appending their signatures to the store."""
+        vs-store), after appending their signatures to the store.
+
+        NULL-text rows have no shingles and can never match anything: they
+        pass through as survivors and are not stored."""
         # collapse exact duplicates to their min-id representative first —
         # output-identical (see minhash_dedup) and immune to hot boilerplate
         # groups exploding the within-batch band join
-        reps = df.groupBy(self.text_col).agg(
-            F.min(self.id_col).alias(self.id_col))
+        reps = df.filter(F.col(self.text_col).isNotNull()).groupBy(
+            self.text_col).agg(F.min(self.id_col).alias(self.id_col))
         sig = minhash_signatures(
             reps, self.id_col, self.text_col,
             self.shingle_k, self.num_perm, self.portable_hash,
@@ -545,17 +562,28 @@ class MinHashDedupStore:
         kept = sig.join(drop_within, "id", "left_anti")
 
         # (b) vs-store: probe the persisted banded index with the batch's
-        # surviving band rows; verify against stored signatures
+        # surviving band rows; verify against stored signatures.
+        # `old_id != id` excludes self-matches: a REPLAYED batch (stream
+        # recovery after the store append committed but the downstream
+        # output write didn't) re-sees its own stored signatures; without
+        # the filter every replayed survivor self-matches at est 1.0 and
+        # the batch's survivors would be silently lost from the output.
+        # With it, replay re-emits the same survivors (at-least-once).
         stored_bands = self._stored("bands")
-        if stored_bands is not None:
+        stored_sigs = self._stored("sigs")
+        if stored_bands is not None and stored_sigs is not None:
             new_banded = _banded(
                 kept, self.num_perm, self.bands, self.portable_hash)
-            probe = new_banded.join(
-                stored_bands.select(
-                    F.col("id").alias("old_id"), "band", "band_hash"),
-                ["band", "band_hash"],
-            ).select(F.col("id"), F.col("old_id")).dropDuplicates()
-            stored_sigs = self._stored("sigs")
+            probe = (
+                new_banded.join(
+                    stored_bands.select(
+                        F.col("id").alias("old_id"), "band", "band_hash"),
+                    ["band", "band_hash"],
+                )
+                .filter(F.col("old_id") != F.col("id"))
+                .select(F.col("id"), F.col("old_id"))
+                .dropDuplicates()
+            )
             hyd = probe.join(
                 kept.select("id", F.col("sig").alias("sig_a")), "id"
             ).join(
@@ -576,13 +604,23 @@ class MinHashDedupStore:
         # nothing here, but a lazy `kept` would re-read the store after the
         # write and see the batch's own rows)
         kept = kept.localCheckpoint(eager=True)
-        kept.write.mode("append").parquet(f"{self.path}/sigs")
-        _banded(kept, self.num_perm, self.bands, self.portable_hash).write.mode(
-            "append").partitionBy("band").parquet(f"{self.path}/bands")
+        # replay hygiene: ids already in the store (a re-delivered batch)
+        # are not appended again, so replays don't grow the store
+        to_store = kept
+        if stored_sigs is not None:
+            to_store = kept.join(
+                stored_sigs.select("id"), "id", "left_anti"
+            ).localCheckpoint(eager=True)
+        to_store.write.mode("append").parquet(f"{self.path}/sigs")
+        _banded(
+            to_store, self.num_perm, self.bands, self.portable_hash
+        ).write.mode("append").partitionBy("band").parquet(
+            f"{self.path}/bands")
 
         out = df.join(
             kept.select(F.col("id").alias(self.id_col)), self.id_col,
             "left_semi")
+        out = df.filter(F.col(self.text_col).isNull()).unionByName(out)
         sig.unpersist()
         return out
 
@@ -606,13 +644,17 @@ def minhash_near_dup_clusters(
     pairs. Returns ``(id_col, cluster, is_representative)``."""
     from graflo_spark.ops import graphalgo as ga
 
-    reps = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    # NULL texts have no shingles, so the uncollapsed pipeline never pairs
+    # them: each must come out as its own singleton cluster (matching the
+    # all-docs closure oracle), NOT collapsed into one NULL group.
+    nonnull = df.filter(F.col(text_col).isNotNull())
+    reps = nonnull.groupBy(text_col).agg(F.min(id_col).alias(id_col))
     cand = minhash_lsh_candidates(reps, id_col, text_col, **lsh_kwargs)
     verified = cand.filter(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b")
     rep_clusters = ga.near_dup_clusters(reps, verified, id_col=id_col)
-    return (
-        df.select(id_col, text_col)
+    expanded = (
+        nonnull.select(id_col, text_col)
         .join(reps.select(F.col(id_col).alias("__rep_id"), text_col),
               text_col)
         .join(
@@ -626,3 +668,9 @@ def minhash_near_dup_clusters(
             (F.col(id_col) == F.col("cluster")).alias("is_representative"),
         )
     )
+    singletons = df.filter(F.col(text_col).isNull()).select(
+        id_col,
+        F.col(id_col).alias("cluster"),
+        F.lit(True).alias("is_representative"),
+    )
+    return expanded.unionByName(singletons)

@@ -98,6 +98,10 @@ def kafka_source(
     neither exists in the test container, so everything around this line
     (option matrix, wire-schema value parsing) is contract-tested via
     :func:`kafka_reader_options` + :func:`parse_kafka_values`."""
+    if value_schema is None:
+        raise ValueError(
+            "value_schema is required (the JSON struct the topic's value "
+            "payload decodes into)")
     reader = spark.readStream.format("kafka")
     for k, v in kafka_reader_options(
         brokers, topic=topic, starting_offsets=starting_offsets, **kwargs
@@ -339,8 +343,12 @@ def stream_minhash_dedup(
     :func:`stream_dedup` by contrast bounds state by watermark TIME and
     only catches exact key repeats inside that horizon.
 
-    Replay-safe: a re-delivered batch re-matches its own stored signatures
-    (est_jaccard 1.0) and contributes zero new survivors."""
+    Replay-safe with at-least-once output: a re-delivered batch (store
+    append committed, output write lost) re-emits the SAME survivors —
+    self-matches against its own stored signatures are excluded and the
+    store append is id-deduplicated, so nothing is silently lost and the
+    store doesn't grow; downstream readers dedup the output by id if
+    exactly-once is needed."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -34,9 +34,13 @@ def test_incremental_matches_one_shot_and_is_replay_safe(spark, tmp_path):
         for r in minhash_dedup(allb, "doc_id", "text", threshold=0.7).collect())
     assert sorted(s1 + s2) == one_shot
 
-    # replay: re-delivering batch2 contributes ZERO survivors (its own kept
-    # doc matches its stored signature at est_jaccard 1.0)
-    assert store.dedup_batch(b2).count() == 0
+    # replay: re-delivering batch2 re-emits the SAME survivors (self-matches
+    # excluded) — a crash between store append and output write must not
+    # lose the batch's survivors — and does not grow the store
+    n_sigs = spark.read.parquet(str(tmp_path / "store/sigs")).count()
+    replay = sorted(r["doc_id"] for r in store.dedup_batch(b2).collect())
+    assert replay == s2
+    assert spark.read.parquet(str(tmp_path / "store/sigs")).count() == n_sigs
 
 
 def test_vs_store_dedup_matches_surviving_representatives_only(spark, tmp_path):
@@ -185,3 +189,35 @@ def test_dedup_store_compaction(spark, tmp_path):
         [(999, "unique doc number 0 about topic "
           f"{'alpha beta gamma delta epsilon ' * 3}0")], SCHEMA)
     assert store.dedup_batch(dup).count() == 0
+
+
+def test_null_text_rows_pass_through_everywhere(spark, tmp_path):
+    """NULL texts have no shingles, so no pipeline may pair them: dedup
+    keeps every null-text row, clustering emits each as its own singleton,
+    and the store passes them through without storing."""
+    from graflo_spark.ops.dedup import minhash_dedup, minhash_near_dup_clusters
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, None),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    kept = sorted(r["doc_id"] for r in minhash_dedup(
+        df, "doc_id", "text", threshold=0.7).collect())
+    assert kept == [1, 3, 4]
+
+    clusters = {r["doc_id"]: (r["cluster"], r["is_representative"])
+                for r in minhash_near_dup_clusters(
+                    df, "doc_id", "text", threshold=0.7).collect()}
+    assert len(clusters) == 4
+    assert clusters[3] == (3, True) and clusters[4] == (4, True)
+    assert clusters[1] == (1, True) and clusters[2] == (1, False)
+
+    store = MinHashDedupStore(spark, str(tmp_path / "store"), threshold=0.7)
+    out = sorted(r["doc_id"] for r in store.dedup_batch(df).collect())
+    assert out == [1, 3, 4]
+    stored = {r["id"] for r in spark.read.parquet(
+        str(tmp_path / "store/sigs")).collect()}
+    assert stored == {1}  # null-text rows are not stored

@@ -157,10 +157,15 @@ def main() -> None:
         print(f"# generated {factor}x blow-up in "
               f"{time.perf_counter() - t0:.1f}s -> {out_dir}", file=sys.stderr)
 
+    warm_dir = "/root/testdata/sf0.001"
     results: dict[str, dict] = {}
     for name in SCALE_QUERIES:
         fn = QUERIES[name]
-        fn(spark, "/root/testdata/sf0.001").count()  # codegen warm
+        try:  # codegen warm; never let a missing warm dir zero the artifact
+            if os.path.isdir(warm_dir):
+                fn(spark, warm_dir).count()
+        except Exception:  # noqa: BLE001
+            pass
         entry: dict[str, float | int | None] = {}
         for label, d in (("base", BASE_DIR), ("scaled", out_dir)):
             t0 = time.perf_counter()
