@@ -140,3 +140,32 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float | None = 0.5,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    max_punct_ratio: float | None = None,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Training-data quality gate: keep rows passing every enabled
+    predicate (pass ``None`` to disable one). Pure Column expressions —
+    the whole gate pushes into the scan's filter stage, so at 100 TB the
+    dropped rows never leave the parquet reader's projection. NULL texts
+    fail every enabled predicate."""
+    t = F.col(text_col)
+    cond = t.isNotNull()
+    if min_quality is not None:
+        cond = cond & (quality_score(t) >= F.lit(min_quality))
+    if min_tokens is not None:
+        cond = cond & (token_count(t) >= F.lit(min_tokens))
+    if max_tokens is not None:
+        cond = cond & (token_count(t) <= F.lit(max_tokens))
+    if max_punct_ratio is not None:
+        cond = cond & (punct_ratio(t) <= F.lit(max_punct_ratio))
+    if langs is not None:
+        cond = cond & lang_id(t).isin(langs)
+    return df.filter(cond)

@@ -69,3 +69,30 @@ def test_blowup_preserves_dedup_structure_linearly(spark, sf_dir, tmp_path):
         # differ slightly per replica; the >=0.7-verified pair count is
         # hash-stable for replica 0 and near-identical for the others
         assert abs(r["count"] - base_pairs) <= max(3, base_pairs * 0.1)
+
+
+def test_quality_filter_gate(spark, sf_dir):
+    """Composite quality gate over documents: conjunctive predicates, NULL
+    texts always dropped, disabled predicates are no-ops."""
+    from graflo_spark.ops.textstats import quality_filter, text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_null = docs.unionByName(
+        spark.createDataFrame(
+            [(99999, None, "en", "synthetic", 0)], docs.schema))
+
+    all_kept = quality_filter(with_null, min_quality=None)
+    assert all_kept.count() == docs.count()  # only the NULL row dropped
+
+    gated = quality_filter(
+        with_null, min_quality=0.4, min_tokens=5, max_punct_ratio=0.2)
+    stats = text_stats(docs)
+    expect = stats.filter(
+        (F.col("quality") >= 0.4) & (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") <= 0.2)).count()
+    assert gated.count() == expect
+    assert 0 < gated.count() <= docs.count()
+
+    # language gate composes
+    en_only = quality_filter(with_null, min_quality=None, langs=["en"])
+    assert en_only.count() <= docs.count()
