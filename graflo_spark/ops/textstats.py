@@ -152,9 +152,11 @@ def quality_filter(
     langs: list[str] | None = None,
 ) -> DataFrame:
     """Training-data quality gate: keep rows passing every enabled
-    predicate (pass ``None`` to disable one). Pure Column expressions —
-    the whole gate pushes into the scan's filter stage, so at 100 TB the
-    dropped rows never leave the parquet reader's projection. NULL texts
+    predicate (pass ``None`` to disable one). Pure Column expressions, so
+    the gate fuses into the scan's whole-stage-codegen filter — dropped
+    rows cost one in-memory predicate evaluation and are never shuffled or
+    materialized. (The expressions are too complex for parquet
+    row-group-level pushdown; column pruning still applies.) NULL texts
     fail every enabled predicate."""
     t = F.col(text_col)
     cond = t.isNotNull()
