@@ -219,6 +219,23 @@ def _candidates_from_sigs(
     )
 
 
+def _exact_text_reps(
+    nonnull: DataFrame, id_col: str, text_col: str, keep_digest: bool = False
+) -> DataFrame:
+    """Min-id representative per distinct text, grouped on a sha256 DIGEST
+    of the text rather than the text itself: the exact-dup collapse would
+    otherwise shuffle full multi-KB document bodies as the aggregation key.
+    Texts within a digest group are identical up to a ~2^-128 collision
+    (accepted; same tradeoff as content-addressed storage). ``keep_digest``
+    retains the ``__td`` column for digest-keyed expansion joins."""
+    out = (
+        nonnull.withColumn("__td", F.sha2(F.col(text_col), 256))
+        .groupBy("__td")
+        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+    )
+    return out if keep_digest else out.drop("__td")
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -244,7 +261,7 @@ def minhash_dedup(
     # the uncollapsed pipeline could never pair them — they all survive.
     # (groupBy would lump every NULL into one group and drop all but one.)
     nonnull = df.filter(F.col(text_col).isNotNull())
-    reps = nonnull.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    reps = _exact_text_reps(nonnull, id_col, text_col)
     cand = minhash_lsh_candidates(reps, id_col, text_col, **lsh_kwargs)
     drop = (
         cand.filter(F.col("est_jaccard") >= threshold)
@@ -488,11 +505,22 @@ class MinHashDedupStore:
         self.portable_hash = portable_hash
 
     def _stored(self, name: str) -> DataFrame | None:
+        import glob
         import os
 
         d = f"{self.path}/{name}"
         if not os.path.isdir(d):
-            return None
+            # crash recovery: a process death inside compact()'s rename
+            # window can leave the data only under .old-{name}-*; restore
+            # the newest such dir so no history is silently dropped
+            olds = sorted(glob.glob(f"{self.path}/.old-{name}-*"),
+                          key=os.path.getmtime)
+            if not olds:
+                return None
+            os.rename(olds[-1], d)
+        if not any(fn.endswith(".parquet") or fn.startswith("band=")
+                   for fn in os.listdir(d)):
+            return None  # e.g. _SUCCESS-only dir from an empty write
         return self.spark.read.parquet(d)
 
     def compact(self, files_per_band: int = 1) -> None:
@@ -505,10 +533,11 @@ class MinHashDedupStore:
         SINGLE-WRITER op: run it from the same process that runs
         ``dedup_batch`` (foreachBatch is sequential, so between batches is
         safe); an append racing the swap would be deleted with the old
-        directory. The swap itself is staging-write + rename with rollback:
-        if the second rename fails, the original directory is restored, so
-        a crash can leave stale ``.compact-*``/``.old-*`` dirs to sweep but
-        never a store missing ``sigs`` or ``bands``."""
+        directory. The swap is staging-write + rename: a raised error rolls
+        back in-process, and a hard process death between the two renames
+        leaves the data under ``.old-{name}-*``, which ``_stored`` restores
+        on the next access — either way no history is silently dropped
+        (stale ``.compact-*`` staging dirs may remain to sweep)."""
         import os
         import shutil
         import uuid
@@ -544,8 +573,9 @@ class MinHashDedupStore:
         # collapse exact duplicates to their min-id representative first —
         # output-identical (see minhash_dedup) and immune to hot boilerplate
         # groups exploding the within-batch band join
-        reps = df.filter(F.col(self.text_col).isNotNull()).groupBy(
-            self.text_col).agg(F.min(self.id_col).alias(self.id_col))
+        reps = _exact_text_reps(
+            df.filter(F.col(self.text_col).isNotNull()),
+            self.id_col, self.text_col)
         sig = minhash_signatures(
             reps, self.id_col, self.text_col,
             self.shingle_k, self.num_perm, self.portable_hash,
@@ -611,11 +641,20 @@ class MinHashDedupStore:
             to_store = kept.join(
                 stored_sigs.select("id"), "id", "left_anti"
             ).localCheckpoint(eager=True)
-        to_store.write.mode("append").parquet(f"{self.path}/sigs")
-        _banded(
-            to_store, self.num_perm, self.bands, self.portable_hash
-        ).write.mode("append").partitionBy("band").parquet(
-            f"{self.path}/bands")
+        # Append ORDER matters: bands first, sigs second, because the
+        # replay guard above keys on sigs. A crash between the two appends
+        # then re-appends BOTH on replay (duplicate band rows are dedup-safe
+        # and compacted away); the reverse order would lose the band rows
+        # forever, making those docs invisible to every future probe.
+        # An all-NULL-text batch has nothing to store — and an empty
+        # partitionBy write would create a schema-less directory that
+        # poisons every later read.
+        if to_store.limit(1).count() > 0:
+            _banded(
+                to_store, self.num_perm, self.bands, self.portable_hash
+            ).write.mode("append").partitionBy("band").parquet(
+                f"{self.path}/bands")
+            to_store.write.mode("append").parquet(f"{self.path}/sigs")
 
         out = df.join(
             kept.select(F.col("id").alias(self.id_col)), self.id_col,
@@ -648,15 +687,17 @@ def minhash_near_dup_clusters(
     # them: each must come out as its own singleton cluster (matching the
     # all-docs closure oracle), NOT collapsed into one NULL group.
     nonnull = df.filter(F.col(text_col).isNotNull())
-    reps = nonnull.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    cand = minhash_lsh_candidates(reps, id_col, text_col, **lsh_kwargs)
+    reps = _exact_text_reps(nonnull, id_col, text_col, keep_digest=True)
+    cand = minhash_lsh_candidates(
+        reps.drop("__td"), id_col, text_col, **lsh_kwargs)
     verified = cand.filter(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b")
-    rep_clusters = ga.near_dup_clusters(reps, verified, id_col=id_col)
+    rep_clusters = ga.near_dup_clusters(
+        reps.drop("__td"), verified, id_col=id_col)
+    # expansion joins on the 32-byte digest, not the full text body
     expanded = (
-        nonnull.select(id_col, text_col)
-        .join(reps.select(F.col(id_col).alias("__rep_id"), text_col),
-              text_col)
+        nonnull.select(id_col, F.sha2(F.col(text_col), 256).alias("__td"))
+        .join(reps.select(F.col(id_col).alias("__rep_id"), "__td"), "__td")
         .join(
             rep_clusters.select(
                 F.col(id_col).alias("__rep_id"), "cluster"),

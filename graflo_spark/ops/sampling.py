@@ -34,7 +34,8 @@ def hash_sample(
     Spark version. Different ``salt`` values give independent samples."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return df.filter(_bucket(id_col, salt) < int(rate * _RESOLUTION))
+    # round, not truncate: int(0.7 * 1e6) is 699999 under binary floats
+    return df.filter(_bucket(id_col, salt) < round(rate * _RESOLUTION))
 
 
 def hash_split(
@@ -50,18 +51,21 @@ def hash_split(
     every previously-seen id in its original split (the property that
     prevents test-set leakage across dataset versions). Weights must sum to
     1 (±1e-6). Returns ``df`` with ``split_col`` added."""
+    if not weights:
+        raise ValueError("at least one split required")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-6:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    if not weights:
-        raise ValueError("at least one split required")
     b = _bucket(id_col, salt)
     expr = None
     acc = 0.0
     names = list(weights)
     for name in names[:-1]:
         acc += weights[name]
-        cond = b < int(acc * _RESOLUTION)
+        # round, not truncate: float accumulation would drift boundaries
+        # one bucket low (int(0.7*1e6) == 699999) and break the exact-to-
+        # 1e-6 rate contract
+        cond = b < round(acc * _RESOLUTION)
         expr = (
             F.when(cond, F.lit(name)) if expr is None
             else expr.when(cond, F.lit(name))

@@ -167,17 +167,22 @@ def test_dedup_store_compaction(spark, tmp_path):
     dedup behavior."""
     import glob
 
+    # genuinely DISTINCT texts (disjoint word sets): every doc must survive
+    # and be stored, so each batch produces a real file-set append
+    def text(n):
+        return " ".join(f"w{n}x{k} term{n}y{k}" for k in range(12))
+
     store = MinHashDedupStore(spark, str(tmp_path / "store"), threshold=0.7)
     for i in range(3):
         batch = spark.createDataFrame(
-            [(i * 10 + j, f"unique doc number {i * 10 + j} about topic "
-              f"{'alpha beta gamma delta epsilon ' * 3}{i * 10 + j}")
-             for j in range(3)], SCHEMA)
-        store.dedup_batch(batch)
+            [(i * 10 + j, text(i * 10 + j)) for j in range(3)], SCHEMA)
+        kept = store.dedup_batch(batch)
+        assert kept.count() == 3  # all distinct -> all survive
 
     sig_files_before = glob.glob(str(tmp_path / "store/sigs/*.parquet"))
     assert len(sig_files_before) >= 3  # one file set per batch append
     n_sigs = spark.read.parquet(str(tmp_path / "store/sigs")).count()
+    assert n_sigs == 9
 
     store.compact()
     sig_files_after = glob.glob(str(tmp_path / "store/sigs/*.parquet"))
@@ -185,9 +190,7 @@ def test_dedup_store_compaction(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "store/sigs")).count() == n_sigs
 
     # the store still dedups correctly after compaction (vs-store match)
-    dup = spark.createDataFrame(
-        [(999, "unique doc number 0 about topic "
-          f"{'alpha beta gamma delta epsilon ' * 3}0")], SCHEMA)
+    dup = spark.createDataFrame([(999, text(0))], SCHEMA)
     assert store.dedup_batch(dup).count() == 0
 
 
@@ -221,3 +224,36 @@ def test_null_text_rows_pass_through_everywhere(spark, tmp_path):
     stored = {r["id"] for r in spark.read.parquet(
         str(tmp_path / "store/sigs")).collect()}
     assert stored == {1}  # null-text rows are not stored
+
+
+def test_null_only_first_batch_does_not_poison_store(spark, tmp_path):
+    """Regression (verified live): an all-NULL-text first batch used to
+    write a schema-less bands directory that made every later dedup_batch
+    crash with UNABLE_TO_INFER_SCHEMA."""
+    store = MinHashDedupStore(spark, str(tmp_path / "store"), threshold=0.7)
+    nulls = spark.createDataFrame([(1, None), (2, None)], SCHEMA)
+    assert sorted(r["doc_id"] for r in store.dedup_batch(nulls).collect()) \
+        == [1, 2]
+    # the store must still work for subsequent real batches
+    real = spark.createDataFrame(ROWS[:3], SCHEMA)
+    assert sorted(r["doc_id"] for r in store.dedup_batch(real).collect()) \
+        == [1, 3]
+    again = spark.createDataFrame(
+        [(50, ROWS[0][1])], SCHEMA)  # dup of stored doc 1
+    assert store.dedup_batch(again).count() == 0
+
+
+def test_store_recovers_from_compact_crash_window(spark, tmp_path):
+    """A process death between compact()'s two renames leaves the data only
+    under .old-{name}-*; the next access must restore it, not silently
+    treat history as empty."""
+    import os
+
+    root = str(tmp_path / "store")
+    store = MinHashDedupStore(spark, root, threshold=0.7)
+    store.dedup_batch(spark.createDataFrame(ROWS[:3], SCHEMA))
+    # simulate the crash window: sigs renamed away, compact died
+    os.rename(f"{root}/sigs", f"{root}/.old-sigs-deadbeef")
+    dup = spark.createDataFrame([(50, ROWS[0][1])], SCHEMA)
+    assert store.dedup_batch(dup).count() == 0  # history intact
+    assert os.path.isdir(f"{root}/sigs")  # restored in place

@@ -134,6 +134,9 @@ def generate(spark, base_dir: str, out_dir: str, factor: int,
         if os.path.exists(src):
             spark.read.parquet(src).write.mode("overwrite").parquet(
                 f"{out_dir}/{t}.parquet")
+    # completion marker, written LAST: a crashed partial generation must be
+    # regenerated, not silently benchmarked
+    open(os.path.join(out_dir, "_GENERATED"), "w").close()
 
 
 def main() -> None:
@@ -151,7 +154,7 @@ def main() -> None:
     spark = get_spark("graflo-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+    if not os.path.exists(os.path.join(out_dir, "_GENERATED")):
         t0 = time.perf_counter()
         generate(spark, BASE_DIR, out_dir, factor, hot_group=hot_group)
         print(f"# generated {factor}x blow-up in "
