@@ -31,8 +31,16 @@ identical boilerplate text — the adversarial corpus shape for LSH dedup
 ``minhash_dedup`` this must stay ~flat vs the clean 10x run instead of
 exploding quadratically.
 
+``--incremental`` additionally streams the scaled documents table through a
+fresh ``MinHashDedupStore`` one replica-batch at a time (the shape of a
+daily-crawl ingest). The replica construction makes the expected outcome
+exact: within-batch greedy equals per-replica one-shot dedup and no
+cross-replica pair can verify, so total survivors must equal factor x the
+base survivor count — an end-to-end correctness invariant at scale, plus a
+wall-clock and per-batch cost measurement.
+
 Usage:
-    python3 tools/scale_bench.py [factor] [out_root] [--hot-group]
+    python3 tools/scale_bench.py [factor] [out_root] [--hot-group] [--incremental]
 Prints one JSON line:
     {"metric": "scale_exponents", "factor": N, "queries": {name:
       {"t_base": s, "t_scaled": s, "exponent": e, "rows_base": n,
@@ -140,8 +148,10 @@ def generate(spark, base_dir: str, out_dir: str, factor: int,
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--hot-group"]
+    flags = {"--hot-group", "--incremental"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     hot_group = "--hot-group" in sys.argv[1:]
+    incremental = "--incremental" in sys.argv[1:]
     factor = int(args[0]) if args else 10
     out_root = args[1] if len(args) > 1 else "/tmp/graflo_scale"
     suffix = f"_x{factor}" + ("_hot" if hot_group else "")
@@ -190,13 +200,55 @@ def main() -> None:
         )
         results[name] = entry
 
-    print(json.dumps({
+    payload = {
         "metric": "scale_exponents",
         "factor": factor,
         "hot_group": hot_group,
         "base_dir": BASE_DIR,
         "queries": results,
-    }))
+    }
+
+    if incremental and hot_group:
+        raise SystemExit(
+            "--incremental's exact survivor invariant only holds for the "
+            "clean blow-up (the hot-group rewrite spans replicas)")
+    if incremental:
+        import shutil
+        import tempfile
+
+        from graflo_spark.ops.dedup import MinHashDedupStore, minhash_dedup
+
+        docs = spark.read.parquet(f"{out_dir}/documents.parquet")
+        base_docs = spark.read.parquet(f"{BASE_DIR}/documents.parquet")
+        stride = int(base_docs.agg(F.max("doc_id")).first()[0]) + 1
+        store_dir = tempfile.mkdtemp(prefix="graflo_incdedup_")
+        store = MinHashDedupStore(spark, store_dir, threshold=0.7)
+        batch_walls, survivors = [], 0
+        t0 = time.perf_counter()
+        for r in range(factor):
+            batch = docs.filter(
+                (F.col("doc_id") >= r * stride)
+                & (F.col("doc_id") < (r + 1) * stride))
+            tb = time.perf_counter()
+            survivors += store.dedup_batch(batch).count()
+            batch_walls.append(round(time.perf_counter() - tb, 3))
+        total_wall = round(time.perf_counter() - t0, 3)
+        one_shot = minhash_dedup(
+            base_docs, "doc_id", "text", threshold=0.7).count()
+        shutil.rmtree(store_dir, ignore_errors=True)
+        payload["incremental"] = {
+            "batches": factor,
+            "total_wall": total_wall,
+            "batch_walls": batch_walls,
+            "survivors": survivors,
+            "expected_survivors": one_shot * factor,
+            "survivors_match": survivors == one_shot * factor,
+        }
+        print(f"# incremental: {survivors} survivors "
+              f"(expected {one_shot * factor}) in {total_wall}s",
+              file=sys.stderr)
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
