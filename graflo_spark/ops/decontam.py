@@ -1,0 +1,117 @@
+"""Benchmark decontamination: flag / remove training documents that share
+word n-grams with an evaluation ("benchmark") set — the overlap rule used by
+pretraining pipelines (GPT-3 appendix C style: any shared normalized n-gram
+marks a training document as contaminated).
+
+Shape (and the 100 TB story): the benchmark side is an eval suite — MBs, not
+TBs — so its distinct-gram set is broadcast and the corpus-side join is
+map-side: the corpus is never shuffled to find overlaps. Per-document overlap
+counts reduce map-side (partial aggregation on ``doc_id``), so the only
+shuffle is one row per contaminated document. Gram extraction is a native
+higher-order-function expression (no UDF, whole-stage codegen).
+
+Reference analogue: the reference has no decontamination operator; this is a
+north-star training-pipeline extension (task brief) built on the same
+word-n-gram machinery as :func:`graflo_spark.ops.dedup.ngram_jaccard_pairs`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graflo_spark.ops.dedup import word_ngrams
+from graflo_spark.ops.util import ensure_min_parallelism
+
+
+def normalized_ngrams(text: Column, n: int) -> Column:
+    """Distinct, lowercased, whitespace-folded word n-grams. Normalization
+    (lower + trim + fold runs of whitespace) makes the overlap test robust
+    to case/formatting differences between a benchmark dump and the crawled
+    corpus — the standard decontamination preprocessing."""
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.array_distinct(word_ngrams(norm, n))
+
+
+def benchmark_ngrams(
+    bench: DataFrame, text_col: str, ngram_n: int = 13
+) -> DataFrame:
+    """Distinct n-gram set of the benchmark corpus: one ``gram`` column.
+
+    Distinct-ness matters twice: it bounds the broadcast size and it makes
+    the downstream per-document join count *distinct* shared grams (the
+    corpus side is also array_distinct'd), so a gram repeated in either
+    corpus can't inflate the overlap count.
+    """
+    return (
+        bench.select(F.explode(normalized_ngrams(F.col(text_col), ngram_n)).alias("gram"))
+        .filter(F.trim(F.col("gram")) != "")
+        .distinct()
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 13,
+    min_overlap: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-document contamination report: ``(id, n_overlap, contaminated)``.
+
+    ``n_overlap`` = number of DISTINCT normalized n-grams the document
+    shares with the benchmark set; ``contaminated`` = n_overlap >=
+    ``min_overlap``. Every input document gets a row (left join; clean docs
+    report 0), so the output is a drop-in annotation table.
+
+    ``broadcast_bench`` (default) is correct whenever the benchmark is an
+    eval suite: the corpus-side explode joins map-side against the
+    broadcast gram set and only matching (doc, gram) rows survive into the
+    count aggregate. Disable it only if the "benchmark" is itself huge, in
+    which case the join degrades gracefully to a shuffle equi-join on gram.
+    """
+    grams = benchmark_ngrams(bench, text_col, ngram_n)
+    if broadcast_bench:
+        grams = F.broadcast(grams)
+    doc_grams = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(normalized_ngrams(F.col(text_col), ngram_n)).alias("gram"),
+    )
+    overlap = (
+        doc_grams.join(grams, "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(overlap, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 13,
+    min_overlap: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Remove contaminated documents: the training corpus minus every row
+    whose overlap with the benchmark reaches ``min_overlap`` grams. Keeps
+    the full input schema (anti-join on the flagged id set)."""
+    flagged = contamination_flags(
+        docs, bench, id_col, text_col, ngram_n, min_overlap, broadcast_bench
+    ).filter("contaminated")
+    return docs.join(
+        flagged.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )

@@ -76,6 +76,52 @@ def lang_id(text: Column, langs: list[str] | None = None) -> Column:
     return best_lang
 
 
+def token_repetition_frac(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    ``1 - distinct_tokens / tokens`` — the cheapest of the Gopher-style
+    repetition gates (a high value flags boilerplate / keyword-stuffed
+    documents). Pure array expression, no shuffle, no UDF."""
+    tokens = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(tokens)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(tokens)).cast("double") / n
+    )
+
+
+def dup_line_frac(text: Column) -> Column:
+    """Fraction of non-empty lines that duplicate an earlier line
+    (Gopher's duplicate-line filter). Single-line documents score 0."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n
+    )
+
+
+def top_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of a document's word n-grams occupied by its single most
+    frequent n-gram (Gopher's top-n-gram filter: a high value means one
+    phrase dominates the document). Nested higher-order expression —
+    O(distinct_grams x grams) per document, JVM-side; documents are
+    bounded, so this stays cheap and never shuffles."""
+    from graflo_spark.ops.dedup import word_ngrams
+
+    grams = word_ngrams(F.lower(F.trim(text)), n)
+    total = F.size(grams)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        top.cast("double") / total
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized content fingerprint: sha256 of lowercased,
     whitespace-folded text — the exact-dedup key used by pretraining

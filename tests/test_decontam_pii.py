@@ -1,0 +1,124 @@
+"""Decontamination (benchmark n-gram overlap), PII scrub, and repetition
+stats: planted-positive/negative correctness, normalization robustness,
+plan shape (broadcast, no corpus shuffle before the overlap count)."""
+
+from pyspark.sql import functions as F
+
+from graflo_spark.ops.decontam import (
+    benchmark_ngrams,
+    contamination_flags,
+    decontaminate,
+)
+from graflo_spark.ops.pii import redact_pii, scrub_pii
+from graflo_spark.ops.textstats import (
+    dup_line_frac,
+    token_repetition_frac,
+    top_ngram_frac,
+)
+
+
+def _docs(spark):
+    rows = [
+        # 0: verbatim copy of benchmark question -> contaminated
+        (0, "what is the capital of france paris is the capital"),
+        # 1: case/whitespace-perturbed copy -> still contaminated (normalization)
+        (1, "What  IS the   Capital of FRANCE paris is. unrelated tail here"),
+        # 2: clean document, zero overlap
+        (2, "spark shuffles partition data across executors for joins"),
+        # 3: shares a sub-threshold fragment only (shorter than n)
+        (3, "the capital gains tax rose again this year in france maybe"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(100, "what is the capital of france")], ["qid", "text"]
+    )
+
+
+def test_contamination_flags_planted(spark):
+    flags = contamination_flags(
+        _docs(spark), _bench(spark), "doc_id", "text", ngram_n=5
+    )
+    got = {r["id"]: (r["n_overlap"], r["contaminated"]) for r in flags.collect()}
+    assert set(got) == {0, 1, 2, 3}  # every doc reported
+    assert got[0][1] and got[0][0] >= 2  # both 5-grams of the question hit
+    assert got[1][1]  # normalization catches case/whitespace edits
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)  # 4-token fragment < n=5 never matches
+
+
+def test_decontaminate_removes_only_flagged(spark):
+    clean = decontaminate(_docs(spark), _bench(spark), "doc_id", "text", ngram_n=5)
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+    assert clean.columns == ["doc_id", "text"]  # schema preserved
+
+
+def test_benchmark_grams_distinct_and_nonempty(spark):
+    grams = benchmark_ngrams(_bench(spark), "text", ngram_n=5)
+    rows = [r["gram"] for r in grams.collect()]
+    assert len(rows) == len(set(rows)) == 2  # 6 tokens -> 2 distinct 5-grams
+    assert all(g for g in rows)
+
+
+def test_contamination_plan_broadcasts_bench(spark):
+    plan = contamination_flags(
+        _docs(spark), _bench(spark), "doc_id", "text", ngram_n=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDFs anywhere
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.user+tag@example.co.uk or call +1 (555) 123 4567 now"),
+            (1, "server at 192.168.254.7 answered"),
+            (2, "no pii here at all"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df, "text", out_col="clean").collect()}
+    assert out[0]["n_pii_email"] == 1 and out[0]["n_pii_phone"] == 1
+    assert "<EMAIL>" in out[0]["clean"] and "<PHONE>" in out[0]["clean"]
+    assert "example" not in out[0]["clean"] and "4567" not in out[0]["clean"]
+    assert out[1]["n_pii_ipv4"] == 1 and out[1]["clean"] == "server at <IPV4> answered"
+    assert out[2]["clean"] == "no pii here at all"
+    assert out[3]["clean"] is None  # NULL propagates, no crash
+    # redaction order: the phone pattern must not chew on redacted IPs
+    assert "<PHONE>" not in out[1]["clean"]
+
+
+def test_pii_redact_in_place_default(spark):
+    df = spark.createDataFrame([(0, "x bob@corp.io y")], ["doc_id", "text"])
+    out = scrub_pii(df, "text").collect()[0]
+    assert out["text"] == "x <EMAIL> y"
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a"),  # 1 distinct of 4 tokens -> 0.75 repetition
+            (1, "all tokens here are different"),
+            (2, "line one\nline one\nline two\n\n"),
+            (3, "spam ham spam ham spam ham"),  # "spam ham" dominates 2-grams
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_repetition_frac(F.col("text")).alias("tok"),
+            dup_line_frac(F.col("text")).alias("line"),
+            top_ngram_frac(F.col("text"), 2).alias("top2"),
+        ).collect()
+    }
+    assert abs(got[0]["tok"] - 0.75) < 1e-9
+    assert got[1]["tok"] == 0.0
+    assert abs(got[2]["line"] - (1 - 2 / 3)) < 1e-9  # empty lines excluded
+    assert got[3]["top2"] == 3 / 5  # "spam ham" 3x of 5 bigrams
+    assert got[4]["tok"] == 0.0 and got[4]["line"] == 0.0
