@@ -26,15 +26,17 @@ BENCH_QUERIES = [
     "traverse_2hop_customers",
     "dedup_exact_documents",
     "minhash_dedup_documents",
-    "cosine_topk_bruteforce",
     "text_stats_documents",
     "window_tumbling_sliding_events",
-    # round 4: the two operator families the headline set was missing —
-    # near-dup clustering (LSH pairs -> connected components) and ANN
-    # (IVF + hyperplane LSH). Cross-round totals are compared per-query;
+    # round 4: the operator families the headline set was missing —
+    # near-dup clustering (LSH pairs -> connected components), ANN
+    # (brute + IVF + hyperplane LSH; absorbs the former
+    # cosine_topk_bruteforce entry as method='brute'), and benchmark
+    # decontamination. Cross-round totals are compared per-query;
     # BENCH_NOTES.md records when the set/work changed.
     "near_dup_clusters_documents",
     "ann_topk_embeddings",
+    "decontam_overlap_documents",
 ]
 
 

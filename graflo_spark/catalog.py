@@ -33,7 +33,9 @@ from graflo_spark.manifest import (
     IdentityMode,
     Vertex,
 )
+from graflo_spark.ops import decontam as dc
 from graflo_spark.ops import dedup as dd
+from graflo_spark.ops import pii as pi
 from graflo_spark.ops import simsearch as ss
 from graflo_spark.ops import textstats as ts
 from graflo_spark.query import AggFn, Direction, GraphView
@@ -874,6 +876,30 @@ def _lang_hits_sql(lang: str) -> str:
     return rf"len(regexp_extract_all(lower(text), '\b({words})\b', 1))"
 
 
+# PII proof text: the corpus has no PII, so both engines append the SAME
+# deterministic doc_id-derived email/IP (+ phone on every 3rd doc) before
+# counting and redacting — what's verified is regex parity (counts and the
+# sha256 of the fully redacted text) over 500 distinct carrier texts.
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' call +1 555-123 4567' ELSE '' END"
+)
+_PII_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(aug, "
+    f"'{pi.PII_PATTERNS['email']}', '<EMAIL>', 'g'), "
+    f"'{pi.PII_PATTERNS['ipv4']}', '<IPV4>', 'g'), "
+    f"'{pi.PII_PATTERNS['phone']}', '<PHONE>', 'g')"
+)
+# word-2gram list (with duplicates, Spark word_ngrams parity: short texts
+# emit one truncated gram) for the top-2gram repetition gate
+_TK_SQL = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_GRAMS2_SQL = (
+    f"[array_to_string(tk[i:i+1], ' ') FOR i IN "
+    "range(1, greatest(len(tk) - 1, 1) + 1)]"
+)
+
+
 @q(
     "text_stats_documents",
     "WITH s AS (SELECT doc_id, text, "
@@ -894,8 +920,21 @@ def _lang_hits_sql(lang: str) -> str:
     "CASE WHEN h_es > greatest(h_en, h_de, h_fr) AND h_es > 0 THEN 'es' "
     "WHEN h_fr > greatest(h_en, h_de) AND h_fr > 0 THEN 'fr' "
     "WHEN h_de > h_en AND h_de > 0 THEN 'de' "
-    "WHEN h_en > 0 THEN 'en' ELSE 'und' END AS lang_pred "
-    "FROM s JOIN h ON s.doc_id = h.doc_id",
+    "WHEN h_en > 0 THEN 'en' ELSE 'und' END AS lang_pred, "
+    # repetition gates (Gopher-style): duplicate-token fraction + top-2gram mass
+    "ROUND(CASE WHEN n_tok <= 0 THEN 0.0 ELSE 1.0 - "
+    "CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 6) AS token_rep, "
+    "ROUND(CASE WHEN len(grams) <= 0 THEN 0.0 ELSE "
+    "CAST(list_max([len(list_filter(grams, x -> x = g)) FOR g IN "
+    "list_distinct(grams)]) AS DOUBLE) / len(grams) END, 6) AS top2gram_frac, "
+    # PII counts on the augmented text + sha256 of the full redaction chain
+    f"len(regexp_extract_all(aug, '{pi.PII_PATTERNS['email']}')) AS n_pii_email, "
+    f"len(regexp_extract_all(aug, '{pi.PII_PATTERNS['ipv4']}')) AS n_pii_ipv4, "
+    f"len(regexp_extract_all(aug, '{pi.PII_PATTERNS['phone']}')) AS n_pii_phone, "
+    f"sha256({_PII_REDACT_SQL}) AS redacted_fp "
+    "FROM (SELECT *, " + _GRAMS2_SQL + " AS grams FROM "
+    "(SELECT s.*, " + _TK_SQL + " AS tk, " + _PII_AUG_SQL + " AS aug "
+    "FROM s)) s JOIN h ON s.doc_id = h.doc_id",
 )
 def text_stats_documents(spark, sf_dir):
     """Text analysis suite in one driver row (north-star text ops; oracle
@@ -905,10 +944,21 @@ def text_stats_documents(spark, sf_dir):
     ratio, the [0,1] quality score composed from length-band / punctuation /
     stopword-presence gates (the pre-training quality filters) — and
     language ID (stopword-hit argmax; the oracle CASE chain replicates the
-    argmax's strict-greater update order). All native Column exprs, no
-    UDFs."""
+    argmax's strict-greater update order). Round 4 adds the repetition
+    gates (duplicate-token fraction, top-2gram mass — Gopher-style) and the
+    PII scrub: the corpus carries no PII, so both engines append the same
+    deterministic doc_id-derived email/IP/phone before counting + redacting
+    (regex parity proven by counts AND the sha256 of the redaction chain).
+    All native Column exprs, no UDFs."""
     df = load(spark, sf_dir, "documents")
     t = F.col("text")
+    aug = F.concat(
+        t, F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" call +1 555-123 4567"))
+        .otherwise(F.lit("")),
+    )
     return df.select(
         "doc_id",
         F.length(t).alias("n_chars_actual"),
@@ -918,7 +968,47 @@ def text_stats_documents(spark, sf_dir):
         F.round(ts.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(ts.quality_score(t), 6).alias("quality"),
         ts.lang_id(t).alias("lang_pred"),
+        F.round(ts.token_repetition_frac(t), 6).alias("token_rep"),
+        F.round(ts.top_ngram_frac(t, 2), 6).alias("top2gram_frac"),
+        pi.pii_count(aug, "email").alias("n_pii_email"),
+        pi.pii_count(aug, "ipv4").alias("n_pii_ipv4"),
+        pi.pii_count(aug, "phone").alias("n_pii_phone"),
+        F.sha2(pi.redact_pii(aug), 256).alias("redacted_fp"),
     )
+
+
+# Decontamination oracle: benchmark = every 20th document; overlap = count
+# of DISTINCT normalized word-5grams shared with the benchmark gram set.
+_DECONTAM_ORACLE = (
+    r"WITH tk AS (SELECT doc_id, "
+    r"regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents), "
+    "g AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+4], ' ') "
+    "FOR i IN range(1, greatest(len(tk) - 4, 1) + 1)]) AS grams FROM tk), "
+    "bg AS (SELECT DISTINCT gram FROM "
+    "(SELECT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0) "
+    "WHERE trim(gram) <> ''), "
+    "ov AS (SELECT doc_id, count(*) AS n_overlap FROM "
+    "(SELECT doc_id, unnest(grams) AS gram FROM g) dg "
+    "JOIN bg USING (gram) GROUP BY doc_id) "
+    "SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap, "
+    "COALESCE(ov.n_overlap, 0) >= 1 AS contaminated "
+    "FROM documents d LEFT JOIN ov USING (doc_id)"
+)
+
+
+@q("decontam_overlap_documents", _DECONTAM_ORACLE)
+def decontam_overlap_documents(spark, sf_dir):
+    """Benchmark decontamination (north-star training-pipeline op, no
+    reference analogue): every 20th document plays the eval set; each
+    document reports its count of distinct normalized word-5grams shared
+    with that set plus the contaminated flag (GPT-3-style any-overlap
+    rule). The benchmark gram set is broadcast, so the corpus side joins
+    map-side — at 100 TB the corpus is never shuffled to find overlaps."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return dc.contamination_flags(
+        docs, bench, "doc_id", "text", ngram_n=5
+    ).select(F.col("id").alias("doc_id"), "n_overlap", "contaminated")
 
 
 # ---------------------------------------------------- LLM-pipeline: dedup
@@ -1097,16 +1187,9 @@ _BRUTE_TOPK_ORACLE = (
 )
 
 
-@q("cosine_topk_bruteforce", _BRUTE_TOPK_ORACLE)
-def cosine_topk_bruteforce(spark, sf_dir):
-    """Brute-force cosine top-k (exactness baseline for ANN; north-star
-    similarity search). Dot products accumulate in index order on both
-    engines -> bit-identical doubles before the final round."""
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    out = ss.brute_force_topk(queries, emb, k=5)
-    return out.select("query_id", "neighbor_id",
-                      F.round("cosine", 6).alias("cosine"), "rank")
+# Brute-force cosine top-k moved into ann_topk_embeddings as method='brute'
+# (round 4 registry consolidation: same oracle text, one slot freed for the
+# decontamination row below) — the operator is ss.brute_force_topk.
 
 
 # LSH top-k oracle: the splitmix-derived hyperplane components are
@@ -1138,11 +1221,14 @@ _LSH_TOPK_ORACLE = (
 
 @q(
     "ann_topk_embeddings",
-    "SELECT 'ivf' AS method, * FROM (" + _BRUTE_TOPK_ORACLE + ") "
+    "SELECT 'brute' AS method, * FROM (" + _BRUTE_TOPK_ORACLE + ") "
+    "UNION ALL SELECT 'ivf', * FROM (" + _BRUTE_TOPK_ORACLE + ") "
     "UNION ALL SELECT 'lsh', * FROM (" + _LSH_TOPK_ORACLE + ")",
 )
 def ann_topk_embeddings(spark, sf_dir):
-    """Both approximate-nearest-neighbor scale paths in one driver row.
+    """All three similarity-search paths in one driver row. ``brute``: the
+    exact broadcast-query baseline (dot products accumulate in index order
+    on both engines -> bit-identical doubles before the final round).
     ``ivf``: KMeans-partitioned corpus, probe the nearest centroids per
     query — graded at the n_probe == n_centroids recall-1 point so the
     brute-force SQL is an exact oracle (every cluster probed, so the KMeans
@@ -1157,6 +1243,9 @@ def ann_topk_embeddings(spark, sf_dir):
     # max_iter=2: at the full-probe recall-1 point the result is exact under
     # ANY centroids, so extra KMeans passes buy nothing for this proof —
     # pruned-probe recall (where quality matters) is tested in tests/
+    brute = ss.brute_force_topk(queries, emb, k=5).select(
+        F.lit("brute").alias("method"), "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"), "rank")
     ivf = ss.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=8,
                       max_iter=2).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id",
@@ -1164,7 +1253,7 @@ def ann_topk_embeddings(spark, sf_dir):
     lsh = ss.lsh_topk(queries, emb, k=5, n_planes=8).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id",
         F.round("cosine", 6).alias("cosine"), "rank")
-    return ivf.unionByName(lsh)
+    return brute.unionByName(ivf).unionByName(lsh)
 
 
 _NEAR_DUP_EXACT_ORACLE = (

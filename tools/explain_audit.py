@@ -32,11 +32,11 @@ HEADLINES = [
     "traverse_2hop_customers",
     "dedup_exact_documents",
     "minhash_dedup_documents",
-    "cosine_topk_bruteforce",
     "text_stats_documents",
     "window_tumbling_sliding_events",
     "near_dup_clusters_documents",
     "ann_topk_embeddings",
+    "decontam_overlap_documents",
 ]
 
 
