@@ -698,39 +698,51 @@ def merge_doc_basis_last_wins(spark, sf_dir):
 # ------------------------------------------------------------ query surface
 
 @q(
-    "agg_count_by_segment",
-    "SELECT c_mktsegment, COUNT(*) AS agg_value FROM customer GROUP BY c_mktsegment",
+    "agg_suite_customer",
+    # NULL-padded discriminated union (r4 consolidation of the former
+    # agg_count_by_segment + agg_stats_and_sorted_unique rows): every §2.6
+    # aggregate in one driver row, values kept in native types.
+    "SELECT 'count_by_segment' AS kind, c_mktsegment AS segment, "
+    "COUNT(*) AS agg_count FROM customer GROUP BY c_mktsegment "
+    "UNION ALL BY NAME "
+    "SELECT 'stats' AS kind, CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal, "
+    "CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal, "
+    + davg_sql("c_acctbal") + " AS avg_bal, COUNT(*) AS n FROM customer "
+    "UNION ALL BY NAME "
+    "SELECT 'sorted_unique' AS kind, "
+    "(SELECT array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') "
+    "FROM orders) AS priorities",
 )
-def agg_count_by_segment(spark, sf_dir):
-    """AggregateQuery COUNT with discriminant (SURVEY §2.6; reference
-    db/conn.py:611-634)."""
+def agg_suite_customer(spark, sf_dir):
+    """The §2.6 aggregation surface in one driver row via a kind
+    discriminator: COUNT with discriminant, MIN/MAX/AVERAGE (decimal-exact
+    average) and SORTED_UNIQUE -> sort_array(collect_set) (reference AggFn,
+    graflo/onto.py:120-137, db/conn.py:611-634). NULL-padded union keeps
+    every aggregate in its native type."""
     view = star_view(spark, sf_dir)
-    return view.aggregate("customer", AggFn.COUNT, discriminant="c_mktsegment")
-
-
-@q(
-    "agg_stats_and_sorted_unique",
-    "SELECT CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal, CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal, "
-    + davg_sql("c_acctbal") + " AS avg_bal, COUNT(*) AS n, "
-    "(SELECT array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') FROM orders) "
-    "AS priorities FROM customer",
-)
-def agg_stats_and_sorted_unique(spark, sf_dir):
-    """MIN/MAX/AVERAGE aggregates (decimal-exact average) plus the
-    SORTED_UNIQUE aggregate -> sort_array(collect_set) (reference AggFn,
-    graflo/onto.py:120-137) in one single-row driver proof."""
-    view = star_view(spark, sf_dir)
-    uniq = view.aggregate("order", AggFn.SORTED_UNIQUE,
-                          aggregated_field="o_orderpriority"
-                          ).select(F.array_join("agg_value", ",").alias("priorities"))
+    counts = view.aggregate(
+        "customer", AggFn.COUNT, discriminant="c_mktsegment"
+    ).select(
+        F.lit("count_by_segment").alias("kind"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("agg_value").alias("agg_count"),
+    )
     cust = load(spark, sf_dir, "customer")
     stats = cust.agg(
-        F.min("c_acctbal").alias("min_bal"),
-        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
         davg("c_acctbal").alias("avg_bal"),
         F.count(F.lit(1)).alias("n"),
+    ).select(F.lit("stats").alias("kind"), "*")
+    uniq = view.aggregate(
+        "order", AggFn.SORTED_UNIQUE, aggregated_field="o_orderpriority"
+    ).select(
+        F.lit("sorted_unique").alias("kind"),
+        F.array_join("agg_value", ",").alias("priorities"),
     )
-    return stats.crossJoin(uniq)
+    return counts.unionByName(stats, allowMissingColumns=True).unionByName(
+        uniq, allowMissingColumns=True
+    )
 
 
 @q(
@@ -1009,6 +1021,48 @@ def decontam_overlap_documents(spark, sf_dir):
     return dc.contamination_flags(
         docs, bench, "doc_id", "text", ngram_n=5
     ).select(F.col("id").alias("doc_id"), "n_overlap", "contaminated")
+
+
+# Packing oracle: single-node window cumsum + unnest(range) chunk fan-out —
+# the Spark side computes the same offsets with a two-phase distributed
+# prefix sum (range partition -> local window -> broadcast prefix totals).
+_PACK_ORACLE = (
+    "WITH t AS (SELECT doc_id, "
+    + _QUALITY_TOKENS
+    + " AS n_tok FROM documents), "
+    "o AS (SELECT doc_id, n_tok, "
+    "SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW) AS tok_end FROM t), "
+    "s AS (SELECT doc_id, CAST(tok_end - n_tok AS BIGINT) AS tok_start, "
+    "CAST(tok_end AS BIGINT) AS tok_end, n_tok FROM o), "
+    "e AS (SELECT doc_id, tok_start, tok_end, "
+    "unnest(range(tok_start // 128, (tok_end - 1) // 128 + 1)) AS chunk_id "
+    "FROM s WHERE n_tok > 0) "
+    "SELECT doc_id, chunk_id, tok_start, tok_end, "
+    "greatest(tok_start, chunk_id * 128) - tok_start AS doc_tok_start, "
+    "least(tok_end, (chunk_id + 1) * 128) - tok_start AS doc_tok_end FROM e"
+)
+
+
+@q("pack_chunks_documents", _PACK_ORACLE)
+def pack_chunks_documents(spark, sf_dir):
+    """Sequence packing (north-star training-pipeline op, no reference
+    analogue): concatenate documents in doc_id order and cut the token
+    stream into 128-token training chunks; each row is one (document,
+    chunk) overlap with in-document slice bounds. The global prefix sum is
+    the two-phase distributed form — range repartition, per-partition
+    window cumsum, broadcast per-partition prefix totals — never a
+    single-partition global window."""
+    docs = load(spark, sf_dir, "documents")
+    from graflo_spark.ops.packing import pack_chunks
+
+    with_tok = docs.select(
+        "doc_id", ts.token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_chunks(with_tok, "doc_id", "n_tok", 128).select(
+        F.col("id").alias("doc_id"), "chunk_id", "tok_start", "tok_end",
+        "doc_tok_start", "doc_tok_end",
+    )
 
 
 # ---------------------------------------------------- LLM-pipeline: dedup

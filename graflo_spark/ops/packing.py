@@ -1,0 +1,116 @@
+"""Sequence packing for training pipelines: concatenate documents in a
+deterministic global order and slice the token stream into fixed-size
+chunks (GPT-style concat-and-chunk packing). Each document learns its
+global token offsets, then emits one row per training chunk it overlaps,
+with in-document slice bounds — exactly what a tokenize-and-pack job needs
+to build fixed-length sequences without ever materializing the
+concatenated stream.
+
+Scale design: a naive ``Window.orderBy(key)`` global cumulative sum drags
+the whole corpus into ONE partition. Here the prefix sum is two-phase:
+``repartitionByRange`` on the order key (ascending ranges land in ascending
+partition ids), a per-partition window cumsum, then a broadcast join of the
+per-partition prefix totals (one tiny row per partition). The corpus
+shuffles once (the range exchange); everything after is partition-local.
+
+Reference analogue: none (the reference has no packing operator);
+north-star training-pipeline extension per the task brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def token_offsets(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    start_col: str = "tok_start",
+    end_col: str = "tok_end",
+) -> DataFrame:
+    """Global token offsets ``[tok_start, tok_end)`` of every row under the
+    total order given by ``order_col`` (must be unique — ties across range-
+    partition boundaries would make the order, and thus the offsets,
+    nondeterministic). Adds the two columns; equivalent to the single-node
+    ``SUM(tokens) OVER (ORDER BY order_col)`` without the single-partition
+    bottleneck."""
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        W.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn(
+        "_local_end", F.sum(F.col(token_col).cast("long")).over(w_local)
+    )
+    # Per-partition totals: n_parts rows — the broadcast side. Built from
+    # ``ranged`` (NOT from ``local``) so this branch is a partial+final
+    # aggregate off the SAME range Exchange the window consumes — Spark's
+    # ReuseExchange then scans and range-shuffles the corpus once, and the
+    # totals branch never pays the window sort.
+    w_prefix = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    prefix = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_ptotal"))
+        .withColumn(
+            "_poffset", F.coalesce(F.sum("_ptotal").over(w_prefix), F.lit(0))
+        )
+        .select("_pid", "_poffset")
+    )
+    return (
+        local.join(F.broadcast(prefix), "_pid")
+        .withColumn(end_col, F.col("_local_end") + F.col("_poffset"))
+        .withColumn(start_col, F.col(end_col) - F.col(token_col).cast("long"))
+        .drop("_pid", "_local_end", "_poffset")
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    chunk_tokens: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-size training chunks: concatenate all
+    documents in ``order_col`` order (default: ``id_col``) and cut the
+    token stream every ``chunk_tokens``. Returns one row per (document,
+    chunk) overlap:
+
+        (id, chunk_id, tok_start, tok_end, doc_tok_start, doc_tok_end)
+
+    where ``doc_tok_[start,end)`` is the in-document token slice that lands
+    in ``chunk_id`` — a downstream tokenizer job slices each text by these
+    bounds and concatenates within chunk_id to emit fixed-length sequences.
+    Zero-token documents emit no rows (nothing to pack). The chunk fan-out
+    is a native ``sequence``+``explode`` over the chunk index range — a
+    document spanning k chunks emits k rows, and k is bounded by
+    ``tokens/chunk_tokens + 1``."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    out = token_offsets(df, token_col, order_col or id_col)
+    b = F.lit(chunk_tokens)
+    # integral `div`, not float division: exact past 2^53 tokens
+    first = F.expr(f"tok_start div {int(chunk_tokens)}")
+    last = F.expr(f"(tok_end - 1) div {int(chunk_tokens)}")
+    exploded = out.filter(F.col(token_col) > 0).select(
+        F.col(id_col).alias("id"),
+        "tok_start",
+        "tok_end",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * b)
+    hi = F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * b)
+    return exploded.select(
+        "id",
+        "chunk_id",
+        "tok_start",
+        "tok_end",
+        (lo - F.col("tok_start")).alias("doc_tok_start"),
+        (hi - F.col("tok_start")).alias("doc_tok_end"),
+    )

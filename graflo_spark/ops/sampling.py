@@ -73,3 +73,48 @@ def hash_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    id_col: str,
+    salt: str = "mix",
+    source_col: str = "source_name",
+) -> DataFrame:
+    """Blend corpora to target proportions by deterministic downsampling —
+    the dataset-mixing step of a pretraining pipeline (e.g. 70% web, 20%
+    code, 10% books). Finds the largest total size achievable WITHOUT
+    upsampling (T = min over sources of n_i / w_i) and hash-samples each
+    source at rate ``T * w_i / n_i``; repetition beyond a source's size is
+    an epoch/training-loop concern, not a mixing one. Membership is a pure
+    function of (id, salt) per source, so the blend is reproducible on any
+    cluster layout. Costs one count() aggregate per source (metadata-cheap
+    for parquet) before the single filtered union; adds ``source_col``.
+
+    Schemas must be union-compatible; proportions are accurate to the
+    hash_sample resolution (1e-6) in expectation."""
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must have identical keys")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {k: w / total_w for k, w in weights.items()}
+    counts = {k: df.count() for k, df in sources.items()}
+    if any(n == 0 for n in counts.values()):
+        raise ValueError(
+            f"empty source(s): {[k for k, n in counts.items() if n == 0]}"
+        )
+    target_total = min(counts[k] / norm[k] for k in sources if norm[k] > 0)
+    parts = []
+    for name, df in sources.items():
+        rate = min(1.0, target_total * norm[name] / counts[name])
+        parts.append(
+            hash_sample(df, id_col, rate, salt=f"{salt}:{name}").withColumn(
+                source_col, F.lit(name)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,107 @@
+"""Sequence packing (two-phase global cumsum, chunk spans) and corpus
+mixing: exact-offset correctness vs a single-node reference, partition-
+layout invariance, chunk-span coverage invariants, mixing proportions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graflo_spark.ops.packing import pack_chunks, token_offsets
+from graflo_spark.ops.sampling import mix_corpora
+
+
+def _docs(spark, n=500, seed_mod=17):
+    # deterministic ragged token counts incl. 0 and > chunk_tokens
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 37 % seed_mod * 23 % 301).cast("int").alias("n_tok"),
+    )
+
+
+def test_token_offsets_match_single_node(spark):
+    df = _docs(spark)
+    got = {
+        r["doc_id"]: (r["tok_start"], r["tok_end"])
+        for r in token_offsets(df, "n_tok", "doc_id").collect()
+    }
+    acc = 0
+    for row in df.orderBy("doc_id").collect():
+        assert got[row["doc_id"]] == (acc, acc + row["n_tok"])
+        acc += row["n_tok"]
+    # layout invariance: a different input partitioning, same offsets
+    got2 = {
+        r["doc_id"]: (r["tok_start"], r["tok_end"])
+        for r in token_offsets(df.repartition(13), "n_tok", "doc_id").collect()
+    }
+    assert got2 == got
+
+
+def test_token_offsets_plan_has_no_global_sort_window(spark):
+    df = token_offsets(_docs(spark), "n_tok", "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side window must be partitioned (by _pid), never a
+    # single-partition global window
+    assert "rangepartitioning" in plan.lower()
+    assert "BatchEvalPython" not in plan
+    # the totals branch must reuse the range exchange at runtime (AQE
+    # ReuseExchange): corpus scanned + range-shuffled ONCE, not per branch
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 1
+
+
+def test_pack_chunks_invariants(spark):
+    B = 64
+    df = _docs(spark)
+    spans = pack_chunks(df, "doc_id", "n_tok", B).collect()
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r["id"], []).append(r)
+    total = {r["doc_id"]: r["n_tok"] for r in df.collect()}
+    # every non-empty doc fully covered by contiguous in-doc slices
+    for doc, n in total.items():
+        rows = sorted(by_doc.get(doc, []), key=lambda r: r["chunk_id"])
+        if n == 0:
+            assert rows == []
+            continue
+        assert rows[0]["doc_tok_start"] == 0
+        assert rows[-1]["doc_tok_end"] == n
+        for a, b in zip(rows, rows[1:]):
+            assert a["doc_tok_end"] == b["doc_tok_start"]  # contiguous
+            assert b["chunk_id"] == a["chunk_id"] + 1  # consecutive chunks
+    # every chunk except the last is exactly full
+    per_chunk: dict[int, int] = {}
+    for r in spans:
+        per_chunk[r["chunk_id"]] = per_chunk.get(r["chunk_id"], 0) + (
+            r["doc_tok_end"] - r["doc_tok_start"]
+        )
+    last = max(per_chunk)
+    assert set(per_chunk) == set(range(last + 1))  # no chunk gaps
+    for c, filled in per_chunk.items():
+        assert filled == B or (c == last and 0 < filled <= B)
+
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        pack_chunks(df, "doc_id", "n_tok", 0)
+
+
+def test_mix_corpora_proportions_and_determinism(spark):
+    web = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    code = spark.range(3_000).select((F.col("id") + 100_000).alias("doc_id"))
+    out = mix_corpora(
+        {"web": web, "code": code}, {"web": 0.7, "code": 0.3}, "doc_id"
+    )
+    counts = {r["source_name"]: r["count"]
+              for r in out.groupBy("source_name").count().collect()}
+    # code is the binding source: all 3000 kept, web downsampled to ~7000
+    assert counts["code"] == 3_000
+    assert abs(counts["web"] - 7_000) < 300
+    # deterministic: rerun yields the identical id set
+    again = mix_corpora(
+        {"web": web, "code": code}, {"web": 0.7, "code": 0.3}, "doc_id"
+    )
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+
+    with pytest.raises(ValueError, match="identical keys"):
+        mix_corpora({"web": web}, {"web": 0.5, "code": 0.5}, "doc_id")

@@ -72,6 +72,11 @@ SCALE_QUERIES = [
     "graph_type_counts",
     "minhash_dedup_documents",
     "near_dup_clusters_documents",
+    # r4 additions: the two new shuffle-bearing training-pipeline ops —
+    # decontamination (broadcast gram join) and sequence packing (two-phase
+    # distributed prefix sum + chunk fan-out)
+    "decontam_overlap_documents",
+    "pack_chunks_documents",
 ]
 
 # (table, [key cols offset by own stride], {col: stride-source table})
