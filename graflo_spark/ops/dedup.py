@@ -715,3 +715,42 @@ def minhash_near_dup_clusters(
         F.lit(True).alias("is_representative"),
     )
     return expanded.unionByName(singletons)
+
+
+def select_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware representative selection: production dedup keeps the
+    BEST member of each near-dup cluster (highest quality score, e.g. from
+    :func:`graflo_spark.ops.textstats.quality_score`), not the smallest id.
+    Re-flags ``is_representative`` on the cluster assignment: per cluster,
+    the member with the maximum score wins, ties break to the smallest id
+    (deterministic). Members missing a score lose to any scored member.
+
+    Shape: one equi-join on id + one min(struct) aggregate on cluster —
+    both AQE-skew-safe equi-shuffles; no windows, no all-pairs."""
+    joined = clusters.join(
+        scores.select(F.col(id_col), F.col(score_col).alias("__score")),
+        id_col,
+        "left",
+    )
+    # min of (-score, id): max score first, then min id — NULL scores sort
+    # last because coalesce maps them below every real score
+    ranked = F.struct(
+        (-F.coalesce(F.col("__score"), F.lit(float("-inf")))).alias("k1"),
+        F.col(id_col).alias("k2"),
+    )
+    best = (
+        joined.groupBy(cluster_col)
+        .agg(F.min(ranked).alias("__best"))
+        .select(cluster_col, F.col("__best.k2").alias("__rep_id"))
+    )
+    return clusters.drop("is_representative").join(best, cluster_col).select(
+        id_col,
+        cluster_col,
+        (F.col(id_col) == F.col("__rep_id")).alias("is_representative"),
+    )

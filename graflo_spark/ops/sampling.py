@@ -75,6 +75,24 @@ def hash_split(
     return df.withColumn(split_col, out)
 
 
+def temperature_weights(
+    counts: dict[str, int], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-based mixing weights: w_i proportional to n_i^alpha
+    (the mT5/XLM-R alpha-sampling rule). ``alpha=1`` is proportional
+    sampling (big corpora dominate), ``alpha=0`` is uniform (every source
+    equal), and the usual ``alpha~0.2-0.5`` boosts low-resource sources
+    without drowning the large ones. Feed the result to
+    :func:`mix_corpora`."""
+    if not counts:
+        raise ValueError("at least one source required")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError("source counts must be positive")
+    raw = {k: float(n) ** alpha for k, n in counts.items()}
+    total = sum(raw.values())
+    return {k: v / total for k, v in raw.items()}
+
+
 def mix_corpora(
     sources: dict[str, DataFrame],
     weights: dict[str, float],

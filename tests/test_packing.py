@@ -105,3 +105,39 @@ def test_mix_corpora_proportions_and_determinism(spark):
 
     with pytest.raises(ValueError, match="identical keys"):
         mix_corpora({"web": web}, {"web": 0.5, "code": 0.5}, "doc_id")
+
+
+def test_temperature_weights():
+    from graflo_spark.ops.sampling import temperature_weights
+
+    counts = {"web": 1_000_000, "books": 10_000}
+    w1 = temperature_weights(counts, alpha=1.0)
+    assert abs(w1["web"] - 1_000_000 / 1_010_000) < 1e-12  # proportional
+    w0 = temperature_weights(counts, alpha=0.0)
+    assert w0 == {"web": 0.5, "books": 0.5}  # uniform
+    w = temperature_weights(counts, alpha=0.3)
+    assert w1["books"] < w["books"] < 0.5  # boosts the small source
+    assert abs(sum(w.values()) - 1.0) < 1e-12
+
+    with pytest.raises(ValueError, match="positive"):
+        temperature_weights({"web": 0})
+
+
+def test_select_representatives(spark):
+    from graflo_spark.ops.dedup import select_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False), (9, 9, True)],
+        ["doc_id", "cluster", "is_representative"],
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9)], ["doc_id", "score"]
+    )  # doc 9 unscored
+    out = {r["doc_id"]: r for r in
+           select_representatives(clusters, scores).collect()}
+    assert len(out) == 4  # assignment preserved
+    # max score wins; 2 vs 3 tie breaks to the smaller id
+    assert out[2]["is_representative"] and not out[3]["is_representative"]
+    assert not out[1]["is_representative"]  # min-id loses to better score
+    assert out[9]["is_representative"]  # unscored singleton keeps itself
+    assert all(r["cluster"] in (1, 9) for r in out.values())
