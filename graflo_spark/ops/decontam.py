@@ -97,6 +97,35 @@ def contamination_flags(
     )
 
 
+def contamination_expr(
+    bench_grams: list[str], ngram_n: int, text: Column, min_overlap: int = 1
+) -> Column:
+    """Stream-safe contamination predicate: the benchmark gram set is
+    embedded as ONE array literal, so the test is a pure Column expression
+    (``array_intersect`` against the document's distinct grams) — no join,
+    no aggregation, legal in any Structured Streaming plan and fused into
+    whole-stage codegen in batch. Use :func:`collect_benchmark_grams` to
+    build the list; eval suites are MBs, so the literal (shipped once per
+    task via the plan) is bounded by construction — for a huge "benchmark"
+    fall back to :func:`contamination_flags`."""
+    grams = F.array(*[F.lit(g) for g in bench_grams])
+    return (
+        F.size(F.array_intersect(normalized_ngrams(text, ngram_n), grams))
+        >= min_overlap
+    )
+
+
+def collect_benchmark_grams(
+    bench: DataFrame, text_col: str, ngram_n: int = 13
+) -> list[str]:
+    """Driver-side materialization of the benchmark gram set for
+    :func:`contamination_expr` (bounded: one row per distinct eval-suite
+    n-gram)."""
+    return [
+        r["gram"] for r in benchmark_ngrams(bench, text_col, ngram_n).collect()
+    ]
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

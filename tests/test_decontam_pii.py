@@ -97,6 +97,69 @@ def test_pii_redact_in_place_default(spark):
     assert out["text"] == "x <EMAIL> y"
 
 
+def test_contamination_expr_matches_flags(spark):
+    from graflo_spark.ops.decontam import (
+        collect_benchmark_grams,
+        contamination_expr,
+    )
+
+    docs, bench = _docs(spark), _bench(spark)
+    grams = collect_benchmark_grams(bench, "text", ngram_n=5)
+    expr_out = {
+        r["doc_id"]: r["c"]
+        for r in docs.select(
+            "doc_id", contamination_expr(grams, 5, F.col("text")).alias("c")
+        ).collect()
+    }
+    flag_out = {
+        r["id"]: r["contaminated"]
+        for r in contamination_flags(docs, bench, "doc_id", "text", 5).collect()
+    }
+    assert expr_out == flag_out  # literal-array path == join path
+
+
+def test_streaming_text_hygiene_pipeline(spark, tmp_path):
+    """The full training-data hygiene chain — decontamination predicate,
+    PII scrub, quality gate, split assignment — is stateless Column logic,
+    so it must run unchanged inside a Structured Streaming plan."""
+    from graflo_spark.ops.decontam import (
+        collect_benchmark_grams,
+        contamination_expr,
+    )
+    from graflo_spark.ops.sampling import hash_split
+    from graflo_spark.ops.textstats import token_count
+    from graflo_spark.streaming import replay_as_stream
+
+    docs, bench = _docs(spark), _bench(spark)
+    grams = collect_benchmark_grams(bench, "text", ngram_n=5)
+
+    def hygiene(df):
+        clean = scrub_pii(df, "text")
+        gated = clean.filter(
+            ~contamination_expr(grams, 5, F.col("text"))
+            & (token_count(F.col("text")) >= 5)
+        )
+        return hash_split(gated, "doc_id", {"train": 0.8, "val": 0.2})
+
+    stream = replay_as_stream(spark, docs)
+    q = (
+        hygiene(stream)
+        .writeStream.format("memory")
+        .queryName("hygiene_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hygiene_out").collect()
+    want = hygiene(docs).collect()  # identical batch-mode result
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in want}
+    assert {r["doc_id"] for r in got} == {2, 3}  # 0,1 contaminated
+    assert {r["doc_id"]: r["split"] for r in got} == {
+        r["doc_id"]: r["split"] for r in want
+    }
+
+
 def test_repetition_stats(spark):
     df = spark.createDataFrame(
         [
