@@ -29,13 +29,19 @@ def token_offsets(
     order_col: str,
     start_col: str = "tok_start",
     end_col: str = "tok_end",
+    base_offset: int = 0,
 ) -> DataFrame:
     """Global token offsets ``[tok_start, tok_end)`` of every row under the
     total order given by ``order_col`` (must be unique — ties across range-
     partition boundaries would make the order, and thus the offsets,
     nondeterministic). Adds the two columns; equivalent to the single-node
     ``SUM(tokens) OVER (ORDER BY order_col)`` without the single-partition
-    bottleneck."""
+    bottleneck.
+
+    ``base_offset`` makes the operator resumable for incremental ingest:
+    pass the previous batch's running total (its ``max(tok_end)``) and the
+    new batch's stream continues where the last one stopped — batch N+1's
+    chunks follow batch N's without re-packing history."""
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
@@ -64,7 +70,10 @@ def token_offsets(
     )
     return (
         local.join(F.broadcast(prefix), "_pid")
-        .withColumn(end_col, F.col("_local_end") + F.col("_poffset"))
+        .withColumn(
+            end_col,
+            F.col("_local_end") + F.col("_poffset") + F.lit(int(base_offset)),
+        )
         .withColumn(start_col, F.col(end_col) - F.col(token_col).cast("long"))
         .drop("_pid", "_local_end", "_poffset")
     )
@@ -76,6 +85,7 @@ def pack_chunks(
     token_col: str,
     chunk_tokens: int,
     order_col: str | None = None,
+    base_offset: int = 0,
 ) -> DataFrame:
     """Assign documents to fixed-size training chunks: concatenate all
     documents in ``order_col`` order (default: ``id_col``) and cut the
@@ -93,7 +103,9 @@ def pack_chunks(
     ``tokens/chunk_tokens + 1``."""
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
-    out = token_offsets(df, token_col, order_col or id_col)
+    out = token_offsets(
+        df, token_col, order_col or id_col, base_offset=base_offset
+    )
     b = F.lit(chunk_tokens)
     # integral `div`, not float division: exact past 2^53 tokens
     first = F.expr(f"tok_start div {int(chunk_tokens)}")
@@ -113,4 +125,53 @@ def pack_chunks(
         "tok_end",
         (lo - F.col("tok_start")).alias("doc_tok_start"),
         (hi - F.col("tok_start")).alias("doc_tok_end"),
+    )
+
+
+def materialize_chunks(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    joiner: str = " ",
+) -> DataFrame:
+    """Assemble the actual training sequences: join :func:`pack_chunks`
+    spans back to the documents, slice each document's whitespace tokens by
+    its in-doc bounds, and concatenate slices within each chunk in stream
+    order. Returns ``(chunk_id, n_docs, chunk_text)``.
+
+    Shape: one equi-join on id (the corpus-side shuffle), then a groupBy
+    on chunk_id whose per-group payload is bounded by ``chunk_tokens`` —
+    sort_array on (tok_start, slice) structs makes the concatenation order
+    deterministic regardless of arrival order. Token slicing uses the same
+    whitespace split as :func:`graflo_spark.ops.textstats.token_count`; a
+    tokenizer-accurate deployment swaps the split for real token ids with
+    the identical plan shape."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    piece = F.array_join(
+        F.slice(
+            tokens,
+            (F.col("doc_tok_start") + 1).cast("int"),
+            (F.col("doc_tok_end") - F.col("doc_tok_start")).cast("int"),
+        ),
+        joiner,
+    )
+    sliced = spans.join(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(
+        "chunk_id",
+        F.struct(F.col("tok_start").alias("pos"), piece.alias("piece")).alias(
+            "p"
+        ),
+    )
+    return (
+        sliced.groupBy("chunk_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .select(
+            "chunk_id",
+            F.size("ps").alias("n_docs"),
+            F.array_join(F.transform("ps", lambda s: s["piece"]), joiner).alias(
+                "chunk_text"
+            ),
+        )
     )

@@ -84,6 +84,51 @@ def test_pack_chunks_invariants(spark):
         pack_chunks(df, "doc_id", "n_tok", 0)
 
 
+def test_incremental_packing_resumes_stream(spark):
+    """base_offset makes batch N+1's chunks continue batch N's token
+    stream: packing two batches incrementally == packing the union."""
+    full = _docs(spark, n=400)
+    b1 = full.filter(F.col("doc_id") < 200)
+    b2 = full.filter(F.col("doc_id") >= 200)
+    one_shot = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in pack_chunks(full, "doc_id", "n_tok", 64).collect()
+    }
+    first = pack_chunks(b1, "doc_id", "n_tok", 64)
+    running_total = first.agg(F.max("tok_end")).collect()[0][0]
+    second = pack_chunks(
+        b2, "doc_id", "n_tok", 64, base_offset=running_total
+    )
+    incremental = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in first.collect() + second.collect()
+    }
+    assert incremental == one_shot
+
+
+def test_materialize_chunks_reassembles_stream(spark):
+    from graflo_spark.ops.packing import materialize_chunks
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e"), (2, "f g h i"), (3, "")],
+        ["doc_id", "text"],
+    ).withColumn(
+        "n_tok",
+        F.when(F.length(F.trim("text")) == 0, 0).otherwise(
+            F.size(F.split(F.trim("text"), r"\s+"))
+        ),
+    )
+    spans = pack_chunks(docs, "doc_id", "n_tok", 4)
+    out = {
+        r["chunk_id"]: r
+        for r in materialize_chunks(docs, spans, "doc_id", "text").collect()
+    }
+    # stream "a b c d e f g h i" cut every 4 tokens
+    assert out[0]["chunk_text"] == "a b c d" and out[0]["n_docs"] == 2
+    assert out[1]["chunk_text"] == "e f g h" and out[1]["n_docs"] == 2
+    assert out[2]["chunk_text"] == "i" and out[2]["n_docs"] == 1
+
+
 def test_mix_corpora_proportions_and_determinism(spark):
     web = spark.range(10_000).select(F.col("id").alias("doc_id"))
     code = spark.range(3_000).select((F.col("id") + 100_000).alias("doc_id"))
