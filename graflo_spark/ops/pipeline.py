@@ -1,0 +1,204 @@
+"""The end-to-end training-data preparation pipeline: one composition of
+this package's hygiene/dedup/packing operators in the order production
+pretraining pipelines run them —
+
+    URL dedup -> quality gate -> PII scrub -> benchmark decontamination ->
+    exact dedup -> near-dup clustering (quality-aware representatives) ->
+    train/val/test split -> sequence packing
+
+`annotate` tags every input document with the FIRST stage that drops it
+(``drop_stage`` NULL for survivors) instead of filtering eagerly — so one
+output answers both "what survived" and "what did each gate cost" (the
+funnel report every data-curation run needs). All stage logic is the
+already-proven operators; this module only composes them.
+
+Scale shape: the flag stages (quality/PII/decontam) are pure Column
+expressions fused into one scan pass; the dedup stages contribute their
+own bounded equi-joins (URL/fingerprint hash aggregates, the banded LSH +
+connected-components path); nothing here adds a shuffle beyond what the
+member operators already pay.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graflo_spark.ops import dedup as dd
+from graflo_spark.ops import packing as pk
+from graflo_spark.ops import sampling as sp
+from graflo_spark.ops import textstats as ts
+from graflo_spark.ops.decontam import benchmark_ngrams
+from graflo_spark.ops.pii import redact_pii
+from graflo_spark.ops.urls import normalize_url
+
+
+@dataclass
+class PipelineConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    url_col: str | None = None
+    min_quality: float = 0.5
+    min_tokens: int = 5
+    decontam_ngram: int = 5
+    decontam_min_overlap: int = 1
+    near_dup_threshold: float = 0.7
+    splits: dict[str, float] = field(
+        default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    chunk_tokens: int = 2048
+    lsh_kwargs: dict = field(default_factory=dict)
+
+
+# funnel order — each document is charged to the FIRST stage that drops it
+STAGES = ("url_dup", "quality", "decontam", "exact_dup", "near_dup")
+
+
+def annotate(
+    docs: DataFrame, bench: DataFrame | None, cfg: PipelineConfig
+) -> DataFrame:
+    """Tag every document with ``drop_stage`` (NULL = survivor) and, for
+    survivors, the PII-scrubbed ``text`` and its ``split`` assignment.
+    Nothing is filtered — ``training_funnel`` aggregates the tags and
+    ``survivors`` filters them."""
+    id_c, t_c = cfg.id_col, cfg.text_col
+    out = docs
+
+    # 1. URL dedup: non-minimal id within a canonical-URL group
+    if cfg.url_col:
+        winners = (
+            out.filter(F.col(cfg.url_col).isNotNull())
+            .withColumn("__ukey", normalize_url(F.col(cfg.url_col)))
+            .groupBy("__ukey")
+            .agg(F.min(id_c).alias(id_c))
+            .select(id_c, F.lit(True).alias("__url_keep"))
+        )
+        out = out.join(winners, id_c, "left").withColumn(
+            "__url_dup",
+            F.col(cfg.url_col).isNotNull() & F.col("__url_keep").isNull(),
+        ).drop("__url_keep")
+    else:
+        out = out.withColumn("__url_dup", F.lit(False))
+
+    # 2. quality gate (pure exprs; NULL text always fails)
+    t = F.col(t_c)
+    quality_ok = (
+        t.isNotNull()
+        & (ts.quality_score(t) >= cfg.min_quality)
+        & (ts.token_count(t) >= cfg.min_tokens)
+    )
+
+    # 3. decontamination (broadcast benchmark gram set -> map-side semi join)
+    if bench is not None:
+        grams = F.broadcast(benchmark_ngrams(bench, t_c, cfg.decontam_ngram))
+        from graflo_spark.ops.decontam import normalized_ngrams
+
+        hits = (
+            out.select(
+                F.col(id_c),
+                F.explode(normalized_ngrams(t, cfg.decontam_ngram)).alias(
+                    "gram"
+                ),
+            )
+            .join(grams, "gram")
+            .groupBy(id_c)
+            .agg(F.count(F.lit(1)).alias("__n_overlap"))
+            .filter(F.col("__n_overlap") >= cfg.decontam_min_overlap)
+            .select(id_c, F.lit(True).alias("__contaminated"))
+        )
+        out = out.join(hits, id_c, "left").withColumn(
+            "__contaminated", F.coalesce("__contaminated", F.lit(False))
+        )
+    else:
+        out = out.withColumn("__contaminated", F.lit(False))
+
+    # 4. exact dedup on the normalized content fingerprint (min-id winner)
+    fp_winners = (
+        out.filter(t.isNotNull())
+        .groupBy(ts.fingerprint(t).alias("__fp"))
+        .agg(F.min(id_c).alias(id_c))
+        .select(id_c, F.lit(True).alias("__fp_keep"))
+    )
+    out = out.join(fp_winners, id_c, "left").withColumn(
+        "__exact_dup", t.isNotNull() & F.col("__fp_keep").isNull()
+    ).drop("__fp_keep")
+
+    # 5. near-dup clustering with quality-aware representatives
+    clusters = dd.minhash_near_dup_clusters(
+        docs, id_c, t_c, threshold=cfg.near_dup_threshold, **cfg.lsh_kwargs
+    )
+    scores = docs.select(
+        F.col(id_c), ts.quality_score(F.col(t_c)).alias("score")
+    )
+    reps = dd.select_representatives(clusters, scores, id_col=id_c)
+    out = out.join(
+        reps.select(id_c, F.col("is_representative").alias("__nd_rep")),
+        id_c,
+        "left",
+    ).withColumn("__nd_rep", F.coalesce("__nd_rep", F.lit(True)))
+
+    drop = (
+        F.when(F.col("__url_dup"), "url_dup")
+        .when(~quality_ok, "quality")
+        .when(F.col("__contaminated"), "decontam")
+        .when(F.col("__exact_dup"), "exact_dup")
+        .when(~F.col("__nd_rep"), "near_dup")
+    )
+    annotated = out.withColumn("drop_stage", drop).drop(
+        "__url_dup", "__contaminated", "__exact_dup", "__nd_rep"
+    )
+    annotated = annotated.withColumn(
+        t_c,
+        F.when(F.col("drop_stage").isNull(), redact_pii(t)).otherwise(t),
+    )
+    return sp.hash_split(annotated, id_c, cfg.splits)
+
+
+def training_funnel(annotated: DataFrame) -> DataFrame:
+    """Per-stage drop counts plus the survivor count — the curation
+    report. One aggregate over the annotated frame."""
+    return (
+        annotated.groupBy(
+            F.coalesce("drop_stage", F.lit("kept")).alias("stage")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def survivors(annotated: DataFrame) -> DataFrame:
+    return annotated.filter(F.col("drop_stage").isNull()).drop("drop_stage")
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    cfg: PipelineConfig | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full pipeline: returns ``(chunks, annotated, funnel)`` where
+    ``chunks`` is the packed (doc, chunk) span table over the scrubbed
+    survivors (packed per split so val can never share a sequence with
+    train), ``annotated`` carries every input document with its
+    ``drop_stage``/``split`` tags, and ``funnel`` is the stage report."""
+    cfg = cfg or PipelineConfig()
+    annotated = annotate(docs, bench, cfg)
+    kept = survivors(annotated)
+    with_tok = kept.select(
+        cfg.id_col,
+        "split",
+        ts.token_count(F.col(cfg.text_col)).alias("__n_tok"),
+    )
+    chunk_parts = []
+    for name in cfg.splits:
+        part = pk.pack_chunks(
+            with_tok.filter(F.col("split") == name),
+            cfg.id_col,
+            "__n_tok",
+            cfg.chunk_tokens,
+        ).withColumn("split", F.lit(name))
+        chunk_parts.append(part)
+    chunks = chunk_parts[0]
+    for p in chunk_parts[1:]:
+        chunks = chunks.unionByName(p)
+    return chunks, annotated, training_funnel(annotated)

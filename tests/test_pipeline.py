@@ -1,0 +1,101 @@
+"""End-to-end training-data pipeline: funnel accounting, stage precedence,
+PII scrub on survivors only, per-split packing isolation."""
+
+from pyspark.sql import functions as F
+
+from graflo_spark.ops.pipeline import (
+    PipelineConfig,
+    annotate,
+    prepare_training_data,
+    survivors,
+    training_funnel,
+)
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        # 0/1: same canonical URL -> 1 is a url_dup
+        (0, base + " zero", "https://www.site.com/a/"),
+        (1, "totally different content that is long enough here", "site.com/a"),
+        # 2: garbage (fails quality: no stopwords, short)
+        (2, "zzz qqq", "site.com/b"),
+        # 3/4: exact duplicates modulo whitespace -> 4 is exact_dup
+        (3, "many hands make light work and practice is what makes perfect",
+         "site.com/c"),
+        (4, "  many hands make light work and practice is what makes perfect ",
+         "site.com/d"),
+        # 5: near-dup of 0 (one word appended) -> loses the tie to min-id 0
+        (5, base + " zero extra", "site.com/e"),
+        # 6: clean unique survivor
+        (6, "a completely unrelated clean document with the usual stopwords in it",
+         "site.com/f"),
+        # 7: contaminated (contains the benchmark question verbatim)
+        (7, "prefix words what is the capital of france suffix words to pad "
+            "the quality of this document", "site.com/g"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "url"])
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(0, "what is the capital of france")], ["qid", "text"]
+    )
+
+
+def _cfg():
+    return PipelineConfig(
+        url_col="url", min_tokens=5, decontam_ngram=5,
+        near_dup_threshold=0.7, chunk_tokens=8,
+        splits={"train": 0.5, "val": 0.5},
+    )
+
+
+def test_annotate_funnel_and_precedence(spark):
+    ann = annotate(_corpus(spark), _bench(spark), _cfg())
+    rows = {r["doc_id"]: r for r in ann.collect()}
+    assert len(rows) == 8  # nothing filtered by annotate
+    assert rows[1]["drop_stage"] == "url_dup"  # loses canonical-URL min-id
+    assert rows[2]["drop_stage"] == "quality"
+    assert rows[7]["drop_stage"] == "decontam"
+    assert rows[4]["drop_stage"] == "exact_dup"
+    assert rows[5]["drop_stage"] == "near_dup"
+    assert rows[0]["drop_stage"] is None and rows[6]["drop_stage"] is None
+    assert rows[3]["drop_stage"] is None
+
+    funnel = {r["stage"]: r["n_docs"] for r in training_funnel(ann).collect()}
+    assert funnel == {"url_dup": 1, "quality": 1, "decontam": 1,
+                      "exact_dup": 1, "near_dup": 1, "kept": 3}
+    assert sum(funnel.values()) == 8  # every doc accounted exactly once
+
+
+def test_prepare_training_data_end_to_end(spark):
+    chunks, ann, funnel = prepare_training_data(
+        _corpus(spark), _bench(spark), _cfg()
+    )
+    kept = survivors(ann)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {0, 3, 6}
+    # packing covers every survivor's tokens, per split, chunks isolated
+    spans = chunks.collect()
+    assert {r["id"] for r in spans} == kept_ids
+    by_split = {}
+    for r in spans:
+        by_split.setdefault(r["split"], set()).add(r["chunk_id"])
+    split_of = {r["doc_id"]: r["split"] for r in kept.collect()}
+    for r in spans:
+        assert split_of[r["id"]] == r["split"]  # no cross-split chunk
+    # funnel object matches a recount
+    f = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert f["kept"] == 3
+
+
+def test_pipeline_without_url_or_bench(spark):
+    docs = _corpus(spark).drop("url")
+    cfg = PipelineConfig(min_tokens=5, chunk_tokens=8,
+                         splits={"train": 1.0})
+    ann = annotate(docs, None, cfg)
+    stages = {r["doc_id"]: r["drop_stage"] for r in ann.collect()}
+    assert "url_dup" not in set(stages.values())  # stage disabled
+    assert "decontam" not in set(stages.values())
+    assert stages[2] == "quality" and stages[4] == "exact_dup"
