@@ -11,6 +11,8 @@ Usage::
     python -m graflo_spark.cli plot-manifest m.yaml -o manifest.dot
     python -m graflo_spark.cli export-rdf m.yaml -o manifest.nt
     python -m graflo_spark.cli import-rdf manifest.nt -o m.yaml
+    python -m graflo_spark.cli prepare-training-data --docs corpus.parquet \\
+        --benchmark evalset.parquet --output /out --split train=0.95 --split val=0.05
 """
 
 from __future__ import annotations
@@ -102,6 +104,31 @@ def cmd_import_rdf(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    from graflo_spark.io import read_source
+    from graflo_spark.ops.pipeline import PipelineConfig, prepare_training_data
+    from graflo_spark.session import get_spark
+
+    spark = get_spark("graflo-prepare")
+    docs = read_source(spark, args.docs)
+    bench = read_source(spark, args.benchmark) if args.benchmark else None
+    splits = {}
+    for kv in args.split or ["train=0.9", "val=0.05", "test=0.05"]:
+        name, w = kv.split("=", 1)
+        splits[name] = float(w)
+    cfg = PipelineConfig(
+        id_col=args.id_col, text_col=args.text_col, url_col=args.url_col,
+        min_quality=args.min_quality, min_tokens=args.min_tokens,
+        near_dup_threshold=args.near_dup_threshold,
+        chunk_tokens=args.chunk_tokens, splits=splits,
+    )
+    chunks, annotated, funnel = prepare_training_data(docs, bench, cfg)
+    annotated.write.mode("overwrite").parquet(f"{args.output}/annotated")
+    chunks.write.mode("overwrite").parquet(f"{args.output}/chunks")
+    funnel.orderBy("stage").show(50, truncate=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="graflo-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -144,6 +171,24 @@ def build_parser() -> argparse.ArgumentParser:
     irdf.add_argument("input")
     irdf.add_argument("-o", "--output", required=True)
     irdf.set_defaults(fn=cmd_import_rdf)
+
+    prep = sub.add_parser(
+        "prepare-training-data",
+        help="hygiene+dedup+split+pack a document corpus; writes "
+        "annotated/ and chunks/ parquet plus a funnel report",
+    )
+    prep.add_argument("--docs", required=True)
+    prep.add_argument("--output", required=True)
+    prep.add_argument("--benchmark", help="eval-set source for decontamination")
+    prep.add_argument("--id-col", default="doc_id")
+    prep.add_argument("--text-col", default="text")
+    prep.add_argument("--url-col")
+    prep.add_argument("--min-quality", type=float, default=0.5)
+    prep.add_argument("--min-tokens", type=int, default=5)
+    prep.add_argument("--near-dup-threshold", type=float, default=0.7)
+    prep.add_argument("--chunk-tokens", type=int, default=2048)
+    prep.add_argument("--split", action="append", metavar="NAME=WEIGHT")
+    prep.set_defaults(fn=cmd_prepare)
     return p
 
 

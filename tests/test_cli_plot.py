@@ -83,3 +83,28 @@ def test_cli_ingest_end_to_end(tmp_path, spark, sf_dir):
     assert rc == 0
     assert os.path.isdir(os.path.join(store_dir, "vertices", "customer"))
     assert os.path.isdir(os.path.join(store_dir, "vertices", "nation"))
+
+
+def test_cli_prepare_training_data(tmp_path, spark, sf_dir, capsys):
+    out_dir = str(tmp_path / "prepared")
+    docs = os.path.join(sf_dir, "documents.parquet")
+    rc = cli.main([
+        "prepare-training-data", "--docs", docs, "--output", out_dir,
+        "--benchmark", docs,  # every doc overlaps itself -> all decontam'd
+        "--chunk-tokens", "64", "--split", "train=1.0",
+    ])
+    assert rc == 0
+    funnel_out = capsys.readouterr().out
+    assert "decontam" in funnel_out
+    ann = spark.read.parquet(f"{out_dir}/annotated")
+    assert ann.filter("drop_stage IS NULL").count() == 0  # self-benchmark
+    # clean run: no benchmark -> survivors exist and chunks cover them
+    rc = cli.main([
+        "prepare-training-data", "--docs", docs, "--output", out_dir,
+        "--chunk-tokens", "64", "--split", "train=1.0",
+    ])
+    assert rc == 0
+    chunks = spark.read.parquet(f"{out_dir}/chunks")
+    kept = spark.read.parquet(f"{out_dir}/annotated").filter(
+        "drop_stage IS NULL")
+    assert chunks.select("id").distinct().count() == kept.count()
