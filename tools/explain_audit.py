@@ -128,6 +128,28 @@ def traversal_hop_section(spark, sf_dir: str) -> str:
     return out.getvalue()
 
 
+def pipeline_section(spark, sf_dir: str) -> str:
+    """Plan grade for the composed training-data pipeline (annotate over
+    the documents table with a self-derived benchmark)."""
+    from pyspark.sql import functions as F
+
+    from graflo_spark.ops.pipeline import PipelineConfig, annotate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    ann = annotate(docs, bench, PipelineConfig())
+    plan = formatted_plan(ann)
+    out = io.StringIO()
+    out.write("\n## ops.pipeline.annotate (composed training-data pipeline)\n\n")
+    for n in grade(plan):
+        out.write(f"- {n}\n")
+    ann.collect()
+    final = ann._jdf.queryExecution().executedPlan().toString()
+    reuse = final.count("ReusedExchange")
+    out.write(f"- runtime (AQE final plan): ReusedExchange x{reuse}\n")
+    return out.getvalue()
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or HEADLINES
@@ -183,6 +205,10 @@ def main() -> int:
     if "traverse_2hop_customers" in names:
         out.write(traversal_hop_section(spark, sf_dir))
         print("audited traverse per-hop joins")
+
+    if not sys.argv[2:]:  # full audit also grades the composed pipeline
+        out.write(pipeline_section(spark, sf_dir))
+        print("audited ops.pipeline.annotate")
 
     with open("PLANS.md", "w") as f:
         f.write(out.getvalue())
