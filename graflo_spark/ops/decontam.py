@@ -108,6 +108,10 @@ def contamination_expr(
     build the list; eval suites are MBs, so the literal (shipped once per
     task via the plan) is bounded by construction — for a huge "benchmark"
     fall back to :func:`contamination_flags`."""
+    if not bench_grams:
+        # empty benchmark: zero overlap everywhere (F.array() with no args
+        # would type as array<void> and break array_intersect)
+        return F.lit(0 >= min_overlap)
     grams = F.array(*[F.lit(g) for g in bench_grams])
     return (
         F.size(F.array_intersect(normalized_ngrams(text, ngram_n), grams))

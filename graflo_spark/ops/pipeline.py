@@ -119,22 +119,35 @@ def annotate(
     else:
         out = out.withColumn("__contaminated", F.lit(False))
 
+    # Dedup winners are computed over PRIOR-STAGE SURVIVORS only: a document
+    # already dropped by the URL/quality/decontam gates must not "win" a
+    # duplicate group — otherwise its surviving twin gets dropped as a dup
+    # of a document that is itself gone, and the content vanishes entirely.
+    eligible = out.filter(
+        ~F.col("__url_dup") & quality_ok & ~F.col("__contaminated")
+    )
+
     # 4. exact dedup on the normalized content fingerprint (min-id winner)
     fp_winners = (
-        out.filter(t.isNotNull())
+        eligible.filter(t.isNotNull())
         .groupBy(ts.fingerprint(t).alias("__fp"))
         .agg(F.min(id_c).alias(id_c))
         .select(id_c, F.lit(True).alias("__fp_keep"))
     )
     out = out.join(fp_winners, id_c, "left").withColumn(
+        # only eligible docs can LOSE the exact stage; earlier-dropped docs
+        # keep their earlier stage via the when() precedence below
         "__exact_dup", t.isNotNull() & F.col("__fp_keep").isNull()
     ).drop("__fp_keep")
 
-    # 5. near-dup clustering with quality-aware representatives
+    # 5. near-dup clustering (over eligible docs — cheaper AND correct) with
+    # quality-aware representatives
+    eligible_docs = eligible.select(id_c, t_c)
     clusters = dd.minhash_near_dup_clusters(
-        docs, id_c, t_c, threshold=cfg.near_dup_threshold, **cfg.lsh_kwargs
+        eligible_docs, id_c, t_c,
+        threshold=cfg.near_dup_threshold, **cfg.lsh_kwargs
     )
-    scores = docs.select(
+    scores = eligible_docs.select(
         F.col(id_c), ts.quality_score(F.col(t_c)).alias("score")
     )
     reps = dd.select_representatives(clusters, scores, id_col=id_c)

@@ -90,6 +90,40 @@ def test_prepare_training_data_end_to_end(spark):
     assert f["kept"] == 3
 
 
+def test_dedup_winners_come_from_prior_survivors(spark):
+    """A doc dropped by an earlier gate must not win a duplicate group:
+    its surviving twin would be dropped as a dup of a gone document and
+    the content would vanish entirely."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, text, "https://site.com/a"),     # url winner of /a
+        (1, text, "site.com/a/"),            # url_dup (same canonical URL)
+        (2, text + "  ", "site.com/b"),      # exact twin; must SURVIVE
+        (3, text + " tail", "site.com/c"),   # near-dup; loses to survivor
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+    ann = annotate(docs, None, PipelineConfig(
+        url_col="url", min_tokens=5, chunk_tokens=8, splits={"train": 1.0}))
+    stages = {r["doc_id"]: r["drop_stage"] for r in ann.collect()}
+    assert stages[1] == "url_dup"
+    assert stages[0] is None  # min-id eligible exact winner
+    assert stages[2] == "exact_dup"  # loses to 0, which survived
+    assert stages[3] == "near_dup"
+    # and when the would-be winner itself is url_dup'd, the twin survives
+    rows2 = [
+        (0, "an unrelated page that sits at the duplicated url address here",
+         "https://site.com/a"),
+        (1, text, "site.com/a/"),            # url_dup of 0 (min-id loses URL)
+        (2, text + "  ", "site.com/b"),      # exact twin of 1 -> must survive
+    ]
+    ann2 = annotate(
+        spark.createDataFrame(rows2, ["doc_id", "text", "url"]), None,
+        PipelineConfig(url_col="url", min_tokens=5, chunk_tokens=8,
+                       splits={"train": 1.0}))
+    stages2 = {r["doc_id"]: r["drop_stage"] for r in ann2.collect()}
+    assert stages2 == {0: None, 1: "url_dup", 2: None}
+
+
 def test_pipeline_without_url_or_bench(spark):
     docs = _corpus(spark).drop("url")
     cfg = PipelineConfig(min_tokens=5, chunk_tokens=8,
