@@ -119,6 +119,7 @@ def cmd_prepare(args) -> int:
     cfg = PipelineConfig(
         id_col=args.id_col, text_col=args.text_col, url_col=args.url_col,
         min_quality=args.min_quality, min_tokens=args.min_tokens,
+        decontam_ngram=args.decontam_ngram,
         near_dup_threshold=args.near_dup_threshold,
         chunk_tokens=args.chunk_tokens, splits=splits,
     )
@@ -185,6 +186,8 @@ def build_parser() -> argparse.ArgumentParser:
     prep.add_argument("--url-col")
     prep.add_argument("--min-quality", type=float, default=0.5)
     prep.add_argument("--min-tokens", type=int, default=5)
+    prep.add_argument("--decontam-ngram", type=int, default=13,
+                      help="overlap n-gram size (13 = GPT-3-style standard)")
     prep.add_argument("--near-dup-threshold", type=float, default=0.7)
     prep.add_argument("--chunk-tokens", type=int, default=2048)
     prep.add_argument("--split", action="append", metavar="NAME=WEIGHT")

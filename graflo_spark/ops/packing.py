@@ -146,7 +146,13 @@ def materialize_chunks(
     deterministic regardless of arrival order. Token slicing uses the same
     whitespace split as :func:`graflo_spark.ops.textstats.token_count`; a
     tokenizer-accurate deployment swaps the split for real token ids with
-    the identical plan shape."""
+    the identical plan shape.
+
+    If the spans carry a ``split`` column (``prepare_training_data`` emits
+    chunk ids that restart at 0 PER SPLIT), grouping automatically includes
+    it — train and val chunk 0 are different sequences and must never be
+    concatenated together."""
+    group_keys = (["split"] if "split" in spans.columns else []) + ["chunk_id"]
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     piece = F.array_join(
         F.slice(
@@ -159,16 +165,16 @@ def materialize_chunks(
     sliced = spans.join(
         docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
     ).select(
-        "chunk_id",
+        *group_keys,
         F.struct(F.col("tok_start").alias("pos"), piece.alias("piece")).alias(
             "p"
         ),
     )
     return (
-        sliced.groupBy("chunk_id")
+        sliced.groupBy(*group_keys)
         .agg(F.sort_array(F.collect_list("p")).alias("ps"))
         .select(
-            "chunk_id",
+            *group_keys,
             F.size("ps").alias("n_docs"),
             F.array_join(F.transform("ps", lambda s: s["piece"]), joiner).alias(
                 "chunk_text"

@@ -24,15 +24,22 @@ from pyspark.sql import functions as F
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
-    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}\b",
+    # country code OPTIONAL: plain US forms (555-123-4567, (555) 123 4567)
+    # must redact too, not just +1-prefixed ones; the final separator stays
+    # mandatory so bare 10+-digit runs (ids, card fragments) don't match
+    "phone": r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}\b",
 }
 
 
 def pii_count(text: Column, kind: str) -> Column:
     """Occurrence count of one PII pattern, evaluated on the RAW text
     (counts are per-pattern independent; see :func:`redact_pii` for the
-    sequential-replacement semantics)."""
-    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+    sequential-replacement semantics). NULL text counts 0 — the audit
+    columns must stay summable (size(NULL) is NULL under ANSI, -1 under
+    legacy sizeOfNull)."""
+    return F.when(text.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+    )
 
 
 def redact_pii(text: Column, kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> Column:

@@ -35,7 +35,7 @@ from graflo_spark.ops import dedup as dd
 from graflo_spark.ops import packing as pk
 from graflo_spark.ops import sampling as sp
 from graflo_spark.ops import textstats as ts
-from graflo_spark.ops.decontam import benchmark_ngrams
+from graflo_spark.ops.decontam import contamination_flags
 from graflo_spark.ops.pii import redact_pii
 from graflo_spark.ops.urls import normalize_url
 
@@ -47,7 +47,9 @@ class PipelineConfig:
     url_col: str | None = None
     min_quality: float = 0.5
     min_tokens: int = 5
-    decontam_ngram: int = 5
+    # 13 = the GPT-3-style overlap standard (decontam module default);
+    # small test corpora override downward explicitly
+    decontam_ngram: int = 13
     decontam_min_overlap: int = 1
     near_dup_threshold: float = 0.7
     splits: dict[str, float] = field(
@@ -55,6 +57,9 @@ class PipelineConfig:
     )
     chunk_tokens: int = 2048
     lsh_kwargs: dict = field(default_factory=dict)
+    # persist the annotated frame across the multi-action fan-out in
+    # prepare_training_data (funnel + per-split packing + caller writes)
+    persist_annotated: bool = True
 
 
 # funnel order — each document is charged to the FIRST stage that drops it
@@ -71,18 +76,21 @@ def annotate(
     id_c, t_c = cfg.id_col, cfg.text_col
     out = docs
 
-    # 1. URL dedup: non-minimal id within a canonical-URL group
+    # 1. URL dedup: non-minimal id within a canonical-URL group. Blank
+    # canonical keys ('', 'https://', '#frag') are no identity — such rows
+    # pass through, matching ops.urls.dedup_by_url.
     if cfg.url_col:
+        ukey = normalize_url(F.col(cfg.url_col))
+        has_key = ukey.isNotNull() & (ukey != "")
         winners = (
-            out.filter(F.col(cfg.url_col).isNotNull())
-            .withColumn("__ukey", normalize_url(F.col(cfg.url_col)))
+            out.filter(has_key)
+            .withColumn("__ukey", ukey)
             .groupBy("__ukey")
             .agg(F.min(id_c).alias(id_c))
             .select(id_c, F.lit(True).alias("__url_keep"))
         )
         out = out.join(winners, id_c, "left").withColumn(
-            "__url_dup",
-            F.col(cfg.url_col).isNotNull() & F.col("__url_keep").isNull(),
+            "__url_dup", has_key & F.col("__url_keep").isNull()
         ).drop("__url_keep")
     else:
         out = out.withColumn("__url_dup", F.lit(False))
@@ -95,25 +103,21 @@ def annotate(
         & (ts.token_count(t) >= cfg.min_tokens)
     )
 
-    # 3. decontamination (broadcast benchmark gram set -> map-side semi join)
+    # 3. decontamination — the proven operator, not a re-implementation
     if bench is not None:
-        grams = F.broadcast(benchmark_ngrams(bench, t_c, cfg.decontam_ngram))
-        from graflo_spark.ops.decontam import normalized_ngrams
-
-        hits = (
-            out.select(
-                F.col(id_c),
-                F.explode(normalized_ngrams(t, cfg.decontam_ngram)).alias(
-                    "gram"
-                ),
-            )
-            .join(grams, "gram")
-            .groupBy(id_c)
-            .agg(F.count(F.lit(1)).alias("__n_overlap"))
-            .filter(F.col("__n_overlap") >= cfg.decontam_min_overlap)
-            .select(id_c, F.lit(True).alias("__contaminated"))
+        flags = contamination_flags(
+            out, bench, id_c, t_c,
+            ngram_n=cfg.decontam_ngram,
+            min_overlap=cfg.decontam_min_overlap,
         )
-        out = out.join(hits, id_c, "left").withColumn(
+        out = out.join(
+            flags.select(
+                F.col("id").alias(id_c),
+                F.col("contaminated").alias("__contaminated"),
+            ),
+            id_c,
+            "left",
+        ).withColumn(
             "__contaminated", F.coalesce("__contaminated", F.lit(False))
         )
     else:
@@ -140,9 +144,15 @@ def annotate(
         "__exact_dup", t.isNotNull() & F.col("__fp_keep").isNull()
     ).drop("__fp_keep")
 
-    # 5. near-dup clustering (over eligible docs — cheaper AND correct) with
-    # quality-aware representatives
-    eligible_docs = eligible.select(id_c, t_c)
+    # 5. near-dup clustering with quality-aware representatives — over
+    # EXACT-STAGE SURVIVORS only: the exact winner is min-id over the
+    # normalized fingerprint, while representatives maximize raw-text
+    # quality, and the two can disagree inside one fingerprint group
+    # (whitespace variants score differently); feeding both would let the
+    # exact loser win the cluster and annihilate the whole group.
+    eligible_docs = eligible.join(
+        fp_winners.select(id_c), id_c, "left_semi"
+    ).select(id_c, t_c)
     clusters = dd.minhash_near_dup_clusters(
         eligible_docs, id_c, t_c,
         threshold=cfg.near_dup_threshold, **cfg.lsh_kwargs
@@ -198,9 +208,21 @@ def prepare_training_data(
     ``chunks`` is the packed (doc, chunk) span table over the scrubbed
     survivors (packed per split so val can never share a sequence with
     train), ``annotated`` carries every input document with its
-    ``drop_stage``/``split`` tags, and ``funnel`` is the stage report."""
+    ``drop_stage``/``split`` tags, and ``funnel`` is the stage report.
+
+    The annotated frame is persisted (``cfg.persist_annotated``, default
+    MEMORY_AND_DISK) before the fan-out: chunks branch per split and the
+    funnel/annotated outputs each trigger their own action, and without the
+    persist every one of them would re-run the whole annotate DAG — the
+    LSH band join and representative selection ~5x per run at the default
+    3 splits. Callers streaming the outputs to disk can
+    ``annotated.unpersist()`` afterwards."""
     cfg = cfg or PipelineConfig()
     annotated = annotate(docs, bench, cfg)
+    if cfg.persist_annotated:
+        from pyspark import StorageLevel
+
+        annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
     kept = survivors(annotated)
     with_tok = kept.select(
         cfg.id_col,

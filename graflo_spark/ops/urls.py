@@ -20,7 +20,8 @@ def normalize_url(url: Column, keep_query: bool = False) -> Column:
     params make queries near-useless as identity; keep them only when the
     site keys content on them), trailing slashes trimmed. NULL-safe."""
     u = F.lower(F.trim(url))
-    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    # optional scheme name: protocol-relative '//host/path' strips too
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*:)?//", "")
     u = F.regexp_replace(u, r"^www\.", "")
     u = F.regexp_replace(u, r"#.*$", "")
     if not keep_query:
@@ -51,15 +52,17 @@ def dedup_by_url(
 ) -> DataFrame:
     """Keep one row per canonical URL (deterministic min-id winner) — the
     standard pre-content-dedup pass. One hash aggregate on the normalized
-    key; AQE-skew-safe. Rows with NULL urls are kept as-is (no key to
-    collapse on)."""
+    key; AQE-skew-safe. Rows with NULL urls — or urls that normalize to an
+    empty key ('', 'https://', '#frag') — are kept as-is: a blank key is
+    no identity, and collapsing unrelated documents on it would silently
+    delete content."""
     keyed = df.withColumn("__ukey", normalize_url(F.col(url_col), keep_query))
-    with_url = keyed.filter(F.col("__ukey").isNotNull())
+    has_key = F.col("__ukey").isNotNull() & (F.col("__ukey") != "")
+    with_url = keyed.filter(has_key)
     winners = with_url.groupBy("__ukey").agg(F.min(id_col).alias(id_col))
     kept = with_url.join(winners, ["__ukey", id_col], "left_semi")
-    return kept.unionByName(
-        keyed.filter(F.col("__ukey").isNull())
-    ).drop("__ukey")
+    # has_key is never NULL: isNotNull() short-circuits the NULL comparison
+    return kept.unionByName(keyed.filter(~has_key)).drop("__ukey")
 
 
 def filter_domains(
@@ -75,7 +78,10 @@ def filter_domains(
     d = url_domain(F.col(url_col))
     cond = F.lit(True)
     if allowlist is not None:
+        # allowlist is an explicit whitelist: NULL/blank domains are NOT in it
         cond = cond & d.isin([x.lower() for x in allowlist])
     if blocklist:
-        cond = cond & ~d.isin([x.lower() for x in blocklist])
+        # blocklist must not purge NULL-url rows (d is NULL -> isin is NULL
+        # -> filter would drop); unknown domain is not a blocked domain
+        cond = cond & (d.isNull() | ~d.isin([x.lower() for x in blocklist]))
     return df.filter(cond)

@@ -86,9 +86,31 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert "example" not in out[0]["clean"] and "4567" not in out[0]["clean"]
     assert out[1]["n_pii_ipv4"] == 1 and out[1]["clean"] == "server at <IPV4> answered"
     assert out[2]["clean"] == "no pii here at all"
-    assert out[3]["clean"] is None  # NULL propagates, no crash
+    assert out[3]["clean"] is None  # NULL text propagates, no crash
+    # NULL text must count 0, not NULL/-1: the audit columns stay summable
+    assert out[3]["n_pii_email"] == 0 and out[3]["n_pii_phone"] == 0
     # redaction order: the phone pattern must not chew on redacted IPs
     assert "<PHONE>" not in out[1]["clean"]
+
+
+def test_pii_phone_without_country_code(spark):
+    """Plain US formats (no +1) are the common case and must redact."""
+    df = spark.createDataFrame(
+        [
+            (0, "call 555-123-4567 now"),
+            (1, "or (555) 123 4567 works"),
+            (2, "dotted 555.123.4567 too"),
+            (3, "id 1234567890 is not a phone"),  # no separators
+            (4, "ip 10.0.254.7 is not a phone either"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df, "text").collect()}
+    for i in (0, 1, 2):
+        assert out[i]["n_pii_phone"] == 1, out[i]
+        assert "<PHONE>" in out[i]["text"]
+    assert out[3]["n_pii_phone"] == 0 and "<PHONE>" not in out[3]["text"]
+    assert out[4]["n_pii_phone"] == 0 and "<IPV4>" in out[4]["text"]
 
 
 def test_pii_redact_in_place_default(spark):

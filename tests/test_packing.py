@@ -129,6 +129,29 @@ def test_materialize_chunks_reassembles_stream(spark):
     assert out[2]["chunk_text"] == "i" and out[2]["n_docs"] == 1
 
 
+def test_materialize_chunks_groups_per_split(spark):
+    """prepare_training_data restarts chunk_id at 0 per split: train chunk
+    0 and val chunk 0 are DIFFERENT sequences and must not concatenate."""
+    from graflo_spark.ops.packing import materialize_chunks
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "x y z")], ["doc_id", "text"]
+    ).withColumn("n_tok", F.lit(3))
+    spans_train = pack_chunks(
+        docs.filter("doc_id = 0"), "doc_id", "n_tok", 4
+    ).withColumn("split", F.lit("train"))
+    spans_val = pack_chunks(
+        docs.filter("doc_id = 1"), "doc_id", "n_tok", 4
+    ).withColumn("split", F.lit("val"))
+    out = {
+        (r["split"], r["chunk_id"]): r["chunk_text"]
+        for r in materialize_chunks(
+            docs, spans_train.unionByName(spans_val), "doc_id", "text"
+        ).collect()
+    }
+    assert out == {("train", 0): "a b c", ("val", 0): "x y z"}
+
+
 def test_mix_corpora_proportions_and_determinism(spark):
     web = spark.range(10_000).select(F.col("id").alias("doc_id"))
     code = spark.range(3_000).select((F.col("id") + 100_000).alias("doc_id"))

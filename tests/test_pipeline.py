@@ -124,6 +124,24 @@ def test_dedup_winners_come_from_prior_survivors(spark):
     assert stages2 == {0: None, 1: "url_dup", 2: None}
 
 
+def test_exact_group_with_divergent_quality_keeps_one_member(spark):
+    """Whitespace variants share a normalized fingerprint but can score
+    different raw-text quality; the exact winner (min-id) and the cluster
+    representative (max quality) must not disagree into dropping BOTH."""
+    # extra internal spaces dilute punct_ratio across the 0.3 gate
+    base = "good words here, with: some! punct? marks... and, more. yes"
+    spaced = base.replace(" ", "   ")
+    docs = spark.createDataFrame(
+        [(1, base), (2, spaced)], ["doc_id", "text"]
+    )
+    ann = annotate(docs, None, PipelineConfig(
+        min_quality=0.0, min_tokens=3, chunk_tokens=8,
+        splits={"train": 1.0}))
+    stages = {r["doc_id"]: r["drop_stage"] for r in ann.collect()}
+    survivors_n = sum(1 for v in stages.values() if v is None)
+    assert survivors_n == 1, stages  # exactly one copy of the content lives
+
+
 def test_pipeline_without_url_or_bench(spark):
     docs = _corpus(spark).drop("url")
     cfg = PipelineConfig(min_tokens=5, chunk_tokens=8,

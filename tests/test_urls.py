@@ -64,6 +64,39 @@ def test_dedup_by_url_min_id_and_null_passthrough(spark):
     assert kept == {1, 7, 8, 9}  # min-id wins; NULL urls untouched
 
 
+def test_protocol_relative_urls_collapse(spark):
+    df = spark.createDataFrame(
+        [("//example.com/path",), ("https://example.com/path",)], ["url"]
+    )
+    out = {r["n"] for r in
+           df.select(normalize_url(F.col("url")).alias("n")).collect()}
+    assert out == {"example.com/path"}
+    assert df.select(url_domain(F.col("url")).alias("d")).collect()[0]["d"] \
+        == "example.com"
+
+
+def test_blank_canonical_keys_pass_through(spark):
+    """'' / 'https://' / '#frag' normalize to an empty key — no identity,
+    so unrelated docs must NOT collapse into one dedup group."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "https://"), (4, None), (5, "#frag")],
+        ["doc_id", "url"],
+    )
+    kept = {r["doc_id"] for r in dedup_by_url(df, "url", "doc_id").collect()}
+    assert kept == {1, 2, 3, 4, 5}
+
+
+def test_blocklist_keeps_null_and_blank_domain_rows(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "https://ok.com/x"), (2, "https://spam.com/y"),
+         (3, "plainhost/z")],
+        ["doc_id", "url"],
+    )
+    kept = {r["doc_id"] for r in
+            filter_domains(df, "url", blocklist=["spam.com"]).collect()}
+    assert kept == {0, 1, 3}  # NULL url and host-only rows survive
+
+
 def test_filter_domains(spark):
     df = spark.createDataFrame(
         [(0, "https://spam.bad.com/x"), (1, "https://good.org/y"),
