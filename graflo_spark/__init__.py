@@ -14,7 +14,9 @@ Key entry points:
     - :mod:`graflo_spark.infer` — identity/FK/table-kind inference
     - :mod:`graflo_spark.evolve` — manifest evolution ops + diff/plan/apply
     - :mod:`graflo_spark.errors` — doc-error budget + failure sink
-    - :mod:`graflo_spark.ops` — LLM-pipeline operators (dedup, simsearch, text)
+    - :mod:`graflo_spark.ops` — LLM-pipeline operators (dedup, simsearch,
+      textstats, decontam, pii, urls, sampling, packing, multimodal) and
+      their composition :mod:`graflo_spark.ops.pipeline`
 """
 
 __version__ = "0.1.0"

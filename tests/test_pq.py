@@ -1,0 +1,79 @@
+"""Product quantization: encode determinism, compression contract, ADC
+recall against exact cosine top-k on the shipped embeddings table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graflo_spark.ops.pq import pq_encode, pq_topk, train_pq
+from graflo_spark.ops.simsearch import brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # ADC approximates the DOT product; normalize so dot == cosine and the
+    # exact-cosine baseline is the right recall reference
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                              lambda a, x: a + x * x))
+    return df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x / norm).alias("embedding"),
+    )
+
+
+def test_pq_encode_shape_and_determinism(spark, emb):
+    book = train_pq(emb, m=8, k_sub=16, iters=5)
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert book.m == 8 and book.dsub == dim // 8
+    codes = pq_encode(emb, book)
+    rows = {r["id"]: tuple(r["code"]) for r in codes.collect()}
+    assert len(rows) == emb.count()
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+               for c in rows.values())
+    # deterministic: re-train + re-encode reproduces every code
+    rows2 = {r["id"]: tuple(r["code"])
+             for r in pq_encode(emb, train_pq(emb, m=8, k_sub=16,
+                                              iters=5)).collect()}
+    assert rows2 == rows
+
+
+def _recall(spark, emb, got, exact):
+    g, e = {}, {}
+    for r in got.collect():
+        g.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(g) == set(e)
+    return float(np.mean([len(g[q] & e[q]) / len(e[q]) for q in e]))
+
+
+def test_pq_topk_recall_vs_exact(spark, emb):
+    """The shipped embeddings are near-isotropic noise (neighbor cosines
+    barely separate), the hardest case for PQ — so the contract tested is
+    the quantization-refinement law: recall@10 against exact cosine rises
+    toward 1 as codes get finer, and a near-lossless codebook (dsub=2,
+    256 centroids per 2-dim subspace over a 500-vector corpus)
+    recovers the exact ranking almost perfectly."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=10)
+
+    coarse_book = train_pq(emb, m=4, k_sub=8, iters=10)
+    coarse = pq_topk(queries, pq_encode(emb, coarse_book), coarse_book, k=10)
+    fine_book = train_pq(emb, m=32, k_sub=256, iters=10)
+    fine = pq_topk(queries, pq_encode(emb, fine_book), fine_book, k=10)
+
+    r_coarse = _recall(spark, emb, coarse, exact)
+    r_fine = _recall(spark, emb, fine, exact)
+    assert r_fine > r_coarse, (r_coarse, r_fine)
+    assert r_fine >= 0.9, r_fine
+    # ranks are dense 1..10 per query
+    for r in fine.collect():
+        assert 1 <= r["rank"] <= 10
+
+
+def test_pq_validates_inputs(spark, emb):
+    with pytest.raises(ValueError, match="divide"):
+        train_pq(emb, m=7, k_sub=16)
+    with pytest.raises(ValueError, match="k_sub"):
+        train_pq(emb, m=8, k_sub=1000)
