@@ -43,8 +43,12 @@ def _lloyd(x: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
     if len(centers) < k:  # tiny sample: pad with jittered repeats
         pad = centers[rng.randint(0, len(centers), size=k - len(centers))]
         centers = np.vstack([centers, pad + rng.normal(0, 1e-4, pad.shape)])
+    x2 = (x * x).sum(axis=1, keepdims=True)
     for _ in range(iters):
-        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        # expanded form: (N,K) only — the (N,K,dsub) broadcast temp would
+        # cost ~1 GB at the default 100k-vector training sample
+        c2 = (centers * centers).sum(axis=1)
+        d2 = x2 - 2.0 * x @ centers.T + c2[None, :]
         assign = d2.argmin(axis=1)
         for j in range(k):
             mask = assign == j
