@@ -218,3 +218,94 @@ def pq_topk(
     return local.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    ivf_index,
+    codes: DataFrame,
+    book: PqCodebook,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """The classic IVF-PQ layout: IVF pruning picks the ``n_probe``
+    clusters nearest each query (tiny broadcast centroid ranking), then
+    ADC scores ONLY the PQ codes inside those clusters — the 100 TB scan
+    reads ``n_probe/n_centroids`` of a corpus that is already ~400x
+    smaller than the floats. ``ivf_index`` is a
+    :class:`graflo_spark.ops.simsearch.IvfIndex` built over the SAME
+    corpus the codes encode. At ``n_probe == n_centroids`` results equal
+    :func:`pq_topk` exactly (pruning disabled, same ADC scores)."""
+    from graflo_spark.ops.simsearch import cosine_expr
+
+    q = queries.select(
+        F.col(query_id).cast("long").alias("query_id"),
+        F.col(query_vec).cast("array<float>").alias("v"),
+    )
+    qc = q.crossJoin(F.broadcast(ivf_index.centroids)).select(
+        "query_id", "v", "cluster",
+        cosine_expr(
+            F.col("v").cast("array<double>"), F.col("centroid")
+        ).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), "cluster"
+    )
+    probes = (
+        qc.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "cluster")
+    )
+    cand = (
+        ivf_index.assigned.select(
+            F.col("neighbor_id").alias("id"), "cluster"
+        )
+        .join(codes, "id")
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), "code")
+    )
+
+    cents = [c.astype(np.float32) for c in book.centroids]
+    dsub = book.dsub
+    luts = {}
+    for r in q.collect():
+        qv = np.asarray(r["v"], dtype=np.float32)
+        luts[int(r["query_id"])] = np.stack(
+            [cents[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(len(cents))]
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for qid, grp in pdf.groupby("query_id"):
+                lut = luts[int(qid)]
+                code_mat = np.asarray(list(grp["code"]), dtype=np.int64)
+                scores = lut[np.arange(code_mat.shape[1]), code_mat].sum(axis=1)
+                top = np.argsort(-scores, kind="stable")[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": int(qid),
+                        "neighbor_id": grp["neighbor_id"].to_numpy()[top],
+                        "score": scores[top].astype(np.float64),
+                    }
+                )
+
+    local = cand.mapInPandas(run, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

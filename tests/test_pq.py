@@ -72,6 +72,33 @@ def test_pq_topk_recall_vs_exact(spark, emb):
         assert 1 <= r["rank"] <= 10
 
 
+def test_ivf_pq_full_probe_equals_pq(spark, emb):
+    """At n_probe == n_centroids the IVF pruning is disabled, so IVF-PQ
+    must reproduce pq_topk exactly (same ADC scores, same ranking)."""
+    from graflo_spark.ops.pq import ivf_pq_topk
+    from graflo_spark.ops.simsearch import build_ivf_index
+
+    book = train_pq(emb, m=16, k_sub=32, iters=5)
+    codes = pq_encode(emb, book)
+    index = build_ivf_index(emb, n_centroids=4, max_iter=3)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    full = ivf_pq_topk(queries, index, codes, book, k=10, n_probe=4)
+    plain = pq_topk(queries, codes, book, k=10)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = {key(r): (r["neighbor_id"], round(r["score"], 6))
+           for r in full.collect()}
+    want = {key(r): (r["neighbor_id"], round(r["score"], 6))
+            for r in plain.collect()}
+    assert got == want
+    # pruned probe returns k rows per query from the probed clusters only
+    pruned = ivf_pq_topk(queries, index, codes, book, k=10, n_probe=1)
+    counts = {r["query_id"]: 0 for r in pruned.collect()}
+    for r in pruned.collect():
+        counts[r["query_id"]] += 1
+    assert all(1 <= c <= 10 for c in counts.values())
+
+
 def test_pq_validates_inputs(spark, emb):
     with pytest.raises(ValueError, match="divide"):
         train_pq(emb, m=7, k_sub=16)

@@ -74,9 +74,11 @@ SCALE_QUERIES = [
     "near_dup_clusters_documents",
     # r4 additions: the two new shuffle-bearing training-pipeline ops —
     # decontamination (broadcast gram join) and sequence packing (two-phase
-    # distributed prefix sum + chunk fan-out)
+    # distributed prefix sum + chunk fan-out) — plus the ANN family over the
+    # sign-flip-rotated embeddings blow-up
     "decontam_overlap_documents",
     "pack_chunks_documents",
+    "ann_topk_embeddings",
 ]
 
 # (table, [key cols offset by own stride], {col: stride-source table})
@@ -152,13 +154,33 @@ def generate(spark, base_dir: str, out_dir: str, factor: int,
                 F.col("text")))
     blown.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
-    # embeddings/events: not consumed by the scale queries; copy footers for
-    # any incidental load
-    for t in ("embeddings", "events"):
-        src = f"{base_dir}/{t}.parquet"
-        if os.path.exists(src):
-            spark.read.parquet(src).write.mode("overwrite").parquet(
-                f"{out_dir}/{t}.parquet")
+    # embeddings: replicated with a per-replica SIGN-FLIP rotation — an
+    # orthogonal transform (each dim multiplied by a deterministic ±1
+    # pattern keyed on replica), so intra-replica geometry (all dot
+    # products and norms) is preserved EXACTLY while cross-replica cosines
+    # decorrelate: neighbor structure scales linearly, the same premise the
+    # alphabet rotation gives the text corpus.
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    stride_e = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            F.pmod(F.xxhash64(F.col("__r"), i), F.lit(2)) == 0, x
+        ).otherwise(-x),
+    )
+    emb.select("*", reps).withColumn(
+        "vec_id", F.col("vec_id") + F.col("__r") * F.lit(stride_e)
+    ).withColumn(
+        "embedding",
+        F.when(F.col("__r") == 0, F.col("embedding")).otherwise(flipped),
+    ).drop("__r").write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet")
+
+    # events: not consumed by the scale queries; copy for incidental load
+    src = f"{base_dir}/events.parquet"
+    if os.path.exists(src):
+        spark.read.parquet(src).write.mode("overwrite").parquet(
+            f"{out_dir}/events.parquet")
     # completion marker, written LAST: a crashed partial generation must be
     # regenerated, not silently benchmarked
     open(os.path.join(out_dir, "_GENERATED"), "w").close()
