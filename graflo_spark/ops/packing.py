@@ -7,11 +7,18 @@ to build fixed-length sequences without ever materializing the
 concatenated stream.
 
 Scale design: a naive ``Window.orderBy(key)`` global cumulative sum drags
-the whole corpus into ONE partition. Here the prefix sum is two-phase:
-``repartitionByRange`` on the order key (ascending ranges land in ascending
-partition ids), a per-partition window cumsum, then a broadcast join of the
-per-partition prefix totals (one tiny row per partition). The corpus
-shuffles once (the range exchange); everything after is partition-local.
+the whole corpus into ONE partition. Here the prefix sum is two-phase over
+DETERMINISTIC order-key buckets: approximate quantile boundaries of the
+order key (one cheap driver-side pass) become literals, so a row's bucket
+``_pid`` is a pure function of its order key — immune to partitioner
+sampling, exchange-reuse config, and re-evaluation (a
+``repartitionByRange`` + ``spark_partition_id`` formulation is NOT: its
+two plan branches each sample range boundaries independently when
+``spark.sql.exchange.reuse`` is off, silently misaligning offsets). The
+bucketed window cumsum then costs exactly ONE corpus shuffle (the
+window's hash exchange on ``_pid``), and the per-bucket totals branch
+reduces map-side to n_buckets rows before its own tiny exchange — the
+corpus is scanned twice (column-pruned) but shuffled once.
 
 Reference analogue: none (the reference has no packing operator);
 north-star training-pipeline extension per the task brief.
@@ -30,38 +37,52 @@ def token_offsets(
     start_col: str = "tok_start",
     end_col: str = "tok_end",
     base_offset: int = 0,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Global token offsets ``[tok_start, tok_end)`` of every row under the
-    total order given by ``order_col`` (must be unique — ties across range-
-    partition boundaries would make the order, and thus the offsets,
-    nondeterministic). Adds the two columns; equivalent to the single-node
-    ``SUM(tokens) OVER (ORDER BY order_col)`` without the single-partition
-    bottleneck.
+    total order given by ``order_col`` (numeric and unique — ties would
+    make the order, and thus the offsets, nondeterministic). Adds the two
+    columns; equivalent to the single-node ``SUM(tokens) OVER (ORDER BY
+    order_col)`` without the single-partition bottleneck.
+
+    ``n_buckets`` bounds per-task state (rows/bucket ~ corpus/n_buckets)
+    and costs O(n_buckets) comparisons per row for the bucket id — keep it
+    O(1000s); default is the session's parallelism.
 
     ``base_offset`` makes the operator resumable for incremental ingest:
     pass the previous batch's running total (its ``max(tok_end)``) and the
     new batch's stream continues where the last one stopped — batch N+1's
     chunks follow batch N's without re-packing history."""
-    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
-    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    n = n_buckets or max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    # quantile boundaries -> literals: the bucket id is a pure function of
+    # the ORDER KEY, identical in every plan branch and every re-evaluation
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(order_col).cast("double") >= b, 1).otherwise(0),
+        )
+    else:  # empty/tiny frame: one bucket
+        pid = F.lit(0)
+    keyed = df.withColumn("_pid", pid)
     w_local = (
         W.partitionBy("_pid")
         .orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local = ranged.withColumn(
+    local = keyed.withColumn(
         "_local_end", F.sum(F.col(token_col).cast("long")).over(w_local)
     )
-    # Per-partition totals: n_parts rows — the broadcast side. Built from
-    # ``ranged`` (NOT from ``local``) so this branch is a partial+final
-    # aggregate off the SAME range Exchange the window consumes — Spark's
-    # ReuseExchange then scans and range-shuffles the corpus once, and the
-    # totals branch never pays the window sort.
+    # Per-bucket totals: partial+final aggregate straight off the scan —
+    # reduces to n_buckets rows map-side, so this branch never shuffles
+    # the corpus; the prefix window runs over n_buckets rows.
     w_prefix = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     prefix = (
-        ranged.groupBy("_pid")
+        keyed.groupBy("_pid")
         .agg(F.sum(F.col(token_col).cast("long")).alias("_ptotal"))
         .withColumn(
             "_poffset", F.coalesce(F.sum("_ptotal").over(w_prefix), F.lit(0))

@@ -13,10 +13,12 @@ Spark shape:
 - **encode**: one distributed pass; an Arrow-batched ``mapInPandas`` does
   the vectorized argmin against the broadcast codebooks (numpy einsum over
   the batch — the sanctioned Python escape hatch, never per-row).
-- **search**: queries' LUTs travel in the task closure (tiny); each
-  partition emits its LOCAL top-k per query (bounded output), a final
-  window takes the global top-k. The corpus shuffle is k rows per
-  (query, partition) — never the codes themselves.
+- **search**: queries' LUTs travel in the task closure (tiny); each task
+  accumulates a running top-k per query ACROSS its Arrow batches and emits
+  once at iterator exhaustion, so the shuffle into the final global-top-k
+  window is k rows per (query, task) — never the codes themselves, and
+  never per-batch blocks. Local and global cuts share one tie-break
+  (score desc, neighbor_id asc), so results are partitioning-invariant.
 
 Exactness note: ADC scores are approximations of the true dot product;
 :func:`pq_topk`'s quality contract is recall against exact search (tested),
@@ -50,13 +52,28 @@ def _lloyd(x: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
         c2 = (centers * centers).sum(axis=1)
         d2 = x2 - 2.0 * x @ centers.T + c2[None, :]
         assign = d2.argmin(axis=1)
+        # farthest points, distinct per empty cluster: reseeding every
+        # empty cluster to the SAME point would leave duplicate centroids
+        # that never separate (identical centers attract identical
+        # assignments), wasting codewords
+        far = np.argsort(-d2.min(axis=1), kind="stable")
+        next_far = 0
         for j in range(k):
             mask = assign == j
             if mask.any():
                 centers[j] = x[mask].mean(axis=0)
             else:
-                centers[j] = x[d2.min(axis=1).argmax()]
+                centers[j] = x[far[next_far % len(far)]]
+                next_far += 1
     return centers
+
+
+def _topk_cut(scores: "np.ndarray", ids: "np.ndarray", k: int) -> "np.ndarray":
+    """Indices of the top-k by (score desc, id asc) — the SAME tie-break
+    the final global window uses, so a local cut can never discard a row
+    the global ranking would have kept (quantized ADC scores tie often)."""
+    order = np.lexsort((ids, -scores))
+    return order[:k]
 
 
 @dataclass
@@ -88,14 +105,17 @@ def train_pq(
     the embedding dim; ``k_sub <= 256`` keeps codes one byte each."""
     if not 1 <= k_sub <= 256:
         raise ValueError("k_sub must be in [1, 256] for uint8 codes")
-    n = corpus.count()
-    frac = min(1.0, train_sample / max(n, 1))
-    rows = (
-        corpus.select(F.col(vec_col).cast("array<float>").alias("v"))
-        .sample(fraction=frac, seed=seed)
-        .limit(train_sample)
-        .collect()
-    )
+    vecs = corpus.select(
+        F.col(vec_col).cast("array<float>").alias("v")
+    ).filter(F.col(vec_col).isNotNull())
+    n = vecs.count()
+    if n == 0:
+        raise ValueError("cannot train PQ on an empty corpus "
+                         "(after NULL-vector filter)")
+    frac = min(1.0, train_sample / n)
+    rows = vecs.sample(fraction=frac, seed=seed).limit(train_sample).collect()
+    if not rows:  # pathological sample draw on a tiny corpus
+        rows = vecs.limit(train_sample).collect()
     x = np.asarray([r["v"] for r in rows], dtype=np.float32)
     dim = x.shape[1]
     if dim % m:
@@ -151,7 +171,7 @@ def pq_encode(
     narrowed = corpus.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<float>").alias("v"),
-    )
+    ).filter(F.col(vec_col).isNotNull())  # no code for a missing vector
     return narrowed.mapInPandas(run, schema=_CODE_SCHEMA)
 
 
@@ -192,6 +212,9 @@ def pq_topk(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # running top-k per query across ALL of this task's batches:
+        # emitting per batch would inflate the shuffle by the batch count
+        acc: dict[int, tuple] = {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -202,14 +225,19 @@ def pq_topk(
                 scores = lut[j_idx, code_mat].sum(axis=1)
                 keep = ids != qid
                 s, i = scores[keep], ids[keep]
-                top = np.argsort(-s, kind="stable")[:k]
-                yield pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "neighbor_id": i[top],
-                        "score": s[top].astype(np.float64),
-                    }
-                )
+                if qid in acc:
+                    s = np.concatenate([acc[qid][0], s])
+                    i = np.concatenate([acc[qid][1], i])
+                top = _topk_cut(s, i, k)
+                acc[qid] = (s[top], i[top])
+        for qid, (s, i) in acc.items():
+            yield pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "neighbor_id": i,
+                    "score": s.astype(np.float64),
+                }
+            )
 
     local = codes.mapInPandas(run, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -258,12 +286,16 @@ def ivf_pq_topk(
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "cluster")
     )
+    # probes join FIRST: the broadcast on cluster prunes the assignment
+    # map-side to the probed n_probe/n_centroids fraction BEFORE the id
+    # shuffle joins in the codes — joining codes first would run the
+    # expensive id-join at full corpus size and discard ~all of it after
     cand = (
         ivf_index.assigned.select(
             F.col("neighbor_id").alias("id"), "cluster"
         )
-        .join(codes, "id")
         .join(F.broadcast(probes), "cluster")
+        .join(codes, "id")
         .filter(F.col("id") != F.col("query_id"))
         .select("query_id", F.col("id").alias("neighbor_id"), "code")
     )
@@ -286,21 +318,28 @@ def ivf_pq_topk(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, tuple] = {}
         for pdf in batches:
             if not len(pdf):
                 continue
             for qid, grp in pdf.groupby("query_id"):
                 lut = luts[int(qid)]
                 code_mat = np.asarray(list(grp["code"]), dtype=np.int64)
-                scores = lut[np.arange(code_mat.shape[1]), code_mat].sum(axis=1)
-                top = np.argsort(-scores, kind="stable")[:k]
-                yield pd.DataFrame(
-                    {
-                        "query_id": int(qid),
-                        "neighbor_id": grp["neighbor_id"].to_numpy()[top],
-                        "score": scores[top].astype(np.float64),
-                    }
-                )
+                s = lut[np.arange(code_mat.shape[1]), code_mat].sum(axis=1)
+                i = grp["neighbor_id"].to_numpy()
+                if int(qid) in acc:
+                    s = np.concatenate([acc[int(qid)][0], s])
+                    i = np.concatenate([acc[int(qid)][1], i])
+                top = _topk_cut(s, i, k)
+                acc[int(qid)] = (s[top], i[top])
+        for qid, (s, i) in acc.items():
+            yield pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "neighbor_id": i,
+                    "score": s.astype(np.float64),
+                }
+            )
 
     local = cand.mapInPandas(run, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(

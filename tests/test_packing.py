@@ -35,19 +35,41 @@ def test_token_offsets_match_single_node(spark):
     assert got2 == got
 
 
-def test_token_offsets_plan_has_no_global_sort_window(spark):
+def test_token_offsets_plan_shape(spark):
     df = token_offsets(_docs(spark), "n_tok", "doc_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the corpus-side window must be partitioned (by _pid), never a
-    # single-partition global window
-    assert "rangepartitioning" in plan.lower()
+    # the corpus-side window is partitioned by the deterministic bucket id,
+    # never a single-partition global window over the corpus
+    assert "hashpartitioning(_pid" in plan
     assert "BatchEvalPython" not in plan
-    # the totals branch must reuse the range exchange at runtime (AQE
-    # ReuseExchange): corpus scanned + range-shuffled ONCE, not per branch
-    df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in final
-    assert final.count("ReusedExchange") >= 1
+    # no range partitioner anywhere: the bucket id comes from quantile
+    # LITERALS, so no plan branch depends on partitioner sampling
+    assert "rangepartitioning" not in plan.lower()
+    # two _pid exchanges: the window's (the ONE corpus-sized shuffle) and
+    # the totals branch's — which moves only partial-aggregate rows
+    # (n_buckets per input partition): partial_sum must sit BELOW it
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(_pid", plan)) == 2
+    assert "partial_sum" in plan
+
+
+def test_token_offsets_correct_when_exchange_reuse_disabled(spark):
+    """The bucket id is a pure function of the order key (quantile-literal
+    boundaries), so offsets stay correct even when exchange reuse is off —
+    the repartitionByRange+spark_partition_id formulation silently
+    misaligns branches under this config."""
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = _docs(spark, n=300)
+        got = {r["doc_id"]: (r["tok_start"], r["tok_end"])
+               for r in token_offsets(df, "n_tok", "doc_id").collect()}
+        acc = 0
+        for row in df.orderBy("doc_id").collect():
+            assert got[row["doc_id"]] == (acc, acc + row["n_tok"])
+            acc += row["n_tok"]
+    finally:
+        spark.conf.unset("spark.sql.exchange.reuse")
 
 
 def test_pack_chunks_invariants(spark):

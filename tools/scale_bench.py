@@ -128,16 +128,28 @@ def generate(spark, base_dir: str, out_dir: str, factor: int,
 
     # rotate digits too: a letters-only rotation leaves digit/punctuation
     # texts identical across replicas — exact cross-replica duplicates that
-    # would break the replica-isolation premise
+    # would break the replica-isolation premise. Plain rotation has only 10
+    # distinct states, so at factor >= 11 digit-ONLY texts would collide
+    # (r=1 vs r=11); composing rotation with a per-decade family (identity /
+    # reversal / adjacent-pair swap) yields 30 distinct digit bijections —
+    # enough for the factor <= 26 the letter rotation already enforces.
     lo, up, dg = string.ascii_lowercase, string.ascii_uppercase, string.digits
+
+    def digit_map(r: int) -> str:
+        base = dg[r % 10:] + dg[: r % 10]
+        fam = r // 10
+        if fam == 1:
+            return base[::-1]
+        if fam == 2:
+            return "".join(base[i ^ 1] for i in range(10))
+        return base
+
     rotated = F.when(F.col("__r") == 0, F.col("text"))
     for r in range(1, factor):
-        rd = r % 10 if r % 10 else 1
         rotated = rotated.when(
             F.col("__r") == r,
             F.translate(F.col("text"), lo + up + dg,
-                        lo[r:] + lo[:r] + up[r:] + up[:r]
-                        + dg[rd:] + dg[:rd]))
+                        lo[r:] + lo[:r] + up[r:] + up[:r] + digit_map(r)))
     blown = (
         docs.select("*", reps)
         .withColumn("doc_id", F.col("doc_id") + F.col("__r") * F.lit(stride_d))
@@ -238,9 +250,10 @@ def main() -> None:
             print(f"# {name}@{label}: {entry[f't_{label}']}s rows={n}",
                   file=sys.stderr)
         tb, ts = entry.get("t_base"), entry.get("t_scaled")
+        # factor <= 1 (smoke runs) has no defined exponent: log(1) == 0
         entry["exponent"] = (
             round(math.log(ts / tb) / math.log(factor), 3)
-            if tb and ts else None
+            if tb and ts and factor > 1 else None
         )
         results[name] = entry
 
