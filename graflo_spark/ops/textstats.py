@@ -188,6 +188,38 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Corpus report card: per group (default: whole corpus), document and
+    token counts, token percentiles, mean quality, NULL-text count, and
+    the language histogram — the summary table every curation run logs.
+    One aggregate pass; ``percentile_approx`` keeps it a bounded-sketch
+    aggregation at any corpus size."""
+    t = F.col(text_col)
+    toks = token_count(t)
+    keys = group_cols or []
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(t.isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.sum(toks).alias("n_tokens"),
+        F.percentile_approx(toks, [0.5, 0.9, 0.99]).alias("tok_p50_p90_p99"),
+        F.round(F.avg(quality_score(t)), 6).alias("mean_quality"),
+    )
+
+
+def lang_histogram(
+    df: DataFrame, text_col: str = "text", group_cols: list[str] | None = None
+) -> DataFrame:
+    """Language distribution per group: ``(…group, lang_pred, n_docs)`` —
+    a groupBy on the predicted language (one aggregate)."""
+    keys = (group_cols or []) + [lang_id(F.col(text_col)).alias("lang_pred")]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -182,6 +182,28 @@ def test_streaming_text_hygiene_pipeline(spark, tmp_path):
     }
 
 
+def test_corpus_report_and_lang_histogram(spark, sf_dir):
+    from graflo_spark.ops.textstats import corpus_report, lang_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = corpus_report(docs, group_cols=["source"]).collect()
+    assert len(rep) == docs.select("source").distinct().count()
+    total = docs.count()
+    assert sum(r["n_docs"] for r in rep) == total
+    for r in rep:
+        p50, p90, p99 = r["tok_p50_p90_p99"]
+        assert 0 < p50 <= p90 <= p99
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert r["n_null_text"] == 0
+    # whole-corpus variant returns one row and the same doc total
+    whole = corpus_report(docs).collect()
+    assert len(whole) == 1 and whole[0]["n_docs"] == total
+    # language histogram partitions the corpus
+    hist = lang_histogram(docs).collect()
+    assert sum(r["n_docs"] for r in hist) == total
+    assert {r["lang_pred"] for r in hist} <= {"en", "de", "fr", "es", "und"}
+
+
 def test_repetition_stats(spark):
     df = spark.createDataFrame(
         [
