@@ -149,6 +149,78 @@ def pack_chunks(
     )
 
 
+class PackingStore:
+    """Incremental packing over arriving batches (the shape of a daily
+    crawl or a ``foreachBatch`` streaming sink): persists the running token
+    total so each batch's chunks CONTINUE the global stream — batch N+1
+    starts exactly where batch N ended, without re-packing history. Mirrors
+    the incremental dedup store's design: tiny driver-side state, crash-safe
+    via write-then-rename.
+
+    Spans are appended under ``<path>/spans``; the running total lives in
+    ``<path>/_running_total`` (a single integer, atomically replaced).
+    Within one batch, ordering follows ``order_col``; ACROSS batches,
+    ordering is arrival order — the stream semantics a packer wants."""
+
+    def __init__(self, spark, path: str, chunk_tokens: int,
+                 id_col: str = "doc_id", token_col: str = "n_tok",
+                 order_col: str | None = None) -> None:
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.chunk_tokens = chunk_tokens
+        self.id_col = id_col
+        self.token_col = token_col
+        self.order_col = order_col or id_col
+        os.makedirs(path, exist_ok=True)
+
+    def _total_file(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_running_total")
+
+    def running_total(self) -> int:
+        import os
+
+        f = self._total_file()
+        if not os.path.exists(f):
+            return 0
+        with open(f) as fh:
+            return int(fh.read().strip() or 0)
+
+    def pack_batch(self, batch: DataFrame) -> DataFrame:
+        """Pack one batch against the persisted running total, append its
+        spans, advance the total. Returns the batch's spans. The total is
+        committed ONLY after the spans write succeeds (write-then-rename),
+        so a crash between the two re-packs the batch instead of leaving a
+        gap in the token stream."""
+        import os
+        import tempfile
+
+        base = self.running_total()
+        spans = pack_chunks(
+            batch, self.id_col, self.token_col, self.chunk_tokens,
+            order_col=self.order_col, base_offset=base,
+        )
+        spans.write.mode("append").parquet(os.path.join(self.path, "spans"))
+        # new total = base + batch token sum (spans may omit 0-token docs)
+        batch_tokens = (
+            batch.agg(F.sum(F.col(self.token_col).cast("long"))).first()[0]
+            or 0
+        )
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(base + int(batch_tokens)))
+        os.replace(tmp, self._total_file())
+        return spans
+
+    def spans(self) -> DataFrame:
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.path, "spans"))
+
+
 def materialize_chunks(
     docs: DataFrame,
     spans: DataFrame,

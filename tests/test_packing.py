@@ -174,6 +174,30 @@ def test_materialize_chunks_groups_per_split(spark):
     assert out == {("train", 0): "a b c", ("val", 0): "x y z"}
 
 
+def test_packing_store_incremental_equals_one_shot(spark, tmp_path):
+    from graflo_spark.ops.packing import PackingStore
+
+    full = _docs(spark, n=300)
+    store = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=64)
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        store.pack_batch(
+            full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)))
+    got = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in store.spans().collect()
+    }
+    want = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in pack_chunks(full, "doc_id", "n_tok", 64).collect()
+    }
+    assert got == want  # three incremental batches == one-shot packing
+    total = full.agg(F.sum("n_tok")).first()[0]
+    assert store.running_total() == total
+    # a fresh store handle resumes from the persisted total
+    store2 = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=64)
+    assert store2.running_total() == total
+
+
 def test_mix_corpora_proportions_and_determinism(spark):
     web = spark.range(10_000).select(F.col("id").alias("doc_id"))
     code = spark.range(3_000).select((F.col("id") + 100_000).alias("doc_id"))
