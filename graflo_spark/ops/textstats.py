@@ -220,6 +220,53 @@ def lang_histogram(
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def model_quality_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    score_col: str = "model_quality",
+    scorer=None,
+    target_rows_per_batch: int = 512,
+) -> DataFrame:
+    """Model-based quality scoring seam (same injection pattern as the
+    multimodal decode kernels): production gates use a trained classifier
+    (fastText/BERT-style) this container doesn't ship, so
+    ``scorer(list[str|None]) -> list[float]`` plugs one in — it is pickled
+    into the task closure, so pass a module-level callable holding the
+    model (or loading it lazily per executor). The default is a
+    deterministic length-saturation fake so the Arrow plumbing, batching
+    and schema are testable as-is. Runs as bounded ``mapInPandas``
+    batches; appends ``score_col`` to the full row."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fn = scorer if scorer is not None else _fake_quality_scorer
+    # fresh StructType: StructType.add MUTATES the instance, and df.schema
+    # hands back the DataFrame's cached schema object
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(score_col, T.DoubleType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            for start in range(0, max(len(pdf), 1), target_rows_per_batch):
+                chunk = pdf.iloc[start : start + target_rows_per_batch]
+                if not len(chunk):
+                    continue
+                texts = [None if pd.isna(t) else t for t in chunk[text_col]]
+                chunk = chunk.copy()
+                chunk[score_col] = fn(texts)
+                yield chunk
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def _fake_quality_scorer(texts):
+    """Deterministic stand-in classifier: length saturation in [0,1]."""
+    return [
+        0.0 if t is None else min(len(t), 1000) / 1000.0 for t in texts
+    ]
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

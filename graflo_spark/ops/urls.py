@@ -85,3 +85,21 @@ def filter_domains(
         # -> filter would drop); unknown domain is not a blocked domain
         cond = cond & (d.isNull() | ~d.isin([x.lower() for x in blocklist]))
     return df.filter(cond)
+
+
+def filter_domains_join(
+    df: DataFrame, url_col: str, blocklist: DataFrame, domain_col: str = "domain"
+) -> DataFrame:
+    """The at-scale form of :func:`filter_domains` for blocklists too big
+    for a literal `isin` (millions of domains): a broadcast LEFT ANTI join
+    on the registrable domain — one map-side probe per row, no shuffle of
+    the corpus. NULL/blank-domain rows pass (anti join keeps non-matches)."""
+    bl = blocklist.select(
+        F.lower(F.col(domain_col)).alias("__blocked_domain")
+    ).distinct()
+    keyed = df.withColumn("__dom", url_domain(F.col(url_col)))
+    return keyed.join(
+        F.broadcast(bl),
+        keyed["__dom"] == bl["__blocked_domain"],
+        "left_anti",
+    ).drop("__dom")

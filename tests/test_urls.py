@@ -97,6 +97,42 @@ def test_blocklist_keeps_null_and_blank_domain_rows(spark):
     assert kept == {0, 1, 3}  # NULL url and host-only rows survive
 
 
+def test_filter_domains_join_scales_blocklist(spark):
+    from graflo_spark.ops.urls import filter_domains_join
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "https://ok.com/x"), (2, "https://SPAM.com/y"),
+         (3, "plainhost/z")],
+        ["doc_id", "url"],
+    )
+    bl = spark.createDataFrame([("spam.com",), ("Other.net",)], ["domain"])
+    out = filter_domains_join(df, "url", bl)
+    assert {r["doc_id"] for r in out.collect()} == {0, 1, 3}
+    assert out.columns == ["doc_id", "url"]  # helper column dropped
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_model_quality_scorer_seam(spark):
+    from graflo_spark.ops.textstats import model_quality_scores
+
+    df = spark.createDataFrame(
+        [(0, "x" * 500), (1, "hi"), (2, None)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["model_quality"]
+           for r in model_quality_scores(df).collect()}
+    assert got == {0: 0.5, 1: 0.002, 2: 0.0}  # deterministic fake
+    # the seam: a swapped scorer's outputs flow through unchanged
+    out2 = {r["doc_id"]: r["model_quality"]
+            for r in model_quality_scores(df, scorer=_constant_scorer)
+            .collect()}
+    assert out2 == {0: 0.25, 1: 0.25, 2: 0.25}
+
+
+def _constant_scorer(texts):
+    return [0.25] * len(texts)
+
+
 def test_filter_domains(spark):
     df = spark.createDataFrame(
         [(0, "https://spam.bad.com/x"), (1, "https://good.org/y"),
