@@ -122,15 +122,12 @@ def test_model_quality_scorer_seam(spark):
     got = {r["doc_id"]: r["model_quality"]
            for r in model_quality_scores(df).collect()}
     assert got == {0: 0.5, 1: 0.002, 2: 0.0}  # deterministic fake
-    # the seam: a swapped scorer's outputs flow through unchanged
+    # the seam: a swapped scorer's outputs flow through unchanged (a lambda
+    # pickles by value, so the executor needs no importable test module)
     out2 = {r["doc_id"]: r["model_quality"]
-            for r in model_quality_scores(df, scorer=_constant_scorer)
-            .collect()}
+            for r in model_quality_scores(
+                df, scorer=lambda texts: [0.25] * len(texts)).collect()}
     assert out2 == {0: 0.25, 1: 0.25, 2: 0.25}
-
-
-def _constant_scorer(texts):
-    return [0.25] * len(texts)
 
 
 def test_filter_domains(spark):
