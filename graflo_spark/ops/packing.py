@@ -47,7 +47,10 @@ def token_offsets(
 
     ``n_buckets`` bounds per-task state (rows/bucket ~ corpus/n_buckets)
     and costs O(n_buckets) comparisons per row for the bucket id — keep it
-    O(1000s); default is the session's parallelism.
+    O(1000s); default is the session's parallelism. NOTE: computing the
+    boundaries runs ``approxQuantile`` EAGERLY at composition time (one
+    narrow scan job) — the returned frame is lazy as usual, but building
+    it is not free.
 
     ``base_offset`` makes the operator resumable for incremental ingest:
     pass the previous batch's running total (its ``max(tok_end)``) and the

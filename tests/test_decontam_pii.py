@@ -182,6 +182,56 @@ def test_streaming_text_hygiene_pipeline(spark, tmp_path):
     }
 
 
+def test_streaming_hygiene_into_packing_store(spark, tmp_path):
+    """The full streaming ingest story end-to-end: a replayed document
+    stream runs the hygiene gates per micro-batch inside foreachBatch,
+    survivors append to an incremental PackingStore — and the resulting
+    span table equals batch-mode hygiene + one-shot packing of the same
+    survivors (modulo cross-batch arrival order, fixed here by replaying
+    in doc_id order)."""
+    from graflo_spark.ops.packing import PackingStore, pack_chunks
+    from graflo_spark.ops.textstats import token_count
+    from graflo_spark.streaming import replay_as_stream
+
+    docs = _docs(spark)  # 4 docs; ids 2,3 pass the min-token gate below
+
+    def hygiene(df):
+        return (
+            scrub_pii(df, "text")
+            .filter(token_count(F.col("text")) >= 8)
+            .select("doc_id", token_count(F.col("text")).alias("n_tok"))
+        )
+
+    store = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=4)
+
+    def sink(batch, _bid):
+        store.pack_batch(hygiene(batch))
+
+    # range-partitioned files replay as id-ordered micro-batches (listing
+    # order == part-file order == range order), so the incremental stream
+    # sees the same arrival order the one-shot packing sorts by
+    q = (
+        replay_as_stream(
+            spark,
+            docs.repartitionByRange(2, F.col("doc_id"))
+            .sortWithinPartitions("doc_id"),
+        )
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in store.spans().collect()
+    }
+    want = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in pack_chunks(hygiene(docs), "doc_id", "n_tok", 4).collect()
+    }
+    assert got == want and got
+
+
 def test_corpus_report_and_lang_histogram(spark, sf_dir):
     from graflo_spark.ops.textstats import corpus_report, lang_histogram
 
