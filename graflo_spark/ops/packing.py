@@ -62,13 +62,17 @@ def token_offsets(
     probs = [i / n for i in range(1, n)]
     bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001)))
     if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        pid = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col(order_col).cast("double") >= b, 1).otherwise(0),
-        )
+        # Plain sum-of-comparisons, NOT a higher-order function: a lambda
+        # holding an outer column reference (F.col(order_col) inside
+        # F.aggregate) is not rewritten by DeduplicateRelations when this
+        # frame is consumed in two plan branches over a reused LogicalRDD
+        # (the foreachBatch case) — Spark 4.1 then fails binding with
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. The expression tree below is
+        # the same O(n_buckets) comparisons per row, whole-stage codegen'd.
+        v = F.col(order_col).cast("double")
+        pid = F.lit(0)
+        for b in bounds:
+            pid = pid + F.when(v >= F.lit(float(b)), 1).otherwise(0)
     else:  # empty/tiny frame: one bucket
         pid = F.lit(0)
     keyed = df.withColumn("_pid", pid)
@@ -202,6 +206,17 @@ class PackingStore:
         import tempfile
 
         base = self.running_total()
+        # Pin the batch before packing: token_offsets consumes its input in
+        # two plan branches (window cumsum + per-bucket totals) plus an eager
+        # quantile probe. Against a foreachBatch micro-batch source the
+        # branch-dedup of that plan is unbindable in Spark 4.1
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND); an eager localCheckpoint cuts
+        # lineage to a stable scan — and evaluates any upstream hygiene chain
+        # once instead of three times. Projected first so only the three
+        # packing columns are materialized.
+        cols = list(dict.fromkeys(
+            [self.id_col, self.token_col, self.order_col]))
+        batch = batch.select(*cols).localCheckpoint(eager=True)
         spans = pack_chunks(
             batch, self.id_col, self.token_col, self.chunk_tokens,
             order_col=self.order_col, base_offset=base,

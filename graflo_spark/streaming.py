@@ -366,8 +366,19 @@ def replay_as_stream(spark, df: DataFrame, rate_rows_per_second: int = 1000):
     """Replay a batch table as a stream for tests: writes it to an in-memory
     rate-joined source is overkill locally — instead we chunk via
     maxFilesPerTrigger over a temp parquet spill."""
+    import os
     import tempfile
+    import time
 
     d = tempfile.mkdtemp(prefix="graflo_stream_")
     df.write.mode("overwrite").parquet(d)
+    # FileStreamSource drains oldest-mtime-first; part files written in the
+    # same millisecond tie and the replay order becomes nondeterministic.
+    # Pin strictly increasing mtimes in part-file path order so micro-batch
+    # order always equals partition order (tests rely on it).
+    base = time.time() - 86400
+    for i, name in enumerate(
+        sorted(f for f in os.listdir(d) if f.startswith("part-"))
+    ):
+        os.utime(os.path.join(d, name), (base + i, base + i))
     return spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(d)
