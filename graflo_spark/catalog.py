@@ -1885,26 +1885,77 @@ def rdf_sparql_pivot_nation(spark, sf_dir):
 
 
 @q(
-    "source_time_window_events",
-    "SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, event_type, value "
-    "FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
-    "AND ts < TIMESTAMP '2024-01-15 00:00:00'",
+    "temporal_ops_events",
+    "WITH ev AS (SELECT event_id, event_type, epoch(ts) AS tss, value, "
+    "  CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, ts FROM events), "
+    "m AS (SELECT event_type, epoch(ts) AS mts, value AS mv "
+    "  FROM events WHERE value > 150) "
+    "SELECT 'window_filter' AS method, event_id, ts_epoch, event_type, value, "
+    "  CAST(NULL AS BIGINT) AS ref_ts_epoch, CAST(NULL AS DOUBLE) AS ref_value "
+    "FROM ev WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+    "  AND ts < TIMESTAMP '2024-01-15 00:00:00' "
+    "UNION ALL "
+    "SELECT 'asof', e.event_id, e.ts_epoch, e.event_type, e.value, "
+    "  CAST(floor(m.mts) AS BIGINT), m.mv "
+    "FROM ev e ASOF LEFT JOIN m "
+    "  ON e.event_type = m.event_type AND e.tss >= m.mts "
+    "UNION ALL "
+    "SELECT 'range', e.event_id, e.ts_epoch, e.event_type, e.value, "
+    "  CAST(floor(m.mts) AS BIGINT), m.mv "
+    "FROM ev e JOIN m ON e.event_type = m.event_type "
+    "  AND e.tss >= m.mts AND e.tss <= m.mts + 3600",
 )
-def source_time_window_events(spark, sf_dir):
-    """Time-window source filter (reference column_time_filter bindings):
-    a plain Catalyst predicate that reaches the scan — partition pruning on
-    date-partitioned tables."""
-    from graflo_spark.io import column_time_filter
+def temporal_ops_events(spark, sf_dir):
+    """Temporal operator family on the events stream, one proof row via the
+    method discriminator:
 
+    - ``window_filter``: time-window source filter (reference
+      column_time_filter bindings) — a plain Catalyst predicate that
+      reaches the scan (partition pruning on date-partitioned tables).
+    - ``asof``: distributed point-in-time join (ops/temporal.asof_join,
+      union-tag + one keyed window) attaching the most recent high-value
+      "marker" event per type — graded against DuckDB's native ASOF LEFT
+      JOIN, an independent engine's implementation of the semantics.
+    - ``range``: interval containment join (ops/temporal.binned_range_join,
+      bin-bucketed equi-join, never a per-key cross product) of events
+      against [marker, marker+1h] windows — oracle is the naive theta
+      join, so bin bucketing is proven a pure execution strategy."""
+    from graflo_spark.io import column_time_filter
+    from graflo_spark.ops.temporal import asof_join, binned_range_join
+
+    nul = [F.lit(None).cast("long").alias("ref_ts_epoch"),
+           F.lit(None).cast("double").alias("ref_value")]
     ev = _events_ts(spark, sf_dir)
-    out = column_time_filter(
+    base = ev.select(
+        "event_id", "event_type", "ts",
+        F.col("ts").cast("double").alias("tss"),
+        F.unix_timestamp("ts").alias("ts_epoch"), "value",
+    )
+    wf = column_time_filter(
         ev, "ts",
         after=F.lit("2024-01-10 00:00:00").cast("timestamp"),
         before=F.lit("2024-01-15 00:00:00").cast("timestamp"),
+    ).select(
+        F.lit("window_filter").alias("method"), "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"), "event_type", "value", *nul,
     )
-    return out.select(
-        "event_id", F.unix_timestamp("ts").alias("ts_epoch"), "event_type", "value"
-    )
+    markers = base.filter(F.col("value") > 150).select(
+        "event_type", F.col("tss").alias("mts"), F.col("value").alias("mv"))
+    out_cols = lambda tag: [  # noqa: E731 — shared projection per method
+        F.lit(tag).alias("method"), "event_id", "ts_epoch", "event_type",
+        "value", F.floor("ref_mts").cast("long").alias("ref_ts_epoch"),
+        F.col("ref_mv").alias("ref_value"),
+    ]
+    asof = asof_join(
+        base.drop("ts"), markers, "event_type", "tss", "mts"
+    ).select(*out_cols("asof"))
+    rng = binned_range_join(
+        base.drop("ts"),
+        markers.withColumn("mte", F.col("mts") + F.lit(3600.0)),
+        "event_type", "tss", "mts", "mte", bin_width=3600.0,
+    ).withColumnRenamed("mts", "ref_mts").withColumnRenamed(
+        "mv", "ref_mv").select(*out_cols("range"))
+    return wf.unionByName(asof).unionByName(rng)
 
 
 @q(

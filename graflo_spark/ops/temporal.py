@@ -1,0 +1,174 @@
+"""Temporal joins over event streams: as-of (point-in-time) join and
+interval range join — the two join shapes event analytics needs that plain
+equi-joins can't express.
+
+Both are implemented as compositions of built-in DataFrame ops with exactly
+one key-partitioned shuffle each — never a per-key Python merge and never a
+cross join:
+
+- ``asof_join``: the union-tag formulation. Tag both sides, union, and run
+  ONE window per key ordered by (ts, side) carrying the right-hand payload
+  forward with ``last(ignorenulls=True)``. Left rows then hold the most
+  recent right row at-or-before their timestamp. Cost: one hash exchange on
+  the key + one sort — identical to the shuffle any PIT join needs; no
+  driver state, no Python in the row path. (The per-key ``merge_asof``
+  pandas formulation would force applyInPandas and lose whole-stage
+  codegen.)
+- ``binned_range_join``: interval containment ``ts BETWEEN start AND end``
+  is a theta join — naive execution is a per-key cross product. Binning
+  maps it back to an equi-join: each interval explodes into the fixed-width
+  time bins it overlaps, probes join on (key, bin), and a residual filter
+  keeps exact containment. Fan-out per interval is
+  ``len/bin_width + 1`` rows, so pick ``bin_width`` near the typical
+  interval length (the same tuning rule as engine-native binned range
+  joins).
+
+Reference analogue: none (the reference has no temporal join operators);
+north-star extension — the canonical "custom operator the engine lacks,
+recomposed from built-ins" case from the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    prefix: str = "ref_",
+) -> DataFrame:
+    """Point-in-time join: for every left row, attach the single right row
+    with the nearest ``right_ts`` at-or-before (``direction='backward'``)
+    or at-or-after (``'forward'``) the left row's ``left_ts``, matching on
+    the equi-key(s) ``on``. Unmatched left rows keep NULL reference columns
+    (left-outer semantics, like SQL ``ASOF LEFT JOIN``).
+
+    Output: every left column, plus ``<prefix><right_ts>`` and
+    ``<prefix><c>`` for each value column. ``value_cols`` defaults to all
+    right columns minus the key(s) and timestamp. ``tolerance`` (a number
+    in the timestamp's native unit — seconds for timestamps, raw units for
+    numerics) voids matches farther than that from the left timestamp.
+
+    Ties: a right row AT the left timestamp matches (inclusive, both
+    directions). Several right rows on the same (key, ts) resolve to the
+    greatest payload struct — deterministic regardless of partitioning;
+    keep (key, ts) unique on the right side if that choice matters.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    vals = value_cols if value_cols is not None else [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    payload = F.struct(
+        F.col(right_ts).alias("_rts"), *[F.col(c).alias(c) for c in vals]
+    )
+    # Union-tag: right rows carry the payload, left rows carry their own
+    # columns; the sort key (_ts, _side) puts the right row FIRST at equal
+    # timestamps so the inclusive match works in one window pass.
+    lcols = left.columns
+    r_side = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in lcols],
+    )
+    l_side = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_side.schema["_r"].dataType).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    # Only the timestamp direction flips between modes: the scan must visit
+    # the candidate right row before the left row it serves, and at equal
+    # _ts the right row (side 0) still precedes the left row (side 1) under
+    # `_side asc` — that is what makes the match inclusive. `_r asc` last
+    # breaks (key, ts)-duplicate right rows toward the greatest struct.
+    ts_ord = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    order = [ts_ord, F.col("_side").asc(), F.col("_r").asc()]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = (
+        r_side.unionByName(l_side)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        gap_ok = F.abs(
+            F.col("_ts").cast("double") - F.col("_m._rts").cast("double")
+        ) <= F.lit(float(tolerance))
+        matched = matched.withColumn(
+            "_m", F.when(gap_ok, F.col("_m")).otherwise(F.lit(None))
+        )
+    return matched.select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        F.col("_m._rts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in vals],
+    )
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: left rows against right intervals with
+    ``start_col <= ts_col <= end_col`` on the equi-key(s) ``on`` — executed
+    as an equi-join on (key, time-bin) plus a residual containment filter,
+    never a per-key cross product. A left row matching k intervals emits k
+    rows (``inner``; ``left`` keeps unmatched rows with NULL right
+    columns).
+
+    ``bin_width`` is in the timestamp's native unit (seconds for
+    timestamps, raw units for numerics); intervals explode into
+    ``(end-start)/bin_width + 1`` bin rows, so choose it near the typical
+    interval length. Intervals with ``end < start`` match nothing.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    wlit = F.lit(float(bin_width))
+    lbin = F.floor(F.col(ts_col).cast("double") / wlit)
+    rfirst = F.floor(F.col(start_col).cast("double") / wlit)
+    rlast = F.floor(F.col(end_col).cast("double") / wlit)
+    binned_r = right.withColumn(
+        "_bin", F.explode(F.sequence(rfirst.cast("long"), rlast.cast("long")))
+    )
+    binned_l = left.withColumn("_bin", lbin.cast("long"))
+    contained = (F.col(ts_col) >= F.col(start_col)) & (
+        F.col(ts_col) <= F.col(end_col)
+    )
+    if how == "inner":
+        return binned_l.join(binned_r, keys + ["_bin"]).filter(contained).drop(
+            "_bin"
+        )
+    # left-outer: run the inner match, then add back never-matched rows
+    hit = binned_l.join(binned_r, keys + ["_bin"]).filter(contained).drop("_bin")
+    rcols = [c for c in right.columns if c not in keys]
+    miss = binned_l.drop("_bin").join(
+        hit.select(*keys, ts_col).distinct(), keys + [ts_col], "left_anti"
+    )
+    for c in rcols:
+        miss = miss.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    return hit.unionByName(miss)
