@@ -754,3 +754,71 @@ def select_representatives(
         cluster_col,
         (F.col(id_col) == F.col("__rep_id")).alias("is_representative"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    scores: DataFrame | None = None,
+    score_col: str = "score",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column, SemDeDup-style
+    (Abbas et al., "SemDeDup", arXiv:2303.09540 — published method):
+    cluster the corpus with distributed KMeans, compare pairs ONLY within a
+    cluster (exact cosine, so no LSH false negatives inside a block), take
+    the transitive closure via connected components, and keep one
+    representative per semantic group — highest ``scores`` member when
+    given, else the smallest id.
+
+    Returns the ``near_dup_clusters`` shape: (id, cluster,
+    is_representative); training-data dedup is ``filter(is_representative)``.
+
+    Scale design: the only corpus-sized shuffles are the KMeans fit passes
+    and ONE hash join on the cluster id; the quadratic term is per-cluster
+    (~(corpus/n_clusters)^2 comparisons), so pick ``n_clusters`` to bound
+    the expected block size — the standard SemDeDup cost/recall dial. Pairs
+    split across two KMeans cells are missed BY DESIGN (the published
+    tradeoff); ``n_clusters=1`` is the exact-recall point, equal to
+    ``embedding_near_dup_exact`` + connected components, which is how the
+    tests grade the composition.
+    """
+    from graflo_spark.ops.graphalgo import near_dup_clusters
+    from graflo_spark.ops.simsearch import build_ivf_index, cosine_expr
+
+    if n_clusters <= 1:
+        # the exact-recall point: one block, no fit (KMeans needs k >= 2)
+        assigned = df.select(
+            F.lit(0).alias("cluster"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+    else:
+        assigned = build_ivf_index(
+            df, n_centroids=n_clusters, corpus_id=id_col,
+            corpus_vec=vec_col, seed=seed, max_iter=max_iter,
+        ).assigned
+    a = assigned.select(
+        "cluster", F.col("neighbor_id").alias("id_a"),
+        F.col("c_vec").alias("v_a"))
+    b = assigned.select(
+        "cluster", F.col("neighbor_id").alias("id_b"),
+        F.col("c_vec").alias("v_b"))
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_expr(F.col("v_a"), F.col("v_b"))
+            >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    clusters = near_dup_clusters(
+        df.select(F.col(id_col)), pairs, id_col=id_col)
+    if scores is not None:
+        return select_representatives(
+            clusters, scores, id_col=id_col, score_col=score_col)
+    return clusters
