@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "near_dup_clusters_documents",
     "ann_topk_embeddings",
     "decontam_overlap_documents",
+    # temporal join family: window filter + as-of join + binned range join
+    "temporal_ops_events",
 ]
 
 

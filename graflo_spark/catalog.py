@@ -989,8 +989,12 @@ def text_stats_documents(spark, sf_dir):
     )
 
 
-# Decontamination oracle: benchmark = every 20th document; overlap = count
-# of DISTINCT normalized word-5grams shared with the benchmark gram set.
+# Decontamination oracle, two methods under one discriminator:
+# 'ngram' — benchmark = every 20th document; overlap = count of DISTINCT
+# normalized word-5grams shared with the benchmark gram set.
+# 'semantic' — benchmark = every 20th embedding; metric = max cosine vs any
+# benchmark vector (explicit double formula, same as the near-dup oracle,
+# rounded after the max so both engines compare bit-equal pair values).
 _DECONTAM_ORACLE = (
     r"WITH tk AS (SELECT doc_id, "
     r"regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents), "
@@ -1001,26 +1005,54 @@ _DECONTAM_ORACLE = (
     "WHERE trim(gram) <> ''), "
     "ov AS (SELECT doc_id, count(*) AS n_overlap FROM "
     "(SELECT doc_id, unnest(grams) AS gram FROM g) dg "
-    "JOIN bg USING (gram) GROUP BY doc_id) "
-    "SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap, "
+    "JOIN bg USING (gram) GROUP BY doc_id), "
+    "se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "sb AS (SELECT v FROM se WHERE vec_id % 20 = 0), "
+    "sm AS (SELECT e.vec_id AS id, max(list_inner_product(e.v, b.v) / "
+    "(sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(b.v, b.v)))) "
+    "AS mc FROM se e, sb b GROUP BY e.vec_id) "
+    "SELECT 'ngram' AS method, d.doc_id AS id, "
+    "CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) AS metric, "
     "COALESCE(ov.n_overlap, 0) >= 1 AS contaminated "
-    "FROM documents d LEFT JOIN ov USING (doc_id)"
+    "FROM documents d LEFT JOIN ov USING (doc_id) "
+    "UNION ALL "
+    "SELECT 'semantic', id, ROUND(mc, 6), mc >= 0.4 FROM sm"
 )
 
 
 @q("decontam_overlap_documents", _DECONTAM_ORACLE)
 def decontam_overlap_documents(spark, sf_dir):
     """Benchmark decontamination (north-star training-pipeline op, no
-    reference analogue): every 20th document plays the eval set; each
-    document reports its count of distinct normalized word-5grams shared
-    with that set plus the contaminated flag (GPT-3-style any-overlap
-    rule). The benchmark gram set is broadcast, so the corpus side joins
-    map-side — at 100 TB the corpus is never shuffled to find overlaps."""
+    reference analogue), both screens in one proof row:
+
+    - ``ngram``: every 20th document plays the eval set; each document
+      reports its count of distinct normalized word-5grams shared with
+      that set plus the contaminated flag (GPT-3-style any-overlap rule).
+      The benchmark gram set is broadcast, so the corpus side joins
+      map-side — at 100 TB the corpus is never shuffled to find overlaps.
+    - ``semantic``: embedding-space screen (ops/decontam.
+      semantic_contamination) — max cosine of every corpus vector vs the
+      broadcast benchmark embedding set, reduced map-side; catches
+      paraphrased leakage the gram overlap cannot. Threshold 0.4 is
+      data-meaningful for the synthetic embeddings (max cross-pair cosine
+      ~0.51), so both flag polarities appear in the hashed result."""
     docs = load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
-    return dc.contamination_flags(
+    ng = dc.contamination_flags(
         docs, bench, "doc_id", "text", ngram_n=5
-    ).select(F.col("id").alias("doc_id"), "n_overlap", "contaminated")
+    ).select(
+        F.lit("ngram").alias("method"), F.col("id"),
+        F.col("n_overlap").cast("double").alias("metric"), "contaminated",
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    sem = dc.semantic_contamination(
+        emb, emb.filter(F.col("vec_id") % 20 == 0),
+        "vec_id", "embedding", threshold=0.4,
+    ).select(
+        F.lit("semantic").alias("method"), F.col("vec_id").alias("id"),
+        F.round("max_bench_cosine", 6).alias("metric"), "contaminated",
+    )
+    return ng.unionByName(sem)
 
 
 # Packing oracle: single-node window cumsum + unnest(range) chunk fan-out —

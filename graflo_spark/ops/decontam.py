@@ -148,3 +148,58 @@ def decontaminate(
     return docs.join(
         flagged.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_vec: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space decontamination: the max cosine of every corpus
+    vector against ANY benchmark vector, plus the ``contaminated`` flag at
+    ``threshold`` — catches paraphrased/translated benchmark leakage that
+    n-gram overlap (:func:`contamination_flags`) cannot see. Returns
+    ``(id_col, max_bench_cosine, contaminated)``, one row per corpus row.
+
+    Scale shape: the benchmark side is broadcast (eval suites are small by
+    definition), the per-pair cosine and per-row max reduce MAP-SIDE via
+    the partial aggregate, so the only corpus-sized shuffle carries one row
+    per corpus vector. No LSH approximation: the screen is exact, which is
+    what you want for a contamination gate (false negatives leak eval
+    data)."""
+    from graflo_spark.ops.simsearch import cosine_expr
+
+    b = F.broadcast(
+        bench.select(
+            F.col(bench_vec or vec_col).cast("array<double>").alias("_bv"))
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+    cos = cosine_expr(F.col("_cv"), F.col("_bv"))
+    return (
+        c.crossJoin(b)
+        .groupBy(id_col)
+        .agg(F.max(cos).alias("max_bench_cosine"))
+        .withColumn(
+            "contaminated",
+            F.col("max_bench_cosine") >= F.lit(float(threshold)))
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_vec: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """The corpus minus every row :func:`semantic_contamination` flags;
+    keeps the full input schema (anti-join on the flagged id set)."""
+    flagged = semantic_contamination(
+        corpus, bench, id_col, vec_col, bench_vec, threshold
+    ).filter("contaminated")
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")

@@ -279,3 +279,33 @@ def test_repetition_stats(spark):
     assert abs(got[2]["line"] - (1 - 2 / 3)) < 1e-9  # empty lines excluded
     assert got[3]["top2"] == 3 / 5  # "spam ham" 3x of 5 bigrams
     assert got[4]["tok"] == 0.0 and got[4]["line"] == 0.0
+
+
+def test_semantic_decontaminate_survivors(spark):
+    from graflo_spark.ops.decontam import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),          # == bench vector -> flagged
+            (1, [0.999, 0.045]),      # cos ~0.999 -> flagged
+            (2, [0.0, 1.0]),          # orthogonal -> survives
+            (3, [-1.0, 0.0]),         # opposite -> survives
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    flags = {
+        r["vec_id"]: (round(r["max_bench_cosine"], 3), r["contaminated"])
+        for r in semantic_contamination(
+            corpus, bench, threshold=0.95).collect()
+    }
+    assert flags[0] == (1.0, True)
+    assert flags[1][1] is True and flags[1][0] > 0.99
+    assert flags[2] == (0.0, False) and flags[3] == (-1.0, False)
+    kept = {r["vec_id"] for r in semantic_decontaminate(
+        corpus, bench, threshold=0.95).collect()}
+    assert kept == {2, 3}

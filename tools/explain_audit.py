@@ -38,6 +38,7 @@ HEADLINES = [
     "ann_topk_embeddings",
     "decontam_overlap_documents",
     "pack_chunks_documents",
+    "temporal_ops_events",
 ]
 
 
