@@ -96,3 +96,39 @@ def test_quality_filter_gate(spark, sf_dir):
     # language gate composes
     en_only = quality_filter(with_null, min_quality=None, langs=["en"])
     assert en_only.count() <= docs.count()
+
+
+def test_blowup_events_temporal_linearity(spark, sf_dir, tmp_path):
+    """The events blow-up premise: disjoint per-replica key spaces + time
+    ranges make every temporal relationship replica-local, so asof/range
+    results scale exactly linearly and replica 0 reproduces the base table
+    verbatim."""
+    from graflo_spark.catalog import QUERIES
+
+    out = _gen(spark, sf_dir, tmp_path, factor=3)
+    base_ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    blown_ev = spark.read.parquet(f"{out}/events.parquet")
+    assert blown_ev.count() == 3 * base_ev.count()
+    assert blown_ev.select("event_id").distinct().count() == blown_ev.count()
+    assert (blown_ev.select("event_type").distinct().count()
+            == 3 * base_ev.select("event_type").distinct().count())
+
+    fn = QUERIES["temporal_ops_events"]
+    base = fn(spark, sf_dir).groupBy("method").count().collect()
+    scaled = fn(spark, out).groupBy("method").count().collect()
+    b = {r["method"]: r["count"] for r in base}
+    s = {r["method"]: r["count"] for r in scaled}
+    # asof and range are replica-local -> exactly 3x; window_filter uses a
+    # fixed calendar window only replica 0 occupies -> constant
+    assert s["asof"] == 3 * b["asof"]
+    assert s["range"] == 3 * b["range"]
+    assert s["window_filter"] == b["window_filter"]
+
+    # replica 0 rows are the base result verbatim (same ids, same matches)
+    base_asof = {(r["event_id"], r["ref_ts_epoch"], r["ref_value"])
+                 for r in fn(spark, sf_dir).filter("method = 'asof'").collect()}
+    max_base_id = base_ev.agg(F.max("event_id")).first()[0]
+    rep0 = {(r["event_id"], r["ref_ts_epoch"], r["ref_value"])
+            for r in fn(spark, out).filter("method = 'asof'")
+            .filter(F.col("event_id") <= max_base_id).collect()}
+    assert rep0 == base_asof

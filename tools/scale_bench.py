@@ -79,6 +79,8 @@ SCALE_QUERIES = [
     "decontam_overlap_documents",
     "pack_chunks_documents",
     "ann_topk_embeddings",
+    # temporal join family over the time-shifted events blow-up
+    "temporal_ops_events",
 ]
 
 # (table, [key cols offset by own stride], {col: stride-source table})
@@ -188,11 +190,42 @@ def generate(spark, base_dir: str, out_dir: str, factor: int,
     ).drop("__r").write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet")
 
-    # events: not consumed by the scale queries; copy for incidental load
+    # events: replicated with (a) id offsets, (b) a per-replica event_type
+    # suffix (disjoint key spaces: keys scale with the data, so the asof
+    # window and range join gain parallelism instead of bottlenecking on 5
+    # global keys), and (c) disjoint per-replica time ranges (replica r
+    # shifted by r * (span + 1 day)). Within a replica every temporal
+    # relationship — asof matches, range containments, window membership —
+    # is the base table's verbatim, so temporal query output and cost scale
+    # exactly linearly by construction (the events analogue of the text
+    # corpus's alphabet rotation). ts arrives as epoch-ns LONG under the
+    # session's nanosAsLong; io.to_event_time dispatches on read.
     src = f"{base_dir}/events.parquet"
     if os.path.exists(src):
-        spark.read.parquet(src).write.mode("overwrite").parquet(
-            f"{out_dir}/events.parquet")
+        ev = spark.read.parquet(src)
+        stride_v = int(ev.agg(F.max("event_id")).first()[0]) + 1
+        lo_ts, hi_ts = ev.agg(F.min("ts"), F.max("ts")).first()
+        if dict(ev.dtypes)["ts"] == "bigint":  # epoch-ns under nanosAsLong
+            span_ns = int(hi_ts) - int(lo_ts) + 86400 * 10**9
+            shifted = F.col("ts") + F.col("__r").cast("long") * F.lit(span_ns)
+        else:  # TIMESTAMP/NTZ (sessions without the nanos flag)
+            span_s = (hi_ts - lo_ts).total_seconds() + 86400.0
+            shifted = F.col("ts") + F.expr(
+                f"make_dt_interval(0, 0, 0, __r * CAST({span_s} AS DOUBLE))")
+        (
+            ev.select("*", reps)
+            .withColumn(
+                "event_id",
+                F.col("event_id") + F.col("__r") * F.lit(stride_v))
+            .withColumn("ts", shifted)
+            .withColumn(
+                "event_type",
+                F.when(F.col("__r") == 0, F.col("event_type")).otherwise(
+                    F.concat_ws("_", F.col("event_type"),
+                                F.col("__r").cast("string"))))
+            .drop("__r")
+            .write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+        )
     # completion marker, written LAST: a crashed partial generation must be
     # regenerated, not silently benchmarked
     open(os.path.join(out_dir, "_GENERATED"), "w").close()
