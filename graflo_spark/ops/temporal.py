@@ -75,6 +75,10 @@ def asof_join(
     # columns; the sort key (_ts, _side) puts the right row FIRST at equal
     # timestamps so the inclusive match works in one window pass.
     lcols = left.columns
+    # NULL right timestamps sort "earliest" under NULLS FIRST and would
+    # wrongly serve as matches; SQL asof semantics (ts >= NULL is never
+    # true) say they match nothing — drop them up front.
+    right = right.filter(F.col(right_ts).isNotNull())
     r_side = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),

@@ -199,3 +199,16 @@ def test_asof_plan_single_exchange(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning(k#") <= 2  # one per side pre-union
+
+
+def test_asof_null_timestamps(spark):
+    """NULL right timestamps never match (SQL asof: ts >= NULL is false);
+    NULL left timestamps get NULL refs."""
+    left = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", None, 2)], "k string, ts double, i int")
+    right = spark.createDataFrame(
+        [("a", None, 99.0), ("a", 5.0, 7.0)], "k string, ts double, px double")
+    out = {r["i"]: (r["ref_ts"], r["ref_px"])
+           for r in asof_join(left, right, "k", "ts", "ts").collect()}
+    assert out[1] == (5.0, 7.0)        # real row matches, NULL row ignored
+    assert out[2] == (None, None)      # undefined left ts -> no match
