@@ -2154,19 +2154,45 @@ _WINNOWING_ORACLE = (
     "('0x'||substr(md5(substr(text, CAST(i AS INT), 7)),1,15))::BIGINT AS h "
     "FROM pos), "
     "w AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos "
-    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g) "
-    "SELECT DISTINCT doc_id AS id, fp FROM w"
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g), "
+    "fps AS (SELECT DISTINCT doc_id AS id, fp FROM w), "
+    "dfq AS (SELECT fp, count(*) AS d FROM fps GROUP BY fp), "
+    "kept AS (SELECT f.id, f.fp FROM fps f JOIN dfq USING (fp) "
+    "WHERE d <= 20), "
+    "pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared "
+    "FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id "
+    "GROUP BY 1, 2 HAVING count(*) >= 10) "
+    "SELECT 'fp' AS method, id AS a, CAST(NULL AS BIGINT) AS b, fp AS val "
+    "FROM fps "
+    "UNION ALL SELECT 'pairs', id_a, id_b, n_shared FROM pr"
 )
 
 
 @q("winnowing_fingerprints_documents", _WINNOWING_ORACLE)
 def winnowing_fingerprints_documents(spark, sf_dir):
-    """Winnowing rolling-hash fingerprints (MOSS scheme): k-gram hashes ->
-    window mins -> distinct fingerprint set per doc. Shared runs of
-    k+window-1 chars always share a fingerprint (pinned in tests). Portable
-    md5 gram hash so the DuckDB oracle reproduces fingerprints exactly."""
+    """Winnowing rolling-hash fingerprints (MOSS scheme) and their
+    consumer, one proof row via the method discriminator:
+
+    - ``fp``: k-gram hashes -> window mins -> distinct fingerprint set per
+      doc. Shared runs of k+window-1 chars always share a fingerprint
+      (pinned in tests). Portable md5 gram hash so the DuckDB oracle
+      reproduces fingerprints exactly.
+    - ``pairs``: MOSS-style common-substring pair detection
+      (ops/dedup.substring_overlap_pairs) — one equi-join on the
+      fingerprint value with IDF-style stop-fingerprint removal
+      (max_df=20) and a min_shared=10 floor; catches long verbatim
+      overlap that whole-document MinHash misses."""
     docs = load(spark, sf_dir, "documents")
-    return ts.winnowing_fingerprints(docs, "doc_id", "text", portable_hash=True)
+    fps = ts.winnowing_fingerprints(docs, "doc_id", "text", portable_hash=True)
+    fp_rows = fps.select(
+        F.lit("fp").alias("method"), F.col("id").alias("a"),
+        F.lit(None).cast("long").alias("b"), F.col("fp").alias("val"))
+    pair_rows = dd.substring_overlap_pairs(
+        docs, "doc_id", "text", min_shared=10, max_df=20, portable_hash=True,
+    ).select(
+        F.lit("pairs").alias("method"), F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"), F.col("n_shared").alias("val"))
+    return fp_rows.unionByName(pair_rows)
 
 
 # ------------------------------------------------- streaming addenda (§2.10)

@@ -822,3 +822,54 @@ def semantic_dedup(
         return select_representatives(
             clusters, scores, id_col=id_col, score_col=score_col)
     return clusters
+
+
+def substring_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 7,
+    window: int = 4,
+    min_shared: int = 10,
+    max_df: int | None = None,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """MOSS-style common-substring pair detection over winnowing
+    fingerprints: report document pairs sharing >= ``min_shared``
+    fingerprints. The winnowing guarantee (any shared run of
+    ``k + window - 1`` chars shares a fingerprint) makes this the screen
+    for LONG VERBATIM overlap — license boilerplate, quoted passages,
+    copy-paste spans — which whole-document MinHash Jaccard misses when
+    the rest of the documents differ. Returns ``(id_a, id_b, n_shared)``
+    with ``id_a < id_b``.
+
+    Scale shape: fingerprint sets cost one shuffle on doc id
+    (:func:`graflo_spark.ops.textstats.winnowing_fingerprints`), then ONE
+    equi-join on the fingerprint value + a pair-count aggregate. The join
+    is candidate-bound, not row-bound: a fingerprint present in d
+    documents contributes d^2 join rows, so universal boilerplate is the
+    blow-up risk — ``max_df`` drops fingerprints appearing in more than
+    that many documents (IDF-style stop-fingerprint removal; a fragment
+    shared by half the corpus identifies nothing anyway). At 100 TB,
+    ALWAYS set it.
+    """
+    from graflo_spark.ops.textstats import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(
+        df, id_col, text_col, k=k, window=window,
+        portable_hash=portable_hash)
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df).select("fp")
+        )
+        fps = fps.join(keep, "fp")
+    a = fps.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = fps.select(F.col("fp"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
