@@ -156,7 +156,10 @@ def binned_range_join(
     lbin = F.floor(F.col(ts_col).cast("double") / wlit)
     rfirst = F.floor(F.col(start_col).cast("double") / wlit)
     rlast = F.floor(F.col(end_col).cast("double") / wlit)
-    binned_r = right.withColumn(
+    # drop inverted intervals BEFORE the explode: Spark's sequence(a, b)
+    # auto-steps DOWNWARD when a > b, so end < start would still fan out
+    # into (useless) bin rows only to die in the residual filter
+    binned_r = right.filter(F.col(end_col) >= F.col(start_col)).withColumn(
         "_bin", F.explode(F.sequence(rfirst.cast("long"), rlast.cast("long")))
     )
     binned_l = left.withColumn("_bin", lbin.cast("long"))
