@@ -179,13 +179,24 @@ def semantic_contamination(
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
     cos = cosine_expr(F.col("_cv"), F.col("_bv"))
-    return (
+    agg = (
         c.crossJoin(b)
         .groupBy(id_col)
         .agg(F.max(cos).alias("max_bench_cosine"))
+    )
+    # re-attach to the corpus id set: with an EMPTY benchmark the cross
+    # join yields zero rows, and silently dropping the whole corpus from
+    # an annotation table would be a contract violation — every corpus row
+    # gets a row (NULL cosine, contaminated=false), mirroring
+    # contamination_flags' left-join shape.
+    return (
+        c.select(id_col)
+        .join(agg, id_col, "left")
         .withColumn(
             "contaminated",
-            F.col("max_bench_cosine") >= F.lit(float(threshold)))
+            F.coalesce(
+                F.col("max_bench_cosine") >= F.lit(float(threshold)),
+                F.lit(False)))
     )
 
 

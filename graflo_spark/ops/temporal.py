@@ -99,7 +99,12 @@ def asof_join(
     # _ts the right row (side 0) still precedes the left row (side 1) under
     # `_side asc` — that is what makes the match inclusive. `_r asc` last
     # breaks (key, ts)-duplicate right rows toward the greatest struct.
-    ts_ord = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    # NULL left timestamps must sort FIRST in either scan so they precede
+    # every right row and get NULL refs (ts >= NULL is never true): asc
+    # defaults to NULLS FIRST, but desc defaults to NULLS LAST — where a
+    # NULL-ts left row would see every right row and wrongly match.
+    ts_ord = (F.col("_ts").asc() if direction == "backward"
+              else F.col("_ts").desc_nulls_first())
     order = [ts_ord, F.col("_side").asc(), F.col("_r").asc()]
     w = (
         W.partitionBy(*keys)
@@ -134,6 +139,7 @@ def binned_range_join(
     end_col: str,
     bin_width: float,
     how: str = "inner",
+    max_bins: int = 100_000,
 ) -> DataFrame:
     """Interval join: left rows against right intervals with
     ``start_col <= ts_col <= end_col`` on the equi-key(s) ``on`` — executed
@@ -146,6 +152,11 @@ def binned_range_join(
     timestamps, raw units for numerics); intervals explode into
     ``(end-start)/bin_width + 1`` bin rows, so choose it near the typical
     interval length. Intervals with ``end < start`` match nothing.
+    ``max_bins`` fails the job FAST (a per-row assert, not an executor
+    OOM) if any single interval would fan out wider than that — one
+    corrupt end timestamp (say epoch-ns where epoch-sec was meant) would
+    otherwise ask sequence() for ~1e14 elements and kill the stage with
+    an opaque error.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if bin_width <= 0:
@@ -158,9 +169,22 @@ def binned_range_join(
     rlast = F.floor(F.col(end_col).cast("double") / wlit)
     # drop inverted intervals BEFORE the explode: Spark's sequence(a, b)
     # auto-steps DOWNWARD when a > b, so end < start would still fan out
-    # into (useless) bin rows only to die in the residual filter
+    # into (useless) bin rows only to die in the residual filter. The
+    # max_bins guard is folded INTO the sequence bound (not a droppable
+    # side column, which column pruning would silently delete): the upper
+    # bound itself raises on a too-wide interval, so it cannot be
+    # optimized away.
+    msg = F.concat(
+        F.lit(f"binned_range_join: interval wider than max_bins={max_bins} "
+              f"bins at bin_width={bin_width} ("),
+        F.col(start_col).cast("string"), F.lit(" .. "),
+        F.col(end_col).cast("string"), F.lit(")"))
+    rlast_checked = F.when(
+        rlast - rfirst < F.lit(int(max_bins)), rlast
+    ).otherwise(F.raise_error(msg).cast("double"))
     binned_r = right.filter(F.col(end_col) >= F.col(start_col)).withColumn(
-        "_bin", F.explode(F.sequence(rfirst.cast("long"), rlast.cast("long")))
+        "_bin",
+        F.explode(F.sequence(rfirst.cast("long"), rlast_checked.cast("long"))),
     )
     binned_l = left.withColumn("_bin", lbin.cast("long"))
     contained = (F.col(ts_col) >= F.col(start_col)) & (

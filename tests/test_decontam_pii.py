@@ -309,3 +309,17 @@ def test_semantic_decontaminate_survivors(spark):
     kept = {r["vec_id"] for r in semantic_decontaminate(
         corpus, bench, threshold=0.95).collect()}
     assert kept == {2, 3}
+
+
+def test_semantic_contamination_empty_benchmark(spark):
+    from graflo_spark.ops.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    empty = corpus.filter("vec_id < 0")
+    rows = {r["vec_id"]: (r["max_bench_cosine"], r["contaminated"])
+            for r in semantic_contamination(corpus, empty).collect()}
+    # the contract: one row per corpus row even with nothing to screen
+    assert rows == {0: (None, False), 1: (None, False)}

@@ -212,3 +212,25 @@ def test_asof_null_timestamps(spark):
            for r in asof_join(left, right, "k", "ts", "ts").collect()}
     assert out[1] == (5.0, 7.0)        # real row matches, NULL row ignored
     assert out[2] == (None, None)      # undefined left ts -> no match
+    # forward mode too: desc ordering must not shuffle NULL left rows past
+    # the right rows (desc defaults NULLS LAST)
+    fwd = {r["i"]: (r["ref_ts"], r["ref_px"])
+           for r in asof_join(
+               left, right, "k", "ts", "ts", direction="forward").collect()}
+    assert fwd[2] == (None, None)
+
+
+def test_range_join_max_bins_guard(spark):
+    """A corrupt outlier-wide interval fails fast with a clear error
+    instead of exploding sequence()/OOMing the executor."""
+    pts = spark.createDataFrame(
+        [("a", 5.0, 1)], "k string, ts double, pid int")
+    bad = spark.createDataFrame(
+        [("a", 0.0, 1e12, "huge")], "k string, s double, e double, tag string")
+    with pytest.raises(Exception, match="max_bins"):
+        binned_range_join(
+            pts, bad, "k", "ts", "s", "e", 1.0, max_bins=1000).collect()
+    # the same interval is fine when max_bins allows it
+    ok = binned_range_join(
+        pts, bad, "k", "ts", "s", "e", 1e9, max_bins=10_000)
+    assert ok.count() == 1

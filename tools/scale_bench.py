@@ -194,15 +194,19 @@ def generate(spark, base_dir: str, out_dir: str, factor: int,
     # suffix (disjoint key spaces: keys scale with the data, so the asof
     # window and range join gain parallelism instead of bottlenecking on 5
     # global keys), and (c) disjoint per-replica time ranges (replica r
-    # shifted by r * (span + 1 day)). Within a replica every temporal
-    # relationship — asof matches, range containments, window membership —
-    # is the base table's verbatim, so temporal query output and cost scale
-    # exactly linearly by construction (the events analogue of the text
-    # corpus's alphabet rotation). ts arrives as epoch-ns LONG under the
-    # session's nanosAsLong; io.to_event_time dispatches on read.
+    # shifted by r * (span + 1 day)). Within a replica, asof matches and
+    # range containments are the base table's verbatim, so THOSE outputs
+    # scale exactly linearly by construction (the events analogue of the
+    # text corpus's alphabet rotation); absolute-calendar filters (e.g.
+    # temporal_ops_events' window_filter arm) only ever see replica 0 and
+    # stay CONSTANT — the harness test pins both behaviors. ts arrives as
+    # epoch-ns LONG under the session's nanosAsLong; io.to_event_time
+    # dispatches on read. The suffix separator is chr(31) (the repo's
+    # composite-key convention): a plain '_' could collide a replica of
+    # 'click' with a base type literally named 'click_1'.
     src = f"{base_dir}/events.parquet"
-    if os.path.exists(src):
-        ev = spark.read.parquet(src)
+    ev = spark.read.parquet(src) if os.path.exists(src) else None
+    if ev is not None and ev.head(1):
         stride_v = int(ev.agg(F.max("event_id")).first()[0]) + 1
         lo_ts, hi_ts = ev.agg(F.min("ts"), F.max("ts")).first()
         if dict(ev.dtypes)["ts"] == "bigint":  # epoch-ns under nanosAsLong
@@ -221,11 +225,13 @@ def generate(spark, base_dir: str, out_dir: str, factor: int,
             .withColumn(
                 "event_type",
                 F.when(F.col("__r") == 0, F.col("event_type")).otherwise(
-                    F.concat_ws("_", F.col("event_type"),
+                    F.concat_ws(chr(31), F.col("event_type"),
                                 F.col("__r").cast("string"))))
             .drop("__r")
             .write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
         )
+    elif ev is not None:  # zero-row events table: copy through unchanged
+        ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
     # completion marker, written LAST: a crashed partial generation must be
     # regenerated, not silently benchmarked
     open(os.path.join(out_dir, "_GENERATED"), "w").close()
