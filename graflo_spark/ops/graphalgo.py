@@ -137,3 +137,77 @@ def near_dup_clusters(
         .withColumn("is_representative", F.col(id_col) == F.col("cluster"))
     )
     return out
+
+
+def triangle_count(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    per_node: bool = False,
+) -> DataFrame:
+    """Exact triangle count of the undirected graph given as id pairs —
+    the standard graph-quality / community-density statistic (e.g. spam
+    subgraphs in a web-crawl link graph are triangle-dense).
+
+    Returns a 1-row ``(n_triangles)`` frame, or per-corner counts
+    ``(node, n_triangles)`` with ``per_node=True`` (nodes in no triangle
+    are absent; each triangle credits all three corners).
+
+    Scale design — the compact-forward orientation (Suri &
+    Vassilvitskii, WWW'11 MapReduce formulation; public algorithm):
+    orient every edge from the (degree, id)-smaller endpoint to the
+    larger. Every wedge is then generated at its lowest-rank corner, and
+    the out-degree under this orientation is O(sqrt(m)) on ANY graph, so
+    the wedge fan-out is bounded even on power-law graphs where a naive
+    star center would emit deg^2 ~ n^2 pairs. Three equi-joins + one
+    aggregate; no cross joins, no iteration.
+    """
+    # canonical undirected edge set, self-loops dropped
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by total order (degree, id): lower rank -> higher rank
+    ranked = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.struct("da", F.col("a").alias("i")))
+        .otherwise(F.struct(F.col("db").alias("da"), F.col("b").alias("i")))
+        .alias("_sr"),
+        F.when(a_first, F.struct(F.col("db").alias("da"), F.col("b").alias("i")))
+        .otherwise(F.struct("da", F.col("a").alias("i"))).alias("_dr"),
+    )
+    # wedges at the lowest-rank corner: out-neighbor pairs (v, w), v below
+    # w in the same total order, so the closing edge (if any) is the
+    # oriented edge v -> w — ONE equi-join closes the wedge
+    o1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("_dr").alias("rv"))
+    o2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("_dr").alias("rw"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("rv.da") < F.col("rw.da"))
+        | ((F.col("rv.da") == F.col("rw.da")) & (F.col("rv.i") < F.col("rw.i"))))
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    if not per_node:
+        return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

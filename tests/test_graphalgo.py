@@ -123,3 +123,64 @@ def test_cc_raises_on_max_iter_exhaustion(spark):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+def test_triangle_count_known_graphs(spark):
+    from graflo_spark.ops.graphalgo import triangle_count
+
+    def tc(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return triangle_count(df).first()["n_triangles"]
+
+    # K4: C(4,3) = 4 triangles; edge direction/duplication must not matter
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert tc(k4) == 4
+    # chain: none
+    assert tc([(0, 1), (1, 2), (2, 3)]) == 0
+    # one triangle plus a pendant
+    assert tc([(0, 1), (1, 2), (2, 0), (2, 3)]) == 1
+    # star: none (bipartite-ish), however large the hub degree
+    assert tc([(0, i) for i in range(1, 30)]) == 0
+
+
+def test_triangle_count_per_node(spark):
+    from graflo_spark.ops.graphalgo import triangle_count
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_count(df, per_node=True).collect()}
+    # triangles {0,1,2} and {2,3,4}; node 2 is in both
+    assert got == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_count_matches_duckdb_on_random_graph(spark):
+    """Cross-engine proof: the oriented 3-join == DuckDB's canonical
+    a<b<c self-join count on a pseudo-random graph."""
+    import duckdb
+
+    rows = []
+    x = 1234567
+    for _ in range(400):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = (x >> 16) % 40
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = (x >> 16) % 40
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    from graflo_spark.ops.graphalgo import triangle_count
+
+    got = triangle_count(df).first()["n_triangles"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (id_a BIGINT, id_b BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+    want = con.execute(
+        "WITH e AS (SELECT DISTINCT least(id_a, id_b) AS a, "
+        "greatest(id_a, id_b) AS b FROM p WHERE id_a <> id_b) "
+        "SELECT count(*) FROM e e1 "
+        "JOIN e e2 ON e2.a = e1.b "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+    ).fetchone()[0]
+    assert got == want and want > 0
