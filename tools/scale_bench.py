@@ -81,6 +81,10 @@ SCALE_QUERIES = [
     "ann_topk_embeddings",
     # temporal join family over the time-shifted events blow-up
     "temporal_ops_events",
+    # winnowing fingerprints + MOSS substring-overlap pairs: the alphabet
+    # rotation is a bijection on char 7-grams, so cross-replica
+    # fingerprints are disjoint and the pair join scales replica-locally
+    "winnowing_fingerprints_documents",
 ]
 
 # (table, [key cols offset by own stride], {col: stride-source table})
