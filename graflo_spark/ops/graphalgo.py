@@ -211,3 +211,90 @@ def triangle_count(
         .unionAll(tri.select(F.col("w").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_src: str = "id_a",
+    id_dst: str = "id_b",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = 1e-6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list (public power-iteration
+    formulation). Returns ``(node, rank)`` for every node appearing in
+    ``pairs``; ranks sum to the node count (the classic normalization, so
+    rank 1.0 is "averagely important"). Dangling nodes (no out-edges)
+    redistribute their mass uniformly, keeping the total conserved.
+
+    Scale design: each iteration is ONE equi-join of the rank vector with
+    the out-edge list plus one groupBy — both shuffles hash on node id, so
+    successive iterations reuse the same partitioning; the dangling-mass
+    term is a scalar aggregate (tiny). Per-iteration ``localCheckpoint``
+    truncates lineage like :func:`connected_components`. With ``tol`` set,
+    iteration stops early when the L1 delta falls below ``tol * n`` (one
+    extra small aggregate per round); ``tol=None`` always runs
+    ``max_iter`` rounds — the deterministic-work mode for benchmarking.
+    """
+    edges = (
+        pairs.select(F.col(id_src).alias("src"), F.col(id_dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # out-edges annotated once with 1/outdegree; reused every iteration
+    contrib_edges = edges.join(outdeg, "src")
+    if checkpoint:
+        contrib_edges = contrib_edges.localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    d = float(damping)
+    for _ in range(max_iter):
+        # mass of dangling nodes (rank with no out-edges), one scalar
+        dangling = (
+            ranks.join(outdeg.select(F.col("src").alias("node")),
+                       "node", "left_anti")
+            .agg(F.sum("rank")).first()[0] or 0.0
+        )
+        inflow = (
+            contrib_edges.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("_in"))
+        )
+        base = (1.0 - d) + d * dangling / n
+        new_ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
+                 ).alias("rank"))
+        )
+        if checkpoint:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("_old")), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
+                .first()[0] or 0.0
+            )
+            ranks = new_ranks
+            if delta < tol * n:
+                break
+        else:
+            ranks = new_ranks
+    return ranks

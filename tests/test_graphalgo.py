@@ -4,6 +4,8 @@ label propagation."""
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from graflo_spark.ops.graphalgo import connected_components, near_dup_clusters
@@ -184,3 +186,59 @@ def test_triangle_count_matches_duckdb_on_random_graph(spark):
         "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
     ).fetchone()[0]
     assert got == want and want > 0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Cross-engine proof: distributed PageRank == a dense NumPy power
+    iteration with identical damping/dangling handling, on a pseudo-random
+    directed graph with dangling nodes."""
+    import numpy as np
+
+    from graflo_spark.ops.graphalgo import pagerank
+
+    rows, x = [], 987654321
+    for _ in range(120):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = (x >> 16) % 25
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = (x >> 16) % 25
+        if a != b:
+            rows.append((a, b))
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, max_iter=40, tol=None).collect()}
+
+    nodes = sorted({a for a, _ in rows} | {b for _, b in rows})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for a, b in set(rows):
+        out.setdefault(a, set()).add(b)
+    r = np.ones(n)
+    d = 0.85
+    for _ in range(40):
+        nxt = np.zeros(n)
+        dangling = sum(r[idx[v]] for v in nodes if v not in out)
+        for a, dsts in out.items():
+            share = r[idx[a]] / len(dsts)
+            for b in dsts:
+                nxt[idx[b]] += share
+        r = (1 - d) + d * dangling / n + d * nxt
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], rel=1e-9)
+    # classic normalization: ranks sum to n (mass conserved incl. dangling)
+    assert sum(got.values()) == pytest.approx(n, rel=1e-9)
+
+
+def test_pagerank_early_stop_and_shapes(spark):
+    from graflo_spark.ops.graphalgo import pagerank
+
+    # simple cycle: symmetric structure -> every rank exactly 1.0
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "id_a long, id_b long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, tol=1e-9).collect()}
+    assert got == {0: pytest.approx(1.0), 1: pytest.approx(1.0),
+                   2: pytest.approx(1.0)}
+    # empty input: empty output, no crash
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank(empty).count() == 0
