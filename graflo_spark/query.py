@@ -474,17 +474,7 @@ class GraphView:
             relations=relations, direction=Direction.OUT
         ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
         cc = ga.connected_components(edges, max_iter=max_iter)
-        parts = []
-        for name in self.vertices:
-            parts.append(
-                self.vertices[name].select(
-                    self.vertex_key_col(name).alias("node_key"),
-                    F.lit(name).alias("node_type"),
-                )
-            )
-        nodes = parts[0]
-        for p in parts[1:]:
-            nodes = nodes.unionByName(p)
+        nodes = self._all_typed_nodes()
         return (
             nodes.join(cc, nodes["node_key"] == cc["node"], "left")
             .select(
@@ -494,6 +484,78 @@ class GraphView:
                     "component"),
             )
         )
+
+    def pagerank(
+        self,
+        relations: list[str] | None = None,
+        damping: float = 0.85,
+        max_iter: int = 20,
+        tol: float | None = 1e-6,
+    ) -> DataFrame:
+        """PageRank over the directed typed edge list:
+        ``(node_key, node_type, rank)`` for EVERY vertex (isolated vertices
+        get the teleport floor ``1 - damping``). Net-new vs the reference
+        query surface; power iteration with reused hash partitioning and
+        dangling-mass conservation
+        (:func:`graflo_spark.ops.graphalgo.pagerank`)."""
+        from graflo_spark.ops import graphalgo as ga
+
+        edges = self.typed_edge_list(
+            relations=relations, direction=Direction.OUT
+        ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
+        pr = ga.pagerank(
+            edges, damping=damping, max_iter=max_iter, tol=tol)
+        nodes = self._all_typed_nodes()
+        return (
+            nodes.join(pr, nodes["node_key"] == pr["node"], "left")
+            .select(
+                "node_key", "node_type",
+                F.coalesce(F.col("rank"),
+                           F.lit(1.0 - float(damping))).alias("rank"),
+            )
+        )
+
+    def triangle_count(
+        self,
+        relations: list[str] | None = None,
+        per_node: bool = False,
+    ) -> DataFrame:
+        """Exact triangle count of the undirected view of the graph —
+        1-row ``(n_triangles)``, or per-corner ``(node_key, node_type,
+        n_triangles)`` with ``per_node=True`` (vertices in no triangle get
+        0). Net-new vs the reference query surface; compact-forward
+        orientation (:func:`graflo_spark.ops.graphalgo.triangle_count`)."""
+        from graflo_spark.ops import graphalgo as ga
+
+        edges = self.typed_edge_list(
+            relations=relations, direction=Direction.OUT
+        ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
+        tri = ga.triangle_count(edges, per_node=per_node)
+        if not per_node:
+            return tri
+        nodes = self._all_typed_nodes()
+        return (
+            nodes.join(tri, nodes["node_key"] == tri["node"], "left")
+            .select(
+                "node_key", "node_type",
+                F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                    "n_triangles"),
+            )
+        )
+
+    def _all_typed_nodes(self) -> DataFrame:
+        """(node_key, node_type) of every vertex in the view."""
+        parts = [
+            self.vertices[name].select(
+                self.vertex_key_col(name).alias("node_key"),
+                F.lit(name).alias("node_type"),
+            )
+            for name in self.vertices
+        ]
+        nodes = parts[0]
+        for p in parts[1:]:
+            nodes = nodes.unionByName(p)
+        return nodes
 
     def hydrate(self, nodes: DataFrame, vertex: str) -> DataFrame:
         """Fetch full vertex docs for reached node keys (reference

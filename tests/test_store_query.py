@@ -325,3 +325,33 @@ def test_reference_digest_parity_frozen_vectors(spark):
     payload = {"email": "e@x", "_branch": "email"}
     assert withid == hashlib.sha256(
         json.dumps(payload, sort_keys=True, default=str).encode()).hexdigest()
+
+
+def test_graphview_pagerank_and_triangles(spark):
+    """PageRank and triangle counting over the typed graph surface: every
+    vertex gets a rank (isolated -> teleport floor), a directed 3-cycle's
+    symmetric ranks are exactly 1.0, and the undirected view of the cycle
+    is one triangle credited to all three corners."""
+    from graflo_spark.manifest import CoreSchema, Edge, EdgeId, Field, Vertex
+    from graflo_spark.query import GraphView
+
+    schema = CoreSchema(
+        vertices=[Vertex("a", [Field("id")], identity=["id"])],
+        edges=[Edge("a", "a", relation="r")],
+    )
+    va = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id long")
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "_src_id long, _dst_id long")
+    view = GraphView(
+        vertices={"a": va}, edges={EdgeId("a", "a", "r"): cyc}, schema=schema)
+
+    pr = {r["node_key"]: r["rank"] for r in view.pagerank(tol=1e-10).collect()}
+    assert len(pr) == 4
+    for k in ("a\x1f1", "a\x1f2", "a\x1f3"):
+        assert abs(pr[k] - 1.0) < 1e-9          # symmetric cycle
+    assert pr["a\x1f9"] == 0.15000000000000002 or abs(pr["a\x1f9"] - 0.15) < 1e-12
+
+    assert view.triangle_count().first()["n_triangles"] == 1
+    per = {r["node_key"]: r["n_triangles"]
+           for r in view.triangle_count(per_node=True).collect()}
+    assert per == {"a\x1f1": 1, "a\x1f2": 1, "a\x1f3": 1, "a\x1f9": 0}
