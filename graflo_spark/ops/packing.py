@@ -56,6 +56,18 @@ def token_offsets(
     pass the previous batch's running total (its ``max(tok_end)``) and the
     new batch's stream continues where the last one stopped — batch N+1's
     chunks follow batch N's without re-packing history."""
+    from pyspark.sql.types import NumericType
+
+    # fail at entry with the column's name, not deep inside approxQuantile
+    # (which throws an opaque error on non-numeric columns): a corpus with
+    # string doc ids hits this the moment someone defaults order to id_col
+    dt = df.schema[order_col].dataType
+    if not isinstance(dt, NumericType):
+        raise ValueError(
+            f"token_offsets: order column {order_col!r} must be numeric "
+            f"(got {dt.simpleString()}); hash string keys to a numeric "
+            f"surrogate (e.g. xxhash64) or pass a numeric order_col"
+        )
     n = n_buckets or max(df.sparkSession.sparkContext.defaultParallelism, 2)
     # quantile boundaries -> literals: the bucket id is a pure function of
     # the ORDER KEY, identical in every plan branch and every re-evaluation
@@ -164,10 +176,16 @@ class PackingStore:
     the incremental dedup store's design: tiny driver-side state, crash-safe
     via write-then-rename.
 
-    Spans are appended under ``<path>/spans``; the running total lives in
-    ``<path>/_running_total`` (a single integer, atomically replaced).
-    Within one batch, ordering follows ``order_col``; ACROSS batches,
-    ordering is arrival order — the stream semantics a packer wants."""
+    Spans land under ``<path>/spans/batch=<seq>/`` — one subdir per batch,
+    written with mode OVERWRITE, where ``<seq>`` comes from the committed
+    state file. That makes the spans write IDEMPOTENT: if the spans write
+    succeeds but the commit doesn't (crash between the two), the retry
+    re-runs the SAME batch seq and REPLACES the orphaned subdir instead of
+    appending a second copy of the same spans — no silent duplicate
+    training chunks. The running total and the batch seq commit together
+    in ``<path>/_running_total`` (atomically replaced). Within one batch,
+    ordering follows ``order_col``; ACROSS batches, ordering is arrival
+    order — the stream semantics a packer wants."""
 
     def __init__(self, spark, path: str, chunk_tokens: int,
                  id_col: str = "doc_id", token_col: str = "n_tok",
@@ -187,25 +205,35 @@ class PackingStore:
 
         return os.path.join(self.path, "_running_total")
 
-    def running_total(self) -> int:
+    def _state(self) -> tuple[int, int]:
+        """(running_total, next_batch_seq) from the commit file. Legacy
+        single-integer files (pre-idempotency format) read as seq 0."""
         import os
 
         f = self._total_file()
         if not os.path.exists(f):
-            return 0
+            return 0, 0
         with open(f) as fh:
-            return int(fh.read().strip() or 0)
+            lines = fh.read().split()
+        total = int(lines[0]) if lines else 0
+        seq = int(lines[1]) if len(lines) > 1 else 0
+        return total, seq
+
+    def running_total(self) -> int:
+        return self._state()[0]
 
     def pack_batch(self, batch: DataFrame) -> DataFrame:
-        """Pack one batch against the persisted running total, append its
-        spans, advance the total. Returns the batch's spans. The total is
-        committed ONLY after the spans write succeeds (write-then-rename),
-        so a crash between the two re-packs the batch instead of leaving a
-        gap in the token stream."""
+        """Pack one batch against the persisted running total, write its
+        spans under the next batch seq, commit (total, seq+1). Returns the
+        batch's spans. The commit happens ONLY after the spans write
+        succeeds; because the spans write is a mode-overwrite of the
+        seq-keyed subdir, a crash between the two makes the retry REPLACE
+        the orphan rather than append a duplicate — idempotent, no gap and
+        no double-counted chunks."""
         import os
         import tempfile
 
-        base = self.running_total()
+        base, seq = self._state()
         # Pin the batch before packing: token_offsets consumes its input in
         # two plan branches (window cumsum + per-bucket totals) plus an eager
         # quantile probe. Against a foreachBatch micro-batch source the
@@ -221,7 +249,9 @@ class PackingStore:
             batch, self.id_col, self.token_col, self.chunk_tokens,
             order_col=self.order_col, base_offset=base,
         )
-        spans.write.mode("append").parquet(os.path.join(self.path, "spans"))
+        spans.write.mode("overwrite").parquet(
+            os.path.join(self.path, "spans", f"batch={seq}")
+        )
         # new total = base + batch token sum (spans may omit 0-token docs)
         batch_tokens = (
             batch.agg(F.sum(F.col(self.token_col).cast("long"))).first()[0]
@@ -229,14 +259,18 @@ class PackingStore:
         )
         fd, tmp = tempfile.mkstemp(dir=self.path)
         with os.fdopen(fd, "w") as fh:
-            fh.write(str(base + int(batch_tokens)))
+            fh.write(f"{base + int(batch_tokens)}\n{seq + 1}\n")
         os.replace(tmp, self._total_file())
         return spans
 
     def spans(self) -> DataFrame:
         import os
 
-        return self.spark.read.parquet(os.path.join(self.path, "spans"))
+        # partition discovery surfaces the batch=N dirs as a `batch`
+        # column; drop it to keep the pack_chunks span schema
+        return self.spark.read.parquet(
+            os.path.join(self.path, "spans")
+        ).drop("batch")
 
 
 def materialize_chunks(

@@ -76,26 +76,14 @@ def annotate(
     id_c, t_c = cfg.id_col, cfg.text_col
     out = docs
 
-    # 1. URL dedup: non-minimal id within a canonical-URL group. Blank
-    # canonical keys ('', 'https://', '#frag') are no identity — such rows
-    # pass through, matching ops.urls.dedup_by_url.
-    if cfg.url_col:
-        ukey = normalize_url(F.col(cfg.url_col))
-        has_key = ukey.isNotNull() & (ukey != "")
-        winners = (
-            out.filter(has_key)
-            .withColumn("__ukey", ukey)
-            .groupBy("__ukey")
-            .agg(F.min(id_c).alias(id_c))
-            .select(id_c, F.lit(True).alias("__url_keep"))
-        )
-        out = out.join(winners, id_c, "left").withColumn(
-            "__url_dup", has_key & F.col("__url_keep").isNull()
-        ).drop("__url_keep")
-    else:
-        out = out.withColumn("__url_dup", F.lit(False))
+    # The quality + decontam FLAGS are computed before the URL stage (the
+    # funnel still CHARGES drops in url_dup-first order via the when()
+    # precedence at the end) because the URL winner must be picked among
+    # docs that survive those later gates — a winner that is itself about
+    # to be dropped would take its whole duplicate group down with it, the
+    # same annihilation hazard the exact/near-dup stages already guard.
 
-    # 2. quality gate (pure exprs; NULL text always fails)
+    # quality gate (pure exprs; NULL text always fails)
     t = F.col(t_c)
     quality_ok = (
         t.isNotNull()
@@ -103,7 +91,7 @@ def annotate(
         & (ts.token_count(t) >= cfg.min_tokens)
     )
 
-    # 3. decontamination — the proven operator, not a re-implementation
+    # decontamination — the proven operator, not a re-implementation
     if bench is not None:
         flags = contamination_flags(
             out, bench, id_c, t_c,
@@ -122,6 +110,33 @@ def annotate(
         )
     else:
         out = out.withColumn("__contaminated", F.lit(False))
+
+    # URL dedup: non-minimal id within a canonical-URL group, where the
+    # winner is the min-id ELIGIBLE doc (passes quality + decontam) and
+    # falls back to plain min-id when the whole group fails — the group's
+    # content survives whenever any copy deserves to. Blank canonical keys
+    # ('', 'https://', '#frag') are no identity — such rows pass through,
+    # matching ops.urls.dedup_by_url.
+    if cfg.url_col:
+        ukey = normalize_url(F.col(cfg.url_col))
+        has_key = ukey.isNotNull() & (ukey != "")
+        url_elig = quality_ok & ~F.col("__contaminated")
+        winners = (
+            out.filter(has_key)
+            .withColumn("__ukey", ukey)
+            .groupBy("__ukey")
+            .agg(
+                F.coalesce(
+                    F.min(F.when(url_elig, F.col(id_c))), F.min(id_c)
+                ).alias(id_c)
+            )
+            .select(id_c, F.lit(True).alias("__url_keep"))
+        )
+        out = out.join(winners, id_c, "left").withColumn(
+            "__url_dup", has_key & F.col("__url_keep").isNull()
+        ).drop("__url_keep")
+    else:
+        out = out.withColumn("__url_dup", F.lit(False))
 
     # Dedup winners are computed over PRIOR-STAGE SURVIVORS only: a document
     # already dropped by the URL/quality/decontam gates must not "win" a

@@ -175,6 +175,83 @@ def pq_encode(
     return narrowed.mapInPandas(run, schema=_CODE_SCHEMA)
 
 
+def _pq_topk_join(
+    q_n: DataFrame,
+    codes: DataFrame,
+    book: PqCodebook,
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Join-formulation ADC for query sets too large for driver LUTs:
+    LUT entries as rows ``(qid, j, c, part)`` (built executor-side by one
+    vectorized ``mapInPandas`` over the queries — only the tiny codebook
+    rides the closure), codes posexploded to ``(id, j, c)``, one
+    equi-join on ``(j, c)`` and a summed groupBy reconstruct the exact
+    same ADC scores. Cost is the brute-force |corpus|*m*|queries| score
+    matrix — the honest price of exact ADC over every query; IVF-PQ
+    (:func:`ivf_pq_topk`) is the pruned scale path."""
+    cents = [c.astype(np.float32) for c in book.centroids]
+    dsub, m = book.dsub, len(book.centroids)
+    ksub = cents[0].shape[0]
+
+    lut_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("part", T.DoubleType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf["qid"].to_numpy()
+            x = np.asarray(list(pdf["v"]), dtype=np.float32)
+            # (n, m, ksub) exact sub-dot-products, one matmul per subspace
+            parts = np.stack(
+                [x[:, j * dsub : (j + 1) * dsub] @ cents[j].T for j in range(m)],
+                axis=1,
+            )
+            n = len(qids)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, m * ksub),
+                    "j": np.tile(np.repeat(np.arange(m, dtype=np.int32), ksub), n),
+                    "c": np.tile(np.arange(ksub, dtype=np.int32), n * m),
+                    "part": parts.reshape(-1).astype(np.float64),
+                }
+            )
+
+    lut_df = q_n.mapInPandas(build, schema=lut_schema)
+    codes_x = codes.select(
+        "id", F.posexplode("code").alias("j", "c")
+    ).withColumn("j", F.col("j").cast("int")).withColumn(
+        "c", F.col("c").cast("int")
+    )
+    scored = (
+        codes_x.join(lut_df, ["j", "c"])
+        # partial (map-side) aggregation folds the m per-subspace rows
+        # before the (qid, id) shuffle
+        .groupBy("qid", "id")
+        .agg(F.sum("part").alias("score"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            "score",
+            "rank",
+        )
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -182,17 +259,39 @@ def pq_topk(
     k: int = 10,
     query_id: str = "vec_id",
     query_vec: str = "embedding",
+    exclude_self: bool = True,
+    max_driver_queries: int = 4096,
 ) -> DataFrame:
     """ADC top-k over PQ codes: per partition, numpy gathers each query's
     LUT rows for every code and emits the local top-k; a window takes the
     global top-k. Returns ``(query_id, neighbor_id, score, rank)`` where
     score approximates the dot product (== cosine for L2-normalized
-    vectors). Queries are collected to the driver — the query batch is the
-    small side by construction."""
-    q_rows = queries.select(
+    vectors).
+
+    ``exclude_self``: when True (default), candidates whose id equals the
+    query id are dropped — the right semantics for self-join dedup over
+    one corpus. For EXTERNAL query sets whose id space is unrelated to
+    the corpus, pass False, or a legitimate neighbor that merely shares
+    the integer id is silently excluded.
+
+    Query-set bound: up to ``max_driver_queries`` queries, per-query LUTs
+    travel in the task closure (each LUT is m*k_sub floats — the driver
+    collect is bounded at ~max_driver_queries * m * k_sub * 4 bytes, e.g.
+    4096*8*256*4 = 32 MB). Beyond that the function switches to a fully
+    distributed join formulation: LUT entries become a (qid, j, c, part)
+    DataFrame, codes posexplode to (id, j, c), and one equi-join on
+    (j, c) + a partial-aggregated sum reconstructs the ADC score with no
+    driver state at all — same scores, same tie-break, any query count.
+    """
+    q_n = queries.select(
         F.col(query_id).cast("long").alias("qid"),
         F.col(query_vec).cast("array<float>").alias("v"),
-    ).collect()
+    ).filter(F.col(query_vec).isNotNull())
+    # limit(N+1) bounds the count probe itself — never a full count of an
+    # arbitrarily large query set just to pick a strategy
+    if len(q_n.limit(max_driver_queries + 1).take(max_driver_queries + 1)) > max_driver_queries:
+        return _pq_topk_join(q_n, codes, book, k, exclude_self)
+    q_rows = q_n.collect()
     cents = [c.astype(np.float32) for c in book.centroids]
     dsub = book.dsub
     luts = []  # (qid, (m, k_sub) float32 LUT of exact sub-dot-products)
@@ -223,8 +322,11 @@ def pq_topk(
             j_idx = np.arange(code_mat.shape[1])
             for qid, lut in luts:
                 scores = lut[j_idx, code_mat].sum(axis=1)
-                keep = ids != qid
-                s, i = scores[keep], ids[keep]
+                if exclude_self:
+                    keep = ids != qid
+                    s, i = scores[keep], ids[keep]
+                else:
+                    s, i = scores, ids
                 if qid in acc:
                     s = np.concatenate([acc[qid][0], s])
                     i = np.concatenate([acc[qid][1], i])
@@ -257,6 +359,7 @@ def ivf_pq_topk(
     n_probe: int = 2,
     query_id: str = "vec_id",
     query_vec: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The classic IVF-PQ layout: IVF pruning picks the ``n_probe``
     clusters nearest each query (tiny broadcast centroid ranking), then
@@ -296,7 +399,11 @@ def ivf_pq_topk(
         )
         .join(F.broadcast(probes), "cluster")
         .join(codes, "id")
-        .filter(F.col("id") != F.col("query_id"))
+        # self-exclusion is opt-out for external query id spaces (see
+        # pq_topk's exclude_self note)
+        .filter(
+            (F.col("id") != F.col("query_id")) if exclude_self else F.lit(True)
+        )
         .select("query_id", F.col("id").alias("neighbor_id"), "code")
     )
 

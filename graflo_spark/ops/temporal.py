@@ -77,8 +77,13 @@ def asof_join(
     lcols = left.columns
     # NULL right timestamps sort "earliest" under NULLS FIRST and would
     # wrongly serve as matches; SQL asof semantics (ts >= NULL is never
-    # true) say they match nothing — drop them up front.
+    # true) say they match nothing — drop them up front. Same for NULL
+    # equi-keys: Window.partitionBy groups NULLs into one partition, so a
+    # NULL-keyed left row would match a NULL-keyed right row, which SQL
+    # join semantics (NULL = NULL is not true) forbid.
     right = right.filter(F.col(right_ts).isNotNull())
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     r_side = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
@@ -187,19 +192,20 @@ def binned_range_join(
         F.explode(F.sequence(rfirst.cast("long"), rlast_checked.cast("long"))),
     )
     binned_l = left.withColumn("_bin", lbin.cast("long"))
-    contained = (F.col(ts_col) >= F.col(start_col)) & (
-        F.col(ts_col) <= F.col(end_col)
-    )
-    if how == "inner":
-        return binned_l.join(binned_r, keys + ["_bin"]).filter(contained).drop(
-            "_bin"
-        )
-    # left-outer: run the inner match, then add back never-matched rows
-    hit = binned_l.join(binned_r, keys + ["_bin"]).filter(contained).drop("_bin")
+    # ONE join for both modes: the containment residual rides INSIDE the
+    # join condition (Catalyst still extracts the key/_bin equalities into
+    # the hash keys), so the left-outer path no longer executes the probe
+    # subtree twice (former hit ∪ anti-join(miss) formulation — two scans
+    # of every input). Each left row carries exactly one bin, so unmatched
+    # rows surface once with NULL right columns — no post-dedup needed.
+    bl, br = binned_l.alias("_L"), binned_r.alias("_R")
+    cond = F.col("_L._bin") == F.col("_R._bin")
+    for k in keys:
+        cond = cond & (F.col(f"_L.{k}") == F.col(f"_R.{k}"))
+    cond = cond & (F.col(f"_L.{ts_col}") >= F.col(f"_R.{start_col}"))
+    cond = cond & (F.col(f"_L.{ts_col}") <= F.col(f"_R.{end_col}"))
     rcols = [c for c in right.columns if c not in keys]
-    miss = binned_l.drop("_bin").join(
-        hit.select(*keys, ts_col).distinct(), keys + [ts_col], "left_anti"
+    return bl.join(br, cond, how).select(
+        *[F.col(f"_L.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_R.{c}").alias(c) for c in rcols],
     )
-    for c in rcols:
-        miss = miss.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    return hit.unionByName(miss)

@@ -255,3 +255,48 @@ def test_select_representatives(spark):
     assert not out[1]["is_representative"]  # min-id loses to better score
     assert out[9]["is_representative"]  # unscored singleton keeps itself
     assert all(r["cluster"] in (1, 9) for r in out.values())
+
+
+def test_packing_store_retry_is_idempotent(spark, tmp_path):
+    """The crash window: spans write succeeds, total commit doesn't. The
+    retry must REPLACE the orphaned batch subdir, not append a second
+    copy of the same spans at the same offsets."""
+    import os
+    from graflo_spark.ops.packing import PackingStore
+
+    full = _docs(spark, n=120)
+    store = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=64)
+    b1 = full.filter(F.col("doc_id") < 60)
+    b2 = full.filter(F.col("doc_id") >= 60)
+    store.pack_batch(b1)
+    # simulate the crash: write batch 2's spans but restore the OLD commit
+    # file afterwards (as if the process died before os.replace)
+    commit = os.path.join(str(tmp_path / "pk"), "_running_total")
+    with open(commit) as fh:
+        old_state = fh.read()
+    store.pack_batch(b2)
+    with open(commit, "w") as fh:
+        fh.write(old_state)
+    # retry of the same batch on a fresh handle
+    store2 = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=64)
+    store2.pack_batch(b2)
+    got = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in store2.spans().collect()
+    }
+    want = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in pack_chunks(full, "doc_id", "n_tok", 64).collect()
+    }
+    assert got == want  # no duplicates, no gaps — one logical copy
+    assert store2.spans().count() == pack_chunks(
+        full, "doc_id", "n_tok", 64).count()
+    assert store2.running_total() == full.agg(F.sum("n_tok")).first()[0]
+
+
+def test_token_offsets_rejects_string_order_col(spark):
+    from graflo_spark.ops.packing import token_offsets
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 7)], "doc_id string, n_tok int")
+    with pytest.raises(ValueError, match="doc_id.*must be numeric"):
+        token_offsets(df, "n_tok", "doc_id")

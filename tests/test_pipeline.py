@@ -151,3 +151,30 @@ def test_pipeline_without_url_or_bench(spark):
     assert "url_dup" not in set(stages.values())  # stage disabled
     assert "decontam" not in set(stages.values())
     assert stages[2] == "quality" and stages[4] == "exact_dup"
+
+
+def test_url_winner_gated_on_later_stages(spark):
+    """The URL winner is picked among docs passing the quality/decontam
+    gates: if min-id in a URL group fails quality, an eligible twin wins
+    and the content survives — losers are still charged url_dup."""
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, "x", "https://site.com/a"),       # min-id but FAILS quality
+        (1, good, "site.com/a/"),             # eligible -> must win the URL
+        (2, "y", "site.com/a?utm_source=t"),  # also fails quality
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+    ann = annotate(docs, None, PipelineConfig(
+        url_col="url", min_tokens=5, chunk_tokens=8, splits={"train": 1.0}))
+    stages = {r["doc_id"]: r["drop_stage"] for r in ann.collect()}
+    assert stages[1] is None, stages   # the eligible copy survives
+    assert stages[0] == "url_dup"      # funnel still charges url first
+    assert stages[2] == "url_dup"
+    # whole group ineligible: fallback min-id wins, then falls at quality
+    rows2 = [(0, "x", "site.com/b"), (1, "y", "site.com/b/")]
+    ann2 = annotate(
+        spark.createDataFrame(rows2, ["doc_id", "text", "url"]), None,
+        PipelineConfig(url_col="url", min_tokens=5, chunk_tokens=8,
+                       splits={"train": 1.0}))
+    stages2 = {r["doc_id"]: r["drop_stage"] for r in ann2.collect()}
+    assert stages2 == {0: "quality", 1: "url_dup"}

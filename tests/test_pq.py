@@ -104,3 +104,63 @@ def test_pq_validates_inputs(spark, emb):
         train_pq(emb, m=7, k_sub=16)
     with pytest.raises(ValueError, match="k_sub"):
         train_pq(emb, m=8, k_sub=1000)
+
+
+def test_pq_join_fallback_matches_driver_path(spark, emb):
+    """Beyond max_driver_queries, pq_topk switches to the distributed
+    join formulation — same ADC scores, same tie-break, no driver LUTs.
+    Forcing the threshold to 0 on the same query set must reproduce the
+    driver-path results exactly."""
+    book = train_pq(emb, m=8, k_sub=16, iters=5)
+    codes = pq_encode(emb, book)
+    queries = emb.filter(F.col("vec_id") < 8)
+    via_driver = pq_topk(queries, codes, book, k=5)
+    via_join = pq_topk(queries, codes, book, k=5, max_driver_queries=0)
+    # scores agree to float32 summation-order tolerance (the two paths sum
+    # the m partial dot products in different orders)
+    d = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["score"], 4))
+         for r in via_driver.collect()}
+    j = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["score"], 4))
+         for r in via_join.collect()}
+    assert d == j and len(d) == 8 * 5
+
+
+def test_pq_join_fallback_at_10k_queries(spark, emb):
+    """The scale contract: a 10k-query set (far past the driver-LUT bound)
+    runs through the join formulation and returns a full top-k per query.
+    Queries are synthetic tilings of the corpus vectors so the set is
+    large without a large corpus."""
+    book = train_pq(emb, m=8, k_sub=16, iters=3)
+    codes = pq_encode(emb, book)
+    from pyspark.sql import Window
+
+    n_corpus = emb.count()
+    base = emb.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("__idx"),
+        "embedding",
+    )
+    queries = (
+        spark.range(10_000)
+        .withColumn("__idx", F.col("id") % n_corpus)
+        .join(base, "__idx")
+        .select((F.col("id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    assert queries.count() == 10_000
+    out = pq_topk(queries, codes, book, k=3, exclude_self=False)
+    counts = out.groupBy("query_id").count().collect()
+    assert len(counts) == 10_000
+    assert all(r["count"] == 3 for r in counts)
+
+
+def test_pq_exclude_self_optional(spark, emb):
+    """External query id spaces: a corpus vector whose id happens to equal
+    the query id must NOT be excluded when exclude_self=False."""
+    book = train_pq(emb, m=8, k_sub=16, iters=5)
+    codes = pq_encode(emb, book)
+    queries = emb.filter(F.col("vec_id") == 3)
+    with_self = pq_topk(queries, codes, book, k=1, exclude_self=False)
+    r = with_self.first()
+    # a vector's nearest ADC neighbor is itself (exact sub-dot-products)
+    assert r["neighbor_id"] == 3
+    without = pq_topk(queries, codes, book, k=1)
+    assert without.first()["neighbor_id"] != 3

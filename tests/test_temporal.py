@@ -234,3 +234,32 @@ def test_range_join_max_bins_guard(spark):
     ok = binned_range_join(
         pts, bad, "k", "ts", "s", "e", 1e9, max_bins=10_000)
     assert ok.count() == 1
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL join semantics: NULL = NULL is not true. Window.partitionBy
+    groups NULL keys into one partition, so without the up-front filter a
+    NULL-keyed left row would wrongly match a NULL-keyed right row."""
+    left = spark.createDataFrame(
+        [(None, 10.0, 1), ("a", 10.0, 2)], "k string, ts double, i int")
+    right = spark.createDataFrame(
+        [(None, 5.0, 99.0), ("a", 5.0, 7.0)], "k string, ts double, px double")
+    out = {r["i"]: (r["ref_ts"], r["ref_px"])
+           for r in asof_join(left, right, "k", "ts", "ts").collect()}
+    assert out[1] == (None, None)   # NULL key matches nothing
+    assert out[2] == (5.0, 7.0)     # real key unaffected
+
+
+def test_range_join_left_single_join_subtree(spark):
+    """The left-outer path runs ONE join (containment folded into the join
+    condition) — not the hit ∪ anti-join(miss) shape that executed the
+    probe subtree twice."""
+    pts = spark.createDataFrame(
+        [("a", 5.0, 1)], "k string, ts double, pid int")
+    plan = binned_range_join(
+        pts, _intervals(spark), "k", "ts", "s", "e", 10.0, how="left"
+    )._jdf.queryExecution().executedPlan().toString()
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
+    assert "Union" not in plan
