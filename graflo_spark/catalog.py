@@ -803,6 +803,131 @@ def traverse_2hop_customers(spark, sf_dir):
     return out.select("node_key", "node_type", F.col("hop").cast("long").alias("hop"))
 
 
+# ------------------------------------------------------- graph analytics
+
+_TRADE_EDGES_SQL = (
+    "SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst "
+    "FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE s_nationkey <> c_nationkey"
+)
+
+
+def _pagerank_oracle(iters: int, d: float = 0.85) -> str:
+    """Fixed-iteration PageRank unrolled into a chained-CTE ANSI query —
+    one (dangling, inflow, rank) CTE triple per iteration, mirroring
+    ops/graphalgo.pagerank's update exactly: rank' = (1-d) + d*dangling/n
+    + d*sum(rank/outdeg over in-edges), ranks initialized to 1.0. Chained
+    CTEs rather than a recursive CTE because standard SQL forbids
+    aggregation over the recursive reference. Every CTE is MATERIALIZED:
+    each iteration references the previous rank vector three times, and
+    an inlining optimizer would otherwise expand the chain into a
+    3^iters-fold copy of the edge scan (planning alone never returns)."""
+    sql = (
+        f"WITH edges AS MATERIALIZED ({_TRADE_EDGES_SQL}), "
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges), "
+        "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS od "
+        "FROM edges GROUP BY src), "
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes), "
+        "pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS rank "
+        "FROM nodes)"
+    )
+    dd_ = repr(float(d))
+    for i in range(iters):
+        sql += (
+            f", dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank), 0) AS m "
+            f"FROM pr{i} p LEFT JOIN deg ON p.node = deg.node "
+            f"WHERE deg.node IS NULL), "
+            f"inflow{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"SUM(p.rank / deg.od) AS s "
+            f"FROM edges e JOIN pr{i} p ON p.node = e.src "
+            f"JOIN deg ON deg.node = e.src GROUP BY e.dst), "
+            f"pr{i + 1} AS MATERIALIZED (SELECT nodes.node, "
+            f"(1.0 - {dd_}) + {dd_} * (SELECT m FROM dang{i}) / "
+            f"(SELECT n FROM nn) "
+            f"+ {dd_} * COALESCE(inflow{i}.s, CAST(0 AS DOUBLE)) AS rank "
+            f"FROM nodes LEFT JOIN inflow{i} ON nodes.node = inflow{i}.node)"
+        )
+    return (
+        f"{sql} SELECT CAST(node AS BIGINT) AS node, "
+        f"ROUND(rank, 6) AS rank FROM pr{iters}"
+    )
+
+
+@q("pagerank_trade_network", _pagerank_oracle(8))
+def pagerank_trade_network(spark, sf_dir):
+    """PageRank on the graph query surface (SURVEY §2.9 net-new
+    analytics), driven over the nation trade network (supplier nation →
+    customer nation, one directed edge per trading pair) with fixed
+    iterations (tol=None, the deterministic-work mode) so the unrolled
+    DuckDB chained-CTE oracle reproduces the exact ranks. Ranks rounded
+    to 6 decimals on both sides for the hash match."""
+    from graflo_spark.ops import graphalgo as ga
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("id_a"),
+            F.col("c_nationkey").alias("id_b"),
+        )
+    )
+    pr = ga.pagerank(edges, max_iter=8, tol=None)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
+_TRIANGLE_ORACLE = (
+    "WITH pairs AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, "
+    "greatest(a.l_partkey, b.l_partkey) AS b "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey <> b.l_partkey), "
+    "tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM pairs e1 "
+    "JOIN pairs e2 ON e2.a = e1.b "
+    "JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b), "
+    "corners AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+    "UNION ALL SELECT c FROM tri) "
+    "SELECT CAST(node AS BIGINT) AS node, COUNT(*) AS n_triangles "
+    "FROM corners GROUP BY node"
+)
+
+
+@q("triangle_corners_copurchase", _TRIANGLE_ORACLE)
+def triangle_corners_copurchase(spark, sf_dir):
+    """Exact per-node triangle counts (SURVEY §2.9 net-new analytics) on
+    the part co-purchase graph (parts sharing an order are adjacent) via
+    compact-forward orientation (ops/graphalgo.triangle_count) — proved
+    against DuckDB's canonical a<b<c 3-join closure, per corner."""
+    from graflo_spark.ops import graphalgo as ga
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+    )
+    tri = ga.triangle_count(pairs, per_node=True)
+    return tri.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
 # --------------------------------------------------------------- transforms
 
 @q(
