@@ -7,15 +7,31 @@ type with incremental merge-on-identity upserts, so re-ingest is idempotent
 (the reference's reload-merges-on-keys property, db/conn.py:390-404).
 
 Scale notes: tables are hash-bucketed on the merge key
-(``pmod(xxhash64(identity), n_buckets)`` Hive partitions). An upsert
-touches ONLY the buckets the incoming batch hashes into: existing rows are
-read with partition pruning on the bucket column and the rewrite uses
-dynamic partition overwrite — a 10k-row batch against a 10 TB table
-rewrites ~10k rows worth of buckets, not the table. The merge itself is a
-single shuffle on the identity columns. On a production lakehouse the same
-API maps 1:1 onto Delta/Iceberg ``MERGE INTO`` keyed on identity — this
-implementation keeps zero deps (the tradeoff: per-partition file swaps are
-not one atomic multi-bucket commit the way a Delta log entry is).
+(``pmod(xxhash64(identity), n_buckets)``). An upsert touches ONLY the
+buckets the incoming batch hashes into: existing rows are read via
+manifest file-list pruning and the rewrite lands in immutable per-commit
+data directories — a 10k-row batch against a 10 TB table rewrites ~10k
+rows worth of buckets, not the table. The merge itself is a single
+shuffle on the identity columns.
+
+Commit protocol (Iceberg-style optimistic concurrency): the table's
+current state is ONE manifest file ``commits/v<N>.json`` mapping each
+bucket id to the immutable data directory holding its rows. A writer
+reads manifest N, merges against exactly those files, writes its output
+under a fresh ``data/<commit-id>/`` directory, and publishes by
+atomically CREATING ``v<N+1>.json`` (``os.link`` of a fully-written temp
+file — create-or-fail, never partial). If another writer got there
+first, the creation fails cleanly, the orphaned data directory is
+discarded, and the merge re-runs against the new manifest — writers
+serialize, readers always see a complete committed version, and a torn
+multi-bucket state is unrepresentable. This is the zero-dependency
+analogue of a Delta/Iceberg ``MERGE INTO`` commit; on a production
+lakehouse swap the manifest swap for the table format's log append.
+Version retention mirrors Iceberg snapshot expiration: old manifests
+past ``snapshot_keep`` are dropped and data directories no longer
+referenced are deleted — a reader/writer pinned to an expired version
+for longer than the retention window can fail mid-scan, the standard
+table-format constraint.
 
 Full-table rewrites (schema evolution ops) still go through versioned
 snapshots (`_write_snapshot`), which invalidate the bucketed layout; the
@@ -93,9 +109,10 @@ class GraphStore:
         return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n))
 
     def _read_buckets(self, table_dir: str, only: list[int] | None = None) -> DataFrame:
-        """Current table contents; ``only`` prunes to the given buckets via a
-        partition filter (no data files outside them are opened). mergeSchema
-        because an upsert adding a column rewrites only touched buckets."""
+        """LEGACY pre-manifest layout reader (mutable ``buckets/__b=N``
+        dirs); kept so existing stores upgrade in place — the first
+        manifest commit migrates them. ``only`` prunes via a partition
+        filter."""
         df = self.spark.read.option("mergeSchema", "true").parquet(
             self._buckets_dir(table_dir)
         )
@@ -103,39 +120,210 @@ class GraphStore:
             df = df.filter(F.col(BUCKET_COL).isin(only))
         return df.drop(BUCKET_COL)
 
-    def _write_buckets(
+    # -------------------------------------------- manifest commit protocol
+    def _commits_dir(self, table_dir: str) -> str:
+        return os.path.join(table_dir, "commits")
+
+    def _data_dir(self, table_dir: str) -> str:
+        return os.path.join(table_dir, "data")
+
+    def _current_manifest(self, table_dir: str) -> tuple[int, dict[str, str]]:
+        """(version, {bucket_id: table-relative data dir}) of the newest
+        committed manifest; (0, {}) when the table has none. Manifest files
+        appear atomically (hard-link publish), so the newest one present is
+        always complete."""
+        cdir = self._commits_dir(table_dir)
+        if not os.path.isdir(cdir):
+            return 0, {}
+        versions = sorted(
+            (
+                int(f[1:-5])
+                for f in os.listdir(cdir)
+                if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+            ),
+            reverse=True,
+        )
+        if not versions:
+            return 0, {}
+        v = versions[0]
+        with open(os.path.join(cdir, f"v{v:010d}.json")) as f:
+            return v, json.load(f)["buckets"]
+
+    def _try_commit(
+        self, table_dir: str, version: int, buckets_map: dict[str, str]
+    ) -> bool:
+        """Publish ``version`` by atomic create-or-fail: the manifest is
+        fully written to a temp file first, then hard-linked to its final
+        name — ``os.link`` fails with EEXIST if any other writer already
+        published this version, which is the optimistic-concurrency loss
+        signal. Readers can never observe a partial manifest."""
+        cdir = self._commits_dir(table_dir)
+        os.makedirs(cdir, exist_ok=True)
+        tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "buckets": buckets_map}, f)
+        try:
+            os.link(tmp, os.path.join(cdir, f"v{version:010d}.json"))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _gc_table(self, table_dir: str) -> None:
+        """Expire old versions: drop manifests beyond ``snapshot_keep`` and
+        delete data commit dirs no kept manifest references. Run only after
+        a successful commit, so the newest version always survives."""
+        keep = max(self.snapshot_keep, 1)
+        cdir = self._commits_dir(table_dir)
+        if not os.path.isdir(cdir):
+            return
+        manifest_files = sorted(
+            (
+                f
+                for f in os.listdir(cdir)
+                if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+            ),
+            key=lambda f: int(f[1:-5]),
+            reverse=True,
+        )
+        kept, expired = manifest_files[:keep], manifest_files[keep:]
+        referenced: set[str] = set()
+        for mf in kept:
+            with open(os.path.join(cdir, mf)) as f:
+                for rel in json.load(f)["buckets"].values():
+                    parts = rel.split(os.sep)
+                    if parts[0] == "data" and len(parts) > 1:
+                        referenced.add(parts[1])
+        for mf in expired:
+            try:
+                os.unlink(os.path.join(cdir, mf))
+            except OSError:
+                pass
+        ddir = self._data_dir(table_dir)
+        if os.path.isdir(ddir):
+            for d in os.listdir(ddir):
+                if d not in referenced:
+                    shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
+
+    def _manifest_read(
+        self, table_dir: str, manifest: dict[str, str],
+        only: list[int] | None = None,
+    ) -> DataFrame | None:
+        """Read the bucket dirs a manifest references, pruned to ``only``
+        (file-LIST pruning — unlisted buckets' files are never even opened,
+        strictly stronger than a partition filter)."""
+        want = None if only is None else {str(b) for b in only}
+        dirs = [
+            os.path.join(table_dir, rel)
+            for b, rel in manifest.items()
+            if want is None or b in want
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    def _merge_commit(
         self,
         table_dir: str,
-        df: DataFrame,
-        key_cols: list[str],
+        incoming: DataFrame,
+        bucket_cols: list[str],
         n: int,
+        build,
         indexes: list[IndexConfig] | None = None,
+        max_retries: int = 10,
     ) -> None:
-        """Dynamic-partition-overwrite write: only the buckets present in
-        ``df`` are replaced; every other bucket's files are untouched."""
-        out = df.withColumn(BUCKET_COL, self._bucket_expr(key_cols, n))
-        # one shuffle partition per touched bucket -> one file per bucket,
-        # not one-file-per-bucket-per-task (small-files at scale); the index
-        # sort must come after this shuffle or it would be destroyed
-        out = out.repartition(F.col(BUCKET_COL))
-        if indexes:
-            out = self._apply_index_layout(out, indexes)
-        # The merge plan lazily READS the bucket files this write replaces, so
-        # write to a staging dir first (files are written exactly once), then
-        # commit by swapping each touched bucket directory — a per-bucket
-        # atomic rename on posix/HDFS. On S3-like stores use a manifest
-        # committer or a table format (Delta/Iceberg MERGE) for the commit.
-        staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex}")
-        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-        bdir = self._buckets_dir(table_dir)
-        os.makedirs(bdir, exist_ok=True)
-        for entry in os.listdir(staging):
-            if entry.startswith(f"{BUCKET_COL}="):
-                dst = os.path.join(bdir, entry)
-                shutil.rmtree(dst, ignore_errors=True)
-                shutil.move(os.path.join(staging, entry), dst)
-        open(os.path.join(bdir, "_SUCCESS"), "w").close()
-        shutil.rmtree(staging, ignore_errors=True)
+        """The optimistic write loop: snapshot the table state (manifest,
+        or a legacy layout to migrate), run ``build(existing)`` to produce
+        the merged rows for the touched buckets, write them to an immutable
+        ``data/<commit-id>/`` dir, and publish version+1. On a lost race
+        the orphan data dir is discarded and the merge re-runs against the
+        winner's state — concurrent writers to disjoint OR overlapping
+        buckets serialize; neither's rows are lost."""
+        import time
+
+        # touched buckets are a pure function of the incoming batch —
+        # computed once, valid across retries. Bounded by n_buckets.
+        touched = [
+            r[0]
+            for r in incoming.select(
+                self._bucket_expr(bucket_cols, n).alias(BUCKET_COL)
+            )
+            .distinct()
+            .collect()
+        ]
+        for attempt in range(max_retries):
+            version, manifest = self._current_manifest(table_dir)
+            legacy_untouched: dict[str, str] = {}
+            migrated_snapshot = False
+            if manifest:
+                existing = self._manifest_read(table_dir, manifest, only=touched)
+                base_map = {
+                    b: rel for b, rel in manifest.items()
+                    if b not in {str(t) for t in touched}
+                }
+            elif os.path.exists(
+                os.path.join(self._buckets_dir(table_dir), "_SUCCESS")
+            ):
+                # legacy bucketed layout: merge against its pruned read and
+                # reference its untouched bucket dirs in-place in v1 —
+                # upgrade without rewriting the table
+                existing = self._read_buckets(table_dir, only=touched)
+                prefix = f"{BUCKET_COL}="
+                for entry in os.listdir(self._buckets_dir(table_dir)):
+                    if entry.startswith(prefix):
+                        b = entry[len(prefix):]
+                        if int(b) not in touched:
+                            legacy_untouched[b] = os.path.join("buckets", entry)
+                base_map = dict(legacy_untouched)
+            else:
+                legacy = self._latest_snapshot(table_dir)
+                # full-snapshot migration: merge against the whole table;
+                # every output bucket lands in this commit's data dir
+                existing = (
+                    self.spark.read.parquet(legacy) if legacy is not None else None
+                )
+                base_map = {}
+                migrated_snapshot = legacy is not None
+            merged = build(existing)
+            out = merged.withColumn(
+                BUCKET_COL, self._bucket_expr(bucket_cols, n)
+            )
+            # one shuffle partition per touched bucket -> one file per
+            # bucket, not one-per-bucket-per-task (small-files at scale);
+            # the index sort must come after this shuffle
+            out = out.repartition(F.col(BUCKET_COL))
+            if indexes:
+                out = self._apply_index_layout(out, indexes)
+            commit_id = uuid.uuid4().hex
+            staging = os.path.join(table_dir, f".staging-{commit_id}")
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            os.makedirs(self._data_dir(table_dir), exist_ok=True)
+            commit_data = os.path.join(self._data_dir(table_dir), commit_id)
+            written = [
+                e for e in os.listdir(staging) if e.startswith(f"{BUCKET_COL}=")
+            ]
+            shutil.move(staging, commit_data)
+            new_map = dict(base_map)
+            for entry in written:
+                b = entry.split("=", 1)[1]
+                new_map[b] = os.path.join("data", commit_id, entry)
+            if self._try_commit(table_dir, version + 1, new_map):
+                if migrated_snapshot:
+                    # superseded full snapshot: its rows now live in this
+                    # commit's data dir (the staging write completed before
+                    # the publish, so nothing still reads those files)
+                    shutil.rmtree(
+                        os.path.join(table_dir, "snapshots"), ignore_errors=True
+                    )
+                self._gc_table(table_dir)
+                return
+            # lost the race: discard this attempt's files, back off, retry
+            shutil.rmtree(commit_data, ignore_errors=True)
+            time.sleep(0.02 * (attempt + 1))
+        raise RuntimeError(
+            f"commit contention on {table_dir}: lost {max_retries} races"
+        )
 
     def _latest_snapshot(self, table_dir: str) -> str | None:
         snaps = os.path.join(table_dir, "snapshots")
@@ -181,7 +369,13 @@ class GraphStore:
             keep = 1
         for g in sorted(gens, reverse=True)[keep - 1:]:
             shutil.rmtree(os.path.join(snaps, str(g)), ignore_errors=True)
+        # a full-table snapshot supersedes every incremental layout: drop
+        # the legacy bucket dirs AND the manifest commit log + data dirs
+        # (the df was fully materialized into the snapshot above, so their
+        # files are no longer needed by any plan this write produced)
         shutil.rmtree(self._buckets_dir(table_dir), ignore_errors=True)
+        shutil.rmtree(self._commits_dir(table_dir), ignore_errors=True)
+        shutil.rmtree(self._data_dir(table_dir), ignore_errors=True)
 
     # ---------------------------------------------------------------- DDL
     def apply_target_schema(self, recreate: bool = False) -> None:
@@ -286,41 +480,12 @@ class GraphStore:
                 )
 
     # -------------------------------------------------------------- write
-    def _existing_for_merge(
-        self, table_dir: str, incoming: DataFrame, bucket_cols: list[str]
-    ) -> tuple[DataFrame | None, bool]:
-        """Existing rows the incoming batch can merge with, pruned to the
-        buckets the batch hashes into. Returns (existing, migrating): when a
-        legacy full snapshot is the current layout, the whole table is
-        returned once and the write converts it to the bucketed layout."""
-        buckets_dir = self._buckets_dir(table_dir)
-        if os.path.exists(os.path.join(buckets_dir, "_SUCCESS")):
-            n = self._table_buckets(table_dir)
-            # touched-bucket list: bounded by n_buckets, never by data size
-            # (at very large n_buckets swap the isin for a broadcast semi-join)
-            touched = [
-                r[0]
-                for r in incoming.select(
-                    self._bucket_expr(bucket_cols, n).alias(BUCKET_COL)
-                )
-                .distinct()
-                .collect()
-            ]
-            return self._read_buckets(table_dir, only=touched), False
-        legacy = self._latest_snapshot(table_dir)
-        if legacy is not None:
-            return self.spark.read.parquet(legacy), True
-        return None, False
-
-    def _finish_write(self, table_dir: str, migrating: bool) -> None:
-        if migrating:
-            shutil.rmtree(os.path.join(table_dir, "snapshots"), ignore_errors=True)
-
     def upsert_vertices(self, name: str, df: DataFrame, dry: bool = False) -> None:
         """Match on identity, update-or-insert; newer batch fields win but
         never null-out existing values (merge-on-keys reload semantics).
         Incremental: only the identity-hash buckets the batch touches are
-        read and rewritten."""
+        read and rewritten, and the commit is an optimistic manifest swap
+        (see module docstring) — safe under concurrent writers."""
         if dry:
             df.explain()
             return
@@ -334,30 +499,36 @@ class GraphStore:
         # sorted() + xxhash64's skip-nulls make the bucket stable when later
         # batches add columns (old rows carry nulls there).
         bucket_cols = identity or sorted(df.columns)
-        existing, migrating = self._existing_for_merge(table_dir, df, bucket_cols)
-        incoming = df.withColumn("__gen", F.lit(1))
-        if existing is not None:
-            incoming = existing.withColumn("__gen", F.lit(0)).unionByName(
-                incoming, allowMissingColumns=True
-            )
-        if identity:
-            value_cols = [c for c in incoming.columns if c not in identity + ["__gen"]]
-            aggs = [
-                F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col("__gen"))).alias(c)
-                for c in value_cols
-            ]
-            merged = (
-                incoming.groupBy(*identity).agg(*aggs)
-                if value_cols
-                else incoming.select(*identity).dropDuplicates()
-            )
-        else:
-            merged = incoming.drop("__gen").dropDuplicates()
-        merged = merged.drop("__gen") if "__gen" in merged.columns else merged
-        self._write_buckets(
-            table_dir, merged, bucket_cols, n, indexes=self._vertex_indexes(name)
+
+        def build(existing: DataFrame | None) -> DataFrame:
+            incoming = df.withColumn("__gen", F.lit(1))
+            if existing is not None:
+                incoming = existing.withColumn("__gen", F.lit(0)).unionByName(
+                    incoming, allowMissingColumns=True
+                )
+            if identity:
+                value_cols = [
+                    c for c in incoming.columns if c not in identity + ["__gen"]
+                ]
+                aggs = [
+                    F.max_by(
+                        F.col(c), F.when(F.col(c).isNotNull(), F.col("__gen"))
+                    ).alias(c)
+                    for c in value_cols
+                ]
+                merged = (
+                    incoming.groupBy(*identity).agg(*aggs)
+                    if value_cols
+                    else incoming.select(*identity).dropDuplicates()
+                )
+            else:
+                merged = incoming.drop("__gen").dropDuplicates()
+            return merged.drop("__gen") if "__gen" in merged.columns else merged
+
+        self._merge_commit(
+            table_dir, df, bucket_cols, n, build,
+            indexes=self._vertex_indexes(name),
         )
-        self._finish_write(table_dir, migrating)
 
     def insert_edges(
         self, eid: EdgeId, df: DataFrame, on_duplicate: str = "ignore", dry: bool = False
@@ -377,42 +548,45 @@ class GraphStore:
         if edge is not None and edge.identities:
             key_cols += [c for c in edge.identities if c in df.columns]
         bucket_cols = key_cols or sorted(df.columns)
-        existing, migrating = self._existing_for_merge(table_dir, df, bucket_cols)
-        incoming = df.withColumn("__gen", F.lit(1))
-        if existing is not None:
-            incoming = existing.withColumn("__gen", F.lit(0)).unionByName(
-                incoming, allowMissingColumns=True
-            )
-        value_cols = [c for c in incoming.columns if c not in key_cols + ["__gen"]]
-        if value_cols:
-            # upsert = never-null-out merge, matching upsert_vertices: a NULL
-            # in the incoming batch must not erase an existing value, so the
-            # max_by ordering is gated on the value being non-null.
-            if on_duplicate == "upsert":
-                aggs = [
-                    F.max_by(
-                        F.col(c), F.when(F.col(c).isNotNull(), F.col("__gen"))
-                    ).alias(c)
-                    for c in value_cols
-                ]
-            else:
-                # ignore = keep the existing row wholesale. All columns share
-                # ONE ordering (so the winner is a consistent row, not a
-                # per-column mix), and intra-batch ties (__gen equal) break on
-                # a value hash — deterministic regardless of partitioning.
-                order = F.struct(
-                    (-F.col("__gen")).alias("g"),
-                    F.xxhash64(*[F.col(c) for c in value_cols]).alias("h"),
+
+        def build(existing: DataFrame | None) -> DataFrame:
+            incoming = df.withColumn("__gen", F.lit(1))
+            if existing is not None:
+                incoming = existing.withColumn("__gen", F.lit(0)).unionByName(
+                    incoming, allowMissingColumns=True
                 )
-                aggs = [F.max_by(F.col(c), order).alias(c) for c in value_cols]
-            merged = incoming.groupBy(*key_cols).agg(*aggs)
-        else:
-            merged = incoming.select(*key_cols).dropDuplicates()
-        self._write_buckets(
-            table_dir, merged, bucket_cols, n,
+            value_cols = [
+                c for c in incoming.columns if c not in key_cols + ["__gen"]
+            ]
+            if value_cols:
+                # upsert = never-null-out merge, matching upsert_vertices: a
+                # NULL in the incoming batch must not erase an existing value,
+                # so the max_by ordering is gated on the value being non-null.
+                if on_duplicate == "upsert":
+                    aggs = [
+                        F.max_by(
+                            F.col(c), F.when(F.col(c).isNotNull(), F.col("__gen"))
+                        ).alias(c)
+                        for c in value_cols
+                    ]
+                else:
+                    # ignore = keep the existing row wholesale. All columns
+                    # share ONE ordering (so the winner is a consistent row,
+                    # not a per-column mix), and intra-batch ties (__gen
+                    # equal) break on a value hash — deterministic regardless
+                    # of partitioning.
+                    order = F.struct(
+                        (-F.col("__gen")).alias("g"),
+                        F.xxhash64(*[F.col(c) for c in value_cols]).alias("h"),
+                    )
+                    aggs = [F.max_by(F.col(c), order).alias(c) for c in value_cols]
+                return incoming.groupBy(*key_cols).agg(*aggs)
+            return incoming.select(*key_cols).dropDuplicates()
+
+        self._merge_commit(
+            table_dir, df, bucket_cols, n, build,
             indexes=edge.indexes if edge is not None else None,
         )
-        self._finish_write(table_dir, migrating)
 
     def _declared(self, eid: EdgeId) -> bool:
         try:
@@ -429,6 +603,11 @@ class GraphStore:
 
     # --------------------------------------------------------------- read
     def _read_table(self, table_dir: str, label: str) -> DataFrame:
+        _v, manifest = self._current_manifest(table_dir)
+        if manifest:
+            df = self._manifest_read(table_dir, manifest)
+            if df is not None:
+                return df
         if os.path.exists(os.path.join(self._buckets_dir(table_dir), "_SUCCESS")):
             return self._read_buckets(table_dir)
         latest = self._latest_snapshot(table_dir)

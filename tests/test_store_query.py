@@ -236,27 +236,29 @@ def test_incremental_upsert_rewrites_only_touched_buckets(spark, tables, tmp_pat
     st.apply_target_schema()
     st.upsert_vertices("customer", tables["customer"].select("c_custkey", "c_name"))
 
-    def bucket_digests(root):
+    def bucket_digests(store, tdir):
+        # digest each bucket's files via the CURRENT manifest: the pair
+        # (relative dir, bytes) proves untouched buckets are not merely
+        # equal but the very same files, never rewritten
+        _v, manifest = store._current_manifest(tdir)
         out = {}
-        for dirpath, _, files in os.walk(root):
-            base = os.path.basename(dirpath)
-            if not base.startswith(f"{BUCKET_COL}="):
-                continue
+        for b, rel in manifest.items():
+            d = os.path.join(tdir, rel)
             h = hashlib.sha256()
-            for fn in sorted(f for f in files if f.endswith(".parquet")):
-                with open(os.path.join(dirpath, fn), "rb") as fh:
+            for fn in sorted(f for f in os.listdir(d) if f.endswith(".parquet")):
+                with open(os.path.join(d, fn), "rb") as fh:
                     h.update(fn.encode())
                     h.update(fh.read())
-            out[base] = h.hexdigest()
+            out[b] = (rel, h.hexdigest())
         return out
 
     table_dir = st._table_dir("vertices", "customer")
-    before = bucket_digests(table_dir)
+    before = bucket_digests(st, table_dir)
     assert len(before) > 4  # the table actually spans buckets
 
     patch = spark.createDataFrame([(1, "PATCHED")], "c_custkey long, c_name string")
     st.upsert_vertices("customer", patch)
-    after = bucket_digests(table_dir)
+    after = bucket_digests(st, table_dir)
 
     touched = {b for b in before if before[b] != after.get(b)}
     assert len(touched) == 1  # one row -> one bucket rewritten
@@ -355,3 +357,128 @@ def test_graphview_pagerank_and_triangles(spark):
     per = {r["node_key"]: r["n_triangles"]
            for r in view.triangle_count(per_node=True).collect()}
     assert per == {"a\x1f1": 1, "a\x1f2": 1, "a\x1f3": 1, "a\x1f9": 0}
+
+
+def test_concurrent_upserts_serialize_and_readers_never_torn(spark, tmp_path):
+    """The optimistic commit protocol: two threads upserting concurrently
+    (disjoint id ranges -> mostly disjoint buckets) must both land — the
+    loser retries against the winner's manifest — and a concurrent reader
+    only ever observes a fully committed version (500 or 1000 rows),
+    never a torn multi-bucket interleave."""
+    import threading
+
+    from graflo_spark.manifest import CoreSchema, Field, Vertex
+
+    schema = CoreSchema(
+        vertices=[Vertex("doc", [Field("id"), Field("v")], identity=["id"])],
+        edges=[],
+    )
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=16)
+    st.apply_target_schema()
+    a = spark.range(0, 500).select(F.col("id"), F.lit("a").alias("v"))
+    b = spark.range(500, 1000).select(F.col("id"), F.lit("b").alias("v"))
+
+    seen, errors = [], []
+
+    def write(df):
+        try:
+            st.upsert_vertices("doc", df)
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    def read_loop(stop):
+        while not stop.is_set():
+            try:
+                seen.append(st.read_vertices("doc").count())
+            except FileNotFoundError:
+                seen.append(0)
+
+    stop = threading.Event()
+    rt = threading.Thread(target=read_loop, args=(stop,))
+    t1, t2 = threading.Thread(target=write, args=(a,)), threading.Thread(
+        target=write, args=(b,))
+    rt.start(); t1.start(); t2.start()
+    t1.join(); t2.join()
+    stop.set(); rt.join()
+    assert not errors
+    got = {r["id"]: r["v"] for r in st.read_vertices("doc").collect()}
+    assert len(got) == 1000  # neither batch lost
+    assert all(got[i] == "a" for i in range(0, 500))
+    assert all(got[i] == "b" for i in range(500, 1000))
+    assert set(seen) <= {0, 500, 1000}, sorted(set(seen))  # never torn
+
+
+def test_concurrent_overlapping_upserts_keep_both_fields(spark, tmp_path):
+    """Overlapping-bucket contention: two writers patch the SAME ids with
+    different fields. Serialization means the second merge runs against
+    the first's committed rows — both fields survive on every id (a torn
+    or lost update would null one out)."""
+    import threading
+
+    from graflo_spark.manifest import CoreSchema, Field, Vertex
+
+    schema = CoreSchema(
+        vertices=[Vertex("doc", [Field("id"), Field("f1"), Field("f2")],
+                         identity=["id"])],
+        edges=[],
+    )
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=8)
+    st.apply_target_schema()
+    base = spark.range(0, 200).select(
+        F.col("id"), F.lit(None).cast("string").alias("f1"),
+        F.lit(None).cast("string").alias("f2"))
+    st.upsert_vertices("doc", base)
+    c = spark.range(0, 200).select(F.col("id"), F.lit("C").alias("f1"))
+    d = spark.range(0, 200).select(F.col("id"), F.lit("D").alias("f2"))
+    errors = []
+
+    def write(df):
+        try:
+            st.upsert_vertices("doc", df)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t1, t2 = threading.Thread(target=write, args=(c,)), threading.Thread(
+        target=write, args=(d,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    rows = st.read_vertices("doc").collect()
+    assert len(rows) == 200
+    assert all(r["f1"] == "C" and r["f2"] == "D" for r in rows)
+
+
+def test_legacy_bucket_layout_upgrades_in_place(spark, tmp_path):
+    """A store written by the pre-manifest layout (mutable buckets/__b=N +
+    _SUCCESS) upgrades on first upsert: untouched legacy bucket dirs are
+    referenced by the new manifest IN PLACE (no table rewrite), touched
+    ones move to immutable commit dirs, and merge semantics hold."""
+    import json
+    import os
+
+    from graflo_spark.manifest import CoreSchema, Field, Vertex
+    from graflo_spark.store import BUCKET_COL
+
+    schema = CoreSchema(
+        vertices=[Vertex("doc", [Field("id"), Field("v")], identity=["id"])],
+        edges=[],
+    )
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=8)
+    st.apply_target_schema()
+    tdir = st._table_dir("vertices", "doc")
+    bdir = st._buckets_dir(tdir)
+    df = spark.range(0, 100).select(F.col("id"), F.lit("old").alias("v"))
+    (df.withColumn(BUCKET_COL, st._bucket_expr(["id"], 8))
+       .write.partitionBy(BUCKET_COL).parquet(bdir))
+    open(os.path.join(bdir, "_SUCCESS"), "w").close()
+    with open(os.path.join(tdir, "_meta.json"), "w") as f:
+        json.dump({"n_buckets": 8}, f)
+
+    patch = spark.createDataFrame([(1, "NEW"), (1000, "NEW")],
+                                  "id long, v string")
+    st.upsert_vertices("doc", patch)
+    got = {r["id"]: r["v"] for r in st.read_vertices("doc").collect()}
+    assert len(got) == 101 and got[1] == "NEW" and got[1000] == "NEW"
+    assert got[2] == "old"
+    _v, manifest = st._current_manifest(tdir)
+    assert any(rel.startswith("buckets") for rel in manifest.values())
+    assert any(rel.startswith("data") for rel in manifest.values())
