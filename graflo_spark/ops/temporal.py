@@ -44,6 +44,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: float | None = None,
     prefix: str = "ref_",
+    chunk_width: float | None = None,
 ) -> DataFrame:
     """Point-in-time join: for every left row, attach the single right row
     with the nearest ``right_ts`` at-or-before (``direction='backward'``)
@@ -61,6 +62,18 @@ def asof_join(
     directions). Several right rows on the same (key, ts) resolve to the
     greatest payload struct — deterministic regardless of partitioning;
     keep (key, ts) unique on the right side if that choice matters.
+
+    ``chunk_width`` (same unit as the timestamps) turns on the
+    SKEW-HARDENED two-level formulation: rows are additionally split
+    into fixed-width time chunks, the window runs per (key, chunk) —
+    bounding any one task's sort by the chunk population instead of the
+    whole key's — and a tiny per-(key, chunk) boundary frame carries the
+    latest payload across chunk borders. Identical results to the plain
+    path (property-tested); use it when the key cardinality is small
+    relative to the data (a 5-key stream at 100 TB puts ~20 TB in one
+    window partition without it). Pick ``chunk_width`` so a chunk holds
+    ~1-10M rows; the boundary frame costs one extra aggregate of
+    |keys| x |chunks| rows.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
@@ -111,16 +124,70 @@ def asof_join(
     ts_ord = (F.col("_ts").asc() if direction == "backward"
               else F.col("_ts").desc_nulls_first())
     order = [ts_ord, F.col("_side").asc(), F.col("_r").asc()]
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    matched = (
-        r_side.unionByName(l_side)
-        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
-    )
+    u = r_side.unionByName(l_side)
+    if chunk_width is None:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        matched = u.withColumn(
+            "_m", F.last("_r", ignorenulls=True).over(w)
+        ).filter(F.col("_side") == 1)
+    else:
+        # Two-level skew-hardened scan. Level 1: the same window per
+        # (key, time-chunk) — any one task sorts a chunk, not a key.
+        # Level 2: a per-(key, chunk) boundary aggregate carries the best
+        # out-of-chunk candidate across borders; it is |keys|x|chunks|
+        # rows — tiny. NULL left timestamps get a NULL chunk: the NULL
+        # partition holds no right rows (filtered above) and the carry
+        # join on a NULL chunk matches nothing, so they keep NULL refs,
+        # exactly like the plain path.
+        if chunk_width <= 0:
+            raise ValueError(
+                f"chunk_width must be positive, got {chunk_width}")
+        u = u.withColumn(
+            "_ck",
+            F.floor(
+                F.col("_ts").cast("double") / F.lit(float(chunk_width))
+            ).cast("long"),
+        )
+        w_local = (
+            W.partitionBy(*keys, "_ck")
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        local = u.withColumn(
+            "_m_loc", F.last("_r", ignorenulls=True).over(w_local))
+        # best right candidate per chunk: backward wants the LATEST right
+        # row (max ts), forward the EARLIEST (min ts == max of -ts); ties
+        # on ts resolve to the greatest payload struct both ways, matching
+        # the in-window `_r asc` tie-break.
+        t = F.col("_ts").cast("double")
+        best_key = t if direction == "backward" else -t
+        bnd = u.groupBy(*keys, "_ck").agg(
+            F.max(
+                F.when(
+                    F.col("_side") == 0,
+                    F.struct(best_key.alias("t"), F.col("_r").alias("r")),
+                )
+            ).alias("_best")
+        )
+        ck_ord = (F.col("_ck").asc() if direction == "backward"
+                  else F.col("_ck").desc())
+        w_carry = (
+            W.partitionBy(*keys)
+            .orderBy(ck_ord)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        carry = bnd.withColumn(
+            "_cb", F.last("_best", ignorenulls=True).over(w_carry)
+        ).select(*keys, "_ck", F.col("_cb.r").alias("_m_carry"))
+        matched = (
+            local.filter(F.col("_side") == 1)
+            .join(carry, keys + ["_ck"], "left")
+            .withColumn("_m", F.coalesce("_m_loc", "_m_carry"))
+        )
     if tolerance is not None:
         gap_ok = F.abs(
             F.col("_ts").cast("double") - F.col("_m._rts").cast("double")

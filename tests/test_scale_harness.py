@@ -132,3 +132,28 @@ def test_blowup_events_temporal_linearity(spark, sf_dir, tmp_path):
             for r in fn(spark, out).filter("method = 'asof'")
             .filter(F.col("event_id") <= max_base_id).collect()}
     assert rep0 == base_asof
+
+
+def test_store_bench_invariants(spark, sf_dir):
+    """The --store write-path bench must uphold the merge contract at any
+    scale: ingest+re-upsert is idempotent (row count == identity count),
+    a patch keeps the total and rewrites only its touched buckets
+    (amplification bounded by table/patch), and the adversarial
+    one-bucket table rewrites EVERYTHING on every patch (amplification ==
+    rows/patch_rows) while still keeping all rows."""
+    sys.path.insert(0, "/root/repo")
+    from tools.scale_bench import store_bench
+
+    out = store_bench(spark, sf_dir, "test", n_buckets=16)
+    assert out["idempotent"]
+    assert out["patch_kept_total"]
+    assert out["edge_idempotent"]
+    assert out["patch_rows"] >= 1
+    # patch rewrote at least its own rows, and no more than the table
+    assert out["rewritten_rows"] >= out["patch_rows"]
+    assert out["rewritten_rows"] < out["rows"]
+    adv = out["adversarial"]
+    assert adv["kept_total"]
+    # one-bucket identity: the whole table is rewritten per patch
+    assert adv["rewritten_rows"] == adv["rows"]
+    assert adv["amplification"] >= adv["rows"] / max(adv["patch_rows"], 1) * 0.99

@@ -263,3 +263,54 @@ def test_range_join_left_single_join_subtree(spark):
                   ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert n_joins == 1, plan
     assert "Union" not in plan
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_chunked_equals_plain(spark, direction):
+    """The two-level skew-hardened path must reproduce the plain window
+    exactly — across chunk borders, empty chunks, ties at chunk
+    boundaries, NULL timestamps, and tolerance."""
+    import random
+
+    rng = random.Random(7)
+    keys = ["k1", "k2"]
+    left_rows = [
+        (rng.choice(keys), float(rng.randint(0, 200)) if rng.random() > 0.05
+         else None, i)
+        for i in range(300)
+    ]
+    right_rows = [
+        (rng.choice(keys), float(rng.randint(0, 200)) if rng.random() > 0.05
+         else None, float(i))
+        for i in range(120)
+    ]
+    left = spark.createDataFrame(left_rows, "k string, ts double, i int")
+    right = spark.createDataFrame(right_rows, "k string, ts double, px double")
+    for tol in (None, 10.0):
+        plain = asof_join(left, right, "k", "ts", "ts",
+                          direction=direction, tolerance=tol)
+        chunked = asof_join(left, right, "k", "ts", "ts",
+                            direction=direction, tolerance=tol,
+                            chunk_width=25.0)
+        p = {r["i"]: (r["ref_ts"], r["ref_px"]) for r in plain.collect()}
+        c = {r["i"]: (r["ref_ts"], r["ref_px"]) for r in chunked.collect()}
+        assert p == c
+
+
+def test_asof_chunked_fixture_semantics(spark):
+    """Chunked path on the documented fixture: same expected matches as
+    test_asof_backward, with a chunk width that splits the quotes."""
+    out = {
+        r["qty"]: (r["ref_ts"], r["ref_px"])
+        for r in asof_join(
+            _trades(spark), _quotes(spark), "k", "ts", "ts", chunk_width=7.0
+        ).collect()
+    }
+    assert out == {
+        1: (None, None),
+        2: (5.0, 100.0),
+        3: (15.0, 110.0),
+        4: (25.0, 120.0),
+        5: (None, None),
+        6: (None, None),
+    }

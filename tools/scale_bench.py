@@ -46,8 +46,19 @@ rotation-invariant and become true cross-replica duplicates. The shipped
 sf0.1 corpus has neither, so `survivors_match: false` there is a real
 dedup-store bug signal; on other corpora check those preconditions first.
 
+``--store`` additionally benchmarks the GraphStore WRITE path (the
+hash-bucketed ``_merge_commit`` upsert) at both scales: fresh ingest,
+idempotent re-upsert (merge against every existing bucket), a fixed
+10-key patch upsert reporting bucket-rewrite amplification (rows
+rewritten / patch rows; with buckets sized to the data — the production
+rule — rewritten rows stay FLAT across scales: the O(batch) claim,
+measured), an edge insert over the same protocol, and an ADVERSARIAL
+table whose identities all hash into ONE bucket (worst-case skew: every
+patch rewrites the whole table; the measured amplification quantifies
+exactly how bad).
+
 Usage:
-    python3 tools/scale_bench.py [factor] [out_root] [--hot-group] [--incremental]
+    python3 tools/scale_bench.py [factor] [out_root] [--hot-group] [--incremental] [--store]
 Prints one JSON line:
     {"metric": "scale_exponents", "factor": N, "queries": {name:
       {"t_base": s, "t_scaled": s, "exponent": e, "rows_base": n,
@@ -241,11 +252,195 @@ def generate(spark, base_dir: str, out_dir: str, factor: int,
     open(os.path.join(out_dir, "_GENERATED"), "w").close()
 
 
+def store_bench(spark, src_dir: str, tag: str, n_buckets: int = 64,
+                adversarial_buckets: int = 64) -> dict:
+    """Measure the GraphStore write path over ``<src_dir>/customer.parquet``
+    (+ an orders-derived edge table): fresh ingest, idempotent re-upsert,
+    a FIXED-10-key patch upsert with measured bucket-rewrite amplification
+    (pass ``n_buckets`` scaled with the data — the production sizing rule —
+    and rewritten_rows stays FLAT across scales: the O(batch) claim,
+    measured), edge insert, and the adversarial all-rows-one-bucket
+    identity (always at ``adversarial_buckets`` — worst-case skew is about
+    collision, not sizing). Returns wall times and invariant checks;
+    caller computes exponents."""
+    import shutil
+    import tempfile
+
+    from graflo_spark.manifest import CoreSchema, EdgeId, Field, Vertex
+    from graflo_spark.store import GraphStore
+
+    pc = time.perf_counter
+    cust = spark.read.parquet(f"{src_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    n_rows = cust.count()
+    out: dict = {"rows": n_rows}
+    schema = CoreSchema(
+        vertices=[Vertex("customer", [Field(c) for c in cust.columns],
+                         identity=["c_custkey"])],
+        edges=[],
+    )
+    root = tempfile.mkdtemp(prefix=f"graflo_store_bench_{tag}_")
+    try:
+        st = GraphStore(spark, root, schema, n_buckets=n_buckets)
+        st.apply_target_schema()
+        t0 = pc(); st.upsert_vertices("customer", cust)
+        out["t_ingest"] = round(pc() - t0, 3)
+        t0 = pc(); st.upsert_vertices("customer", cust)
+        out["t_reupsert"] = round(pc() - t0, 3)
+        out["idempotent"] = st.read_vertices("customer").count() == n_rows
+
+        # fixed-10-key patch: rewrite amplification = rows living in the
+        # buckets the patch touched (== rows this commit rewrote) / patch
+        # rows. Ten keys touch <= 10 buckets whatever the table size, so
+        # with production bucket sizing rewritten_rows is scale-invariant.
+        patch = cust.orderBy("c_custkey").limit(10).withColumn(
+            "c_name", F.lit("patched"))
+        p_rows = patch.count()
+        tdir = st._table_dir("vertices", "customer")
+        _v, m_before = st._current_manifest(tdir)
+        t0 = pc(); st.upsert_vertices("customer", patch)
+        out["t_patch"] = round(pc() - t0, 3)
+        _v2, m_after = st._current_manifest(tdir)
+        changed = [os.path.join(tdir, rel) for b, rel in m_after.items()
+                   if m_before.get(b) != rel]
+        rewritten = (spark.read.parquet(*changed).count() if changed else 0)
+        out["patch_rows"] = p_rows
+        out["rewritten_rows"] = rewritten
+        out["amplification"] = round(rewritten / max(p_rows, 1), 2)
+        out["patch_kept_total"] = (
+            st.read_vertices("customer").count() == n_rows)
+
+        # edge path: same _merge_commit protocol, edge merge semantics
+        orders = spark.read.parquet(f"{src_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("_src_o_orderkey"),
+            F.col("o_custkey").alias("_dst_c_custkey"))
+        eid = EdgeId("order", "customer", "placed_by")
+        t0 = pc(); st.insert_edges(eid, orders)
+        out["t_edge_ingest"] = round(pc() - t0, 3)
+        t0 = pc(); st.insert_edges(eid, orders)
+        out["t_edge_reinsert"] = round(pc() - t0, 3)
+        out["edges"] = st.read_edges(eid).count()
+        out["edge_idempotent"] = out["edges"] == orders.distinct().count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # adversarial: distinct identities engineered to hash into ONE bucket
+    # (pmod(xxhash64(id), n) == 0) — every upsert rewrites the whole table
+    hot_ids = (
+        spark.range(0, n_rows * adversarial_buckets * 2)
+        .filter(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(adversarial_buckets)) == 0)
+        .limit(n_rows)
+        .select(F.col("id").alias("c_custkey"),
+                F.lit("hot").alias("c_name"))
+    ).localCheckpoint(eager=True)
+    n_hot = hot_ids.count()
+    hschema = CoreSchema(
+        vertices=[Vertex("customer", [Field("c_custkey"), Field("c_name")],
+                         identity=["c_custkey"])],
+        edges=[],
+    )
+    hroot = tempfile.mkdtemp(prefix=f"graflo_store_hot_{tag}_")
+    try:
+        hst = GraphStore(spark, hroot, hschema, n_buckets=adversarial_buckets)
+        hst.apply_target_schema()
+        t0 = pc(); hst.upsert_vertices("customer", hot_ids)
+        t_hot_ingest = round(pc() - t0, 3)
+        hpatch = hot_ids.limit(max(n_hot // 100, 1)).withColumn(
+            "c_name", F.lit("patched"))
+        hp_rows = hpatch.count()
+        htdir = hst._table_dir("vertices", "customer")
+        _v, hm_before = hst._current_manifest(htdir)
+        t0 = pc(); hst.upsert_vertices("customer", hpatch)
+        t_hot_patch = round(pc() - t0, 3)
+        _v2, hm_after = hst._current_manifest(htdir)
+        hchanged = [os.path.join(htdir, rel) for b, rel in hm_after.items()
+                    if hm_before.get(b) != rel]
+        h_rewritten = (spark.read.parquet(*hchanged).count()
+                       if hchanged else 0)
+        out["adversarial"] = {
+            "rows": n_hot,
+            "t_ingest": t_hot_ingest,
+            "t_patch": t_hot_patch,
+            "patch_rows": hp_rows,
+            "rewritten_rows": h_rewritten,
+            "amplification": round(h_rewritten / max(hp_rows, 1), 2),
+            "kept_total": hst.read_vertices("customer").count() == n_hot,
+        }
+    finally:
+        shutil.rmtree(hroot, ignore_errors=True)
+    return out
+
+
+def temporal_skew_bench(spark, base_dir: str, scaled_dir: str,
+                        factor: int) -> dict:
+    """Fixed-key temporal join scaling. The standard events blow-up gives
+    every replica its own event_type suffix — keys scale with the data,
+    which sidesteps the skew question. Here the suffix is stripped back
+    off, restoring the ORIGINAL key cardinality at factor x the rows (the
+    worst case for a per-key window: each key's partition grows by the
+    full factor), and the as-of join is measured BOTH plain and
+    chunk_width-hardened, plus the binned range join. The chunked
+    exponent staying near the plain small-key exponent is the evidence
+    the two-level formulation removes the bottleneck."""
+    from graflo_spark.ops.temporal import asof_join, binned_range_join
+
+    pc = time.perf_counter
+
+    def load_events(d: str):
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        tss = (F.col("ts").cast("double") / F.lit(1e9)
+               if dict(ev.dtypes)["ts"] == "bigint"
+               # TIMESTAMP/NTZ won't cast straight to double; go via epoch
+               else F.unix_timestamp("ts").cast("double"))
+        return ev.select(
+            "event_id",
+            # strip the per-replica suffix -> original key cardinality
+            F.substring_index("event_type", chr(31), 1).alias("event_type"),
+            tss.alias("tss"),
+            "value",
+        )
+
+    out: dict = {}
+    for label, d in (("base", base_dir), ("scaled", scaled_dir)):
+        ev = load_events(d).localCheckpoint(eager=True)
+        markers = ev.filter(F.col("value") > 150).select(
+            "event_type", F.col("tss").alias("mts"),
+            F.col("value").alias("mv"))
+        res: dict = {"keys": ev.select("event_type").distinct().count(),
+                     "rows": ev.count()}
+        for name, fn in (
+            ("asof_plain", lambda: asof_join(
+                ev, markers, "event_type", "tss", "mts")),
+            ("asof_chunked", lambda: asof_join(
+                ev, markers, "event_type", "tss", "mts",
+                chunk_width=86400.0)),
+            ("range", lambda: binned_range_join(
+                ev, markers.withColumn("mend", F.col("mts") + 3600.0),
+                "event_type", "tss", "mts", "mend", bin_width=3600.0)),
+        ):
+            t0 = pc()
+            n = fn().count()
+            res[f"t_{name}"] = round(pc() - t0, 3)
+            res[f"rows_{name}"] = n
+        out[label] = res
+    out["exponents"] = {
+        k: (round(math.log(out["scaled"][f"t_{k}"] / out["base"][f"t_{k}"])
+                  / math.log(factor), 3)
+            if out["base"].get(f"t_{k}") and out["scaled"].get(f"t_{k}")
+            and factor > 1 else None)
+        for k in ("asof_plain", "asof_chunked", "range")
+    }
+    return out
+
+
 def main() -> None:
-    flags = {"--hot-group", "--incremental"}
+    flags = {"--hot-group", "--incremental", "--store", "--temporal-skew"}
     args = [a for a in sys.argv[1:] if a not in flags]
     hot_group = "--hot-group" in sys.argv[1:]
     incremental = "--incremental" in sys.argv[1:]
+    store_mode = "--store" in sys.argv[1:]
+    temporal_skew = "--temporal-skew" in sys.argv[1:]
     if incremental and hot_group:
         # reject BEFORE any Spark work — not after minutes of measurement
         raise SystemExit(
@@ -271,7 +466,9 @@ def main() -> None:
 
     warm_dir = "/root/testdata/sf0.001"
     results: dict[str, dict] = {}
-    for name in SCALE_QUERIES:
+    # --store runs focus on the write path; the read-query sweep is the
+    # default mode's job (run both modes for the full picture)
+    for name in ([] if (store_mode or temporal_skew) else SCALE_QUERIES):
         fn = QUERIES[name]
         try:  # codegen warm; never let a missing warm dir zero the artifact
             if os.path.isdir(warm_dir):
@@ -307,6 +504,45 @@ def main() -> None:
         "base_dir": BASE_DIR,
         "queries": results,
     }
+
+    if store_mode:
+        try:
+            # JVM/codegen warm-up at the smallest sf so base wall times
+            # are not charged the first-run compilation tax
+            if os.path.isdir(warm_dir):
+                store_bench(spark, warm_dir, "warm", n_buckets=16)
+            sb_base = store_bench(spark, BASE_DIR, "base")
+            # production sizing rule: buckets scale with the data, keeping
+            # bucket size — and therefore patch rewrite cost — constant
+            sb_scaled = store_bench(
+                spark, out_dir, "scaled", n_buckets=64 * factor)
+            exps = {}
+            for k in ("t_ingest", "t_reupsert", "t_patch", "t_edge_ingest",
+                      "t_edge_reinsert"):
+                tb_, ts_ = sb_base.get(k), sb_scaled.get(k)
+                exps[k] = (round(math.log(ts_ / tb_) / math.log(factor), 3)
+                           if tb_ and ts_ and factor > 1 else None)
+            payload["store"] = {
+                "base": sb_base, "scaled": sb_scaled, "exponents": exps,
+            }
+            print(f"# store: exponents {exps} "
+                  f"amp base={sb_base['amplification']} "
+                  f"scaled={sb_scaled['amplification']} "
+                  f"adversarial={sb_scaled['adversarial']['amplification']}",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["store"] = {"error": str(exc)[:300]}
+            print(f"# store: FAILED {exc}"[:300], file=sys.stderr)
+
+    if temporal_skew:
+        try:
+            payload["temporal_skew"] = temporal_skew_bench(
+                spark, BASE_DIR, out_dir, factor)
+            print(f"# temporal_skew: "
+                  f"{payload['temporal_skew']['exponents']}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["temporal_skew"] = {"error": str(exc)[:300]}
+            print(f"# temporal_skew: FAILED {exc}"[:300], file=sys.stderr)
 
     if incremental:
         # failure here must not zero the already-measured exponents — same
