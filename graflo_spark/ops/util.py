@@ -14,7 +14,13 @@ def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataF
     already parallel and this is a no-op — the check costs only plan
     translation, no job.
     """
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    sc = df.sparkSession.sparkContext
+    # On a cluster the input is already parallel — skip even the partition
+    # probe: df.rdd forces a plan conversion per call, a measurable tax on
+    # microsecond-sensitive composition paths.
+    if not sc.master.startswith("local"):
+        return df
+    target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -434,13 +434,88 @@ def temporal_skew_bench(spark, base_dir: str, scaled_dir: str,
     return out
 
 
+def winnow_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
+    """Winnowing fingerprint scaling, production vs oracle hash. The
+    driver's oracle row is forced onto the portable md5-derived hash (so
+    DuckDB can reproduce the bits); the production path is xxhash64 over
+    the same zero-shuffle HOF pipeline. Times the fingerprint projection
+    and the full substring-overlap pair join (max_df-capped) at both
+    scales for both hashes."""
+    from graflo_spark.ops.dedup import substring_overlap_pairs
+    from graflo_spark.ops.textstats import winnowing_fingerprints
+
+    pc = time.perf_counter
+    out: dict = {}
+    for label, d in (("base", base_dir), ("scaled", scaled_dir)):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        res: dict = {"rows": docs.count()}
+        for mode, portable in (("production", False), ("portable", True)):
+            t0 = pc()
+            n_fp = winnowing_fingerprints(
+                docs, "doc_id", "text", portable_hash=portable).count()
+            res[f"t_fp_{mode}"] = round(pc() - t0, 3)
+            res[f"fps_{mode}"] = n_fp
+        t0 = pc()
+        n_pairs = substring_overlap_pairs(
+            docs, "doc_id", "text", min_shared=10, max_df=50).count()
+        res["t_pairs_production"] = round(pc() - t0, 3)
+        res["pairs"] = n_pairs
+        out[label] = res
+    out["exponents"] = {
+        k: (round(math.log(out["scaled"][k] / out["base"][k])
+                  / math.log(factor), 3)
+            if out["base"].get(k) and out["scaled"].get(k) and factor > 1
+            else None)
+        for k in ("t_fp_production", "t_fp_portable", "t_pairs_production")
+    }
+    return out
+
+
+def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
+    """Composed prepare-training-data pipeline at scale, with the funnel
+    invariant: the blow-up preserves duplicate structure per replica, so
+    every funnel stage — and especially the kept count — must scale by
+    exactly ``factor``. The quality gate runs with min_quality=0 because
+    the stopword component of the heuristic is (by design) not invariant
+    under the blow-up's alphabet rotation; the token-count and punct
+    gates are, so the stage still exercises its plumbing. Two documented
+    caveats (rotation re-rolls the MinHash realization; near-threshold
+    pairs can flip) make kept_match corpus-dependent — on the shipped
+    sf0.1 corpus it must hold."""
+    from graflo_spark.ops import pipeline as pl
+
+    pc = time.perf_counter
+    out: dict = {}
+    cfg = pl.PipelineConfig(min_quality=0.0, min_tokens=5)
+    for label, d in (("base", base_dir), ("scaled", scaled_dir)):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        t0 = pc()
+        chunks, annotated, funnel = pl.prepare_training_data(docs, None, cfg)
+        stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+        n_chunks = chunks.count()
+        wall = round(pc() - t0, 3)
+        annotated.unpersist()
+        out[label] = {"wall": wall, "funnel": stages, "chunks": n_chunks}
+    bf, sf_ = out["base"]["funnel"], out["scaled"]["funnel"]
+    out["exponent"] = (
+        round(math.log(out["scaled"]["wall"] / out["base"]["wall"])
+              / math.log(factor), 3) if factor > 1 else None)
+    out["kept_match"] = sf_.get("kept") == factor * bf.get("kept", 0)
+    out["stage_match"] = {
+        k: sf_.get(k) == factor * v for k, v in bf.items()}
+    return out
+
+
 def main() -> None:
-    flags = {"--hot-group", "--incremental", "--store", "--temporal-skew"}
+    flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
+             "--winnow", "--pipeline"}
     args = [a for a in sys.argv[1:] if a not in flags]
     hot_group = "--hot-group" in sys.argv[1:]
     incremental = "--incremental" in sys.argv[1:]
     store_mode = "--store" in sys.argv[1:]
     temporal_skew = "--temporal-skew" in sys.argv[1:]
+    winnow_mode = "--winnow" in sys.argv[1:]
+    pipeline_mode = "--pipeline" in sys.argv[1:]
     if incremental and hot_group:
         # reject BEFORE any Spark work — not after minutes of measurement
         raise SystemExit(
@@ -468,7 +543,8 @@ def main() -> None:
     results: dict[str, dict] = {}
     # --store runs focus on the write path; the read-query sweep is the
     # default mode's job (run both modes for the full picture)
-    for name in ([] if (store_mode or temporal_skew) else SCALE_QUERIES):
+    focused = store_mode or temporal_skew or winnow_mode or pipeline_mode
+    for name in ([] if focused else SCALE_QUERIES):
         fn = QUERIES[name]
         try:  # codegen warm; never let a missing warm dir zero the artifact
             if os.path.isdir(warm_dir):
@@ -543,6 +619,26 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             payload["temporal_skew"] = {"error": str(exc)[:300]}
             print(f"# temporal_skew: FAILED {exc}"[:300], file=sys.stderr)
+
+    if winnow_mode:
+        try:
+            payload["winnow"] = winnow_bench(spark, BASE_DIR, out_dir, factor)
+            print(f"# winnow: {payload['winnow']['exponents']}",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["winnow"] = {"error": str(exc)[:300]}
+            print(f"# winnow: FAILED {exc}"[:300], file=sys.stderr)
+
+    if pipeline_mode:
+        try:
+            payload["pipeline"] = pipeline_bench(
+                spark, BASE_DIR, out_dir, factor)
+            print(f"# pipeline: e={payload['pipeline']['exponent']} "
+                  f"kept_match={payload['pipeline']['kept_match']}",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["pipeline"] = {"error": str(exc)[:300]}
+            print(f"# pipeline: FAILED {exc}"[:300], file=sys.stderr)
 
     if incremental:
         # failure here must not zero the already-measured exponents — same
