@@ -601,6 +601,127 @@ class GraphStore:
         for eid, df in batch.edges.items():
             self.insert_edges(eid, df, dry=dry)
 
+    # ------------------------------------------------- maintenance / reads
+    def compact(self, kind: str, name: str) -> None:
+        """Rewrite the table's current contents as ONE fresh commit whose
+        data dir holds every bucket — the small-files defense: a long run
+        of incremental upserts leaves each bucket's rows scattered across
+        that many commit dirs' files, and scans pay per-file open costs.
+        Published through the same optimistic protocol as any write
+        (concurrent upserts serialize against it); after the old versions
+        expire, the superseded fragments are garbage-collected."""
+        table_dir = self._table_dir(kind, name)
+        n = self._table_buckets(table_dir)
+        import time
+
+        for attempt in range(10):
+            version, manifest = self._current_manifest(table_dir)
+            if not manifest:
+                return  # nothing committed yet (legacy layouts compact on
+                # first upsert instead)
+            df = self._manifest_read(table_dir, manifest)
+            out = df.withColumn(
+                BUCKET_COL,
+                self._bucket_expr(self._bucket_cols_of(table_dir, df), n),
+            ).repartition(F.col(BUCKET_COL))
+            if kind == "vertices":
+                indexes = self._vertex_indexes(name)
+            else:
+                indexes = next(
+                    (e.indexes for e in self.schema.edges
+                     if e.edge_id.table_name() == name), None)
+            if indexes:
+                out = self._apply_index_layout(out, indexes)
+            commit_id = uuid.uuid4().hex
+            staging = os.path.join(table_dir, f".staging-{commit_id}")
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            os.makedirs(self._data_dir(table_dir), exist_ok=True)
+            commit_data = os.path.join(self._data_dir(table_dir), commit_id)
+            written = [
+                e for e in os.listdir(staging) if e.startswith(f"{BUCKET_COL}=")
+            ]
+            shutil.move(staging, commit_data)
+            new_map = {
+                e.split("=", 1)[1]: os.path.join("data", commit_id, e)
+                for e in written
+            }
+            if self._try_commit(table_dir, version + 1, new_map):
+                self._gc_table(table_dir)
+                return
+            shutil.rmtree(commit_data, ignore_errors=True)
+            time.sleep(0.02 * (attempt + 1))
+        raise RuntimeError(f"compact contention on {table_dir}")
+
+    def _bucket_cols_of(self, table_dir: str, df: DataFrame) -> list[str]:
+        """Bucket columns a table was written with: vertex identity / edge
+        key prefix convention, falling back to the full sorted row like the
+        write path."""
+        base = os.path.basename(table_dir)
+        kind = os.path.basename(os.path.dirname(table_dir))
+        if kind == "vertices":
+            identity = [
+                f for f in self.schema.vertex(base).identity_fields
+                if f in df.columns
+            ]
+            if identity:
+                return identity
+        else:
+            keys = [c for c in df.columns if c.startswith(("_src_", "_dst_"))]
+            if "_relation" in df.columns:
+                keys.append("_relation")
+            if keys:
+                return keys
+        return sorted(df.columns)
+
+    def table_versions(self, kind: str, name: str) -> list[int]:
+        """Committed (unexpired) versions of a table, ascending."""
+        cdir = self._commits_dir(self._table_dir(kind, name))
+        if not os.path.isdir(cdir):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(cdir)
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+        )
+
+    def read_vertices_at(self, name: str, version: int) -> DataFrame:
+        """Time travel: the vertex table exactly as committed at
+        ``version`` (must still be within the retention window)."""
+        return self._read_at(self._table_dir("vertices", name), version)
+
+    def read_edges_at(self, eid: EdgeId, version: int) -> DataFrame:
+        return self._read_at(
+            self._table_dir("edges", eid.table_name()), version)
+
+    def _read_at(self, table_dir: str, version: int) -> DataFrame:
+        path = os.path.join(
+            self._commits_dir(table_dir), f"v{version:010d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"version {version} of {table_dir} is not committed or has "
+                f"been expired (kept: {self.snapshot_keep})")
+        with open(path) as f:
+            manifest = json.load(f)["buckets"]
+        df = self._manifest_read(table_dir, manifest)
+        if df is None:
+            raise FileNotFoundError(f"version {version} has no data")
+        return df
+
+    def expire_versions(self, kind: str, name: str,
+                        keep: int | None = None) -> None:
+        """Iceberg-style snapshot expiration, public handle: drop all but
+        the newest ``keep`` manifests (default ``snapshot_keep``) and
+        delete data dirs nothing kept references."""
+        if keep is not None:
+            old = self.snapshot_keep
+            self.snapshot_keep = keep
+            try:
+                self._gc_table(self._table_dir(kind, name))
+            finally:
+                self.snapshot_keep = old
+        else:
+            self._gc_table(self._table_dir(kind, name))
+
     # --------------------------------------------------------------- read
     def _read_table(self, table_dir: str, label: str) -> DataFrame:
         _v, manifest = self._current_manifest(table_dir)

@@ -482,3 +482,56 @@ def test_legacy_bucket_layout_upgrades_in_place(spark, tmp_path):
     _v, manifest = st._current_manifest(tdir)
     assert any(rel.startswith("buckets") for rel in manifest.values())
     assert any(rel.startswith("data") for rel in manifest.values())
+
+
+def test_compact_time_travel_and_expiration(spark, tmp_path):
+    """Table-format maintenance surface over the manifest protocol:
+    version history reads back exact committed states (time travel),
+    compact() rewrites the scattered incremental commits into one
+    data dir without changing the current contents, and
+    expire_versions() drops history + unreferenced files."""
+    import os
+
+    from graflo_spark.manifest import CoreSchema, Field, Vertex
+
+    schema = CoreSchema(
+        vertices=[Vertex("doc", [Field("id"), Field("v")], identity=["id"])],
+        edges=[],
+    )
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=8,
+                    snapshot_keep=5)
+    st.apply_target_schema()
+    st.upsert_vertices("doc", spark.range(0, 100).select(
+        F.col("id"), F.lit("a").alias("v")))
+    st.upsert_vertices("doc", spark.range(100, 200).select(
+        F.col("id"), F.lit("b").alias("v")))
+    st.upsert_vertices("doc", spark.createDataFrame(
+        [(0, "patched")], "id long, v string"))
+    assert st.table_versions("vertices", "doc") == [1, 2, 3]
+    # time travel: each version is the exact committed state
+    assert st.read_vertices_at("doc", 1).count() == 100
+    assert st.read_vertices_at("doc", 2).count() == 200
+    v2 = {r["id"]: r["v"] for r in st.read_vertices_at("doc", 2).collect()}
+    assert v2[0] == "a"  # pre-patch
+    v3 = {r["id"]: r["v"] for r in st.read_vertices_at("doc", 3).collect()}
+    assert v3[0] == "patched"
+
+    before = {r["id"]: r["v"] for r in st.read_vertices("doc").collect()}
+    st.compact("vertices", "doc")
+    after = {r["id"]: r["v"] for r in st.read_vertices("doc").collect()}
+    assert after == before  # contents unchanged
+    tdir = st._table_dir("vertices", "doc")
+    _v, manifest = st._current_manifest(tdir)
+    commit_ids = {rel.split(os.sep)[1] for rel in manifest.values()}
+    assert len(commit_ids) == 1  # every bucket now lives in ONE commit dir
+
+    st.expire_versions("vertices", "doc", keep=1)
+    assert st.table_versions("vertices", "doc") == [4]
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="expired|not committed"):
+        st.read_vertices_at("doc", 2)
+    # expired data dirs are actually gone
+    ddir = st._data_dir(tdir)
+    assert set(os.listdir(ddir)) == commit_ids
+    # and the table still reads fine
+    assert st.read_vertices("doc").count() == 200
