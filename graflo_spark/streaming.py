@@ -362,6 +362,53 @@ def stream_minhash_dedup(
     )
 
 
+def stream_asof_enrich(
+    stream: DataFrame,
+    reference,
+    on,
+    left_ts: str,
+    right_ts: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    **asof_kwargs,
+):
+    """Streaming point-in-time enrichment: each micro-batch is as-of
+    joined (:func:`graflo_spark.ops.temporal.asof_join`) against the
+    reference table and the enriched rows append to ``output_dir`` — the
+    stream-side twin of the batch operator, for the 'tag every event with
+    the reference row in force at its timestamp' shape (quotes for
+    trades, config in force at send time, model version at score time).
+
+    ``reference`` is either a DataFrame (static for the query's lifetime)
+    or a ZERO-ARG CALLABLE returning one, re-evaluated per micro-batch —
+    pass a callable when the reference is itself upserted concurrently
+    (e.g. ``lambda: store.read_vertices("quote")``) so each batch joins
+    the latest committed version.
+
+    State story: unlike a stream-stream interval join this keeps NO
+    watermark state — correctness is per-batch (a reference row arriving
+    AFTER an event's batch was processed does not retroactively re-match,
+    which is exactly the at-time-of-processing semantics enrichment
+    wants). Output is at-least-once under replays, like the other
+    foreachBatch sinks; dedup downstream by key if exactly-once matters.
+    """
+    from graflo_spark.ops.temporal import asof_join
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ref = reference() if callable(reference) else reference
+        asof_join(
+            batch_df, ref, on, left_ts, right_ts, **asof_kwargs
+        ).write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def replay_as_stream(spark, df: DataFrame, rate_rows_per_second: int = 1000):
     """Replay a batch table as a stream for tests: writes it to an in-memory
     rate-joined source is overkill locally — instead we chunk via

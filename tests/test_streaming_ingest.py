@@ -192,3 +192,45 @@ def test_kafka_value_parsing_against_recorded_wire_frame(spark):
     assert got[2] == ("view", None)
     assert got[None][0] is None  # null + malformed -> all-null docs
     assert out.filter("event_id IS NULL").count() == 2
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """Streaming point-in-time enrichment: micro-batched output must equal
+    the batch asof_join over the same data, and a CALLABLE reference is
+    re-read per batch (the upserted-dimension shape)."""
+    from graflo_spark.ops.temporal import asof_join
+    from graflo_spark.streaming import replay_as_stream, stream_asof_enrich
+
+    trades = spark.createDataFrame(
+        [("a", 4.0, 1), ("a", 12.0, 2), ("b", 9.0, 3), ("a", 30.0, 4)],
+        "k string, ts double, qty int")
+    quotes = spark.createDataFrame(
+        [("a", 5.0, 100.0), ("a", 15.0, 110.0), ("b", 1.0, 50.0)],
+        "k string, ts double, px double")
+    out = str(tmp_path / "enriched")
+    q = stream_asof_enrich(
+        replay_as_stream(spark, trades.repartition(2)), quotes,
+        "k", "ts", "ts", out, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = {r["qty"]: (r["ref_ts"], r["ref_px"])
+           for r in spark.read.parquet(out).collect()}
+    want = {r["qty"]: (r["ref_ts"], r["ref_px"])
+            for r in asof_join(trades, quotes, "k", "ts", "ts").collect()}
+    assert got == want
+
+    # callable reference: evaluated per batch
+    calls = []
+
+    def ref():
+        calls.append(1)
+        return quotes
+
+    out2 = str(tmp_path / "enriched2")
+    q2 = stream_asof_enrich(
+        replay_as_stream(spark, trades.repartition(2)), ref,
+        "k", "ts", "ts", out2, str(tmp_path / "ckpt2"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert len(calls) >= 2  # one per non-empty micro-batch
+    assert spark.read.parquet(out2).count() == 4
