@@ -867,21 +867,7 @@ def pagerank_trade_network(spark, sf_dir):
     to 6 decimals on both sides for the hash match."""
     from graflo_spark.ops import graphalgo as ga
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .select(
-            F.col("s_nationkey").alias("id_a"),
-            F.col("c_nationkey").alias("id_b"),
-        )
-    )
-    pr = ga.pagerank(edges, max_iter=8, tol=None)
+    pr = ga.pagerank(_trade_edge_frame(spark, sf_dir), max_iter=8, tol=None)
     return pr.select(
         F.col("node").cast("long").alias("node"),
         F.round("rank", 6).alias("rank"),
@@ -901,6 +887,123 @@ _TRIANGLE_ORACLE = (
     "SELECT CAST(node AS BIGINT) AS node, COUNT(*) AS n_triangles "
     "FROM corners GROUP BY node"
 )
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Synchronous label propagation unrolled into chained MATERIALIZED
+    CTEs (same reasoning as :func:`_pagerank_oracle`): per iteration, a
+    per-(node, neighbor-label) count and a row_number pick of the most
+    frequent label with min-label ties — the exact update rule of
+    ops/graphalgo.label_propagation."""
+    sql = (
+        f"WITH raw AS MATERIALIZED ({_TRADE_EDGES_SQL}), "
+        "edges AS MATERIALIZED (SELECT src AS a, dst AS b FROM raw "
+        "UNION SELECT dst, src FROM raw), "
+        "lp0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label "
+        "FROM edges)"
+    )
+    for i in range(iters):
+        sql += (
+            f", cnt{i} AS MATERIALIZED (SELECT e.a AS node, p.label, "
+            f"COUNT(*) AS c FROM edges e JOIN lp{i} p ON p.node = e.b "
+            f"GROUP BY e.a, p.label), "
+            f"lp{i + 1} AS MATERIALIZED (SELECT node, label FROM "
+            f"(SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label) AS rn FROM cnt{i}) t WHERE rn = 1)"
+        )
+    return (
+        f"{sql} SELECT CAST(node AS BIGINT) AS node, "
+        f"CAST(label AS BIGINT) AS label FROM lp{iters}"
+    )
+
+
+def _trade_edge_frame(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("id_a"),
+            F.col("c_nationkey").alias("id_b"),
+        )
+    )
+
+
+@q("lpa_communities_trade", _lpa_oracle(4))
+def lpa_communities_trade(spark, sf_dir):
+    """Community detection on the graph surface: DETERMINISTIC synchronous
+    label propagation (fixed iterations, min-label ties —
+    ops/graphalgo.label_propagation) over the undirected nation trade
+    network, proved against an unrolled chained-CTE SQL oracle of the
+    identical update rule. Classic async LPA with random ties could never
+    sit in this harness — determinism is the design choice."""
+    from graflo_spark.ops import graphalgo as ga
+
+    lp = ga.label_propagation(_trade_edge_frame(spark, sf_dir), max_iter=4)
+    return lp.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+_LINKPRED_ORACLE = (
+    "WITH pairs AS MATERIALIZED ("
+    "SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, "
+    "greatest(a.l_partkey, b.l_partkey) AS b "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey <> b.l_partkey), "
+    "edges AS MATERIALIZED (SELECT a, b FROM pairs "
+    "UNION SELECT b, a FROM pairs), "
+    "deg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS d FROM edges "
+    "GROUP BY a), "
+    "wedges AS MATERIALIZED (SELECT e1.b AS u, e2.b AS v, e1.a AS z "
+    "FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b), "
+    "scored AS MATERIALIZED (SELECT u, v, COUNT(*) AS common, "
+    "SUM(1.0 / ln(deg.d)) AS aa FROM wedges "
+    "JOIN deg ON deg.node = wedges.z GROUP BY u, v "
+    "HAVING COUNT(*) >= 20), "
+    "no_edge AS (SELECT s.* FROM scored s LEFT JOIN pairs p "
+    "ON p.a = s.u AND p.b = s.v WHERE p.a IS NULL) "
+    "SELECT CAST(u AS BIGINT) AS id_a, CAST(v AS BIGINT) AS id_b, common, "
+    "ROUND(common / (du.d + dv.d - common), 6) AS jaccard, "
+    "ROUND(aa, 6) AS adamic_adar "
+    "FROM no_edge JOIN deg du ON du.node = no_edge.u "
+    "JOIN deg dv ON dv.node = no_edge.v"
+)
+
+
+@q("link_prediction_copurchase", _LINKPRED_ORACLE)
+def link_prediction_copurchase(spark, sf_dir):
+    """Link prediction (Liben-Nowell/Kleinberg measures) on the part
+    co-purchase graph: common neighbors, Jaccard, Adamic-Adar for every
+    NON-adjacent pair sharing >= 20 neighbors
+    (ops/graphalgo.link_prediction_scores — one wedge join + one
+    aggregate + degree joins), vs the same computation in SQL."""
+    from graflo_spark.ops import graphalgo as ga
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+    )
+    out = ga.link_prediction_scores(pairs, min_common=20)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
 
 
 @q("triangle_corners_copurchase", _TRIANGLE_ORACLE)
@@ -1111,6 +1214,39 @@ def text_stats_documents(spark, sf_dir):
         pi.pii_count(aug, "ipv4").alias("n_pii_ipv4"),
         pi.pii_count(aug, "phone").alias("n_pii_phone"),
         F.sha2(pi.redact_pii(aug), 256).alias("redacted_fp"),
+    )
+
+
+_BIGRAM_ENTROPY_ORACLE = (
+    r"WITH splt AS (SELECT doc_id, "
+    r"regexp_split_to_array(trim(text), '\s+') AS lst "
+    "FROM documents WHERE text IS NOT NULL), "
+    "bigs AS (SELECT doc_id, unnest(list_transform(range(1, len(lst)), "
+    "i -> lst[i] || chr(31) || lst[i+1])) AS bg "
+    "FROM splt WHERE len(lst) > 1), "
+    "cnts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigs "
+    "GROUP BY doc_id, bg), "
+    "tot AS (SELECT doc_id, SUM(c) AS n FROM cnts GROUP BY doc_id) "
+    "SELECT CAST(cnts.doc_id AS BIGINT) AS id, "
+    "CAST(MAX(n) AS BIGINT) AS n_bigrams, "
+    "ROUND(SUM(-(c/n) * ln(c/n)), 6) AS bigram_entropy "
+    "FROM cnts JOIN tot ON tot.doc_id = cnts.doc_id GROUP BY cnts.doc_id"
+)
+
+
+@q("bigram_entropy_documents", _BIGRAM_ENTROPY_ORACLE)
+def bigram_entropy_documents(spark, sf_dir):
+    """Token-bigram Shannon entropy per document
+    (ops/textstats.bigram_entropy — the distribution-aware repetition
+    signal the unigram ratios miss): posexplode + lead window + two
+    aggregates, all codegen'd; oracle forms the same bigrams with a
+    list_transform and reproduces the entropy to 6 decimals."""
+    df = load(spark, sf_dir, "documents")
+    out = ts.bigram_entropy(df, "doc_id", "text")
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "n_bigrams",
+        F.round("bigram_entropy", 6).alias("bigram_entropy"),
     )
 
 

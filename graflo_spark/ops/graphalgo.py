@@ -298,3 +298,116 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007, public) with a deterministic tie-break: labels start as the
+    node id; each round every node adopts the label most frequent among
+    its neighbors, ties resolved to the SMALLEST label; all nodes update
+    from the previous round's labels simultaneously. Returns
+    ``(node, label)`` for every node in ``pairs``.
+
+    Determinism is the design choice here: classic asynchronous LPA with
+    random tie-breaks is irreproducible run-to-run, which disqualifies it
+    from oracle-style verification and from any pipeline that must be
+    replayable — fixed iterations + min-label ties make the output a pure
+    function of the edge set (the same determinism stance as the min-id
+    components of :func:`connected_components`). Synchronous updates can
+    oscillate two-color patterns on bipartite subgraphs; run an odd/even
+    ``max_iter`` probe if that matters for your graph.
+
+    Scale shape: each round is one equi-join of the label vector with the
+    symmetrized edge list (shuffle on node id, reused across rounds) plus
+    one count aggregate and one row_number window over the per-node label
+    histogram — partition sizes bounded by a node's distinct neighbor
+    LABELS, not its degree. Per-round ``localCheckpoint`` truncates
+    lineage like the other iterative algorithms here."""
+    from pyspark.sql import Window as W
+
+    edges = _symmetrize(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(max_iter):
+        hist = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), "label"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            hist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def link_prediction_scores(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    min_common: int = 1,
+    exclude_existing: bool = True,
+) -> DataFrame:
+    """Neighborhood link-prediction scores over the undirected graph: for
+    every node pair sharing >= ``min_common`` neighbors, the three
+    classic measures (Liben-Nowell & Kleinberg 2003, public) —
+    ``common`` (common-neighbor count), ``jaccard``
+    (|N(u) ∩ N(v)| / |N(u) ∪ N(v)|) and ``adamic_adar``
+    (sum 1/ln(deg(z)) over shared z, weighting rare bridges up). Returns
+    ``(id_a, id_b, common, jaccard, adamic_adar)`` with id_a < id_b;
+    ``exclude_existing`` drops pairs already adjacent (the usual
+    prediction setting — score only candidate NEW links).
+
+    Scale shape: one wedge join through the shared neighbor (the z-side
+    shuffle; fan-out per z is deg(z)^2, so cap hub degrees upstream the
+    same way ``substring_overlap_pairs`` caps max_df if the graph has
+    celebrity nodes), one count/sum aggregate per pair, two degree joins
+    for the Jaccard denominator, and an optional anti-join on the edge
+    list. Everything equi-keyed; nothing driver-side."""
+    edges = _symmetrize(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # wedge u—z—v (u < v): every shared neighbor contributes one row
+    e1 = edges.select(F.col("b").alias("z"), F.col("a").alias("u"))
+    e2 = edges.select(F.col("b").alias("z"), F.col("a").alias("v"))
+    wedges = (
+        e1.join(e2, "z")
+        .filter(F.col("u") < F.col("v"))
+        .join(deg.select(F.col("a").alias("z"), F.col("d").alias("dz")), "z")
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common"),
+        F.sum(F.lit(1.0) / F.log(F.col("dz"))).alias("adamic_adar"),
+    ).filter(F.col("common") >= min_common)
+    scored = (
+        scored.join(deg.select(F.col("a").alias("u"),
+                               F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("a").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.col("u").alias("id_a"), F.col("v").alias("id_b"), "common",
+            (F.col("common")
+             / (F.col("du") + F.col("dv") - F.col("common"))).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+    if exclude_existing:
+        existing = edges.filter(F.col("a") < F.col("b")).select(
+            F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        scored = scored.join(existing, ["id_a", "id_b"], "left_anti")
+    return scored

@@ -303,3 +303,51 @@ def quality_filter(
     if langs is not None:
         cond = cond & lang_id(t).isin(langs)
     return df.filter(cond)
+
+
+def bigram_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Token-bigram Shannon entropy per document (nats): the
+    distribution-aware repetition signal — boilerplate, keyword stuffing
+    and generated loops all collapse the bigram distribution long before
+    the unigram ratios (:func:`token_repetition_frac`) notice, while
+    natural prose keeps entropy near log(n_bigrams). Returns
+    ``(id, n_bigrams, bigram_entropy)``; documents with fewer than two
+    tokens emit no row (no distribution to measure).
+
+    Shape: posexplode tokens -> lead() window per doc (the codegen'd
+    formulation, per the winnowing A/B) -> one (id, bigram) count
+    aggregate -> per-doc entropy via a window total — two hash shuffles,
+    no Python, no HOFs in the hot path."""
+    from pyspark.sql import Window as W
+
+    from graflo_spark.ops.util import ensure_min_parallelism
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    w_next = W.partitionBy("id").orderBy("pos")
+    bigs = (
+        exploded.withColumn("nxt", F.lead("tok").over(w_next))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "id",
+            F.concat_ws(chr(31), F.col("tok"), F.col("nxt")).alias("bg"),
+        )
+    )
+    counts = bigs.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    w_tot = W.partitionBy("id")
+    p = F.col("c") / F.sum("c").over(w_tot)
+    return (
+        counts.withColumn("_plp", -p * F.log(p))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum("_plp").alias("bigram_entropy"),
+        )
+    )
