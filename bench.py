@@ -39,6 +39,14 @@ BENCH_QUERIES = [
     "decontam_overlap_documents",
     # temporal join family: window filter + as-of join + binned range join
     "temporal_ops_events",
+    # round 5: graph analytics on the query surface — PageRank + sync LPA
+    # over the nation trade network. (Per-node triangles and link
+    # prediction are oracle-proven at sf0.01 but stay OFF the headline
+    # set: the sf0.1 co-purchase graph is ~10x denser, and their
+    # wedge-bound 20 s walls would bury every other headline signal;
+    # tools/scale_bench.py carries their scaling story instead.)
+    "pagerank_trade_network",
+    "lpa_communities_trade",
 ]
 
 

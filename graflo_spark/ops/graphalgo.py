@@ -262,11 +262,14 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0))
     d = float(damping)
     for _ in range(max_iter):
-        # mass of dangling nodes (rank with no out-edges), one scalar
+        # mass of dangling nodes (rank with no out-edges) stays IN-PLAN as
+        # a broadcast 1-row aggregate instead of a driver-side .first():
+        # with tol=None that halves the jobs per iteration (the former
+        # scalar pull was a full action before every checkpoint)
         dangling = (
             ranks.join(outdeg.select(F.col("src").alias("node")),
                        "node", "left_anti")
-            .agg(F.sum("rank")).first()[0] or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         inflow = (
             contrib_edges.join(
@@ -274,12 +277,13 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("od")).alias("_in"))
         )
-        base = (1.0 - d) + d * dangling / n
         new_ranks = (
             nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base)
+                (F.lit(1.0 - d)
+                 + F.lit(d) * F.col("_dm") / F.lit(float(n))
                  + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
                  ).alias("rank"))
         )

@@ -39,6 +39,12 @@ HEADLINES = [
     "decontam_overlap_documents",
     "pack_chunks_documents",
     "temporal_ops_events",
+    # round 5 graph analytics + text entropy headliners
+    "pagerank_trade_network",
+    "lpa_communities_trade",
+    "triangle_corners_copurchase",
+    "link_prediction_copurchase",
+    "bigram_entropy_documents",
 ]
 
 
