@@ -543,6 +543,53 @@ class GraphView:
             )
         )
 
+    def label_propagation(
+        self,
+        relations: list[str] | None = None,
+        max_iter: int = 5,
+    ) -> DataFrame:
+        """Deterministic synchronous label-propagation communities over
+        the undirected view: ``(node_key, node_type, label)`` for every
+        vertex (isolated vertices are their own singleton community).
+        Net-new vs the reference query surface
+        (:func:`graflo_spark.ops.graphalgo.label_propagation`)."""
+        from graflo_spark.ops import graphalgo as ga
+
+        edges = self.typed_edge_list(
+            relations=relations, direction=Direction.OUT
+        ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
+        lp = ga.label_propagation(edges, max_iter=max_iter)
+        nodes = self._all_typed_nodes()
+        return (
+            nodes.join(lp, nodes["node_key"] == lp["node"], "left")
+            .select(
+                "node_key", "node_type",
+                F.coalesce(F.col("label"), F.col("node_key")).alias("label"),
+            )
+        )
+
+    def link_prediction(
+        self,
+        relations: list[str] | None = None,
+        min_common: int = 1,
+        exclude_existing: bool = True,
+    ) -> DataFrame:
+        """Common-neighbors / Jaccard / Adamic-Adar link-prediction scores
+        over the undirected view: ``(key_a, key_b, common, jaccard,
+        adamic_adar)``. Net-new vs the reference query surface
+        (:func:`graflo_spark.ops.graphalgo.link_prediction_scores`)."""
+        from graflo_spark.ops import graphalgo as ga
+
+        edges = self.typed_edge_list(
+            relations=relations, direction=Direction.OUT
+        ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
+        return ga.link_prediction_scores(
+            edges, min_common=min_common, exclude_existing=exclude_existing
+        ).select(
+            F.col("id_a").alias("key_a"), F.col("id_b").alias("key_b"),
+            "common", "jaccard", "adamic_adar",
+        )
+
     def _all_typed_nodes(self) -> DataFrame:
         """(node_key, node_type) of every vertex in the view."""
         parts = [

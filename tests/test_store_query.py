@@ -535,3 +535,35 @@ def test_compact_time_travel_and_expiration(spark, tmp_path):
     assert set(os.listdir(ddir)) == commit_ids
     # and the table still reads fine
     assert st.read_vertices("doc").count() == 200
+
+
+def test_graphview_lpa_and_link_prediction(spark):
+    """LPA communities and link-prediction scores over the typed graph
+    surface: two cliques resolve to min-key labels (isolated vertices are
+    singletons), and the bridge endpoints' shared-neighbor pairs score."""
+    from graflo_spark.manifest import CoreSchema, Edge, EdgeId, Field, Vertex
+    from graflo_spark.query import GraphView
+
+    schema = CoreSchema(
+        vertices=[Vertex("a", [Field("id")], identity=["id"])],
+        edges=[Edge("a", "a", relation="r")],
+    )
+    va = spark.createDataFrame([(1,), (2,), (3,), (4,), (5,), (6,), (9,)],
+                               "id long")
+    # triangle {1,2,3} and triangle {4,5,6}; 9 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "_src_id long, _dst_id long")
+    view = GraphView(
+        vertices={"a": va}, edges={EdgeId("a", "a", "r"): edges},
+        schema=schema)
+    lp = {r["node_key"]: r["label"]
+          for r in view.label_propagation(max_iter=4).collect()}
+    assert lp["a\x1f1"] == lp["a\x1f2"] == lp["a\x1f3"] == "a\x1f1"
+    assert lp["a\x1f4"] == lp["a\x1f5"] == lp["a\x1f6"] == "a\x1f4"
+    assert lp["a\x1f9"] == "a\x1f9"  # isolated singleton
+
+    scores = {(r["key_a"], r["key_b"]): r["common"]
+              for r in view.link_prediction(
+                  min_common=1, exclude_existing=False).collect()}
+    assert scores[("a\x1f1", "a\x1f2")] == 1  # shared neighbor 3
