@@ -874,6 +874,73 @@ def pagerank_trade_network(spark, sf_dir):
     )
 
 
+_TRADE_WEDGES_SQL = (
+    "SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS cnt "
+    "FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE s_nationkey <> c_nationkey GROUP BY s_nationkey, c_nationkey"
+)
+
+
+def _sssp_oracle(iters: int) -> str:
+    """Fixed-round Bellman-Ford relaxation unrolled into MATERIALIZED
+    CTEs (same engine-inlining reasoning as the PageRank/LPA oracles):
+    distances are double sums along paths with identical association in
+    both engines, so the comparison is exact before the final round."""
+    sql = (
+        f"WITH raw AS MATERIALIZED ({_TRADE_WEDGES_SQL}), "
+        "edges AS MATERIALIZED (SELECT src, dst, 1.0 / cnt AS w FROM raw), "
+        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, "
+        "CAST(0.0 AS DOUBLE) AS dist)"
+    )
+    for i in range(iters):
+        sql += (
+            f", rel{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"MIN(d.dist + e.w) AS dist "
+            f"FROM edges e JOIN d{i} d ON d.node = e.src GROUP BY e.dst), "
+            f"d{i + 1} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM "
+            f"(SELECT * FROM d{i} UNION ALL SELECT * FROM rel{i}) t "
+            f"GROUP BY node)"
+        )
+    return (
+        f"{sql} SELECT CAST(node AS BIGINT) AS node, "
+        f"ROUND(dist, 9) AS dist FROM d{iters}"
+    )
+
+
+@q("sssp_trade_network", _sssp_oracle(6))
+def sssp_trade_network(spark, sf_dir):
+    """Weighted single-source shortest paths (distributed Bellman-Ford
+    with frontier-delta relaxation, ops/graphalgo.shortest_paths) over
+    the nation trade network with edge weight 1/trade-count (heavier
+    trade = closer), source nation 0, fixed 6 relaxation rounds so the
+    unrolled SQL oracle replays the exact semantics."""
+    from graflo_spark.ops import graphalgo as ga
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("id_a"),
+            F.col("c_nationkey").alias("id_b"),
+        )
+        .agg((F.lit(1.0) / F.count(F.lit(1))).alias("w"))
+    )
+    d = ga.shortest_paths(edges, [0], weight_col="w", max_iter=6)
+    return d.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("dist", 9).alias("dist"),
+    )
+
+
 _TRIANGLE_ORACLE = (
     "WITH pairs AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, "
     "greatest(a.l_partkey, b.l_partkey) AS b "

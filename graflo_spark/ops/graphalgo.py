@@ -415,3 +415,81 @@ def link_prediction_scores(
             F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         scored = scored.join(existing, ["id_a", "id_b"], "left_anti")
     return scored
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: list,
+    id_src: str = "id_a",
+    id_dst: str = "id_b",
+    weight_col: str | None = None,
+    max_iter: int = 10,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Single/multi-source shortest path distances over a DIRECTED
+    weighted edge list by synchronous relaxation (distributed
+    Bellman-Ford): ``(node, dist)`` for every node reachable from any of
+    ``sources`` within ``max_iter`` hops. ``weight_col`` defaults to 1.0
+    per edge (hop counting); negative weights are rejected (negative-cycle
+    semantics are undefined for a fixed-round relaxation).
+
+    With ``max_iter >= |V| - 1`` the result is the exact shortest
+    distance; smaller values give the documented "shortest path using at
+    most k hops" semantics — deterministic either way, which is what lets
+    a fixed-round SQL oracle replay it. Distances are pure double sums
+    along each path (same association in any engine), so cross-engine
+    comparison is exact.
+
+    Scale shape: each round is one equi-join of the frontier with the
+    out-edge list plus two min-aggregates, all hash-keyed on node id
+    (AQE-safe, map-side combinable); per-round ``localCheckpoint``
+    truncates lineage like the other iterative algorithms here. Cost per
+    round is bounded by edges incident to IMPROVED nodes — the frontier
+    optimization: only distances that changed last round can relax a
+    neighbor, so the join input is the delta, not the full vector."""
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = edges.select(
+        F.col(id_src).alias("src"), F.col(id_dst).alias("dst"),
+        w.alias("w"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if weight_col:
+        # fail fast on a negative weight: silent wrong answers otherwise
+        neg = e.filter(F.col("w") < 0).limit(1).count()
+        if neg:
+            raise ValueError("shortest_paths: negative edge weight found")
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(s, 0.0) for s in sources], "node: long, dist: double"
+    ) if sources and isinstance(sources[0], int) else spark.createDataFrame(
+        [(s, 0.0) for s in sources], "node: string, dist: double"
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        relaxed = (
+            e.join(frontier.select(F.col("node").alias("src"), "dist"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint:
+            new_dist = new_dist.localCheckpoint(eager=True)
+        # frontier = nodes whose best distance improved this round; when
+        # it drains, every later round is a no-op
+        frontier = new_dist.join(
+            dist.select("node", F.col("dist").alias("_old")), "node", "left"
+        ).filter(
+            F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+        ).select("node", "dist")
+        if checkpoint:
+            frontier = frontier.localCheckpoint(eager=True)
+        dist = new_dist
+        if frontier.limit(1).count() == 0:
+            break
+    return dist

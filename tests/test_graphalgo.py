@@ -327,3 +327,42 @@ def test_link_prediction_scores_known_graph(spark):
                          tri, exclude_existing=False).collect()}
     assert (0, 1) in with_existing  # adjacent, share neighbor 2
     assert link_prediction_scores(tri).count() == 0  # all pairs adjacent
+
+
+def test_shortest_paths_weighted_known_graph(spark):
+    """Weighted SSSP on a hand graph: the relaxation must find the
+    cheaper 2-hop route over the expensive direct edge, drain the
+    frontier early, and reject negative weights."""
+    from graflo_spark.ops.graphalgo import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 2.0), (1, 3, 1.0), (4, 0, 1.0)],
+        "id_a long, id_b long, w double")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(edges, [0], weight_col="w",
+                                   max_iter=10).collect()}
+    assert got == {0: 0.0, 2: 1.0, 1: 3.0, 3: 4.0}  # 4 unreachable
+
+    # multi-source: min over sources; hop-count mode without weights
+    hops = {r["node"]: r["dist"]
+            for r in shortest_paths(edges, [0, 4], max_iter=10).collect()}
+    assert hops[4] == 0.0 and hops[0] == 0.0 and hops[1] == 1.0
+    assert hops[3] == 2.0
+
+    import pytest as _pytest
+    bad = spark.createDataFrame([(0, 1, -1.0)], "id_a long, id_b long, w double")
+    with _pytest.raises(ValueError, match="negative"):
+        shortest_paths(bad, [0], weight_col="w")
+
+
+def test_shortest_paths_bounded_hops_semantics(spark):
+    """max_iter = k gives 'shortest using <= k hops' — deterministic and
+    exactly what the unrolled SQL oracle replays."""
+    from graflo_spark.ops.graphalgo import shortest_paths
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(6)], "id_a long, id_b long, w double")
+    d2 = {r["node"]: r["dist"]
+          for r in shortest_paths(chain, [0], weight_col="w",
+                                  max_iter=2).collect()}
+    assert d2 == {0: 0.0, 1: 1.0, 2: 2.0}  # nodes past 2 hops absent
