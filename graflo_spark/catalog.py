@@ -815,7 +815,8 @@ _TRADE_EDGES_SQL = (
 )
 
 
-def _pagerank_oracle(iters: int, d: float = 0.85) -> str:
+def _pagerank_oracle(iters: int, d: float = 0.85,
+                     seeds: list | None = None) -> str:
     """Fixed-iteration PageRank unrolled into a chained-CTE ANSI query —
     one (dangling, inflow, rank) CTE triple per iteration, mirroring
     ops/graphalgo.pagerank's update exactly: rank' = (1-d) + d*dangling/n
@@ -836,6 +837,15 @@ def _pagerank_oracle(iters: int, d: float = 0.85) -> str:
         "FROM nodes)"
     )
     dd_ = repr(float(d))
+    if seeds:
+        in_list = ", ".join(str(s) for s in seeds)
+        t_sql = (
+            f"(CASE WHEN nodes.node IN ({in_list}) THEN "
+            f"CAST((SELECT n FROM nn) AS DOUBLE) / {len(seeds)} "
+            f"ELSE CAST(0 AS DOUBLE) END)"
+        )
+    else:
+        t_sql = "CAST(1.0 AS DOUBLE)"
     for i in range(iters):
         sql += (
             f", dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank), 0) AS m "
@@ -846,7 +856,8 @@ def _pagerank_oracle(iters: int, d: float = 0.85) -> str:
             f"FROM edges e JOIN pr{i} p ON p.node = e.src "
             f"JOIN deg ON deg.node = e.src GROUP BY e.dst), "
             f"pr{i + 1} AS MATERIALIZED (SELECT nodes.node, "
-            f"(1.0 - {dd_}) + {dd_} * (SELECT m FROM dang{i}) / "
+            f"(1.0 - {dd_}) * {t_sql} "
+            f"+ {dd_} * (SELECT m FROM dang{i}) * {t_sql} / "
             f"(SELECT n FROM nn) "
             f"+ {dd_} * COALESCE(inflow{i}.s, CAST(0 AS DOUBLE)) AS rank "
             f"FROM nodes LEFT JOIN inflow{i} ON nodes.node = inflow{i}.node)"
@@ -868,6 +879,25 @@ def pagerank_trade_network(spark, sf_dir):
     from graflo_spark.ops import graphalgo as ga
 
     pr = ga.pagerank(_trade_edge_frame(spark, sf_dir), max_iter=8, tol=None)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
+@q("ppr_trade_network", _pagerank_oracle(8, seeds=[0, 7]))
+def ppr_trade_network(spark, sf_dir):
+    """PERSONALIZED PageRank: teleport mass (and the dangling
+    redistribution) concentrated on seed nations {0, 7} — ranks measure
+    trade proximity to the seed set, the 'related items' primitive. Same
+    fixed-iteration discipline and unrolled-CTE oracle as the classic
+    row, with the teleport vector swapped in on both sides."""
+    from graflo_spark.ops import graphalgo as ga
+
+    pr = ga.pagerank(
+        _trade_edge_frame(spark, sf_dir), max_iter=8, tol=None,
+        personalized=[0, 7],
+    )
     return pr.select(
         F.col("node").cast("long").alias("node"),
         F.round("rank", 6).alias("rank"),

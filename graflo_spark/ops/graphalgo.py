@@ -221,12 +221,21 @@ def pagerank(
     max_iter: int = 20,
     tol: float | None = 1e-6,
     checkpoint: bool = True,
+    personalized: list | None = None,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list (public power-iteration
     formulation). Returns ``(node, rank)`` for every node appearing in
     ``pairs``; ranks sum to the node count (the classic normalization, so
     rank 1.0 is "averagely important"). Dangling nodes (no out-edges)
     redistribute their mass uniformly, keeping the total conserved.
+
+    ``personalized``: a seed-node list switches to PERSONALIZED PageRank —
+    the teleport mass (and the dangling redistribution) concentrates
+    uniformly on the seeds instead of the whole graph, so ranks measure
+    proximity TO THE SEED SET (the 'related items' / topic-sensitive
+    ranking primitive). Seeds absent from the edge set simply contribute
+    nothing (their teleport share is lost; pass valid seeds). Total mass
+    is still conserved at n.
 
     Scale design: each iteration is ONE equi-join of the rank vector with
     the out-edge list plus one groupBy — both shuffles hash on node id, so
@@ -261,6 +270,16 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
     d = float(damping)
+    # teleport weight per node: uniform 1.0 classically; n/|seeds| on the
+    # seed set (0 elsewhere) for personalized mode. The same update
+    # expression serves both: rank' = (1-d)*t + d*dangling*t/n + d*inflow.
+    if personalized:
+        t_expr = F.when(
+            F.col("node").isin(list(personalized)),
+            F.lit(float(n) / len(personalized)),
+        ).otherwise(F.lit(0.0))
+    else:
+        t_expr = F.lit(1.0)
     for _ in range(max_iter):
         # mass of dangling nodes (rank with no out-edges) stays IN-PLAN as
         # a broadcast 1-row aggregate instead of a driver-side .first():
@@ -282,8 +301,8 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(1.0 - d)
-                 + F.lit(d) * F.col("_dm") / F.lit(float(n))
+                (F.lit(1.0 - d) * t_expr
+                 + F.lit(d) * F.col("_dm") * t_expr / F.lit(float(n))
                  + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
                  ).alias("rank"))
         )

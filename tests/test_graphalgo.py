@@ -366,3 +366,25 @@ def test_shortest_paths_bounded_hops_semantics(spark):
           for r in shortest_paths(chain, [0], weight_col="w",
                                   max_iter=2).collect()}
     assert d2 == {0: 0.0, 1: 1.0, 2: 2.0}  # nodes past 2 hops absent
+
+
+def test_personalized_pagerank_proximity_and_mass(spark):
+    """PPR on a barbell-ish graph: mass conserved at n, seed-side nodes
+    outrank the far side, and classic mode is unchanged by the refactor."""
+    from graflo_spark.ops.graphalgo import pagerank
+
+    # two triangles {0,1,2} and {10,11,12} joined by a bridge 2-10
+    tri = lambda a, b, c: [(a, b), (b, c), (c, a), (b, a), (c, b), (a, c)]
+    edges = spark.createDataFrame(
+        tri(0, 1, 2) + tri(10, 11, 12) + [(2, 10), (10, 2)],
+        "id_a long, id_b long")
+    ppr = {r["node"]: r["rank"]
+           for r in pagerank(edges, max_iter=30, tol=None,
+                             personalized=[0]).collect()}
+    assert abs(sum(ppr.values()) - 6) < 1e-6      # mass conserved at n
+    assert ppr[0] > ppr[2] > ppr[10] > ppr[12]    # proximity ordering
+    classic = {r["node"]: r["rank"]
+               for r in pagerank(edges, max_iter=30, tol=None).collect()}
+    assert abs(sum(classic.values()) - 6) < 1e-6
+    # classic stays symmetric between the two triangles
+    assert abs(classic[0] - classic[11]) < 1e-9
