@@ -1103,6 +1103,63 @@ def link_prediction_copurchase(spark, sf_dir):
     )
 
 
+_COPURCHASE_PAIRS_SQL = (
+    "SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, "
+    "greatest(a.l_partkey, b.l_partkey) AS b "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey <> b.l_partkey"
+)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Fixed-round k-core peeling unrolled into MATERIALIZED CTEs: per
+    round, a HAVING degree >= k survivor set and a two-sided edge
+    restriction — the exact loop of ops/graphalgo.k_core. Extra rounds
+    past stability are no-ops, so Spark's early stop and the fixed SQL
+    unroll agree whenever peeling converges within ``rounds`` (verified
+    6 rounds at sf0.01 for the registry's k)."""
+    sql = (
+        f"WITH pairs AS MATERIALIZED ({_COPURCHASE_PAIRS_SQL}), "
+        "e0 AS MATERIALIZED (SELECT a, b FROM pairs "
+        "UNION SELECT b, a FROM pairs)"
+    )
+    for i in range(rounds):
+        sql += (
+            f", keep{i} AS MATERIALIZED (SELECT a AS node FROM e{i} "
+            f"GROUP BY a HAVING COUNT(*) >= {k}), "
+            f"e{i + 1} AS MATERIALIZED (SELECT c.a, c.b FROM e{i} c "
+            f"JOIN keep{i} k1 ON c.a = k1.node "
+            f"JOIN keep{i} k2 ON c.b = k2.node)"
+        )
+    return (
+        f"{sql} SELECT CAST(a AS BIGINT) AS node, COUNT(*) AS core_deg "
+        f"FROM e{rounds} GROUP BY a HAVING COUNT(*) >= {k}"
+    )
+
+
+@q("kcore_copurchase", _kcore_oracle(80, 8))
+def kcore_copurchase(spark, sf_dir):
+    """Dense-subgraph screen: the 80-core of the part co-purchase graph
+    (ops/graphalgo.k_core — iterative degree peel, edge-count stability)
+    vs the unrolled fixed-round peeling oracle. At sf0.01 the peel takes
+    6 avalanching rounds and keeps an 1857-node core."""
+    from graflo_spark.ops import graphalgo as ga
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+    )
+    out = ga.k_core(pairs, 80, max_iter=8)
+    return out.select(
+        F.col("node").cast("long").alias("node"), "core_deg")
+
+
 @q("triangle_corners_copurchase", _TRIANGLE_ORACLE)
 def triangle_corners_copurchase(spark, sf_dir):
     """Exact per-node triangle counts (SURVEY §2.9 net-new analytics) on

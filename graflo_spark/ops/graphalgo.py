@@ -512,3 +512,49 @@ def shortest_paths(
         if frontier.limit(1).count() == 0:
             break
     return dist
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The k-core of the undirected graph: iteratively peel nodes of
+    degree < ``k`` until the survivor set is stable (Seidman 1983,
+    public) — the classic dense-subgraph screen (spam link farms, tight
+    co-occurrence clusters, community nuclei). Returns
+    ``(node, core_deg)`` for every surviving node with its degree INSIDE
+    the core.
+
+    Round structure: one degree aggregate + two semi-join restrictions of
+    the edge list per round, all hash-keyed on node id; the edge set only
+    shrinks, so an unchanged edge COUNT proves stability (no set compare
+    needed). Peeling depth is data-dependent (a chain peels one node per
+    round at k=2), so ``max_iter`` bounds the rounds; at exhaustion the
+    final ``degree >= k`` filter still holds, making the fixed-round
+    result deterministic — the property the unrolled SQL oracle replays.
+    Per-round ``localCheckpoint`` truncates lineage as usual."""
+    edges = _symmetrize(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        new_edges = (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+        )
+        if checkpoint:
+            new_edges = new_edges.localCheckpoint(eager=True)
+        n_new = new_edges.count()
+        if n_new == n_edges:
+            break
+        edges, n_edges = new_edges, n_new
+    out = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_deg"))
+    return out.filter(F.col("core_deg") >= k)

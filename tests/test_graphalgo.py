@@ -388,3 +388,26 @@ def test_personalized_pagerank_proximity_and_mass(spark):
     assert abs(sum(classic.values()) - 6) < 1e-6
     # classic stays symmetric between the two triangles
     assert abs(classic[0] - classic[11]) < 1e-9
+
+
+def test_k_core_known_graph(spark):
+    """K4 plus a pendant chain: the 3-core is exactly the K4 (each at
+    core degree 3); the 2-core keeps a triangle hanging off it; a chain
+    peels completely at k=2."""
+    from graflo_spark.ops.graphalgo import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # triangle {3,4,5} shares node 3 with the K4; pendant path 5-6-7
+    extra = [(3, 4), (4, 5), (3, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(k4 + extra, "id_a long, id_b long")
+    core3 = {r["node"]: r["core_deg"]
+             for r in k_core(edges, 3).collect()}
+    assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}
+    core2 = {r["node"]: r["core_deg"]
+             for r in k_core(edges, 2).collect()}
+    assert set(core2) == {0, 1, 2, 3, 4, 5}   # chain 6-7 peeled
+    assert core2[4] == 2 and core2[5] == 2
+    # pure chain at k=2 peels to nothing (deep peeling exercises rounds)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    assert k_core(chain, 2).count() == 0
