@@ -1404,6 +1404,52 @@ def bigram_entropy_documents(spark, sf_dir):
     )
 
 
+_LM_CE_ORACLE = (
+    r"WITH splt AS (SELECT doc_id, "
+    r"regexp_split_to_array(trim(text), '\s+') AS lst "
+    "FROM documents WHERE text IS NOT NULL), "
+    "bigs AS (SELECT doc_id, unnest(list_transform(range(1, len(lst)), "
+    "i -> lst[i] || chr(31) || lst[i+1])) AS bgs "
+    "FROM splt WHERE len(lst) > 1), "
+    "pairs AS MATERIALIZED (SELECT doc_id, "
+    "split_part(bgs, chr(31), 1) AS w1, "
+    "split_part(bgs, chr(31), 2) AS w2 FROM bigs), "
+    "tr AS MATERIALIZED (SELECT w1, w2 FROM pairs WHERE doc_id % 20 = 0), "
+    "uni AS MATERIALIZED (SELECT w1 AS w, COUNT(*) AS cu FROM tr "
+    "GROUP BY w1), "
+    "big AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cb FROM tr "
+    "GROUP BY w1, w2), "
+    "vv AS MATERIALIZED (SELECT COUNT(*) + 1 AS v FROM uni), "
+    "scored AS (SELECT p.doc_id, "
+    "ln((COALESCE(b.cb, 0) + 1.0) / "
+    "(COALESCE(u.cu, 0) + CAST((SELECT v FROM vv) AS DOUBLE))) AS lp "
+    "FROM pairs p LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2 "
+    "LEFT JOIN uni u ON p.w1 = u.w) "
+    "SELECT CAST(doc_id AS BIGINT) AS id, COUNT(*) AS n_bigrams, "
+    "ROUND(-SUM(lp) / COUNT(*), 6) AS cross_entropy "
+    "FROM scored GROUP BY doc_id"
+)
+
+
+@q("lm_cross_entropy_documents", _LM_CE_ORACLE)
+def lm_cross_entropy_documents(spark, sf_dir):
+    """CCNet-style LM quality scoring: per-document cross-entropy under a
+    Laplace-smoothed bigram model trained on the deterministic
+    ``doc_id % 20 == 0`` reference slice (ops/lm — count tables as
+    DataFrames, broadcast joins, no binary LM state) — the classic
+    perplexity filter, verified probability-for-probability in SQL."""
+    from graflo_spark.ops import lm as lmm
+
+    df = load(spark, sf_dir, "documents")
+    model = lmm.train_bigram_lm(df, "doc_id", "text")
+    out = lmm.lm_cross_entropy(df, "doc_id", "text", model)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "n_bigrams",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+    )
+
+
 # Decontamination oracle, two methods under one discriminator:
 # 'ngram' — benchmark = every 20th document; overlap = count of DISTINCT
 # normalized word-5grams shared with the benchmark gram set.
