@@ -506,9 +506,61 @@ def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     return out
 
 
+GRAPH_QUERIES = [
+    "pagerank_trade_network",
+    "ppr_trade_network",
+    "lpa_communities_trade",
+    "sssp_trade_network",
+    "kcore_copurchase",
+    "triangle_corners_copurchase",
+    "link_prediction_copurchase",
+]
+
+
+def graph_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
+    """Graph-analytics scaling: the trade-graph iterative family and the
+    co-purchase wedge/peel family at base and scaled. The replica blow-up
+    keeps part/order keys disjoint, so wedges, triangles, cores and
+    candidate pairs are replica-local — output structure scales exactly
+    linearly, making the exponents honest. link_prediction's min_common
+    is tuned to sf0.01 density (the driver gate); at sf0.1+ the wedge
+    join still runs in full, which is what the timing measures."""
+    from graflo_spark.catalog import QUERIES
+
+    pc = time.perf_counter
+    out: dict = {}
+    warm = "/root/testdata/sf0.001"
+    for name in GRAPH_QUERIES:
+        try:
+            if os.path.isdir(warm):
+                QUERIES[name](spark, warm).count()
+        except Exception:  # noqa: BLE001
+            pass
+        entry: dict = {}
+        for label, d in (("base", base_dir), ("scaled", scaled_dir)):
+            t0 = pc()
+            try:
+                n = QUERIES[name](spark, d).count()
+            except Exception as exc:  # noqa: BLE001
+                print(f"# {name}@{label}: FAILED {exc}"[:300],
+                      file=sys.stderr)
+                entry[f"t_{label}"] = None
+                continue
+            entry[f"t_{label}"] = round(pc() - t0, 3)
+            entry[f"rows_{label}"] = n
+            print(f"# {name}@{label}: {entry[f't_{label}']}s rows={n}",
+                  file=sys.stderr)
+        tb_, ts_ = entry.get("t_base"), entry.get("t_scaled")
+        entry["exponent"] = (
+            round(math.log(ts_ / tb_) / math.log(factor), 3)
+            if tb_ and ts_ and factor > 1 else None)
+        out[name] = entry
+    return out
+
+
 def main() -> None:
     flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
-             "--winnow", "--pipeline"}
+             "--winnow", "--pipeline", "--graph"}
     args = [a for a in sys.argv[1:] if a not in flags]
     hot_group = "--hot-group" in sys.argv[1:]
     incremental = "--incremental" in sys.argv[1:]
@@ -516,6 +568,7 @@ def main() -> None:
     temporal_skew = "--temporal-skew" in sys.argv[1:]
     winnow_mode = "--winnow" in sys.argv[1:]
     pipeline_mode = "--pipeline" in sys.argv[1:]
+    graph_mode = "--graph" in sys.argv[1:]
     if incremental and hot_group:
         # reject BEFORE any Spark work — not after minutes of measurement
         raise SystemExit(
@@ -543,7 +596,8 @@ def main() -> None:
     results: dict[str, dict] = {}
     # --store runs focus on the write path; the read-query sweep is the
     # default mode's job (run both modes for the full picture)
-    focused = store_mode or temporal_skew or winnow_mode or pipeline_mode
+    focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
+               or graph_mode)
     for name in ([] if focused else SCALE_QUERIES):
         fn = QUERIES[name]
         try:  # codegen warm; never let a missing warm dir zero the artifact
@@ -628,6 +682,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             payload["winnow"] = {"error": str(exc)[:300]}
             print(f"# winnow: FAILED {exc}"[:300], file=sys.stderr)
+
+    if graph_mode:
+        try:
+            payload["graph"] = graph_bench(spark, BASE_DIR, out_dir, factor)
+            print("# graph: " + str({k: v.get("exponent")
+                  for k, v in payload["graph"].items()}), file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["graph"] = {"error": str(exc)[:300]}
+            print(f"# graph: FAILED {exc}"[:300], file=sys.stderr)
 
     if pipeline_mode:
         try:
