@@ -130,6 +130,51 @@ def cmd_prepare(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Graph analytics over a persisted store: the schema is bootstrapped
+    from the store's own graph_schema.json (written by
+    apply_target_schema), so no manifest file is needed at read time."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graflo_spark.manifest import CoreSchema, Edge, Field, Vertex
+    from graflo_spark.session import get_spark
+    from graflo_spark.store import GraphStore
+
+    spark = get_spark("graflo-analyze")
+    with open(os.path.join(args.store, "graph_schema.json")) as f:
+        meta = json.load(f)
+    schema = CoreSchema(
+        vertices=[
+            Vertex(n, [Field(fl) for fl in v["fields"]],
+                   identity=v["identity"])
+            for n, v in meta["vertices"].items()
+        ],
+        edges=[
+            Edge(e["source"], e["target"], relation=e.get("relation"))
+            for e in meta["edges"]
+        ],
+    )
+    view = GraphStore(spark, args.store, schema).as_view()
+    rels = args.relations or None
+    if args.metric == "pagerank":
+        out = view.pagerank(relations=rels).orderBy(F.col("rank").desc())
+    elif args.metric == "components":
+        out = view.connected_components(relations=rels)
+    elif args.metric == "communities":
+        out = view.label_propagation(relations=rels)
+    else:  # triangles
+        out = view.triangle_count(relations=rels, per_node=True).orderBy(
+            F.col("n_triangles").desc())
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(args.top, truncate=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="graflo-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -192,6 +237,21 @@ def build_parser() -> argparse.ArgumentParser:
     prep.add_argument("--chunk-tokens", type=int, default=2048)
     prep.add_argument("--split", action="append", metavar="NAME=WEIGHT")
     prep.set_defaults(fn=cmd_prepare)
+
+    ana = sub.add_parser(
+        "analyze-graph",
+        help="graph analytics over a persisted store: pagerank, connected "
+        "components, label-propagation communities, per-node triangles",
+    )
+    ana.add_argument("--store", required=True)
+    ana.add_argument(
+        "--metric", default="pagerank",
+        choices=["pagerank", "components", "communities", "triangles"])
+    ana.add_argument("--relations", action="append",
+                     help="restrict to these edge relations")
+    ana.add_argument("--output", help="write parquet instead of showing")
+    ana.add_argument("--top", type=int, default=20)
+    ana.set_defaults(fn=cmd_analyze)
     return p
 
 

@@ -108,3 +108,42 @@ def test_cli_prepare_training_data(tmp_path, spark, sf_dir, capsys):
     kept = spark.read.parquet(f"{out_dir}/annotated").filter(
         "drop_stage IS NULL")
     assert chunks.select("id").distinct().count() == kept.count()
+
+
+def test_cli_analyze_graph(spark, tmp_path):
+    """analyze-graph bootstraps the schema from the store's own
+    graph_schema.json and writes the requested metric as parquet."""
+    from graflo_spark.cli import main
+    from graflo_spark.manifest import CoreSchema, Edge, Field, Vertex
+    from graflo_spark.store import GraphStore
+
+    schema = CoreSchema(
+        vertices=[Vertex("n", [Field("id")], identity=["id"])],
+        edges=[Edge("n", "n", relation="to")],
+    )
+    root = str(tmp_path / "g")
+    st = GraphStore(spark, root, schema)
+    st.apply_target_schema()
+    st.upsert_vertices("n", spark.createDataFrame(
+        [(i,) for i in range(4)], "id long"))
+    from graflo_spark.manifest import EdgeId
+    st.insert_edges(EdgeId("n", "n", "to"), spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "_src_id long, _dst_id long"))
+
+    out = str(tmp_path / "pr")
+    assert main(["analyze-graph", "--store", root, "--metric", "pagerank",
+                 "--output", out]) == 0
+    pr = {r["node_key"]: r["rank"] for r in spark.read.parquet(out).collect()}
+    assert len(pr) == 4 and all(v > 0 for v in pr.values())
+
+    out2 = str(tmp_path / "tri")
+    assert main(["analyze-graph", "--store", root, "--metric", "triangles",
+                 "--output", out2]) == 0
+    tri = {r["node_key"]: r["n_triangles"]
+           for r in spark.read.parquet(out2).collect()}
+    assert tri["n\x1f0"] == 1 and tri["n\x1f3"] == 0
+
+    out3 = str(tmp_path / "comm")
+    assert main(["analyze-graph", "--store", root, "--metric", "communities",
+                 "--output", out3]) == 0
+    assert spark.read.parquet(out3).count() == 4
