@@ -95,14 +95,27 @@ class GraphStore:
         return self.n_buckets
 
     def _record_buckets(self, table_dir: str) -> int:
+        """First writer pins the table's bucket count; the pin is an
+        atomic create-or-fail (hard link of a fully-written temp file) so
+        two concurrent first-writers configured with DIFFERENT defaults
+        can't clobber each other — the loser re-reads the winner's value
+        and hashes consistently."""
         meta_path = os.path.join(table_dir, "_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 return json.load(f)["n_buckets"]
         os.makedirs(table_dir, exist_ok=True)
-        with open(meta_path, "w") as f:
+        tmp = os.path.join(table_dir, f".meta-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
             json.dump({"n_buckets": self.n_buckets}, f)
-        return self.n_buckets
+        try:
+            os.link(tmp, meta_path)
+            return self.n_buckets
+        except FileExistsError:
+            with open(meta_path) as f:
+                return json.load(f)["n_buckets"]
+        finally:
+            os.unlink(tmp)
 
     @staticmethod
     def _bucket_expr(key_cols: list[str], n: int) -> F.Column:
