@@ -1450,6 +1450,42 @@ def lm_cross_entropy_documents(spark, sf_dir):
     )
 
 
+_CCNET_ORACLE = (
+    f"WITH base AS MATERIALIZED ({_LM_CE_ORACLE}) "
+    "SELECT id, cross_entropy, "
+    "NTILE(3) OVER (ORDER BY cross_entropy, id) AS bucket, "
+    "CASE NTILE(3) OVER (ORDER BY cross_entropy, id) "
+    "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS label "
+    "FROM base"
+)
+
+
+@q("ccnet_buckets_documents", _CCNET_ORACLE)
+def ccnet_buckets_documents(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (ops/lm.ccnet_quality_buckets,
+    exact ntile mode): equal-size quality tiers by LM cross-entropy.
+    Ordering keys on the ROUNDED score + id so both engines rank
+    identically; the approx (quantile-literal) mode is the 100 TB path
+    and is equivalence-tested against this one in tests/test_lm.py."""
+    from graflo_spark.ops import lm as lmm
+    from pyspark.sql import Window as W
+
+    df = load(spark, sf_dir, "documents")
+    model = lmm.train_bigram_lm(df, "doc_id", "text")
+    scores = lmm.lm_cross_entropy(df, "doc_id", "text", model).select(
+        F.col("id").cast("long").alias("id"),
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+    )
+    w = W.orderBy("cross_entropy", "id")
+    out = scores.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+    return out.withColumn(
+        "label",
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail"),
+    )
+
+
 # Decontamination oracle, two methods under one discriminator:
 # 'ngram' — benchmark = every 20th document; overlap = count of DISTINCT
 # normalized word-5grams shared with the benchmark gram set.

@@ -103,3 +103,49 @@ def lm_cross_entropy(
             (-F.sum(logp) / F.count(F.lit(1))).alias("cross_entropy"),
         )
     )
+
+
+def ccnet_quality_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: BigramLm,
+    n_buckets: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank every document by LM
+    cross-entropy and cut the corpus into ``n_buckets`` equal-size
+    quality tiers — bucket 1 ('head') is the most fluent tier, the one
+    CCNet-style pipelines keep or upsample. Returns
+    ``(id, cross_entropy, bucket)``; with the default 3 buckets a
+    ``label`` column carries head/middle/tail.
+
+    ``exact=True`` uses ``ntile`` over a (score, id)-ordered window —
+    deterministic and replayable in ANSI SQL (the oracle mode), but a
+    GLOBAL sort (one partition holds the ordered scan). At 100 TB use
+    ``exact=False``: bucket thresholds come from ``approxQuantile``
+    literals (one driver-side sketch pass, same pattern as
+    ``packing.token_offsets``) and the bucket assignment is a pure
+    per-row comparison — no global sort, at the cost of sketch-accurate
+    (not exact-count) tier boundaries, which is what production CCNet
+    does anyway."""
+    scores = lm_cross_entropy(df, id_col, text_col, lm)
+    if exact:
+        w = W.orderBy("cross_entropy", "id")
+        out = scores.withColumn("bucket", F.ntile(n_buckets).over(w))
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = scores.approxQuantile("cross_entropy", probs, 0.001)
+        bucket = F.lit(1)
+        for c in cuts:
+            bucket = bucket + F.when(
+                F.col("cross_entropy") > F.lit(float(c)), 1).otherwise(0)
+        out = scores.withColumn("bucket", bucket)
+    if n_buckets == 3:
+        out = out.withColumn(
+            "label",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail"),
+        )
+    return out

@@ -55,3 +55,26 @@ def test_lm_short_and_null_docs(spark):
     ids = {r["id"] for r in
            lm_cross_entropy(docs, "doc_id", "text", lm).collect()}
     assert ids == {0}  # <2 tokens / NULL / empty emit no row
+
+
+def test_ccnet_buckets_exact_and_approx(spark, sf_dir):
+    """Equal-size tiers in exact mode; approx mode agrees on ~all
+    assignments (sketch boundaries); head tier scores below tail."""
+    from graflo_spark.ops.lm import ccnet_quality_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_bigram_lm(docs, "doc_id", "text")
+    exact = ccnet_quality_buckets(docs, "doc_id", "text", lm)
+    sizes = {r["bucket"]: r["n"] for r in
+             exact.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # equal tiers
+    means = {r["label"]: r["m"] for r in exact.groupBy("label").agg(
+        F.avg("cross_entropy").alias("m")).collect()}
+    assert means["head"] < means["middle"] < means["tail"]
+
+    approx = ccnet_quality_buckets(docs, "doc_id", "text", lm, exact=False)
+    both = exact.select("id", F.col("bucket").alias("b1")).join(
+        approx.select("id", F.col("bucket").alias("b2")), "id")
+    agree = both.filter(F.col("b1") == F.col("b2")).count() / both.count()
+    assert agree > 0.95
