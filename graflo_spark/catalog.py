@@ -904,6 +904,66 @@ def ppr_trade_network(spark, sf_dir):
     )
 
 
+def _hits_oracle(iters: int) -> str:
+    """HITS unrolled: per iteration, in-edge hub sums -> L2-normalize ->
+    out-edge authority sums -> L2-normalize, all via MATERIALIZED CTEs
+    with the norms as scalar subqueries — the exact half-step schedule
+    of ops/graphalgo.hits (final output pairs h_R with a_{R-1}, which is
+    what the distributed loop returns)."""
+    sql = (
+        f"WITH raw AS MATERIALIZED ({_TRADE_EDGES_SQL}), "
+        "nodes AS MATERIALIZED (SELECT src AS node FROM raw "
+        "UNION SELECT dst FROM raw), "
+        "h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS hub "
+        "FROM nodes)"
+    )
+    for i in range(iters):
+        sql += (
+            f", ar{i} AS MATERIALIZED (SELECT n.node, "
+            f"COALESCE(s.a, CAST(0 AS DOUBLE)) AS authority FROM nodes n "
+            f"LEFT JOIN (SELECT e.dst AS node, SUM(h.hub) AS a FROM raw e "
+            f"JOIN h{i} h ON h.node = e.src GROUP BY e.dst) s "
+            f"ON s.node = n.node), "
+            f"an{i} AS MATERIALIZED (SELECT sqrt(SUM(authority * authority)) "
+            f"AS nm FROM ar{i}), "
+            f"a{i} AS MATERIALIZED (SELECT node, CASE WHEN "
+            f"(SELECT nm FROM an{i}) > 0 THEN authority / "
+            f"(SELECT nm FROM an{i}) ELSE CAST(0 AS DOUBLE) END AS authority "
+            f"FROM ar{i}), "
+            f"hr{i} AS MATERIALIZED (SELECT n.node, "
+            f"COALESCE(s.h, CAST(0 AS DOUBLE)) AS hub FROM nodes n "
+            f"LEFT JOIN (SELECT e.src AS node, SUM(a.authority) AS h "
+            f"FROM raw e JOIN a{i} a ON a.node = e.dst GROUP BY e.src) s "
+            f"ON s.node = n.node), "
+            f"hn{i} AS MATERIALIZED (SELECT sqrt(SUM(hub * hub)) AS nm "
+            f"FROM hr{i}), "
+            f"h{i + 1} AS MATERIALIZED (SELECT node, CASE WHEN "
+            f"(SELECT nm FROM hn{i}) > 0 THEN hub / (SELECT nm FROM hn{i}) "
+            f"ELSE CAST(0 AS DOUBLE) END AS hub FROM hr{i})"
+        )
+    return (
+        f"{sql} SELECT CAST(h.node AS BIGINT) AS node, "
+        f"ROUND(h.hub, 6) AS hub, ROUND(a.authority, 6) AS authority "
+        f"FROM h{iters} h JOIN a{iters - 1} a ON a.node = h.node"
+    )
+
+
+@q("hits_trade_network", _hits_oracle(8))
+def hits_trade_network(spark, sf_dir):
+    """HITS hubs and authorities (ops/graphalgo.hits — in-plan L2 norms,
+    no driver actions in the loop) over the nation trade network, fixed
+    8 iterations vs the unrolled half-step oracle. Hubs = nations whose
+    exports reach authoritative importers; round@6 both sides."""
+    from graflo_spark.ops import graphalgo as ga
+
+    out = ga.hits(_trade_edge_frame(spark, sf_dir), max_iter=8)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 _TRADE_WEDGES_SQL = (
     "SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS cnt "
     "FROM lineitem "

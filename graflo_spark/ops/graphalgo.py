@@ -558,3 +558,77 @@ def k_core(
     out = edges.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("core_deg"))
     return out.filter(F.col("core_deg") >= k)
+
+
+def hits(
+    pairs: DataFrame,
+    id_src: str = "id_a",
+    id_dst: str = "id_b",
+    max_iter: int = 8,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public) over a DIRECTED
+    edge list: mutual recursion ``auth(v) = sum of hub(u) over in-edges``,
+    ``hub(u) = sum of auth(v) over out-edges``, each L2-normalized per
+    half-step. Returns ``(node, hub, authority)`` for every node in the
+    edge set (sinks get hub 0, sources get authority 0). Fixed
+    iterations — deterministic, replayable by an unrolled SQL oracle.
+
+    Scale shape: two equi-joins + two aggregates per iteration, all hash
+    partitioned on node id; the L2 norms stay IN-PLAN as broadcast 1-row
+    aggregates (same trick as pagerank's dangling mass — no driver
+    actions inside the loop beyond the per-round checkpoint)."""
+    edges = (
+        pairs.select(F.col(id_src).alias("src"), F.col(id_dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        nrm = df.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+        return (
+            df.crossJoin(F.broadcast(nrm))
+            .select(
+                "node",
+                F.when(F.col("_n") > 0, F.col(col) / F.col("_n"))
+                .otherwise(F.lit(0.0)).alias(col),
+            )
+        )
+
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    for _ in range(max_iter):
+        auth = _norm(
+            nodes.join(
+                edges.join(
+                    hub.select(F.col("node").alias("src"), "hub"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("authority")),
+                "node", "left")
+            .select("node", F.coalesce("authority", F.lit(0.0)).alias(
+                "authority")),
+            "authority",
+        )
+        hub = _norm(
+            nodes.join(
+                edges.join(
+                    auth.select(F.col("node").alias("dst"), "authority"),
+                    "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("authority").alias("hub")),
+                "node", "left")
+            .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        )
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select("node", "hub", "authority")

@@ -411,3 +411,44 @@ def test_k_core_known_graph(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a long, id_b long")
     assert k_core(chain, 2).count() == 0
+
+
+def test_hits_matches_numpy(spark):
+    """Distributed HITS == a dense NumPy power iteration with identical
+    per-half-step L2 normalization, on a pseudo-random directed graph."""
+    import numpy as np
+
+    from graflo_spark.ops.graphalgo import hits
+
+    rows, x = [], 13579
+    for _ in range(150):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = (x >> 16) % 20
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = (x >> 16) % 20
+        if a != b:
+            rows.append((a, b))
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(df, max_iter=8).collect()}
+
+    edges = sorted(set(rows))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    adj = np.zeros((len(nodes), len(nodes)))
+    for a, b in edges:
+        adj[idx[a], idx[b]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(8):
+        au = adj.T @ h
+        au = au / (np.linalg.norm(au) or 1.0)
+        h = adj @ au
+        h = h / (np.linalg.norm(h) or 1.0)
+    for v in nodes:
+        assert got[v][0] == pytest.approx(h[idx[v]], abs=1e-9)
+        assert got[v][1] == pytest.approx(au[idx[v]], abs=1e-9)
+    # pure sink has hub 0; pure source has authority 0
+    star = spark.createDataFrame([(1, 9), (2, 9)], "id_a long, id_b long")
+    s = {r["node"]: (r["hub"], r["authority"])
+         for r in hits(star, max_iter=4).collect()}
+    assert s[9][0] == 0.0 and s[1][1] == 0.0
