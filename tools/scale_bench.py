@@ -508,6 +508,7 @@ def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
 
 GRAPH_QUERIES = [
     "pagerank_trade_network",
+    "hits_trade_network",
     "ppr_trade_network",
     "lpa_communities_trade",
     "sssp_trade_network",
