@@ -39,12 +39,18 @@ HEADLINES = [
     "decontam_overlap_documents",
     "pack_chunks_documents",
     "temporal_ops_events",
-    # round 5 graph analytics + text entropy headliners
+    # round 5 graph analytics + text/LM headliners
     "pagerank_trade_network",
+    "ppr_trade_network",
+    "hits_trade_network",
     "lpa_communities_trade",
+    "sssp_trade_network",
+    "kcore_copurchase",
     "triangle_corners_copurchase",
     "link_prediction_copurchase",
     "bigram_entropy_documents",
+    "lm_cross_entropy_documents",
+    "ccnet_buckets_documents",
 ]
 
 
