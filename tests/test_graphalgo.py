@@ -452,3 +452,69 @@ def test_hits_matches_numpy(spark):
     s = {r["node"]: (r["hub"], r["authority"])
          for r in hits(star, max_iter=4).collect()}
     assert s[9][0] == 0.0 and s[1][1] == 0.0
+
+
+def test_k_core_matches_naive_peel_random_graph(spark):
+    """Distributed k-core == a driver-side naive peel on a pseudo-random
+    graph, across several k."""
+    from graflo_spark.ops.graphalgo import k_core
+
+    rows, x = [], 2468
+    for _ in range(300):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = (x >> 16) % 40
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = (x >> 16) % 40
+        if a != b:
+            rows.append((a, b))
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+
+    def naive(k):
+        adj = {}
+        for a, b in set(map(lambda p: (min(p), max(p)), rows)):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj[n]:
+                        adj[m].discard(n)
+                    del adj[n]
+                    changed = True
+        return {n: len(ns) for n, ns in adj.items() if ns}
+
+    for k in (3, 6, 9):
+        got = {r["node"]: r["core_deg"] for r in k_core(df, k).collect()}
+        assert got == naive(k), f"k={k}"
+
+
+def test_shortest_paths_matches_numpy_bellman_ford(spark):
+    """Distributed weighted SSSP == dense Bellman-Ford on a random graph
+    with deterministic rational weights."""
+    from graflo_spark.ops.graphalgo import shortest_paths
+
+    rows, x = [], 7531
+    for _ in range(200):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = (x >> 16) % 25
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = (x >> 16) % 25
+        if a != b:
+            rows.append((a, b, 1.0 + ((a * 7 + b * 3) % 10) / 4.0))
+    df = spark.createDataFrame(rows, "id_a long, id_b long, w double")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(df, [0], weight_col="w",
+                                   max_iter=30).collect()}
+
+    inf = float("inf")
+    best = {(a, b): w for a, b, w in rows}
+    dist = {0: 0.0}
+    for _ in range(26):
+        for (a, b), w in best.items():
+            if dist.get(a, inf) + w < dist.get(b, inf):
+                dist[b] = dist[a] + w
+    assert set(got) == set(dist)
+    for n, d in dist.items():
+        assert got[n] == pytest.approx(d, abs=1e-9)
