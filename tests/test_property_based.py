@@ -173,3 +173,38 @@ def test_ntriples_literal_escape_roundtrip(s):
     line = rdf_manifest.to_ntriples([("s", "p", s)])
     (_, _, o), = rdf_manifest.from_ntriples(line)
     assert o == s
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.randoms(), st.sampled_from([5.0, 17.0, 50.0]),
+       st.sampled_from(["backward", "forward"]))
+def test_asof_chunked_property_equals_plain(spark, rnd, chunk_width,
+                                            direction):
+    """Property: for ANY random trade/quote set, direction, and chunk
+    width, the skew-hardened chunked as-of equals the plain window —
+    including NULL timestamps, duplicate right timestamps, keys on one
+    side only, and tolerance."""
+    from graflo_spark.ops.temporal import asof_join
+
+    keys = ["k1", "k2", "k3"]
+    left = spark.createDataFrame(
+        [(rnd.choice(keys),
+          None if rnd.random() < 0.08 else float(rnd.randint(0, 150)),
+          i) for i in range(80)],
+        "k string, ts double, i int")
+    right = spark.createDataFrame(
+        [(rnd.choice(keys + ["only_right"]),
+          None if rnd.random() < 0.08 else float(rnd.randint(0, 150)),
+          float(i)) for i in range(40)],
+        "k string, ts double, px double")
+    tol = rnd.choice([None, 20.0])
+    plain = {r["i"]: (r["ref_ts"], r["ref_px"])
+             for r in asof_join(left, right, "k", "ts", "ts",
+                                direction=direction,
+                                tolerance=tol).collect()}
+    chunked = {r["i"]: (r["ref_ts"], r["ref_px"])
+               for r in asof_join(left, right, "k", "ts", "ts",
+                                  direction=direction, tolerance=tol,
+                                  chunk_width=chunk_width).collect()}
+    assert plain == chunked

@@ -567,3 +567,30 @@ def test_graphview_lpa_and_link_prediction(spark):
               for r in view.link_prediction(
                   min_common=1, exclude_existing=False).collect()}
     assert scores[("a\x1f1", "a\x1f2")] == 1  # shared neighbor 3
+
+
+def test_compact_edge_table(spark, tmp_path):
+    """compact() on an EDGE table re-buckets on the _src_/_dst_ key
+    convention and preserves contents."""
+    from graflo_spark.manifest import CoreSchema, Edge, EdgeId, Field, Vertex
+
+    schema = CoreSchema(
+        vertices=[Vertex("n", [Field("id")], identity=["id"])],
+        edges=[Edge("n", "n", relation="to")],
+    )
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=8)
+    st.apply_target_schema()
+    eid = EdgeId("n", "n", "to")
+    st.insert_edges(eid, spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "_src_id long, _dst_id long"))
+    st.insert_edges(eid, spark.createDataFrame(
+        [(i, i + 1) for i in range(40, 90)], "_src_id long, _dst_id long"))
+    before = {(r["_src_id"], r["_dst_id"]) for r in st.read_edges(eid).collect()}
+    assert len(before) == 90  # dedup across the two inserts
+    st.compact("edges", eid.table_name())
+    after = {(r["_src_id"], r["_dst_id"]) for r in st.read_edges(eid).collect()}
+    assert after == before
+    import os
+    tdir = st._table_dir("edges", eid.table_name())
+    _v, manifest = st._current_manifest(tdir)
+    assert len({rel.split(os.sep)[1] for rel in manifest.values()}) == 1
