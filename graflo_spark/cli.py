@@ -121,6 +121,7 @@ def cmd_prepare(args) -> int:
         min_quality=args.min_quality, min_tokens=args.min_tokens,
         decontam_ngram=args.decontam_ngram,
         near_dup_threshold=args.near_dup_threshold,
+        max_cross_entropy=args.max_cross_entropy,
         chunk_tokens=args.chunk_tokens, splits=splits,
     )
     chunks, annotated, funnel = prepare_training_data(docs, bench, cfg)
@@ -234,6 +235,9 @@ def build_parser() -> argparse.ArgumentParser:
     prep.add_argument("--decontam-ngram", type=int, default=13,
                       help="overlap n-gram size (13 = GPT-3-style standard)")
     prep.add_argument("--near-dup-threshold", type=float, default=0.7)
+    prep.add_argument("--max-cross-entropy", type=float,
+                      help="CCNet-style LM fluency gate (nats/bigram); "
+                      "omit to disable")
     prep.add_argument("--chunk-tokens", type=int, default=2048)
     prep.add_argument("--split", action="append", metavar="NAME=WEIGHT")
     prep.set_defaults(fn=cmd_prepare)

@@ -52,6 +52,11 @@ class PipelineConfig:
     decontam_ngram: int = 13
     decontam_min_overlap: int = 1
     near_dup_threshold: float = 0.7
+    # LM fluency gate: drop documents whose bigram cross-entropy under a
+    # reference-slice-trained model exceeds this (nats/bigram; None = off).
+    # The classic CCNet perplexity filter, wired into the funnel.
+    max_cross_entropy: float | None = None
+    lm_train_mod: int = 20
     splits: dict[str, float] = field(
         default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
     )
@@ -63,7 +68,8 @@ class PipelineConfig:
 
 
 # funnel order — each document is charged to the FIRST stage that drops it
-STAGES = ("url_dup", "quality", "decontam", "exact_dup", "near_dup")
+STAGES = ("url_dup", "quality", "lm_quality", "decontam", "exact_dup",
+          "near_dup")
 
 
 def annotate(
@@ -90,6 +96,25 @@ def annotate(
         & (ts.quality_score(t) >= cfg.min_quality)
         & (ts.token_count(t) >= cfg.min_tokens)
     )
+
+    # optional LM fluency gate (CCNet-style): cross-entropy under a model
+    # trained on the deterministic reference slice of THIS corpus. Docs
+    # too short to score (<2 tokens) pass — the token gate owns them.
+    if cfg.max_cross_entropy is not None:
+        from graflo_spark.ops.lm import lm_cross_entropy, train_bigram_lm
+
+        model = train_bigram_lm(out, id_c, t_c, train_mod=cfg.lm_train_mod)
+        ce = lm_cross_entropy(out, id_c, t_c, model).select(
+            F.col("id").alias(id_c),
+            F.col("cross_entropy").alias("__ce"),
+        )
+        out = out.join(ce, id_c, "left")
+        lm_ok = (
+            F.col("__ce").isNull()
+            | (F.col("__ce") <= F.lit(float(cfg.max_cross_entropy)))
+        )
+    else:
+        lm_ok = F.lit(True)
 
     # decontamination — the proven operator, not a re-implementation
     if bench is not None:
@@ -120,7 +145,7 @@ def annotate(
     if cfg.url_col:
         ukey = normalize_url(F.col(cfg.url_col))
         has_key = ukey.isNotNull() & (ukey != "")
-        url_elig = quality_ok & ~F.col("__contaminated")
+        url_elig = quality_ok & lm_ok & ~F.col("__contaminated")
         winners = (
             out.filter(has_key)
             .withColumn("__ukey", ukey)
@@ -143,7 +168,7 @@ def annotate(
     # duplicate group — otherwise its surviving twin gets dropped as a dup
     # of a document that is itself gone, and the content vanishes entirely.
     eligible = out.filter(
-        ~F.col("__url_dup") & quality_ok & ~F.col("__contaminated")
+        ~F.col("__url_dup") & quality_ok & lm_ok & ~F.col("__contaminated")
     )
 
     # 4. exact dedup on the normalized content fingerprint (min-id winner)
@@ -185,6 +210,7 @@ def annotate(
     drop = (
         F.when(F.col("__url_dup"), "url_dup")
         .when(~quality_ok, "quality")
+        .when(~lm_ok, "lm_quality")
         .when(F.col("__contaminated"), "decontam")
         .when(F.col("__exact_dup"), "exact_dup")
         .when(~F.col("__nd_rep"), "near_dup")
@@ -192,6 +218,8 @@ def annotate(
     annotated = out.withColumn("drop_stage", drop).drop(
         "__url_dup", "__contaminated", "__exact_dup", "__nd_rep"
     )
+    if "__ce" in annotated.columns:
+        annotated = annotated.drop("__ce")
     annotated = annotated.withColumn(
         t_c,
         F.when(F.col("drop_stage").isNull(), redact_pii(t)).otherwise(t),

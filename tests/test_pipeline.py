@@ -178,3 +178,34 @@ def test_url_winner_gated_on_later_stages(spark):
                        splits={"train": 1.0}))
     stages2 = {r["doc_id"]: r["drop_stage"] for r in ann2.collect()}
     assert stages2 == {0: "quality", 1: "url_dup"}
+
+
+def test_lm_quality_gate_in_funnel(spark):
+    """With max_cross_entropy set, gibberish (high LM cross-entropy under
+    the corpus-slice model) is charged to the lm_quality stage; fluent
+    docs survive; stage precedence (quality before lm_quality) holds;
+    and the gate defaults OFF."""
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the quick brown fox jumps over the lazy dog again")
+    rows = [
+        (0, good),                       # trains the LM (0 % 20 == 0)
+        (1, good.replace("again", "once more yes")),  # fluent-ish
+        (2, "zq xv qk jw zzkp vw qq lr mm nn oo pp"),  # gibberish
+        (3, "x"),                        # fails token gate FIRST
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = PipelineConfig(min_quality=0.0, min_tokens=5, chunk_tokens=8,
+                         splits={"train": 1.0}, max_cross_entropy=2.0,
+                         lm_train_mod=20)
+    ann = annotate(docs, None, cfg)
+    stages = {r["doc_id"]: r["drop_stage"] for r in ann.collect()}
+    assert stages[2] == "lm_quality"
+    assert stages[3] == "quality"        # precedence: token gate first
+    assert stages[0] is None or stages[0] in ("exact_dup", "near_dup")
+    assert "__ce" not in ann.columns
+    # default off: same corpus with no threshold keeps the gibberish
+    ann2 = annotate(docs, None, PipelineConfig(
+        min_quality=0.0, min_tokens=5, chunk_tokens=8,
+        splits={"train": 1.0}))
+    stages2 = {r["doc_id"]: r["drop_stage"] for r in ann2.collect()}
+    assert stages2[2] != "lm_quality"
