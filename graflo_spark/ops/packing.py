@@ -222,6 +222,37 @@ class PackingStore:
     def running_total(self) -> int:
         return self._state()[0]
 
+    def _migrate_legacy_spans(self) -> None:
+        """Pre-idempotency stores wrote span parquet files FLAT under
+        ``spans/``; mixing those with ``batch=<seq>/`` subdirs breaks Spark
+        partition discovery (conflicting directory depths), and a seq-0
+        overwrite would silently replace the legacy history. Move the flat
+        files into ``spans/batch=0/`` once and commit a state file whose
+        next seq is at least 1, so new batches append after the migrated
+        history. Committing the state BEFORE returning makes the migration
+        itself crash-safe: a retry sees no flat files and a seq >= 1."""
+        import os
+        import tempfile
+
+        sdir = os.path.join(self.path, "spans")
+        if not os.path.isdir(sdir):
+            return
+        flat = [
+            e for e in os.listdir(sdir)
+            if os.path.isfile(os.path.join(sdir, e))
+        ]
+        if not any(e.endswith(".parquet") for e in flat):
+            return
+        dest = os.path.join(sdir, "batch=0")
+        os.makedirs(dest, exist_ok=True)
+        for e in flat:
+            os.replace(os.path.join(sdir, e), os.path.join(dest, e))
+        total, seq = self._state()
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(f"{total}\n{max(seq, 1)}\n")
+        os.replace(tmp, self._total_file())
+
     def pack_batch(self, batch: DataFrame) -> DataFrame:
         """Pack one batch against the persisted running total, write its
         spans under the next batch seq, commit (total, seq+1). Returns the
@@ -233,6 +264,7 @@ class PackingStore:
         import os
         import tempfile
 
+        self._migrate_legacy_spans()
         base, seq = self._state()
         # Pin the batch before packing: token_offsets consumes its input in
         # two plan branches (window cumsum + per-bucket totals) plus an eager
@@ -266,6 +298,7 @@ class PackingStore:
     def spans(self) -> DataFrame:
         import os
 
+        self._migrate_legacy_spans()
         # partition discovery surfaces the batch=N dirs as a `batch`
         # column; drop it to keep the pack_chunks span schema
         return self.spark.read.parquet(

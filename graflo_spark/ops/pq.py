@@ -281,7 +281,9 @@ def pq_topk(
     distributed join formulation: LUT entries become a (qid, j, c, part)
     DataFrame, codes posexplode to (id, j, c), and one equi-join on
     (j, c) + a partial-aggregated sum reconstructs the ADC score with no
-    driver state at all — same scores, same tie-break, any query count.
+    driver state at all — any query count. Both paths accumulate the
+    float32 LUT entries in float64, so scores agree to the last bit up to
+    BLAS summation order of the sub-dot-products themselves.
     """
     q_n = queries.select(
         F.col(query_id).cast("long").alias("qid"),
@@ -297,9 +299,12 @@ def pq_topk(
     luts = []  # (qid, (m, k_sub) float32 LUT of exact sub-dot-products)
     for r in q_rows:
         qv = np.asarray(r["v"], dtype=np.float32)
+        # float64 accumulation, matching _pq_topk_join's float64 part sums:
+        # otherwise top-k membership can flip at near-tie boundaries when a
+        # query set crosses the max_driver_queries threshold
         lut = np.stack(
             [cents[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(len(cents))]
-        )
+        ).astype(np.float64)
         luts.append((int(r["qid"]), lut))
 
     out_schema = T.StructType(

@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +65,7 @@ class GraphStore:
         n_buckets: int = 64,
         snapshot_keep: int = 2,
         snapshot_size_cap_bytes: int = 10 * 1024**3,
+        gc_grace_seconds: float = 300.0,
     ):
         self.spark = spark
         self.root = root
@@ -79,6 +81,12 @@ class GraphStore:
         # generation is retained (the rollback window trades for storage).
         self.snapshot_keep = snapshot_keep
         self.snapshot_size_cap_bytes = snapshot_size_cap_bytes
+        # Post-commit GC leaves unreferenced data dirs on disk for this long
+        # before deleting: a reader pinned to an expired version (or a writer
+        # that lost 2+ optimistic races) keeps scanning its files instead of
+        # dying mid-job. expire_versions() bypasses the grace (explicit admin
+        # action).
+        self.gc_grace_seconds = gc_grace_seconds
 
     # ------------------------------------------------------------- layout
     def _table_dir(self, kind: str, name: str) -> str:
@@ -183,10 +191,15 @@ class GraphStore:
         finally:
             os.unlink(tmp)
 
-    def _gc_table(self, table_dir: str) -> None:
+    def _gc_table(self, table_dir: str, grace: float | None = None) -> None:
         """Expire old versions: drop manifests beyond ``snapshot_keep`` and
         delete data commit dirs no kept manifest references. Run only after
-        a successful commit, so the newest version always survives."""
+        a successful commit, so the newest version always survives. Data
+        dirs younger than ``grace`` seconds (default ``gc_grace_seconds``)
+        are left behind so concurrent readers pinned to a just-expired
+        version finish their scan instead of hitting missing files."""
+        if grace is None:
+            grace = self.gc_grace_seconds
         keep = max(self.snapshot_keep, 1)
         cdir = self._commits_dir(table_dir)
         if not os.path.isdir(cdir):
@@ -215,9 +228,17 @@ class GraphStore:
                 pass
         ddir = self._data_dir(table_dir)
         if os.path.isdir(ddir):
+            now = time.time()
             for d in os.listdir(ddir):
-                if d not in referenced:
-                    shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
+                if d in referenced:
+                    continue
+                path = os.path.join(ddir, d)
+                try:
+                    if grace > 0 and now - os.path.getmtime(path) < grace:
+                        continue
+                except OSError:
+                    pass
+                shutil.rmtree(path, ignore_errors=True)
 
     def _manifest_read(
         self, table_dir: str, manifest: dict[str, str],
@@ -682,6 +703,15 @@ class GraphStore:
             keys = [c for c in df.columns if c.startswith(("_src_", "_dst_"))]
             if "_relation" in df.columns:
                 keys.append("_relation")
+            # insert_edges buckets on key prefix + declared edge identities;
+            # compaction must hash with the SAME columns or later upserts
+            # prune their existing-row read to the wrong buckets and double
+            # up keys.
+            edge = next(
+                (e for e in self.schema.edges
+                 if e.edge_id.table_name() == base), None)
+            if edge is not None and edge.identities:
+                keys += [c for c in edge.identities if c in df.columns]
             if keys:
                 return keys
         return sorted(df.columns)
@@ -729,11 +759,11 @@ class GraphStore:
             old = self.snapshot_keep
             self.snapshot_keep = keep
             try:
-                self._gc_table(self._table_dir(kind, name))
+                self._gc_table(self._table_dir(kind, name), grace=0.0)
             finally:
                 self.snapshot_keep = old
         else:
-            self._gc_table(self._table_dir(kind, name))
+            self._gc_table(self._table_dir(kind, name), grace=0.0)
 
     # --------------------------------------------------------------- read
     def _read_table(self, table_dir: str, label: str) -> DataFrame:

@@ -300,3 +300,43 @@ def test_token_offsets_rejects_string_order_col(spark):
         [("a", 5), ("b", 7)], "doc_id string, n_tok int")
     with pytest.raises(ValueError, match="doc_id.*must be numeric"):
         token_offsets(df, "n_tok", "doc_id")
+
+
+def test_packing_store_migrates_legacy_flat_spans(spark, tmp_path):
+    """Pre-idempotency stores wrote span parquet FLAT under spans/; the
+    first new pack_batch must move those files into spans/batch=0/ (and
+    bump the seq past 0) so partition discovery works and the legacy
+    history is never overwritten."""
+    import os
+
+    from graflo_spark.ops.packing import PackingStore, pack_chunks
+
+    full = _docs(spark, n=200)
+    first = full.filter(F.col("doc_id") < 100)
+    second = full.filter(F.col("doc_id") >= 100)
+
+    root = str(tmp_path / "pk")
+    legacy_spans = pack_chunks(first, "doc_id", "n_tok", 64)
+    legacy_spans.write.mode("overwrite").parquet(os.path.join(root, "spans"))
+    total1 = first.agg(F.sum("n_tok")).first()[0]
+    with open(os.path.join(root, "_running_total"), "w") as fh:
+        fh.write(f"{total1}\n")  # legacy single-integer format: no seq line
+
+    store = PackingStore(spark, root, chunk_tokens=64)
+    store.pack_batch(second)
+    sdir = os.path.join(root, "spans")
+    assert not any(e.endswith(".parquet") for e in os.listdir(sdir)
+                   if os.path.isfile(os.path.join(sdir, e)))
+    assert {"batch=0", "batch=1"} <= set(os.listdir(sdir))
+    got = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in store.spans().collect()
+    }
+    want = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in pack_chunks(full, "doc_id", "n_tok", 64).collect()
+    }
+    assert got == want  # legacy history + new batch == one-shot packing
+    # read-only handles migrate too (idempotent second call is a no-op)
+    store2 = PackingStore(spark, root, chunk_tokens=64)
+    assert store2.spans().count() == len(want)

@@ -594,3 +594,69 @@ def test_compact_edge_table(spark, tmp_path):
     tdir = st._table_dir("edges", eid.table_name())
     _v, manifest = st._current_manifest(tdir)
     assert len({rel.split(os.sep)[1] for rel in manifest.values()}) == 1
+
+
+def test_compact_edge_table_with_identities(spark, tmp_path):
+    """Edge tables whose Edge declares `identities` bucket on key prefix
+    PLUS identity columns (store.insert_edges); compact() must re-bucket
+    with the SAME column set, or post-compaction upserts prune their
+    existing-row read to the wrong buckets and commit duplicate keys."""
+    from graflo_spark.manifest import CoreSchema, Edge, EdgeId, Field, Vertex
+
+    schema = CoreSchema(
+        vertices=[Vertex("n", [Field("id")], identity=["id"])],
+        edges=[Edge("n", "n", relation="to", identities=["tag"])],
+    )
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=8)
+    st.apply_target_schema()
+    eid = EdgeId("n", "n", "to")
+    st.insert_edges(eid, spark.createDataFrame(
+        [(i, i + 1, f"t{i % 7}", "old") for i in range(60)],
+        "_src_id long, _dst_id long, tag string, payload string"),
+        on_duplicate="upsert")
+    st.compact("edges", eid.table_name())
+    # the SAME keys again: upsert must merge, not double up
+    st.insert_edges(eid, spark.createDataFrame(
+        [(i, i + 1, f"t{i % 7}", "new") for i in range(60)],
+        "_src_id long, _dst_id long, tag string, payload string"),
+        on_duplicate="upsert")
+    rows = st.read_edges(eid).collect()
+    keys = [(r["_src_id"], r["_dst_id"], r["tag"]) for r in rows]
+    assert len(keys) == len(set(keys)) == 60  # no duplicate edge keys
+    assert {r["payload"] for r in rows} == {"new"}  # upsert won
+
+
+def test_gc_grace_spares_recent_unreferenced_data(spark, tmp_path):
+    """Post-commit GC must not yank data dirs out from under a reader
+    pinned to a just-expired version: unreferenced dirs younger than
+    gc_grace_seconds survive commit-path GC; expire_versions() (explicit
+    admin action) bypasses the grace."""
+    import os
+
+    from graflo_spark.manifest import CoreSchema, Field, Vertex
+
+    schema = CoreSchema(
+        vertices=[Vertex("doc", [Field("id"), Field("v")], identity=["id"])],
+        edges=[],
+    )
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=4,
+                    snapshot_keep=1)
+    st.apply_target_schema()
+    tdir = st._table_dir("vertices", "doc")
+    st.upsert_vertices("doc", spark.range(0, 50).select(
+        F.col("id"), F.lit("a").alias("v")))
+    # pin a reader to v1 (plan holds the file list lazily)
+    pinned = st.read_vertices_at("doc", 1)
+    st.upsert_vertices("doc", spark.range(50, 100).select(
+        F.col("id"), F.lit("b").alias("v")))
+    st.upsert_vertices("doc", spark.createDataFrame(
+        [(0, "patched")], "id long, v string"))
+    # manifests beyond keep expired, but v1's data files still scannable
+    assert pinned.count() == 50
+    ddir = st._data_dir(tdir)
+    assert len(os.listdir(ddir)) >= 2  # old commit dirs survived the grace
+    st.expire_versions("vertices", "doc", keep=1)
+    _v, manifest = st._current_manifest(tdir)
+    referenced = {rel.split(os.sep)[1] for rel in manifest.values()
+                  if rel.split(os.sep)[0] == "data"}
+    assert set(os.listdir(ddir)) == referenced  # grace bypassed
