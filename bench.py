@@ -51,7 +51,10 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
-    from graflo_spark.catalog import QUERIES
+    # ALL_QUERIES = driver registry + rows consolidated into suite rows
+    # (r6): bench keeps timing the INDIVIDUAL operators so cross-round
+    # per-query comparisons stay like-for-like.
+    from graflo_spark.catalog import ALL_QUERIES as QUERIES
     from graflo_spark.session import get_spark
 
     spark = get_spark("graflo-bench")
@@ -65,7 +68,7 @@ def main() -> None:
     # measured query still pays its own first scan of $SPARK_GRAFT_SF_DIR.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
-        from graflo_spark.catalog import QUERIES as _Q
+        from graflo_spark.catalog import ALL_QUERIES as _Q
 
         for name in BENCH_QUERIES:
             try:

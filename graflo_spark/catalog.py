@@ -2824,6 +2824,333 @@ def edge_multi_link_lineitem(spark, sf_dir):
     return contains.unionByName(supplied)
 
 
+# --------------------------------------------------------------------------
+# Round-6 registry consolidation: the driver verifies a bounded window of
+# queries() rows (50), and the registry had grown to 61 — 11 operators were
+# silently rotating out of driver verification each round. Following the
+# agg_suite_customer precedent, related rows merge into SUITE rows whose
+# branches carry a discriminator column; every branch keeps its original
+# oracle SQL verbatim (wrapped as a subquery), so the proof surface is
+# unchanged — just denser. The subsumed single-operator rows move to
+# RETIRED_QUERIES, still importable for bench.py / tools/scale_bench.py and
+# still locally oracle-checked through the suites that embed them.
+# --------------------------------------------------------------------------
+
+_NUL_D = "CAST(NULL AS DOUBLE)"
+
+
+@q("graph_suite_trade")
+def graph_suite_trade(spark, sf_dir):
+    """Iterative graph analytics over the nation trade network, five
+    algorithms in one driver row via the ``algo`` discriminator:
+    pagerank / ppr (personalized, seeds {0, 7}) / hits (m1=hub,
+    m2=authority) / sssp (m1=dist) / lpa (m1=label). Each branch is the
+    unchanged r5 operator and each oracle branch the unchanged unrolled
+    chained-CTE SQL."""
+    nd = F.lit(None).cast("double")
+    pr = pagerank_trade_network(spark, sf_dir).select(
+        F.lit("pagerank").alias("algo"), "node",
+        F.col("rank").alias("m1"), nd.alias("m2"))
+    pp = ppr_trade_network(spark, sf_dir).select(
+        F.lit("ppr").alias("algo"), "node",
+        F.col("rank").alias("m1"), nd.alias("m2"))
+    ht = hits_trade_network(spark, sf_dir).select(
+        F.lit("hits").alias("algo"), "node",
+        F.col("hub").alias("m1"), F.col("authority").alias("m2"))
+    ss = sssp_trade_network(spark, sf_dir).select(
+        F.lit("sssp").alias("algo"), "node",
+        F.col("dist").alias("m1"), nd.alias("m2"))
+    lp = lpa_communities_trade(spark, sf_dir).select(
+        F.lit("lpa").alias("algo"), "node",
+        F.col("label").cast("double").alias("m1"), nd.alias("m2"))
+    return pr.unionByName(pp).unionByName(ht).unionByName(ss).unionByName(lp)
+
+
+ORACLES["graph_suite_trade"] = " UNION ALL ".join([
+    "SELECT 'pagerank' AS algo, node, rank AS m1, "
+    f"{_NUL_D} AS m2 FROM ({ORACLES['pagerank_trade_network']})",
+    f"SELECT 'ppr', node, rank, {_NUL_D} "
+    f"FROM ({ORACLES['ppr_trade_network']})",
+    "SELECT 'hits', node, hub, authority "
+    f"FROM ({ORACLES['hits_trade_network']})",
+    f"SELECT 'sssp', node, dist, {_NUL_D} "
+    f"FROM ({ORACLES['sssp_trade_network']})",
+    f"SELECT 'lpa', node, CAST(label AS DOUBLE), {_NUL_D} "
+    f"FROM ({ORACLES['lpa_communities_trade']})",
+])
+
+
+@q("graph_suite_copurchase")
+def graph_suite_copurchase(spark, sf_dir):
+    """Wedge/peel graph analytics over the part co-purchase graph, three
+    algorithms in one driver row: link_prediction (id pair + common /
+    jaccard / adamic_adar), kcore (m1=core_deg), triangles
+    (m1=n_triangles). Branches and oracles unchanged from the r5 rows."""
+    nd = F.lit(None).cast("double")
+    nl = F.lit(None).cast("long")
+    lp = link_prediction_copurchase(spark, sf_dir).select(
+        F.lit("link_prediction").alias("algo"), "id_a", "id_b",
+        F.col("common").cast("double").alias("m1"),
+        F.col("jaccard").alias("m2"), F.col("adamic_adar").alias("m3"))
+    kc = kcore_copurchase(spark, sf_dir).select(
+        F.lit("kcore").alias("algo"), F.col("node").alias("id_a"),
+        nl.alias("id_b"), F.col("core_deg").cast("double").alias("m1"),
+        nd.alias("m2"), nd.alias("m3"))
+    tc = triangle_corners_copurchase(spark, sf_dir).select(
+        F.lit("triangles").alias("algo"), F.col("node").alias("id_a"),
+        nl.alias("id_b"), F.col("n_triangles").cast("double").alias("m1"),
+        nd.alias("m2"), nd.alias("m3"))
+    return lp.unionByName(kc).unionByName(tc)
+
+
+ORACLES["graph_suite_copurchase"] = " UNION ALL ".join([
+    "SELECT 'link_prediction' AS algo, id_a, id_b, "
+    "CAST(common AS DOUBLE) AS m1, jaccard AS m2, adamic_adar AS m3 "
+    f"FROM ({ORACLES['link_prediction_copurchase']})",
+    "SELECT 'kcore', node, CAST(NULL AS BIGINT), CAST(core_deg AS DOUBLE), "
+    f"{_NUL_D}, {_NUL_D} FROM ({ORACLES['kcore_copurchase']})",
+    "SELECT 'triangles', node, CAST(NULL AS BIGINT), "
+    f"CAST(n_triangles AS DOUBLE), {_NUL_D}, {_NUL_D} "
+    f"FROM ({ORACLES['triangle_corners_copurchase']})",
+])
+
+
+@q("fingerprint_suite_documents")
+def fingerprint_suite_documents(spark, sf_dir):
+    """Document fingerprinting in one row: winnowing fingerprints (``fp``)
+    + MOSS substring-overlap pairs (``pairs``) + SimHash band candidates
+    (``simhash``, val=hamming) — the winnowing row already multiplexed the
+    first two; the simhash branch joins via the same method column."""
+    win = winnowing_fingerprints_documents(spark, sf_dir)
+    sh = simhash_candidates_documents(spark, sf_dir).select(
+        F.lit("simhash").alias("method"), F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"), F.col("hamming").cast("long").alias("val"))
+    return win.unionByName(sh)
+
+
+ORACLES["fingerprint_suite_documents"] = (
+    f"{ORACLES['winnowing_fingerprints_documents']} "
+    "UNION ALL SELECT 'simhash', id_a, id_b, CAST(hamming AS BIGINT) "
+    f"FROM ({ORACLES['simhash_candidates_documents']})"
+)
+
+
+@q("declarative_views_suite")
+def declarative_views_suite(spark, sf_dir):
+    """Declarative view machinery in one row: hand-written SelectSpec join
+    chain (``select_spec``) + data-proven auto-JOIN derivation
+    (``auto_join``)."""
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+    sel = select_spec_join_view(spark, sf_dir).select(
+        F.lit("select_spec").alias("op"),
+        F.col("l_orderkey").cast("long").alias("k1"),
+        F.col("l_linenumber").cast("long").alias("k2"),
+        F.col("p_name").alias("s1"), F.col("s_name").alias("s2"),
+        F.col("l_quantity").cast("double").alias("val"))
+    aj = auto_join_enriched_customer(spark, sf_dir).select(
+        F.lit("auto_join").alias("op"),
+        F.col("c_custkey").cast("long").alias("k1"),
+        F.col("c_nationkey").cast("long").alias("k2"),
+        F.col("n_name").alias("s1"), ns.alias("s2"), nd.alias("val"))
+    return sel.unionByName(aj)
+
+
+ORACLES["declarative_views_suite"] = (
+    "SELECT 'select_spec' AS op, CAST(l_orderkey AS BIGINT) AS k1, "
+    "CAST(l_linenumber AS BIGINT) AS k2, p_name AS s1, s_name AS s2, "
+    "CAST(l_quantity AS DOUBLE) AS val "
+    f"FROM ({ORACLES['select_spec_join_view']}) "
+    "UNION ALL SELECT 'auto_join', CAST(c_custkey AS BIGINT), "
+    "CAST(c_nationkey AS BIGINT), n_name, CAST(NULL AS VARCHAR), "
+    f"{_NUL_D} FROM ({ORACLES['auto_join_enriched_customer']})"
+)
+
+
+@q("neighbor_fetch_suite_nation")
+def neighbor_fetch_suite_nation(spark, sf_dir):
+    """Graph-surface adjacency in one row: 1-hop ANY-direction
+    NeighborQuery around nation 5 (``neighbor``) + fetch_edges incident to
+    nation 3 (``fetch_edges``, k2=dst key, rel=relation)."""
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("long")
+    nb = neighbor_1hop_nation(spark, sf_dir).select(
+        F.lit("neighbor").alias("op"), F.col("node_key").alias("k1"),
+        ns.alias("k2"), F.col("node_type").alias("t1"), ns.alias("t2"),
+        ns.alias("rel"), F.col("hop").cast("long").alias("hop"))
+    fe = fetch_edges_nation_anchor(spark, sf_dir).select(
+        F.lit("fetch_edges").alias("op"), F.col("src_key").alias("k1"),
+        F.col("dst_key").alias("k2"), F.col("src_type").alias("t1"),
+        F.col("dst_type").alias("t2"), F.col("relation").alias("rel"),
+        nl.alias("hop"))
+    return nb.unionByName(fe)
+
+
+ORACLES["neighbor_fetch_suite_nation"] = (
+    "SELECT 'neighbor' AS op, node_key AS k1, CAST(NULL AS VARCHAR) AS k2, "
+    "node_type AS t1, CAST(NULL AS VARCHAR) AS t2, "
+    "CAST(NULL AS VARCHAR) AS rel, hop "
+    f"FROM ({ORACLES['neighbor_1hop_nation']}) "
+    "UNION ALL SELECT 'fetch_edges', src_key, dst_key, src_type, dst_type, "
+    "relation, CAST(NULL AS BIGINT) "
+    f"FROM ({ORACLES['fetch_edges_nation_anchor']})"
+)
+
+
+@q("descend_suite")
+def descend_suite(spark, sf_dir):
+    """Document descent in one row: nested-pair PRODUCT edges with
+    relation-from-key (``nested_pair``) + any_key fan-out over every
+    descendable member array (``any_key``)."""
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    np_ = descend_nested_pair_edges(spark, sf_dir).select(
+        F.lit("nested_pair").alias("mode"),
+        F.col("_src_l_orderkey").cast("long").alias("k1"),
+        F.col("_src_l_linenumber").cast("long").alias("k2"),
+        F.col("_dst_o_orderkey").cast("long").alias("k3"),
+        F.col("l_quantity").cast("double").alias("val"),
+        F.col("_relation").alias("rel"))
+    ak = descend_any_key_customers(spark, sf_dir).select(
+        F.lit("any_key").alias("mode"),
+        F.col("c_custkey").cast("long").alias("k1"),
+        nl.alias("k2"), nl.alias("k3"), nd.alias("val"), ns.alias("rel"))
+    return np_.unionByName(ak)
+
+
+ORACLES["descend_suite"] = (
+    "SELECT 'nested_pair' AS mode, CAST(_src_l_orderkey AS BIGINT) AS k1, "
+    "CAST(_src_l_linenumber AS BIGINT) AS k2, "
+    "CAST(_dst_o_orderkey AS BIGINT) AS k3, "
+    "CAST(l_quantity AS DOUBLE) AS val, _relation AS rel "
+    f"FROM ({ORACLES['descend_nested_pair_edges']}) "
+    "UNION ALL SELECT 'any_key', CAST(c_custkey AS BIGINT), "
+    "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+    f"{_NUL_D}, CAST(NULL AS VARCHAR) "
+    f"FROM ({ORACLES['descend_any_key_customers']})"
+)
+
+
+@q("edge_lineitem_suite")
+def edge_lineitem_suite(spark, sf_dir):
+    """Lineitem edge assembly in one row: same-row weight properties
+    (``weights``, w1=quantity, w2=extendedprice) + ONE multi-link step
+    emitting both the part and supplier edges (``multi_link``)."""
+    nd = F.lit(None).cast("double")
+    w = edge_lineitem_part_weights(spark, sf_dir).select(
+        F.lit("weights").alias("mode"), F.lit("contains").alias("link"),
+        F.col("_src_l_orderkey").cast("long").alias("src_orderkey"),
+        F.col("_src_l_linenumber").cast("long").alias("src_linenumber"),
+        F.col("_dst_p_partkey").cast("long").alias("dst_key"),
+        F.col("l_quantity").cast("double").alias("w1"),
+        F.col("l_extendedprice").cast("double").alias("w2"))
+    ml = edge_multi_link_lineitem(spark, sf_dir).select(
+        F.lit("multi_link").alias("mode"), F.col("link"),
+        F.col("src_orderkey").cast("long").alias("src_orderkey"),
+        F.col("src_linenumber").cast("long").alias("src_linenumber"),
+        F.col("dst_key").cast("long").alias("dst_key"),
+        nd.alias("w1"), nd.alias("w2"))
+    return w.unionByName(ml)
+
+
+ORACLES["edge_lineitem_suite"] = (
+    "SELECT 'weights' AS mode, 'contains' AS link, "
+    "CAST(_src_l_orderkey AS BIGINT) AS src_orderkey, "
+    "CAST(_src_l_linenumber AS BIGINT) AS src_linenumber, "
+    "CAST(_dst_p_partkey AS BIGINT) AS dst_key, "
+    "CAST(l_quantity AS DOUBLE) AS w1, CAST(l_extendedprice AS DOUBLE) AS w2 "
+    f"FROM ({ORACLES['edge_lineitem_part_weights']}) "
+    "UNION ALL SELECT 'multi_link', link, CAST(src_orderkey AS BIGINT), "
+    "CAST(src_linenumber AS BIGINT), CAST(dst_key AS BIGINT), "
+    f"{_NUL_D}, {_NUL_D} FROM ({ORACLES['edge_multi_link_lineitem']})"
+)
+
+
+@q("edge_casting_suite")
+def edge_casting_suite(spark, sf_dir):
+    """Edge casting machinery in one row: homogeneous star + combinations
+    castings over nested docs (existing casting discriminator) + third-
+    vertex weight enrichment (``vertex_weights``, attr=nation name)."""
+    ns = F.lit(None).cast("string")
+    hc = edge_homogeneous_star_combinations(spark, sf_dir).select(
+        "casting", F.col("_src_c_custkey").cast("long").alias("src"),
+        F.col("_dst_c_custkey").cast("long").alias("dst"), ns.alias("attr"))
+    vw = edge_vertex_weights_nation(spark, sf_dir).select(
+        F.lit("vertex_weights").alias("casting"),
+        F.col("_src_s_suppkey").cast("long").alias("src"),
+        F.col("_dst_n_nationkey").cast("long").alias("dst"),
+        F.col("nation@n_name").alias("attr"))
+    return hc.unionByName(vw)
+
+
+ORACLES["edge_casting_suite"] = (
+    "SELECT casting, CAST(_src_c_custkey AS BIGINT) AS src, "
+    "CAST(_dst_c_custkey AS BIGINT) AS dst, CAST(NULL AS VARCHAR) AS attr "
+    f"FROM ({ORACLES['edge_homogeneous_star_combinations']}) "
+    "UNION ALL SELECT 'vertex_weights', CAST(_src_s_suppkey AS BIGINT), "
+    "CAST(_dst_n_nationkey AS BIGINT), \"nation@n_name\" "
+    f"FROM ({ORACLES['edge_vertex_weights_nation']})"
+)
+
+
+@q("infer_schema_suite")
+def infer_schema_suite(spark, sf_dir):
+    """Schema inference end-to-end in one row: vertex-vs-junction table
+    classification (``classify``: kind=table_kind, n1=n_fks,
+    n2=has_unique_column) + the full infer-manifest-and-ingest golden
+    counts (``manifest_counts``: kind=vertex|edge, n1=count)."""
+    nl = F.lit(None).cast("long")
+    cl = infer_table_classification(spark, sf_dir).select(
+        F.lit("classify").alias("op"), F.col("table_name").alias("name"),
+        F.col("table_kind").alias("kind"),
+        F.col("n_fks").cast("long").alias("n1"),
+        F.col("has_unique_column").cast("long").alias("n2"))
+    mc = infer_manifest_graph_counts(spark, sf_dir).select(
+        F.lit("manifest_counts").alias("op"),
+        F.col("type_name").alias("name"), F.col("kind"),
+        F.col("n").cast("long").alias("n1"), nl.alias("n2"))
+    return cl.unionByName(mc)
+
+
+ORACLES["infer_schema_suite"] = (
+    "SELECT 'classify' AS op, table_name AS name, table_kind AS kind, "
+    "CAST(n_fks AS BIGINT) AS n1, CAST(has_unique_column AS BIGINT) AS n2 "
+    f"FROM ({ORACLES['infer_table_classification']}) "
+    "UNION ALL SELECT 'manifest_counts', type_name, kind, "
+    "CAST(n AS BIGINT), CAST(NULL AS BIGINT) "
+    f"FROM ({ORACLES['infer_manifest_graph_counts']})"
+)
+
+
+# The subsumed rows leave the driver registry but stay addressable for
+# bench.py, tools/scale_bench.py, and direct imports. Every one of their
+# oracle strings is embedded verbatim in a suite oracle above, so driver
+# verification still covers the exact same SQL semantics.
+_RETIRED_INTO_SUITES = [
+    "pagerank_trade_network", "ppr_trade_network", "hits_trade_network",
+    "sssp_trade_network", "lpa_communities_trade",
+    "link_prediction_copurchase", "kcore_copurchase",
+    "triangle_corners_copurchase",
+    "winnowing_fingerprints_documents", "simhash_candidates_documents",
+    "select_spec_join_view", "auto_join_enriched_customer",
+    "neighbor_1hop_nation", "fetch_edges_nation_anchor",
+    "descend_nested_pair_edges", "descend_any_key_customers",
+    "edge_lineitem_part_weights", "edge_multi_link_lineitem",
+    "edge_homogeneous_star_combinations", "edge_vertex_weights_nation",
+    "infer_table_classification", "infer_manifest_graph_counts",
+]
+RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+RETIRED_ORACLES: dict[str, str] = {}
+for _n in _RETIRED_INTO_SUITES:
+    RETIRED_QUERIES[_n] = QUERIES.pop(_n)
+    RETIRED_ORACLES[_n] = ORACLES.pop(_n)
+# bench/scale tools resolve names against this union
+ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **RETIRED_QUERIES, **QUERIES,
+}
+
+
 def entry_flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: full star-schema graph build -> per-type golden counts."""
     return build_star_graph(spark, sf_dir).counts()

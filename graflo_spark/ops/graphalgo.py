@@ -386,6 +386,7 @@ def link_prediction_scores(
     id_b: str = "id_b",
     min_common: int = 1,
     exclude_existing: bool = True,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Neighborhood link-prediction scores over the undirected graph: for
     every node pair sharing >= ``min_common`` neighbors, the three
@@ -398,22 +399,33 @@ def link_prediction_scores(
     prediction setting — score only candidate NEW links).
 
     Scale shape: one wedge join through the shared neighbor (the z-side
-    shuffle; fan-out per z is deg(z)^2, so cap hub degrees upstream the
-    same way ``substring_overlap_pairs`` caps max_df if the graph has
-    celebrity nodes), one count/sum aggregate per pair, two degree joins
-    for the Jaccard denominator, and an optional anti-join on the edge
-    list. Everything equi-keyed; nothing driver-side."""
+    shuffle), one count/sum aggregate per pair, two degree joins for the
+    Jaccard denominator, and an optional anti-join on the edge list.
+    Everything equi-keyed; nothing driver-side. Fan-out per shared
+    neighbor z is deg(z)^2 — on a power-law graph ONE celebrity hub emits
+    ~10^12 wedge rows, so for production graphs set ``max_degree``: wedge
+    CENTERS with deg(z) > max_degree are dropped BEFORE the join (the
+    ``substring_overlap_pairs`` max_df pattern — a neighbor shared with
+    everyone carries no link signal, exactly like a stop-fingerprint).
+    Recall trade-off: pairs whose ONLY shared neighbors are super-hubs
+    disappear, `common`/`adamic_adar` count non-hub neighbors only, and
+    Jaccard keeps TRUE degrees in its denominator (so it lower-bounds the
+    uncapped value). Default None = exact (the sf0.01 oracle gate);
+    ~10^4 is a sane cap for web-scale power-law graphs."""
     edges = _symmetrize(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-    # wedge u—z—v (u < v): every shared neighbor contributes one row
-    e1 = edges.select(F.col("b").alias("z"), F.col("a").alias("u"))
+    # wedge u—z—v (u < v): every shared neighbor contributes one row.
+    # dz rides the e1 side (edge-sized, PRE-fan-out) — both cheaper than a
+    # post-wedge degree join and the place the hub cap must apply to
+    # actually prevent the deg(z)^2 blow-up rather than filter its output.
+    zdeg = deg.select(F.col("a").alias("z"), F.col("d").alias("dz"))
+    if max_degree is not None:
+        zdeg = zdeg.filter(F.col("dz") <= F.lit(int(max_degree)))
+    e1 = edges.select(F.col("b").alias("z"), F.col("a").alias("u")).join(
+        zdeg, "z")
     e2 = edges.select(F.col("b").alias("z"), F.col("a").alias("v"))
-    wedges = (
-        e1.join(e2, "z")
-        .filter(F.col("u") < F.col("v"))
-        .join(deg.select(F.col("a").alias("z"), F.col("d").alias("dz")), "z")
-    )
+    wedges = e1.join(e2, "z").filter(F.col("u") < F.col("v"))
     scored = wedges.groupBy("u", "v").agg(
         F.count(F.lit(1)).alias("common"),
         F.sum(F.lit(1.0) / F.log(F.col("dz"))).alias("adamic_adar"),
@@ -480,11 +492,28 @@ def shortest_paths(
     if checkpoint:
         e = e.localCheckpoint(eager=True)
     spark = edges.sparkSession
-    dist = spark.createDataFrame(
-        [(s, 0.0) for s in sources], "node: long, dist: double"
-    ) if sources and isinstance(sources[0], int) else spark.createDataFrame(
-        [(s, 0.0) for s in sources], "node: string, dist: double"
-    )
+    # Coerce seeds explicitly: numpy integers are not `int`, and bool is —
+    # an isinstance(int) schema pick would route np.int64 seeds into the
+    # string branch (createDataFrame failure) and booleans into the long
+    # one. Integral-like -> long, everything else -> str; mixed kinds are
+    # rejected with a diagnosis instead of a Spark type error.
+    import numbers
+
+    def _is_integral(s) -> bool:
+        return isinstance(s, numbers.Integral) and not isinstance(s, bool)
+
+    kinds = {_is_integral(s) for s in sources}
+    if len(kinds) > 1:
+        raise TypeError(
+            "shortest_paths: mixed integer and non-integer source ids "
+            f"({sorted(set(type(s).__name__ for s in sources))}); pass one "
+            "id type matching the edge id column")
+    if kinds == {True}:
+        dist = spark.createDataFrame(
+            [(int(s), 0.0) for s in sources], "node: long, dist: double")
+    else:
+        dist = spark.createDataFrame(
+            [(str(s), 0.0) for s in sources], "node: string, dist: double")
     frontier = dist
     for _ in range(max_iter):
         relaxed = (

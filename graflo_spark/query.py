@@ -573,18 +573,21 @@ class GraphView:
         relations: list[str] | None = None,
         min_common: int = 1,
         exclude_existing: bool = True,
+        max_degree: int | None = None,
     ) -> DataFrame:
         """Common-neighbors / Jaccard / Adamic-Adar link-prediction scores
         over the undirected view: ``(key_a, key_b, common, jaccard,
-        adamic_adar)``. Net-new vs the reference query surface
-        (:func:`graflo_spark.ops.graphalgo.link_prediction_scores`)."""
+        adamic_adar)``. ``max_degree`` caps wedge-center hub degree (the
+        deg^2 fan-out guard — see
+        :func:`graflo_spark.ops.graphalgo.link_prediction_scores`)."""
         from graflo_spark.ops import graphalgo as ga
 
         edges = self.typed_edge_list(
             relations=relations, direction=Direction.OUT
         ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
         return ga.link_prediction_scores(
-            edges, min_common=min_common, exclude_existing=exclude_existing
+            edges, min_common=min_common, exclude_existing=exclude_existing,
+            max_degree=max_degree,
         ).select(
             F.col("id_a").alias("key_a"), F.col("id_b").alias("key_b"),
             "common", "jaccard", "adamic_adar",

@@ -518,3 +518,22 @@ def test_shortest_paths_matches_numpy_bellman_ford(spark):
     assert set(got) == set(dist)
     for n, d in dist.items():
         assert got[n] == pytest.approx(d, abs=1e-9)
+
+
+def test_shortest_paths_seed_coercion(spark):
+    """numpy integer seeds must land in the long-schema branch (not fail
+    createDataFrame via the string branch); bool seeds and mixed-type seed
+    lists are rejected with a diagnosis."""
+    import numpy as np
+    import pytest
+
+    from graflo_spark.ops.graphalgo import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id_a long, id_b long")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(
+               edges, [np.int64(0)], max_iter=5).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}
+    with pytest.raises(TypeError, match="mixed"):
+        shortest_paths(edges, [0, "a"], max_iter=2)

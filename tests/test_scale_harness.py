@@ -103,7 +103,7 @@ def test_blowup_events_temporal_linearity(spark, sf_dir, tmp_path):
     ranges make every temporal relationship replica-local, so asof/range
     results scale exactly linearly and replica 0 reproduces the base table
     verbatim."""
-    from graflo_spark.catalog import QUERIES
+    from graflo_spark.catalog import ALL_QUERIES as QUERIES
 
     out = _gen(spark, sf_dir, tmp_path, factor=3)
     base_ev = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -167,7 +167,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or HEADLINES
 
-    from graflo_spark.catalog import QUERIES
+    from graflo_spark.catalog import ALL_QUERIES as QUERIES
     from graflo_spark.session import get_spark
 
     spark = get_spark("explain-audit")

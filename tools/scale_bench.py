@@ -526,7 +526,7 @@ def graph_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     linearly, making the exponents honest. link_prediction's min_common
     is tuned to sf0.01 density (the driver gate); at sf0.1+ the wedge
     join still runs in full, which is what the timing measures."""
-    from graflo_spark.catalog import QUERIES
+    from graflo_spark.catalog import ALL_QUERIES as QUERIES
 
     pc = time.perf_counter
     out: dict = {}
@@ -581,7 +581,7 @@ def main() -> None:
     out_dir = os.path.join(
         out_root, f"{os.path.basename(BASE_DIR.rstrip('/'))}{suffix}")
 
-    from graflo_spark.catalog import QUERIES
+    from graflo_spark.catalog import ALL_QUERIES as QUERIES
     from graflo_spark.session import get_spark
 
     spark = get_spark("graflo-scale-bench")
