@@ -19,6 +19,81 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+class _RoundCheckpointer:
+    """Eager ``localCheckpoint`` with reclamation of superseded rounds.
+
+    Every per-round localCheckpoint pins its blocks in the block manager
+    until session end; dozens of iterative graph queries in one long-lived
+    session accumulate gigabytes of DEAD blocks (only the last round of
+    each loop is ever read again) and degrade into GC storms — the
+    operational footgun measured at 20x in SCALE.md. This tracker keeps,
+    per named slot, only the last TWO generations of checkpoint blocks
+    (the committing round plus the previous one, which a convergence
+    check may still read) and unpersists older generations the moment a
+    new round commits. ``finish(result)`` checkpoints the RESULT
+    (node-sized), then frees every tracked block — ONE bounded block per
+    algorithm call survives instead of max_iter edge-sized ones;
+    ``abort()`` frees everything on an error path.
+
+    Block ids are attributed by diffing
+    ``JavaSparkContext.getPersistentRDDs`` around the checkpoint call.
+    A persist from ANOTHER driver thread inside that narrow window could
+    be misattributed and freed early; the iterative algorithms are
+    driver-sequential, so the window is documented rather than locked.
+    """
+
+    def __init__(self, spark, enabled: bool = True) -> None:
+        self.enabled = enabled
+        self._jsc = spark.sparkContext._jsc if enabled else None
+        self._gens: dict[str, list[set[int]]] = {}
+
+    def _ids(self) -> set[int]:
+        return {
+            int(i) for i in self._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    def _free(self, ids: set[int]) -> None:
+        jmap = self._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    def __call__(self, df: DataFrame, slot: str = "main") -> DataFrame:
+        if not self.enabled:
+            return df
+        before = self._ids()
+        out = df.localCheckpoint(eager=True)
+        gens = self._gens.setdefault(slot, [])
+        gens.append(self._ids() - before)
+        while len(gens) > 2:
+            self._free(gens.pop(0))
+        return out
+
+    def finish(self, result: DataFrame) -> DataFrame:
+        """Materialize ``result`` as its own checkpoint, then free every
+        intermediate round's blocks. The returned frame is self-contained
+        (LogicalRDD), so nothing it reads can have been freed."""
+        if not self.enabled:
+            return result
+        before = self._ids()
+        out = result.localCheckpoint(eager=True)
+        keep = self._ids() - before
+        self._release_all(keep)
+        return out
+
+    def abort(self) -> None:
+        self._release_all(set())
+
+    def _release_all(self, keep: set[int]) -> None:
+        if not self.enabled:
+            return
+        for gens in self._gens.values():
+            for g in gens:
+                self._free(g - keep)
+        self._gens.clear()
+
+
 def _symmetrize(edges: DataFrame) -> DataFrame:
     """Both directions of every edge, self-loops dropped."""
     fwd = edges.select(F.col("a"), F.col("b"))
@@ -558,35 +633,50 @@ def k_core(
     ``(node, core_deg)`` for every surviving node with its degree INSIDE
     the core.
 
-    Round structure: one degree aggregate + two semi-join restrictions of
-    the edge list per round, all hash-keyed on node id; the edge set only
-    shrinks, so an unchanged edge COUNT proves stability (no set compare
-    needed). Peeling depth is data-dependent (a chain peels one node per
-    round at k=2), so ``max_iter`` bounds the rounds; at exhaustion the
-    final ``degree >= k`` filter still holds, making the fixed-round
-    result deterministic — the property the unrolled SQL oracle replays.
-    Per-round ``localCheckpoint`` truncates lineage as usual."""
-    edges = _symmetrize(
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
-    if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
-    n_edges = edges.count()
+    Round structure (frontier-delta peel): the edge list is checkpointed
+    ONCE and never rewritten; the live state is the node-sized
+    ``(node, degree-within-survivors)`` table. Per round, nodes with
+    d < k are removed and only their NEIGHBORS' degrees change — one
+    semi-join of the static edge list against the (usually tiny) removed
+    frontier + one count aggregate computes the decrements, and the
+    degree table is the only thing re-checkpointed. Synchronous-wave
+    semantics are identical to the classic full re-aggregation peel
+    (each edge decrements each surviving endpoint exactly once, in the
+    round its other endpoint is removed), but per-round cost follows the
+    FRONTIER size, not the survivor edge count — the r5 measurement had
+    the full-rewrite version super-linear at 20x (e=1.09) precisely
+    because six avalanche rounds each re-shuffled and re-persisted the
+    whole surviving edge list. Peeling depth is data-dependent (a chain
+    peels one node per round at k=2), so ``max_iter`` bounds the rounds;
+    at exhaustion the final ``degree >= k`` filter still holds, making
+    the fixed-round result deterministic — the property the unrolled SQL
+    oracle replays."""
+    ck = _RoundCheckpointer(pairs.sparkSession, checkpoint)
+    edges = ck(_symmetrize(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))),
+        "edges")
+    alive = ck(
+        edges.groupBy("a").agg(F.count(F.lit(1)).alias("d")), "alive")
     for _ in range(max_iter):
-        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("a")
-        new_edges = (
-            edges.join(keep, "a", "left_semi")
-            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
-        )
-        if checkpoint:
-            new_edges = new_edges.localCheckpoint(eager=True)
-        n_new = new_edges.count()
-        if n_new == n_edges:
+        removed = alive.filter(F.col("d") < k).select("a")
+        if removed.limit(1).count() == 0:
             break
-        edges, n_edges = new_edges, n_new
-    out = edges.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("core_deg"))
-    return out.filter(F.col("core_deg") >= k)
+        dec = (
+            edges.join(removed.withColumnRenamed("a", "b"), "b", "left_semi")
+            .groupBy("a").agg(F.count(F.lit(1)).alias("dec"))
+        )
+        alive = ck(
+            alive.filter(F.col("d") >= k)
+            .join(dec, "a", "left")
+            .select(
+                "a",
+                (F.col("d") - F.coalesce(F.col("dec"), F.lit(0))).alias("d"),
+            ),
+            "alive",
+        )
+    return ck.finish(
+        alive.filter(F.col("d") >= k).select(
+            F.col("a").alias("node"), F.col("d").alias("core_deg")))
 
 
 def hits(

@@ -537,3 +537,39 @@ def test_shortest_paths_seed_coercion(spark):
     assert got == {0: 0.0, 1: 1.0, 2: 2.0}
     with pytest.raises(TypeError, match="mixed"):
         shortest_paths(edges, [0, "a"], max_iter=2)
+
+
+def test_link_prediction_max_degree_cap(spark):
+    """The deg^2 hub guard: with max_degree set, super-hub wedge CENTERS
+    are excluded before the join — pairs whose only shared neighbor is the
+    hub disappear, everything else keeps exact scores (Jaccard denominators
+    keep TRUE degrees), and a cap above the max degree is a no-op."""
+    from graflo_spark.ops.graphalgo import link_prediction_scores
+
+    # hub 100 connected to 0..9; besides that, 0-1-2 is a path through
+    # shared neighbor 1
+    hub_edges = [(100, i) for i in range(10)]
+    path_edges = [(0, 1), (1, 2)]
+    edges = spark.createDataFrame(hub_edges + path_edges,
+                                  "id_a long, id_b long")
+
+    uncapped = {(r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+                for r in link_prediction_scores(edges, min_common=1).collect()}
+    # (0, 2) shares BOTH the hub and node 1 -> common=2 uncapped
+    assert uncapped[(0, 2)][0] == 2
+    # (3, 4) shares only the hub
+    assert uncapped[(3, 4)][0] == 1
+
+    capped = {(r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+              for r in link_prediction_scores(
+                  edges, min_common=1, max_degree=5).collect()}
+    assert (3, 4) not in capped          # hub-only pair gone
+    common, jac = capped[(0, 2)]
+    assert common == 1                   # hub neighbor no longer counted
+    # Jaccard denominator keeps TRUE degrees: deg(0)=2 (hub+1), deg(2)=2
+    assert abs(jac - 1 / (2 + 2 - 1)) < 1e-12
+
+    nocap = {(r["id_a"], r["id_b"]): r["common"]
+             for r in link_prediction_scores(
+                 edges, min_common=1, max_degree=1000).collect()}
+    assert nocap == {k: v[0] for k, v in uncapped.items()}  # no-op cap
