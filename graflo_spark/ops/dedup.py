@@ -503,6 +503,16 @@ class MinHashDedupStore:
         self.num_perm = num_perm
         self.bands = bands
         self.portable_hash = portable_hash
+        # Per-batch localCheckpoint blocks are tracked across dedup_batch
+        # calls so a long-running stream doesn't accumulate one dead block
+        # set per micro-batch (the session-accumulation footgun measured
+        # in SCALE.md): each slot keeps its last TWO generations, so the
+        # survivor frame RETURNED by dedup_batch stays readable through
+        # the next dedup_batch call — write or count it within the batch
+        # (the foreachBatch contract) rather than holding it across many.
+        from graflo_spark.ops.graphalgo import _RoundCheckpointer
+
+        self._ck = _RoundCheckpointer(spark)
 
     def _stored(self, name: str) -> DataFrame | None:
         import glob
@@ -633,14 +643,15 @@ class MinHashDedupStore:
         # materialize survivors BEFORE appending (the append invalidates
         # nothing here, but a lazy `kept` would re-read the store after the
         # write and see the batch's own rows)
-        kept = kept.localCheckpoint(eager=True)
+        kept = self._ck(kept, "kept")
         # replay hygiene: ids already in the store (a re-delivered batch)
         # are not appended again, so replays don't grow the store
         to_store = kept
         if stored_sigs is not None:
             to_store = kept.join(
                 stored_sigs.select("id"), "id", "left_anti"
-            ).localCheckpoint(eager=True)
+            )
+            to_store = self._ck(to_store, "to_store")
         # Append ORDER matters: bands first, sigs second, because the
         # replay guard above keys on sigs. A crash between the two appends
         # then re-appends BOTH on replay (duplicate band rows are dedup-safe
@@ -660,6 +671,10 @@ class MinHashDedupStore:
             kept.select(F.col("id").alias(self.id_col)), self.id_col,
             "left_semi")
         out = df.filter(F.col(self.text_col).isNull()).unionByName(out)
+        # checkpoint the RESULT too: it references this batch's `kept`
+        # blocks, and tracking it (rather than returning it lazy) is what
+        # lets the NEXT batch reclaim this batch's intermediates safely
+        out = self._ck(out, "out")
         sig.unpersist()
         return out
 

@@ -16,7 +16,17 @@ accumulate.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
+
+# One lock for ALL trackers: block ids are attributed by diffing the
+# session-global getPersistentRDDs map, so two trackers (or two threads
+# driving the same tracker) interleaving their diff-checkpoint-diff
+# sequences would misattribute each other's blocks and free them early.
+# The critical section is tiny (one eager checkpoint + two map reads), so
+# a global mutex costs nothing next to the checkpoint's own job.
+_CKPT_LOCK = threading.Lock()
 
 
 class _RoundCheckpointer:
@@ -36,16 +46,37 @@ class _RoundCheckpointer:
     ``abort()`` frees everything on an error path.
 
     Block ids are attributed by diffing
-    ``JavaSparkContext.getPersistentRDDs`` around the checkpoint call.
-    A persist from ANOTHER driver thread inside that narrow window could
-    be misattributed and freed early; the iterative algorithms are
-    driver-sequential, so the window is documented rather than locked.
+    ``JavaSparkContext.getPersistentRDDs`` around the checkpoint call;
+    the module-level ``_CKPT_LOCK`` serializes that window across
+    trackers and driver threads, so a concurrent persist elsewhere is
+    never misattributed.
+
+    Use as a context manager: ``with _RoundCheckpointer(spark) as ck:``
+    — an exception anywhere in the loop calls :meth:`abort`, freeing
+    every tracked block instead of leaking them for the session (the
+    accumulation failure mode this class exists to prevent).
+
+    ``keep`` (default 2) is the per-slot generation window: how many of
+    a slot's most recent checkpoints stay alive. 2 fits loops whose next
+    round reads only the previous one; pass ``keep=None`` for slots a
+    FINAL result still reads from every generation (e.g. a BFS whose
+    output unions all hops) — nothing is freed until ``finish``/
+    ``abort``.
     """
 
-    def __init__(self, spark, enabled: bool = True) -> None:
+    def __init__(self, spark, enabled: bool = True, keep: int | None = 2):
         self.enabled = enabled
+        self.keep = keep
         self._jsc = spark.sparkContext._jsc if enabled else None
         self._gens: dict[str, list[set[int]]] = {}
+
+    def __enter__(self) -> "_RoundCheckpointer":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is not None:
+            self.abort()
+        return False
 
     def _ids(self) -> set[int]:
         return {
@@ -62,12 +93,14 @@ class _RoundCheckpointer:
     def __call__(self, df: DataFrame, slot: str = "main") -> DataFrame:
         if not self.enabled:
             return df
-        before = self._ids()
-        out = df.localCheckpoint(eager=True)
-        gens = self._gens.setdefault(slot, [])
-        gens.append(self._ids() - before)
-        while len(gens) > 2:
-            self._free(gens.pop(0))
+        with _CKPT_LOCK:
+            before = self._ids()
+            out = df.localCheckpoint(eager=True)
+            gens = self._gens.setdefault(slot, [])
+            gens.append(self._ids() - before)
+            if self.keep is not None:
+                while len(gens) > self.keep:
+                    self._free(gens.pop(0))
         return out
 
     def finish(self, result: DataFrame) -> DataFrame:
@@ -76,10 +109,11 @@ class _RoundCheckpointer:
         (LogicalRDD), so nothing it reads can have been freed."""
         if not self.enabled:
             return result
-        before = self._ids()
-        out = result.localCheckpoint(eager=True)
-        keep = self._ids() - before
-        self._release_all(keep)
+        with _CKPT_LOCK:
+            before = self._ids()
+            out = result.localCheckpoint(eager=True)
+            keep = self._ids() - before
+            self._release_all(keep)
         return out
 
     def abort(self) -> None:
@@ -148,46 +182,49 @@ def connected_components(
     Scale design: every round is groupBy + join on node ids (AQE-safe equi
     shuffles, map-side combinable), O(log n) rounds by the star-contraction
     bound, per-round ``localCheckpoint`` so the logical plan doesn't grow
-    with iterations. No driver-side state beyond the per-round convergence
-    counter (a count() action on the round's delta).
+    with iterations — tracked by :class:`_RoundCheckpointer`, so superseded
+    rounds' blocks are reclaimed as the loop advances and only the
+    node-sized result block survives the call. No driver-side state beyond
+    the per-round convergence counter (a count() action on the round's
+    delta).
     """
-    edges = _symmetrize(
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
-    if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
+    with _RoundCheckpointer(pairs.sparkSession, checkpoint) as ck:
+        edges = ck(_symmetrize(
+            pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))),
+            "edges")
 
-    # Convergence criterion (Kiveris et al. §3): iterate until the edge set
-    # is STABLE across a full large-star/small-star round. A weaker check
-    # ("every parent is a root") is unsound — a node can hold edges to two
-    # distinct roots with no parent chain between them, so the loop would
-    # stop with a multi-parent forest and emit one node in two components.
-    prev = edges
-    prev_cnt = edges.count()
-    converged = False
-    for _ in range(max_iter):
-        edges = _large_star(_symmetrize(edges))
-        edges = _small_star(_symmetrize(edges))
-        if checkpoint:
-            edges = edges.localCheckpoint(eager=True)
-        cnt = edges.count()
-        if cnt == prev_cnt and edges.exceptAll(prev).limit(1).count() == 0:
-            # same cardinality + no edge outside prev ⇒ identical sets
-            # (both sides are distinct()), so another round is a no-op.
-            converged = True
-            break
-        prev, prev_cnt = edges, cnt
-    if not converged:
-        # an unconverged forest can assign one node to two components —
-        # silently returning it would corrupt downstream dedup
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "the star-contraction bound is O(log n) — raise max_iter")
+        # Convergence criterion (Kiveris et al. §3): iterate until the edge
+        # set is STABLE across a full large-star/small-star round. A weaker
+        # check ("every parent is a root") is unsound — a node can hold
+        # edges to two distinct roots with no parent chain between them, so
+        # the loop would stop with a multi-parent forest and emit one node
+        # in two components.
+        prev = edges
+        prev_cnt = edges.count()
+        converged = False
+        for _ in range(max_iter):
+            edges = _large_star(_symmetrize(edges))
+            edges = ck(_small_star(_symmetrize(edges)), "edges")
+            cnt = edges.count()
+            if cnt == prev_cnt and edges.exceptAll(prev).limit(1).count() == 0:
+                # same cardinality + no edge outside prev ⇒ identical sets
+                # (both sides are distinct()), so another round is a no-op.
+                converged = True
+                break
+            prev, prev_cnt = edges, cnt
+        if not converged:
+            # an unconverged forest can assign one node to two components —
+            # silently returning it would corrupt downstream dedup
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds; the star-contraction bound is O(log n) — raise "
+                "max_iter")
 
-    comp = edges.select(
-        F.col("a").alias("node"), F.col("b").alias("component"))
-    roots = comp.select(
-        F.col("component").alias("node"), F.col("component")).distinct()
-    return comp.unionByName(roots).distinct()
+        comp = edges.select(
+            F.col("a").alias("node"), F.col("b").alias("component"))
+        roots = comp.select(
+            F.col("component").alias("node"), F.col("component")).distinct()
+        return ck.finish(comp.unionByName(roots).distinct())
 
 
 def near_dup_clusters(
@@ -321,81 +358,78 @@ def pagerank(
     extra small aggregate per round); ``tol=None`` always runs
     ``max_iter`` rounds — the deterministic-work mode for benchmarking.
     """
-    edges = (
-        pairs.select(F.col(id_src).alias("src"), F.col(id_dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
-        nodes = nodes.localCheckpoint(eager=True)
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    # out-edges annotated once with 1/outdegree; reused every iteration
-    contrib_edges = edges.join(outdeg, "src")
-    if checkpoint:
-        contrib_edges = contrib_edges.localCheckpoint(eager=True)
+    with _RoundCheckpointer(pairs.sparkSession, checkpoint) as ck:
+        edges = ck(
+            pairs.select(F.col(id_src).alias("src"), F.col(id_dst).alias("dst"))
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct(),
+            "edges")
+        nodes = ck(
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .distinct(),
+            "nodes")
+        n = nodes.count()
+        if n == 0:
+            return ck.finish(nodes.withColumn("rank", F.lit(0.0)))
+        outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+        # out-edges annotated once with 1/outdegree; reused every iteration
+        contrib_edges = ck(edges.join(outdeg, "src"), "contrib")
 
-    ranks = nodes.withColumn("rank", F.lit(1.0))
-    d = float(damping)
-    # teleport weight per node: uniform 1.0 classically; n/|seeds| on the
-    # seed set (0 elsewhere) for personalized mode. The same update
-    # expression serves both: rank' = (1-d)*t + d*dangling*t/n + d*inflow.
-    if personalized:
-        t_expr = F.when(
-            F.col("node").isin(list(personalized)),
-            F.lit(float(n) / len(personalized)),
-        ).otherwise(F.lit(0.0))
-    else:
-        t_expr = F.lit(1.0)
-    for _ in range(max_iter):
-        # mass of dangling nodes (rank with no out-edges) stays IN-PLAN as
-        # a broadcast 1-row aggregate instead of a driver-side .first():
-        # with tol=None that halves the jobs per iteration (the former
-        # scalar pull was a full action before every checkpoint)
-        dangling = (
-            ranks.join(outdeg.select(F.col("src").alias("node")),
-                       "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
-        )
-        inflow = (
-            contrib_edges.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("od")).alias("_in"))
-        )
-        new_ranks = (
-            nodes.join(inflow, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (F.lit(1.0 - d) * t_expr
-                 + F.lit(d) * F.col("_dm") * t_expr / F.lit(float(n))
-                 + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
-                 ).alias("rank"))
-        )
-        if checkpoint:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        if tol is not None:
-            delta = (
-                new_ranks.join(
-                    ranks.select("node", F.col("rank").alias("_old")), "node")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
-                .first()[0] or 0.0
-            )
-            ranks = new_ranks
-            if delta < tol * n:
-                break
+        ranks = nodes.withColumn("rank", F.lit(1.0))
+        d = float(damping)
+        # teleport weight per node: uniform 1.0 classically; n/|seeds| on
+        # the seed set (0 elsewhere) for personalized mode. The same update
+        # expression serves both:
+        # rank' = (1-d)*t + d*dangling*t/n + d*inflow.
+        if personalized:
+            t_expr = F.when(
+                F.col("node").isin(list(personalized)),
+                F.lit(float(n) / len(personalized)),
+            ).otherwise(F.lit(0.0))
         else:
-            ranks = new_ranks
-    return ranks
+            t_expr = F.lit(1.0)
+        for _ in range(max_iter):
+            # mass of dangling nodes (rank with no out-edges) stays IN-PLAN
+            # as a broadcast 1-row aggregate instead of a driver-side
+            # .first(): with tol=None that halves the jobs per iteration
+            # (the former scalar pull was a full action before every
+            # checkpoint)
+            dangling = (
+                ranks.join(outdeg.select(F.col("src").alias("node")),
+                           "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            )
+            inflow = (
+                contrib_edges.join(
+                    ranks.select(F.col("node").alias("src"), "rank"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("od")).alias("_in"))
+            )
+            new_ranks = ck(
+                nodes.join(inflow, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (F.lit(1.0 - d) * t_expr
+                     + F.lit(d) * F.col("_dm") * t_expr / F.lit(float(n))
+                     + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
+                     ).alias("rank")),
+                "ranks")
+            if tol is not None:
+                delta = (
+                    new_ranks.join(
+                        ranks.select("node", F.col("rank").alias("_old")),
+                        "node")
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
+                    .first()[0] or 0.0
+                )
+                ranks = new_ranks
+                if delta < tol * n:
+                    break
+            else:
+                ranks = new_ranks
+        return ck.finish(ranks)
 
 
 def label_propagation(
@@ -429,30 +463,28 @@ def label_propagation(
     lineage like the other iterative algorithms here."""
     from pyspark.sql import Window as W
 
-    edges = _symmetrize(
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
-    if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("a").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-    )
-    w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
-    for _ in range(max_iter):
-        hist = (
-            edges.join(
-                labels.select(F.col("node").alias("b"), "label"), "b")
-            .groupBy(F.col("a").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+    with _RoundCheckpointer(pairs.sparkSession, checkpoint) as ck:
+        edges = ck(_symmetrize(
+            pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))),
+            "edges")
         labels = (
-            hist.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "label")
+            edges.select(F.col("a").alias("node")).distinct()
+            .withColumn("label", F.col("node"))
         )
-        if checkpoint:
-            labels = labels.localCheckpoint(eager=True)
-    return labels
+        w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+        for _ in range(max_iter):
+            hist = (
+                edges.join(
+                    labels.select(F.col("node").alias("b"), "label"), "b")
+                .groupBy(F.col("a").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = ck(
+                hist.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("node", "label"),
+                "labels")
+        return ck.finish(labels)
 
 
 def link_prediction_scores(
@@ -555,67 +587,73 @@ def shortest_paths(
     neighbor, so the join input is the delta, not the full vector."""
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
-    e = edges.select(
-        F.col(id_src).alias("src"), F.col(id_dst).alias("dst"),
-        w.alias("w"),
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    if weight_col:
-        # fail fast on a negative weight: silent wrong answers otherwise
-        neg = e.filter(F.col("w") < 0).limit(1).count()
-        if neg:
-            raise ValueError("shortest_paths: negative edge weight found")
-    if checkpoint:
-        e = e.localCheckpoint(eager=True)
     spark = edges.sparkSession
-    # Coerce seeds explicitly: numpy integers are not `int`, and bool is —
-    # an isinstance(int) schema pick would route np.int64 seeds into the
-    # string branch (createDataFrame failure) and booleans into the long
-    # one. Integral-like -> long, everything else -> str; mixed kinds are
-    # rejected with a diagnosis instead of a Spark type error.
-    import numbers
+    with _RoundCheckpointer(spark, checkpoint) as ck:
+        e = edges.select(
+            F.col(id_src).alias("src"), F.col(id_dst).alias("dst"),
+            w.alias("w"),
+        ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        if weight_col:
+            # fail fast on a negative weight: silent wrong answers otherwise
+            neg = e.filter(F.col("w") < 0).limit(1).count()
+            if neg:
+                raise ValueError("shortest_paths: negative edge weight found")
+        e = ck(e, "edges")
+        # Coerce seeds explicitly: numpy integers are not `int`, and bool
+        # is — an isinstance(int) schema pick would route np.int64 seeds
+        # into the string branch (createDataFrame failure) and booleans
+        # into the long one. bool seeds are REJECTED (stringifying them to
+        # 'True' would silently return empty results against numeric id
+        # columns); other integral-likes -> long, everything else -> str;
+        # mixed kinds are rejected with a diagnosis instead of a Spark
+        # type error.
+        import numbers
 
-    def _is_integral(s) -> bool:
-        return isinstance(s, numbers.Integral) and not isinstance(s, bool)
+        if any(isinstance(s, bool) for s in sources):
+            raise TypeError(
+                "shortest_paths: bool source ids are not valid node ids; "
+                "pass ids matching the edge id column's type")
 
-    kinds = {_is_integral(s) for s in sources}
-    if len(kinds) > 1:
-        raise TypeError(
-            "shortest_paths: mixed integer and non-integer source ids "
-            f"({sorted(set(type(s).__name__ for s in sources))}); pass one "
-            "id type matching the edge id column")
-    if kinds == {True}:
-        dist = spark.createDataFrame(
-            [(int(s), 0.0) for s in sources], "node: long, dist: double")
-    else:
-        dist = spark.createDataFrame(
-            [(str(s), 0.0) for s in sources], "node: string, dist: double")
-    frontier = dist
-    for _ in range(max_iter):
-        relaxed = (
-            e.join(frontier.select(F.col("node").alias("src"), "dist"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
-        )
-        new_dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
-        if checkpoint:
-            new_dist = new_dist.localCheckpoint(eager=True)
-        # frontier = nodes whose best distance improved this round; when
-        # it drains, every later round is a no-op
-        frontier = new_dist.join(
-            dist.select("node", F.col("dist").alias("_old")), "node", "left"
-        ).filter(
-            F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
-        ).select("node", "dist")
-        if checkpoint:
-            frontier = frontier.localCheckpoint(eager=True)
-        dist = new_dist
-        if frontier.limit(1).count() == 0:
-            break
-    return dist
+        kinds = {isinstance(s, numbers.Integral) for s in sources}
+        if len(kinds) > 1:
+            raise TypeError(
+                "shortest_paths: mixed integer and non-integer source ids "
+                f"({sorted(set(type(s).__name__ for s in sources))}); pass "
+                "one id type matching the edge id column")
+        if kinds == {True}:
+            dist = spark.createDataFrame(
+                [(int(s), 0.0) for s in sources], "node: long, dist: double")
+        else:
+            dist = spark.createDataFrame(
+                [(str(s), 0.0) for s in sources],
+                "node: string, dist: double")
+        frontier = dist
+        for _ in range(max_iter):
+            relaxed = (
+                e.join(frontier.select(F.col("node").alias("src"), "dist"),
+                       "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+            )
+            new_dist = ck(
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist")),
+                "dist")
+            # frontier = nodes whose best distance improved this round;
+            # when it drains, every later round is a no-op
+            frontier = ck(
+                new_dist.join(
+                    dist.select("node", F.col("dist").alias("_old")),
+                    "node", "left")
+                .filter(
+                    F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+                .select("node", "dist"),
+                "frontier")
+            dist = new_dist
+            if frontier.limit(1).count() == 0:
+                break
+        return ck.finish(dist)
 
 
 def k_core(
@@ -651,32 +689,34 @@ def k_core(
     at exhaustion the final ``degree >= k`` filter still holds, making
     the fixed-round result deterministic — the property the unrolled SQL
     oracle replays."""
-    ck = _RoundCheckpointer(pairs.sparkSession, checkpoint)
-    edges = ck(_symmetrize(
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))),
-        "edges")
-    alive = ck(
-        edges.groupBy("a").agg(F.count(F.lit(1)).alias("d")), "alive")
-    for _ in range(max_iter):
-        removed = alive.filter(F.col("d") < k).select("a")
-        if removed.limit(1).count() == 0:
-            break
-        dec = (
-            edges.join(removed.withColumnRenamed("a", "b"), "b", "left_semi")
-            .groupBy("a").agg(F.count(F.lit(1)).alias("dec"))
-        )
+    with _RoundCheckpointer(pairs.sparkSession, checkpoint) as ck:
+        edges = ck(_symmetrize(
+            pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))),
+            "edges")
         alive = ck(
-            alive.filter(F.col("d") >= k)
-            .join(dec, "a", "left")
-            .select(
-                "a",
-                (F.col("d") - F.coalesce(F.col("dec"), F.lit(0))).alias("d"),
-            ),
-            "alive",
-        )
-    return ck.finish(
-        alive.filter(F.col("d") >= k).select(
-            F.col("a").alias("node"), F.col("d").alias("core_deg")))
+            edges.groupBy("a").agg(F.count(F.lit(1)).alias("d")), "alive")
+        for _ in range(max_iter):
+            removed = alive.filter(F.col("d") < k).select("a")
+            if removed.limit(1).count() == 0:
+                break
+            dec = (
+                edges.join(
+                    removed.withColumnRenamed("a", "b"), "b", "left_semi")
+                .groupBy("a").agg(F.count(F.lit(1)).alias("dec"))
+            )
+            alive = ck(
+                alive.filter(F.col("d") >= k)
+                .join(dec, "a", "left")
+                .select(
+                    "a",
+                    (F.col("d") - F.coalesce(F.col("dec"), F.lit(0)))
+                    .alias("d"),
+                ),
+                "alive",
+            )
+        return ck.finish(
+            alive.filter(F.col("d") >= k).select(
+                F.col("a").alias("node"), F.col("d").alias("core_deg")))
 
 
 def hits(
@@ -697,57 +737,54 @@ def hits(
     partitioned on node id; the L2 norms stay IN-PLAN as broadcast 1-row
     aggregates (same trick as pagerank's dangling mass — no driver
     actions inside the loop beyond the per-round checkpoint)."""
-    edges = (
-        pairs.select(F.col(id_src).alias("src"), F.col(id_dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
-        nodes = nodes.localCheckpoint(eager=True)
+    with _RoundCheckpointer(pairs.sparkSession, checkpoint) as ck:
+        edges = ck(
+            pairs.select(F.col(id_src).alias("src"), F.col(id_dst).alias("dst"))
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct(),
+            "edges")
+        nodes = ck(
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .distinct(),
+            "nodes")
 
-    def _norm(df: DataFrame, col: str) -> DataFrame:
-        nrm = df.agg(
-            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
-        return (
-            df.crossJoin(F.broadcast(nrm))
-            .select(
-                "node",
-                F.when(F.col("_n") > 0, F.col(col) / F.col("_n"))
-                .otherwise(F.lit(0.0)).alias(col),
+        def _norm(df: DataFrame, col: str) -> DataFrame:
+            nrm = df.agg(
+                F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+            return (
+                df.crossJoin(F.broadcast(nrm))
+                .select(
+                    "node",
+                    F.when(F.col("_n") > 0, F.col(col) / F.col("_n"))
+                    .otherwise(F.lit(0.0)).alias(col),
+                )
             )
-        )
 
-    hub = nodes.withColumn("hub", F.lit(1.0))
-    for _ in range(max_iter):
-        auth = _norm(
-            nodes.join(
-                edges.join(
-                    hub.select(F.col("node").alias("src"), "hub"), "src")
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum("hub").alias("authority")),
-                "node", "left")
-            .select("node", F.coalesce("authority", F.lit(0.0)).alias(
-                "authority")),
-            "authority",
-        )
-        hub = _norm(
-            nodes.join(
-                edges.join(
-                    auth.select(F.col("node").alias("dst"), "authority"),
-                    "dst")
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.sum("authority").alias("hub")),
-                "node", "left")
-            .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
-            "hub",
-        )
-        if checkpoint:
-            auth = auth.localCheckpoint(eager=True)
-            hub = hub.localCheckpoint(eager=True)
-    return hub.join(auth, "node").select("node", "hub", "authority")
+        hub = nodes.withColumn("hub", F.lit(1.0))
+        auth = nodes.withColumn("authority", F.lit(0.0))
+        for _ in range(max_iter):
+            auth = ck(_norm(
+                nodes.join(
+                    edges.join(
+                        hub.select(F.col("node").alias("src"), "hub"), "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("hub").alias("authority")),
+                    "node", "left")
+                .select("node", F.coalesce("authority", F.lit(0.0)).alias(
+                    "authority")),
+                "authority",
+            ), "auth")
+            hub = ck(_norm(
+                nodes.join(
+                    edges.join(
+                        auth.select(F.col("node").alias("dst"), "authority"),
+                        "dst")
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(F.sum("authority").alias("hub")),
+                    "node", "left")
+                .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+                "hub",
+            ), "hub")
+        return ck.finish(
+            hub.join(auth, "node").select("node", "hub", "authority"))

@@ -227,10 +227,17 @@ class PackingStore:
         ``spans/``; mixing those with ``batch=<seq>/`` subdirs breaks Spark
         partition discovery (conflicting directory depths), and a seq-0
         overwrite would silently replace the legacy history. Move the flat
-        files into ``spans/batch=0/`` once and commit a state file whose
-        next seq is at least 1, so new batches append after the migrated
-        history. Committing the state BEFORE returning makes the migration
-        itself crash-safe: a retry sees no flat files and a seq >= 1."""
+        files into ``spans/batch=0/`` once, with the bumped state file
+        (total, max(seq, 1)) committed BEFORE the move: a crash after the
+        commit but before/mid-move leaves the flat files in place, so the
+        retry re-triggers the (idempotent) move — whereas committing after
+        the move would let a crash in between leave seq=0 with no flat
+        files, and the next batch's mode-overwrite of ``batch=0`` would
+        destroy the migrated history. A store whose ``_running_total`` file
+        is missing entirely (crash between the legacy spans write and its
+        total commit) recomputes the total from the spans' max global
+        ``tok_end`` so the next batch's offsets continue after — not
+        overlap — the migrated history."""
         import os
         import tempfile
 
@@ -243,15 +250,22 @@ class PackingStore:
         ]
         if not any(e.endswith(".parquet") for e in flat):
             return
-        dest = os.path.join(sdir, "batch=0")
-        os.makedirs(dest, exist_ok=True)
-        for e in flat:
-            os.replace(os.path.join(sdir, e), os.path.join(dest, e))
-        total, seq = self._state()
+        if os.path.exists(self._total_file()):
+            total, seq = self._state()
+        else:
+            total = int(
+                self.spark.read.parquet(sdir)
+                .agg(F.max(F.col("tok_end").cast("long"))).first()[0] or 0
+            )
+            seq = 0
         fd, tmp = tempfile.mkstemp(dir=self.path)
         with os.fdopen(fd, "w") as fh:
             fh.write(f"{total}\n{max(seq, 1)}\n")
         os.replace(tmp, self._total_file())
+        dest = os.path.join(sdir, "batch=0")
+        os.makedirs(dest, exist_ok=True)
+        for e in flat:
+            os.replace(os.path.join(sdir, e), os.path.join(dest, e))
 
     def pack_batch(self, batch: DataFrame) -> DataFrame:
         """Pack one batch against the persisted running total, write its

@@ -243,7 +243,9 @@ class GraphView:
         return self._bfs({vertex: seeds}, hops, direction, relations, plan_sink)
 
     def _seed_frontier(self, vertex: str, cond: F.Column) -> DataFrame:
-        """Identity-key frontier for seed vertices matching ``cond``."""
+        """Identity-key frontier for seed vertices matching ``cond`` —
+        LAZY; ``_bfs`` checkpoints it through its tracker so the block is
+        reclaimed when the traversal finishes."""
         return (
             self.vertices[vertex]
             .filter(cond)
@@ -252,7 +254,6 @@ class GraphView:
                 for i, f in enumerate(self.schema.vertex(vertex).identity_fields)
             ])
             .dropDuplicates()
-            .localCheckpoint(eager=True)
         )
 
     def _bfs(
@@ -275,102 +276,114 @@ class GraphView:
         # at scale, per-type edge tables make that real partition pruning —
         # and (b) joins on native key columns instead of building a string
         # node_key for every edge row in the graph.
+        from graflo_spark.ops.graphalgo import _RoundCheckpointer
+
         adjacency = self._adjacency(relations, direction)
-        visited: dict[str, DataFrame] = {
-            t: df.withColumn("hop", F.lit(0)) for t, df in initial.items()
-        }
-        frontier: dict[str, DataFrame] = dict(initial)
-        # Frontiers are eagerly checkpointed, so an exact count is nearly
-        # free — broadcast the probe side only while it is provably small.
-        # A multi-hop frontier on a dense graph can approach all vertices;
-        # a FORCED broadcast there OOMs executors at scale, so past the
-        # threshold the hint is dropped and AQE picks the join strategy
-        # from the checkpoint's real stats.
-        frontier_rows: dict[str, int] = {
-            t: df.count() for t, df in initial.items()
-        }
-        for h in range(1, hops + 1):
-            reached: dict[str, DataFrame] = {}
-            for src_t, dst_t, adj_df, n_dst in adjacency:
-                if src_t not in frontier:
-                    continue
-                fr = frontier[src_t]
-                n_src = len(fr.columns)
-                probe = fr.select(*[
-                    F.col(f"k_{i}").alias(f"a_{i}") for i in range(n_src)
-                ])
-                if frontier_rows.get(src_t, 0) <= BROADCAST_FRONTIER_MAX_ROWS:
-                    probe = F.broadcast(probe)
-                nxt = (
-                    adj_df.join(probe, [f"a_{i}" for i in range(n_src)])
-                    .select(*[
-                        F.col(f"b_{i}").alias(f"k_{i}") for i in range(n_dst)
+        # keep=None: the RESULT unions every hop's checkpointed frame, so
+        # no generation may be freed mid-run; ck.finish materializes the
+        # merged output and then reclaims them all — one bounded block
+        # survives the traversal instead of seeds + one per (hop, type).
+        spark = next(iter(initial.values())).sparkSession
+        with _RoundCheckpointer(spark, keep=None) as ck:
+            initial = {
+                t: ck(df, f"seed:{t}") for t, df in initial.items()
+            }
+            visited: dict[str, DataFrame] = {
+                t: df.withColumn("hop", F.lit(0)) for t, df in initial.items()
+            }
+            frontier: dict[str, DataFrame] = dict(initial)
+            # Frontiers are eagerly checkpointed, so an exact count is
+            # nearly free — broadcast the probe side only while it is
+            # provably small. A multi-hop frontier on a dense graph can
+            # approach all vertices; a FORCED broadcast there OOMs
+            # executors at scale, so past the threshold the hint is
+            # dropped and AQE picks the join strategy from the
+            # checkpoint's real stats.
+            frontier_rows: dict[str, int] = {
+                t: df.count() for t, df in initial.items()
+            }
+            for h in range(1, hops + 1):
+                reached: dict[str, DataFrame] = {}
+                for src_t, dst_t, adj_df, n_dst in adjacency:
+                    if src_t not in frontier:
+                        continue
+                    fr = frontier[src_t]
+                    n_src = len(fr.columns)
+                    probe = fr.select(*[
+                        F.col(f"k_{i}").alias(f"a_{i}") for i in range(n_src)
                     ])
-                    .dropDuplicates()
-                )
-                reached[dst_t] = (
-                    reached[dst_t].unionByName(nxt) if dst_t in reached else nxt
-                )
-            frontier = {}
-            frontier_rows = {}
-            for t, df in reached.items():
-                new = df.dropDuplicates()
-                if t in visited:
-                    # cycle avoidance: visited-set anti-join (reference
-                    # traversal.py row markers)
-                    new = new.join(
-                        visited[t].drop("hop"),
-                        [f"k_{i}" for i in range(len(new.columns))],
-                        "left_anti",
+                    if frontier_rows.get(src_t, 0) <= BROADCAST_FRONTIER_MAX_ROWS:
+                        probe = F.broadcast(probe)
+                    nxt = (
+                        adj_df.join(probe, [f"a_{i}" for i in range(n_src)])
+                        .select(*[
+                            F.col(f"b_{i}").alias(f"k_{i}") for i in range(n_dst)
+                        ])
+                        .dropDuplicates()
                     )
-                # materialize per hop: keeps lineage short and lets AQE size
-                # the next hop's join from real stats
-                pre_ckpt = new
-                new = new.localCheckpoint(eager=True)
-                if plan_sink is not None:
-                    # the eager checkpoint just EXECUTED pre_ckpt's plan, so
-                    # its query execution now holds the FINAL adaptive plan
-                    # (AQE's actual join choice), which the checkpointed
-                    # frame's own plan (a scan of cached partitions) hides
-                    plan_sink.append(
-                        f"-- hop {h} -> {t}\n"
-                        + pre_ckpt._jdf.queryExecution().explainString(
-                            pre_ckpt.sparkSession._jvm.org.apache.spark.sql
-                            .execution.ExplainMode.fromString("formatted")
+                    reached[dst_t] = (
+                        reached[dst_t].unionByName(nxt) if dst_t in reached else nxt
+                    )
+                frontier = {}
+                frontier_rows = {}
+                for t, df in reached.items():
+                    new = df.dropDuplicates()
+                    if t in visited:
+                        # cycle avoidance: visited-set anti-join (reference
+                        # traversal.py row markers)
+                        new = new.join(
+                            visited[t].drop("hop"),
+                            [f"k_{i}" for i in range(len(new.columns))],
+                            "left_anti",
                         )
+                    # materialize per hop: keeps lineage short and lets AQE size
+                    # the next hop's join from real stats
+                    pre_ckpt = new
+                    new = ck(new, f"hop:{t}")
+                    if plan_sink is not None:
+                        # the eager checkpoint just EXECUTED pre_ckpt's plan, so
+                        # its query execution now holds the FINAL adaptive plan
+                        # (AQE's actual join choice), which the checkpointed
+                        # frame's own plan (a scan of cached partitions) hides
+                        plan_sink.append(
+                            f"-- hop {h} -> {t}\n"
+                            + pre_ckpt._jdf.queryExecution().explainString(
+                                pre_ckpt.sparkSession._jvm.org.apache.spark.sql
+                                .execution.ExplainMode.fromString("formatted")
+                            )
+                        )
+                    cnt = new.count()
+                    if cnt == 0:
+                        continue
+                    frontier[t] = new
+                    frontier_rows[t] = cnt
+                    keyed = new.withColumn("hop", F.lit(h))
+                    visited[t] = (
+                        visited[t].unionByName(keyed) if t in visited else keyed
                     )
-                cnt = new.count()
-                if cnt == 0:
-                    continue
-                frontier[t] = new
-                frontier_rows[t] = cnt
-                keyed = new.withColumn("hop", F.lit(h))
-                visited[t] = (
-                    visited[t].unionByName(keyed) if t in visited else keyed
+                if not frontier:
+                    break
+            outs = []
+            for t, df in visited.items():
+                identity = self.schema.vertex(t).identity_fields
+                outs.append(
+                    df.select(
+                        F.concat_ws(
+                            "\x1f",
+                            F.lit(t),
+                            *[
+                                F.col(f"k_{i}").cast("string")
+                                for i in range(len(identity))
+                            ],
+                        ).alias("node_key"),
+                        F.lit(t).alias("node_type"),
+                        "hop",
+                    )
                 )
-            if not frontier:
-                break
-        outs = []
-        for t, df in visited.items():
-            identity = self.schema.vertex(t).identity_fields
-            outs.append(
-                df.select(
-                    F.concat_ws(
-                        "\x1f",
-                        F.lit(t),
-                        *[
-                            F.col(f"k_{i}").cast("string")
-                            for i in range(len(identity))
-                        ],
-                    ).alias("node_key"),
-                    F.lit(t).alias("node_type"),
-                    "hop",
-                )
-            )
-        merged = outs[0]
-        for o in outs[1:]:
-            merged = merged.unionByName(o)
-        return merged
+            merged = outs[0]
+            for o in outs[1:]:
+                merged = merged.unionByName(o)
+            return ck.finish(merged)
 
     def _adjacency(
         self,

@@ -537,6 +537,10 @@ def test_shortest_paths_seed_coercion(spark):
     assert got == {0: 0.0, 1: 1.0, 2: 2.0}
     with pytest.raises(TypeError, match="mixed"):
         shortest_paths(edges, [0, "a"], max_iter=2)
+    # bool is an int subclass but never a node id: stringifying it would
+    # silently return an empty result against numeric id columns
+    with pytest.raises(TypeError, match="bool"):
+        shortest_paths(edges, [True], max_iter=2)
 
 
 def test_link_prediction_max_degree_cap(spark):
@@ -573,3 +577,84 @@ def test_link_prediction_max_degree_cap(spark):
              for r in link_prediction_scores(
                  edges, min_common=1, max_degree=1000).collect()}
     assert nocap == {k: v[0] for k, v in uncapped.items()}  # no-op cap
+
+
+# ---------------------------------------------------------------- tracker
+
+
+def _persistent_rdd_count(spark):
+    jsc = spark.sparkContext._jsc
+    return len(jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_round_checkpointer_bounds_blocks(spark):
+    """The tracker's whole reason to exist: an iterative algorithm must
+    not pin one checkpoint block set per round for the session. Mid-run
+    each slot holds at most `keep` generations; after finish() only the
+    result's own block survives the call."""
+    from graflo_spark.ops.graphalgo import _RoundCheckpointer
+
+    spark.catalog.clearCache()
+    base = _persistent_rdd_count(spark)
+    df = spark.range(100).withColumnRenamed("id", "x")
+    ck = _RoundCheckpointer(spark)
+    cur = df
+    for i in range(6):
+        cur = ck(cur.withColumn("x", F.col("x") + 1), "loop")
+        # keep=2: never more than 2 generations of this slot alive
+        assert _persistent_rdd_count(spark) - base <= 2
+    out = ck.finish(cur)
+    assert _persistent_rdd_count(spark) - base == 1
+    assert out.count() == 100  # result readable after reclamation
+
+
+def test_round_checkpointer_abort_frees_everything(spark):
+    from graflo_spark.ops.graphalgo import _RoundCheckpointer
+
+    spark.catalog.clearCache()
+    base = _persistent_rdd_count(spark)
+    df = spark.range(50)
+    with pytest.raises(RuntimeError, match="boom"):
+        with _RoundCheckpointer(spark) as ck:
+            ck(df.withColumn("y", F.col("id") * 2), "a")
+            ck(df.withColumn("z", F.col("id") * 3), "b")
+            raise RuntimeError("boom")
+    assert _persistent_rdd_count(spark) - base == 0
+
+
+def test_round_checkpointer_keep_none_holds_all_until_finish(spark):
+    from graflo_spark.ops.graphalgo import _RoundCheckpointer
+
+    spark.catalog.clearCache()
+    base = _persistent_rdd_count(spark)
+    with _RoundCheckpointer(spark, keep=None) as ck:
+        frames = [ck(spark.range(10 + i), f"s{i}") for i in range(4)]
+        assert _persistent_rdd_count(spark) - base == 4
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        out = ck.finish(merged)
+    assert _persistent_rdd_count(spark) - base == 1
+    assert out.count() == 10 + 11 + 12 + 13
+
+
+def test_iterative_algorithms_do_not_accumulate_blocks(spark):
+    """End-to-end: run every tracked iterative algorithm back-to-back and
+    assert the session's persistent-RDD map stays bounded — the one-session
+    GCLocker wedge from SCALE.md cannot happen if this holds."""
+    import graflo_spark.ops.graphalgo as ga
+
+    spark.catalog.clearCache()
+    base = _persistent_rdd_count(spark)
+    random.seed(7)
+    pairs = [(random.randrange(60), random.randrange(60)) for _ in range(150)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "id_a long, id_b long")
+    ga.connected_components(df)
+    ga.pagerank(df, max_iter=3, tol=None)
+    ga.label_propagation(df, max_iter=2)
+    ga.shortest_paths(df, sources=[0, 1], max_iter=3)
+    ga.k_core(df, k=3)
+    ga.hits(df, max_iter=2)
+    # one self-contained result block per algorithm call at most
+    assert _persistent_rdd_count(spark) - base <= 6

@@ -340,3 +340,73 @@ def test_packing_store_migrates_legacy_flat_spans(spark, tmp_path):
     # read-only handles migrate too (idempotent second call is a no-op)
     store2 = PackingStore(spark, root, chunk_tokens=64)
     assert store2.spans().count() == len(want)
+
+
+def test_packing_store_migration_commit_before_move_crash_window(spark, tmp_path):
+    """Crash-safety ordering: the bumped state file commits BEFORE the
+    flat files move. Simulate the crash window — state committed at
+    seq>=1 but flat files still present — and assert the retrying
+    pack_batch re-triggers the move instead of overwriting batch=0."""
+    import os
+
+    from graflo_spark.ops.packing import PackingStore, pack_chunks
+
+    full = _docs(spark, n=200)
+    first = full.filter(F.col("doc_id") < 100)
+    second = full.filter(F.col("doc_id") >= 100)
+
+    root = str(tmp_path / "pk")
+    pack_chunks(first, "doc_id", "n_tok", 64).write.mode(
+        "overwrite").parquet(os.path.join(root, "spans"))
+    total1 = first.agg(F.sum("n_tok")).first()[0]
+    # the state a crash-after-commit-before-move leaves behind
+    with open(os.path.join(root, "_running_total"), "w") as fh:
+        fh.write(f"{total1}\n1\n")
+
+    store = PackingStore(spark, root, chunk_tokens=64)
+    store.pack_batch(second)
+    got = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in store.spans().collect()
+    }
+    want = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in pack_chunks(full, "doc_id", "n_tok", 64).collect()
+    }
+    assert got == want
+
+
+def test_packing_store_migration_recomputes_missing_total(spark, tmp_path):
+    """Legacy flat spans with NO _running_total (crash between the legacy
+    spans write and its total commit): migration must recompute the
+    running total from the spans' max global tok_end so the next batch's
+    offsets continue after the migrated history instead of overlapping
+    it at 0."""
+    import os
+
+    from graflo_spark.ops.packing import PackingStore, pack_chunks
+
+    full = _docs(spark, n=200)
+    first = full.filter(F.col("doc_id") < 100)
+    second = full.filter(F.col("doc_id") >= 100)
+
+    root = str(tmp_path / "pk")
+    pack_chunks(first, "doc_id", "n_tok", 64).write.mode(
+        "overwrite").parquet(os.path.join(root, "spans"))
+    # no _running_total file at all
+
+    store = PackingStore(spark, root, chunk_tokens=64)
+    store.pack_batch(second)
+    total1 = int(first.agg(F.sum("n_tok")).first()[0])
+    total2 = int(full.agg(F.sum("n_tok")).first()[0])
+    assert store.running_total() == total2
+    got = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in store.spans().collect()
+    }
+    want = {
+        (r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+        for r in pack_chunks(full, "doc_id", "n_tok", 64).collect()
+    }
+    assert got == want
+    assert total1 > 0  # sanity: the recomputed base was non-trivial
