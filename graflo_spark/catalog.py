@@ -1512,21 +1512,49 @@ def lm_cross_entropy_documents(spark, sf_dir):
 
 _CCNET_ORACLE = (
     f"WITH base AS MATERIALIZED ({_LM_CE_ORACLE}) "
-    "SELECT id, cross_entropy, "
+    "SELECT 'exact' AS mode, id, cross_entropy, "
     "NTILE(3) OVER (ORDER BY cross_entropy, id) AS bucket, "
     "CASE NTILE(3) OVER (ORDER BY cross_entropy, id) "
     "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS label "
+    "FROM base "
+    "UNION ALL "
+    "SELECT 'approx' AS mode, id, cross_entropy, "
+    "1 + CASE WHEN cross_entropy > {c0} THEN 1 ELSE 0 END "
+    "+ CASE WHEN cross_entropy > {c1} THEN 1 ELSE 0 END AS bucket, "
+    "CASE WHEN cross_entropy <= {c0} THEN 'head' "
+    "WHEN cross_entropy <= {c1} THEN 'middle' ELSE 'tail' END AS label "
     "FROM base"
 )
+
+# Frozen tier boundaries for the approx branch: midpoints of ~1e-3-wide
+# gaps between adjacent rounded document scores at sf0.01 (computed once
+# from the score distribution), so a cross-engine float wobble many
+# orders of magnitude smaller can never flip a document's bucket. The
+# production path derives such literals from one approxQuantile sketch
+# pass (ops/lm.ccnet_quality_buckets exact=False); freezing them is the
+# same function's replay mode (cuts=...) — score data against a
+# reference corpus's tier boundaries.
+_CCNET_CUTS = [3.493546, 3.560634]
+_CCNET_ORACLE = _CCNET_ORACLE.format(c0=_CCNET_CUTS[0], c1=_CCNET_CUTS[1])
 
 
 @q("ccnet_buckets_documents", _CCNET_ORACLE)
 def ccnet_buckets_documents(spark, sf_dir):
-    """CCNet head/middle/tail corpus split (ops/lm.ccnet_quality_buckets,
-    exact ntile mode): equal-size quality tiers by LM cross-entropy.
-    Ordering keys on the ROUNDED score + id so both engines rank
-    identically; the approx (quantile-literal) mode is the 100 TB path
-    and is equivalence-tested against this one in tests/test_lm.py."""
+    """CCNet head/middle/tail corpus split, BOTH bucket modes as
+    discriminator branches (ops/lm.ccnet_quality_buckets):
+
+    - mode='exact': equal-size tiers via ntile over a (score, id) window
+      — deterministic, verification-grade, but a global sort.
+    - mode='approx': the 100 TB path — per-row comparison against frozen
+      quantile-literal boundaries; no global sort, no window, the bucket
+      is a pure projection over the scoring joins. Driver-verified here
+      against the same CASE literals in SQL; the approxQuantile sketch
+      that derives the literals in production is equivalence-tested in
+      tests/test_lm.py.
+
+    Both branches bucket the ROUNDED score (the cross-engine equalizer);
+    the frozen cuts sit mid-gap in the sf0.01 score distribution so
+    rounding can never flip a side."""
     from graflo_spark.ops import lm as lmm
     from pyspark.sql import Window as W
 
@@ -1536,13 +1564,114 @@ def ccnet_buckets_documents(spark, sf_dir):
         F.col("id").cast("long").alias("id"),
         F.round("cross_entropy", 6).alias("cross_entropy"),
     )
+
+    def labeled(out):
+        return out.withColumn(
+            "label",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail"),
+        ).select("mode", "id", "cross_entropy", "bucket", "label")
+
     w = W.orderBy("cross_entropy", "id")
-    out = scores.withColumn("bucket", F.ntile(3).over(w).cast("long"))
-    return out.withColumn(
-        "label",
-        F.when(F.col("bucket") == 1, "head")
-        .when(F.col("bucket") == 2, "middle")
-        .otherwise("tail"),
+    exact = labeled(
+        scores.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .withColumn("mode", F.lit("exact")))
+    # the REAL production call: literal-comparison bucketing inside
+    # ccnet_quality_buckets (its internal score is unrounded — the cuts'
+    # mid-gap margin of ~5e-4 dwarfs the <=5e-7 rounding delta, so the
+    # bucket assignment is identical to the oracle's rounded comparison)
+    approx = labeled(
+        lmm.ccnet_quality_buckets(
+            df, "doc_id", "text", model, exact=False, cuts=_CCNET_CUTS)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.round("cross_entropy", 6).alias("cross_entropy"),
+            F.col("bucket").cast("long").alias("bucket"))
+        .withColumn("mode", F.lit("approx")))
+    return exact.unionByName(approx)
+
+
+# BPE encode replay: the merge table below was trained ONCE at sf0.01
+# (ops/bpe.train_bpe, num_merges=24) and frozen, so the driver row
+# exercises the DISTRIBUTED encode path (Arrow-batched mapInPandas with a
+# per-task word cache — the 100 TB path; training is sample-bound by
+# design and unit-proven in tests/test_bpe.py). The oracle replays
+# rank-greedy encoding exactly: symbols ride a chr(31)-separated string,
+# and a recursive CTE applies merges in rank order, ONE leftmost
+# occurrence per step (strpos+substr — equivalent to greedy
+# lowest-rank-first because a merge's constituent symbols can only be
+# produced by strictly earlier-ranked merges, and single-leftmost
+# matches _encode_word's rescan-from-start semantics exactly, including
+# overlapping runs like 'aaaa' where an iterated replace() would pair
+# differently). Recursion terminates when every word's merge index
+# passes the table; ~(merges + word_len) steps per DISTINCT word.
+_BPE_MERGES = (
+    ("e", "r▁"), ("o", "w▁"), ("t", "o"), ("a", "t"), ("l", "u"),
+    ("a", "s"), ("i", "n"), ("e", "r"), ("o", "r"), ("a", "r"),
+    ("p", "ar"), ("i", "n▁"), ("j", "o"), ("jo", "in▁"), ("as", "h▁"),
+    ("h", "ash▁"), ("r", "ow▁"), ("at", "c"), ("atc", "h▁"),
+    ("b", "atch▁"), ("a", "n▁"), ("c", "an▁"), ("s", "can▁"), ("c", "o"),
+)
+_BPE_VALUES = ", ".join(
+    f"({i}, chr(31)||'{a}'||chr(31)||'{b}'||chr(31), "
+    f"chr(31)||'{a}{b}'||chr(31))"
+    for i, (a, b) in enumerate(_BPE_MERGES)
+)
+_BPE_ORACLE = (
+    f"WITH RECURSIVE m(rank, pat, rep) AS (VALUES {_BPE_VALUES}), "
+    r"splt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') "
+    "AS lst FROM documents WHERE text IS NOT NULL), "
+    "words AS (SELECT doc_id, i AS pos, lst[i] AS word "
+    "FROM splt, unnest(range(1, len(lst) + 1)) AS r(i) "
+    "WHERE lst[i] != ''), "
+    "dw AS (SELECT DISTINCT word FROM words), "
+    "init AS (SELECT word, chr(31) || array_to_string("
+    "[word[i] FOR i IN range(1, len(word))] || [word[len(word)] || '▁'], "
+    "chr(31)) || chr(31) AS sym FROM dw), "
+    "rec AS (SELECT word, sym, 0 AS mi, 0 AS step FROM init "
+    "UNION ALL SELECT r.word, "
+    "CASE WHEN strpos(r.sym, m.pat) > 0 "
+    "THEN substr(r.sym, 1, strpos(r.sym, m.pat) - 1) || m.rep "
+    "|| substr(r.sym, strpos(r.sym, m.pat) + length(m.pat)) "
+    "ELSE r.sym END, "
+    "CASE WHEN strpos(r.sym, m.pat) > 0 THEN r.mi ELSE r.mi + 1 END, "
+    "r.step + 1 FROM rec r JOIN m ON m.rank = r.mi), "
+    "fin AS (SELECT word, sym FROM (SELECT word, sym, "
+    "ROW_NUMBER() OVER (PARTITION BY word ORDER BY step DESC) AS rn "
+    "FROM rec) WHERE rn = 1), "
+    "wtok AS (SELECT word, "
+    "array_to_string([x FOR x IN string_split(sym, chr(31)) IF x != ''], "
+    "' ') AS wtoks, "
+    "len([x FOR x IN string_split(sym, chr(31)) IF x != '']) AS wn "
+    "FROM fin), "
+    "per_doc AS (SELECT w.doc_id, SUM(t.wn) AS n_tok, "
+    "string_agg(t.wtoks, ' ' ORDER BY w.pos) AS toks "
+    "FROM words w JOIN wtok t USING (word) GROUP BY w.doc_id) "
+    "SELECT CAST(d.doc_id AS BIGINT) AS id, "
+    "CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tok, "
+    "COALESCE(p.toks, '') AS toks "
+    "FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id"
+)
+
+
+@q("bpe_encode_documents", _BPE_ORACLE)
+def bpe_encode_documents(spark, sf_dir):
+    """Distributed BPE encode against a frozen merge table
+    (ops/bpe.bpe_encode — the tokenizer-accurate token counter for
+    sequence packing): (id, n_tok, toks) per document, toks being the
+    space-joined subword stream. The vocabulary is the catalog-frozen
+    24-merge table trained at sf0.01; the oracle replays the classic
+    rank-greedy encode per distinct word in a recursive CTE and
+    reassembles documents by word position."""
+    from graflo_spark.ops import bpe as bpem
+
+    df = load(spark, sf_dir, "documents")
+    enc = bpem.bpe_encode(df, "doc_id", "text", bpem.BpeVocab(_BPE_MERGES))
+    return enc.select(
+        "id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.concat_ws(" ", F.col("tokens")).alias("toks"),
     )
 
 

@@ -112,6 +112,7 @@ def ccnet_quality_buckets(
     lm: BigramLm,
     n_buckets: int = 3,
     exact: bool = True,
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail split: rank every document by LM
     cross-entropy and cut the corpus into ``n_buckets`` equal-size
@@ -128,14 +129,22 @@ def ccnet_quality_buckets(
     ``packing.token_offsets``) and the bucket assignment is a pure
     per-row comparison — no global sort, at the cost of sketch-accurate
     (not exact-count) tier boundaries, which is what production CCNet
-    does anyway."""
+    does anyway. ``cuts`` supplies the ``n_buckets - 1`` ascending
+    threshold literals explicitly (skipping the sketch pass) — the replay
+    mode: score a NEW corpus slice against the tier boundaries of a
+    reference corpus, or freeze boundaries for a cross-engine oracle."""
     scores = lm_cross_entropy(df, id_col, text_col, lm)
-    if exact:
+    if cuts is not None and len(cuts) != n_buckets - 1:
+        raise ValueError(
+            f"ccnet_quality_buckets: {n_buckets} buckets need "
+            f"{n_buckets - 1} cuts, got {len(cuts)}")
+    if exact and cuts is None:
         w = W.orderBy("cross_entropy", "id")
         out = scores.withColumn("bucket", F.ntile(n_buckets).over(w))
     else:
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        cuts = scores.approxQuantile("cross_entropy", probs, 0.001)
+        if cuts is None:
+            probs = [i / n_buckets for i in range(1, n_buckets)]
+            cuts = scores.approxQuantile("cross_entropy", probs, 0.001)
         bucket = F.lit(1)
         for c in cuts:
             bucket = bucket + F.when(

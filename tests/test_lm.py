@@ -78,3 +78,27 @@ def test_ccnet_buckets_exact_and_approx(spark, sf_dir):
         approx.select("id", F.col("bucket").alias("b2")), "id")
     agree = both.filter(F.col("b1") == F.col("b2")).count() / both.count()
     assert agree > 0.95
+
+
+def test_ccnet_buckets_frozen_cuts_replay(spark):
+    """cuts=... skips the sketch and buckets by the given literals — the
+    replay mode the catalog's approx driver branch runs; wrong arity is
+    rejected."""
+    import pytest
+
+    from graflo_spark.ops.lm import ccnet_quality_buckets
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(str((i * 7 + j) % 5) for j in range(20)))
+         for i in range(40)],
+        ["doc_id", "text"])
+    lm = train_bigram_lm(docs, "doc_id", "text", train_mod=4)
+    scored = ccnet_quality_buckets(
+        docs, "doc_id", "text", lm, exact=False, cuts=[1.0, 2.0])
+    rows = scored.collect()
+    for r in rows:
+        want = 1 + (r["cross_entropy"] > 1.0) + (r["cross_entropy"] > 2.0)
+        assert r["bucket"] == want
+    with pytest.raises(ValueError, match="2 cuts"):
+        ccnet_quality_buckets(
+            docs, "doc_id", "text", lm, exact=False, cuts=[1.0])
