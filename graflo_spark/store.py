@@ -214,6 +214,11 @@ class GraphStore:
             reverse=True,
         )
         kept, expired = manifest_files[:keep], manifest_files[keep:]
+        # versions pinned by unexpired GRAPH manifests survive table-level
+        # retention: expiring them would dangle graph time travel
+        pinned = self._pinned_table_versions(table_dir)
+        kept += [f for f in expired if int(f[1:-5]) in pinned]
+        expired = [f for f in expired if int(f[1:-5]) not in pinned]
         referenced: set[str] = set()
         for mf in kept:
             with open(os.path.join(cdir, mf)) as f:
@@ -630,10 +635,172 @@ class GraphStore:
             return False
 
     def write_batch(self, batch: GraphBatch, dry: bool = False) -> None:
+        """Write every table of the batch, then publish ONE graph-level
+        commit pinning the per-table versions — a reader going through
+        :meth:`as_view_at` sees old-graph or new-graph, never new
+        vertices with old edges (the torn-snapshot gap per-table commits
+        alone leave open; the reference writes collections independently,
+        hq/db_writer.py:149-204, so this exceeds parity)."""
         for name, df in batch.vertices.items():
             self.upsert_vertices(name, df, dry=dry)
         for eid, df in batch.edges.items():
             self.insert_edges(eid, df, dry=dry)
+        if not dry:
+            self.commit_graph()
+
+    # ------------------------------------------- graph-level root manifest
+    def _graph_commits_dir(self) -> str:
+        return os.path.join(self.root, "commits")
+
+    def _table_key(self, table_dir: str) -> str:
+        return os.path.relpath(table_dir, self.root)
+
+    def _table_version(self, table_dir: str) -> int:
+        return self._current_manifest(table_dir)[0]
+
+    def _all_table_dirs(self) -> list[str]:
+        out = []
+        for kind in ("vertices", "edges"):
+            kdir = os.path.join(self.root, kind)
+            if not os.path.isdir(kdir):
+                continue
+            for name in sorted(os.listdir(kdir)):
+                d = os.path.join(kdir, name)
+                if os.path.isdir(d):
+                    out.append(d)
+        return out
+
+    def graph_versions(self) -> list[int]:
+        """Committed (unexpired) graph-level versions, ascending."""
+        gdir = self._graph_commits_dir()
+        if not os.path.isdir(gdir):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(gdir)
+            if f.startswith("g") and f.endswith(".json") and f[1:-5].isdigit()
+        )
+
+    def _graph_manifest(self, version: int) -> dict[str, int]:
+        path = os.path.join(self._graph_commits_dir(), f"g{version:010d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"graph version {version} is not committed or has been "
+                f"expired (kept: {self.snapshot_keep})")
+        with open(path) as f:
+            return json.load(f)["tables"]
+
+    def commit_graph(self, max_retries: int = 10) -> int:
+        """Publish an atomic graph-level version: ONE manifest mapping
+        every table (``vertices/<name>``, ``edges/<table>``) to its
+        current committed per-table version. The same hard-link
+        create-or-fail protocol as table commits; on a lost race the
+        snapshot is re-taken (per-table versions only grow, so the
+        retry's map is at least as new as the winner's). Returns the
+        published graph version."""
+        for attempt in range(max_retries):
+            tables = {
+                self._table_key(d): v
+                for d in self._all_table_dirs()
+                if (v := self._table_version(d)) > 0
+            }
+            versions = self.graph_versions()
+            nxt = (versions[-1] + 1) if versions else 1
+            gdir = self._graph_commits_dir()
+            os.makedirs(gdir, exist_ok=True)
+            tmp = os.path.join(gdir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump({"version": nxt, "tables": tables}, f)
+            try:
+                os.link(tmp, os.path.join(gdir, f"g{nxt:010d}.json"))
+                self._gc_graph()
+                return nxt
+            except FileExistsError:
+                time.sleep(0.02 * (attempt + 1))
+            finally:
+                os.unlink(tmp)
+        raise RuntimeError(
+            f"graph commit contention on {self.root}: "
+            f"lost {max_retries} races")
+
+    def _gc_graph(self) -> None:
+        """Expire graph manifests beyond ``snapshot_keep`` — the pinned
+        per-table versions of KEPT graph manifests are protected from
+        per-table expiration by :meth:`_pinned_table_versions`."""
+        keep = max(self.snapshot_keep, 1)
+        gdir = self._graph_commits_dir()
+        if not os.path.isdir(gdir):
+            return
+        files = sorted(
+            (f for f in os.listdir(gdir)
+             if f.startswith("g") and f.endswith(".json")
+             and f[1:-5].isdigit()),
+            key=lambda f: int(f[1:-5]), reverse=True)
+        for f in files[keep:]:
+            try:
+                os.unlink(os.path.join(gdir, f))
+            except OSError:
+                pass
+
+    def _pinned_table_versions(self, table_dir: str) -> set[int]:
+        """Per-table versions any unexpired graph manifest still pins —
+        table-level GC must keep these manifests (and their data dirs)
+        alive or graph time travel would dangle."""
+        key = self._table_key(table_dir)
+        pinned: set[int] = set()
+        for gv in self.graph_versions():
+            try:
+                pinned.add(self._graph_manifest(gv).get(key, 0))
+            except (OSError, KeyError, ValueError):
+                continue
+        pinned.discard(0)
+        return pinned
+
+    def read_vertices_at_graph(self, name: str, graph_version: int) -> DataFrame:
+        """The vertex table exactly as pinned by graph-level
+        ``graph_version`` (raises if the graph never committed the
+        table)."""
+        return self._read_at_graph(
+            self._table_dir("vertices", name), graph_version)
+
+    def read_edges_at_graph(self, eid: EdgeId, graph_version: int) -> DataFrame:
+        return self._read_at_graph(
+            self._table_dir("edges", eid.table_name()), graph_version)
+
+    def _read_at_graph(self, table_dir: str, graph_version: int) -> DataFrame:
+        tables = self._graph_manifest(graph_version)
+        key = self._table_key(table_dir)
+        if key not in tables:
+            raise FileNotFoundError(
+                f"{key} is not part of graph version {graph_version}")
+        return self._read_at(table_dir, tables[key])
+
+    def as_view_at(self, graph_version: int | None = None) -> "GraphView":
+        """A CONSISTENT graph snapshot: every table read at the version
+        pinned by one graph-level commit (latest by default) — immune to
+        concurrent writers, unlike :meth:`as_view`, which reads each
+        table's newest version independently."""
+        from graflo_spark.query import GraphView
+
+        if graph_version is None:
+            versions = self.graph_versions()
+            if not versions:
+                raise FileNotFoundError(
+                    f"no graph-level commits under {self.root}; write via "
+                    "write_batch or call commit_graph() first")
+            graph_version = versions[-1]
+        tables = self._graph_manifest(graph_version)
+        vertices = {}
+        edges = {}
+        by_table = {e.edge_id.table_name(): e.edge_id for e in self.schema.edges}
+        for key, v in tables.items():
+            kind, name = key.split(os.sep, 1)
+            df = self._read_at(os.path.join(self.root, key), v)
+            if kind == "vertices":
+                vertices[name] = df
+            elif name in by_table:
+                edges[by_table[name]] = df
+        return GraphView(vertices=vertices, edges=edges, schema=self.schema)
 
     # ------------------------------------------------- maintenance / reads
     def compact(self, kind: str, name: str) -> None:

@@ -660,3 +660,146 @@ def test_gc_grace_spares_recent_unreferenced_data(spark, tmp_path):
     referenced = {rel.split(os.sep)[1] for rel in manifest.values()
                   if rel.split(os.sep)[0] == "data"}
     assert set(os.listdir(ddir)) == referenced  # grace bypassed
+
+
+def _doc_link_schema():
+    from graflo_spark.manifest import CoreSchema, Edge, Field, Vertex
+
+    return CoreSchema(
+        vertices=[Vertex("doc", [Field("id"), Field("v")], identity=["id"])],
+        edges=[Edge("doc", "doc", relation="link")],
+    )
+
+
+def _link_df(spark, pairs):
+    return spark.createDataFrame(pairs, "_src_id long, _dst_id long")
+
+
+def test_graph_commit_atomic_cross_table_snapshot(spark, tmp_path):
+    """The root manifest: write_batch publishes ONE graph version spanning
+    every table it touched, so a reader going through as_view_at sees old
+    graph or new graph — never new vertices with old edges — while
+    per-table reads keep their parity semantics (newest committed table
+    version, immediately)."""
+    from graflo_spark.container import GraphBatch
+    from graflo_spark.manifest import EdgeId
+
+    schema = _doc_link_schema()
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=4)
+    st.apply_target_schema()
+    eid = schema.edges[0].edge_id
+
+    v1 = spark.createDataFrame([(i, "x") for i in range(4)], "id long, v string")
+    st.write_batch(GraphBatch(vertices={"doc": v1},
+                              edges={eid: _link_df(spark, [(0, 1), (1, 2)])}))
+    assert st.graph_versions() == [1]
+    view1 = st.as_view_at()
+    assert view1.vertices["doc"].count() == 4
+    assert view1.edges[eid].count() == 2
+
+    # a per-table write WITHOUT a graph commit: table readers see it at
+    # once, the graph snapshot does not
+    st.upsert_vertices("doc", spark.createDataFrame(
+        [(9, "y")], "id long, v string"))
+    assert st.read_vertices("doc").count() == 5      # parity read: newest
+    mid = st.as_view_at()                            # still graph v1
+    assert mid.vertices["doc"].count() == 4
+    assert mid.edges[eid].count() == 2
+
+    # completing the "batch" and committing flips the snapshot atomically
+    st.insert_edges(eid, _link_df(spark, [(2, 9)]))
+    g2 = st.commit_graph()
+    assert g2 == 2
+    view2 = st.as_view_at()
+    assert view2.vertices["doc"].count() == 5
+    assert view2.edges[eid].count() == 3
+    # graph time travel: version 1 still reads the old pair of tables
+    old = st.as_view_at(1)
+    assert old.vertices["doc"].count() == 4
+    assert old.edges[eid].count() == 2
+    assert st.read_vertices_at_graph("doc", 1).count() == 4
+    assert st.read_edges_at_graph(eid, 2).count() == 3
+
+
+def test_graph_commit_two_table_ingest_race(spark, tmp_path):
+    """A reader polling as_view_at during a two-table ingest must only
+    ever observe consistent (vertices, edges) pairs: (4, 2) before the
+    second write_batch's graph commit, (8, 5) after — never 8 vertices
+    with 2 edges even though the vertex table commits seconds before the
+    edge table."""
+    import threading
+
+    from graflo_spark.container import GraphBatch
+    from graflo_spark.manifest import EdgeId
+
+    schema = _doc_link_schema()
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=4)
+    st.apply_target_schema()
+    eid = schema.edges[0].edge_id
+
+    st.write_batch(GraphBatch(
+        vertices={"doc": spark.createDataFrame(
+            [(i, "x") for i in range(4)], "id long, v string")},
+        edges={eid: _link_df(spark, [(0, 1), (1, 2)])}))
+
+    observed, errors = [], []
+    stop = threading.Event()
+
+    def read_loop():
+        while not stop.is_set():
+            try:
+                view = st.as_view_at()
+                observed.append((view.vertices["doc"].count(),
+                                 view.edges[eid].count()))
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+    rt = threading.Thread(target=read_loop)
+    rt.start()
+    try:
+        st.write_batch(GraphBatch(
+            vertices={"doc": spark.createDataFrame(
+                [(i, "y") for i in range(4, 8)], "id long, v string")},
+            edges={eid: _link_df(spark, [(2, 4), (4, 5), (5, 6)])}))
+    finally:
+        stop.set()
+        rt.join()
+    assert not errors
+    assert set(observed) <= {(4, 2), (8, 5)}, sorted(set(observed))
+
+
+def test_graph_pinned_versions_survive_table_gc(spark, tmp_path):
+    """Table-level retention must not expire per-table versions an
+    unexpired graph manifest still pins: after many per-table commits
+    (far beyond snapshot_keep), every kept graph version's snapshot is
+    still readable."""
+    from graflo_spark.container import GraphBatch
+    from graflo_spark.manifest import EdgeId
+
+    schema = _doc_link_schema()
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=4,
+                    snapshot_keep=2, gc_grace_seconds=0.0)
+    st.apply_target_schema()
+    eid = schema.edges[0].edge_id
+
+    st.write_batch(GraphBatch(
+        vertices={"doc": spark.createDataFrame(
+            [(i, "x") for i in range(3)], "id long, v string")},
+        edges={eid: _link_df(spark, [(0, 1)])}))
+    g_first = st.graph_versions()[-1]
+    # 5 vertex-only commits: the vertex table's own retention (2) would
+    # expire the graph-pinned version without the pin protection
+    for j in range(5):
+        st.upsert_vertices("doc", spark.createDataFrame(
+            [(10 + j, "p")], "id long, v string"))
+    st.commit_graph()
+    for gv in st.graph_versions():
+        view = st.as_view_at(gv)
+        assert view.vertices["doc"].count() >= 3
+        assert view.edges[eid].count() == 1
+    # the first graph version was expired by graph retention (keep=2)...
+    kept = st.graph_versions()
+    assert len(kept) <= 2
+    if g_first not in kept:
+        with pytest.raises(FileNotFoundError):
+            st.as_view_at(g_first)
