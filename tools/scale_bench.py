@@ -57,8 +57,27 @@ table whose identities all hash into ONE bucket (worst-case skew: every
 patch rewrites the whole table; the measured amplification quantifies
 exactly how bad).
 
+``--graph`` runs the graph-analytics catalog (trade + co-purchase) at both
+scales back-to-back in ONE session — itself part of the proof: per-round
+checkpoint blocks must be reclaimed, not accumulate into the GCLocker
+wedge. Adds a CAPPED link-prediction entry (max_degree=LINKPRED_CAP, the
+production web-scale knob); the exact/uncapped registered row — heap-bound
+at 20x on one box by design — is included only with --uncapped-linkpred.
+
+``--hub`` (no blow-up needed) measures link prediction on the celebrity-hub
+graph: one node adjacent to everything. Uncapped walls at n and 2n show the
+quadratic (e~2) fan-out; the capped run must stay linear and complete in
+the default heap at n = 10_000 x factor.
+
+``--power-law`` (no blow-up needed) generates Zipfian-degree edge lists
+(Pareto inverse-CDF endpoints, s=2) whose hub degrees GROW with edge count
+— the skew shape the replica blow-up deliberately avoids — and reports
+exponents for triangles / LPA / k-core / capped link prediction.
+
 Usage:
-    python3 tools/scale_bench.py [factor] [out_root] [--hot-group] [--incremental] [--store]
+    python3 tools/scale_bench.py [factor] [out_root] [--hot-group]
+        [--incremental] [--store] [--temporal-skew] [--winnow] [--pipeline]
+        [--graph] [--hub] [--power-law] [--uncapped-linkpred]
 Prints one JSON line:
     {"metric": "scale_exponents", "factor": N, "queries": {name:
       {"t_base": s, "t_scaled": s, "exponent": e, "rows_base": n,
@@ -517,31 +536,70 @@ GRAPH_QUERIES = [
     "link_prediction_copurchase",
 ]
 
+# The production knob for web-scale power-law graphs (the registered
+# driver row runs UNCAPPED for oracle exactness at sf0.01 density).
+LINKPRED_CAP = 1000
 
-def graph_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
+
+def _copurchase_pairs(spark, sf_dir: str):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey")
+    return (
+        li.alias("a").join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("id_a"),
+                F.col("b.l_partkey").alias("id_b"))
+    )
+
+
+def graph_bench(spark, base_dir: str, scaled_dir: str, factor: int,
+                uncapped_linkpred: bool = True) -> dict:
     """Graph-analytics scaling: the trade-graph iterative family and the
-    co-purchase wedge/peel family at base and scaled. The replica blow-up
-    keeps part/order keys disjoint, so wedges, triangles, cores and
-    candidate pairs are replica-local — output structure scales exactly
-    linearly, making the exponents honest. link_prediction's min_common
-    is tuned to sf0.01 density (the driver gate); at sf0.1+ the wedge
-    join still runs in full, which is what the timing measures."""
+    co-purchase wedge/peel family at base and scaled — run back-to-back
+    in ONE session, which is itself part of the measurement: per-round
+    localCheckpoint blocks are reclaimed by _RoundCheckpointer, so the
+    catalog must complete without the GCLocker accumulation wedge the
+    r5 run hit. The replica blow-up keeps part/order keys disjoint, so
+    wedges, triangles, cores and candidate pairs are replica-local —
+    output structure scales exactly linearly, making the exponents
+    honest. link_prediction's min_common is tuned to sf0.01 density (the
+    driver gate); at sf0.1+ the wedge join still runs in full, which is
+    what the timing measures.
+
+    Two link-prediction entries: the registered UNCAPPED row (exact; at
+    20x locally it is heap-bound by design — pass
+    ``uncapped_linkpred=False`` / omit --uncapped-linkpred to skip it in
+    a default-heap session) and the CAPPED production configuration
+    (max_degree=LINKPRED_CAP), which must complete in the default heap
+    at every factor."""
     from graflo_spark.catalog import ALL_QUERIES as QUERIES
+    from graflo_spark.ops import graphalgo as ga
 
     pc = time.perf_counter
     out: dict = {}
     warm = "/root/testdata/sf0.001"
-    for name in GRAPH_QUERIES:
+    names = [n for n in GRAPH_QUERIES
+             if uncapped_linkpred or n != "link_prediction_copurchase"]
+
+    def run_capped(d: str) -> int:
+        return ga.link_prediction_scores(
+            _copurchase_pairs(spark, d), min_common=20,
+            max_degree=LINKPRED_CAP).count()
+
+    runners = {n: (lambda d, n=n: QUERIES[n](spark, d).count())
+               for n in names}
+    runners["link_prediction_copurchase_capped"] = run_capped
+    for name, fn in runners.items():
         try:
             if os.path.isdir(warm):
-                QUERIES[name](spark, warm).count()
+                fn(warm)
         except Exception:  # noqa: BLE001
             pass
         entry: dict = {}
         for label, d in (("base", base_dir), ("scaled", scaled_dir)):
             t0 = pc()
             try:
-                n = QUERIES[name](spark, d).count()
+                n = fn(d)
             except Exception as exc:  # noqa: BLE001
                 print(f"# {name}@{label}: FAILED {exc}"[:300],
                       file=sys.stderr)
@@ -559,9 +617,155 @@ def graph_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     return out
 
 
+def hub_bench(spark, factor: int) -> dict:
+    """The celebrity-hub adversarial graph for link prediction: ONE node
+    adjacent to every other node, over a sparse ring background. Through
+    the hub, every one of the C(n,2) node pairs is a wedge — the deg^2
+    fan-out that melts an uncapped wedge join at web scale. Measures:
+
+    - uncapped at two SMALL sizes (contrast pair): wall should grow ~4x
+      for 2x nodes (quadratic, e~2) — the structural problem, measured
+      rather than asserted;
+    - capped (max_degree=LINKPRED_CAP) at small AND at n = 10_000 x
+      factor: the hub is excluded BEFORE the join, so wall tracks the
+      ring's linear wedge count and must complete in the default heap.
+
+    Scores under the cap keep exact values for every pair whose shared
+    neighbors are non-hubs (the ring pairs); hub-only pairs disappear —
+    the documented recall trade-off."""
+    from graflo_spark.ops import graphalgo as ga
+
+    pc = time.perf_counter
+    out: dict = {}
+
+    def hub_graph(n: int):
+        leaves = spark.range(1, n)
+        hub = leaves.select(F.lit(0).alias("id_a"),
+                            F.col("id").alias("id_b"))
+        ring = leaves.select(
+            F.col("id").alias("id_a"),
+            (F.lit(1) + F.pmod(F.col("id"), F.lit(n - 1))).alias("id_b"))
+        return hub.unionByName(ring)
+
+    # codegen warm-up: the first invocation pays whole-stage compilation,
+    # which at contrast-pair sizes would swamp the signal
+    ga.link_prediction_scores(hub_graph(500), min_common=1).count()
+    ga.link_prediction_scores(
+        hub_graph(500), min_common=1, max_degree=LINKPRED_CAP).count()
+
+    # quadratic contrast: uncapped at n and 2n — wedge counts 5e7 vs 2e8,
+    # large enough that the join dominates scheduling overhead but still
+    # safe in the default heap
+    for n in (10_000, 20_000):
+        g = hub_graph(n)
+        t0 = pc()
+        rows = ga.link_prediction_scores(g, min_common=1).count()
+        out[f"uncapped_n{n}"] = {"wall": round(pc() - t0, 3), "rows": rows}
+        print(f"# hub uncapped n={n}: {out[f'uncapped_n{n}']['wall']}s "
+              f"rows={rows}", file=sys.stderr)
+    w1 = out["uncapped_n10000"]["wall"]
+    w2 = out["uncapped_n20000"]["wall"]
+    out["uncapped_exponent_vs_nodes"] = (
+        round(math.log(w2 / w1) / math.log(2), 2) if w1 and w2 else None)
+
+    # capped: hub degree exceeds the cap at every size here, so the hub
+    # is excluded pre-join and cost follows the linear ring wedges
+    sizes = (20_000, 100_000 * factor)
+    for n in sizes:
+        g = hub_graph(n)
+        t0 = pc()
+        rows = ga.link_prediction_scores(
+            g, min_common=1, max_degree=LINKPRED_CAP).count()
+        out[f"capped_n{n}"] = {"wall": round(pc() - t0, 3), "rows": rows}
+        print(f"# hub capped n={n}: {out[f'capped_n{n}']['wall']}s "
+              f"rows={rows}", file=sys.stderr)
+    wa = out[f"capped_n{sizes[0]}"]["wall"]
+    wb = out[f"capped_n{sizes[1]}"]["wall"]
+    out["capped_exponent_vs_nodes"] = (
+        round(math.log(wb / wa) / math.log(sizes[1] / sizes[0]), 2)
+        if wa and wb else None)
+    return out
+
+
+def power_law_bench(spark, factor: int, s: float = 2.0) -> dict:
+    """Zipfian-degree scale corpus (r5 task: the replica blow-up is
+    skew-GENTLE by construction — disjoint keys per replica — so this
+    mode asks the opposite question: what do the graph algorithms do when
+    degree skew GROWS with the data?). Nodes are drawn per edge endpoint
+    from a Pareto inverse-CDF over hash-uniform u (node = floor(u^(-1/
+    (s-1))), heavy mass at small ids), so hub degrees scale WITH edge
+    count — the web-graph shape. Base = 60k edges; scaled = factor x.
+    Reports walls + exponents for triangles / LPA / k-core / capped
+    link prediction, plus the realized max degree at each size."""
+    from graflo_spark.ops import graphalgo as ga
+
+    pc = time.perf_counter
+    big = 2**40
+
+    def zipf_edges(m: int, n_cap: int):
+        def draw(salt: str):
+            u = (F.pmod(F.xxhash64(F.col("id"), F.lit(salt)), F.lit(big))
+                 + F.lit(1.0)) / F.lit(float(big))
+            return F.least(
+                F.floor(F.pow(u, F.lit(-1.0 / (s - 1.0)))),
+                F.lit(n_cap)).cast("long")
+
+        return (
+            spark.range(m)
+            .select(draw("a").alias("id_a"), draw("b").alias("id_b"))
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+
+    # codegen warm-up on a tiny graph so base walls aren't charged
+    # whole-stage compilation
+    warm = zipf_edges(5_000, n_cap=5_000).localCheckpoint(eager=True)
+    ga.triangle_count(warm, per_node=True).count()
+    ga.label_propagation(warm, max_iter=2).count()
+    ga.k_core(warm, k=8).count()
+    ga.link_prediction_scores(
+        warm, min_common=2, max_degree=LINKPRED_CAP).count()
+
+    out: dict = {}
+    m_base = 60_000
+    for label, m in (("base", m_base), ("scaled", m_base * factor)):
+        edges = zipf_edges(m, n_cap=m)  # id range grows with edge count
+        edges = edges.localCheckpoint(eager=True)
+        deg = (
+            edges.select(F.col("id_a").alias("n"))
+            .unionAll(edges.select(F.col("id_b").alias("n")))
+            .groupBy("n").count().agg(F.max("count")).first()[0]
+        )
+        res: dict = {"edges": edges.count(), "max_degree": int(deg)}
+        for name, fn in (
+            ("triangles", lambda: ga.triangle_count(
+                edges, per_node=True).count()),
+            ("lpa", lambda: ga.label_propagation(
+                edges, max_iter=4).count()),
+            ("kcore", lambda: ga.k_core(edges, k=8).count()),
+            ("linkpred_capped", lambda: ga.link_prediction_scores(
+                edges, min_common=2, max_degree=LINKPRED_CAP).count()),
+        ):
+            t0 = pc()
+            rows = fn()
+            res[f"t_{name}"] = round(pc() - t0, 3)
+            res[f"rows_{name}"] = rows
+            print(f"# power_law {label} {name}: {res[f't_{name}']}s "
+                  f"rows={rows}", file=sys.stderr)
+        out[label] = res
+    out["exponents"] = {
+        k: (round(math.log(out["scaled"][f"t_{k}"] / out["base"][f"t_{k}"])
+                  / math.log(factor), 3)
+            if out["base"].get(f"t_{k}") and out["scaled"].get(f"t_{k}")
+            and factor > 1 else None)
+        for k in ("triangles", "lpa", "kcore", "linkpred_capped")
+    }
+    return out
+
+
 def main() -> None:
     flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
-             "--winnow", "--pipeline", "--graph"}
+             "--winnow", "--pipeline", "--graph", "--hub", "--power-law",
+             "--uncapped-linkpred"}
     args = [a for a in sys.argv[1:] if a not in flags]
     hot_group = "--hot-group" in sys.argv[1:]
     incremental = "--incremental" in sys.argv[1:]
@@ -570,6 +774,9 @@ def main() -> None:
     winnow_mode = "--winnow" in sys.argv[1:]
     pipeline_mode = "--pipeline" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
+    hub_mode = "--hub" in sys.argv[1:]
+    power_law_mode = "--power-law" in sys.argv[1:]
+    uncapped_linkpred = "--uncapped-linkpred" in sys.argv[1:]
     if incremental and hot_group:
         # reject BEFORE any Spark work — not after minutes of measurement
         raise SystemExit(
@@ -587,7 +794,12 @@ def main() -> None:
     spark = get_spark("graflo-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(os.path.join(out_dir, "_GENERATED")):
+    # hub / power-law synthesize their own graphs: no blow-up needed
+    needs_blowup = not (hub_mode or power_law_mode) or (
+        store_mode or temporal_skew or winnow_mode or pipeline_mode
+        or graph_mode or incremental)
+    if needs_blowup and not os.path.exists(
+            os.path.join(out_dir, "_GENERATED")):
         t0 = time.perf_counter()
         generate(spark, BASE_DIR, out_dir, factor, hot_group=hot_group)
         print(f"# generated {factor}x blow-up in "
@@ -598,7 +810,7 @@ def main() -> None:
     # --store runs focus on the write path; the read-query sweep is the
     # default mode's job (run both modes for the full picture)
     focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
-               or graph_mode)
+               or graph_mode or hub_mode or power_law_mode)
     for name in ([] if focused else SCALE_QUERIES):
         fn = QUERIES[name]
         try:  # codegen warm; never let a missing warm dir zero the artifact
@@ -686,12 +898,35 @@ def main() -> None:
 
     if graph_mode:
         try:
-            payload["graph"] = graph_bench(spark, BASE_DIR, out_dir, factor)
+            payload["graph"] = graph_bench(
+                spark, BASE_DIR, out_dir, factor,
+                uncapped_linkpred=uncapped_linkpred)
             print("# graph: " + str({k: v.get("exponent")
                   for k, v in payload["graph"].items()}), file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             payload["graph"] = {"error": str(exc)[:300]}
             print(f"# graph: FAILED {exc}"[:300], file=sys.stderr)
+
+    if hub_mode:
+        try:
+            payload["hub"] = hub_bench(spark, factor)
+            print(f"# hub: uncapped e={payload['hub']['uncapped_exponent_vs_nodes']} "
+                  f"capped e={payload['hub']['capped_exponent_vs_nodes']}",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["hub"] = {"error": str(exc)[:300]}
+            print(f"# hub: FAILED {exc}"[:300], file=sys.stderr)
+
+    if power_law_mode:
+        try:
+            payload["power_law"] = power_law_bench(spark, factor)
+            print(f"# power_law: {payload['power_law']['exponents']} "
+                  f"max_deg base={payload['power_law']['base']['max_degree']} "
+                  f"scaled={payload['power_law']['scaled']['max_degree']}",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["power_law"] = {"error": str(exc)[:300]}
+            print(f"# power_law: FAILED {exc}"[:300], file=sys.stderr)
 
     if pipeline_mode:
         try:
