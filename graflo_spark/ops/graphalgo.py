@@ -487,6 +487,13 @@ def label_propagation(
         return ck.finish(labels)
 
 
+# Wedge-aggregate sizing: one reducer partition per ~2M wedge rows keeps
+# the per-task hash-aggregate state around ~100 MB — spill-friendly in an
+# 8 GB local heap and a no-op on a real cluster (where the same knob just
+# matches reducer count to fan-out instead of to the session default).
+_WEDGE_ROWS_PER_PARTITION = 2_000_000
+
+
 def link_prediction_scores(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -518,7 +525,19 @@ def link_prediction_scores(
     disappear, `common`/`adamic_adar` count non-hub neighbors only, and
     Jaccard keeps TRUE degrees in its denominator (so it lower-bounds the
     uncapped value). Default None = exact (the sf0.01 oracle gate);
-    ~10^4 is a sane cap for web-scale power-law graphs."""
+    ~10^4 is a sane cap for web-scale power-law graphs.
+
+    The cap handles SKEWED fan-out; a dense-but-unskewed graph (every
+    degree below the cap) can still emit billions of wedges — there the
+    bottleneck is the pair aggregate landing on the session-default
+    shuffle partition count. The exact wedge mass (sum of retained dz^2)
+    is knowable BEFORE the join from the node-sized degree table, so when
+    it exceeds ~2M rows per default partition the wedge stream is
+    re-partitioned on (u, v) to one reducer per ~2M wedges (bounded at
+    4096): per-task aggregate state stays ~100 MB and the job becomes
+    disk-bound instead of OOM — measured at 6.0B wedges in an 8 GB local
+    heap (SCALE.md). Small graphs skip the extra exchange entirely (plan
+    unchanged, map-side partial agg retained)."""
     edges = _symmetrize(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
@@ -533,6 +552,13 @@ def link_prediction_scores(
         zdeg, "z")
     e2 = edges.select(F.col("b").alias("z"), F.col("a").alias("v"))
     wedges = e1.join(e2, "z").filter(F.col("u") < F.col("v"))
+    spark = pairs.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    mass = int(
+        zdeg.agg(F.sum(F.col("dz") * F.col("dz"))).first()[0] or 0)
+    npart = min(4096, mass // _WEDGE_ROWS_PER_PARTITION + 1)
+    if npart > default_parts:
+        wedges = wedges.repartition(npart, "u", "v")
     scored = wedges.groupBy("u", "v").agg(
         F.count(F.lit(1)).alias("common"),
         F.sum(F.lit(1.0) / F.log(F.col("dz"))).alias("adamic_adar"),
