@@ -51,6 +51,8 @@ HEADLINES = [
     "bigram_entropy_documents",
     "lm_cross_entropy_documents",
     "ccnet_buckets_documents",
+    # round 7: distributed BPE encode against the frozen merge table
+    "bpe_encode_documents",
 ]
 
 
