@@ -273,6 +273,14 @@ def triangle_count(
     the wedge fan-out is bounded even on power-law graphs where a naive
     star center would emit deg^2 ~ n^2 pairs. Three equi-joins + one
     aggregate; no cross joins, no iteration.
+
+    A fan-out-sized repartition of the wedge stream (the
+    :func:`link_prediction_scores` treatment) was measured at 20x and
+    REVERTED: the closing sort-merge join spills fine at the default
+    width (388 s with the extra exchange vs 323-360 s without — the cost
+    is shuffle volume, not per-task sort size, so the extra disk pass
+    only adds). Link prediction differs because its HASH aggregate state
+    is per-task-memory-bound; a sort can spill where a hash map cannot.
     """
     # canonical undirected edge set, self-loops dropped
     e = (
