@@ -199,6 +199,15 @@ class PackingStore:
         self.token_col = token_col
         self.order_col = order_col or id_col
         os.makedirs(path, exist_ok=True)
+        # Track per-batch localCheckpoint blocks across pack_batch calls
+        # (same convention as MinHashDedupStore): each slot keeps its last
+        # two generations, so a long-running foreachBatch stream doesn't
+        # pin one dead block set per micro-batch. The spans frame RETURNED
+        # by pack_batch stays readable through the next pack_batch call;
+        # it is also always re-readable from disk via spans().
+        from graflo_spark.ops.graphalgo import _RoundCheckpointer
+
+        self._ck = _RoundCheckpointer(spark)
 
     def _total_file(self) -> str:
         import os
@@ -290,10 +299,13 @@ class PackingStore:
         # packing columns are materialized.
         cols = list(dict.fromkeys(
             [self.id_col, self.token_col, self.order_col]))
-        batch = batch.select(*cols).localCheckpoint(eager=True)
-        spans = pack_chunks(
-            batch, self.id_col, self.token_col, self.chunk_tokens,
-            order_col=self.order_col, base_offset=base,
+        batch = self._ck(batch.select(*cols), "batch")
+        spans = self._ck(
+            pack_chunks(
+                batch, self.id_col, self.token_col, self.chunk_tokens,
+                order_col=self.order_col, base_offset=base,
+            ),
+            "spans",
         )
         spans.write.mode("overwrite").parquet(
             os.path.join(self.path, "spans", f"batch={seq}")
