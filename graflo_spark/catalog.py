@@ -2809,6 +2809,90 @@ def store_roundtrip_semantics(spark, sf_dir):
     return vertices.unionByName(edges)
 
 
+# Atomic graph-level commits (r7, exceeds reference parity — the
+# reference writes collections independently, hq/db_writer.py:149-204).
+# Phases: 'g1' = the first write_batch's pinned snapshot; 'g2' = the
+# second's; 'latest_after_uncommitted' = the LATEST graph view read AFTER
+# a further vertex-only upsert that was NOT graph-committed — its counts
+# must still equal g2's, which is the torn-snapshot-impossible claim in
+# oracle-checkable form (a per-table reader would already see the extra
+# vertex here).
+_GRAPH_COMMIT_ORACLE = (
+    "SELECT 'g1' AS phase, 'vertex' AS kind, COUNT(*) AS n FROM customer "
+    "WHERE c_custkey % 2 = 0 "
+    "UNION ALL SELECT 'g1', 'edge', COUNT(DISTINCT (o_orderkey, o_custkey)) "
+    "FROM orders WHERE o_orderkey % 2 = 0 "
+    "UNION ALL SELECT 'g2', 'vertex', COUNT(*) FROM customer "
+    "UNION ALL SELECT 'g2', 'edge', COUNT(DISTINCT (o_orderkey, o_custkey)) "
+    "FROM orders "
+    "UNION ALL SELECT 'latest_after_uncommitted', 'vertex', COUNT(*) "
+    "FROM customer "
+    "UNION ALL SELECT 'latest_after_uncommitted', 'edge', "
+    "COUNT(DISTINCT (o_orderkey, o_custkey)) FROM orders"
+)
+
+
+@q("graph_commit_time_travel", _GRAPH_COMMIT_ORACLE)
+def graph_commit_time_travel(spark, sf_dir):
+    """Atomic multi-table graph commits + graph-level time travel
+    (store.commit_graph / as_view_at): two write_batch ingests publish
+    graph versions g1 and g2; reading AT each version returns exactly
+    that batch boundary's tables, and a further vertex upsert WITHOUT a
+    graph commit is invisible to the latest graph view — the reader sees
+    old-graph or new-graph, never new vertices with old edges."""
+    import tempfile
+
+    from graflo_spark.container import GraphBatch
+    from graflo_spark.manifest import EdgeId
+    from graflo_spark.store import GraphStore
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("_src_o_orderkey"),
+        F.col("o_custkey").alias("_dst_c_custkey"))
+    schema = CoreSchema(
+        vertices=[
+            Vertex("customer",
+                   [Field("c_custkey", FieldType.INT),
+                    Field("c_acctbal", FieldType.DOUBLE)],
+                   identity=["c_custkey"]),
+            Vertex("order", [Field("o_orderkey", FieldType.INT)],
+                   identity=["o_orderkey"]),
+        ],
+        edges=[Edge("order", "customer", relation="placed_by")],
+    )
+    eid = EdgeId("order", "customer", "placed_by")
+    root = tempfile.mkdtemp(prefix="graflo_gcommit_")
+    st = GraphStore(spark, root, schema)
+    st.apply_target_schema()
+    st.write_batch(GraphBatch(
+        vertices={"customer": cust.filter(F.col("c_custkey") % 2 == 0)},
+        edges={eid: orders.filter(F.col("_src_o_orderkey") % 2 == 0)}))
+    g1 = st.graph_versions()[-1]
+    st.write_batch(GraphBatch(
+        vertices={"customer": cust.filter(F.col("c_custkey") % 2 == 1)},
+        edges={eid: orders.filter(F.col("_src_o_orderkey") % 2 == 1)}))
+    g2 = st.graph_versions()[-1]
+    # a per-table write with NO graph commit: latest graph view must not
+    # move (the vertex is visible to read_vertices, not to as_view_at)
+    st.upsert_vertices("customer", spark.createDataFrame(
+        [(10_000_000, 0.0)], "c_custkey int, c_acctbal double"))
+
+    def counts(phase: str, view) -> DataFrame:
+        v = view.vertices["customer"].agg(
+            F.count(F.lit(1)).alias("n")).select(
+            F.lit(phase).alias("phase"), F.lit("vertex").alias("kind"), "n")
+        e = view.edges[eid].agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(phase).alias("phase"), F.lit("edge").alias("kind"), "n")
+        return v.unionByName(e)
+
+    return (
+        counts("g1", st.as_view_at(g1))
+        .unionByName(counts("g2", st.as_view_at(g2)))
+        .unionByName(counts("latest_after_uncommitted", st.as_view_at()))
+    )
+
+
 # ----------------------------------------------- query surface addenda (§2.9)
 
 @q(
