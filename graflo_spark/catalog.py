@@ -1814,6 +1814,45 @@ def dedup_exact_documents(spark, sf_dir):
     return exact.unionByName(finger)
 
 
+_DUP_SPANS_ORACLE = (
+    r"WITH splt AS (SELECT doc_id, list_filter("
+    r"regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS lst "
+    "FROM documents WHERE text IS NOT NULL), "
+    "grams AS (SELECT doc_id, i - 1 AS pos, "
+    "('0x' || substr(md5(array_to_string(lst[i:i+7], chr(31))), 1, 15))"
+    "::BIGINT AS h "
+    "FROM splt, unnest(range(1, len(lst) - 7 + 1)) r(i)), "
+    "dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1), "
+    "covered AS (SELECT DISTINCT doc_id, pos + j AS cpos "
+    "FROM grams JOIN dup USING (h), unnest(range(0, 8)) t(j)), "
+    "isl AS (SELECT doc_id, cpos, cpos - ROW_NUMBER() OVER ("
+    "PARTITION BY doc_id ORDER BY cpos) AS grp FROM covered) "
+    "SELECT CAST(doc_id AS BIGINT) AS id, "
+    "CAST(MIN(cpos) AS BIGINT) AS span_start, "
+    "CAST(MAX(cpos) AS BIGINT) AS span_end, "
+    "COUNT(*) AS span_tokens FROM isl GROUP BY doc_id, grp"
+)
+
+
+@q("dup_substring_spans_documents", _DUP_SPANS_ORACLE)
+def dup_substring_spans_documents(spark, sf_dir):
+    """Exact repeated-substring spans, Lee et al. 2022 style
+    (ops/dedup.duplicated_substring_spans): every maximal token span
+    covered by a corpus-duplicated 8-token gram — the memorization scrub
+    near-dup LSH cannot express. Portable-hash mode so DuckDB replays the
+    gram hashing bit-for-bit; the oracle rebuilds grams, the duplicated
+    set, covered positions and the gap-and-islands span merge."""
+    df = load(spark, sf_dir, "documents")
+    out = dd.duplicated_substring_spans(
+        df, "doc_id", "text", k=8, portable_hash=True)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
 @q(
     "ngram_jaccard_pairs_blocked",
     "WITH g AS (SELECT doc_id, lang, list_distinct([array_to_string(tk[i:i+2], ' ') "

@@ -888,3 +888,109 @@ def substring_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    exclude_first_occurrence: bool = False,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """EXACT repeated-substring detection, the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better", public)
+    primitive that near-dup LSH cannot give: every maximal token span
+    covered by at least one k-token gram that occurs >= 2 times in the
+    CORPUS (across or within documents). Returns
+    ``(id, span_start, span_end, span_tokens)`` with token positions
+    0-based inclusive; the training-data scrub is then "cut these spans"
+    (memorization-prone boilerplate, licenses, repeated headers), which
+    removes exact repetition even between documents too dissimilar for
+    any similarity threshold to pair.
+
+    ``exclude_first_occurrence=True`` keeps one copy: the gram occurrence
+    with the smallest (id, pos) is the owner and is not marked, so the
+    corpus retains exactly one copy of every repeated run (the Lee et al.
+    policy); the default marks ALL occurrences (the audit view).
+
+    Scale shape (all codegen, no Python):
+    - grams: one row per token (posexplode) + k-1 ``lead`` window columns
+      concatenated and hashed — one shuffle on doc id;
+    - duplicated grams: groupBy gram hash (map-side combinable; output is
+      only the grams that repeat — Zipf-small next to the corpus) +
+      ``min_by`` owner;
+    - mark: equi-join grams to the duplicated set on the hash (AQE
+      broadcasts when the dup table is small);
+    - spans: explode each marked gram to its k covered positions,
+      distinct, then the classic gap-and-islands (row_number window per
+      doc, group by position - row_number) — shuffles stay keyed on doc
+      id throughout.
+
+    Production hashes grams with xxhash64 (64-bit: at 10^13 grams expect
+    a ~1e-7 birthday false-positive mark rate — acceptable for a scrub,
+    documented); ``portable_hash`` swaps the md5-derived 60-bit hash a
+    DuckDB oracle reproduces bit-for-bit (the winnowing convention).
+
+    Reference analogue: none (north-star training-pipeline extension).
+    """
+    from pyspark.sql import Window as W
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+            .alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    w_doc = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [
+        F.lead("w", i).over(w_doc) for i in range(1, k)
+    ]
+    grams = (
+        toks.select("id", "pos", F.concat_ws(chr(31), *parts).alias("g"),
+                    F.lead("w", k - 1).over(w_doc).alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    h = (
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+        if portable_hash
+        else F.xxhash64("g")
+    )
+    grams = grams.select("id", "pos", h.alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("id", "pos")).alias("owner"),
+        )
+        .filter(F.col("n_occ") > 1)
+    )
+    marked = grams.join(dup, "h")
+    if exclude_first_occurrence:
+        marked = marked.filter(
+            ~((F.col("id") == F.col("owner.id"))
+              & (F.col("pos") == F.col("owner.pos"))))
+    covered = (
+        marked.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1)))
+            .alias("cpos"))
+        .distinct()
+    )
+    grp = (F.col("cpos") - F.row_number().over(
+        W.partitionBy("id").orderBy("cpos"))).alias("_grp")
+    return (
+        covered.select("id", "cpos", grp)
+        .groupBy("id", "_grp")
+        .agg(
+            F.min("cpos").alias("span_start"),
+            F.max("cpos").alias("span_end"),
+            F.count(F.lit(1)).alias("span_tokens"),
+        )
+        .drop("_grp")
+    )
