@@ -994,3 +994,57 @@ def duplicated_substring_spans(
         )
         .drop("_grp")
     )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a :func:`duplicated_substring_spans` result to the corpus:
+    tokens inside any span are cut and the remainder re-joined with single
+    spaces — the Lee et al. scrub step itself (pair with
+    ``exclude_first_occurrence=True`` spans so one copy of every repeated
+    run survives corpus-wide). Documents whose every token is covered come
+    back with empty text (callers typically drop them with a min-token
+    gate); NULL-text documents pass through unchanged.
+
+    Shape: tokens explode once, spans explode to covered positions, one
+    anti-join on (id, pos), and an in-order re-assembly via
+    ``array_sort(collect_list(struct(pos, w)))`` — grouping is on doc id
+    throughout, no windows, no Python.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+            .alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    covered = spans.select(
+        F.col("id"),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))).alias("pos"),
+    )
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("_ts"))
+        .select(
+            "id",
+            F.array_join(F.transform(F.col("_ts"), lambda t: t["w"]), " ")
+            .alias("_scrubbed"),
+        )
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["id"], "left")
+        .select(
+            *[c for c in df.columns if c != text_col],
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("_scrubbed"), F.lit("")))
+            .alias(text_col),
+        )
+    )

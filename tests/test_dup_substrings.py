@@ -101,3 +101,31 @@ def test_portable_hash_same_result_and_degenerates(spark):
     # within-doc repetition: "a b c" at 0 and 4, "b c d" at 1 and 5 ->
     # covers 0..3 and 4..7 -> one maximal span over the whole doc
     assert got_fast == {(0, 0, 7, 8)}
+
+
+def test_cut_spans_keeps_one_copy_corpus_wide(spark):
+    from graflo_spark.ops.dedup import cut_duplicated_spans
+
+    docs = {
+        0: "intro a b c d e f outro",
+        1: "x a b c d e f y",      # repeated run a..f (6 tokens)
+        2: None,
+        3: "q r s",
+    }
+    df = spark.createDataFrame(sorted(docs.items()), "doc_id long, text string")
+    spans = duplicated_substring_spans(
+        df, k=4, exclude_first_occurrence=True)
+    out = {r["doc_id"]: r["text"]
+           for r in cut_duplicated_spans(df, spans).collect()}
+    # doc 0 owns the first occurrence -> untouched; doc 1 loses the run
+    assert out[0] == "intro a b c d e f outro"
+    assert out[1] == "x y"
+    assert out[2] is None
+    assert out[3] == "q r s"
+    # fully-covered docs come back empty, not dropped
+    docs2 = {0: "a b c d", 1: "a b c d"}
+    df2 = spark.createDataFrame(sorted(docs2.items()), "doc_id long, text string")
+    spans2 = duplicated_substring_spans(df2, k=4, exclude_first_occurrence=True)
+    out2 = {r["doc_id"]: r["text"]
+            for r in cut_duplicated_spans(df2, spans2).collect()}
+    assert out2 == {0: "a b c d", 1: ""}
