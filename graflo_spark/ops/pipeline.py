@@ -52,6 +52,13 @@ class PipelineConfig:
     decontam_ngram: int = 13
     decontam_min_overlap: int = 1
     near_dup_threshold: float = 0.7
+    # Exact repeated-substring scrub (Lee et al. 2022) over the SURVIVOR
+    # corpus before packing: cut every k-token run that occurs >= 2 times,
+    # keeping the first occurrence corpus-wide (None = off). Runs after
+    # the doc-level dedups — those drop whole near-identical documents;
+    # this removes verbatim repetition BETWEEN kept, dissimilar documents
+    # (licenses, boilerplate headers) that no similarity threshold pairs.
+    dedup_substring_k: int | None = None
     # LM fluency gate: drop documents whose bigram cross-entropy under a
     # reference-slice-trained model exceeds this (nats/bigram; None = off).
     # The classic CCNet perplexity filter, wired into the funnel.
@@ -267,6 +274,11 @@ def prepare_training_data(
 
         annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
     kept = survivors(annotated)
+    if cfg.dedup_substring_k is not None:
+        spans = dd.duplicated_substring_spans(
+            kept, cfg.id_col, cfg.text_col, k=cfg.dedup_substring_k,
+            exclude_first_occurrence=True)
+        kept = dd.cut_duplicated_spans(kept, spans, cfg.id_col, cfg.text_col)
     with_tok = kept.select(
         cfg.id_col,
         "split",

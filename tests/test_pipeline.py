@@ -209,3 +209,38 @@ def test_lm_quality_gate_in_funnel(spark):
         splits={"train": 1.0}))
     stages2 = {r["doc_id"]: r["drop_stage"] for r in ann2.collect()}
     assert stages2[2] != "lm_quality"
+
+
+def test_substring_scrub_stage_cuts_repeated_runs(spark):
+    """dedup_substring_k: verbatim k-token runs shared between KEPT,
+    dissimilar documents are cut before packing (first occurrence spared),
+    so the packed token total shrinks by exactly the cut tokens; with the
+    stage off, totals include the repetition."""
+    from graflo_spark.ops.pipeline import PipelineConfig, prepare_training_data
+
+    boiler = "copyright notice all rights reserved do not redistribute"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} alpha beta gamma delta epsilon zeta"),
+            (1, f"completely different body text here {boiler}"),
+            (2, "an unrelated document with enough tokens to pass gates"),
+        ],
+        ["doc_id", "text"],
+    )
+    base_cfg = dict(min_quality=0.0, min_tokens=3,
+                    splits={"train": 1.0}, chunk_tokens=64,
+                    lsh_kwargs={"shingle_k": 3, "bands": 32})
+    off_chunks, off_ann, _ = prepare_training_data(
+        docs, None, PipelineConfig(**base_cfg))
+    on_chunks, on_ann, _ = prepare_training_data(
+        docs, None, PipelineConfig(**base_cfg, dedup_substring_k=8))
+    off_tok = sum(r["doc_tok_end"] - r["doc_tok_start"]
+                  for r in off_chunks.collect())
+    on_tok = sum(r["doc_tok_end"] - r["doc_tok_start"]
+                 for r in on_chunks.collect())
+    # all three docs survive the doc-level funnel in both runs
+    assert off_ann.filter(F.col("drop_stage").isNull()).count() == 3
+    assert on_ann.filter(F.col("drop_stage").isNull()).count() == 3
+    # the boilerplate run is 8 tokens; doc 0 keeps it, doc 1 loses it
+    assert off_tok - on_tok == 8
+    off_ann.unpersist(); on_ann.unpersist()
