@@ -157,3 +157,52 @@ def test_store_bench_invariants(spark, sf_dir):
     # one-bucket identity: the whole table is rewritten per patch
     assert adv["rewritten_rows"] == adv["rows"]
     assert adv["amplification"] >= adv["rows"] / max(adv["patch_rows"], 1) * 0.99
+
+
+def test_hub_graph_and_zipf_edges_shapes(spark):
+    """The r7 adversarial generators: the hub graph has one node adjacent
+    to everything (degree n-1) over a ring, and zipf_edges is
+    deterministic with Pareto-heavy small ids."""
+    sys.path.insert(0, "/root/repo")
+    import tools.scale_bench as sb
+
+    # hub graph shape (mirror hub_bench's generator inline — it is three
+    # lines and the bench function itself is wall-clock, not unit, scale)
+    n = 50
+    leaves = spark.range(1, n)
+    hub = leaves.select(F.lit(0).alias("id_a"), F.col("id").alias("id_b"))
+    ring = leaves.select(
+        F.col("id").alias("id_a"),
+        (F.lit(1) + F.pmod(F.col("id"), F.lit(n - 1))).alias("id_b"))
+    g = hub.unionByName(ring)
+    from graflo_spark.ops.graphalgo import _symmetrize
+    deg = (_symmetrize(g.select(F.col("id_a").alias("a"),
+                                F.col("id_b").alias("b")))
+           .groupBy("a").count())
+    assert deg.filter(F.col("a") == 0).first()["count"] == n - 1
+
+    # capped link prediction on the hub graph: hub excluded -> only ring
+    # wedge pairs score; uncapped includes hub-only pairs
+    from graflo_spark.ops.graphalgo import link_prediction_scores
+    capped = link_prediction_scores(g, min_common=1, max_degree=10).count()
+    uncapped = link_prediction_scores(g, min_common=1).count()
+    assert 0 < capped < uncapped
+
+    # zipf edge determinism + heavy head: two invocations identical; node 1
+    # carries a large share of endpoint mass at s=2
+    big = 2 ** 40
+
+    def zipf(m):
+        def draw(salt):
+            u = (F.pmod(F.xxhash64(F.col("id"), F.lit(salt)), F.lit(big))
+                 + F.lit(1.0)) / F.lit(float(big))
+            return F.least(F.floor(F.pow(u, F.lit(-1.0))), F.lit(m)).cast("long")
+        return (spark.range(m)
+                .select(draw("a").alias("id_a"), draw("b").alias("id_b"))
+                .filter(F.col("id_a") != F.col("id_b")))
+
+    a = sorted(map(tuple, zipf(2000).collect()))
+    b = sorted(map(tuple, zipf(2000).collect()))
+    assert a == b  # layout-invariant determinism
+    ones = sum(1 for p in a for x in p if x == 1)
+    assert ones > len(a) * 0.5  # Pareto head at s=2
