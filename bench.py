@@ -5,18 +5,31 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 The headline set spans the engine's surface: full graph build, analytic
 aggregates/joins, traversal, dedup (exact + minhash), similarity search,
 text stats, event windows.
+
+Measurement protocol (round-7 verdict, Next #6): the measured loop runs
+``--repeat N`` times (default 3, or $SPARK_GRAFT_REPEAT) and each query
+reports its MEDIAN wall — single-run totals on a shared box showed a ±7%
+band (26.1–29.8 s same-code in r7), which consumed cross-round attention
+that medians absorb. ``value`` is the sum of per-query medians;
+``totals_per_run`` keeps the raw per-run sums for band inspection.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+def _repeats() -> int:
+    if "--repeat" in sys.argv:
+        return max(1, int(sys.argv[sys.argv.index("--repeat") + 1]))
+    return max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "3")))
 
 BENCH_QUERIES = [
     "graph_type_counts",
@@ -81,24 +94,37 @@ def main() -> None:
     # Per-query isolation: one regressed query must never zero out the whole
     # artifact (round-2 BENCH shipped rc=1/no JSON because the measured loop
     # aborted). Failures record null and the JSON line still prints.
-    timings: dict[str, float | None] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, SF_DIR)
-            n = df.count()
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            timings[name] = None
-            print(f"# {name}: FAILED {type(exc).__name__}: {exc}"[:500],
-                  file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+    repeats = _repeats()
+    runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    totals_per_run: list[float | None] = []
+    for r in range(repeats):
+        run_total, run_ok = 0.0, True
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, SF_DIR)
+                n = df.count()
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                run_ok = False
+                print(f"# run{r + 1} {name}: FAILED "
+                      f"{type(exc).__name__}: {exc}"[:500], file=sys.stderr)
+                continue
+            t = round(time.perf_counter() - t0, 3)
+            runs[name].append(t)
+            run_total += t
+            print(f"# run{r + 1} {name}: {t}s rows={n}", file=sys.stderr)
+        totals_per_run.append(round(run_total, 3) if run_ok else None)
 
+    # median over the runs that succeeded; a query fails the headline only
+    # if it NEVER succeeded — a crashed query must not make the headline
+    # look BETTER by summing fewer terms, so any all-runs failure nulls the
+    # total and "failed" names it.
+    timings = {
+        name: (round(statistics.median(ts), 3) if ts else None)
+        for name, ts in runs.items()
+    }
     failed = sorted(name for name, t in timings.items() if t is None)
-    # A crashed query must not make the headline look BETTER by summing
-    # fewer terms: with any failure, value is null and "failed" names them.
     total = (
         None if failed
         else round(sum(t for t in timings.values() if t is not None), 3)
@@ -110,6 +136,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "repeats": repeats,
+        "totals_per_run": totals_per_run,
     }
     if failed:
         out["failed"] = failed

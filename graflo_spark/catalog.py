@@ -2099,6 +2099,224 @@ def embedding_near_dup_pairs(spark, sf_dir):
 # exact-vs-LSH equality lives in tests/test_simsearch_fp.py instead.
 
 
+# PQ/ADC replay: the codebook below was trained ONCE at sf0.01
+# (ops/pq.train_pq equivalent: per-subspace seeded Lloyd's, m=4, k_sub=8,
+# seeds 42..45) and frozen — every coordinate snapped to the 1/4096 grid so
+# the SAME value is exactly representable in the float32 the production
+# encode path uses AND the doubles DuckDB computes with. The oracle replays
+# the full PQ pipeline in SQL: per-subspace argmin over the literal
+# centroid tables (= pq_encode), per-query LUTs as list_inner_product
+# against the same literals, score = sum of the m looked-up parts (= ADC),
+# exact top-k with the (score desc, id asc) tie-break. Float audit (tools
+# scratch, r8): codes agree f32-vs-double with min argmin margin 1.3e-4;
+# cross-engine score skew <= 1.3e-8 vs a 6e-7 minimum distance to any
+# ROUND(,4) half-boundary and a 4e-5 minimum nonzero rank gap — both
+# engines land on identical rounded doubles deterministically.
+_PQ_CENTS_4096 = [
+    [[-61,-42,223,234,15,-171,-113,300,-315,432,-420,238,193,77,84,174],
+     [264,308,-121,-328,-31,65,-186,298,286,77,-71,-193,219,-266,201,354],
+     [-199,245,223,238,425,411,-331,-30,-266,-139,443,-33,82,-29,-12,143],
+     [-175,-88,46,-165,99,62,79,-19,244,309,107,409,-454,67,-239,0],
+     [45,18,-64,-142,-455,66,41,152,-374,-476,2,2,-252,-142,-289,-428],
+     [-203,-110,288,87,-67,-466,212,-67,126,-83,166,-687,15,-101,-148,35],
+     [70,-55,-188,-115,-46,127,23,-467,120,-330,-54,35,249,561,11,99],
+     [299,-398,-203,119,370,118,-332,156,-12,9,171,65,-102,-229,365,-255]],
+    [[216,88,4,398,19,38,-304,-110,-245,-37,-292,155,-54,-188,-447,44],
+     [30,61,3,-194,-25,110,131,11,-11,564,-165,215,-348,-339,358,-166],
+     [29,-300,-359,1,148,-197,-159,-69,380,245,43,153,238,285,4,-347],
+     [17,419,72,-287,67,21,417,-707,-129,-222,126,-13,-122,-25,-103,-40],
+     [145,430,192,3,58,-53,-35,197,-5,-532,-45,212,20,130,388,33],
+     [-126,-261,-220,20,-4,93,135,261,-274,-165,-69,-459,125,-328,162,-168],
+     [-251,4,249,50,24,292,-137,307,-323,424,366,-1,14,441,-264,-18],
+     [-66,-254,175,69,-450,-113,80,-35,402,221,134,7,101,171,-31,556]],
+    [[313,40,-21,-428,-70,-12,594,-181,235,46,129,-95,191,87,120,-51],
+     [-42,-310,-27,-107,-175,-178,-2,520,-163,179,45,-147,-259,-307,23,-30],
+     [-264,19,-16,91,-424,211,-32,-92,-90,-202,428,329,-237,369,44,-122],
+     [-325,-385,159,-410,13,2,-302,-104,148,-232,-181,-148,391,88,18,135],
+     [272,310,164,-35,241,-121,-699,97,197,20,-19,93,-33,-36,-308,255],
+     [241,-211,-242,213,437,184,52,31,-31,187,-395,267,-294,96,438,-94],
+     [-23,178,58,653,79,-90,252,-26,95,-272,19,-193,-76,-177,-55,269],
+     [277,238,137,-7,-107,-93,-29,-375,-432,-74,-177,-165,32,-27,-400,-132]],
+    [[-91,110,-363,149,39,37,33,94,1,-99,-517,167,-175,147,217,-163],
+     [186,388,260,-351,-103,-90,-233,-76,416,-186,-270,153,282,-154,67,131],
+     [-406,-48,86,24,-152,365,162,104,-127,-188,83,-197,289,294,-214,-296],
+     [409,-413,10,-115,173,19,142,261,-167,137,-329,-315,75,-242,-83,338],
+     [-46,-83,27,-40,-310,174,302,-217,-220,256,275,-39,-323,-365,322,-162],
+     [-38,143,215,273,-202,-332,-142,1,564,666,259,-140,254,-70,-225,-321],
+     [-220,-16,203,375,492,-256,141,38,-80,-216,215,107,140,-32,-1,17],
+     [106,-303,23,-269,63,-128,-283,-267,75,-4,256,-152,-306,419,-248,-102]],
+]
+_PQ_CENT_VALUES = ", ".join(
+    "({}, {}, [{}])".format(
+        j, c, ", ".join(f"{x}/4096.0" for x in row)
+    )
+    for j, table in enumerate(_PQ_CENTS_4096)
+    for c, row in enumerate(table)
+)
+_PQ_ADC_ORACLE_ONE = (
+    "WITH cents(j, c, cv) AS (VALUES " + _PQ_CENT_VALUES + "), "
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+    "WHERE embedding IS NOT NULL), "
+    "sub AS (SELECT vec_id, j, v[j*16+1 : j*16+16] AS s "
+    "FROM e, (VALUES (0), (1), (2), (3)) t(j)), "
+    "dist AS (SELECT vec_id, sub.j, cents.c, "
+    "list_sum([(s[i]-cv[i])*(s[i]-cv[i]) FOR i IN range(1, 17)]) AS d2 "
+    "FROM sub, cents WHERE sub.j = cents.j), "
+    "codes AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c, "
+    "row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn "
+    "FROM dist) WHERE rn = 1), "
+    "lut AS (SELECT q.vec_id AS qid, cents.j, cents.c, "
+    "list_inner_product(q.s, cv) AS part "
+    "FROM (SELECT * FROM sub WHERE vec_id % 100 = 0) q, cents "
+    "WHERE q.j = cents.j), "
+    "sc AS (SELECT qid, codes.vec_id AS id, SUM(part) AS score "
+    "FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c "
+    "WHERE codes.vec_id <> qid GROUP BY qid, codes.vec_id) "
+    "SELECT qid AS query_id, id AS neighbor_id, "
+    "ROUND(score, 4) AS score, rank FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY qid "
+    "ORDER BY score DESC, id) AS rank FROM sc) WHERE rank <= 10"
+)
+
+
+@q(
+    "pq_adc_topk_embeddings",
+    "SELECT 'lut' AS method, * FROM (" + _PQ_ADC_ORACLE_ONE + ") "
+    "UNION ALL SELECT 'join', * FROM (" + _PQ_ADC_ORACLE_ONE + ")",
+)
+def pq_adc_topk_embeddings(spark, sf_dir):
+    """Product-quantization ADC top-k (ops/pq — Jégou et al. 2011), BOTH
+    execution paths against one frozen-codebook SQL replay: ``lut`` is the
+    production driver-LUT path (per-task running top-k over Arrow batches),
+    ``join`` is the unbounded-query-set formulation (LUT rows as a
+    DataFrame, posexploded codes, one (j, c) equi-join + partial-agg sum)
+    forced via ``max_driver_queries=0``. The two paths' float64 score
+    accumulation is designed to agree (ops/pq.py float64 notes); the oracle
+    proves BOTH equal the from-scratch SQL ADC on frozen 1/4096-grid
+    centroids."""
+    import numpy as np
+
+    from graflo_spark.ops import pq as pqm
+
+    emb = load(spark, sf_dir, "embeddings")
+    book = pqm.PqCodebook(
+        centroids=[
+            np.asarray(t, dtype=np.float64) / 4096.0 for t in _PQ_CENTS_4096
+        ],
+        dim=64,
+    )
+    codes = pqm.pq_encode(emb, book, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    lut = pqm.pq_topk(queries, codes, book, k=10).select(
+        F.lit("lut").alias("method"), "query_id", "neighbor_id",
+        F.round("score", 4).alias("score"), "rank")
+    joined = pqm.pq_topk(queries, codes, book, k=10,
+                         max_driver_queries=0).select(
+        F.lit("join").alias("method"), "query_id", "neighbor_id",
+        F.round("score", 4).alias("score"), "rank")
+    return lut.unionByName(joined)
+
+
+# SemDeDup replay (Abbas et al. 2303.09540): 8 KMeans centroids trained
+# ONCE at sf0.01 (seeded Lloyd's, seed 7), snapped to the 1/4096 grid and
+# frozen, so DuckDB replays the whole pipeline bit-exactly in doubles:
+# argmin-L2 cell assignment (min margin 1.9e-3 — both engines sum the same
+# doubles in index order), within-cell pairwise cosine >= 0.4 (24 pairs at
+# sf0.01; closest cosine to the cut is 6.2e-4 away and the comparison is
+# bit-identical anyway), transitive closure via the reachability CTE, and
+# quality-graded representatives (max label, ties to smallest id —
+# ops/dedup.select_representatives).
+_SEM_CENTS_4096 = [
+    [-13,-82,53,46,-45,104,-24,179,-63,391,47,125,59,-289,214,-242,196,-59,
+     154,90,73,-4,-232,67,142,184,-4,-11,-168,176,-109,122,347,-68,-162,41,
+     -3,-186,13,-212,118,-231,-246,-18,-16,-100,-17,-22,-42,-220,126,-91,
+     164,-74,-97,-45,188,133,293,21,-12,138,-211,-159],
+    [193,164,132,20,139,115,-271,80,-203,-177,277,-234,-14,-145,-37,284,-56,
+     302,5,-234,67,29,140,58,-42,-120,72,69,232,88,93,-142,30,172,87,-80,
+     -194,315,-20,-115,-143,-169,35,0,-229,65,-89,120,107,-260,137,-84,-292,
+     9,-6,39,-32,102,30,208,-7,-82,-62,321],
+    [182,-255,38,-24,263,76,-334,55,60,56,-45,155,186,19,186,52,-223,-145,
+     -245,-19,161,-30,70,-81,-221,218,-38,86,-207,-55,37,-60,-126,107,201,
+     -53,-223,266,126,9,-204,-168,46,91,84,45,-87,-53,101,-47,68,23,-57,
+     146,26,28,56,-116,6,-41,38,33,22,-342],
+    [30,16,53,-234,-30,-35,-211,91,135,-229,-103,-71,-71,-201,-240,73,-16,
+     -63,239,164,-142,80,83,-30,104,-110,142,22,-34,95,-113,133,-59,-50,
+     -104,-108,104,-14,106,-13,36,23,49,156,-308,311,-65,-222,-118,14,53,
+     -53,192,-35,243,39,35,30,-299,-224,-10,45,177,23],
+    [-110,-60,-227,138,-288,-113,-120,-153,12,-139,81,-8,-125,289,-126,-84,
+     -95,-63,-183,32,-80,216,105,255,-19,164,-148,13,107,38,-80,-173,107,
+     -271,58,-63,22,-217,-201,159,39,51,81,-145,80,201,30,73,100,45,123,
+     -219,144,-67,-346,-162,-70,-112,150,-22,42,224,-31,2],
+    [-127,167,120,77,-39,140,109,95,70,-79,-169,325,49,27,-49,-27,209,-76,
+     -129,24,-223,-31,10,-373,140,-21,84,-98,146,-148,99,-60,57,-9,-60,379,
+     -156,-14,181,-153,-29,95,-40,-308,60,-338,-85,220,-50,-132,-268,-20,
+     -145,-55,-31,-93,-137,72,-231,-345,-181,22,125,-75],
+    [-118,-136,206,11,101,-310,302,-36,-25,-71,9,-238,-65,79,-49,139,72,256,
+     93,127,139,-24,135,-340,-196,46,-82,53,50,-130,-32,-102,2,88,141,-54,
+     235,-130,-238,138,401,-110,1,48,2,14,101,135,-151,164,-131,424,125,
+     -55,204,-84,164,-88,18,169,-58,18,-68,-79],
+    [-25,114,-221,-139,194,259,80,-32,-107,194,141,29,-144,347,63,27,93,
+     127,43,-175,-153,-171,-161,113,45,19,-89,198,-58,-97,331,41,-56,-185,
+     9,44,59,-110,-50,152,-220,155,83,75,-30,-166,218,51,-86,98,132,16,69,
+     -33,139,129,-82,-87,-128,-26,143,-258,-5,-46],
+]
+_SEM_CENT_VALUES = ", ".join(
+    "({}, [{}])".format(c, ", ".join(f"{x}/4096.0" for x in row))
+    for c, row in enumerate(_SEM_CENTS_4096)
+)
+_SEMDEDUP_ORACLE = (
+    "WITH RECURSIVE cents(c, cv) AS (VALUES " + _SEM_CENT_VALUES + "), "
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+    "WHERE embedding IS NOT NULL), "
+    "d AS (SELECT vec_id, c, "
+    "list_sum([(v[i]-cv[i])*(v[i]-cv[i]) FOR i IN range(1, 65)]) AS d2 "
+    "FROM e, cents), "
+    "cell AS (SELECT vec_id, c FROM (SELECT vec_id, c, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) "
+    "WHERE rn = 1), "
+    "ec AS (SELECT e.vec_id, v, c FROM e JOIN cell USING (vec_id)), "
+    "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    "FROM ec a JOIN ec b ON a.c = b.c AND a.vec_id < b.vec_id "
+    "WHERE list_inner_product(a.v, b.v) / "
+    "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
+    " >= 0.4), "
+    "sym AS (SELECT id_a AS a, id_b AS b FROM p "
+    "UNION SELECT id_b, id_a FROM p), "
+    "reach(node, label) AS (SELECT vec_id, vec_id FROM embeddings "
+    "UNION SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node), "
+    "cl AS (SELECT node AS vec_id, MIN(label) AS cluster "
+    "FROM reach GROUP BY node), "
+    "rep AS (SELECT cluster, vec_id AS rep_id FROM "
+    "(SELECT cl.cluster, cl.vec_id, row_number() OVER "
+    "(PARTITION BY cl.cluster ORDER BY emb.label DESC, cl.vec_id) AS rn "
+    "FROM cl JOIN embeddings emb USING (vec_id)) WHERE rn = 1) "
+    "SELECT cl.vec_id, cl.cluster, cl.vec_id = rep.rep_id "
+    "AS is_representative FROM cl JOIN rep USING (cluster)"
+)
+
+
+@q("semdedup_clusters_embeddings", _SEMDEDUP_ORACLE)
+def semdedup_clusters_embeddings(spark, sf_dir):
+    """SemDeDup over the embedding corpus (ops/dedup.semantic_dedup,
+    Abbas et al. 2023) on FROZEN catalog centroids: argmin-L2 cell
+    assignment (one shuffle-free map pass — simsearch.assign_to_centroids),
+    within-cell exact cosine pairs at threshold 0.4, star-contraction
+    connected components, and quality-aware representatives
+    (select_representatives: the embeddings ``label`` column as the score,
+    max label wins, ties to the smallest id). The oracle replays every
+    stage in SQL on the same frozen constants — all double math on both
+    engines folds in index order, so no rounding is needed anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = dd.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.4,
+        scores=emb.select("vec_id", F.col("label").alias("score")),
+        centroids=[[x / 4096.0 for x in row] for row in _SEM_CENTS_4096],
+    )
+    return out.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"),
+        "is_representative")
+
+
 # Multimodal oracle: the synthetic payload is utf-8 'payload-<id>' and the
 # fake feature is an 8-bin byte histogram (acc[i%8] += byte, normalized) —
 # both computable in DuckDB from id alone. f0 round-trips through float32

@@ -493,6 +493,7 @@ class MinHashDedupStore:
         num_perm: int = 64,
         bands: int = 16,
         portable_hash: bool = False,
+        pin_results: bool = False,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -510,9 +511,14 @@ class MinHashDedupStore:
         # survivor frame RETURNED by dedup_batch stays readable through
         # the next dedup_batch call — write or count it within the batch
         # (the foreachBatch contract) rather than holding it across many.
+        # ``pin_results=True`` opts back into session-lifetime pinning
+        # (keep=None: no generation is ever reclaimed) for callers that
+        # hold many batches' returned frames at once and accept the block
+        # growth.
         from graflo_spark.ops.graphalgo import _RoundCheckpointer
 
-        self._ck = _RoundCheckpointer(spark)
+        self._ck = _RoundCheckpointer(
+            spark, keep=None if pin_results else 2)
 
     def _stored(self, name: str) -> DataFrame | None:
         import glob
@@ -577,6 +583,13 @@ class MinHashDedupStore:
     def dedup_batch(self, df: DataFrame) -> DataFrame:
         """Returns the batch rows that survive dedup (within-batch AND
         vs-store), after appending their signatures to the store.
+
+        LIFETIME of the returned frame: its checkpoint blocks stay alive
+        through the NEXT ``dedup_batch`` call and are reclaimed after that
+        (two-generation window) — consume it within the batch (write or
+        count it, the foreachBatch contract). To hold results across many
+        batches, construct the store with ``pin_results=True`` (blocks
+        then live until session end, the pre-r7 behavior).
 
         NULL-text rows have no shingles and can never match anything: they
         pass through as survivors and are not stored."""
@@ -781,6 +794,7 @@ def semantic_dedup(
     score_col: str = "score",
     seed: int = 42,
     max_iter: int = 20,
+    centroids: list | None = None,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column, SemDeDup-style
     (Abbas et al., "SemDeDup", arXiv:2303.09540 — published method):
@@ -801,11 +815,23 @@ def semantic_dedup(
     tradeoff); ``n_clusters=1`` is the exact-recall point, equal to
     ``embedding_near_dup_exact`` + connected components, which is how the
     tests grade the composition.
+
+    ``centroids`` (a list of vectors) skips the KMeans fit and assigns to
+    the given FROZEN centroids instead — the incremental-ingest path (new
+    slices join an existing index's cells without refitting) and the
+    deterministic path the driver oracle replays in SQL.
     """
     from graflo_spark.ops.graphalgo import near_dup_clusters
-    from graflo_spark.ops.simsearch import build_ivf_index, cosine_expr
+    from graflo_spark.ops.simsearch import (
+        assign_to_centroids, build_ivf_index, cosine_expr)
 
-    if n_clusters <= 1:
+    if centroids is not None:
+        # frozen-centroid path: no fit, one deterministic assignment map
+        # pass (argmin L2, ties to smallest cluster) — the incremental /
+        # verification path; n_clusters is ignored
+        assigned = assign_to_centroids(
+            df, centroids, corpus_id=id_col, corpus_vec=vec_col).assigned
+    elif n_clusters <= 1:
         # the exact-recall point: one block, no fit (KMeans needs k >= 2)
         assigned = df.select(
             F.lit(0).alias("cluster"),
@@ -1039,8 +1065,11 @@ def cut_duplicated_spans(
             .alias("_scrubbed"),
         )
     )
+    # Join on the column-NAME list so the key coalesces into one column —
+    # joining on an expression leaves two columns and an
+    # AMBIGUOUS_REFERENCE whenever the caller's id_col is itself "id".
     return (
-        df.join(rebuilt, df[id_col] == rebuilt["id"], "left")
+        df.join(rebuilt.withColumnRenamed("id", id_col), [id_col], "left")
         .select(
             *[c for c in df.columns if c != text_col],
             F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))

@@ -47,9 +47,15 @@ class _RoundCheckpointer:
 
     Block ids are attributed by diffing
     ``JavaSparkContext.getPersistentRDDs`` around the checkpoint call;
-    the module-level ``_CKPT_LOCK`` serializes that window across
-    trackers and driver threads, so a concurrent persist elsewhere is
-    never misattributed.
+    the module-level ``_CKPT_LOCK`` serializes that window across all
+    TRACKER call sites, so concurrent trackers never misattribute each
+    other's blocks. The lock cannot cover code that does not take it: a
+    non-tracker driver thread calling ``persist()``/``localCheckpoint()``
+    during the window is attributed to the in-flight generation and may
+    be unpersisted early. Documented contract: while any tracker is
+    active, other driver threads must not persist untracked frames (all
+    in-package call sites comply — the graph loops are single-threaded
+    per query).
 
     Use as a context manager: ``with _RoundCheckpointer(spark) as ck:``
     — an exception anywhere in the loop calls :meth:`abort`, freeing

@@ -189,7 +189,8 @@ class PackingStore:
 
     def __init__(self, spark, path: str, chunk_tokens: int,
                  id_col: str = "doc_id", token_col: str = "n_tok",
-                 order_col: str | None = None) -> None:
+                 order_col: str | None = None,
+                 pin_results: bool = False) -> None:
         import os
 
         self.spark = spark
@@ -205,9 +206,12 @@ class PackingStore:
         # pin one dead block set per micro-batch. The spans frame RETURNED
         # by pack_batch stays readable through the next pack_batch call;
         # it is also always re-readable from disk via spans().
+        # pin_results=True restores session-lifetime pinning (keep=None)
+        # for callers holding many batches' returned spans at once.
         from graflo_spark.ops.graphalgo import _RoundCheckpointer
 
-        self._ck = _RoundCheckpointer(spark)
+        self._ck = _RoundCheckpointer(
+            spark, keep=None if pin_results else 2)
 
     def _total_file(self) -> str:
         import os
@@ -283,7 +287,14 @@ class PackingStore:
         succeeds; because the spans write is a mode-overwrite of the
         seq-keyed subdir, a crash between the two makes the retry REPLACE
         the orphan rather than append a duplicate — idempotent, no gap and
-        no double-counted chunks."""
+        no double-counted chunks.
+
+        LIFETIME of the returned frame: its checkpoint blocks stay alive
+        through the NEXT ``pack_batch`` call and are reclaimed after that
+        (two-generation window) — consume it within the batch, or re-read
+        from disk via :meth:`spans` which is always valid. To hold results
+        across many batches, construct the store with ``pin_results=True``
+        (session-lifetime blocks, the pre-r7 behavior)."""
         import os
         import tempfile
 

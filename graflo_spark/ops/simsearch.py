@@ -171,6 +171,48 @@ def build_ivf_index(
     return IvfIndex(assigned=assigned, centroids=centroids)
 
 
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: list,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> IvfIndex:
+    """Assignment-only IVF index over FROZEN centroids (no KMeans fit):
+    each vector goes to its argmin squared-L2 centroid, ties to the
+    smallest cluster id. The per-centroid distance expressions ride the
+    plan as array literals folded in index order (``zip_with`` +
+    ``aggregate``), so the assignment is one shuffle-free map pass AND
+    bit-reproducible by any engine that sums the same doubles in the same
+    order — which is what lets a SQL oracle replay it exactly.
+
+    Use cases: re-assigning a new corpus slice to an EXISTING index's
+    centroids without refitting (the incremental-ingest path at 100 TB —
+    KMeans cost is a one-off, arrivals are a map pass), and deterministic
+    frozen-constant verification (``catalog.semdedup_clusters_embeddings``).
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).cast("array<double>").alias("c_vec"),
+    )
+    structs = []
+    for i, cent in enumerate(centroids):
+        lit = F.lit([float(x) for x in cent])
+        d2 = F.aggregate(
+            F.zip_with(F.col("c_vec"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        structs.append(F.struct(d2.alias("d"), F.lit(i).alias("c")))
+    best = F.least(*structs) if len(structs) > 1 else structs[0]
+    assigned = c.select(
+        "neighbor_id", "c_vec", best["c"].cast("int").alias("cluster"))
+    centroids_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in cent]) for i, cent in enumerate(centroids)],
+        "cluster INT, centroid ARRAY<DOUBLE>",
+    )
+    return IvfIndex(assigned=assigned, centroids=centroids_df)
+
+
 def ivf_probe(
     index: IvfIndex,
     queries: DataFrame,

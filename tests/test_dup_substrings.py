@@ -129,3 +129,22 @@ def test_cut_spans_keeps_one_copy_corpus_wide(spark):
     out2 = {r["doc_id"]: r["text"]
             for r in cut_duplicated_spans(df2, spans2).collect()}
     assert out2 == {0: "a b c d", 1: ""}
+
+
+def test_cut_spans_with_id_column_named_id(spark):
+    # Regression: the rebuilt side's internal "id" column collided with a
+    # caller id_col of "id" (AMBIGUOUS_REFERENCE); the join is now on the
+    # column-name list so the key coalesces.
+    from graflo_spark.ops.dedup import cut_duplicated_spans
+
+    docs = {
+        0: "intro a b c d e f outro",
+        1: "x a b c d e f y",
+        2: "q r s",
+    }
+    df = spark.createDataFrame(sorted(docs.items()), "id long, text string")
+    spans = duplicated_substring_spans(
+        df, id_col="id", k=4, exclude_first_occurrence=True)
+    out = {r["id"]: r["text"]
+           for r in cut_duplicated_spans(df, spans, id_col="id").collect()}
+    assert out == {0: "intro a b c d e f outro", 1: "x y", 2: "q r s"}

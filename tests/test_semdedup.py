@@ -88,3 +88,27 @@ def test_semantic_dedup_no_cross_group_false_positives(spark):
         groups.setdefault(c, set()).add(vid)
     # above every true pairwise cosine (max ~0.99994): all singletons
     assert all(len(g) == 1 for g in groups.values())
+
+
+def test_semantic_dedup_frozen_centroids_matches_fit_free_closure(spark):
+    """The frozen-centroid path (no KMeans fit) with centroids at the three
+    group directions assigns each group to its own cell, so the result
+    equals the exact closure; ties in the argmin pick the smallest cluster
+    id deterministically."""
+    vecs = _vecs(spark)
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    out = semantic_dedup(vecs, threshold=0.99, centroids=cents)
+    assert _assignments(out) == _assignments(_exact_closure(spark, vecs, 0.99))
+
+
+def test_assign_to_centroids_argmin_and_ties(spark):
+    from graflo_spark.ops.simsearch import assign_to_centroids
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [5.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    idx = assign_to_centroids(df, [[0.0, 0.0], [10.0, 0.0]])
+    got = {r["neighbor_id"]: r["cluster"] for r in idx.assigned.collect()}
+    # vec 2 is equidistant: tie breaks to the smaller cluster id
+    assert got == {0: 0, 1: 1, 2: 0}
+    assert idx.centroids.count() == 2

@@ -1,0 +1,98 @@
+"""Round-end registry gate (round-7 verdict, Next #1): make it structurally
+impossible to end a round with a registered query missing from the driver's
+CORRECTNESS snapshot.
+
+Two checks:
+
+1. FREEZE — the committed ``REGISTRY_FREEZE.txt`` must list exactly the
+   names in ``graflo_spark.catalog.QUERIES``. Adding a query without
+   updating the freeze file (same commit) fails tests/test_registry_freeze
+   and this gate, so late registry drift is caught at commit time, not at
+   judge time.
+
+2. SNAPSHOT — given a CORRECTNESS_r*.json (default: the newest in the repo
+   root), every registered name must appear in it, green. Run this after
+   the driver's correctness pass; a missing or red row exits nonzero.
+
+Usage:
+    python3 tools/registry_gate.py                  # freeze check only
+    python3 tools/registry_gate.py CORRECTNESS_r08.json   # freeze + snapshot
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FREEZE = os.path.join(REPO, "REGISTRY_FREEZE.txt")
+
+
+def registered() -> list[str]:
+    from graflo_spark.catalog import QUERIES
+
+    return sorted(QUERIES)
+
+
+def check_freeze(names: list[str]) -> list[str]:
+    if not os.path.exists(FREEZE):
+        return [f"missing freeze file {FREEZE}"]
+    with open(FREEZE) as f:
+        frozen = sorted(ln.strip() for ln in f if ln.strip()
+                        and not ln.startswith("#"))
+    errs = []
+    for n in set(names) - set(frozen):
+        errs.append(f"registered but NOT in REGISTRY_FREEZE.txt: {n}")
+    for n in set(frozen) - set(names):
+        errs.append(f"frozen but NOT registered: {n}")
+    return errs
+
+
+def check_snapshot(names: list[str], path: str) -> list[str]:
+    with open(path) as f:
+        snap = json.load(f)
+    errs = []
+    for n in names:
+        row = snap.get(n)
+        if row is None:
+            errs.append(f"{os.path.basename(path)} has NO row for: {n}")
+            continue
+        if row.get("err"):
+            errs.append(f"{n}: err={row['err']!r}")
+        for k in ("rows_match", "schema_match"):
+            if row.get(k) is False:
+                errs.append(f"{n}: {k}=False")
+        # hash_match may be None for rows-only (no-oracle) entries
+        if row.get("hash_match") is False:
+            errs.append(f"{n}: hash_match=False")
+    for n in set(snap) - set(names):
+        errs.append(f"snapshot row for unregistered query: {n}")
+    return errs
+
+
+def main() -> int:
+    names = registered()
+    errs = check_freeze(names)
+    snap_path = sys.argv[1] if len(sys.argv) > 1 else None
+    if snap_path is None:
+        cands = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+        snap_path = cands[-1] if cands else None
+        if snap_path:
+            print(f"(no snapshot given; freeze check only — newest on disk "
+                  f"is {os.path.basename(snap_path)}, pass it explicitly "
+                  f"to gate against it)")
+            snap_path = None
+    if snap_path:
+        errs += check_snapshot(names, snap_path)
+    for e in errs:
+        print("GATE:", e)
+    print(f"{len(names)} registered; {'OK' if not errs else 'FAIL'}")
+    return 1 if errs else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
