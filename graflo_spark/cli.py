@@ -158,7 +158,13 @@ def cmd_analyze(args) -> int:
             for e in meta["edges"]
         ],
     )
-    view = GraphStore(spark, args.store, schema).as_view()
+    store = GraphStore(spark, args.store, schema)
+    if getattr(args, "graph_version", None) is not None:
+        # graph-level time travel: analytics over the CONSISTENT snapshot
+        # one atomic graph commit pinned (0 = latest committed graph)
+        view = store.as_view_at(args.graph_version or None)
+    else:
+        view = store.as_view()
     rels = args.relations or None
     if args.metric == "pagerank":
         out = view.pagerank(relations=rels).orderBy(F.col("rank").desc())
@@ -255,6 +261,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="restrict to these edge relations")
     ana.add_argument("--output", help="write parquet instead of showing")
     ana.add_argument("--top", type=int, default=20)
+    ana.add_argument(
+        "--graph-version", type=int, dest="graph_version",
+        help="analyze the consistent snapshot pinned by this atomic "
+        "graph-level commit (0 = latest committed graph; omit to read "
+        "each table's newest version independently)")
     ana.set_defaults(fn=cmd_analyze)
     return p
 

@@ -640,7 +640,21 @@ class GraphStore:
         :meth:`as_view_at` sees old-graph or new-graph, never new
         vertices with old edges (the torn-snapshot gap per-table commits
         alone leave open; the reference writes collections independently,
-        hq/db_writer.py:149-204, so this exceeds parity)."""
+        hq/db_writer.py:149-204, so this exceeds parity).
+
+        LINEARIZATION under CONCURRENT ``write_batch`` callers (documented
+        contract, property-tested in
+        tests/test_store_query.py::test_concurrent_write_batch_linearization):
+        each published graph version is a consistent point-in-time
+        snapshot of COMMITTED per-table versions, and pinned table
+        versions are monotonically non-decreasing across graph versions —
+        but a version published while two batches interleave may pin a MIX
+        of the two batches' tables (each table individually complete for
+        the rows it committed). Batch-boundary atomicity is guaranteed
+        only per writer: the caller's own commit (and every later one)
+        contains its whole batch. Writers needing batch-aligned versions
+        serialize externally (foreachBatch already is — see
+        streaming.stream_ingest and the batch-alignment test)."""
         for name, df in batch.vertices.items():
             self.upsert_vertices(name, df, dry=dry)
         for eid, df in batch.edges.items():

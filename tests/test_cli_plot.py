@@ -147,3 +147,43 @@ def test_cli_analyze_graph(spark, tmp_path):
     assert main(["analyze-graph", "--store", root, "--metric", "communities",
                  "--output", out3]) == 0
     assert spark.read.parquet(out3).count() == 4
+
+
+def test_cli_analyze_graph_version_time_travel(spark, tmp_path):
+    """--graph-version analyzes the CONSISTENT snapshot one atomic graph
+    commit pinned: after a second batch grows the graph, analyzing at the
+    first graph version still sees only the first batch's nodes."""
+    from graflo_spark.cli import main
+    from graflo_spark.container import GraphBatch
+    from graflo_spark.manifest import CoreSchema, Edge, EdgeId, Field, Vertex
+    from graflo_spark.store import GraphStore
+
+    schema = CoreSchema(
+        vertices=[Vertex("n", [Field("id")], identity=["id"])],
+        edges=[Edge("n", "n", relation="to")],
+    )
+    root = str(tmp_path / "g")
+    st = GraphStore(spark, root, schema)
+    st.apply_target_schema()
+    eid = EdgeId("n", "n", "to")
+
+    def batch(ids, pairs):
+        return GraphBatch(
+            vertices={"n": spark.createDataFrame([(i,) for i in ids],
+                                                 "id long")},
+            edges={eid: spark.createDataFrame(
+                pairs, "_src_id long, _dst_id long")})
+
+    st.write_batch(batch(range(3), [(0, 1), (1, 2)]))
+    g1 = st.graph_versions()[-1]
+    st.write_batch(batch(range(3, 6), [(3, 4), (4, 5)]))
+
+    out_old = str(tmp_path / "pr_old")
+    assert main(["analyze-graph", "--store", root, "--metric", "pagerank",
+                 "--graph-version", str(g1), "--output", out_old]) == 0
+    assert spark.read.parquet(out_old).count() == 3  # first batch only
+
+    out_new = str(tmp_path / "pr_new")
+    assert main(["analyze-graph", "--store", root, "--metric", "pagerank",
+                 "--graph-version", "0", "--output", out_new]) == 0
+    assert spark.read.parquet(out_new).count() == 6  # 0 = latest commit

@@ -768,6 +768,65 @@ def test_graph_commit_two_table_ingest_race(spark, tmp_path):
     assert set(observed) <= {(4, 2), (8, 5)}, sorted(set(observed))
 
 
+def test_concurrent_write_batch_linearization(spark, tmp_path):
+    """Two write_batch writers racing on DIFFERENT rows of the same graph:
+    pins the documented contract (write_batch docstring) — every published
+    graph version is a consistent snapshot of committed table versions,
+    pinned table versions never decrease across graph versions, and the
+    final version contains BOTH batches in full. (A mid-race version MAY
+    mix the two batches' tables; that mix is exactly what the contract
+    permits, so the test asserts monotonicity + completeness, not
+    batch-boundary atomicity.)"""
+    import threading
+
+    from graflo_spark.container import GraphBatch
+
+    schema = _doc_link_schema()
+    st = GraphStore(spark, str(tmp_path / "g"), schema, n_buckets=4,
+                    snapshot_keep=100)
+    st.apply_target_schema()
+    eid = schema.edges[0].edge_id
+
+    def writer(lo: int, pairs):
+        st.write_batch(GraphBatch(
+            vertices={"doc": spark.createDataFrame(
+                [(i, f"w{lo}") for i in range(lo, lo + 6)],
+                "id long, v string")},
+            edges={eid: _link_df(spark, pairs)}))
+
+    errors = []
+
+    def run(lo, pairs):
+        try:
+            writer(lo, pairs)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t1 = threading.Thread(target=run, args=(0, [(0, 1), (1, 2)]))
+    t2 = threading.Thread(target=run, args=(100, [(100, 101)]))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+
+    versions = st.graph_versions()
+    assert versions
+    # monotone pins: for consecutive graph versions, every shared table's
+    # pinned version only grows
+    prev: dict[str, int] = {}
+    for gv in versions:
+        tables = st._graph_manifest(gv)
+        for key, v in tables.items():
+            assert v >= prev.get(key, 0), (gv, key, v, prev)
+        prev.update(tables)
+        # every pinned snapshot is readable (consistent — no dangling data)
+        view = st.as_view_at(gv)
+        view.vertices["doc"].count()
+    # completeness: the final version holds both writers' whole batches
+    final = st.as_view_at(versions[-1])
+    ids = {r["id"] for r in final.vertices["doc"].select("id").collect()}
+    assert set(range(0, 6)) <= ids and set(range(100, 106)) <= ids
+    assert final.edges[eid].count() == 3
+
+
 def test_graph_pinned_versions_survive_table_gc(spark, tmp_path):
     """Table-level retention must not expire per-table versions an
     unexpired graph manifest still pins: after many per-table commits

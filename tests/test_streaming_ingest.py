@@ -52,6 +52,63 @@ def test_stream_ingest_idempotent_upsert(spark, tables, tmp_path):
     assert store.read_edges(eid).count() == src.count()
 
 
+def test_stream_ingest_graph_versions_are_batch_aligned(spark, tables, tmp_path):
+    """Every graph-level version a streaming ingest publishes is BATCH
+    aligned: stream_ingest routes each micro-batch through write_batch,
+    which commits ONE atomic graph manifest after the batch's vertex AND
+    edge tables land — so at every committed graph version the snapshot
+    contains exactly the customers and edges of a whole number of batches
+    (here #edges == #customers at every version), never vertices of batch
+    N+1 with edges of batch N."""
+    schema = CoreSchema(
+        vertices=[
+            Vertex("customer", [Field("c_custkey", FieldType.INT), Field("c_name")],
+                   identity=["c_custkey"]),
+            Vertex("nation", [Field("n_nationkey", FieldType.INT)],
+                   identity=["n_nationkey"]),
+        ],
+        edges=[Edge("customer", "nation", relation="located_in")],
+    )
+    res = ResourceConfig("customer", steps=[
+        VertexStep(name="customer"),
+        VertexStep(name="nation", mapping={"n_nationkey": "c_nationkey"},
+                   extraction_scope="mapped_only", lookup_only=True),
+    ])
+    store = GraphStore(spark, str(tmp_path / "g"), schema, snapshot_keep=50)
+    store.apply_target_schema()
+
+    src = tables["customer"].select("c_custkey", "c_name", "c_nationkey")
+    stream = replay_as_stream(spark, src.repartition(3))
+    q = stream_ingest(stream, schema, res, store,
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            try:
+                if store.read_vertices("customer").count() == src.count():
+                    break
+            except FileNotFoundError:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    versions = store.graph_versions()
+    assert versions, "streaming ingest published no graph-level commits"
+    eid = store.edge_ids()[0]
+    seen = []
+    for gv in versions:
+        n_cust = store.read_vertices_at_graph("customer", gv).count()
+        n_edge = store.read_edges_at_graph(eid, gv).count()
+        # the alignment invariant: one edge per ingested customer row, so a
+        # snapshot mixing batch boundaries would show n_edge != n_cust
+        assert n_edge == n_cust, (gv, n_cust, n_edge)
+        seen.append(n_cust)
+    assert seen == sorted(seen)  # snapshots only grow, batch by batch
+    assert seen[-1] == src.count()
+
+
 def test_hydrate_returns_full_docs(spark, sf_dir):
     from graflo_spark.catalog import star_view
     from graflo_spark.query import Direction

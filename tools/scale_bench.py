@@ -78,6 +78,9 @@ Usage:
     python3 tools/scale_bench.py [factor] [out_root] [--hot-group]
         [--incremental] [--store] [--temporal-skew] [--winnow] [--pipeline]
         [--graph] [--hub] [--power-law] [--uncapped-linkpred]
+        [--only <substr>]   # restrict --graph to matching queries
+        [--substring]       # --pipeline: enable the k=8 exact
+                            # repeated-substring scrub (spans+cut+repack)
 Prints one JSON line:
     {"metric": "scale_exponents", "factor": N, "queries": {name:
       {"t_base": s, "t_scaled": s, "exponent": e, "rows_base": n,
@@ -490,7 +493,8 @@ def winnow_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     return out
 
 
-def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
+def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int,
+                   substring_k: int | None = None) -> dict:
     """Composed prepare-training-data pipeline at scale, with the funnel
     invariant: the blow-up preserves duplicate structure per replica, so
     every funnel stage — and especially the kept count — must scale by
@@ -505,7 +509,8 @@ def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
 
     pc = time.perf_counter
     out: dict = {}
-    cfg = pl.PipelineConfig(min_quality=0.0, min_tokens=5)
+    cfg = pl.PipelineConfig(min_quality=0.0, min_tokens=5,
+                            dedup_substring_k=substring_k)
     for label, d in (("base", base_dir), ("scaled", scaled_dir)):
         docs = spark.read.parquet(f"{d}/documents.parquet")
         t0 = pc()
@@ -553,7 +558,8 @@ def _copurchase_pairs(spark, sf_dir: str):
 
 
 def graph_bench(spark, base_dir: str, scaled_dir: str, factor: int,
-                uncapped_linkpred: bool = True) -> dict:
+                uncapped_linkpred: bool = True,
+                only: str | None = None) -> dict:
     """Graph-analytics scaling: the trade-graph iterative family and the
     co-purchase wedge/peel family at base and scaled — run back-to-back
     in ONE session, which is itself part of the measurement: per-round
@@ -589,6 +595,10 @@ def graph_bench(spark, base_dir: str, scaled_dir: str, factor: int,
     runners = {n: (lambda d, n=n: QUERIES[n](spark, d).count())
                for n in names}
     runners["link_prediction_copurchase_capped"] = run_capped
+    if only:
+        runners = {n: f for n, f in runners.items() if only in n}
+        if not runners:
+            raise SystemExit(f"--only {only!r} matches no graph query")
     for name, fn in runners.items():
         try:
             if os.path.isdir(warm):
@@ -765,8 +775,16 @@ def power_law_bench(spark, factor: int, s: float = 2.0) -> dict:
 def main() -> None:
     flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
              "--winnow", "--pipeline", "--graph", "--hub", "--power-law",
-             "--uncapped-linkpred"}
-    args = [a for a in sys.argv[1:] if a not in flags]
+             "--uncapped-linkpred", "--substring"}
+    # --only <substr>: restrict --graph to matching queries (idle-box
+    # single-query re-measurements, r7 verdict Next #7)
+    only = None
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1]
+        del argv[i:i + 2]
+    args = [a for a in argv if a not in flags]
     hot_group = "--hot-group" in sys.argv[1:]
     incremental = "--incremental" in sys.argv[1:]
     store_mode = "--store" in sys.argv[1:]
@@ -900,7 +918,7 @@ def main() -> None:
         try:
             payload["graph"] = graph_bench(
                 spark, BASE_DIR, out_dir, factor,
-                uncapped_linkpred=uncapped_linkpred)
+                uncapped_linkpred=uncapped_linkpred, only=only)
             print("# graph: " + str({k: v.get("exponent")
                   for k, v in payload["graph"].items()}), file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
@@ -931,7 +949,8 @@ def main() -> None:
     if pipeline_mode:
         try:
             payload["pipeline"] = pipeline_bench(
-                spark, BASE_DIR, out_dir, factor)
+                spark, BASE_DIR, out_dir, factor,
+                substring_k=8 if "--substring" in sys.argv[1:] else None)
             print(f"# pipeline: e={payload['pipeline']['exponent']} "
                   f"kept_match={payload['pipeline']['kept_match']}",
                   file=sys.stderr)
