@@ -2182,21 +2182,26 @@ _PQ_ADC_ORACLE_ONE = (
 @q(
     "pq_adc_topk_embeddings",
     "SELECT 'lut' AS method, * FROM (" + _PQ_ADC_ORACLE_ONE + ") "
-    "UNION ALL SELECT 'join', * FROM (" + _PQ_ADC_ORACLE_ONE + ")",
+    "UNION ALL SELECT 'join', * FROM (" + _PQ_ADC_ORACLE_ONE + ") "
+    "UNION ALL SELECT 'ivfpq', * FROM (" + _PQ_ADC_ORACLE_ONE + ")",
 )
 def pq_adc_topk_embeddings(spark, sf_dir):
-    """Product-quantization ADC top-k (ops/pq — Jégou et al. 2011), BOTH
-    execution paths against one frozen-codebook SQL replay: ``lut`` is the
-    production driver-LUT path (per-task running top-k over Arrow batches),
-    ``join`` is the unbounded-query-set formulation (LUT rows as a
-    DataFrame, posexploded codes, one (j, c) equi-join + partial-agg sum)
-    forced via ``max_driver_queries=0``. The two paths' float64 score
-    accumulation is designed to agree (ops/pq.py float64 notes); the oracle
-    proves BOTH equal the from-scratch SQL ADC on frozen 1/4096-grid
-    centroids."""
+    """Product-quantization ADC top-k (ops/pq — Jégou et al. 2011), ALL
+    THREE execution paths against one frozen-codebook SQL replay: ``lut``
+    is the production driver-LUT path (per-task running top-k over Arrow
+    batches), ``join`` is the unbounded-query-set formulation (LUT rows as
+    a DataFrame, posexploded codes, one (j, c) equi-join + partial-agg
+    sum) forced via ``max_driver_queries=0``, and ``ivfpq`` is the classic
+    IVF-PQ composition (frozen-centroid IVF cells pruning the code scan)
+    graded at the n_probe == n_centroids recall-1 point, where pruning is
+    a no-op and the ADC scores must equal the exact replay — what's
+    verified is the IVF-PQ machinery: assignment, probe join, per-cluster
+    LUT scoring, ranking. The paths' float64 score accumulation is
+    designed to agree (ops/pq.py float64 notes)."""
     import numpy as np
 
     from graflo_spark.ops import pq as pqm
+    from graflo_spark.ops.simsearch import assign_to_centroids
 
     emb = load(spark, sf_dir, "embeddings")
     book = pqm.PqCodebook(
@@ -2214,7 +2219,13 @@ def pq_adc_topk_embeddings(spark, sf_dir):
                          max_driver_queries=0).select(
         F.lit("join").alias("method"), "query_id", "neighbor_id",
         F.round("score", 4).alias("score"), "rank")
-    return lut.unionByName(joined)
+    ivf = assign_to_centroids(
+        emb, [[x / 4096.0 for x in row] for row in _SEM_CENTS_4096])
+    ivfpq = pqm.ivf_pq_topk(queries, ivf, codes, book, k=10,
+                            n_probe=8).select(
+        F.lit("ivfpq").alias("method"), "query_id", "neighbor_id",
+        F.round("score", 4).alias("score"), "rank")
+    return lut.unionByName(joined).unionByName(ivfpq)
 
 
 # SemDeDup replay (Abbas et al. 2303.09540): 8 KMeans centroids trained
@@ -3292,6 +3303,83 @@ def edge_multi_link_lineitem(spark, sf_dir):
         F.col("_src_l_linenumber").alias("src_linenumber"),
         F.col("_dst_s_suppkey").alias("dst_key"))
     return contains.unionByName(supplied)
+
+
+# Deterministic sampling / split / mix (r8): previously unit-only because
+# membership keyed on xxhash64, which no SQL engine reproduces. The
+# sampling module now takes portable_hash=True (the package's md5-60-bit
+# winnowing convention), so the WHOLE family is replayed in SQL: sample
+# keep/drop, three-way split assignment, and two-source mixing with the
+# no-upsampling target (T = min(n_i/w_i), per-source rate = min(1,
+# T*w_i/n_i)) — every arithmetic step mirrored operation-for-operation so
+# the doubles are bit-identical. The mix branch feeds EXACT dyadic weights
+# (0.8/0.2): temperature_weights goes through libm pow, which is not
+# bit-stable across engines, and stays unit-proven
+# (tests/test_sampling.py); everything downstream of the weights IS
+# driver-proven here.
+_SPL_T1 = round(0.8 * 1_000_000)
+_SPL_T2 = round((0.8 + 0.1) * 1_000_000)
+
+
+def _pbucket_sql(salt: str) -> str:
+    return ("(('0x' || substr(md5(doc_id::VARCHAR || chr(31) || "
+            f"'{salt}'), 1, 15))::BIGINT % 1000000)")
+
+
+_SAMPLING_ORACLE = (
+    "WITH s AS (SELECT 'sample' AS mode, doc_id AS id, 'kept' AS tag "
+    f"FROM documents WHERE {_pbucket_sql('sample')} < 500000), "
+    "sp AS (SELECT 'split' AS mode, doc_id AS id, "
+    f"CASE WHEN {_pbucket_sql('split')} < {_SPL_T1} THEN 'train' "
+    f"WHEN {_pbucket_sql('split')} < {_SPL_T2} THEN 'val' "
+    "ELSE 'test' END AS tag FROM documents), "
+    "cnt AS (SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) "
+    "AS DOUBLE) AS ne, "
+    "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS no "
+    "FROM documents), "
+    "rates AS (SELECT least(1.0, least(ne/0.8, no/0.2) * 0.8 / ne) AS re, "
+    "least(1.0, least(ne/0.8, no/0.2) * 0.2 / no) AS ro FROM cnt), "
+    "mx AS (SELECT 'mix' AS mode, doc_id AS id, 'even' AS tag "
+    "FROM documents, rates WHERE doc_id % 2 = 0 "
+    f"AND {_pbucket_sql('mix:even')} < round(re * 1000000) "
+    "UNION ALL SELECT 'mix', doc_id, 'odd' FROM documents, rates "
+    "WHERE doc_id % 2 = 1 "
+    f"AND {_pbucket_sql('mix:odd')} < round(ro * 1000000)) "
+    "SELECT * FROM s UNION ALL SELECT * FROM sp UNION ALL SELECT * FROM mx"
+)
+
+
+@q("sampling_split_mix_documents", _SAMPLING_ORACLE)
+def sampling_split_mix_documents(spark, sf_dir):
+    """Deterministic sampling family (ops/sampling) under portable_hash,
+    one suite row via the mode discriminator: ``sample`` = hash_sample at
+    rate 0.5; ``split`` = hash_split train/val/test 0.8/0.1/0.1 (disjoint,
+    exhaustive, reproducible-on-regrowth membership); ``mix`` =
+    mix_corpora over the even/odd halves at exact weights 0.8/0.2 — the
+    no-upsampling target total and per-source hash rates replayed
+    arithmetic-exactly in SQL. Membership is a pure function of (id,
+    salt), never of partitioning — the property the whole module exists
+    for, now driver-proven."""
+    from graflo_spark.ops import sampling as sp
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    sample = sp.hash_sample(
+        docs, "doc_id", 0.5, portable_hash=True).select(
+        F.lit("sample").alias("mode"), F.col("doc_id").alias("id"),
+        F.lit("kept").alias("tag"))
+    split = sp.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        portable_hash=True).select(
+        F.lit("split").alias("mode"), F.col("doc_id").alias("id"),
+        F.col("split").alias("tag"))
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    mixed = sp.mix_corpora(
+        {"even": even, "odd": odd}, {"even": 0.8, "odd": 0.2},
+        "doc_id", portable_hash=True).select(
+        F.lit("mix").alias("mode"), F.col("doc_id").alias("id"),
+        F.col("source_name").alias("tag"))
+    return sample.unionByName(split).unionByName(mixed)
 
 
 # --------------------------------------------------------------------------

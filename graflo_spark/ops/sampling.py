@@ -18,16 +18,30 @@ from pyspark.sql import functions as F
 _RESOLUTION = 1_000_000
 
 
-def _bucket(id_col: str, salt: str) -> F.Column:
-    """Stable bucket in [0, _RESOLUTION) — a pure function of (id, salt)."""
-    return F.pmod(
-        F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)),
-        F.lit(_RESOLUTION),
-    )
+def _bucket(id_col: str, salt: str, portable_hash: bool = False) -> F.Column:
+    """Stable bucket in [0, _RESOLUTION) — a pure function of (id, salt).
+
+    ``portable_hash`` swaps xxhash64 for the md5-derived 60-bit hash the
+    rest of the package uses for SQL-oracle parity (winnowing convention:
+    first 15 hex chars of md5 over ``id <0x1f> salt``) — any engine with
+    md5 reproduces membership bit-for-bit. Production keeps xxhash64 (one
+    JVM intrinsic vs an md5 digest per row)."""
+    if portable_hash:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    chr(31), F.col(id_col).cast("string"), F.lit(salt))),
+                1, 15),
+            16, 10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(F.col(id_col).cast("string"), F.lit(salt))
+    return F.pmod(h, F.lit(_RESOLUTION))
 
 
 def hash_sample(
-    df: DataFrame, id_col: str, rate: float, salt: str = "sample"
+    df: DataFrame, id_col: str, rate: float, salt: str = "sample",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Keep ~``rate`` of rows, deterministically by id: the same id is kept
     or dropped on EVERY run regardless of partitioning, cluster size, or
@@ -35,7 +49,8 @@ def hash_sample(
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     # round, not truncate: int(0.7 * 1e6) is 699999 under binary floats
-    return df.filter(_bucket(id_col, salt) < round(rate * _RESOLUTION))
+    return df.filter(
+        _bucket(id_col, salt, portable_hash) < round(rate * _RESOLUTION))
 
 
 def hash_split(
@@ -44,6 +59,7 @@ def hash_split(
     weights: dict[str, float],
     salt: str = "split",
     split_col: str = "split",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Assign every row to exactly one named split (e.g. train/val/test) by
     hash range — disjoint, exhaustive, and reproducible: membership is a
@@ -56,7 +72,7 @@ def hash_split(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-6:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    b = _bucket(id_col, salt)
+    b = _bucket(id_col, salt, portable_hash)
     expr = None
     acc = 0.0
     names = list(weights)
@@ -99,6 +115,7 @@ def mix_corpora(
     id_col: str,
     salt: str = "mix",
     source_col: str = "source_name",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Blend corpora to target proportions by deterministic downsampling —
     the dataset-mixing step of a pretraining pipeline (e.g. 70% web, 20%
@@ -128,7 +145,8 @@ def mix_corpora(
     for name, df in sources.items():
         rate = min(1.0, target_total * norm[name] / counts[name])
         parts.append(
-            hash_sample(df, id_col, rate, salt=f"{salt}:{name}").withColumn(
+            hash_sample(df, id_col, rate, salt=f"{salt}:{name}",
+                        portable_hash=portable_hash).withColumn(
                 source_col, F.lit(name)
             )
         )

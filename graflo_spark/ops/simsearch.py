@@ -132,6 +132,31 @@ class IvfIndex:
             centroids=spark.read.parquet(f"{path}/centroids"),
         )
 
+    def extend(
+        self,
+        new_corpus: DataFrame,
+        corpus_id: str = "vec_id",
+        corpus_vec: str = "embedding",
+    ) -> "IvfIndex":
+        """Incremental ingest: assign NEW vectors to this index's EXISTING
+        centroids (argmin L2 — the same rule KMeans.transform applies) and
+        return an index over the union. No refit: at 100 TB the KMeans fit
+        is a one-off build cost and daily arrivals are one shuffle-free
+        map pass over the new slice only (`assign_to_centroids`), appended
+        to the cluster-partitioned layout. Recall drifts only as far as
+        the data distribution does — the standard IVF operational
+        trade-off; refit on drift, not on arrival."""
+        cents = [
+            r["centroid"]
+            for r in self.centroids.orderBy("cluster").collect()
+        ]
+        add = assign_to_centroids(
+            new_corpus, cents, corpus_id, corpus_vec).assigned
+        return IvfIndex(
+            assigned=self.assigned.unionByName(add),
+            centroids=self.centroids,
+        )
+
 
 def build_ivf_index(
     corpus: DataFrame,

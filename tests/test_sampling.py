@@ -42,3 +42,37 @@ def test_hash_split_disjoint_exhaustive_stable(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_portable_hash_membership_differs_only_in_hash(spark):
+    """portable_hash swaps the bucket hash (md5-60bit, SQL-replayable) but
+    keeps every contract: layout invariance, disjoint/exhaustive splits,
+    and mix proportions from the no-upsampling target."""
+    from graflo_spark.ops.sampling import hash_sample, hash_split, mix_corpora
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = hash_sample(df, "doc_id", 0.5, portable_hash=True)
+    s2 = hash_sample(df.repartition(13), "doc_id", 0.5, portable_hash=True)
+    a = {r["doc_id"] for r in s1.collect()}
+    b = {r["doc_id"] for r in s2.collect()}
+    assert a == b  # layout-invariant
+    assert abs(len(a) - 1000) < 100
+
+    sp = hash_split(df, "doc_id", {"train": 0.8, "val": 0.2},
+                    portable_hash=True)
+    counts = {r["split"]: r["n"] for r in
+              sp.groupBy("split").agg(__import__("pyspark").sql.functions
+                                      .count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert abs(counts["train"] - 1600) < 120
+
+    even = df.filter("doc_id % 2 = 0")
+    odd = df.filter("doc_id % 2 = 1")
+    mixed = mix_corpora({"e": even, "o": odd}, {"e": 0.75, "o": 0.25},
+                        "doc_id", portable_hash=True)
+    mc = {r["source_name"]: r["n"] for r in
+          mixed.groupBy("source_name").agg(
+              __import__("pyspark").sql.functions.count("*").alias("n"))
+          .collect()}
+    # T = min(1000/.75, 1000/.25) = 1333.3: e kept fully-ish, o at ~333
+    assert mc["e"] == 1000 and abs(mc["o"] - 333) < 60

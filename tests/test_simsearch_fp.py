@@ -204,3 +204,43 @@ def test_banded_lsh_near_dup_recall(spark, tables):
     assert lsh <= exact  # no false positives: exact cosine filters candidates
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} below floor"
+
+
+def test_ivf_index_extend_incremental_matches_full_build(spark):
+    """IvfIndex.extend assigns new vectors to the EXISTING centroids (no
+    refit); probing the extended index at n_probe == n_centroids equals
+    brute force over the union — the recall-1 point where assignment
+    bookkeeping is fully checkable."""
+    import pyspark.sql.functions as F
+
+    from graflo_spark.ops.simsearch import (
+        assign_to_centroids, brute_force_topk, ivf_probe)
+
+    base = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            F.lit(1.0)).alias("embedding"))
+    fresh = spark.range(40, 60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            F.lit(1.0)).alias("embedding"))
+    cents = [[0.0, 0.0, 1.0], [6.0, 4.0, 1.0], [3.0, 2.0, 1.0]]
+    idx = assign_to_centroids(base, cents)
+    ext = idx.extend(fresh)
+    assert ext.assigned.count() == 60
+    # old assignments untouched
+    old = {r["neighbor_id"]: r["cluster"] for r in idx.assigned.collect()}
+    new = {r["neighbor_id"]: r["cluster"] for r in ext.assigned.collect()}
+    assert all(new[k] == v for k, v in old.items())
+
+    union = base.unionByName(fresh)
+    queries = union.filter("vec_id IN (3, 47)")
+    got = ivf_probe(ext, queries, k=5, n_probe=3)
+    want = brute_force_topk(queries, union, k=5)
+    g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    w = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+    assert g == w
