@@ -3305,6 +3305,118 @@ def edge_multi_link_lineitem(spark, sf_dir):
     return contains.unionByName(supplied)
 
 
+# Gopher quality rules (Rae et al. 2021, A1.1): every rule is an exact
+# integer-count comparison (ratios expressed as count < factor * count so
+# no division appears), so the booleans replay bit-for-bit in SQL.
+_GOPHER_ORACLE = (
+    r"WITH w AS (SELECT doc_id, "
+    r"[x FOR x IN regexp_split_to_array(trim(text), '\s+') IF x != ''] "
+    "AS ws, string_split(text, chr(10)) AS ls "
+    "FROM documents WHERE text IS NOT NULL), "
+    "r AS (SELECT doc_id, "
+    "len(ws) >= 50 AND len(ws) <= 100000 AS r_word_count, "
+    "(COALESCE(list_sum([length(x) FOR x IN ws]), 0)::DOUBLE "
+    "/ greatest(len(ws), 1)::DOUBLE) >= 3.0 AND "
+    "(COALESCE(list_sum([length(x) FOR x IN ws]), 0)::DOUBLE "
+    "/ greatest(len(ws), 1)::DOUBLE) <= 10.0 AS r_mean_word_len, "
+    "len([x FOR x IN ws IF contains(x, '#') OR contains(x, '...') "
+    "OR contains(x, '…')])::DOUBLE < 0.1 * len(ws)::DOUBLE "
+    "AS r_symbol_ratio, "
+    "len([x FOR x IN ls IF starts_with(trim(x), '-') "
+    "OR starts_with(trim(x), '*') OR starts_with(trim(x), '•')])::DOUBLE "
+    "< 0.9 * len(ls)::DOUBLE AS r_bullet_lines, "
+    "len([x FOR x IN ls IF ends_with(trim(x), '...') "
+    "OR ends_with(trim(x), '…')])::DOUBLE "
+    "< 0.3 * len(ls)::DOUBLE AS r_ellipsis_lines, "
+    "len([x FOR x IN ws IF regexp_matches(x, '[A-Za-z]')])::DOUBLE "
+    ">= 0.8 * len(ws)::DOUBLE AS r_alpha_words, "
+    "len(list_intersect(list_distinct([lower(x) FOR x IN ws]), "
+    "['the','be','to','of','and','that','have','with'])) >= 2 "
+    "AS r_stopwords FROM w) "
+    "SELECT d.doc_id, "
+    "COALESCE(r_word_count, false) AS r_word_count, "
+    "COALESCE(r_mean_word_len, false) AS r_mean_word_len, "
+    "COALESCE(r_symbol_ratio, false) AS r_symbol_ratio, "
+    "COALESCE(r_bullet_lines, false) AS r_bullet_lines, "
+    "COALESCE(r_ellipsis_lines, false) AS r_ellipsis_lines, "
+    "COALESCE(r_alpha_words, false) AS r_alpha_words, "
+    "COALESCE(r_stopwords, false) AS r_stopwords, "
+    "COALESCE(r_word_count AND r_mean_word_len AND r_symbol_ratio AND "
+    "r_bullet_lines AND r_ellipsis_lines AND r_alpha_words AND "
+    "r_stopwords, false) AS gopher_pass "
+    "FROM documents d LEFT JOIN r USING (doc_id)"
+)
+
+
+@q("gopher_rules_documents", _GOPHER_ORACLE)
+def gopher_rules_documents(spark, sf_dir):
+    """The Gopher quality rule set (ops/textstats.gopher_quality_rules;
+    Rae et al. 2021 A1.1) — per-document booleans for all seven published
+    gates plus their conjunction, single map pass over word/line arrays,
+    every ratio an exact integer comparison the oracle replays
+    bit-for-bit."""
+    df = load(spark, sf_dir, "documents")
+    return ts.gopher_quality_rules(df, "doc_id", "text")
+
+
+# Corpus-wide line dedup (C4/Dolma scrub): documents are reflowed into
+# 10-token lines FIRST (the synthetic corpus is single-line; the reflow is
+# deterministic and replayed identically in SQL), then every line occurring
+# >1 time corpus-wide keeps only its (id, pos)-smallest occurrence. The
+# portable md5-60-bit line hash makes the dedup join SQL-replayable.
+_DEDUP_LINES_ORACLE = (
+    r"WITH tk AS (SELECT doc_id, "
+    r"[x FOR x IN regexp_split_to_array(trim(text), '\s+') IF x != ''] "
+    "AS t FROM documents WHERE text IS NOT NULL), "
+    "lines AS (SELECT doc_id, i AS pos, "
+    "array_to_string(t[(i*10+1):(i*10+10)], ' ') AS line "
+    "FROM tk, unnest(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) r(i)), "
+    "h AS (SELECT doc_id, pos, line, "
+    "('0x' || substr(md5(line), 1, 15))::BIGINT AS hh FROM lines), "
+    "own AS (SELECT hh, count(*) AS n, min(struct_pack(id := doc_id, "
+    "p := pos)) AS o FROM h GROUP BY hh), "
+    "keep AS (SELECT doc_id, pos, line FROM h JOIN own USING (hh) "
+    "WHERE trim(line) = '' OR n = 1 "
+    "OR (doc_id = o.id AND pos = o.p)), "
+    "reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS s "
+    "FROM keep GROUP BY doc_id) "
+    "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL "
+    "ELSE COALESCE(reb.s, '') END AS text "
+    "FROM documents d LEFT JOIN reb USING (doc_id)"
+)
+
+
+@q("dedup_lines_documents", _DEDUP_LINES_ORACLE)
+def dedup_lines_documents(spark, sf_dir):
+    """Corpus-wide exact LINE dedup (ops/dedup.dedup_lines — the C4 /
+    Dolma / RefinedWeb boilerplate scrub): keep the first occurrence of
+    every duplicated line, corpus-wide. The single-line synthetic docs are
+    reflowed into 10-token lines first (deterministic, replayed in the
+    oracle); at sf0.01 that yields ~127 corpus-wide duplicate lines whose
+    non-first occurrences must vanish. Shape: one line-hash groupBy whose
+    OUTPUT is the Zipf-small duplicate table, one equi-join back, doc-
+    keyed reassembly."""
+    df = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    n = F.size(toks)
+    n_lines = F.ceil(n.cast("double") / F.lit(10.0)).cast("int")
+    reflowed = F.when(
+        t.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * 10 + 1, 10), " "),
+            ),
+            "\n",
+        )
+    )
+    staged = df.select("doc_id", reflowed.alias("text"))
+    return dd.dedup_lines(staged, "doc_id", "text", portable_hash=True)
+
+
 # Deterministic sampling / split / mix (r8): previously unit-only because
 # membership keyed on xxhash64, which no SQL engine reproduces. The
 # sampling module now takes portable_hash=True (the package's md5-60-bit

@@ -916,6 +916,101 @@ def substring_overlap_pairs(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup, the C4 / Dolma / RefinedWeb
+    scrub (Raffel et al. 2020 §2.2 "three-sentence span" policy,
+    line-granular as productionized in public pipelines): every line that
+    occurs more than once ANYWHERE in the corpus keeps exactly its first
+    occurrence (smallest ``(id, position)``) and loses the rest —
+    boilerplate navigation, cookie banners, repeated headers. Documents
+    whose every line is a non-first duplicate come back with empty text;
+    NULL-text documents pass through unchanged.
+
+    Complements the other dedup granularities: whole-document exact
+    (:func:`exact_dedup`), near-dup (:func:`minhash_dedup`), and
+    sub-line token spans (:func:`duplicated_substring_spans`) — line
+    dedup is the cheap high-yield middle the published pipelines all run.
+
+    Scale shape: posexplode to lines (one shuffle keyed on doc id), hash
+    each line to 64 bits so the duplicate-detection shuffle moves hashes,
+    not text; groupBy line hash is map-side combinable and its OUTPUT
+    (the duplicated-line table) is Zipf-small next to the corpus; one
+    equi-join back on the hash (AQE broadcasts the small dup table); the
+    in-order re-assembly groups on doc id. Same birthday-collision note
+    as the span scrub: at 10^13 lines a 64-bit hash mis-drops ~1e-7 of
+    lines — acceptable for a scrub, documented. ``portable_hash`` swaps
+    the md5-derived 60-bit hash a SQL oracle reproduces bit-for-bit.
+
+    Reference analogue: none (north-star training-pipeline extension).
+    """
+    # delimiter is a Java regex for SPLITTING but a literal string for the
+    # re-JOIN, so pass a literal ('\n', the published pipelines'
+    # granularity) for lossless round-trips; a non-literal regex (e.g. a
+    # sentence lookbehind) dedups fine but reassembles with the pattern
+    # text as the separator
+    lines = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), delimiter, -1))
+            .alias("pos", "line"),
+        )
+    )
+    h = (
+        F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
+        if portable_hash
+        else F.xxhash64("line")
+    )
+    hashed = lines.withColumn("_h", h)
+    owners = (
+        hashed.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("_owner"),
+        )
+    )
+    # blank/whitespace lines are STRUCTURE (paragraph breaks), not content:
+    # always kept, never counted as corpus-wide duplicates
+    kept = (
+        hashed.join(owners, "_h")
+        .filter(
+            (F.trim(F.col("line")) == "")
+            | (F.col("_n") == 1)
+            | ((F.col("id") == F.col("_owner.id"))
+               & (F.col("pos") == F.col("_owner.pos")))
+        )
+        .select("id", "pos", "line")
+    )
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
+             .alias("_ls"))
+        .select(
+            "id",
+            F.array_join(
+                F.transform(F.col("_ls"), lambda t: t["line"]), delimiter)
+            .alias("_scrubbed"),
+        )
+    )
+    # name-list join so id_col == "id" coalesces (the cut_duplicated_spans
+    # AMBIGUOUS_REFERENCE lesson)
+    return (
+        df.join(rebuilt.withColumnRenamed("id", id_col), [id_col], "left")
+        .select(
+            *[c for c in df.columns if c != text_col],
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("_scrubbed"), F.lit("")))
+            .alias(text_col),
+        )
+    )
+
+
 def duplicated_substring_spans(
     df: DataFrame,
     id_col: str = "doc_id",

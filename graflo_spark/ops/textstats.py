@@ -62,6 +62,94 @@ def quality_score(text: Column) -> Column:
     return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
 
 
+# The Gopher rule set (Rae et al. 2021, arXiv:2112.11446, Appendix A1.1 —
+# published): the de-facto standard pre-training quality gate, reproduced
+# rule-for-rule so a corpus filtered here matches a corpus filtered by any
+# faithful implementation.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> "DataFrame":
+    """Per-document Gopher quality rules as BOOLEAN columns plus the
+    conjunction ``gopher_pass`` — per-rule visibility is the point (a
+    corpus report wants WHICH gate rejects, not just how many), and the
+    thresholds are the published ones:
+
+    - ``r_word_count``: word count in [min_words, max_words];
+    - ``r_mean_word_len``: mean word length in [3, 10];
+    - ``r_symbol_ratio``: < 10% of words are symbol-ish (contain '#' or
+      an ellipsis);
+    - ``r_bullet_lines``: < 90% of lines start with a bullet marker;
+    - ``r_ellipsis_lines``: < 30% of lines end with an ellipsis;
+    - ``r_alpha_words``: >= 80% of words contain an alphabetic character;
+    - ``r_stopwords``: >= 2 DISTINCT members of the 8-stop-word set.
+
+    Everything is a single-pass Column expression over the word/line
+    arrays (no shuffle, no Python); all ratios are exact integer-count
+    divisions, so any engine reproduces the booleans bit-for-bit.
+    NULL text fails every rule (NULL-safe coalesce to false).
+    """
+    t = F.col(text_col)
+    words = F.filter(
+        F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines)
+    mean_wl = (
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).cast("double")
+        / F.greatest(n_words, F.lit(1)).cast("double")
+    )
+    n_symbolish = F.size(F.filter(
+        words,
+        lambda w: w.contains("#") | w.contains("...") | w.contains("…"),
+    ))
+    n_bullet = F.size(F.filter(
+        lines,
+        lambda ln: F.trim(ln).startswith("-") | F.trim(ln).startswith("*")
+        | F.trim(ln).startswith("•"),
+    ))
+    n_ellipsis_end = F.size(F.filter(
+        lines,
+        lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…"),
+    ))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stops = F.size(F.array_intersect(
+        F.transform(words, F.lower),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+    ))
+
+    def _b(c: Column) -> Column:
+        return F.coalesce(c, F.lit(False))
+
+    rules = {
+        "r_word_count": _b((n_words >= min_words) & (n_words <= max_words)),
+        "r_mean_word_len": _b((mean_wl >= 3.0) & (mean_wl <= 10.0)),
+        "r_symbol_ratio": _b(
+            n_symbolish.cast("double")
+            < F.lit(0.1) * n_words.cast("double")),
+        "r_bullet_lines": _b(
+            n_bullet.cast("double") < F.lit(0.9) * n_lines.cast("double")),
+        "r_ellipsis_lines": _b(
+            n_ellipsis_end.cast("double")
+            < F.lit(0.3) * n_lines.cast("double")),
+        "r_alpha_words": _b(
+            n_alpha.cast("double") >= F.lit(0.8) * n_words.cast("double")),
+        "r_stopwords": _b(n_stops >= 2),
+    }
+    out = df.select(F.col(id_col), *[v.alias(k) for k, v in rules.items()])
+    passes = None
+    for k in rules:
+        passes = F.col(k) if passes is None else passes & F.col(k)
+    return out.withColumn("gopher_pass", passes)
+
+
 def lang_id(text: Column, langs: list[str] | None = None) -> Column:
     """Stopword-hit language ID: argmax over per-language hit counts,
     'und' (undetermined) when nothing matches."""

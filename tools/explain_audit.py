@@ -53,11 +53,14 @@ HEADLINES = [
     "ccnet_buckets_documents",
     # round 7: distributed BPE encode against the frozen merge table
     "bpe_encode_documents",
-    # round 8: frozen-constant PQ/ADC + SemDeDup + portable sampling rows
+    # round 8: frozen-constant PQ/ADC + SemDeDup + portable sampling rows,
+    # line-level dedup scrub, Gopher quality gates
     "pq_adc_topk_embeddings",
     "semdedup_clusters_embeddings",
     "sampling_split_mix_documents",
     "dup_substring_spans_documents",
+    "dedup_lines_documents",
+    "gopher_rules_documents",
 ]
 
 
