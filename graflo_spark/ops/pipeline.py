@@ -59,6 +59,17 @@ class PipelineConfig:
     # this removes verbatim repetition BETWEEN kept, dissimilar documents
     # (licenses, boilerplate headers) that no similarity threshold pairs.
     dedup_substring_k: int | None = None
+    # Gopher rule-set gate (Rae et al. 2021 A1.1, ops/textstats
+    # gopher_pass_expr): when on, documents must also pass all seven
+    # published gates — charged to their own 'gopher' funnel stage so the
+    # report shows which policy (heuristic quality vs Gopher rules) paid.
+    gopher_rules: bool = False
+    gopher_min_words: int = 50
+    # Corpus-wide LINE dedup (C4/Dolma scrub, ops/dedup.dedup_lines) over
+    # the survivor corpus before the substring scrub: coarser granularity
+    # first (whole boilerplate lines), token spans after. None = off; set
+    # to the line delimiter ('\n') to enable.
+    dedup_lines_delimiter: str | None = None
     # LM fluency gate: drop documents whose bigram cross-entropy under a
     # reference-slice-trained model exceeds this (nats/bigram; None = off).
     # The classic CCNet perplexity filter, wired into the funnel.
@@ -75,8 +86,8 @@ class PipelineConfig:
 
 
 # funnel order — each document is charged to the FIRST stage that drops it
-STAGES = ("url_dup", "quality", "lm_quality", "decontam", "exact_dup",
-          "near_dup")
+STAGES = ("url_dup", "quality", "gopher", "lm_quality", "decontam",
+          "exact_dup", "near_dup")
 
 
 def annotate(
@@ -102,6 +113,12 @@ def annotate(
         t.isNotNull()
         & (ts.quality_score(t) >= cfg.min_quality)
         & (ts.token_count(t) >= cfg.min_tokens)
+    )
+
+    # optional Gopher rule-set gate — pure exprs, fused into the same scan
+    gopher_ok = (
+        ts.gopher_pass_expr(t, min_words=cfg.gopher_min_words)
+        if cfg.gopher_rules else F.lit(True)
     )
 
     # optional LM fluency gate (CCNet-style): cross-entropy under a model
@@ -152,7 +169,8 @@ def annotate(
     if cfg.url_col:
         ukey = normalize_url(F.col(cfg.url_col))
         has_key = ukey.isNotNull() & (ukey != "")
-        url_elig = quality_ok & lm_ok & ~F.col("__contaminated")
+        url_elig = (quality_ok & gopher_ok & lm_ok
+                    & ~F.col("__contaminated"))
         winners = (
             out.filter(has_key)
             .withColumn("__ukey", ukey)
@@ -175,7 +193,8 @@ def annotate(
     # duplicate group — otherwise its surviving twin gets dropped as a dup
     # of a document that is itself gone, and the content vanishes entirely.
     eligible = out.filter(
-        ~F.col("__url_dup") & quality_ok & lm_ok & ~F.col("__contaminated")
+        ~F.col("__url_dup") & quality_ok & gopher_ok & lm_ok
+        & ~F.col("__contaminated")
     )
 
     # 4. exact dedup on the normalized content fingerprint (min-id winner)
@@ -217,6 +236,7 @@ def annotate(
     drop = (
         F.when(F.col("__url_dup"), "url_dup")
         .when(~quality_ok, "quality")
+        .when(~gopher_ok, "gopher")
         .when(~lm_ok, "lm_quality")
         .when(F.col("__contaminated"), "decontam")
         .when(F.col("__exact_dup"), "exact_dup")
@@ -274,6 +294,12 @@ def prepare_training_data(
 
         annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
     kept = survivors(annotated)
+    if cfg.dedup_lines_delimiter is not None:
+        # line scrub before the token-span scrub: whole boilerplate lines
+        # first, residual verbatim runs after
+        kept = dd.dedup_lines(
+            kept, cfg.id_col, cfg.text_col,
+            delimiter=cfg.dedup_lines_delimiter)
     if cfg.dedup_substring_k is not None:
         spans = dd.duplicated_substring_spans(
             kept, cfg.id_col, cfg.text_col, k=cfg.dedup_substring_k,

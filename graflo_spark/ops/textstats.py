@@ -95,7 +95,29 @@ def gopher_quality_rules(
     divisions, so any engine reproduces the booleans bit-for-bit.
     NULL text fails every rule (NULL-safe coalesce to false).
     """
-    t = F.col(text_col)
+    rules = _gopher_rule_exprs(F.col(text_col), min_words, max_words)
+    out = df.select(F.col(id_col), *[v.alias(k) for k, v in rules.items()])
+    passes = None
+    for k in rules:
+        passes = F.col(k) if passes is None else passes & F.col(k)
+    return out.withColumn("gopher_pass", passes)
+
+
+def gopher_pass_expr(
+    text: Column, min_words: int = 50, max_words: int = 100_000
+) -> Column:
+    """The conjunction of all seven Gopher gates as ONE Column expression —
+    for fusing into a wider scan pass (the pipeline's quality stage)
+    instead of materializing per-rule columns."""
+    passes = None
+    for c in _gopher_rule_exprs(text, min_words, max_words).values():
+        passes = c if passes is None else passes & c
+    return passes
+
+
+def _gopher_rule_exprs(
+    t: Column, min_words: int, max_words: int
+) -> dict[str, Column]:
     words = F.filter(
         F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
     n_words = F.size(words)
@@ -128,7 +150,7 @@ def gopher_quality_rules(
     def _b(c: Column) -> Column:
         return F.coalesce(c, F.lit(False))
 
-    rules = {
+    return {
         "r_word_count": _b((n_words >= min_words) & (n_words <= max_words)),
         "r_mean_word_len": _b((mean_wl >= 3.0) & (mean_wl <= 10.0)),
         "r_symbol_ratio": _b(
@@ -143,11 +165,6 @@ def gopher_quality_rules(
             n_alpha.cast("double") >= F.lit(0.8) * n_words.cast("double")),
         "r_stopwords": _b(n_stops >= 2),
     }
-    out = df.select(F.col(id_col), *[v.alias(k) for k, v in rules.items()])
-    passes = None
-    for k in rules:
-        passes = F.col(k) if passes is None else passes & F.col(k)
-    return out.withColumn("gopher_pass", passes)
 
 
 def lang_id(text: Column, langs: list[str] | None = None) -> Column:
