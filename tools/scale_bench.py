@@ -493,6 +493,44 @@ def winnow_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     return out
 
 
+def lines_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
+    """Corpus-wide line dedup scaling (ops/dedup.dedup_lines, r8): docs
+    reflowed to 10-token lines (the driver row's deterministic reflow),
+    then the keep-first-occurrence scrub at base and scaled. The blow-up's
+    alphabet rotation is a bijection on 10-grams, so duplicate-line
+    structure is replica-local: the number of scrubbed line occurrences
+    must scale exactly with the factor."""
+    from graflo_spark.catalog import ALL_QUERIES
+
+    pc = time.perf_counter
+    out: dict = {}
+    fn = ALL_QUERIES["dedup_lines_documents"]
+    for label, d in (("base", base_dir), ("scaled", scaled_dir)):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        n_lines_in = docs.filter("text IS NOT NULL").select(
+            F.ceil(F.size(F.split(F.trim("text"), r"\s+")) / 10.0)
+            .alias("n")).agg(F.sum("n")).first()[0]
+        t0 = pc()
+        scrubbed = fn(spark, d)
+        # force full text materialization, not just row counting
+        n_lines_out = scrubbed.filter("text IS NOT NULL AND text != ''") \
+            .select(F.size(F.split("text", "\n", -1)).alias("n")) \
+            .agg(F.sum("n")).first()[0]
+        out[label] = {
+            "wall": round(pc() - t0, 3),
+            "lines_in": int(n_lines_in),
+            "lines_out": int(n_lines_out),
+            "lines_cut": int(n_lines_in - n_lines_out),
+        }
+        print(f"# lines {label}: {out[label]}", file=sys.stderr)
+    out["exponent"] = (
+        round(math.log(out["scaled"]["wall"] / out["base"]["wall"])
+              / math.log(factor), 3) if factor > 1 else None)
+    out["cut_match"] = (
+        out["scaled"]["lines_cut"] == factor * out["base"]["lines_cut"])
+    return out
+
+
 def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int,
                    substring_k: int | None = None) -> dict:
     """Composed prepare-training-data pipeline at scale, with the funnel
@@ -775,7 +813,7 @@ def power_law_bench(spark, factor: int, s: float = 2.0) -> dict:
 def main() -> None:
     flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
              "--winnow", "--pipeline", "--graph", "--hub", "--power-law",
-             "--uncapped-linkpred", "--substring"}
+             "--uncapped-linkpred", "--substring", "--lines"}
     # --only <substr>: restrict --graph to matching queries (idle-box
     # single-query re-measurements, r7 verdict Next #7)
     only = None
@@ -791,6 +829,7 @@ def main() -> None:
     temporal_skew = "--temporal-skew" in sys.argv[1:]
     winnow_mode = "--winnow" in sys.argv[1:]
     pipeline_mode = "--pipeline" in sys.argv[1:]
+    lines_mode = "--lines" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
     hub_mode = "--hub" in sys.argv[1:]
     power_law_mode = "--power-law" in sys.argv[1:]
@@ -815,7 +854,7 @@ def main() -> None:
     # hub / power-law synthesize their own graphs: no blow-up needed
     needs_blowup = not (hub_mode or power_law_mode) or (
         store_mode or temporal_skew or winnow_mode or pipeline_mode
-        or graph_mode or incremental)
+        or lines_mode or graph_mode or incremental)
     if needs_blowup and not os.path.exists(
             os.path.join(out_dir, "_GENERATED")):
         t0 = time.perf_counter()
@@ -828,6 +867,7 @@ def main() -> None:
     # --store runs focus on the write path; the read-query sweep is the
     # default mode's job (run both modes for the full picture)
     focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
+               or lines_mode
                or graph_mode or hub_mode or power_law_mode)
     for name in ([] if focused else SCALE_QUERIES):
         fn = QUERIES[name]
@@ -957,6 +997,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             payload["pipeline"] = {"error": str(exc)[:300]}
             print(f"# pipeline: FAILED {exc}"[:300], file=sys.stderr)
+
+    if lines_mode:
+        try:
+            payload["lines"] = lines_bench(spark, BASE_DIR, out_dir, factor)
+            print(f"# lines: e={payload['lines']['exponent']} "
+                  f"cut_match={payload['lines']['cut_match']}",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["lines"] = {"error": str(exc)[:300]}
+            print(f"# lines: FAILED {exc}"[:300], file=sys.stderr)
 
     if incremental:
         # failure here must not zero the already-measured exponents — same
