@@ -949,25 +949,7 @@ def dedup_lines(
 
     Reference analogue: none (north-star training-pipeline extension).
     """
-    # delimiter is a Java regex for SPLITTING but a literal string for the
-    # re-JOIN, so pass a literal ('\n', the published pipelines'
-    # granularity) for lossless round-trips; a non-literal regex (e.g. a
-    # sentence lookbehind) dedups fine but reassembles with the pattern
-    # text as the separator
-    lines = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), delimiter, -1))
-            .alias("pos", "line"),
-        )
-    )
-    h = (
-        F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
-        if portable_hash
-        else F.xxhash64("line")
-    )
-    hashed = lines.withColumn("_h", h)
+    hashed = _hashed_lines(df, id_col, text_col, delimiter, portable_hash)
     owners = (
         hashed.groupBy("_h")
         .agg(
@@ -987,6 +969,40 @@ def dedup_lines(
         )
         .select("id", "pos", "line")
     )
+    return _reassemble_lines(df, kept, id_col, text_col, delimiter)
+
+
+def _hashed_lines(
+    df: DataFrame, id_col: str, text_col: str, delimiter: str,
+    portable_hash: bool,
+) -> DataFrame:
+    """``(id, pos, line, _h)`` for every line of every non-NULL text.
+    delimiter is a Java regex for SPLITTING but a literal string for the
+    re-JOIN (:func:`_reassemble_lines`), so pass a literal ('\\n', the
+    published pipelines' granularity) for lossless round-trips."""
+    lines = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), delimiter, -1))
+            .alias("pos", "line"),
+        )
+    )
+    h = (
+        F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
+        if portable_hash
+        else F.xxhash64("line")
+    )
+    return lines.withColumn("_h", h)
+
+
+def _reassemble_lines(
+    df: DataFrame, kept: DataFrame, id_col: str, text_col: str,
+    delimiter: str,
+) -> DataFrame:
+    """Rebuild each document from its kept ``(id, pos, line)`` rows in
+    position order; fully-scrubbed docs come back empty, NULL text passes
+    through."""
     rebuilt = (
         kept.groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
@@ -1009,6 +1025,146 @@ def dedup_lines(
             .alias(text_col),
         )
     )
+
+
+class LineDedupStore:
+    """Incremental corpus-wide line dedup across arriving batches (the
+    streaming counterpart of :func:`dedup_lines`, same design family as
+    :class:`MinHashDedupStore` / `PackingStore`): persists the set of line
+    hashes ever seen, so a line's FIRST occurrence across the whole stream
+    survives and every later copy — in the same batch or any later batch —
+    is scrubbed. The daily-crawl boilerplate shape: day N's navigation
+    chrome already seen on day 1 vanishes from day N's text.
+
+    Crash-safe and replay-idempotent the PackingStore way: each batch's
+    new hashes land under ``<path>/lines/batch=<seq>/`` with mode
+    OVERWRITE, where ``<seq>`` comes from the committed ``_seq`` file;
+    history is read as ``batch < seq``, so a foreachBatch retry of batch N
+    scrubs against exactly the pre-N history and REPLACES its own orphaned
+    hash dir instead of double-counting itself as history.
+
+    Scale: per batch, one line explode (batch-sized), one anti-join
+    against the stored hash table (hash-keyed equi-join; the store is the
+    corpus's DISTINCT line set — Zipf-small next to total line volume),
+    the within-batch owner aggregate, and a doc-keyed reassembly. Store
+    growth is bounded by distinct lines, not stream length.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        delimiter: str = "\n",
+        portable_hash: bool = False,
+        pin_results: bool = False,
+    ):
+        import os
+
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.delimiter = delimiter
+        self.portable_hash = portable_hash
+        os.makedirs(f"{self.path}/lines", exist_ok=True)
+        from graflo_spark.ops.graphalgo import _RoundCheckpointer
+
+        self._ck = _RoundCheckpointer(
+            spark, keep=None if pin_results else 2)
+
+    def _seq_file(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_seq")
+
+    def _seq(self) -> int:
+        import os
+
+        f = self._seq_file()
+        if not os.path.exists(f):
+            return 0
+        with open(f) as fh:
+            return int(fh.read().strip() or 0)
+
+    def _commit_seq(self, seq: int) -> None:
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(seq))
+        os.replace(tmp, self._seq_file())
+
+    def _history(self, upto: int) -> DataFrame | None:
+        """DISTINCT line hashes of committed batches ``< upto`` (None when
+        no history) — filtering on the partition column, so a replayed
+        batch's own orphaned dir is pruned out, never joined."""
+        import glob
+
+        if not glob.glob(f"{self.path}/lines/batch=*"):
+            return None
+        hist = self.spark.read.parquet(f"{self.path}/lines").filter(
+            F.col("batch") < upto)
+        return hist.select("_h")
+
+    def scrub_batch(self, df: DataFrame) -> DataFrame:
+        """Scrub one batch against stream history + itself, record its
+        lines, commit the batch seq. Returns the scrubbed batch (same
+        contract as :func:`dedup_lines`: blank lines kept as structure,
+        fully-scrubbed docs -> empty text, NULL passes through).
+
+        LIFETIME of the returned frame: two-generation checkpoint window
+        (consume within the batch; ``pin_results=True`` restores
+        session-lifetime blocks) — the dedup_batch/pack_batch contract.
+        """
+        seq = self._seq()
+        hashed = _hashed_lines(
+            df, self.id_col, self.text_col, self.delimiter,
+            self.portable_hash)
+        hist = self._history(upto=seq)
+        fresh = (
+            hashed if hist is None
+            else hashed.join(hist, hashed["_h"] == hist["_h"], "left_anti")
+        )
+        # within-batch keep-first over lines NOT already in history
+        owners = (
+            fresh.groupBy("_h")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(F.struct(F.col("id"), F.col("pos"))).alias("_owner"),
+            )
+        )
+        kept = (
+            hashed.withColumn("_blank", F.trim(F.col("line")) == "")
+            .join(owners, "_h", "left")
+            .filter(
+                F.col("_blank")
+                | (
+                    F.col("_n").isNotNull()  # not a historical duplicate
+                    & ((F.col("_n") == 1)
+                       | ((F.col("id") == F.col("_owner.id"))
+                          & (F.col("pos") == F.col("_owner.pos"))))
+                )
+            )
+            .select("id", "pos", "line")
+        )
+        out = self._ck(
+            _reassemble_lines(
+                df, kept, self.id_col, self.text_col, self.delimiter),
+            slot="scrub",
+        )
+        # record EVERY distinct non-blank line of this batch (kept or
+        # scrubbed — both are 'seen' for all later batches), then commit
+        (
+            hashed.filter(F.trim(F.col("line")) != "")
+            .select("_h").distinct()
+            .write.mode("overwrite")
+            .parquet(f"{self.path}/lines/batch={seq}")
+        )
+        self._commit_seq(seq + 1)
+        return out
 
 
 def duplicated_substring_spans(

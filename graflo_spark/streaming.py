@@ -362,6 +362,35 @@ def stream_minhash_dedup(
     )
 
 
+def stream_line_dedup(
+    stream: DataFrame,
+    store,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming corpus-wide LINE dedup: each micro-batch runs
+    :class:`graflo_spark.ops.dedup.LineDedupStore.scrub_batch` — every
+    line already seen anywhere in the stream (or earlier in the batch)
+    is cut, the first occurrence survives — and appends the scrubbed
+    documents to ``output_dir``. The daily-crawl boilerplate scrub as a
+    continuous job; state is the on-disk distinct-line-hash store, and
+    the store's seq-committed batch protocol makes a replayed micro-batch
+    re-emit the SAME scrubbed text (it scrubs against exactly the
+    pre-batch history), so at-least-once delivery costs duplicate output
+    rows at worst — dedup downstream by id for exactly-once."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.scrub_batch(batch_df).write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_asof_enrich(
     stream: DataFrame,
     reference,

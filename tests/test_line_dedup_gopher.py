@@ -86,3 +86,85 @@ def test_gopher_word_count_bounds_are_parameters(spark):
     loose = gopher_quality_rules(df, min_words=5).collect()[0]
     assert strict["r_word_count"] is False
     assert loose["r_word_count"] is True and loose["gopher_pass"] is True
+
+
+def test_line_dedup_store_streaming_equals_batch(spark, tmp_path):
+    """Feeding ordered batches through LineDedupStore equals one-shot
+    dedup_lines over the union (arrival order == id order), and a line
+    first seen in batch 1 is scrubbed from every later batch."""
+    from graflo_spark.ops.dedup import LineDedupStore, dedup_lines
+
+    b1 = spark.createDataFrame(
+        [(0, "intro\nfooter text\nbody zero"),
+         (1, "footer text\nbody one")],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(2, "body two\nfooter text"),
+         (3, None),
+         (4, "body two\nfresh line")],
+        "doc_id long, text string")
+    st = LineDedupStore(spark, str(tmp_path / "ls"))
+    got = {}
+    for b in (b1, b2):
+        for r in st.scrub_batch(b).collect():
+            got[r["doc_id"]] = r["text"]
+    want = {r["doc_id"]: r["text"]
+            for r in dedup_lines(b1.unionByName(b2)).collect()}
+    assert got == want
+    assert got[0] == "intro\nfooter text\nbody zero"  # owns everything
+    assert got[1] == "body one"                        # loses the footer
+    assert got[2] == "body two"                        # cross-batch scrub
+    assert got[3] is None
+    assert got[4] == "fresh line"                      # within-batch dup of 2
+
+
+def test_line_dedup_store_replay_is_idempotent(spark, tmp_path):
+    """A foreachBatch retry (crash between the hash write and the seq
+    commit) re-scrubs against exactly the pre-batch history: same output,
+    no self-history double count."""
+    from graflo_spark.ops.dedup import LineDedupStore
+
+    b1 = spark.createDataFrame([(0, "alpha\nshared")],
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame([(1, "shared\nbeta\nbeta dup\nbeta dup")],
+                               "doc_id long, text string")
+    st = LineDedupStore(spark, str(tmp_path / "ls"))
+    st.scrub_batch(b1)
+    first = {r["doc_id"]: r["text"] for r in st.scrub_batch(b2).collect()}
+    # simulate the crash window: roll the committed seq back to batch 1's
+    # value; batch=1's hash dir is now an orphan the retry must overwrite
+    st._commit_seq(1)
+    retry = {r["doc_id"]: r["text"] for r in st.scrub_batch(b2).collect()}
+    assert retry == first == {1: "beta\nbeta dup"}
+    # and a THIRD batch still sees exactly one copy of history
+    b3 = spark.createDataFrame([(2, "beta\ngamma")],
+                               "doc_id long, text string")
+    out3 = {r["doc_id"]: r["text"] for r in st.scrub_batch(b3).collect()}
+    assert out3 == {2: "gamma"}
+
+
+def test_stream_line_dedup_end_to_end(spark, tmp_path):
+    """replay_as_stream -> foreachBatch LineDedupStore scrub -> parquet:
+    the streamed output equals the one-shot dedup_lines over the corpus
+    (arrival order == id order via pinned mtimes in replay_as_stream)."""
+    from graflo_spark.ops.dedup import LineDedupStore, dedup_lines
+    from graflo_spark.streaming import replay_as_stream, stream_line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"header common\nbody {i}") for i in range(6)],
+        "doc_id long, text string")
+    store = LineDedupStore(spark, str(tmp_path / "ls"))
+    out = str(tmp_path / "scrubbed")
+    q = stream_line_dedup(
+        replay_as_stream(spark, docs.repartition(3)), store, out,
+        str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert len(got) == 6
+    # exactly one surviving copy of the shared header, on the earliest doc
+    # OF THE EARLIEST BATCH (arrival order, which replay pins to id order
+    # only within a file — so assert the global property, not the owner id)
+    keepers = [d for d, t in got.items() if "header common" in t]
+    assert len(keepers) == 1
+    assert all(f"body {d}" in got[d] for d in got)
