@@ -28,7 +28,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def _repeats() -> int:
     if "--repeat" in sys.argv:
-        return max(1, int(sys.argv[sys.argv.index("--repeat") + 1]))
+        i = sys.argv.index("--repeat")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--repeat requires an integer value")
+        return max(1, int(sys.argv[i + 1]))
     return max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "3")))
 
 BENCH_QUERIES = [

@@ -1036,18 +1036,26 @@ class LineDedupStore:
     is scrubbed. The daily-crawl boilerplate shape: day N's navigation
     chrome already seen on day 1 vanishes from day N's text.
 
-    Crash-safe and replay-idempotent the PackingStore way: each batch's
-    new hashes land under ``<path>/lines/batch=<seq>/`` with mode
-    OVERWRITE, where ``<seq>`` comes from the committed ``_seq`` file;
-    history is read as ``batch < seq``, so a foreachBatch retry of batch N
-    scrubs against exactly the pre-N history and REPLACES its own orphaned
-    hash dir instead of double-counting itself as history.
+    Crash-safe and replay-idempotent the PackingStore way, hardened for
+    BOTH crash windows: each batch's new hashes land under
+    ``<path>/lines/batch=<seq>/`` with mode OVERWRITE, where ``<seq>``
+    comes from the committed ``_seq`` file, and the commit records the
+    caller's ``batch_id`` alongside the seq. History is read as
+    ``batch < seq``, so a retry that crashed BEFORE the commit replaces
+    its orphaned hash dir; a retry that crashed AFTER the commit (output
+    write lost — the foreachBatch at-least-once window) is recognized by
+    its repeated ``batch_id`` and re-runs under its ORIGINAL seq, so it
+    scrubs against exactly the pre-batch history instead of seeing its own
+    hashes as history and emitting empty documents. Callers outside
+    foreachBatch that may re-deliver a batch must pass a stable
+    ``batch_id`` to get that second guarantee.
 
     Scale: per batch, one line explode (batch-sized), one anti-join
     against the stored hash table (hash-keyed equi-join; the store is the
     corpus's DISTINCT line set — Zipf-small next to total line volume),
-    the within-batch owner aggregate, and a doc-keyed reassembly. Store
-    growth is bounded by distinct lines, not stream length.
+    the within-batch owner aggregate, and a doc-keyed reassembly. Only
+    FRESH hashes (not yet in history) are recorded, so store growth is
+    bounded by distinct lines, not stream length.
     """
 
     def __init__(
@@ -1079,22 +1087,31 @@ class LineDedupStore:
 
         return os.path.join(self.path, "_seq")
 
-    def _seq(self) -> int:
+    def _state(self) -> tuple[int, str | None]:
+        """(next_seq, last committed batch_id or None)."""
         import os
 
         f = self._seq_file()
         if not os.path.exists(f):
-            return 0
+            return 0, None
         with open(f) as fh:
-            return int(fh.read().strip() or 0)
+            parts = fh.read().split("\n")
+        seq = int(parts[0].strip() or 0)
+        bid = parts[1] if len(parts) > 1 and parts[1] != "" else None
+        return seq, bid
 
-    def _commit_seq(self, seq: int) -> None:
+    def _seq(self) -> int:
+        return self._state()[0]
+
+    def _commit_seq(self, seq: int, batch_id=None) -> None:
         import os
         import tempfile
 
         fd, tmp = tempfile.mkstemp(dir=self.path)
         with os.fdopen(fd, "w") as fh:
             fh.write(str(seq))
+            if batch_id is not None:
+                fh.write(f"\n{batch_id}")
         os.replace(tmp, self._seq_file())
 
     def _history(self, upto: int) -> DataFrame | None:
@@ -1109,17 +1126,27 @@ class LineDedupStore:
             F.col("batch") < upto)
         return hist.select("_h")
 
-    def scrub_batch(self, df: DataFrame) -> DataFrame:
+    def scrub_batch(self, df: DataFrame, batch_id=None) -> DataFrame:
         """Scrub one batch against stream history + itself, record its
-        lines, commit the batch seq. Returns the scrubbed batch (same
-        contract as :func:`dedup_lines`: blank lines kept as structure,
-        fully-scrubbed docs -> empty text, NULL passes through).
+        fresh lines, commit the batch seq. Returns the scrubbed batch
+        (same contract as :func:`dedup_lines`: blank lines kept as
+        structure, fully-scrubbed docs -> empty text, NULL passes
+        through).
+
+        ``batch_id``: a stable identifier for this delivery (foreachBatch
+        passes its epoch id). When a call repeats the LAST committed
+        batch_id, the batch re-runs under its original seq — the
+        post-commit replay guarantee (class docstring). Omit it only if
+        the caller never re-delivers a batch after scrub_batch returns.
 
         LIFETIME of the returned frame: two-generation checkpoint window
         (consume within the batch; ``pin_results=True`` restores
         session-lifetime blocks) — the dedup_batch/pack_batch contract.
         """
-        seq = self._seq()
+        seq, last_bid = self._state()
+        if (batch_id is not None and last_bid is not None
+                and str(batch_id) == last_bid and seq > 0):
+            seq -= 1  # post-commit replay: re-run under the original seq
         hashed = _hashed_lines(
             df, self.id_col, self.text_col, self.delimiter,
             self.portable_hash)
@@ -1155,15 +1182,17 @@ class LineDedupStore:
                 df, kept, self.id_col, self.text_col, self.delimiter),
             slot="scrub",
         )
-        # record EVERY distinct non-blank line of this batch (kept or
-        # scrubbed — both are 'seen' for all later batches), then commit
+        # record the distinct FRESH non-blank lines of this batch (kept or
+        # scrubbed within-batch — both are 'seen' for later batches; lines
+        # already in history are NOT re-recorded, so the store holds each
+        # distinct line once), then commit
         (
-            hashed.filter(F.trim(F.col("line")) != "")
+            fresh.filter(F.trim(F.col("line")) != "")
             .select("_h").distinct()
             .write.mode("overwrite")
             .parquet(f"{self.path}/lines/batch={seq}")
         )
-        self._commit_seq(seq + 1)
+        self._commit_seq(seq + 1, batch_id)
         return out
 
 

@@ -417,9 +417,12 @@ def ivf_pq_topk(
     luts = {}
     for r in q.collect():
         qv = np.asarray(r["v"], dtype=np.float32)
+        # float64 accumulation from here on, matching pq_topk/_pq_topk_join:
+        # a float32 LUT sum flips top-k membership at near-tie boundaries,
+        # breaking the documented equality with pq_topk at full probe
         luts[int(r["query_id"])] = np.stack(
             [cents[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(len(cents))]
-        )
+        ).astype(np.float64)
 
     out_schema = T.StructType(
         [

@@ -374,15 +374,18 @@ def stream_line_dedup(
     is cut, the first occurrence survives — and appends the scrubbed
     documents to ``output_dir``. The daily-crawl boilerplate scrub as a
     continuous job; state is the on-disk distinct-line-hash store, and
-    the store's seq-committed batch protocol makes a replayed micro-batch
-    re-emit the SAME scrubbed text (it scrubs against exactly the
-    pre-batch history), so at-least-once delivery costs duplicate output
-    rows at worst — dedup downstream by id for exactly-once."""
+    the store's (seq, batch_id)-committed protocol makes a replayed
+    micro-batch re-emit the SAME scrubbed text whichever side of the
+    store commit the crash fell on (the epoch id is passed through, so a
+    post-commit replay re-runs under its original seq instead of seeing
+    its own hashes as history) — at-least-once delivery costs duplicate
+    output rows at worst; dedup downstream by id for exactly-once."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.scrub_batch(batch_df).write.mode("append").parquet(output_dir)
+        store.scrub_batch(batch_df, batch_id=batch_id).write.mode(
+            "append").parquet(output_dir)
 
     return (
         stream.writeStream.foreachBatch(handle)

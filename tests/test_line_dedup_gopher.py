@@ -143,6 +143,55 @@ def test_line_dedup_store_replay_is_idempotent(spark, tmp_path):
     assert out3 == {2: "gamma"}
 
 
+def test_line_dedup_store_post_commit_replay_with_batch_id(spark, tmp_path):
+    """The OTHER crash window: store commit succeeded but the caller's
+    output write was lost, and foreachBatch re-delivers the batch. With
+    the epoch batch_id passed through, the retry re-runs under its
+    ORIGINAL seq — same scrubbed text, instead of seeing its own hashes
+    as history and emitting empty documents."""
+    from graflo_spark.ops.dedup import LineDedupStore
+
+    b1 = spark.createDataFrame([(0, "alpha\nshared")],
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame([(1, "shared\nbeta")],
+                               "doc_id long, text string")
+    st = LineDedupStore(spark, str(tmp_path / "ls"))
+    st.scrub_batch(b1, batch_id=0)
+    first = {r["doc_id"]: r["text"]
+             for r in st.scrub_batch(b2, batch_id=1).collect()}
+    # store commit is already durable here; the output write "was lost":
+    # the SAME batch_id arrives again
+    retry = {r["doc_id"]: r["text"]
+             for r in st.scrub_batch(b2, batch_id=1).collect()}
+    assert retry == first == {1: "beta"}
+    # the store did not double-record: a later batch still scrubs once
+    b3 = spark.createDataFrame([(2, "beta\nomega")],
+                               "doc_id long, text string")
+    out3 = {r["doc_id"]: r["text"]
+            for r in st.scrub_batch(b3, batch_id=2).collect()}
+    assert out3 == {2: "omega"}
+
+
+def test_line_dedup_store_records_only_fresh_hashes(spark, tmp_path):
+    """Recurring boilerplate must not re-enter the store every batch —
+    growth is bounded by DISTINCT lines, not stream length."""
+    import glob
+
+    from graflo_spark.ops.dedup import LineDedupStore
+
+    st = LineDedupStore(spark, str(tmp_path / "ls"))
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(i, f"boilerplate header\nunique {i}")],
+            "doc_id long, text string")
+        st.scrub_batch(b, batch_id=i)
+    hashes = spark.read.parquet(str(tmp_path / "ls" / "lines"))
+    # 1 boilerplate + 3 uniques = 4 distinct hashes, stored exactly once
+    assert hashes.count() == 4
+    assert hashes.select("_h").distinct().count() == 4
+    assert len(glob.glob(str(tmp_path / "ls" / "lines" / "batch=*"))) == 3
+
+
 def test_stream_line_dedup_end_to_end(spark, tmp_path):
     """replay_as_stream -> foreachBatch LineDedupStore scrub -> parquet:
     the streamed output equals the one-shot dedup_lines over the corpus

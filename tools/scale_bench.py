@@ -507,8 +507,12 @@ def lines_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     fn = ALL_QUERIES["dedup_lines_documents"]
     for label, d in (("base", base_dir), ("scaled", scaled_dir)):
         docs = spark.read.parquet(f"{d}/documents.parquet")
+        # count non-empty tokens exactly like the driver row's reflow does
+        # (an unfiltered split counts a phantom '' token for empty docs)
         n_lines_in = docs.filter("text IS NOT NULL").select(
-            F.ceil(F.size(F.split(F.trim("text"), r"\s+")) / 10.0)
+            F.ceil(
+                F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                                lambda w: w != F.lit(""))) / 10.0)
             .alias("n")).agg(F.sum("n")).first()[0]
         t0 = pc()
         scrubbed = fn(spark, d)
@@ -820,6 +824,8 @@ def main() -> None:
     argv = list(sys.argv[1:])
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            raise SystemExit("--only requires a value (a query substring)")
         only = argv[i + 1]
         del argv[i:i + 2]
     args = [a for a in argv if a not in flags]
