@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     # tools/scale_bench.py carries their scaling story instead.)
     "pagerank_trade_network",
     "lpa_communities_trade",
+    # round 8: the new dedup granularity + the PQ/ADC search family —
+    # cross-round totals gain ~3.5 s of NEW work here (BENCH_NOTES.md);
+    # per-query comparisons stay like-for-like.
+    "dedup_lines_documents",
+    "pq_adc_topk_embeddings",
 ]
 
 

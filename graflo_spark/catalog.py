@@ -2285,12 +2285,12 @@ _SEMDEDUP_ORACLE = (
     "cell AS (SELECT vec_id, c FROM (SELECT vec_id, c, "
     "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) "
     "WHERE rn = 1), "
-    "ec AS (SELECT e.vec_id, v, c FROM e JOIN cell USING (vec_id)), "
+    "ec AS (SELECT e.vec_id, "
+    "[x / sqrt(list_inner_product(v, v)) FOR x IN v] AS nv, c "
+    "FROM e JOIN cell USING (vec_id)), "
     "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
     "FROM ec a JOIN ec b ON a.c = b.c AND a.vec_id < b.vec_id "
-    "WHERE list_inner_product(a.v, b.v) / "
-    "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
-    " >= 0.4), "
+    "WHERE list_inner_product(a.nv, b.nv) >= 0.4), "
     "sym AS (SELECT id_a AS a, id_b AS b FROM p "
     "UNION SELECT id_b, id_a FROM p), "
     "reach(node, label) AS (SELECT vec_id, vec_id FROM embeddings "

@@ -65,6 +65,11 @@ class PipelineConfig:
     # report shows which policy (heuristic quality vs Gopher rules) paid.
     gopher_rules: bool = False
     gopher_min_words: int = 50
+    # Language gate (ops/textstats.lang_id stopword-argmax heuristic):
+    # keep only documents whose predicted language is in this list
+    # (None = off). Charged to its own 'lang' funnel stage. Include 'und'
+    # to keep undetermined docs (symbol-heavy, too short to vote).
+    allowed_langs: list[str] | None = None
     # Corpus-wide LINE dedup (C4/Dolma scrub, ops/dedup.dedup_lines) over
     # the survivor corpus before the substring scrub: coarser granularity
     # first (whole boilerplate lines), token spans after. None = off; set
@@ -86,7 +91,7 @@ class PipelineConfig:
 
 
 # funnel order — each document is charged to the FIRST stage that drops it
-STAGES = ("url_dup", "quality", "gopher", "lm_quality", "decontam",
+STAGES = ("url_dup", "quality", "gopher", "lang", "lm_quality", "decontam",
           "exact_dup", "near_dup")
 
 
@@ -119,6 +124,15 @@ def annotate(
     gopher_ok = (
         ts.gopher_pass_expr(t, min_words=cfg.gopher_min_words)
         if cfg.gopher_rules else F.lit(True)
+    )
+
+    # optional language gate — pure exprs, same scan; NULL text is the
+    # quality stage's to charge (lang_id(NULL) -> NULL, coalesce false)
+    lang_ok = (
+        F.coalesce(
+            ts.lang_id(t).isin([str(x) for x in cfg.allowed_langs]),
+            F.lit(False))
+        if cfg.allowed_langs else F.lit(True)
     )
 
     # optional LM fluency gate (CCNet-style): cross-entropy under a model
@@ -169,7 +183,7 @@ def annotate(
     if cfg.url_col:
         ukey = normalize_url(F.col(cfg.url_col))
         has_key = ukey.isNotNull() & (ukey != "")
-        url_elig = (quality_ok & gopher_ok & lm_ok
+        url_elig = (quality_ok & gopher_ok & lang_ok & lm_ok
                     & ~F.col("__contaminated"))
         winners = (
             out.filter(has_key)
@@ -193,7 +207,7 @@ def annotate(
     # duplicate group — otherwise its surviving twin gets dropped as a dup
     # of a document that is itself gone, and the content vanishes entirely.
     eligible = out.filter(
-        ~F.col("__url_dup") & quality_ok & gopher_ok & lm_ok
+        ~F.col("__url_dup") & quality_ok & gopher_ok & lang_ok & lm_ok
         & ~F.col("__contaminated")
     )
 
@@ -237,6 +251,7 @@ def annotate(
         F.when(F.col("__url_dup"), "url_dup")
         .when(~quality_ok, "quality")
         .when(~gopher_ok, "gopher")
+        .when(~lang_ok, "lang")
         .when(~lm_ok, "lm_quality")
         .when(F.col("__contaminated"), "decontam")
         .when(F.col("__exact_dup"), "exact_dup")

@@ -50,6 +50,44 @@ def test_dedup_lines_respects_custom_id_column_named_id(spark):
     assert out == {0: "x\ny", 1: "z"}
 
 
+def _brute_dedup_lines(docs: dict) -> dict:
+    """Reference implementation: keep-first-occurrence by (id, pos) over
+    non-blank lines; blank lines always kept; NULL passes through."""
+    seen = set()
+    out = {}
+    for did in sorted(docs):
+        if docs[did] is None:
+            out[did] = None
+            continue
+        kept = []
+        for line in docs[did].split("\n"):
+            if line.strip() == "":
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+        out[did] = "\n".join(kept)
+    return out
+
+
+def test_dedup_lines_random_corpus_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(77)
+    vocab = [f"line {i}" for i in range(12)] + ["", "  "]
+    for trial in range(4):
+        docs = {
+            did: ("\n".join(rng.choice(vocab)
+                            for _ in range(rng.randint(1, 8)))
+                  if rng.random() > 0.1 else None)
+            for did in range(rng.randint(3, 10))
+        }
+        df = spark.createDataFrame(
+            sorted(docs.items()), "doc_id long, text string")
+        got = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+        assert got == _brute_dedup_lines(docs), (trial, docs)
+
+
 def test_gopher_rules_each_gate_and_conjunction(spark):
     good = " ".join(["the be to of and that have with word nine"] * 6)
     rows = [

@@ -290,3 +290,30 @@ def test_pipeline_stage_order_includes_gopher(spark):
 
     assert STAGES.index("quality") < STAGES.index("gopher") < STAGES.index(
         "lm_quality")
+
+
+def test_pipeline_language_gate(spark):
+    """allowed_langs keeps only documents whose lang_id prediction is in
+    the list, charged to the 'lang' stage (after gopher, before
+    lm_quality)."""
+    from graflo_spark.ops import pipeline as pl
+
+    rows = [
+        (0, "the cat and the dog went to the house in the morning and "
+            "that was good for the family with the children"),
+        (1, "der hund und die katze ist nicht mit der maus und das haus "
+            "ist mit den kindern und der familie nicht da"),
+        (2, "le chat et le chien est dans la maison pour les enfants et "
+            "la famille est pas dans le jardin que une"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = pl.PipelineConfig(
+        min_quality=0.0, min_tokens=3, allowed_langs=["en", "fr"],
+        near_dup_threshold=0.99, splits={"train": 1.0}, chunk_tokens=64)
+    annotated = pl.annotate(docs, None, cfg)
+    stages = {r["doc_id"]: r["drop_stage"] for r in annotated.collect()}
+    assert stages[0] is None
+    assert stages[1] == "lang"     # German, not allowed
+    assert stages[2] is None
+    assert pl.STAGES.index("gopher") < pl.STAGES.index("lang") < \
+        pl.STAGES.index("lm_quality")
