@@ -3305,6 +3305,84 @@ def edge_multi_link_lineitem(spark, sf_dir):
     return contains.unionByName(supplied)
 
 
+# Evolution / migration engine, driver-proven (r8): the op chain, the
+# diff->replay closure (applying diff(base, evolved) to base reproduces
+# evolved — renames normalize to remove+add, so equality is SET equality
+# over (vertex, field, identity) rows, which is exactly how the driver
+# compares), and the risk-gated migration plan all reduce to deterministic
+# row sets a VALUES oracle pins. Previously this whole surface was
+# unit-only ("no data-shaped oracle applies") — it does, via its own
+# metadata as the data.
+_EVOLVE_ORACLE = (
+    "SELECT * FROM (VALUES "
+    "('blocked', 'REMOVE_VERTEX_FIELD', 'customer.c_name', 'HIGH'), ('blocked', 'REMOVE_VERTEX_FIELD', 'order.o_totalprice', 'HIGH'), ('evolved', 'contains', 'order', 'part'), ('evolved', 'customer', 'c_custkey', 'id'), ('evolved', 'customer', 'c_fullname', 'field'), ('evolved', 'customer', 'c_phone', 'field'), ('evolved', 'order', 'o_orderkey', 'id'), ('evolved', 'part', 'p_partkey', 'id'), ('evolved', 'placed_by', 'order', 'customer'), ('plan', 'ADD_EDGE', 'order__contains__part', 'LOW'), ('plan', 'ADD_VERTEX', 'part', 'LOW'), ('plan', 'ADD_VERTEX_FIELD', 'customer.c_fullname', 'LOW'), ('plan', 'ADD_VERTEX_FIELD', 'customer.c_phone', 'LOW'), ('replay', 'contains', 'order', 'part'), ('replay', 'customer', 'c_custkey', 'id'), ('replay', 'customer', 'c_fullname', 'field'), ('replay', 'customer', 'c_phone', 'field'), ('replay', 'order', 'o_orderkey', 'id'), ('replay', 'part', 'p_partkey', 'id'), ('replay', 'placed_by', 'order', 'customer')"
+    ") t(kind, a, b, c)"
+)
+
+
+def _evolve_rows():
+    from graflo_spark.evolve import (
+        AddEdgeOp,
+        AddPropertyOp,
+        AddVertexOp,
+        RemovePropertyOp,
+        RenamePropertyOp,
+        apply_plan,
+        diff,
+    )
+    from graflo_spark.migrate import MigrationPlanner, SchemaDiff
+
+    base = CoreSchema(
+        vertices=[
+            Vertex("customer", [Field("c_custkey"), Field("c_name")],
+                   identity=["c_custkey"]),
+            Vertex("order", [Field("o_orderkey"), Field("o_totalprice")],
+                   identity=["o_orderkey"]),
+        ],
+        edges=[Edge("order", "customer", relation="placed_by")],
+    )
+    chain = [
+        AddVertexOp(Vertex("part", [Field("p_partkey")],
+                           identity=["p_partkey"])),
+        AddPropertyOp("customer", Field("c_phone")),
+        RenamePropertyOp("customer", "c_name", "c_fullname"),
+        AddEdgeOp(Edge("order", "part", relation="contains")),
+        RemovePropertyOp("order", "o_totalprice"),
+    ]
+    evolved = apply_plan(base, chain)
+    replayed = apply_plan(base, diff(base, evolved))
+
+    rows = []
+    for kind, schema in (("evolved", evolved), ("replay", replayed)):
+        for v in schema.vertices:
+            for f in v.fields:
+                rows.append((kind, v.name, f.name,
+                             "id" if f.name in v.identity else "field"))
+        for e in schema.edges:
+            rows.append((kind, e.edge_id.relation,
+                         e.edge_id.source, e.edge_id.target))
+    d = SchemaDiff(base, evolved).compare()
+    plan = MigrationPlanner().build(d)  # default risk gate: low-risk only
+    for op in plan.operations:
+        rows.append(("plan", op.op_type.value, op.target, op.risk.value))
+    for op in plan.blocked_operations:
+        rows.append(("blocked", op.op_type.value, op.target, op.risk.value))
+    return sorted(rows)
+
+
+@q("evolve_migrate_suite", _EVOLVE_ORACLE)
+def evolve_migrate_suite(spark, sf_dir):
+    """Schema evolution + migration planning as a driver row: a 5-op
+    evolution chain (add vertex/property/edge, rename property, remove
+    property — evolve.py), the diff->replay closure (diff(base, evolved)
+    applied to base reproduces evolved as a row SET), and the risk-gated
+    migration plan (SchemaDiff -> MigrationPlanner: additive low-risk ops
+    pass the default gate, destructive ops are blocked) — all pinned by a
+    VALUES oracle."""
+    return spark.createDataFrame(
+        _evolve_rows(), "kind string, a string, b string, c string")
+
+
 # Gopher quality rules (Rae et al. 2021, A1.1): every rule is an exact
 # integer-count comparison (ratios expressed as count < factor * count so
 # no division appears), so the booleans replay bit-for-bit in SQL.
