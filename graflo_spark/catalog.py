@@ -3383,6 +3383,141 @@ def evolve_migrate_suite(spark, sf_dir):
         _evolve_rows(), "kind string, a string, b string, c string")
 
 
+# Manifest-I/O surfaces, driver-proven (r8): the same VALUES technique as
+# evolve_migrate_suite, over four previously unit-only §2.12/§1.3 rows —
+# manifest⇄RDF round trip (closure: 'rdf' rows must equal 'base' rows),
+# YAML dict round trip, OWL/RDFS TBox -> schema inference, and the
+# injectable ANSI information_schema -> manifest path (PK->identity,
+# FK->edge, junction-table -> pairwise edges).
+_MANIFEST_IO_ORACLE = (
+    "SELECT * FROM (VALUES "
+    "('base', 'customer', 'c_custkey', 'id'), ('base', 'customer', 'c_name', 'field'), ('base', 'order', 'o_orderkey', 'id'), ('base', 'order', 'o_totalprice', 'field'), ('base', 'placed_by', 'order', 'customer'), ('jdbc', 'group_id_user_id', 'groups', 'users'), ('jdbc', 'groups', 'group_id', 'id'), ('jdbc', 'users', 'email', 'field'), ('jdbc', 'users', 'user_id', 'id'), ('owl', 'City', '_key', 'field'), ('owl', 'City', '_uri', 'id'), ('owl', 'Person', '_key', 'field'), ('owl', 'Person', '_uri', 'id'), ('owl', 'Person', 'name', 'field'), ('owl', 'livesIn', 'Person', 'City'), ('rdf', 'customer', 'c_custkey', 'id'), ('rdf', 'customer', 'c_name', 'field'), ('rdf', 'order', 'o_orderkey', 'id'), ('rdf', 'order', 'o_totalprice', 'field'), ('rdf', 'placed_by', 'order', 'customer'), ('yaml', 'customer', 'c_custkey', 'id'), ('yaml', 'customer', 'c_name', 'field'), ('yaml', 'order', 'o_orderkey', 'id'), ('yaml', 'order', 'o_totalprice', 'field'), ('yaml', 'placed_by', 'order', 'customer')"
+    ") t(kind, a, b, c)"
+)
+
+
+def _schema_rows(kind: str, schema) -> list:
+    rows = []
+    for v in schema.vertices:
+        for f in v.fields:
+            rows.append((kind, v.name, f.name,
+                         "id" if f.name in v.identity else "field"))
+    for e in schema.edges:
+        rows.append((kind, e.edge_id.relation or "",
+                     e.edge_id.source, e.edge_id.target))
+    return rows
+
+
+def _manifest_io_rows(spark):
+    from graflo_spark.infer import (
+        infer_manifest_from_information_schema,
+        infer_schema_from_ontology,
+    )
+    from graflo_spark.rdf_manifest import (
+        from_ntriples,
+        manifest_to_triples,
+        to_ntriples,
+        triples_to_manifest,
+    )
+    from graflo_spark.yaml_io import manifest_from_dict, manifest_to_dict
+
+    base = CoreSchema(
+        vertices=[
+            Vertex("customer", [Field("c_custkey"), Field("c_name")],
+                   identity=["c_custkey"]),
+            Vertex("order", [Field("o_orderkey"), Field("o_totalprice")],
+                   identity=["o_orderkey"]),
+        ],
+        edges=[Edge("order", "customer", relation="placed_by")],
+    )
+    rows = _schema_rows("base", base)
+
+    # manifest -> triples -> N-Triples text -> parse -> manifest (closure)
+    rt = triples_to_manifest(
+        from_ntriples(to_ntriples(manifest_to_triples(base))))
+    rows += _schema_rows("rdf", rt.schema)
+
+    # manifest -> plain dict (the YAML payload) -> manifest (closure)
+    from graflo_spark.manifest import GraphManifest
+
+    yt = manifest_from_dict(manifest_to_dict(GraphManifest(schema=base)))
+    rows += _schema_rows("yaml", yt.schema)
+
+    # OWL/RDFS TBox -> schema: one class pair + a datatype + object prop
+    owl = "http://www.w3.org/2002/07/owl#"
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    ex = "http://example.org/"
+    tbox = spark.createDataFrame(
+        [
+            (ex + "Person", rdf_type, owl + "Class"),
+            (ex + "City", rdf_type, owl + "Class"),
+            (ex + "name", rdf_type, owl + "DatatypeProperty"),
+            (ex + "name", rdfs + "domain", ex + "Person"),
+            (ex + "livesIn", rdf_type, owl + "ObjectProperty"),
+            (ex + "livesIn", rdfs + "domain", ex + "Person"),
+            (ex + "livesIn", rdfs + "range", ex + "City"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    owl_schema, _ = infer_schema_from_ontology(tbox)
+    rows += _schema_rows("owl", owl_schema)
+
+    # ANSI information_schema catalog frames -> manifest (PK identity,
+    # FK edge, junction table -> pairwise edges)
+    cols = spark.createDataFrame(
+        [
+            ("users", "user_id", "bigint", 1),
+            ("users", "email", "text", 2),
+            ("groups", "group_id", "bigint", 1),
+            ("membership", "user_id", "bigint", 1),
+            ("membership", "group_id", "bigint", 2),
+        ],
+        "table_name string, column_name string, data_type string, "
+        "ordinal_position int",
+    )
+    cons = spark.createDataFrame(
+        [
+            ("users", "users_pk", "PRIMARY KEY"),
+            ("groups", "groups_pk", "PRIMARY KEY"),
+            ("membership", "m_fk_u", "FOREIGN KEY"),
+            ("membership", "m_fk_g", "FOREIGN KEY"),
+        ],
+        "table_name string, constraint_name string, constraint_type string",
+    )
+    kcu = spark.createDataFrame(
+        [
+            ("users_pk", "users", "user_id", 1),
+            ("groups_pk", "groups", "group_id", 1),
+            ("m_fk_u", "membership", "user_id", 1),
+            ("m_fk_g", "membership", "group_id", 1),
+        ],
+        "constraint_name string, table_name string, column_name string, "
+        "ordinal_position int",
+    )
+    refs = spark.createDataFrame(
+        [("m_fk_u", "users_pk"), ("m_fk_g", "groups_pk")],
+        "constraint_name string, unique_constraint_name string",
+    )
+    jm = infer_manifest_from_information_schema(cols, cons, kcu, refs)
+    rows += _schema_rows("jdbc", jm.schema)
+    return sorted(rows)
+
+
+@q("manifest_io_suite", _MANIFEST_IO_ORACLE)
+def manifest_io_suite(spark, sf_dir):
+    """Manifest I/O surfaces under one VALUES oracle: 'rdf' and 'yaml'
+    rows must equal the 'base' rows (round-trip closure through N-Triples
+    text and the YAML dict form), 'owl' pins the OWL/RDFS TBox -> schema
+    mapping (class->vertex with _uri identity, datatype property->field,
+    object property->edge), and 'jdbc' pins the information_schema ->
+    manifest path on the classic users/groups/membership junction shape
+    (PKs -> identities, the junction's FK pair -> one edge, no junction
+    vertex)."""
+    return spark.createDataFrame(
+        _manifest_io_rows(spark), "kind string, a string, b string, c string")
+
+
 # Gopher quality rules (Rae et al. 2021, A1.1): every rule is an exact
 # integer-count comparison (ratios expressed as count < factor * count so
 # no division appears), so the booleans replay bit-for-bit in SQL.

@@ -367,7 +367,15 @@ def _assemble_manifest(
             for i in range(len(links)):
                 for j in range(i + 1, len(links)):
                     (src, src_role), (tgt, tgt_role) = links[i], links[j]
-                    rel = _norm_key(links[i][1]) + "_" + _norm_key(links[j][1])
+                    # snake_case FK columns like user_id normalize to the
+                    # degenerate 'id' — fall back to the full column name
+                    # so the relation stays meaningful ('group_id_user_id',
+                    # not 'id_id'); TPC-H-style prefixes are unaffected
+                    parts = [
+                        nk if (nk := _norm_key(c)) != "id" else c
+                        for c in (links[i][1], links[j][1])
+                    ]
+                    rel = parts[0] + "_" + parts[1]
                     edges.append(Edge(src, tgt, relation=rel))
                     steps.append(
                         EdgeStep(
