@@ -3383,6 +3383,66 @@ def evolve_migrate_suite(spark, sf_dir):
         _evolve_rows(), "kind string, a string, b string, c string")
 
 
+# File-format scan paths, driver-proven (r8): the documents projection is
+# round-tripped through every text format the source layer reads (CSV,
+# TSV, gzip CSV, JSONL, XML — reference chunker formats) and read back via
+# io.read_source; each branch must hash-equal the parquet truth. The
+# writes land under a per-SF temp dir that is OVERWRITTEN each run and
+# must outlive the call (the returned frame reads the files lazily).
+_IO_FORMATS = ("csv", "tsv", "csv_gzip", "jsonl", "xml")
+_IO_FORMATS_ORACLE = " UNION ALL ".join(
+    f"SELECT '{k}' AS kind, doc_id, lang, n_chars FROM documents"
+    for k in _IO_FORMATS
+)
+
+
+@q("io_formats_suite", _IO_FORMATS_ORACLE)
+def io_formats_suite(spark, sf_dir):
+    """Source-layer format scans under one oracle: write the (doc_id,
+    lang, n_chars) projection as CSV / TSV / gzip-CSV / JSONL / XML, read
+    each back through io.read_source (explicit schema — the inferSchema
+    path is unit-tested), and every branch must equal the parquet truth.
+    Proves the reader dispatch + option plumbing + gzip transparency +
+    the Spark-4 native XML path end-to-end (SURVEY §2.1 scan rows,
+    previously unit-only)."""
+    import os
+
+    from graflo_spark.io import read_source
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = os.path.join(
+        "/tmp", "graflo_spark_io_suite",
+        os.path.basename(sf_dir.rstrip("/")))
+    schema = "doc_id long, lang string, n_chars long"
+    one = base.coalesce(1)
+    one.write.mode("overwrite").option("header", "true").csv(
+        f"{root}/csv")
+    one.write.mode("overwrite").option("header", "true").option(
+        "sep", "\t").csv(f"{root}/tsv")
+    one.write.mode("overwrite").option("header", "true").option(
+        "compression", "gzip").csv(f"{root}/csv_gzip")
+    one.write.mode("overwrite").json(f"{root}/jsonl")
+    one.write.mode("overwrite").format("xml").option(
+        "rowTag", "row").save(f"{root}/xml")
+
+    parts = []
+    for kind, fmt, path in (
+        ("csv", "csv", f"{root}/csv"),
+        ("tsv", "tsv", f"{root}/tsv"),
+        ("csv_gzip", "csv", f"{root}/csv_gzip"),
+        ("jsonl", "jsonl", f"{root}/jsonl"),
+        ("xml", "xml", f"{root}/xml"),
+    ):
+        df = read_source(spark, path, fmt=fmt, schema=schema)
+        parts.append(df.select(
+            F.lit(kind).alias("kind"), "doc_id", "lang", "n_chars"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # Manifest-I/O surfaces, driver-proven (r8): the same VALUES technique as
 # evolve_migrate_suite, over four previously unit-only §2.12/§1.3 rows —
 # manifest⇄RDF round trip (closure: 'rdf' rows must equal 'base' rows),
