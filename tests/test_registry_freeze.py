@@ -28,6 +28,16 @@ def test_registry_matches_freeze_file():
     assert sorted(QUERIES) == _frozen()
 
 
+def test_registry_fits_driver_window():
+    # the driver verifies at most 50 rows (empirical: r1-r5 snapshots are
+    # exactly 50 against larger registries; r7 dropped the 51st row, the
+    # last in registration order). More rows = silent rotation out of
+    # verification — consolidate into suites instead.
+    from graflo_spark.catalog import QUERIES
+
+    assert len(QUERIES) <= 50, len(QUERIES)
+
+
 def test_every_query_has_oracle_or_documented_rows_only():
     # every registered query should carry an oracle; rows-only entries are
     # the documented exceptions (hash-membership sampling etc.) — keep the

@@ -38,6 +38,15 @@ def registered() -> list[str]:
     return sorted(QUERIES)
 
 
+# The driver verifies at most this many queries() rows per round — an
+# empirical constant: CORRECTNESS_r1..r5 each hold exactly 50 rows while
+# the r5 registry held 61, and r7 snapshotted 50 of 51, dropping the LAST
+# row in registration order (truncation, not timing). Registering more
+# silently rotates rows out of verification; consolidate into suite rows
+# instead (catalog.py round-6/round-8 consolidation blocks).
+DRIVER_WINDOW = 50
+
+
 def check_freeze(names: list[str]) -> list[str]:
     if not os.path.exists(FREEZE):
         return [f"missing freeze file {FREEZE}"]
@@ -77,6 +86,11 @@ def check_snapshot(names: list[str], path: str) -> list[str]:
 def main() -> int:
     names = registered()
     errs = check_freeze(names)
+    if len(names) > DRIVER_WINDOW:
+        errs.append(
+            f"{len(names)} registered queries exceed the driver's "
+            f"{DRIVER_WINDOW}-row verification window — consolidate into "
+            "suites (see catalog.py consolidation blocks)")
     snap_path = sys.argv[1] if len(sys.argv) > 1 else None
     if snap_path is None:
         cands = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
