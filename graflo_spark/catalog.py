@@ -36,6 +36,7 @@ from graflo_spark.manifest import (
 from graflo_spark.ops import decontam as dc
 from graflo_spark.ops import dedup as dd
 from graflo_spark.ops import pii as pi
+from graflo_spark.ops import sampling as sp
 from graflo_spark.ops import simsearch as ss
 from graflo_spark.ops import textstats as ts
 from graflo_spark.query import AggFn, Direction, GraphView
@@ -4143,11 +4144,19 @@ def clusters_suite(spark, sf_dir):
     "SELECT mode AS kind, id, tag AS s, " + _L + " AS n FROM ("
     + ORACLES["sampling_split_mix_documents"] + ") UNION ALL "
     "SELECT 'io_' || kind, doc_id, lang, n_chars FROM ("
-    + ORACLES["io_formats_suite"] + ")",
+    + ORACLES["io_formats_suite"] + ") UNION ALL "
+    "SELECT 'budget', doc_id, " + _S + ", n_chars FROM "
+    "(SELECT doc_id, n_chars, SUM(n_chars) OVER "
+    "(ORDER BY n_chars DESC, doc_id) AS cum FROM documents) "
+    "WHERE cum <= 50000",
 )
 def corpus_io_suite(spark, sf_dir):
-    """Deterministic sampling/split/mix (portable-hash SQL replay) + the
-    five text-format scan round-trips, normalized to (kind, id, s, n)."""
+    """Deterministic sampling/split/mix (portable-hash SQL replay), the
+    five text-format scan round-trips, and token-budget corpus selection
+    (ops/sampling.select_to_token_budget, exact running-sum mode: the
+    biggest documents first until the 50k-char budget is spent — the
+    approx quantile-cutoff 100 TB path is unit-tested), normalized to
+    (kind, id, s, n)."""
     smp = sampling_split_mix_documents(spark, sf_dir).select(
         F.col("mode").alias("kind"), "id", F.col("tag").alias("s"),
         F.lit(None).cast("long").alias("n"))
@@ -4155,7 +4164,13 @@ def corpus_io_suite(spark, sf_dir):
         F.concat(F.lit("io_"), F.col("kind")).alias("kind"),
         F.col("doc_id").alias("id"), F.col("lang").alias("s"),
         F.col("n_chars").alias("n"))
-    return smp.unionByName(io)
+    bud = sp.select_to_token_budget(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", 50_000, score_col="n_chars",
+    ).select(
+        F.lit("budget").alias("kind"), F.col("doc_id").alias("id"),
+        F.lit(None).cast("string").alias("s"), F.col("n_chars").alias("n"))
+    return smp.unionByName(io).unionByName(bud)
 
 
 _TEXT_STATS_NUM = (

@@ -91,6 +91,73 @@ def hash_split(
     return df.withColumn(split_col, out)
 
 
+def select_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    score_col: str | None = None,
+    approx_buckets: int | None = None,
+) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: keep the
+    best-scoring documents whose CUMULATIVE token count fits ``budget`` —
+    the data-selection step between scoring and packing (train on the best
+    N-token subset of a scored corpus). Ordering is (score desc, id asc);
+    with ``score_col=None`` it degrades to smallest-id-first truncation.
+    A document is kept iff the running total INCLUDING it is <= budget
+    (documents larger than the remaining budget are skipped only if they
+    appear after the cut — classic prefix semantics, exactly replayable
+    in SQL as ``SUM(tokens) OVER (ORDER BY score DESC, id) <= budget``).
+
+    Two modes, the ccnet-buckets pattern:
+    - exact (default): ONE global running-sum window — a single-partition
+      sort, the verification path; correct at any size that fits a sort
+      spill, and the mode a SQL oracle replays bit-for-bit.
+    - ``approx_buckets=N``: the 100 TB path — ONE aggregate computes
+      per-score-bucket token masses over N quantile-spaced buckets, the
+      driver picks the lowest score bucket whose prefix mass still fits,
+      and the selection is a map-side ``score >= cutoff`` filter (no
+      global sort). Undershoots the budget by at most one bucket's mass;
+      ties at the cutoff are all kept (deterministic, order-free).
+    """
+    from pyspark.sql import Window as W
+
+    score = (F.col(score_col) if score_col is not None
+             else F.lit(0.0)).cast("double")
+    if approx_buckets:
+        qs = [i / approx_buckets for i in range(1, approx_buckets)]
+        cuts = sorted(set(
+            df.select(
+                F.percentile_approx(score, qs, 10_000).alias("q")
+            ).first()["q"] or []
+        ), reverse=True)
+        chosen = None
+        run = 0
+        for c in cuts:  # highest score bucket first
+            mass = df.filter(score >= F.lit(float(c))).agg(
+                F.sum(F.col(token_col).cast("long"))).first()[0] or 0
+            if mass <= budget:
+                chosen = c
+            else:
+                break
+        if chosen is None:
+            # even the top bucket overshoots: fall back to exact over the
+            # top bucket only (bounded input) — never silently overspend
+            top = cuts[0] if cuts else None
+            scoped = (df.filter(score >= F.lit(float(top)))
+                      if top is not None else df)
+            return select_to_token_budget(
+                scoped, id_col, token_col, budget, score_col)
+        return df.filter(score >= F.lit(float(chosen)))
+    w = W.orderBy(score.desc(), F.col(id_col)).rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    return (
+        df.withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
 def temperature_weights(
     counts: dict[str, int], alpha: float = 0.3
 ) -> dict[str, float]:

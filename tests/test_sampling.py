@@ -76,3 +76,38 @@ def test_portable_hash_membership_differs_only_in_hash(spark):
           .collect()}
     # T = min(1000/.75, 1000/.25) = 1333.3: e kept fully-ish, o at ~333
     assert mc["e"] == 1000 and abs(mc["o"] - 333) < 60
+
+
+def test_select_to_token_budget_exact_and_approx(spark):
+    from pyspark.sql import functions as F
+
+    from graflo_spark.ops.sampling import select_to_token_budget
+
+    # scores descend with id; tokens constant 10 -> budget 35 keeps 3 docs
+    df = spark.createDataFrame(
+        [(i, 10, float(100 - i)) for i in range(10)],
+        "doc_id long, n_tok int, score double")
+    got = select_to_token_budget(df, "doc_id", "n_tok", 35, "score")
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1, 2]
+
+    # prefix semantics: a big doc at the cut blocks everything after it
+    df2 = spark.createDataFrame(
+        [(0, 10, 9.0), (1, 50, 8.0), (2, 10, 7.0)],
+        "doc_id long, n_tok int, score double")
+    got2 = select_to_token_budget(df2, "doc_id", "n_tok", 30, "score")
+    assert sorted(r["doc_id"] for r in got2.collect()) == [0]
+
+    # no score: smallest-id truncation
+    got3 = select_to_token_budget(df, "doc_id", "n_tok", 25)
+    assert sorted(r["doc_id"] for r in got3.collect()) == [0, 1]
+
+    # approx mode: never overspends, keeps a score-threshold prefix
+    big = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_tok"),
+        (1000 - F.col("id")).cast("double").alias("score"))
+    ap = select_to_token_budget(
+        big, "doc_id", "n_tok", 2000, "score", approx_buckets=50)
+    rows = ap.collect()
+    assert 0 < sum(r["n_tok"] for r in rows) <= 2000
+    kept = {r["doc_id"] for r in rows}
+    assert kept == set(range(len(kept)))  # a prefix of the score order
