@@ -493,6 +493,73 @@ def winnow_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     return out
 
 
+def lines_incremental_bench(spark, base_dir: str, scaled_dir: str,
+                            factor: int, out_root: str) -> dict:
+    """LineDedupStore over the scaled corpus one replica-batch at a time
+    (the daily-crawl shape): per-batch walls must stay ~flat as history
+    grows (the anti-join side is the store's DISTINCT line set — bounded
+    by distinct lines, not stream length), and because the blow-up
+    rotation makes duplicate-line structure replica-local, the total
+    scrubbed-line count must equal factor x the single-batch base count."""
+    import shutil
+    import uuid
+
+    from graflo_spark.ops.dedup import LineDedupStore
+
+    pc = time.perf_counter
+    base = spark.read.parquet(f"{base_dir}/documents.parquet")
+    stride = base.agg(F.max("doc_id")).first()[0] + 1
+    scaled = spark.read.parquet(f"{scaled_dir}/documents.parquet")
+
+    store_dir = os.path.join(out_root, f"line_store_{uuid.uuid4().hex[:8]}")
+    st = LineDedupStore(spark, store_dir)
+
+    def reflow(df):
+        toks = F.filter(F.split(F.trim("text"), r"\s+"),
+                        lambda w: w != F.lit(""))
+        n_lines = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+        return df.filter("text IS NOT NULL").select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0),
+                               F.greatest(n_lines, F.lit(1)) - 1),
+                    lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10),
+                                           " ")),
+                "\n").alias("text"))
+
+    def n_lines_of(df):
+        return df.filter("text IS NOT NULL AND text != ''").select(
+            F.size(F.split("text", "\n", -1)).alias("n")).agg(
+            F.sum("n")).first()[0] or 0
+
+    out: dict = {"batches": []}
+    total_in = total_out = 0
+    for r in range(factor):
+        batch = reflow(scaled.filter(
+            (F.col("doc_id") >= r * stride)
+            & (F.col("doc_id") < (r + 1) * stride)))
+        n_in = n_lines_of(batch)
+        t0 = pc()
+        scrubbed = st.scrub_batch(batch, batch_id=r)
+        n_out = n_lines_of(scrubbed)
+        wall = round(pc() - t0, 3)
+        out["batches"].append({"wall": wall, "cut": int(n_in - n_out)})
+        total_in += n_in
+        total_out += n_out
+        print(f"# lines_incremental batch {r}: {wall}s "
+              f"cut={n_in - n_out}", file=sys.stderr)
+    base_cut = out["batches"][0]["cut"]
+    out["total_cut"] = int(total_in - total_out)
+    out["cut_match"] = out["total_cut"] == factor * base_cut
+    walls = [b["wall"] for b in out["batches"]]
+    out["wall_first"], out["wall_last"] = walls[0], walls[-1]
+    out["wall_ratio_last_first"] = (
+        round(walls[-1] / walls[0], 3) if walls[0] else None)
+    shutil.rmtree(store_dir, ignore_errors=True)
+    return out
+
+
 def lines_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     """Corpus-wide line dedup scaling (ops/dedup.dedup_lines, r8): docs
     reflowed to 10-token lines (the driver row's deterministic reflow),
@@ -1013,6 +1080,18 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             payload["lines"] = {"error": str(exc)[:300]}
             print(f"# lines: FAILED {exc}"[:300], file=sys.stderr)
+        if incremental:
+            try:
+                payload["lines_incremental"] = lines_incremental_bench(
+                    spark, BASE_DIR, out_dir, factor, out_root)
+                li = payload["lines_incremental"]
+                print(f"# lines_incremental: wall {li['wall_first']} -> "
+                      f"{li['wall_last']} (x{li['wall_ratio_last_first']}) "
+                      f"cut_match={li['cut_match']}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                payload["lines_incremental"] = {"error": str(exc)[:300]}
+                print(f"# lines_incremental: FAILED {exc}"[:300],
+                      file=sys.stderr)
 
     if incremental:
         # failure here must not zero the already-measured exponents — same
