@@ -3406,15 +3406,18 @@ def io_formats_suite(spark, sf_dir):
     Proves the reader dispatch + option plumbing + gzip transparency +
     the Spark-4 native XML path end-to-end (SURVEY §2.1 scan rows,
     previously unit-only)."""
-    import os
+    import tempfile
 
     from graflo_spark.io import read_source
 
     base = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars")
-    root = os.path.join(
-        "/tmp", "graflo_spark_io_suite",
-        os.path.basename(sf_dir.rstrip("/")))
+    # per-invocation unique dir: a FIXED path would let a concurrent run's
+    # mode('overwrite') delete these files while the returned frame still
+    # reads them lazily. The dir must OUTLIVE the call (lazy reads), so it
+    # is not cleaned here — a few hundred KB per invocation under the OS
+    # temp dir, reaped with it.
+    root = tempfile.mkdtemp(prefix="graflo_spark_io_suite_")
     schema = "doc_id long, lang string, n_chars long"
     one = base.coalesce(1)
     one.write.mode("overwrite").option("header", "true").csv(
@@ -3671,23 +3674,7 @@ def dedup_lines_documents(spark, sf_dir):
     OUTPUT is the Zipf-small duplicate table, one equi-join back, doc-
     keyed reassembly."""
     df = load(spark, sf_dir, "documents")
-    t = F.col("text")
-    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
-    n = F.size(toks)
-    n_lines = F.ceil(n.cast("double") / F.lit(10.0)).cast("int")
-    reflowed = F.when(
-        t.isNull(), F.lit(None).cast("string")
-    ).otherwise(
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
-                lambda i: F.array_join(
-                    F.slice(toks, i * 10 + 1, 10), " "),
-            ),
-            "\n",
-        )
-    )
-    staged = df.select("doc_id", reflowed.alias("text"))
+    staged = dd.reflow_lines(df, "doc_id", "text", width=10)
     return dd.dedup_lines(staged, "doc_id", "text", portable_hash=True)
 
 

@@ -396,7 +396,10 @@ def _assemble_manifest(
             vsteps, links = endpoint_steps(name)
             steps += vsteps
             for tgt, role in links:
-                rel = _norm_key(role)
+                # same degenerate-'id' fallback as the junction branch: a
+                # snake_case FK like user_id must not yield relation 'id'
+                # (two such FKs would collide on one relation name)
+                rel = nk if (nk := _norm_key(role)) != "id" else role
                 edges.append(Edge(name, tgt, relation=rel))
                 steps.append(
                     EdgeStep(

@@ -849,11 +849,18 @@ def semantic_dedup(
     # interpreted, so shrinking the per-pair expression is the lever;
     # identical pair set, cosine(a,b) == dot(a/|a|, b/|b|) up to the
     # operation-order change the SQL oracle replicates exactly).
+    # norm lands in its OWN column first: embedding the aggregate inside
+    # the transform lambda would re-evaluate the full sum-of-squares per
+    # ELEMENT (interpreted HOFs do no common-subexpression elimination —
+    # O(d^2) per vector instead of O(d))
     norm = F.sqrt(F.aggregate(
         F.col("c_vec"), F.lit(0.0), lambda acc, v: acc + v * v))
     normalized = assigned.select(
+        "cluster", "neighbor_id", "c_vec", norm.alias("_nrm")
+    ).select(
         "cluster", "neighbor_id",
-        F.transform(F.col("c_vec"), lambda x: x / norm).alias("n_vec"))
+        F.transform(F.col("c_vec"),
+                    lambda x: x / F.col("_nrm")).alias("n_vec"))
     a = normalized.select(
         "cluster", F.col("neighbor_id").alias("id_a"),
         F.col("n_vec").alias("v_a"))
@@ -982,6 +989,38 @@ def dedup_lines(
         .select("id", "pos", "line")
     )
     return _reassemble_lines(df, kept, id_col, text_col, delimiter)
+
+
+def reflow_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 10,
+) -> DataFrame:
+    """Deterministically reflow single-line text into ``width``-token
+    lines joined by '\\n' — the staging step that gives line-granular
+    operators real line structure over a single-line corpus (used by the
+    dedup_lines driver row and the scale bench; both sides MUST share
+    this exact transform or their cut-count invariants silently drift).
+    NULL text passes through; empty-token runs are dropped before
+    chunking. Returns only (id_col, text_col)."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    n_lines = F.ceil(F.size(toks).cast("double") / F.lit(float(width))
+                     ).cast("int")
+    reflowed = F.when(
+        t.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * width + 1, width), " "),
+            ),
+            "\n",
+        )
+    )
+    return df.select(F.col(id_col), reflowed.alias(text_col))
 
 
 def _hashed_lines(

@@ -128,11 +128,13 @@ def annotate(
 
     # optional language gate — pure exprs, same scan; NULL text is the
     # quality stage's to charge (lang_id(NULL) -> NULL, coalesce false)
+    # 'is not None', not truthiness: an empty list means NO language is
+    # allowed (drop everything at the lang stage), only None means off
     lang_ok = (
         F.coalesce(
             ts.lang_id(t).isin([str(x) for x in cfg.allowed_langs]),
             F.lit(False))
-        if cfg.allowed_langs else F.lit(True)
+        if cfg.allowed_langs is not None else F.lit(True)
     )
 
     # optional LM fluency gate (CCNet-style): cross-entropy under a model

@@ -131,11 +131,19 @@ def select_to_token_budget(
                 F.percentile_approx(score, qs, 10_000).alias("q")
             ).first()["q"] or []
         ), reverse=True)
+        # ONE aggregate computes every threshold's token mass (conditional
+        # sums over one scan); the prefix pick is a driver loop over the
+        # tiny result
+        masses = []
+        if cuts:
+            row = df.agg(*[
+                F.sum(F.when(score >= F.lit(float(c)),
+                             F.col(token_col).cast("long"))).alias(f"m{i}")
+                for i, c in enumerate(cuts)
+            ]).first()
+            masses = [row[f"m{i}"] or 0 for i in range(len(cuts))]
         chosen = None
-        run = 0
-        for c in cuts:  # highest score bucket first
-            mass = df.filter(score >= F.lit(float(c))).agg(
-                F.sum(F.col(token_col).cast("long"))).first()[0] or 0
+        for c, mass in zip(cuts, masses):  # highest score bucket first
             if mass <= budget:
                 chosen = c
             else:

@@ -317,3 +317,18 @@ def test_pipeline_language_gate(spark):
     assert stages[2] is None
     assert pl.STAGES.index("gopher") < pl.STAGES.index("lang") < \
         pl.STAGES.index("lm_quality")
+
+
+def test_pipeline_empty_allowed_langs_drops_everything(spark):
+    """allowed_langs=[] means NO language passes (only None disables the
+    gate) — empty must not silently turn the gate off."""
+    from graflo_spark.ops import pipeline as pl
+
+    docs = spark.createDataFrame(
+        [(0, "the cat and the dog went to the house in the morning and "
+             "that was good for the family with the children")],
+        "doc_id long, text string")
+    cfg = pl.PipelineConfig(min_quality=0.0, min_tokens=3,
+                            allowed_langs=[], splits={"train": 1.0})
+    annotated = pl.annotate(docs, None, cfg)
+    assert annotated.collect()[0]["drop_stage"] == "lang"

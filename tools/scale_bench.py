@@ -504,29 +504,18 @@ def lines_incremental_bench(spark, base_dir: str, scaled_dir: str,
     import shutil
     import uuid
 
-    from graflo_spark.ops.dedup import LineDedupStore
+    from graflo_spark.ops.dedup import LineDedupStore, reflow_lines
 
     pc = time.perf_counter
     base = spark.read.parquet(f"{base_dir}/documents.parquet")
-    stride = base.agg(F.max("doc_id")).first()[0] + 1
+    max_id = base.agg(F.max("doc_id")).first()[0]
+    if max_id is None:
+        raise ValueError(f"{base_dir}/documents.parquet is empty")
+    stride = max_id + 1
     scaled = spark.read.parquet(f"{scaled_dir}/documents.parquet")
 
     store_dir = os.path.join(out_root, f"line_store_{uuid.uuid4().hex[:8]}")
     st = LineDedupStore(spark, store_dir)
-
-    def reflow(df):
-        toks = F.filter(F.split(F.trim("text"), r"\s+"),
-                        lambda w: w != F.lit(""))
-        n_lines = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
-        return df.filter("text IS NOT NULL").select(
-            "doc_id",
-            F.array_join(
-                F.transform(
-                    F.sequence(F.lit(0),
-                               F.greatest(n_lines, F.lit(1)) - 1),
-                    lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10),
-                                           " ")),
-                "\n").alias("text"))
 
     def n_lines_of(df):
         return df.filter("text IS NOT NULL AND text != ''").select(
@@ -535,20 +524,25 @@ def lines_incremental_bench(spark, base_dir: str, scaled_dir: str,
 
     out: dict = {"batches": []}
     total_in = total_out = 0
-    for r in range(factor):
-        batch = reflow(scaled.filter(
-            (F.col("doc_id") >= r * stride)
-            & (F.col("doc_id") < (r + 1) * stride)))
-        n_in = n_lines_of(batch)
-        t0 = pc()
-        scrubbed = st.scrub_batch(batch, batch_id=r)
-        n_out = n_lines_of(scrubbed)
-        wall = round(pc() - t0, 3)
-        out["batches"].append({"wall": wall, "cut": int(n_in - n_out)})
-        total_in += n_in
-        total_out += n_out
-        print(f"# lines_incremental batch {r}: {wall}s "
-              f"cut={n_in - n_out}", file=sys.stderr)
+    try:
+        for r in range(factor):
+            # the SAME reflow the driver row stages through — a drifted
+            # copy here would break the cut-count invariant silently
+            batch = reflow_lines(scaled.filter(
+                (F.col("doc_id") >= r * stride)
+                & (F.col("doc_id") < (r + 1) * stride)))
+            n_in = n_lines_of(batch)
+            t0 = pc()
+            scrubbed = st.scrub_batch(batch, batch_id=r)
+            n_out = n_lines_of(scrubbed)
+            wall = round(pc() - t0, 3)
+            out["batches"].append({"wall": wall, "cut": int(n_in - n_out)})
+            total_in += n_in
+            total_out += n_out
+            print(f"# lines_incremental batch {r}: {wall}s "
+                  f"cut={n_in - n_out}", file=sys.stderr)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
     base_cut = out["batches"][0]["cut"]
     out["total_cut"] = int(total_in - total_out)
     out["cut_match"] = out["total_cut"] == factor * base_cut
@@ -556,7 +550,6 @@ def lines_incremental_bench(spark, base_dir: str, scaled_dir: str,
     out["wall_first"], out["wall_last"] = walls[0], walls[-1]
     out["wall_ratio_last_first"] = (
         round(walls[-1] / walls[0], 3) if walls[0] else None)
-    shutil.rmtree(store_dir, ignore_errors=True)
     return out
 
 
