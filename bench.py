@@ -34,6 +34,22 @@ def _repeats() -> int:
         return max(1, int(sys.argv[i + 1]))
     return max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "3")))
 
+def detect_contamination(totals: list) -> bool:
+    """True when per-run totals show the contaminated-box signature
+    BENCH_NOTES.md documents from the r8 round-end runs: a MONOTONE decay
+    of >1.5x first-to-last (e.g. [76.6, 70.2, 30.0] — a co-tenant load
+    draining away mid-measurement, where even the median lied). Normal
+    JIT warm-in is NOT monotone past run 1 (r8: [34.73, 27.19, 28.88])
+    and stays under the ratio. Runs with a failed query (None total) or
+    fewer than 3 usable totals never flag — too little signal.
+    """
+    ts = [t for t in totals if t is not None]
+    if len(ts) < 3 or len(ts) != len(totals):
+        return False
+    monotone = all(a > b for a, b in zip(ts, ts[1:]))
+    return monotone and ts[-1] > 0 and ts[0] > 1.5 * ts[-1]
+
+
 BENCH_QUERIES = [
     "graph_type_counts",
     "analytics_pricing_summary",
@@ -146,6 +162,10 @@ def main() -> None:
         "sf": float(sf),
         "repeats": repeats,
         "totals_per_run": totals_per_run,
+        # round-8 verdict, Next #4: the contaminated-run signature is now
+        # code, not BENCH_NOTES prose. True means "re-run on an idle box
+        # before comparing cross-round" — the value is still printed.
+        "contaminated": detect_contamination(totals_per_run),
     }
     if failed:
         out["failed"] = failed
