@@ -1593,6 +1593,78 @@ def ccnet_buckets_documents(spark, sf_dir):
     return exact.unionByName(approx)
 
 
+# fastText-style quality classifier (ops/quality_clf): hashed-ngram
+# multinomial-NB log-odds, trained in-query on the deterministic
+# ``doc_id % 5 == 0`` labeled slice (label = the corpus's own ``lang``
+# metadata — the curated-vs-crawl setup with a verifiable stand-in
+# label). The oracle replays the ENTIRE train+score chain: bucket
+# membership via the portable md5-60-bit hash, per-bucket Laplace
+# log-odds, the smoothing-floor default weight, the doc-count log prior,
+# and the per-doc logit/sigmoid — operation-for-operation.
+_QCLF_BINS = 1024
+_QCLF_TRAIN_MOD = 5
+
+_QCLF_ORACLE = (
+    r"WITH splt AS (SELECT doc_id, lang, "
+    r"regexp_split_to_array(trim(text), '\s+') AS lst "
+    "FROM documents WHERE text IS NOT NULL), "
+    "u AS (SELECT doc_id, lang, unnest(lst) AS feat FROM splt), "
+    "b2 AS (SELECT doc_id, lang, unnest(list_transform("
+    "range(1, len(lst)), i -> lst[i] || chr(31) || lst[i+1])) AS feat "
+    "FROM splt WHERE len(lst) > 1), "
+    "feats AS MATERIALIZED (SELECT doc_id, lang, "
+    f"('0x' || substr(md5(feat), 1, 15))::BIGINT % {_QCLF_BINS} AS bucket "
+    "FROM (SELECT * FROM u UNION ALL SELECT * FROM b2)), "
+    "cnt AS MATERIALIZED (SELECT bucket, "
+    "SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp, "
+    "SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cn "
+    f"FROM feats WHERE doc_id % {_QCLF_TRAIN_MOD} = 0 GROUP BY bucket), "
+    "tot AS MATERIALIZED (SELECT CAST(SUM(cp) AS DOUBLE) AS tp, "
+    "CAST(SUM(cn) AS DOUBLE) AS tn FROM cnt), "
+    "pri AS MATERIALIZED (SELECT "
+    "ln(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)) AS bias "
+    f"FROM documents WHERE text IS NOT NULL AND doc_id % {_QCLF_TRAIN_MOD} = 0), "
+    "w AS MATERIALIZED (SELECT bucket, "
+    f"ln((cp + 1.0) / (tp + {_QCLF_BINS})) "
+    f"- ln((cn + 1.0) / (tn + {_QCLF_BINS})) AS wt FROM cnt, tot), "
+    "sc AS (SELECT f.doc_id, COUNT(*) AS n_feats, "
+    "(SELECT bias FROM pri) + SUM(COALESCE(w.wt, "
+    f"(SELECT ln(1.0 / (tp + {_QCLF_BINS})) - ln(1.0 / (tn + {_QCLF_BINS})) "
+    "FROM tot))) AS logit "
+    "FROM feats f LEFT JOIN w ON f.bucket = w.bucket GROUP BY f.doc_id) "
+    "SELECT CAST(doc_id AS BIGINT) AS id, n_feats, "
+    "ROUND(logit, 6) AS logit, "
+    "ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob FROM sc"
+)
+
+
+@q("quality_clf_documents", _QCLF_ORACLE)
+def quality_clf_documents(spark, sf_dir):
+    """Document-quality classifier scoring (ops/quality_clf): the
+    fastText-style hashed-ngram linear gate between the heuristic rules
+    and token-budget selection. Trains the NB log-odds weights in-query
+    on the deterministic ``doc_id % 5 == 0`` slice labeled by the
+    corpus's ``lang`` column (en vs rest — the curated-vs-crawl shape
+    with a replayable label), then scores every document: one explode,
+    one broadcast weight join, one per-doc sum. Portable md5-60-bit
+    bucket hash so DuckDB reproduces membership bit-for-bit; logit and
+    sigmoid rounded to 6dp (lm_cross_entropy precedent)."""
+    from graflo_spark.ops import quality_clf as qc
+
+    df = load(spark, sf_dir, "documents")
+    model = qc.train_quality_classifier(
+        df.filter(F.col("doc_id") % _QCLF_TRAIN_MOD == 0),
+        "doc_id", "text", F.col("lang") == "en",
+        n_bins=_QCLF_BINS, portable_hash=True)
+    out = qc.quality_scores(df, "doc_id", "text", model)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "n_feats",
+        F.round("logit", 6).alias("logit"),
+        F.round("prob", 6).alias("prob"))
+
+
 # BPE encode replay: the merge table below was trained ONCE at sf0.01
 # (ops/bpe.train_bpe, num_merges=24) and frozen, so the driver row
 # exercises the DISTRIBUTED encode path (Arrow-batched mapInPandas with a

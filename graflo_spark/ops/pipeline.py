@@ -80,6 +80,18 @@ class PipelineConfig:
     # The classic CCNet perplexity filter, wired into the funnel.
     max_cross_entropy: float | None = None
     lm_train_mod: int = 20
+    # Quality-classifier gate (ops/quality_clf, fastText-style hashed-
+    # ngram NB): a boolean SQL expression over the docs frame's columns
+    # naming the POSITIVE training class (e.g. "lang = 'en'" or
+    # "source = 'curated'"); None = off. The model trains in-pipeline on
+    # the deterministic ``id % clf_train_mod == 0`` slice (both classes
+    # must appear there) and documents scoring below ``clf_min_prob``
+    # are charged to the 'clf_quality' funnel stage. Docs the scorer
+    # emits no row for (NULL text) pass — the quality stage owns them.
+    clf_pos_filter: str | None = None
+    clf_min_prob: float = 0.5
+    clf_train_mod: int = 5
+    clf_n_bins: int = 1024
     splits: dict[str, float] = field(
         default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
     )
@@ -91,8 +103,8 @@ class PipelineConfig:
 
 
 # funnel order — each document is charged to the FIRST stage that drops it
-STAGES = ("url_dup", "quality", "gopher", "lang", "lm_quality", "decontam",
-          "exact_dup", "near_dup")
+STAGES = ("url_dup", "quality", "gopher", "lang", "lm_quality",
+          "clf_quality", "decontam", "exact_dup", "near_dup")
 
 
 def annotate(
@@ -156,6 +168,26 @@ def annotate(
     else:
         lm_ok = F.lit(True)
 
+    # optional quality-classifier gate (fastText-style): trained on the
+    # deterministic id-mod slice labeled by cfg.clf_pos_filter, scored
+    # over the whole corpus (one explode + broadcast weight join)
+    if cfg.clf_pos_filter is not None:
+        from graflo_spark.ops.quality_clf import (
+            quality_scores, train_quality_classifier)
+
+        model = train_quality_classifier(
+            out.filter(F.col(id_c) % cfg.clf_train_mod == 0),
+            id_c, t_c, F.expr(cfg.clf_pos_filter), n_bins=cfg.clf_n_bins)
+        sc = quality_scores(out, id_c, t_c, model).select(
+            F.col("id").alias(id_c), F.col("prob").alias("__clf_prob"))
+        out = out.join(sc, id_c, "left")
+        clf_ok = (
+            F.col("__clf_prob").isNull()
+            | (F.col("__clf_prob") >= F.lit(float(cfg.clf_min_prob)))
+        )
+    else:
+        clf_ok = F.lit(True)
+
     # decontamination — the proven operator, not a re-implementation
     if bench is not None:
         flags = contamination_flags(
@@ -185,7 +217,7 @@ def annotate(
     if cfg.url_col:
         ukey = normalize_url(F.col(cfg.url_col))
         has_key = ukey.isNotNull() & (ukey != "")
-        url_elig = (quality_ok & gopher_ok & lang_ok & lm_ok
+        url_elig = (quality_ok & gopher_ok & lang_ok & lm_ok & clf_ok
                     & ~F.col("__contaminated"))
         winners = (
             out.filter(has_key)
@@ -210,7 +242,7 @@ def annotate(
     # of a document that is itself gone, and the content vanishes entirely.
     eligible = out.filter(
         ~F.col("__url_dup") & quality_ok & gopher_ok & lang_ok & lm_ok
-        & ~F.col("__contaminated")
+        & clf_ok & ~F.col("__contaminated")
     )
 
     # 4. exact dedup on the normalized content fingerprint (min-id winner)
@@ -255,6 +287,7 @@ def annotate(
         .when(~gopher_ok, "gopher")
         .when(~lang_ok, "lang")
         .when(~lm_ok, "lm_quality")
+        .when(~clf_ok, "clf_quality")
         .when(F.col("__contaminated"), "decontam")
         .when(F.col("__exact_dup"), "exact_dup")
         .when(~F.col("__nd_rep"), "near_dup")
@@ -262,8 +295,9 @@ def annotate(
     annotated = out.withColumn("drop_stage", drop).drop(
         "__url_dup", "__contaminated", "__exact_dup", "__nd_rep"
     )
-    if "__ce" in annotated.columns:
-        annotated = annotated.drop("__ce")
+    for helper in ("__ce", "__clf_prob"):
+        if helper in annotated.columns:
+            annotated = annotated.drop(helper)
     annotated = annotated.withColumn(
         t_c,
         F.when(F.col("drop_stage").isNull(), redact_pii(t)).otherwise(t),

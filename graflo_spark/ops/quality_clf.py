@@ -1,0 +1,180 @@
+"""Document-quality classifier: a hashed-ngram linear scorer — the
+fastText-style gate (Joulin et al. 2017, public) that GPT-3/LLaMA-class
+pipelines run between the heuristic rules and data selection ("does this
+crawl page look like the reference corpus?"). The model is multinomial
+Naive Bayes over hashing-trick features: every word unigram (and word
+bigram) hashes into one of ``n_bins`` buckets, training reduces to ONE
+per-bucket count aggregate over a labeled reference slice, and scoring is
+one explode + one broadcast join + one per-doc sum — closed-form, fully
+distributed, and replayable operation-for-operation in ANSI SQL (the
+oracle property a binary fastText model could never give).
+
+Model. With per-bucket training counts ``cp/cn`` (positive/negative token
+occurrences), totals ``TP/TN``, and Laplace smoothing over the bin space:
+
+    w[b]  = ln((cp_b + 1) / (TP + n_bins)) - ln((cn_b + 1) / (TN + n_bins))
+    bias  = ln(n_pos_docs / n_neg_docs)
+    logit = bias + sum over doc features of w[bucket(feat)]
+    prob  = sigmoid(logit)
+
+Buckets unseen in training contribute the smoothing-floor weight
+``default_w`` (both counts zero), applied via COALESCE after the left
+join — never silently zero.
+
+Scale shape: training explodes only the labeled SLICE (sample-bounded);
+the weight table is at most ``n_bins`` rows — broadcast. Scoring explodes
+each document once (posexplode + lead window, the codegen formulation the
+package A/B'd against interpreted array-lambda HOFs at winnowing —
+ops/textstats.py:257), joins the broadcast weights, and aggregates per
+doc: one shuffle on the doc id, no Python anywhere, no driver-side loops.
+
+The hash is either xxhash64 (production: one JVM intrinsic per feature)
+or the package's portable md5-60-bit convention (first 15 hex chars —
+winnowing/sampling precedent) so an external engine reproduces bucket
+membership bit-for-bit.
+
+Reference parity: the reference ships no quality classifier; this is one
+of the LLM-pipeline extensions (SURVEY §2.13) built from the published
+method only.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_US = chr(31)  # unit separator: the package's n-gram joiner convention
+
+
+@dataclass
+class HashedNgramNb:
+    """Trained scorer state. ``weights``: (bucket, wt) — at most ``n_bins``
+    rows, broadcast at scoring; ``default_w``: smoothing-floor weight for
+    buckets unseen in training; ``bias``: document-class log prior."""
+
+    weights: DataFrame
+    default_w: float
+    bias: float
+    n_bins: int
+    bigrams: bool
+    portable_hash: bool
+
+
+def _bucket(feat: F.Column, n_bins: int, portable_hash: bool) -> F.Column:
+    if portable_hash:
+        h = F.conv(F.substring(F.md5(feat), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(feat)
+    return F.pmod(h, F.lit(n_bins))
+
+
+def _doc_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bins: int,
+    bigrams: bool,
+    portable_hash: bool,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, [carry...], bucket) — one row per hashed unigram/bigram
+    feature occurrence. posexplode + lead window, not array HOFs: the
+    codegen formulation (see module docstring)."""
+    carry = carry or []
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ex = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry],
+        F.posexplode(toks).alias("pos", "w"),
+    )
+    uni = ex.select("id", *carry, F.col("w").alias("feat"))
+    if bigrams:
+        w_next = W.partitionBy("id").orderBy("pos")
+        bi = (
+            ex.withColumn("w2", F.lead("w").over(w_next))
+            .filter(F.col("w2").isNotNull())
+            .select("id", *carry,
+                    F.concat_ws(_US, "w", "w2").alias("feat"))
+        )
+        uni = uni.unionByName(bi)
+    return uni.select(
+        "id", *carry,
+        _bucket(F.col("feat"), n_bins, portable_hash).alias("bucket"))
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: F.Column,
+    n_bins: int = 1024,
+    bigrams: bool = True,
+    portable_hash: bool = False,
+) -> HashedNgramNb:
+    """Fit the NB log-odds weights on ``df`` (the labeled reference slice
+    — e.g. curated-corpus rows vs raw-crawl rows, the fastText quality
+    setup; here any boolean ``label`` Column). Cost: one feature explode
+    over the slice, one groupBy(bucket) aggregate, one tiny totals/prior
+    aggregate (``.first()`` on a 1-row frame). Both classes must be
+    non-empty."""
+    labeled = df.filter(F.col(text_col).isNotNull()).withColumn(
+        "__pos", label.cast("boolean"))
+    feats = _doc_buckets(
+        labeled, id_col, text_col, n_bins, bigrams, portable_hash,
+        carry=["__pos"])
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("cn"),
+    )
+    tot = counts.agg(
+        F.sum("cp").alias("tp"), F.sum("cn").alias("tn")).first()
+    prior = labeled.agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("nn"),
+    ).first()
+    if not prior["np"] or not prior["nn"]:
+        raise ValueError(
+            "train_quality_classifier: both classes must be non-empty, "
+            f"got pos={prior['np']} neg={prior['nn']}")
+    tp = float(tot["tp"] or 0)
+    tn = float(tot["tn"] or 0)
+    weights = counts.select(
+        "bucket",
+        (F.log((F.col("cp") + F.lit(1.0)) / F.lit(tp + n_bins))
+         - F.log((F.col("cn") + F.lit(1.0)) / F.lit(tn + n_bins))
+         ).alias("wt"),
+    )
+    default_w = (math.log(1.0 / (tp + n_bins))
+                 - math.log(1.0 / (tn + n_bins)))
+    bias = math.log(prior["np"] / prior["nn"])
+    return HashedNgramNb(
+        weights=weights, default_w=default_w, bias=bias,
+        n_bins=n_bins, bigrams=bigrams, portable_hash=portable_hash)
+
+
+def quality_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: HashedNgramNb,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Score every document: ``(id, n_feats, logit, prob)``. Documents
+    with NULL text emit no row (the heuristic token gate owns them —
+    lm_cross_entropy precedent). ``prob`` is the positive-class sigmoid;
+    gate with ``prob >= threshold``."""
+    maybe_b = F.broadcast if broadcast_weights else (lambda x: x)
+    feats = _doc_buckets(
+        df, id_col, text_col, model.n_bins, model.bigrams,
+        model.portable_hash)
+    joined = feats.join(maybe_b(model.weights), "bucket", "left")
+    logit = F.lit(model.bias) + F.sum(
+        F.coalesce(F.col("wt"), F.lit(model.default_w)))
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
+    )

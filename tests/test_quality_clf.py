@@ -1,0 +1,182 @@
+"""Hashed-ngram NB quality classifier (ops/quality_clf): brute-force
+parity with a pure-Python reimplementation, partitioning invariance,
+class guards, and the pipeline 'clf_quality' funnel stage."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graflo_spark.ops.quality_clf import (
+    quality_scores,
+    train_quality_classifier,
+)
+
+US = chr(31)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _brute(docs, train_ids, pos_ids, n_bins, bigrams=True):
+    """Pure-Python NB over hashed unigram+bigram features."""
+    def feats(text):
+        toks = text.strip().split()
+        out = [_h60(t) % n_bins for t in toks]
+        if bigrams:
+            out += [_h60(a + US + b) % n_bins
+                    for a, b in zip(toks, toks[1:])]
+        return out
+
+    cp, cn = {}, {}
+    tp = tn = np = nn = 0
+    for i, text in docs.items():
+        if i not in train_ids:
+            continue
+        pos = i in pos_ids
+        np, nn = np + pos, nn + (not pos)
+        for b in feats(text):
+            if pos:
+                cp[b] = cp.get(b, 0) + 1
+                tp += 1
+            else:
+                cn[b] = cn.get(b, 0) + 1
+                tn += 1
+    bias = math.log(np / nn)
+    scores = {}
+    for i, text in docs.items():
+        fs = feats(text)
+        logit = bias
+        for b in fs:
+            logit += (math.log((cp.get(b, 0) + 1) / (tp + n_bins))
+                      - math.log((cn.get(b, 0) + 1) / (tn + n_bins)))
+        scores[i] = (len(fs), logit, 1 / (1 + math.exp(-logit)))
+    return scores
+
+
+DOCS = {
+    0: "the cat sat on the mat and the dog slept",
+    1: "le chat est sur le tapis et le chien dort",
+    2: "the quick brown fox jumps over the lazy dog",
+    3: "je pense donc je suis et le monde tourne",
+    4: "a plain english sentence with the usual words",
+    5: "une phrase en francais avec les mots habituels",
+    6: "the dog and the cat share the mat today",
+    7: "le chien et le chat partagent le tapis",
+}
+TRAIN = {0, 1, 2, 3}        # id % 2 == 0 would miss class balance; explicit
+POS = {0, 2, 4, 6}          # 'english' ids
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t, i in POS) for i, t in DOCS.items()],
+        ["doc_id", "text", "is_en"])
+
+
+def test_scores_match_pure_python_reimplementation(spark):
+    df = _df(spark)
+    model = train_quality_classifier(
+        df.filter(F.col("doc_id").isin(list(TRAIN))),
+        "doc_id", "text", F.col("is_en"), n_bins=64, portable_hash=True)
+    got = {r["id"]: (r["n_feats"], r["logit"], r["prob"])
+           for r in quality_scores(df, "doc_id", "text", model).collect()}
+    want = _brute(DOCS, TRAIN, POS, n_bins=64)
+    assert set(got) == set(DOCS)
+    for i in DOCS:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], abs=1e-9)
+        assert got[i][2] == pytest.approx(want[i][2], abs=1e-12)
+
+
+def test_classifier_separates_the_classes(spark):
+    df = _df(spark)
+    model = train_quality_classifier(
+        df.filter(F.col("doc_id").isin(list(TRAIN))),
+        "doc_id", "text", F.col("is_en"), n_bins=64, portable_hash=True)
+    probs = {r["id"]: r["prob"]
+             for r in quality_scores(df, "doc_id", "text", model).collect()}
+    # held-out docs with training-vocabulary overlap score on the right
+    # side of 0.5 (6 shares the/dog/cat/mat with 0+2, 7 shares
+    # le/chien/chat/tapis with 1+3; 4/5 share nothing — an 8-doc corpus
+    # can't generalize to zero-overlap text and shouldn't pretend to)
+    assert probs[6] > 0.5, probs[6]
+    assert probs[7] < 0.5, probs[7]
+    # training docs classify correctly
+    for i in (0, 2):
+        assert probs[i] > 0.5, (i, probs[i])
+    for i in (1, 3):
+        assert probs[i] < 0.5, (i, probs[i])
+
+
+def test_scores_invariant_under_repartition(spark):
+    df = _df(spark)
+    model = train_quality_classifier(
+        df.filter(F.col("doc_id").isin(list(TRAIN))),
+        "doc_id", "text", F.col("is_en"), n_bins=64, portable_hash=True)
+    a = {r["id"]: round(r["logit"], 9)
+         for r in quality_scores(df, "doc_id", "text", model).collect()}
+    b = {r["id"]: round(r["logit"], 9)
+         for r in quality_scores(
+             df.repartition(7), "doc_id", "text", model).collect()}
+    assert a == b
+
+
+def test_single_class_training_raises(spark):
+    df = _df(spark).filter(F.col("is_en"))
+    with pytest.raises(ValueError, match="both classes"):
+        train_quality_classifier(df, "doc_id", "text", F.col("is_en"))
+
+
+def test_null_text_emits_no_row_and_unseen_buckets_use_floor(spark):
+    df = _df(spark)
+    # collision-free bin space: at 64 bins the "unseen" features collide
+    # with trained buckets and the floor-weight arithmetic can't be
+    # asserted exactly
+    model = train_quality_classifier(
+        df.filter(F.col("doc_id").isin(list(TRAIN))),
+        "doc_id", "text", F.col("is_en"), n_bins=1 << 20,
+        portable_hash=True)
+    extra = spark.createDataFrame(
+        [(100, None, True), (101, "zzzz qqqq wwww", True)],
+        ["doc_id", "text", "is_en"])
+    got = {r["id"]: r for r in quality_scores(
+        df.unionByName(extra), "doc_id", "text", model).collect()}
+    assert 100 not in got                       # NULL text: no row
+    # all-unseen features: logit = bias + n_feats * default_w, exactly
+    r = got[101]
+    want = model.bias + r["n_feats"] * model.default_w
+    assert r["logit"] == pytest.approx(want, abs=1e-9)
+
+
+def test_pipeline_clf_quality_stage(spark):
+    from graflo_spark.ops.pipeline import PipelineConfig, annotate
+
+    # ids chosen so id % 2 == 0 is the training slice with both classes;
+    # held-out docs (odd ids) share vocabulary with same-class training
+    rows = [
+        (0, "the cat sat on the mat and the dog slept by the door", "en"),
+        (1, "the cat and the dog sat on the mat by the door again", "en"),
+        (2, "le chat est sur le tapis et le chien dort pres de la porte",
+         "fr"),
+        (3, "le chien dort sur le tapis et le chat est pres de la porte",
+         "fr"),
+        (4, "the dog and the cat sat by the door on the mat today", "en"),
+        (5, "le chat et le chien dort sur le tapis pres de la porte", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    cfg = PipelineConfig(
+        min_quality=0.0, min_tokens=1,
+        clf_pos_filter="lang = 'en'", clf_train_mod=2,
+        splits={"train": 1.0},
+    )
+    ann = {r["doc_id"]: r["drop_stage"] for r in annotate(
+        docs, None, cfg).collect()}
+    # French docs are charged to the classifier stage, English survive
+    assert ann[5] == "clf_quality"
+    assert ann[4] is None
+    # held-out english doc 1 (odd id, not in training slice) survives too
+    assert ann[1] is None
+    assert ann[3] == "clf_quality"

@@ -61,6 +61,8 @@ HEADLINES = [
     "dup_substring_spans_documents",
     "dedup_lines_documents",
     "gopher_rules_documents",
+    # round 9: fastText-style hashed-ngram quality classifier
+    "quality_clf_documents",
 ]
 
 
