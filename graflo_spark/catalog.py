@@ -4198,6 +4198,24 @@ def clusters_suite(spark, sf_dir):
     return docs.unionByName(emb)
 
 
+# Frozen score cutoffs for the approx token-budget branch (the
+# ccnet/PQ frozen-constant pattern): descending n_chars thresholds
+# spanning the documents score range (~47..558 at every SF). Production
+# derives these from ONE percentile_approx sketch pass
+# (select_to_token_budget(approx_buckets=N)); freezing them is the same
+# function's replay mode (cuts=...), and the bucket-mass prefix pick +
+# map-side filter downstream of the literals — the actual 100 TB
+# selection mechanics — is what the oracle replays below. All masses and
+# comparisons are exact integer/literal arithmetic: no float wobble.
+_BUDGET_CUTS = [500.0, 450.0, 400.0, 350.0, 300.0, 250.0, 200.0, 150.0]
+_BUDGET_CUTS_SQL = (
+    "SELECT MIN(c) FROM (VALUES "
+    + ", ".join(f"({c})" for c in _BUDGET_CUTS)
+    + ") t(c) WHERE (SELECT SUM(n_chars) FROM documents d2 "
+    "WHERE d2.n_chars >= t.c) <= 50000"
+)
+
+
 @q(
     "corpus_io_suite",
     "SELECT mode AS kind, id, tag AS s, " + _L + " AS n FROM ("
@@ -4207,15 +4225,22 @@ def clusters_suite(spark, sf_dir):
     "SELECT 'budget', doc_id, " + _S + ", n_chars FROM "
     "(SELECT doc_id, n_chars, SUM(n_chars) OVER "
     "(ORDER BY n_chars DESC, doc_id) AS cum FROM documents) "
-    "WHERE cum <= 50000",
+    "WHERE cum <= 50000 UNION ALL "
+    "SELECT 'budget_approx', doc_id, " + _S + ", n_chars "
+    f"FROM documents WHERE n_chars >= ({_BUDGET_CUTS_SQL})",
 )
 def corpus_io_suite(spark, sf_dir):
     """Deterministic sampling/split/mix (portable-hash SQL replay), the
     five text-format scan round-trips, and token-budget corpus selection
-    (ops/sampling.select_to_token_budget, exact running-sum mode: the
-    biggest documents first until the 50k-char budget is spent — the
-    approx quantile-cutoff 100 TB path is unit-tested), normalized to
-    (kind, id, s, n)."""
+    (ops/sampling.select_to_token_budget) in BOTH modes: 'budget' = the
+    exact running-sum window (biggest documents first until the 50k-char
+    budget is spent — single-partition verification path) and
+    'budget_approx' = the 100 TB path against the frozen _BUDGET_CUTS
+    literals — one conditional-sum aggregate over the cutoffs, the
+    prefix pick of the deepest under-budget cut, and the map-side
+    ``score >= cutoff`` filter, replayed in SQL as min-cut-under-budget
+    (equivalent to the driver's descending break loop because bucket
+    mass is monotone in the cutoff). Normalized to (kind, id, s, n)."""
     smp = sampling_split_mix_documents(spark, sf_dir).select(
         F.col("mode").alias("kind"), "id", F.col("tag").alias("s"),
         F.lit(None).cast("long").alias("n"))
@@ -4223,13 +4248,19 @@ def corpus_io_suite(spark, sf_dir):
         F.concat(F.lit("io_"), F.col("kind")).alias("kind"),
         F.col("doc_id").alias("id"), F.col("lang").alias("s"),
         F.col("n_chars").alias("n"))
+    docs_sel = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     bud = sp.select_to_token_budget(
-        load(spark, sf_dir, "documents").select("doc_id", "n_chars"),
-        "doc_id", "n_chars", 50_000, score_col="n_chars",
+        docs_sel, "doc_id", "n_chars", 50_000, score_col="n_chars",
     ).select(
         F.lit("budget").alias("kind"), F.col("doc_id").alias("id"),
         F.lit(None).cast("string").alias("s"), F.col("n_chars").alias("n"))
-    return smp.unionByName(io).unionByName(bud)
+    bud_a = sp.select_to_token_budget(
+        docs_sel, "doc_id", "n_chars", 50_000, score_col="n_chars",
+        cuts=_BUDGET_CUTS,
+    ).select(
+        F.lit("budget_approx").alias("kind"), F.col("doc_id").alias("id"),
+        F.lit(None).cast("string").alias("s"), F.col("n_chars").alias("n"))
+    return smp.unionByName(io).unionByName(bud).unionByName(bud_a)
 
 
 _TEXT_STATS_NUM = (

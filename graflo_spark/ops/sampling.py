@@ -98,6 +98,7 @@ def select_to_token_budget(
     budget: int,
     score_col: str | None = None,
     approx_buckets: int | None = None,
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """Quality-ranked corpus selection under a token budget: keep the
     best-scoring documents whose CUMULATIVE token count fits ``budget`` —
@@ -119,18 +120,24 @@ def select_to_token_budget(
       and the selection is a map-side ``score >= cutoff`` filter (no
       global sort). Undershoots the budget by at most one bucket's mass;
       ties at the cutoff are all kept (deterministic, order-free).
+
+    ``cuts`` supplies the descending score thresholds explicitly,
+    skipping the sketch pass — the replay mode (the ccnet-buckets
+    pattern): freeze one corpus's quantile literals and select against
+    them on any engine, or re-run a selection bit-for-bit. Implies the
+    approx path; everything after the sketch is identical.
     """
     from pyspark.sql import Window as W
 
     score = (F.col(score_col) if score_col is not None
              else F.lit(0.0)).cast("double")
-    if approx_buckets:
-        qs = [i / approx_buckets for i in range(1, approx_buckets)]
-        cuts = sorted(set(
-            df.select(
+    if approx_buckets or cuts is not None:
+        if cuts is None:
+            qs = [i / approx_buckets for i in range(1, approx_buckets)]
+            cuts = df.select(
                 F.percentile_approx(score, qs, 10_000).alias("q")
             ).first()["q"] or []
-        ), reverse=True)
+        cuts = sorted({float(c) for c in cuts}, reverse=True)
         # ONE aggregate computes every threshold's token mass (conditional
         # sums over one scan); the prefix pick is a driver loop over the
         # tiny result

@@ -111,3 +111,48 @@ def test_select_to_token_budget_exact_and_approx(spark):
     assert 0 < sum(r["n_tok"] for r in rows) <= 2000
     kept = {r["doc_id"] for r in rows}
     assert kept == set(range(len(kept)))  # a prefix of the score order
+
+
+def test_token_budget_frozen_cuts_and_undershoot_contract(spark):
+    """The replay mode (cuts=...) must equal the sketch mode's post-sketch
+    mechanics, and the approx selection must undershoot the exact-mode
+    selection by at most ONE bucket's incremental mass."""
+    from pyspark.sql import functions as F
+
+    from graflo_spark.ops.sampling import select_to_token_budget
+
+    big = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_tok"),
+        (1000 - F.col("id")).cast("double").alias("score"))
+    budget = 2000
+    cuts = [900.0, 800.0, 700.0, 600.0, 500.0]
+
+    got = select_to_token_budget(
+        big, "doc_id", "n_tok", budget, "score", cuts=cuts)
+    rows = got.collect()
+    mass = sum(r["n_tok"] for r in rows)
+    assert mass <= budget
+    # chosen cut must be 900 (mass at 900 = 101*10 = 1010 <= 2000; at 800
+    # mass = 2010 > 2000): the deepest under-budget cut
+    assert {r["doc_id"] for r in rows} == set(range(101))
+
+    # undershoot <= one bucket's incremental mass: adding the NEXT
+    # bucket's docs overshoots the budget
+    next_mass = big.filter(F.col("score") >= 800.0).agg(
+        F.sum("n_tok")).first()[0]
+    assert next_mass > budget
+
+    # the exact mode fits strictly more mass but never over budget:
+    # approx is within one bucket of it
+    exact_mass = sum(
+        r["n_tok"] for r in select_to_token_budget(
+            big, "doc_id", "n_tok", budget, "score").collect())
+    assert mass <= exact_mass <= budget
+    assert exact_mass - mass < next_mass - mass  # gap < one bucket step
+
+    # unordered / duplicated cut literals are normalized
+    got2 = select_to_token_budget(
+        big, "doc_id", "n_tok", budget, "score",
+        cuts=[500.0, 900.0, 700.0, 900.0, 600.0, 800.0])
+    assert sorted(r["doc_id"] for r in got2.collect()) == sorted(
+        r["doc_id"] for r in rows)
