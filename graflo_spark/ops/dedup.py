@@ -1170,12 +1170,75 @@ class LineDedupStore:
         no history) — filtering on the partition column, so a replayed
         batch's own orphaned dir is pruned out, never joined."""
         import glob
+        import os
+        import shutil
 
-        if not glob.glob(f"{self.path}/lines/batch=*"):
-            return None
-        hist = self.spark.read.parquet(f"{self.path}/lines").filter(
+        root = f"{self.path}/lines"
+        if not glob.glob(f"{root}/batch=*"):
+            # crash recovery (the MinHashDedupStore._stored pattern): a
+            # process death inside compact()'s rename window leaves the
+            # full history only under .old-lines-*; restore the newest
+            olds = sorted(glob.glob(f"{self.path}/.old-lines-*"),
+                          key=os.path.getmtime)
+            if not olds:
+                return None
+            shutil.rmtree(root, ignore_errors=True)  # empty dir from init
+            os.rename(olds[-1], root)
+        hist = self.spark.read.parquet(root).filter(
             F.col("batch") < upto)
         return hist.select("_h")
+
+    def compact(self, target_files: int = 1) -> None:
+        """Fold the per-batch hash dirs into one consolidated partition.
+        Every ``scrub_batch`` writes one ``batch=<seq>`` parquet dir, so a
+        daily-crawl stream accumulates thousands of tiny dirs and the
+        history side of the anti-join pays per-file open cost — the same
+        small-files problem ``MinHashDedupStore.compact`` closes. Batches
+        strictly BEFORE the last committed one merge (distinct) into
+        ``batch=0``; the last committed batch's dir — the post-commit
+        replay window (``batch_id`` re-run under its original seq, class
+        docstring) — and any orphaned in-flight dir are preserved
+        verbatim, so replay semantics are unchanged: every surviving
+        partition value stays ``< upto`` exactly when it did before.
+
+        SINGLE-WRITER op, between batches (foreachBatch is sequential).
+        Crash-safe the MinHashDedupStore way: the new root — consolidated
+        dir plus a COPY of the replay-window dirs, so no state is ever
+        split across two roots — is staged under ``.compact-lines-*``,
+        then swapped in via rename; a death between the two renames
+        leaves everything under ``.old-lines-*``, which ``_history``
+        restores on next access (stale staging dirs may remain to
+        sweep)."""
+        import glob
+        import os
+        import shutil
+        import uuid
+
+        last = self._seq() - 1  # the replay-window batch
+        root = f"{self.path}/lines"
+        dirs = glob.glob(f"{root}/batch=*")
+        vals = sorted(int(d.rsplit("=", 1)[1]) for d in dirs)
+        if sum(1 for v in vals if v < last) < 2:
+            return  # nothing worth folding
+        hist = (
+            self.spark.read.parquet(root)
+            .filter(F.col("batch") < last)
+            .select("_h").distinct()
+        )
+        staging = f"{self.path}/.compact-lines-{uuid.uuid4().hex}"
+        hist.coalesce(max(target_files, 1)).write.parquet(
+            f"{staging}/batch=0")
+        for v in vals:
+            if v >= last:
+                shutil.copytree(f"{root}/batch={v}", f"{staging}/batch={v}")
+        old = f"{self.path}/.old-lines-{uuid.uuid4().hex}"
+        os.rename(root, old)
+        try:
+            os.rename(staging, root)
+        except OSError:
+            os.rename(old, root)  # roll back; staging left for sweep
+            raise
+        shutil.rmtree(old, ignore_errors=True)
 
     def scrub_batch(self, df: DataFrame, batch_id=None) -> DataFrame:
         """Scrub one batch against stream history + itself, record its

@@ -167,6 +167,92 @@ def _gopher_rule_exprs(
     }
 
 
+def gopher_quality_rules_exploded(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> "DataFrame":
+    """The explode-formulation A/B twin of :func:`gopher_quality_rules`
+    (same output, bit-for-bit — property-tested): posexplode the word and
+    line arrays once, compute every per-rule count as a map-side-combinable
+    aggregate inside WholeStageCodegen, join the two id-keyed aggregate
+    frames. Pays two doc-id shuffles where the array-HOF form pays zero —
+    the winnowing trade (ops/textstats.py winnowing docstring): HOF
+    lambdas evaluate interpreted per element, and per-element interpreted
+    walks lost 10-20x there. Which form wins here is an empirical
+    question per corpus shape — ``tools/scale_bench.py --gopher`` measures
+    both; keep whichever the measurement says (the r8-verdict A/B)."""
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda w: w != F.lit(""))).alias("w"))
+    wagg = words.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("sum_wl"),
+        F.sum(F.when(
+            F.col("w").contains("#") | F.col("w").contains("...")
+            | F.col("w").contains("…"), 1).otherwise(0)).alias("n_symbolish"),
+        F.sum(F.when(F.col("w").rlike("[A-Za-z]"), 1).otherwise(0))
+        .alias("n_alpha"),
+        F.count_distinct(F.when(
+            F.lower(F.col("w")).isin(*GOPHER_STOPWORDS), F.lower(F.col("w"))
+        )).alias("n_stops"),
+    )
+    lines = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.trim(F.explode(F.split(F.col(text_col), "\n", -1))).alias("ln"))
+    lagg = lines.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(
+            F.col("ln").startswith("-") | F.col("ln").startswith("*")
+            | F.col("ln").startswith("•"), 1).otherwise(0)).alias("n_bullet"),
+        F.sum(F.when(
+            F.col("ln").endswith("...") | F.col("ln").endswith("…"), 1)
+            .otherwise(0)).alias("n_ellipsis_end"),
+    )
+    # every non-NULL text has >= 1 line; whitespace-only texts have 0 words
+    # (the word explode emits nothing) — coalesce restores the HOF form's
+    # zero counts. NULL-text docs join nothing and fail every rule, same
+    # as the HOF form's NULL-safe coalesce.
+    n_words = F.coalesce("n_words", F.lit(0))
+    mean_wl = (F.coalesce("sum_wl", F.lit(0)).cast("double")
+               / F.greatest(n_words, F.lit(1)).cast("double"))
+    n_lines = F.col("n_lines")
+
+    def _b(c: Column) -> Column:
+        return F.coalesce(c, F.lit(False))
+
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(lagg, "id", "left")
+        .join(wagg, "id", "left")
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        _b((n_words >= min_words) & (n_words <= max_words))
+        .alias("r_word_count"),
+        _b((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("r_mean_word_len"),
+        _b(F.coalesce("n_symbolish", F.lit(0)).cast("double")
+           < F.lit(0.1) * n_words.cast("double")).alias("r_symbol_ratio"),
+        _b(F.coalesce("n_bullet", F.lit(0)).cast("double")
+           < F.lit(0.9) * n_lines.cast("double")).alias("r_bullet_lines"),
+        _b(F.coalesce("n_ellipsis_end", F.lit(0)).cast("double")
+           < F.lit(0.3) * n_lines.cast("double")).alias("r_ellipsis_lines"),
+        _b(F.coalesce("n_alpha", F.lit(0)).cast("double")
+           >= F.lit(0.8) * n_words.cast("double")).alias("r_alpha_words"),
+        _b(F.coalesce("n_stops", F.lit(0)) >= 2).alias("r_stopwords"),
+    ).withColumn(
+        "gopher_pass",
+        F.col("r_word_count") & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio") & F.col("r_bullet_lines")
+        & F.col("r_ellipsis_lines") & F.col("r_alpha_words")
+        & F.col("r_stopwords"),
+    )
+
+
 def lang_id(text: Column, langs: list[str] | None = None) -> Column:
     """Stopword-hit language ID: argmax over per-language hit counts,
     'und' (undetermined) when nothing matches."""

@@ -255,3 +255,125 @@ def test_stream_line_dedup_end_to_end(spark, tmp_path):
     keepers = [d for d, t in got.items() if "header common" in t]
     assert len(keepers) == 1
     assert all(f"body {d}" in got[d] for d in got)
+
+
+def test_line_dedup_store_compaction(spark, tmp_path):
+    """compact() folds every batch dir before the replay window into ONE
+    consolidated partition — same scrub results, bounded file count — and
+    preserves both crash-window guarantees across the fold."""
+    import glob
+
+    from graflo_spark.ops.dedup import LineDedupStore
+
+    st = LineDedupStore(spark, str(tmp_path / "ls"))
+    for i in range(6):
+        b = spark.createDataFrame(
+            [(i, f"boilerplate header\nunique {i}")],
+            "doc_id long, text string")
+        st.scrub_batch(b, batch_id=i)
+    root = str(tmp_path / "ls" / "lines")
+    assert len(glob.glob(f"{root}/batch=*")) == 6
+    st.compact()
+    # batches 0..4 folded into batch=0; batch=5 (replay window) preserved
+    vals = sorted(int(d.rsplit("=", 1)[1])
+                  for d in glob.glob(f"{root}/batch=*"))
+    assert vals == [0, 5]
+    hashes = spark.read.parquet(root)
+    assert hashes.count() == 7  # 1 boilerplate + 6 uniques, each once
+    assert hashes.select("_h").distinct().count() == 7
+
+    # scrubbing continues correctly against the folded history
+    b = spark.createDataFrame(
+        [(100, "boilerplate header\nunique 3\nunique 5\nbrand new")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in st.scrub_batch(b, batch_id=6).collect()}
+    assert got == {100: "brand new"}
+
+    # post-commit replay (same batch_id) still re-runs under the original
+    # seq: identical output, not empty documents
+    retry = {r["doc_id"]: r["text"]
+             for r in st.scrub_batch(b, batch_id=6).collect()}
+    assert retry == got
+
+    # idempotent: a second compact right after is a no-op fold of one dir
+    st.compact()
+    # +1: only "brand new" was fresh (the other three lines were already
+    # in history and fresh-only recording never re-stores them)
+    assert spark.read.parquet(root).count() == 8
+
+
+def test_line_dedup_store_compact_replay_window_after_fold(spark, tmp_path):
+    """A post-commit replay arriving IMMEDIATELY after compact() must not
+    see its own batch's hashes as history (they were preserved verbatim,
+    not folded)."""
+    from graflo_spark.ops.dedup import LineDedupStore
+
+    st = LineDedupStore(spark, str(tmp_path / "ls"))
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(i, f"shared line\nonly {i}")], "doc_id long, text string")
+        first = {r["doc_id"]: r["text"]
+                 for r in st.scrub_batch(b, batch_id=i).collect()}
+    st.compact()
+    retry = {r["doc_id"]: r["text"]
+             for r in st.scrub_batch(b, batch_id=2).collect()}
+    assert retry == first == {2: "only 2"}
+
+
+def test_line_dedup_store_recovers_from_compact_crash_window(spark, tmp_path):
+    """Process death between compact()'s two renames leaves the history
+    only under .old-lines-*; the next access restores it — no silent
+    loss."""
+    import glob
+    import os
+
+    from graflo_spark.ops.dedup import LineDedupStore
+
+    st = LineDedupStore(spark, str(tmp_path / "ls"))
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(i, f"common\nrow {i}")], "doc_id long, text string")
+        st.scrub_batch(b, batch_id=i)
+    # simulate the crash: root renamed away, staging never swapped in
+    root = str(tmp_path / "ls" / "lines")
+    os.rename(root, str(tmp_path / "ls" / ".old-lines-simulated"))
+    os.makedirs(root)  # what __init__ recreates on restart
+    st2 = LineDedupStore(spark, str(tmp_path / "ls"))
+    b = spark.createDataFrame(
+        [(9, "common\nrow 2\nnovel")], "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in st2.scrub_batch(b, batch_id=4).collect()}
+    assert got == {9: "novel"}  # full history intact after restore
+    assert glob.glob(f"{root}/batch=*")
+
+
+def test_gopher_exploded_formulation_matches_hof(spark, sf_dir):
+    """gopher_quality_rules_exploded (the codegen A/B twin) must equal the
+    array-HOF form bit-for-bit on the real corpus AND on the edge shapes
+    (NULL, empty, whitespace-only, bullet-heavy, ellipsis-heavy)."""
+    from graflo_spark.ops.textstats import (
+        gopher_quality_rules,
+        gopher_quality_rules_exploded,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    edge = spark.createDataFrame(
+        [(10_000, None),
+         (10_001, ""),
+         (10_002, "   \n  \n "),
+         (10_003, "- one\n* two\n• three\nplain"),
+         (10_004, "waiting...\nstill…\nthe end of that have with be to"),
+         (10_005, "# ## #tag " + "the be to of and that have with " * 8),
+         (10_006, "ab " * 60)],
+        "doc_id long, text string")
+    df = docs.unionByName(edge)
+    for kw in ({}, {"min_words": 5, "max_words": 80}):
+        a = gopher_quality_rules(df, "doc_id", "text", **kw)
+        b = gopher_quality_rules_exploded(df, "doc_id", "text", **kw)
+        assert sorted(a.columns) == sorted(b.columns)
+        cols = a.columns
+        mism = a.exceptAll(b.select(*cols)).count() \
+            + b.select(*cols).exceptAll(a).count()
+        assert mism == 0, (kw, mism)

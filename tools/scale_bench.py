@@ -81,6 +81,14 @@ Usage:
         [--only <substr>]   # restrict --graph to matching queries
         [--substring]       # --pipeline: enable the k=8 exact
                             # repeated-substring scrub (spans+cut+repack)
+        [--compact-every K] # --lines --incremental: LineDedupStore
+                            # compaction cadence (bounded-file measurement)
+        [--gopher]          # A/B the Gopher gate HOF vs exploded codegen
+                            # formulations + lang_id exponent
+        [--gates]           # --pipeline with EVERY optional stage on
+                            # (gopher+lang+lm+clf+line scrub+substring)
+        [--semdedup]        # SemDeDup cells->pairs->CC exponent with the
+                            # production n_clusters ~ corpus sizing
 Prints one JSON line:
     {"metric": "scale_exponents", "factor": N, "queries": {name:
       {"t_base": s, "t_scaled": s, "exponent": e, "rows_base": n,
@@ -494,19 +502,33 @@ def winnow_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
 
 
 def lines_incremental_bench(spark, base_dir: str, scaled_dir: str,
-                            factor: int, out_root: str) -> dict:
+                            factor: int, out_root: str,
+                            compact_every: int | None = None) -> dict:
     """LineDedupStore over the scaled corpus one replica-batch at a time
     (the daily-crawl shape): per-batch walls must stay ~flat as history
     grows (the anti-join side is the store's DISTINCT line set — bounded
     by distinct lines, not stream length), and because the blow-up
     rotation makes duplicate-line structure replica-local, the total
-    scrubbed-line count must equal factor x the single-batch base count."""
+    scrubbed-line count must equal factor x the single-batch base count.
+
+    ``compact_every=K`` runs ``store.compact()`` after every K batches
+    (the between-batches single-writer window) and records per-batch
+    hash-dir/file counts — the r8-verdict measurement: walls flat AND
+    file counts bounded, instead of one ``batch=<k>`` dir per batch
+    forever."""
+    import glob
     import shutil
     import uuid
 
     from graflo_spark.ops.dedup import LineDedupStore, reflow_lines
 
     pc = time.perf_counter
+
+    def store_files(store_dir: str) -> tuple[int, int]:
+        dirs = glob.glob(f"{store_dir}/lines/batch=*")
+        files = [f for d in dirs for f in os.listdir(d)
+                 if f.endswith(".parquet")]
+        return len(dirs), len(files)
     base = spark.read.parquet(f"{base_dir}/documents.parquet")
     max_id = base.agg(F.max("doc_id")).first()[0]
     if max_id is None:
@@ -536,11 +558,24 @@ def lines_incremental_bench(spark, base_dir: str, scaled_dir: str,
             scrubbed = st.scrub_batch(batch, batch_id=r)
             n_out = n_lines_of(scrubbed)
             wall = round(pc() - t0, 3)
-            out["batches"].append({"wall": wall, "cut": int(n_in - n_out)})
+            n_dirs, n_files = store_files(store_dir)
+            entry = {"wall": wall, "cut": int(n_in - n_out),
+                     "hash_dirs": n_dirs, "hash_files": n_files}
+            if compact_every and (r + 1) % compact_every == 0:
+                t0 = pc()
+                st.compact()
+                entry["compact_wall"] = round(pc() - t0, 3)
+                entry["hash_dirs"], entry["hash_files"] = (
+                    store_files(store_dir))
+            out["batches"].append(entry)
             total_in += n_in
             total_out += n_out
             print(f"# lines_incremental batch {r}: {wall}s "
-                  f"cut={n_in - n_out}", file=sys.stderr)
+                  f"cut={n_in - n_out} dirs={entry['hash_dirs']} "
+                  f"files={entry['hash_files']}"
+                  + (f" compact={entry['compact_wall']}s"
+                     if "compact_wall" in entry else ""),
+                  file=sys.stderr)
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
     base_cut = out["batches"][0]["cut"]
@@ -595,8 +630,108 @@ def lines_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     return out
 
 
+def gopher_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
+    """A/B the two Gopher-gate formulations at base and scaled (the
+    r8-verdict task): the shipped array-HOF form (zero shuffle, but
+    lambda HOFs evaluate interpreted per element — CodegenFallback in the
+    plan) vs the explode+aggregate codegen twin (two doc-id shuffles,
+    whole-stage codegen throughout). Equality is asserted once at base;
+    the lang-ID gate (regexp-based, codegen already) is measured
+    alongside for its own exponent."""
+    from graflo_spark.ops.textstats import (
+        gopher_quality_rules,
+        gopher_quality_rules_exploded,
+        lang_id,
+    )
+
+    pc = time.perf_counter
+    out: dict = {}
+    base_docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    a = gopher_quality_rules(base_docs)
+    b = gopher_quality_rules_exploded(base_docs)
+    out["forms_equal"] = (
+        a.exceptAll(b.select(*a.columns)).count() == 0
+        and b.select(*a.columns).exceptAll(a).count() == 0)
+    forms = {"hof": gopher_quality_rules,
+             "exploded": gopher_quality_rules_exploded}
+    for form, fn in forms.items():
+        entry: dict = {}
+        for label, d in (("base", base_dir), ("scaled", scaled_dir)):
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            t0 = pc()
+            # gopher_pass is the 7-rule conjunction: counting its TRUE
+            # rows forces every rule expression, nothing prunes away
+            n = fn(docs).filter("gopher_pass").count()
+            entry[label] = {"wall": round(pc() - t0, 3), "n_pass": n}
+            print(f"# gopher {form}@{label}: {entry[label]}",
+                  file=sys.stderr)
+        entry["exponent"] = (
+            round(math.log(entry["scaled"]["wall"] / entry["base"]["wall"])
+                  / math.log(factor), 3) if factor > 1 else None)
+        out[form] = entry
+    out["winner"] = min(
+        forms, key=lambda f: out[f]["scaled"]["wall"])
+    lang: dict = {}
+    for label, d in (("base", base_dir), ("scaled", scaled_dir)):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        t0 = pc()
+        counts = (docs.select(lang_id(F.col("text")).alias("lg"))
+                  .groupBy("lg").count().collect())
+        lang[label] = {"wall": round(pc() - t0, 3),
+                       "langs": {r["lg"]: r["count"] for r in counts}}
+        print(f"# lang_id@{label}: wall={lang[label]['wall']}",
+              file=sys.stderr)
+    lang["exponent"] = (
+        round(math.log(lang["scaled"]["wall"] / lang["base"]["wall"])
+              / math.log(factor), 3) if factor > 1 else None)
+    out["lang_id"] = lang
+    return out
+
+
+def semdedup_bench(spark, base_dir: str, scaled_dir: str,
+                   factor: int) -> dict:
+    """SemDeDup scaling (r8-verdict Next #5): cells -> within-cell exact
+    cosine pairs -> star-contraction CC -> graded representatives, with
+    the PRODUCTION dial — ``n_clusters`` scales with the corpus so the
+    expected cell size, and with it the per-cell quadratic pair term,
+    stays constant (the published SemDeDup cost/recall knob; same sizing
+    rule as store_bench's bucket count). KMeans is seeded, so each run is
+    deterministic; counts are RECORDED, not asserted linear — the
+    blow-up's sign-flip rotation preserves intra-replica geometry but
+    re-rolls frozen-cell membership, so pair structure is corpus-shaped,
+    not replica-copied."""
+    from graflo_spark.ops.dedup import semantic_dedup
+
+    pc = time.perf_counter
+    out: dict = {}
+    for label, d, k in (("base", base_dir, 16),
+                        ("scaled", scaled_dir, 16 * factor)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        t0 = pc()
+        cl = semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.4, n_clusters=k,
+            scores=emb.select("vec_id", F.col("label").alias("score")))
+        agg = cl.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("is_representative"), 1).otherwise(0))
+            .alias("reps"),
+            F.count_distinct("cluster").alias("clusters")).first()
+        out[label] = {
+            "wall": round(pc() - t0, 3), "n_clusters_param": k,
+            "rows": agg["rows"], "representatives": agg["reps"],
+            "semantic_groups": agg["clusters"],
+            "dups_removed": agg["rows"] - agg["reps"],
+        }
+        print(f"# semdedup {label}: {out[label]}", file=sys.stderr)
+    out["exponent"] = (
+        round(math.log(out["scaled"]["wall"] / out["base"]["wall"])
+              / math.log(factor), 3) if factor > 1 else None)
+    return out
+
+
 def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int,
-                   substring_k: int | None = None) -> dict:
+                   substring_k: int | None = None,
+                   all_gates: bool = False) -> dict:
     """Composed prepare-training-data pipeline at scale, with the funnel
     invariant: the blow-up preserves duplicate structure per replica, so
     every funnel stage — and especially the kept count — must scale by
@@ -606,13 +741,37 @@ def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int,
     gates are, so the stage still exercises its plumbing. Two documented
     caveats (rotation re-rolls the MinHash realization; near-threshold
     pairs can flip) make kept_match corpus-dependent — on the shipped
-    sf0.1 corpus it must hold."""
+    sf0.1 corpus it must hold.
+
+    ``all_gates=True`` (the --gates run, r8-verdict Next #6) turns on
+    EVERY optional stage — Gopher rules, language gate, CCNet LM gate,
+    quality classifier, corpus-wide line scrub, and the k=8 substring
+    scrub — the production configuration, measured composed. Thresholds
+    are chosen so the full cost is paid while rotated replicas still
+    flow downstream (otherwise the dedup stages would only ever see
+    replica 0 and measure nothing): allowed_langs includes 'und' (all
+    rotated text predicts 'und' — lang machinery on, drops ~0),
+    max_cross_entropy=9.0 (loose literal), clf_min_prob=0.0 (full
+    train+score cost, drops 0 — dropping behavior is driver-row proven).
+    stage_match entries for rotation-sensitive or corpus-trained stages
+    (gopher's stopword rule, lm, clf) are RECORDED, not promised: the
+    blow-up rotation breaks their per-replica invariance by design."""
     from graflo_spark.ops import pipeline as pl
 
     pc = time.perf_counter
     out: dict = {}
-    cfg = pl.PipelineConfig(min_quality=0.0, min_tokens=5,
-                            dedup_substring_k=substring_k)
+    kwargs: dict = dict(min_quality=0.0, min_tokens=5,
+                        dedup_substring_k=substring_k)
+    if all_gates:
+        kwargs.update(
+            gopher_rules=True, gopher_min_words=20,
+            allowed_langs=["en", "de", "fr", "es", "zh", "und"],
+            dedup_lines_delimiter="\n",
+            max_cross_entropy=9.0,
+            clf_pos_filter="lang = 'en'", clf_min_prob=0.0,
+            dedup_substring_k=substring_k or 8,
+        )
+    cfg = pl.PipelineConfig(**kwargs)
     for label, d in (("base", base_dir), ("scaled", scaled_dir)):
         docs = spark.read.parquet(f"{d}/documents.parquet")
         t0 = pc()
@@ -877,7 +1036,8 @@ def power_law_bench(spark, factor: int, s: float = 2.0) -> dict:
 def main() -> None:
     flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
              "--winnow", "--pipeline", "--graph", "--hub", "--power-law",
-             "--uncapped-linkpred", "--substring", "--lines"}
+             "--uncapped-linkpred", "--substring", "--lines", "--gopher",
+             "--gates", "--semdedup"}
     # --only <substr>: restrict --graph to matching queries (idle-box
     # single-query re-measurements, r7 verdict Next #7)
     only = None
@@ -888,14 +1048,26 @@ def main() -> None:
             raise SystemExit("--only requires a value (a query substring)")
         only = argv[i + 1]
         del argv[i:i + 2]
+    # --compact-every K: fold the LineDedupStore hash dirs every K batches
+    # during --lines --incremental (bounded-file-count measurement)
+    compact_every = None
+    if "--compact-every" in argv:
+        i = argv.index("--compact-every")
+        if i + 1 >= len(argv):
+            raise SystemExit("--compact-every requires an integer value")
+        compact_every = int(argv[i + 1])
+        del argv[i:i + 2]
     args = [a for a in argv if a not in flags]
     hot_group = "--hot-group" in sys.argv[1:]
     incremental = "--incremental" in sys.argv[1:]
     store_mode = "--store" in sys.argv[1:]
     temporal_skew = "--temporal-skew" in sys.argv[1:]
     winnow_mode = "--winnow" in sys.argv[1:]
-    pipeline_mode = "--pipeline" in sys.argv[1:]
+    gates_mode = "--gates" in sys.argv[1:]
+    pipeline_mode = "--pipeline" in sys.argv[1:] or gates_mode
     lines_mode = "--lines" in sys.argv[1:]
+    gopher_mode = "--gopher" in sys.argv[1:]
+    semdedup_mode = "--semdedup" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
     hub_mode = "--hub" in sys.argv[1:]
     power_law_mode = "--power-law" in sys.argv[1:]
@@ -920,7 +1092,8 @@ def main() -> None:
     # hub / power-law synthesize their own graphs: no blow-up needed
     needs_blowup = not (hub_mode or power_law_mode) or (
         store_mode or temporal_skew or winnow_mode or pipeline_mode
-        or lines_mode or graph_mode or incremental)
+        or lines_mode or graph_mode or incremental or gopher_mode
+        or semdedup_mode)
     if needs_blowup and not os.path.exists(
             os.path.join(out_dir, "_GENERATED")):
         t0 = time.perf_counter()
@@ -933,7 +1106,7 @@ def main() -> None:
     # --store runs focus on the write path; the read-query sweep is the
     # default mode's job (run both modes for the full picture)
     focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
-               or lines_mode
+               or lines_mode or gopher_mode or semdedup_mode
                or graph_mode or hub_mode or power_law_mode)
     for name in ([] if focused else SCALE_QUERIES):
         fn = QUERIES[name]
@@ -1056,13 +1229,37 @@ def main() -> None:
         try:
             payload["pipeline"] = pipeline_bench(
                 spark, BASE_DIR, out_dir, factor,
-                substring_k=8 if "--substring" in sys.argv[1:] else None)
+                substring_k=8 if "--substring" in sys.argv[1:] else None,
+                all_gates=gates_mode)
             print(f"# pipeline: e={payload['pipeline']['exponent']} "
                   f"kept_match={payload['pipeline']['kept_match']}",
                   file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             payload["pipeline"] = {"error": str(exc)[:300]}
             print(f"# pipeline: FAILED {exc}"[:300], file=sys.stderr)
+
+    if semdedup_mode:
+        try:
+            payload["semdedup"] = semdedup_bench(
+                spark, BASE_DIR, out_dir, factor)
+            print(f"# semdedup: e={payload['semdedup']['exponent']}",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["semdedup"] = {"error": str(exc)[:300]}
+            print(f"# semdedup: FAILED {exc}"[:300], file=sys.stderr)
+
+    if gopher_mode:
+        try:
+            payload["gopher"] = gopher_bench(spark, BASE_DIR, out_dir, factor)
+            g = payload["gopher"]
+            print(f"# gopher: forms_equal={g['forms_equal']} "
+                  f"hof e={g['hof']['exponent']} "
+                  f"exploded e={g['exploded']['exponent']} "
+                  f"winner={g['winner']} "
+                  f"lang e={g['lang_id']['exponent']}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["gopher"] = {"error": str(exc)[:300]}
+            print(f"# gopher: FAILED {exc}"[:300], file=sys.stderr)
 
     if lines_mode:
         try:
@@ -1076,7 +1273,8 @@ def main() -> None:
         if incremental:
             try:
                 payload["lines_incremental"] = lines_incremental_bench(
-                    spark, BASE_DIR, out_dir, factor, out_root)
+                    spark, BASE_DIR, out_dir, factor, out_root,
+                    compact_every=compact_every)
                 li = payload["lines_incremental"]
                 print(f"# lines_incremental: wall {li['wall_first']} -> "
                       f"{li['wall_last']} (x{li['wall_ratio_last_first']}) "
