@@ -203,7 +203,8 @@ def gopher_quality_rules_exploded(
     )
     lines = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        F.trim(F.explode(F.split(F.col(text_col), "\n", -1))).alias("ln"))
+        F.explode(F.split(F.col(text_col), "\n", -1)).alias("raw_ln"),
+    ).select("id", F.trim("raw_ln").alias("ln"))
     lagg = lines.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.when(
@@ -215,10 +216,17 @@ def gopher_quality_rules_exploded(
     )
     # every non-NULL text has >= 1 line; whitespace-only texts have 0 words
     # (the word explode emits nothing) — coalesce restores the HOF form's
-    # zero counts. NULL-text docs join nothing and fail every rule, same
-    # as the HOF form's NULL-safe coalesce.
-    n_words = F.coalesce("n_words", F.lit(0))
-    mean_wl = (F.coalesce("sum_wl", F.lit(0)).cast("double")
+    # zero counts, but ONLY for docs that have text (n_lines not null):
+    # a NULL-text doc must keep NULL counts so every comparison evaluates
+    # NULL and coalesces to false, exactly like the HOF form (0 >= 0.8*0
+    # would otherwise pass r_alpha_words for NULL text).
+    has_text = F.col("n_lines").isNotNull()
+
+    def _cnt(c: str) -> Column:
+        return F.when(has_text, F.coalesce(c, F.lit(0)))
+
+    n_words = _cnt("n_words")
+    mean_wl = (_cnt("sum_wl").cast("double")
                / F.greatest(n_words, F.lit(1)).cast("double"))
     n_lines = F.col("n_lines")
 
@@ -235,15 +243,15 @@ def gopher_quality_rules_exploded(
         _b((n_words >= min_words) & (n_words <= max_words))
         .alias("r_word_count"),
         _b((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("r_mean_word_len"),
-        _b(F.coalesce("n_symbolish", F.lit(0)).cast("double")
+        _b(_cnt("n_symbolish").cast("double")
            < F.lit(0.1) * n_words.cast("double")).alias("r_symbol_ratio"),
         _b(F.coalesce("n_bullet", F.lit(0)).cast("double")
            < F.lit(0.9) * n_lines.cast("double")).alias("r_bullet_lines"),
         _b(F.coalesce("n_ellipsis_end", F.lit(0)).cast("double")
            < F.lit(0.3) * n_lines.cast("double")).alias("r_ellipsis_lines"),
-        _b(F.coalesce("n_alpha", F.lit(0)).cast("double")
+        _b(_cnt("n_alpha").cast("double")
            >= F.lit(0.8) * n_words.cast("double")).alias("r_alpha_words"),
-        _b(F.coalesce("n_stops", F.lit(0)) >= 2).alias("r_stopwords"),
+        _b(_cnt("n_stops") >= 2).alias("r_stopwords"),
     ).withColumn(
         "gopher_pass",
         F.col("r_word_count") & F.col("r_mean_word_len")
