@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     # per-query comparisons stay like-for-like.
     "dedup_lines_documents",
     "pq_adc_topk_embeddings",
+    # round 9: the fastText-style quality classifier (train + score in
+    # one query) — the round's new operator family with real runtime.
+    "quality_clf_documents",
 ]
 
 
