@@ -1665,6 +1665,65 @@ def quality_clf_documents(spark, sf_dir):
         F.round("prob", 6).alias("prob"))
 
 
+# DSIR importance resampling (Xie et al. 2023, ops/quality_clf.dsir_*):
+# target model fit on the curated slice (lang='en' AND doc_id % 7 = 0),
+# raw model on the crawl slice (doc_id % 7 = 1, disjoint); every document
+# scored log_w = sum of per-bucket log-ratios (zero class prior), then
+# Gumbel-top-k selection under the DETERMINISTIC hash-derived noise
+# g = -ln(-ln((h60(id, 'dsir') + 1) / (2^60 + 1))). The oracle replays
+# the full chain; both the scores (6dp) and the selected set's keys are
+# graded via text_quality_suite branches (the registry window is full —
+# the suite is the data-selection family's proof surface).
+_DSIR_K = 100
+_H60_MAX1 = (1 << 60) + 1  # 1152921504606846977
+_DSIR_SCORES_ORACLE = (
+    r"WITH splt AS (SELECT doc_id, lang, "
+    r"regexp_split_to_array(trim(text), '\s+') AS lst "
+    "FROM documents WHERE text IS NOT NULL), "
+    "u AS (SELECT doc_id, lang, unnest(lst) AS feat FROM splt), "
+    "b2 AS (SELECT doc_id, lang, unnest(list_transform("
+    "range(1, len(lst)), i -> lst[i] || chr(31) || lst[i+1])) AS feat "
+    "FROM splt WHERE len(lst) > 1), "
+    "feats AS MATERIALIZED (SELECT doc_id, lang, "
+    f"('0x' || substr(md5(feat), 1, 15))::BIGINT % {_QCLF_BINS} AS bucket "
+    "FROM (SELECT * FROM u UNION ALL SELECT * FROM b2)), "
+    "cnt AS MATERIALIZED (SELECT bucket, "
+    "SUM(CASE WHEN lang = 'en' AND doc_id % 7 = 0 THEN 1 ELSE 0 END) AS cp, "
+    "SUM(CASE WHEN doc_id % 7 = 1 THEN 1 ELSE 0 END) AS cn "
+    "FROM feats WHERE (lang = 'en' AND doc_id % 7 = 0) OR doc_id % 7 = 1 "
+    "GROUP BY bucket), "
+    "tot AS MATERIALIZED (SELECT CAST(SUM(cp) AS DOUBLE) AS tp, "
+    "CAST(SUM(cn) AS DOUBLE) AS tn FROM cnt), "
+    "w AS MATERIALIZED (SELECT bucket, "
+    f"ln((cp + 1.0) / (tp + {_QCLF_BINS})) "
+    f"- ln((cn + 1.0) / (tn + {_QCLF_BINS})) AS wt FROM cnt, tot), "
+    "sc AS (SELECT f.doc_id AS id, SUM(COALESCE(w.wt, "
+    f"(SELECT ln(1.0 / (tp + {_QCLF_BINS})) - ln(1.0 / (tn + {_QCLF_BINS})) "
+    "FROM tot))) AS lw "
+    "FROM feats f LEFT JOIN w ON f.bucket = w.bucket GROUP BY f.doc_id) "
+    "SELECT id, lw, lw + (-ln(-ln(CAST("
+    "('0x' || substr(md5(id::VARCHAR || chr(31) || 'dsir'), 1, 15))::BIGINT"
+    f" + 1 AS DOUBLE) / {float(_H60_MAX1)}))) AS gk FROM sc"
+)
+_DSIR_SEL_ORACLE = (
+    f"SELECT id, gk FROM ({_DSIR_SCORES_ORACLE}) "
+    f"ORDER BY gk DESC, id LIMIT {_DSIR_K}"
+)
+
+
+def _dsir_scored(spark, sf_dir):
+    """(id, n_feats, log_w) for the suite's DSIR branches — the catalog
+    configuration the oracle above replays."""
+    from graflo_spark.ops import quality_clf as qc
+
+    df = load(spark, sf_dir, "documents")
+    target = df.filter((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0))
+    raw = df.filter(F.col("doc_id") % 7 == 1)
+    return qc.dsir_importance(
+        df, "doc_id", "text", target, raw,
+        n_bins=_QCLF_BINS, portable_hash=True)
+
+
 # BPE encode replay: the merge table below was trained ONCE at sf0.01
 # (ops/bpe.train_bpe, num_merges=24) and frozen, so the driver row
 # exercises the DISTRIBUTED encode path (Arrow-batched mapInPandas with a
@@ -4306,18 +4365,27 @@ _GOPHER_RULES = (
             "SELECT 'lm_n', id, " + _S + ", CAST(n_bigrams AS DOUBLE) "
             "FROM (__LM__)",
             "SELECT 'lm_ce', id, " + _S + ", cross_entropy FROM (__LM__)",
+            # r9: DSIR importance weights + Gumbel-top-k selection
+            "SELECT 'dsir_logw', id, " + _S + ", ROUND(lw, 6) "
+            "FROM (__DSIRW__)",
+            "SELECT 'dsir_sel', id, " + _S + ", ROUND(gk, 6) "
+            "FROM (__DSIRS__)",
         ]
     )
     .replace("__TS__", ORACLES["text_stats_documents"])
     .replace("__G__", ORACLES["gopher_rules_documents"])
     .replace("__BE__", ORACLES["bigram_entropy_documents"])
-    .replace("__LM__", ORACLES["lm_cross_entropy_documents"]),
+    .replace("__LM__", ORACLES["lm_cross_entropy_documents"])
+    .replace("__DSIRS__", _DSIR_SEL_ORACLE)
+    .replace("__DSIRW__", _DSIR_SCORES_ORACLE),
 )
 def text_quality_suite(spark, sf_dir):
     """The whole per-document text-quality surface unpivoted to
-    (kind, id, s, v): every text_stats metric, every Gopher rule bit, and
-    the bigram-entropy + CCNet cross-entropy scores — four former rows,
-    each branch's oracle embedded verbatim."""
+    (kind, id, s, v): every text_stats metric, every Gopher rule bit, the
+    bigram-entropy + CCNet cross-entropy scores, and (r9) the DSIR
+    importance-resampling branches — 'dsir_logw' grades every document's
+    log importance weight, 'dsir_sel' the Gumbel-top-k selected set with
+    its deterministic keys. Retired-row oracles embedded verbatim."""
     nl_s = F.lit(None).cast("string")
     nl_d = F.lit(None).cast("double")
     ts_df = text_stats_documents(spark, sf_dir)
@@ -4350,6 +4418,18 @@ def text_quality_suite(spark, sf_dir):
                   F.col("n_bigrams").cast("double").alias("v")),
         lm.select(F.lit("lm_ce").alias("kind"), "id", nl_s.alias("s"),
                   F.col("cross_entropy").alias("v")),
+    ]
+    from graflo_spark.ops.quality_clf import dsir_select
+
+    dsir = _dsir_scored(spark, sf_dir)
+    parts += [
+        dsir.select(F.lit("dsir_logw").alias("kind"),
+                    F.col("id").cast("long").alias("id"), nl_s.alias("s"),
+                    F.round("log_w", 6).alias("v")),
+        dsir_select(dsir, _DSIR_K, portable_hash=True).select(
+            F.lit("dsir_sel").alias("kind"),
+            F.col("id").cast("long").alias("id"), nl_s.alias("s"),
+            F.round("gumbel_key", 6).alias("v")),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -65,6 +65,10 @@ class PipelineConfig:
     # report shows which policy (heuristic quality vs Gopher rules) paid.
     gopher_rules: bool = False
     gopher_min_words: int = 50
+    # None = the published 8-word English set; a domain/non-English corpus
+    # passes its own function-word list (the rule's premise is "target-
+    # distribution function words appear", not those 8 literals)
+    gopher_stopwords: tuple | None = None
     # Language gate (ops/textstats.lang_id stopword-argmax heuristic):
     # keep only documents whose predicted language is in this list
     # (None = off). Charged to its own 'lang' funnel stage. Include 'und'
@@ -133,8 +137,13 @@ def annotate(
     )
 
     # optional Gopher rule-set gate — pure exprs, fused into the same scan
+    gopher_kwargs = (
+        {"stopwords": tuple(cfg.gopher_stopwords)}
+        if cfg.gopher_stopwords is not None else {}
+    )
     gopher_ok = (
-        ts.gopher_pass_expr(t, min_words=cfg.gopher_min_words)
+        ts.gopher_pass_expr(t, min_words=cfg.gopher_min_words,
+                            **gopher_kwargs)
         if cfg.gopher_rules else F.lit(True)
     )
 

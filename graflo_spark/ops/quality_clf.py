@@ -155,6 +155,90 @@ def train_quality_classifier(
         n_bins=n_bins, bigrams=bigrams, portable_hash=portable_hash)
 
 
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    raw: DataFrame,
+    n_bins: int = 1024,
+    bigrams: bool = True,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", NeurIPS — published):
+    score every document by ``log w(x) = log p_target(x) - log p_raw(x)``
+    under two bag-of-hashed-ngrams models, one fit on a TARGET sample
+    (the distribution you want more of — curated text) and one on a RAW
+    sample (the crawl). Returns ``(id, n_feats, log_w)``.
+
+    This is exactly the NB log-odds machinery above with a zero class
+    prior: fit :func:`train_quality_classifier` on target-as-positive /
+    raw-as-negative (ids are namespaced ``t:``/``r:`` so the two samples
+    can overlap), then ``log_w = logit - bias``. Same cost shape: one
+    sample-bounded training aggregate, one corpus explode + broadcast
+    weight join + per-doc sum. Feed the result to :func:`dsir_select`."""
+    tagged = (
+        target.filter(F.col(text_col).isNotNull()).select(
+            F.concat(F.lit("t:"), F.col(id_col).cast("string")).alias("id"),
+            F.col(text_col).alias("text"), F.lit(True).alias("__pos"))
+        .unionByName(raw.filter(F.col(text_col).isNotNull()).select(
+            F.concat(F.lit("r:"), F.col(id_col).cast("string")).alias("id"),
+            F.col(text_col).alias("text"), F.lit(False).alias("__pos")))
+    )
+    model = train_quality_classifier(
+        tagged, "id", "text", F.col("__pos"),
+        n_bins=n_bins, bigrams=bigrams, portable_hash=portable_hash)
+    return quality_scores(df, id_col, text_col, model).select(
+        "id", "n_feats",
+        (F.col("logit") - F.lit(model.bias)).alias("log_w"))
+
+
+def dsir_select(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "id",
+    log_w_col: str = "log_w",
+    salt: str = "dsir",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING (the DSIR selection step):
+    keep the ``k`` documents with the largest ``log_w + Gumbel`` key —
+    equivalent to sampling k documents without replacement with
+    probability proportional to ``exp(log_w)`` (the Gumbel-max trick),
+    which preserves diversity where a plain top-k would collapse onto
+    near-duplicates of the target sample. The noise is DETERMINISTIC:
+    ``g = -ln(-ln(u))`` with ``u`` derived from hash(id, salt), so the
+    selection is a pure function of the data (layout-invariant, replayable
+    — and SQL-replayable under ``portable_hash``, the sampling-module
+    convention). Returns the selected rows with ``gumbel_key`` attached.
+
+    Scale: the key is one hash + two ``ln`` per row, and the global top-k
+    is ``orderBy(...).limit(k)`` — Spark's TakeOrderedAndProject, a
+    per-partition heap + driver merge of k rows, never a global sort."""
+    if portable_hash:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    chr(31), F.col(id_col).cast("string"), F.lit(salt))),
+                1, 15),
+            16, 10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(F.col(id_col).cast("string"), F.lit(salt))
+        h = F.pmod(h, F.lit(1 << 60))
+    # u in (0, 1]: +1 avoids ln(0); the 60-bit ceiling keeps u <= 1.
+    # Integer add BEFORE the double cast, so an external engine computing
+    # CAST(h + 1 AS DOUBLE) lands on the identical double.
+    u = (h + F.lit(1)).cast("double") / F.lit(float((1 << 60) + 1))
+    key = F.col(log_w_col) + (-F.log(-F.log(u)))
+    return (
+        scored.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def quality_scores(
     df: DataFrame,
     id_col: str,

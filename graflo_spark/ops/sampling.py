@@ -207,7 +207,10 @@ def mix_corpora(
     an epoch/training-loop concern, not a mixing one. Membership is a pure
     function of (id, salt) per source, so the blend is reproducible on any
     cluster layout. Costs one count() aggregate per source (metadata-cheap
-    for parquet) before the single filtered union; adds ``source_col``.
+    for parquet-backed frames; a COMPUTED source re-runs its whole lineage
+    here — persist such inputs first, the same caveat as
+    ``pipeline.prepare_training_data``'s ``persist_annotated``) before the
+    single filtered union; adds ``source_col``.
 
     Schemas must be union-compatible; proportions are accurate to the
     hash_sample resolution (1e-6) in expectation."""

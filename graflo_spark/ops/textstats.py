@@ -75,6 +75,7 @@ def gopher_quality_rules(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
+    stopwords: tuple = GOPHER_STOPWORDS,
 ) -> "DataFrame":
     """Per-document Gopher quality rules as BOOLEAN columns plus the
     conjunction ``gopher_pass`` — per-rule visibility is the point (a
@@ -88,14 +89,18 @@ def gopher_quality_rules(
     - ``r_bullet_lines``: < 90% of lines start with a bullet marker;
     - ``r_ellipsis_lines``: < 30% of lines end with an ellipsis;
     - ``r_alpha_words``: >= 80% of words contain an alphabetic character;
-    - ``r_stopwords``: >= 2 DISTINCT members of the 8-stop-word set.
+    - ``r_stopwords``: >= 2 DISTINCT members of ``stopwords`` (default:
+      the published 8-word English set; a non-English or domain corpus
+      re-fits the list — the rule's premise is "function words of the
+      target distribution appear", not those 8 literals).
 
     Everything is a single-pass Column expression over the word/line
     arrays (no shuffle, no Python); all ratios are exact integer-count
     divisions, so any engine reproduces the booleans bit-for-bit.
     NULL text fails every rule (NULL-safe coalesce to false).
     """
-    rules = _gopher_rule_exprs(F.col(text_col), min_words, max_words)
+    rules = _gopher_rule_exprs(
+        F.col(text_col), min_words, max_words, stopwords)
     out = df.select(F.col(id_col), *[v.alias(k) for k, v in rules.items()])
     passes = None
     for k in rules:
@@ -104,19 +109,22 @@ def gopher_quality_rules(
 
 
 def gopher_pass_expr(
-    text: Column, min_words: int = 50, max_words: int = 100_000
+    text: Column, min_words: int = 50, max_words: int = 100_000,
+    stopwords: tuple = GOPHER_STOPWORDS,
 ) -> Column:
     """The conjunction of all seven Gopher gates as ONE Column expression —
     for fusing into a wider scan pass (the pipeline's quality stage)
     instead of materializing per-rule columns."""
     passes = None
-    for c in _gopher_rule_exprs(text, min_words, max_words).values():
+    for c in _gopher_rule_exprs(
+            text, min_words, max_words, stopwords).values():
         passes = c if passes is None else passes & c
     return passes
 
 
 def _gopher_rule_exprs(
-    t: Column, min_words: int, max_words: int
+    t: Column, min_words: int, max_words: int,
+    stopwords: tuple = GOPHER_STOPWORDS,
 ) -> dict[str, Column]:
     words = F.filter(
         F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
@@ -144,7 +152,7 @@ def _gopher_rule_exprs(
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     n_stops = F.size(F.array_intersect(
         F.transform(words, F.lower),
-        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        F.array(*[F.lit(s) for s in stopwords]),
     ))
 
     def _b(c: Column) -> Column:
@@ -173,6 +181,7 @@ def gopher_quality_rules_exploded(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
+    stopwords: tuple = GOPHER_STOPWORDS,
 ) -> "DataFrame":
     """The explode-formulation A/B twin of :func:`gopher_quality_rules`
     (same output, bit-for-bit — property-tested): posexplode the word and
@@ -198,7 +207,7 @@ def gopher_quality_rules_exploded(
         F.sum(F.when(F.col("w").rlike("[A-Za-z]"), 1).otherwise(0))
         .alias("n_alpha"),
         F.count_distinct(F.when(
-            F.lower(F.col("w")).isin(*GOPHER_STOPWORDS), F.lower(F.col("w"))
+            F.lower(F.col("w")).isin(*stopwords), F.lower(F.col("w"))
         )).alias("n_stops"),
     )
     lines = df.filter(F.col(text_col).isNotNull()).select(

@@ -180,3 +180,68 @@ def test_pipeline_clf_quality_stage(spark):
     # held-out english doc 1 (odd id, not in training slice) survives too
     assert ann[1] is None
     assert ann[3] == "clf_quality"
+
+
+def test_dsir_importance_matches_brute_and_zero_prior(spark):
+    """log_w must equal the brute NB logit minus the class prior (the DSIR
+    log-ratio has no prior term), computed over the target/raw slices."""
+    df = _df(spark)
+    target = df.filter(F.col("doc_id").isin([0, 2]))   # english slice
+    raw = df.filter(F.col("doc_id").isin([1, 3]))      # crawl slice
+    from graflo_spark.ops.quality_clf import dsir_importance
+
+    got = {r["id"]: (r["n_feats"], r["log_w"])
+           for r in dsir_importance(
+               df, "doc_id", "text", target, raw,
+               n_bins=64, portable_hash=True).collect()}
+    want = _brute(DOCS, {0, 1, 2, 3}, {0, 2}, n_bins=64)
+    bias = math.log(2 / 2)  # equal slice sizes -> 0, kept for clarity
+    for i in DOCS:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1] - bias, abs=1e-9)
+    # direction: english docs score positive, french negative
+    assert got[6][1] > 0 > got[7][1]
+
+
+def test_dsir_select_gumbel_topk_deterministic_and_layout_invariant(spark):
+    from graflo_spark.ops.quality_clf import dsir_importance, dsir_select
+
+    df = _df(spark)
+    target = df.filter(F.col("doc_id").isin([0, 2]))
+    raw = df.filter(F.col("doc_id").isin([1, 3]))
+    scored = dsir_importance(df, "doc_id", "text", target, raw,
+                             n_bins=64, portable_hash=True)
+    a = sorted(r["id"] for r in dsir_select(
+        scored, 4, portable_hash=True).collect())
+    b = sorted(r["id"] for r in dsir_select(
+        scored.repartition(5), 4, portable_hash=True).collect())
+    assert a == b and len(a) == 4
+    # different salt -> (possibly) different sample, but still size k and
+    # still deterministic
+    c1 = sorted(r["id"] for r in dsir_select(
+        scored, 4, salt="other", portable_hash=True).collect())
+    c2 = sorted(r["id"] for r in dsir_select(
+        scored, 4, salt="other", portable_hash=True).collect())
+    assert c1 == c2 and len(c1) == 4
+    # keys attach and order the selection: max key first
+    rows = dsir_select(scored, 4, portable_hash=True).collect()
+    keys = [r["gumbel_key"] for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_dsir_resampling_prefers_high_weight_docs(spark):
+    """With k = half the corpus and a strong weight gap, the selected set
+    must be dominated by target-like documents (the Gumbel-max property:
+    selection probability is proportional to exp(log_w))."""
+    from graflo_spark.ops.quality_clf import dsir_importance, dsir_select
+
+    df = _df(spark)
+    target = df.filter(F.col("doc_id").isin([0, 2]))
+    raw = df.filter(F.col("doc_id").isin([1, 3]))
+    scored = dsir_importance(df, "doc_id", "text", target, raw,
+                             n_bins=64, portable_hash=True)
+    sel = {r["id"] for r in dsir_select(
+        scored, 4, portable_hash=True).collect()}
+    # english docs (POS) carry log_w ~ +5..+40, french ~ -5..-40: at
+    # least 3 of the 4 picks must be english
+    assert len(sel & POS) >= 3

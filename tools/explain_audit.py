@@ -19,6 +19,7 @@ Writes PLANS.md. Usage:
 from __future__ import annotations
 
 import io
+import os
 import re
 import sys
 
@@ -235,10 +236,33 @@ def main() -> int:
         out.write(pipeline_section(spark, sf_dir))
         print("audited ops.pipeline.annotate")
 
+    if sys.argv[2:] and os.path.exists("PLANS.md"):
+        # targeted run: MERGE into the existing audit instead of replacing
+        # the whole file with one section (the r9 footgun: a single-query
+        # invocation silently dropped the other 34 sections)
+        with open("PLANS.md") as f:
+            existing = f.read()
+        for name in names:
+            section = _extract_section(out.getvalue(), name)
+            old = _extract_section(existing, name)
+            if old:
+                existing = existing.replace(old, section)
+            else:
+                existing = existing.rstrip("\n") + "\n" + section
+        merged = existing
+    else:
+        merged = out.getvalue()
     with open("PLANS.md", "w") as f:
-        f.write(out.getvalue())
+        f.write(merged)
     print("wrote PLANS.md")
     return 0
+
+
+def _extract_section(text: str, name: str) -> str:
+    """The `## name` section of a PLANS.md-shaped document, up to the next
+    `## ` header (empty string when absent)."""
+    m = re.search(rf"(?ms)^## {re.escape(name)}\n.*?(?=^## |\Z)", text)
+    return m.group(0) if m else ""
 
 
 if __name__ == "__main__":

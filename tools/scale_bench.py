@@ -763,8 +763,24 @@ def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int,
     kwargs: dict = dict(min_quality=0.0, min_tokens=5,
                         dedup_substring_k=substring_k)
     if all_gates:
+        import string
+
+        # Corpus-fit Gopher stop list (the synthetic corpus is a tech
+        # word-salad with none of the 8 English function words — 0/5000
+        # would pass the canonical set), CLOSED under all 26 letter
+        # rotations so every blow-up replica scores its documents exactly
+        # like replica 0 does against the same set: the gopher stage count
+        # is replica-invariant by construction, keeping the funnel exactly
+        # linear where the un-closed set would drain all rotated replicas.
+        lo = string.ascii_lowercase
+        rot_stops = tuple(sorted({
+            w.translate(str.maketrans(lo, lo[r:] + lo[:r]))
+            for w in ("spark", "query", "table", "line",
+                      "scan", "hash", "part", "fast")
+            for r in range(26)}))
         kwargs.update(
             gopher_rules=True, gopher_min_words=20,
+            gopher_stopwords=rot_stops,
             allowed_langs=["en", "de", "fr", "es", "zh", "und"],
             dedup_lines_delimiter="\n",
             max_cross_entropy=9.0,
