@@ -370,6 +370,16 @@ def prepare_training_data(
         "split",
         ts.token_count(F.col(cfg.text_col)).alias("__n_tok"),
     )
+    if cfg.persist_annotated:
+        # localCheckpoint, not persist: the per-split pack fan-out below
+        # re-plans this frame len(splits) times, and with the optional
+        # scrub + model-gate stages on, each re-plan carries the whole
+        # annotate DAG (lm/clf joins, line + substring scrubs) — the plan
+        # itself grows large enough to OOM the driver's codegen at big
+        # scale factors. Checkpointing the 3-column frame truncates the
+        # lineage (pennies of storage) and runs the scrubs ONCE instead
+        # of once per split.
+        with_tok = with_tok.localCheckpoint()
     chunk_parts = []
     for name in cfg.splits:
         part = pk.pack_chunks(

@@ -332,3 +332,52 @@ def test_pipeline_empty_allowed_langs_drops_everything(spark):
                             allowed_langs=[], splits={"train": 1.0})
     annotated = pl.annotate(docs, None, cfg)
     assert annotated.collect()[0]["drop_stage"] == "lang"
+
+
+def test_pipeline_all_optional_stages_compose(spark):
+    """Every optional stage enabled at once (the --gates configuration):
+    gopher (custom stop list), language gate, LM gate, quality classifier,
+    line scrub, substring scrub — funnel accounting stays exact and each
+    stage charges the document it owns."""
+    from graflo_spark.ops.pipeline import STAGES
+
+    stops = ("alpha", "beta", "gamma", "delta")
+    good = ("alpha beta word " * 4).strip()          # passes everything
+    good2 = ("gamma delta item " * 4).strip()        # dissimilar survivor
+    rows = [
+        (0, good + " zero", "en", "s.com/a"),
+        (1, good2 + " one", "en", "s.com/b"),
+        (2, "zz", "en", "s.com/c"),                  # quality (tokens < 3)
+        # passes gopher (alpha+beta) but lang_id predicts 'fr' (French
+        # function words dominate) -> charged to the lang stage
+        (3, "alpha beta le la les et est pour que une mot", "fr",
+         "s.com/d"),
+        (4, "nostops " * 12, "en", "s.com/e"),       # gopher (stop rule)
+        (5, good + " zero", "en", "s.com/f"),        # exact dup of 0
+        (6, None, "en", "s.com/g"),                  # quality (NULL)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "url"])
+    cfg = PipelineConfig(
+        url_col="url", min_quality=0.0, min_tokens=3,
+        gopher_rules=True, gopher_min_words=2, gopher_stopwords=stops,
+        allowed_langs=["en", "und"],
+        max_cross_entropy=50.0,           # loose: machinery on, drops none
+        clf_pos_filter="lang = 'en'", clf_min_prob=0.0, clf_train_mod=1,
+        dedup_lines_delimiter="\n", dedup_substring_k=4,
+        splits={"train": 1.0}, chunk_tokens=8,
+    )
+    chunks, annotated, funnel = prepare_training_data(docs, None, cfg)
+    stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    ann = {r["doc_id"]: r["drop_stage"] for r in annotated.collect()}
+    annotated.unpersist()
+    assert ann[2] == "quality" and ann[6] == "quality"
+    assert ann[3] == "lang"
+    assert ann[4] == "gopher"
+    assert ann[5] == "exact_dup"
+    assert ann[0] is None and ann[1] is None
+    assert stages == {"kept": 2, "quality": 2, "lang": 1,
+                      "gopher": 1, "exact_dup": 1}
+    assert sum(stages.values()) == len(rows)
+    # funnel stage names are all registered STAGES or 'kept'
+    assert set(stages) - {"kept"} <= set(STAGES)
+    assert chunks.count() > 0
