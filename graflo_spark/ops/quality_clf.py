@@ -141,12 +141,16 @@ def train_quality_classifier(
             f"got pos={prior['np']} neg={prior['nn']}")
     tp = float(tot["tp"] or 0)
     tn = float(tot["tn"] or 0)
+    # persist: the table is <= n_bins rows, but its LINEAGE is the whole
+    # training explode — without this, every scoring action (and every
+    # branch that reuses the model) re-runs training. Callers done with
+    # the model can `model.weights.unpersist()`.
     weights = counts.select(
         "bucket",
         (F.log((F.col("cp") + F.lit(1.0)) / F.lit(tp + n_bins))
          - F.log((F.col("cn") + F.lit(1.0)) / F.lit(tn + n_bins))
          ).alias("wt"),
-    )
+    ).persist()
     default_w = (math.log(1.0 / (tp + n_bins))
                  - math.log(1.0 / (tn + n_bins)))
     bias = math.log(prior["np"] / prior["nn"])
