@@ -243,6 +243,71 @@ def dsir_select(
     )
 
 
+def classifier_report(
+    scored: DataFrame,
+    label_col: str,
+    prob_col: str = "prob",
+    threshold: float = 0.5,
+) -> dict:
+    """Evaluation of a scored frame against a boolean truth column: one
+    aggregate -> confusion counts + precision/recall/F1/accuracy at
+    ``threshold``. The calibration step every production quality gate
+    needs before its threshold goes into the funnel. Rows with a NULL
+    label or NULL probability are excluded (and counted)."""
+    pred = F.col(prob_col) >= F.lit(float(threshold))
+    truth = F.col(label_col).cast("boolean")
+    valid = truth.isNotNull() & F.col(prob_col).isNotNull()
+
+    def _n(cond) -> F.Column:
+        return F.sum(F.when(valid & cond, 1).otherwise(0))
+
+    row = scored.agg(
+        _n(pred & truth).alias("tp"),
+        _n(pred & ~truth).alias("fp"),
+        _n(~pred & truth).alias("fn"),
+        _n(~pred & ~truth).alias("tn"),
+        F.sum(F.when(~valid, 1).otherwise(0)).alias("skipped"),
+    ).first()
+    tp, fp, fn, tn = (row[k] or 0 for k in ("tp", "fp", "fn", "tn"))
+    precision = tp / (tp + fp) if tp + fp else None
+    recall = tp / (tp + fn) if tp + fn else None
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision and recall else None)
+    total = tp + fp + fn + tn
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "precision": precision, "recall": recall, "f1": f1,
+        "accuracy": (tp + tn) / total if total else None,
+        "threshold": threshold, "n": total, "skipped": row["skipped"] or 0,
+    }
+
+
+def calibration_bins(
+    scored: DataFrame,
+    label_col: str,
+    prob_col: str = "prob",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data: bucket predictions by probability and
+    compare each bucket's mean predicted probability to its empirical
+    positive rate — a well-calibrated scorer tracks the diagonal. One
+    groupBy over ``least(floor(prob * n_bins), n_bins - 1)``; returns
+    ``(bin, n, mean_prob, frac_positive)`` (prob 1.0 folds into the top
+    bin)."""
+    b = F.least(F.floor(F.col(prob_col) * n_bins),
+                F.lit(n_bins - 1)).cast("int")
+    truth = F.col(label_col).cast("boolean")
+    return (
+        scored.filter(F.col(prob_col).isNotNull() & truth.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(prob_col).alias("mean_prob"),
+            F.avg(truth.cast("double")).alias("frac_positive"),
+        )
+    )
+
+
 def quality_scores(
     df: DataFrame,
     id_col: str,

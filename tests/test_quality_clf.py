@@ -245,3 +245,39 @@ def test_dsir_resampling_prefers_high_weight_docs(spark):
     # english docs (POS) carry log_w ~ +5..+40, french ~ -5..-40: at
     # least 3 of the 4 picks must be english
     assert len(sel & POS) >= 3
+
+
+def test_classifier_report_confusion_and_metrics(spark):
+    from graflo_spark.ops.quality_clf import classifier_report
+
+    scored = spark.createDataFrame(
+        [(0, 0.9, True), (1, 0.8, True), (2, 0.7, False),   # tp tp fp
+         (3, 0.2, True), (4, 0.1, False), (5, 0.3, False),  # fn tn tn
+         (6, None, True), (7, 0.6, None)],                  # skipped x2
+        "id long, prob double, y boolean")
+    r = classifier_report(scored, "y", threshold=0.5)
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 2)
+    assert r["precision"] == pytest.approx(2 / 3)
+    assert r["recall"] == pytest.approx(2 / 3)
+    assert r["f1"] == pytest.approx(2 / 3)
+    assert r["accuracy"] == pytest.approx(4 / 6)
+    assert r["n"] == 6 and r["skipped"] == 2
+    # threshold moves the cut: at 0.25, doc 5 (0.3, neg) flips to fp
+    r2 = classifier_report(scored, "y", threshold=0.25)
+    assert (r2["tp"], r2["fp"], r2["fn"], r2["tn"]) == (2, 2, 1, 1)
+
+
+def test_calibration_bins_track_buckets(spark):
+    from graflo_spark.ops.quality_clf import calibration_bins
+
+    rows = ([(i, 0.05, i < 1) for i in range(10)]        # bin 0: 10% pos
+            + [(i + 10, 0.95, i < 9) for i in range(10)]  # bin 9: 90% pos
+            + [(100, 1.0, True)])                         # folds into bin 9
+    scored = spark.createDataFrame(rows, "id long, prob double, y boolean")
+    got = {r["bin"]: r for r in calibration_bins(scored, "y").collect()}
+    assert set(got) == {0, 9}
+    assert got[0]["n"] == 10
+    assert got[0]["frac_positive"] == pytest.approx(0.1)
+    assert got[9]["n"] == 11   # prob 1.0 folded in
+    assert got[9]["frac_positive"] == pytest.approx(10 / 11)
+    assert got[0]["mean_prob"] == pytest.approx(0.05)
