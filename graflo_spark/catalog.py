@@ -36,6 +36,7 @@ from graflo_spark.manifest import (
 from graflo_spark.ops import decontam as dc
 from graflo_spark.ops import dedup as dd
 from graflo_spark.ops import pii as pi
+from graflo_spark.ops import retrieval as rt
 from graflo_spark.ops import sampling as sp
 from graflo_spark.ops import simsearch as ss
 from graflo_spark.ops import textstats as ts
@@ -4227,19 +4228,90 @@ def schema_metadata_suite(spark, sf_dir):
         manifest_io_suite(spark, sf_dir))
 
 
+# ------------------------------------------ LLM-pipeline: lexical retrieval
+
+# BM25 / tf-idf keyword top-k (ops/retrieval.py) — the sparse counterpart
+# to the ANN rows. Query set = 3 literal keyword queries over the corpus
+# vocabulary; every scoring input (tf, df, dl, N) is an integer and avgdl
+# is one fixed division, so each per-term score is the identical IEEE
+# expression on both engines and ranking orders by ROUND(score, 6)
+# (ties by doc id) — the operator's own ranking key.
+_BM25_QUERIES = [
+    (0, "join hash filter"),
+    (1, "customer scan batch window"),
+    (2, "spark vector"),
+]
+_LEX_ORACLE_BODY = (
+    "WITH ql(query_id, qtext) AS (VALUES "
+    + ", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in _BM25_QUERIES)
+    + "), "
+    r"qt AS (SELECT DISTINCT query_id, unnest(list_filter("
+    r"string_split_regex(trim(qtext), '\s+'), w -> w <> '')) AS term "
+    "FROM ql), "
+    r"d AS (SELECT doc_id, list_filter(string_split_regex(trim(text), "
+    r"'\s+'), w -> w <> '') AS toks FROM documents), "
+    "dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d), "
+    "meta AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl "
+    "FROM dl), "
+    "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM "
+    "(SELECT doc_id, unnest(toks) AS term FROM d) "
+    "WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2), "
+    "dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf "
+    "GROUP BY 1), "
+    "j AS (SELECT qt.query_id, tf.doc_id, tf.tf, dfq.df, dl.dl, "
+    "meta.n, meta.avgdl FROM qt JOIN tf USING (term) "
+    "JOIN dfq ON dfq.term = qt.term JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN meta), "
+    "s AS (SELECT 'bm25' AS method, query_id, doc_id, "
+    "SUM(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) / "
+    "(tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score "
+    "FROM j GROUP BY 2, 3 "
+    "UNION ALL SELECT 'tfidf', query_id, doc_id, "
+    "SUM((1 + ln(tf)) * ln((n + 1) / (df + 1))) FROM j GROUP BY 2, 3) "
+    "SELECT method, query_id, doc_id AS neighbor_id, "
+    "ROUND(score, 6) AS score, rank FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY method, query_id "
+    "ORDER BY ROUND(score, 6) DESC, doc_id) AS rank FROM s) "
+    "WHERE rank <= 5"
+)
+
+
+@q("bm25_topk_documents", _LEX_ORACLE_BODY)
+def bm25_topk_documents(spark, sf_dir):
+    """Lexical retrieval top-k over the documents table, BOTH methods:
+    Okapi BM25 (Lucene idf smoothing, k1=1.2 b=0.75) and the SMART
+    sublinear-tf/smoothed-idf variant. The oracle replays tokenize ->
+    vocabulary-pruned tf -> df -> corpus scalars -> per-term score ->
+    per-doc sum -> rounded-score ranking, term for term."""
+    docs = load(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, text string")
+    bm = rt.bm25_topk(qs, docs, k=5).select(
+        F.lit("bm25").alias("method"), "query_id", "neighbor_id",
+        "score", "rank")
+    tfidf = rt.bm25_topk(qs, docs, k=5, method="tfidf").select(
+        F.lit("tfidf").alias("method"), "query_id", "neighbor_id",
+        "score", "rank")
+    return bm.unionByName(tfidf)
+
+
 @q(
     "embedding_search_suite",
     "SELECT method, query_id, neighbor_id, cosine AS score, rank FROM ("
     + ORACLES["ann_topk_embeddings"] + ") UNION ALL "
-    "SELECT * FROM (" + ORACLES["pq_adc_topk_embeddings"] + ")",
+    "SELECT * FROM (" + ORACLES["pq_adc_topk_embeddings"] + ") UNION ALL "
+    "SELECT * FROM (" + _LEX_ORACLE_BODY + ")",
 )
 def embedding_search_suite(spark, sf_dir):
     """Every similarity-search path in one row: brute/IVF/LSH (the
-    ann_topk branches, cosine normalized to 'score') plus the three
-    PQ/ADC branches (driver-LUT, join formulation, IVF-PQ)."""
+    ann_topk branches, cosine normalized to 'score'), the three PQ/ADC
+    branches (driver-LUT, join formulation, IVF-PQ), and (r9) the two
+    LEXICAL retrieval branches — BM25 and tf-idf keyword top-k
+    (ops/retrieval.py; sparse retrieval next to the dense paths)."""
     ann = ann_topk_embeddings(spark, sf_dir).withColumnRenamed(
         "cosine", "score")
-    return ann.unionByName(pq_adc_topk_embeddings(spark, sf_dir))
+    return ann.unionByName(
+        pq_adc_topk_embeddings(spark, sf_dir)
+    ).unionByName(bm25_topk_documents(spark, sf_dir))
 
 
 @q(
@@ -4479,6 +4551,7 @@ def dedup_text_suite(spark, sf_dir):
 _RETIRED_INTO_SUITES = [
     "evolve_migrate_suite", "manifest_io_suite",
     "ann_topk_embeddings", "pq_adc_topk_embeddings",
+    "bm25_topk_documents",
     "near_dup_clusters_documents", "semdedup_clusters_embeddings",
     "sampling_split_mix_documents", "io_formats_suite",
     "text_stats_documents", "gopher_rules_documents",

@@ -1,0 +1,265 @@
+"""Lexical retrieval: BM25 / tf-idf top-k over a text column.
+
+The similarity-search family (ops/simsearch.py, ops/pq.py) covers DENSE
+retrieval over embedding columns; this module adds the SPARSE side — the
+BM25 keyword search every corpus tool offers next to ANN. No reference
+analogue (the reference has no text-retrieval surface); formulas are the
+published ones: Okapi BM25 with the Lucene idf smoothing
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` (Robertson & Zaragoza 2009), and a
+sublinear-tf / smoothed-idf variant ``(1 + ln tf) * ln((N+1)/(df+1))``
+(the SMART lnn.ltn weighting) as ``method='tfidf'``.
+
+100 TB shape — the corpus is never all-pairs joined with anything:
+
+1. ONE tokenize pass over the corpus; the exploded term stream is pruned
+   map-side against the broadcast query vocabulary BEFORE any shuffle, so
+   the posting build only ever shuffles terms that can score.
+2. tf per (doc, term): a (doc_id, term)-keyed groupBy with map-side
+   combine; doc length rides along (it is constant per doc).
+3. df per term = the tf table's per-term row count — after the vocabulary
+   prune this is at most |query vocab| rows and broadcasts back.
+4. Corpus scalars (N, avgdl) come from one tiny aggregate, attached by a
+   broadcast crossJoin — no ``collect()``.
+5. Per-(query, doc) score = one more keyed groupBy; the global top-k runs
+   as salted local top-k -> k*n_salts-row global window, so a 3-query /
+   billion-doc run never funnels the scored table through 3 reducers.
+
+For repeated probing, :class:`LexicalIndex` persists the postings
+partitioned by a PORTABLE term bucket (md5-60bit, the sampling family's
+cross-engine hash — ops/sampling.py:21): buckets are computable
+driver-side in plain Python, so a probe turns into literal
+``term_bucket IN (...)`` predicates and parquet partition pruning reads
+only |query vocab| buckets of a 100 TB index.
+
+Determinism contract: tf/df/dl/N are integers, avgdl is one fixed
+division — every per-term score is the same IEEE-double expression on
+identical operands in any engine; only the per-document SUM order can
+differ (1-ulp wobble), so ranking orders by ``round(score, round_scores)``
+(ties by doc id), exactly the discipline the ANN rows use for cosine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SEP = chr(31)
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization as a Column: trim, split on ``\\s+``, drop
+    empties (an all-blank text tokenizes to [] — DuckDB's
+    ``list_filter(string_split_regex(trim(t), '\\s+'), w -> w <> '')``
+    reproduces this exactly)."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
+def term_bucket(term: Column, n_buckets: int) -> Column:
+    """Portable term -> bucket id: first 15 hex chars of
+    ``md5(term <0x1f> 'lexidx')`` mod ``n_buckets``. Matches
+    :func:`py_term_bucket` bit-for-bit so a driver-side query planner can
+    compute the buckets to prune to without touching the cluster; any
+    engine with md5 replays it. The digest costs once per POSTING at index
+    build, never on the probe path."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(_SEP, term, F.lit("lexidx"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def py_term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`term_bucket`."""
+    digest = hashlib.md5(f"{term}{_SEP}lexidx".encode()).hexdigest()
+    return int(digest[:15], 16) % n_buckets
+
+
+def _bm25_term_score(tf: Column, df: Column, dl: Column, n: Column,
+                     avgdl: Column, k1: float, b: float) -> Column:
+    idf = F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    return idf * (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+
+
+def _tfidf_term_score(tf: Column, df: Column, n: Column) -> Column:
+    return (F.lit(1.0) + F.log(tf)) * F.log((n + F.lit(1.0)) / (df + F.lit(1.0)))
+
+
+def build_postings(
+    corpus: DataFrame,
+    corpus_id: str = "doc_id",
+    text_col: str = "text",
+    vocab: list[str] | DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, term, tf, dl) postings. ``vocab`` prunes the posting build
+    to the terms that can score — pass the query vocabulary for one-shot
+    scoring, leave None to build a full index. A LIST (the usual case:
+    query vocabularies are tiny and driver-known) becomes a codegen
+    ``arrays_overlap`` prefilter that skips non-matching documents BEFORE
+    the explode — at corpus scale the explode then only ever touches
+    matching docs — plus a literal ``isin`` on the exploded term; a
+    DataFrame falls back to a broadcast join downstream of the explode."""
+    docs = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        tokens_expr(F.col(text_col)).alias("toks"),
+    )
+    if isinstance(vocab, list):
+        docs = docs.filter(F.arrays_overlap(
+            "toks", F.array(*[F.lit(t) for t in sorted(set(vocab))])))
+    toks = docs.select(
+        "doc_id", F.size("toks").cast("double").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    if isinstance(vocab, list):
+        toks = toks.filter(F.col("term").isin(sorted(set(vocab))))
+    elif vocab is not None:
+        toks = toks.join(F.broadcast(vocab.select("term").distinct()), "term")
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.max("dl").alias("dl"),
+    )
+
+
+def corpus_stats(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row (n, avgdl) frame over ALL documents (zero-token ones
+    included — they weight avgdl exactly as the SQL replay does)."""
+    return corpus.select(
+        F.size(tokens_expr(F.col(text_col))).cast("double").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
+@dataclass
+class LexicalIndex:
+    """A persisted inverted index: bucket-partitioned postings plus the
+    (n, avgdl) corpus scalars. Build once (:func:`build_lexical_index`),
+    probe many times (:func:`bm25_topk` with ``index=``) — probes prune to
+    the query vocabulary's buckets via literal partition predicates."""
+
+    postings: DataFrame   # (doc_id, term, tf, dl, term_bucket)
+    stats: DataFrame      # 1 row: (n, avgdl)
+    n_buckets: int
+
+    def write(self, path: str) -> None:
+        self.postings.write.mode("overwrite").partitionBy(
+            "term_bucket").parquet(f"{path}/postings")
+        self.stats.withColumn(
+            "n_buckets", F.lit(self.n_buckets)
+        ).write.mode("overwrite").parquet(f"{path}/stats")
+
+    @staticmethod
+    def read(spark, path: str) -> "LexicalIndex":
+        stats = spark.read.parquet(f"{path}/stats")
+        n_buckets = stats.select("n_buckets").head()[0]
+        return LexicalIndex(
+            postings=spark.read.parquet(f"{path}/postings"),
+            stats=stats.drop("n_buckets"),
+            n_buckets=int(n_buckets),
+        )
+
+    def pruned(self, terms: list[str]) -> DataFrame:
+        """Postings restricted to ``terms``'s buckets by LITERAL partition
+        predicates (driver-computed via :func:`py_term_bucket` — shows as
+        partition pruning in the scan, not a post-scan filter), then to the
+        terms themselves."""
+        buckets = sorted({py_term_bucket(t, self.n_buckets) for t in terms})
+        return self.postings.filter(
+            F.col("term_bucket").isin(buckets)
+        ).filter(F.col("term").isin(terms))
+
+
+def build_lexical_index(
+    corpus: DataFrame,
+    corpus_id: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> LexicalIndex:
+    post = build_postings(corpus, corpus_id, text_col).withColumn(
+        "term_bucket", term_bucket(F.col("term"), n_buckets))
+    return LexicalIndex(post, corpus_stats(corpus, text_col), n_buckets)
+
+
+def bm25_topk(
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    k: int = 10,
+    *,
+    index: LexicalIndex | None = None,
+    query_id: str = "query_id",
+    query_text: str = "text",
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    method: str = "bm25",
+    round_scores: int | None = 6,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Top-k documents per query by lexical score; returns
+    ``(query_id, neighbor_id, score, rank)`` with ``score`` rounded to
+    ``round_scores`` (the ranking key — see the module determinism note).
+
+    Exactly one of ``corpus`` / ``index``: with a corpus the postings are
+    built on the fly pruned to the query vocabulary; with an index the
+    probe reads only the vocabulary's ``term_bucket`` partitions. df is
+    per-term document frequency over the WHOLE corpus either way (the
+    vocabulary prune cannot change it: df counts docs containing the
+    term, all of which survive the prune)."""
+    if (corpus is None) == (index is None):
+        raise ValueError("pass exactly one of corpus= / index=")
+    if method not in ("bm25", "tfidf"):
+        raise ValueError(f"unknown method {method!r}")
+
+    qt = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(tokens_expr(F.col(query_text))).alias("term"),
+    ).distinct()
+    # the query vocabulary is tiny by contract (keyword queries) — collect
+    # it once so the corpus scan gets LITERAL predicates (doc prefilter +
+    # partition pruning), not a join it can't push below the explode
+    terms = [r[0] for r in qt.select("term").distinct().collect()]
+
+    if corpus is not None:
+        post = build_postings(corpus, corpus_id, corpus_text, vocab=terms)
+        stats = corpus_stats(corpus, corpus_text)
+    else:
+        post = index.pruned(terms).drop("term_bucket")
+        stats = index.stats
+
+    df_tbl = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    qdf = qt.join(df_tbl, "term")  # vocab-sized; broadcast onto postings
+    scored_terms = post.join(F.broadcast(qdf), "term").crossJoin(
+        F.broadcast(stats))
+    if method == "bm25":
+        term_score = _bm25_term_score(
+            F.col("tf"), F.col("df"), F.col("dl"), F.col("n"),
+            F.col("avgdl"), k1, b)
+    else:
+        term_score = _tfidf_term_score(F.col("tf"), F.col("df"), F.col("n"))
+    scored = scored_terms.select(
+        "query_id", F.col("doc_id").alias("neighbor_id"),
+        term_score.alias("s"),
+    ).groupBy("query_id", "neighbor_id").agg(F.sum("s").alias("score"))
+    if round_scores is not None:
+        scored = scored.withColumn("score", F.round("score", round_scores))
+
+    # Salted two-stage top-k: local k per (query, salt) bounds the global
+    # window's input to k*n_salts rows per query — with a handful of
+    # queries a single per-query window would funnel every scored row
+    # through that many reducers (ops/pq.py's running-top-k, in SQL form).
+    order = [F.col("score").desc(), F.col("neighbor_id")]
+    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(n_salts))
+    pruned = scored.withColumn("_lr", F.row_number().over(
+        Window.partitionBy("query_id", salt).orderBy(*order))
+    ).filter(F.col("_lr") <= k).drop("_lr")
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)

@@ -1,0 +1,152 @@
+"""Lexical retrieval (ops/retrieval.py): BM25/tf-idf scores vs a pure-Python
+reference, index probe == on-the-fly scoring, partition pruning on the
+persisted index, and edge cases (blank text, unseen terms)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graflo_spark.ops import retrieval as rt
+
+K1, B = 1.2, 0.75
+
+
+def _py_scores(docs, queries, method="bm25"):
+    """Reference scorer over [(doc_id, text)] and [(query_id, text)]."""
+    toks = {i: t.split() for i, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        for did, ws in toks.items():
+            s = 0.0
+            hit = False
+            for term in sorted(set(qtext.split())):
+                tf = float(ws.count(term))
+                if tf == 0:
+                    continue
+                hit = True
+                d = float(df[term])
+                if method == "bm25":
+                    idf = math.log(1 + (n - d + 0.5) / (d + 0.5))
+                    s += idf * tf * (K1 + 1) / (
+                        tf + K1 * (1 - B + B * len(ws) / avgdl))
+                else:
+                    s += (1 + math.log(tf)) * math.log((n + 1) / (d + 1))
+            if hit:
+                out[(qid, did)] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark join hash join join table"),
+        (1, "window batch scan filter filter"),
+        (2, "join window window spark spark spark"),
+        (3, "table scan"),
+        (4, ""),                       # blank doc: dl=0, never matches
+        (5, "hash hash hash hash hash hash hash hash"),
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+QUERIES = [(0, "join spark"), (1, "hash"), (2, "scan filter table")]
+
+
+@pytest.mark.parametrize("method", ["bm25", "tfidf"])
+def test_scores_match_python_reference(spark, corpus, method):
+    rows, df = corpus
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    got = rt.bm25_topk(qs, df, k=10, method=method, round_scores=None)
+    expect = _py_scores(rows, QUERIES, method)
+    got_rows = {(r.query_id, r.neighbor_id): r.score for r in got.collect()}
+    assert set(got_rows) == set(expect)
+    for key, v in expect.items():
+        assert got_rows[key] == pytest.approx(v, rel=1e-12)
+
+
+def test_topk_cut_and_rank_order(spark, corpus):
+    _, df = corpus
+    qs = spark.createDataFrame([(0, "join spark hash")],
+                               "query_id long, text string")
+    out = rt.bm25_topk(qs, df, k=2).orderBy("rank").collect()
+    assert [r.rank for r in out] == [1, 2]
+    assert out[0].score >= out[1].score
+
+
+def test_salted_topk_equals_single_window(spark, corpus):
+    """n_salts must not change the result: the salted local stage is a
+    pure pruning step."""
+    _, df = corpus
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    a = rt.bm25_topk(qs, df, k=3, n_salts=1)
+    b = rt.bm25_topk(qs, df, k=3, n_salts=64)
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)
+
+
+def test_unseen_terms_and_no_match_query(spark, corpus):
+    _, df = corpus
+    qs = spark.createDataFrame(
+        [(7, "zzz qqq"), (8, "join zzz")], "query_id long, text string")
+    out = rt.bm25_topk(qs, df, k=5).collect()
+    # query 7 matches nothing -> absent; query 8 scores on 'join' alone
+    assert {r.query_id for r in out} == {8}
+    assert {r.neighbor_id for r in out} == {0, 2}
+
+
+def test_index_probe_matches_on_the_fly(spark, corpus, tmp_path):
+    rows, df = corpus
+    idx = rt.build_lexical_index(df, n_buckets=8)
+    idx.write(str(tmp_path / "lexidx"))
+    idx2 = rt.LexicalIndex.read(spark, str(tmp_path / "lexidx"))
+    assert idx2.n_buckets == 8
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    direct = rt.bm25_topk(qs, df, k=10)
+    probed = rt.bm25_topk(qs, index=idx2, k=10)
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(direct.collect(), key=key) == sorted(
+        probed.collect(), key=key)
+
+
+def test_index_probe_prunes_partitions(spark, corpus, tmp_path):
+    """The probe's scan must read only the query vocabulary's term_bucket
+    partitions — literal partition predicates, visible in the plan."""
+    _, df = corpus
+    idx = rt.build_lexical_index(df, n_buckets=8)
+    idx.write(str(tmp_path / "lexidx"))
+    idx2 = rt.LexicalIndex.read(spark, str(tmp_path / "lexidx"))
+    terms = ["join", "spark"]
+    plan = idx2.pruned(terms)._jdf.queryExecution().executedPlan().toString()
+    buckets = sorted({rt.py_term_bucket(t, 8) for t in terms})
+    pf = plan[plan.index("PartitionFilters"):].split("]", 1)[0]
+    assert f"IN ({','.join(map(str, buckets))})" in pf.replace(", ", ",")
+
+
+def test_portable_bucket_twins_agree(spark):
+    terms = ["join", "spark", "hash", "a", "", "ünïcode"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r.term: r.b
+        for r in df.select(
+            "term", rt.term_bucket(F.col("term"), 64).alias("b")).collect()
+    }
+    for t in terms:
+        assert got[t] == rt.py_term_bucket(t, 64)
+
+
+def test_arg_validation(spark, corpus):
+    _, df = corpus
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    with pytest.raises(ValueError):
+        rt.bm25_topk(qs, df, index=rt.build_lexical_index(df))
+    with pytest.raises(ValueError):
+        rt.bm25_topk(qs)
+    with pytest.raises(ValueError):
+        rt.bm25_topk(qs, df, method="cosine")

@@ -62,8 +62,9 @@ HEADLINES = [
     "dup_substring_spans_documents",
     "dedup_lines_documents",
     "gopher_rules_documents",
-    # round 9: fastText-style hashed-ngram quality classifier
+    # round 9: fastText-style hashed-ngram quality classifier + BM25
     "quality_clf_documents",
+    "bm25_topk_documents",
 ]
 
 

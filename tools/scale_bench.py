@@ -126,6 +126,11 @@ SCALE_QUERIES = [
     # rotation is a bijection on char 7-grams, so cross-replica
     # fingerprints are disjoint and the pair join scales replica-locally
     "winnowing_fingerprints_documents",
+    # r9 lexical retrieval: the rotation bijection keeps each query term
+    # matching only its own rotation's replicas, so the scored set stays
+    # base-sized while the tokenize/prefilter scan grows with the corpus —
+    # the honest 100 TB shape (scan-bound, match-bounded)
+    "bm25_topk_documents",
 ]
 
 # (table, [key cols offset by own stride], {col: stride-source table})
