@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     # round 9: the fastText-style quality classifier (train + score in
     # one query) — the round's new operator family with real runtime.
     "quality_clf_documents",
+    # round 9: lexical retrieval (BM25 + tf-idf, both in one query) —
+    # the sparse counterpart to ann/pq; adds ~2 s of NEW work.
+    "bm25_topk_documents",
 ]
 
 

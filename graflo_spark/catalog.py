@@ -35,6 +35,7 @@ from graflo_spark.manifest import (
 )
 from graflo_spark.ops import decontam as dc
 from graflo_spark.ops import dedup as dd
+from graflo_spark.ops import pca as pc
 from graflo_spark.ops import pii as pi
 from graflo_spark.ops import retrieval as rt
 from graflo_spark.ops import sampling as sp
@@ -4228,6 +4229,96 @@ def schema_metadata_suite(spark, sf_dir):
         manifest_io_suite(spark, sf_dir))
 
 
+# ---------------------------------------------- LLM-pipeline: PCA projection
+
+# PCA search-space reduction (ops/pca.py): the model below was fit ONCE at
+# sf0.01 (fit_pca k=4 — one Arrow-batched moment pass + driver eigh) and
+# frozen with every coordinate snapped to the 1/4096 grid, the PQ-codebook
+# discipline: the snapped value is the same exact double in Python, the
+# JVM, and DuckDB. The oracle replays the APPLY machinery bit-for-bit —
+# center (index-order subtract), project (list_inner_product against the
+# same literals == the operator's aggregate(zip_with) fold), then cosine
+# top-k in the reduced space exactly like the ann brute branch. What's
+# verified is the projection + search pipeline; fit quality (eigh parity
+# with numpy, orthonormality, variance ordering) is tested in tests/.
+_PCA_MEAN_4096 = [
+    9, -19, 16, -20, 41, 32, -75, 38, -10, -3, 26, 14, -11, 8, -1, 24,
+    14, 24, -2, 5, -16, 9, 17, -33, -8, 52, -7, 44, -5, 2, 23, -24,
+    34, -27, 21, 5, -22, -7, -4, -5, -7, -48, 1, -2, -47, 16, -2, 24,
+    -15, -42, 38, -6, 32, -16, 19, -15, 20, -10, -20, -36, -1, 20, -5, -54,
+]
+_PCA_COMPS_4096 = [
+    [-859, -494, 150, 48, 310, 54, 371, 1174, 203, 1696, 267, 746, 267,
+     -150, 701, -759, 365, -643, -123, 132, 251, -453, -342, -227, 80, 816,
+     -154, 612, -708, -25, -240, 254, 1215, 435, -131, 427, 182, 252, 53,
+     89, -478, 23, -986, 392, -116, -922, 36, -324, -343, -485, 493, 297,
+     -70, 334, -62, -273, -228, -210, 247, -373, 500, 207, -894, -418],
+    [-16, -223, -51, -361, 716, 103, 307, -287, 317, 126, 433, -73, 53,
+     548, 60, 170, 608, 1476, -222, -208, 133, 145, 268, -1266, -1055,
+     -979, -85, -1, -353, -715, -99, -891, 121, 252, 138, 324, 244, 149,
+     746, 191, 0, 192, -257, -734, 707, -773, -192, 597, 463, -464, -645,
+     -336, 53, -66, 975, 96, -1240, 67, 555, -498, -343, 347, -2, -322],
+    [-606, -349, -262, -2, -837, -179, 482, -1165, 182, 97, -210, 146,
+     -246, -142, 39, -961, 702, -348, 475, 317, 54, 718, -412, 219, 379,
+     410, 371, -549, 42, -432, -503, 372, 198, -740, -122, -418, 570, -871,
+     -260, -426, 776, 779, -516, -856, 679, 216, 175, 74, -280, -210, -530,
+     -436, 933, -628, -734, -8, -22, 449, 749, -216, -285, 1181, -369,
+     -309],
+    [279, 257, 36, 707, -1057, 439, -95, 727, -472, 558, 31, 827, -249,
+     -574, -381, 202, 397, 293, -38, -832, -924, 646, -49, 300, 113, -488,
+     477, -16, 528, -428, 623, 822, -333, -72, -477, 1295, -478, -608, -42,
+     -198, -59, -1, -351, -71, -310, -170, -56, 1513, -444, -629, 272, -81,
+     38, 22, -90, 416, -700, 381, -699, -303, -787, -394, -344, 108],
+]
+_PCA_FROZEN = pc.PcaModel(
+    mean=[v / 4096.0 for v in _PCA_MEAN_4096],
+    components=[[v / 4096.0 for v in row] for row in _PCA_COMPS_4096],
+    explained_variance=[0.0] * len(_PCA_COMPS_4096),  # unused by apply
+)
+
+
+def _pca_lit_sql(vals: list[int]) -> str:
+    return "[" + ", ".join(f"({v}.0/4096)" for v in vals) + "]"
+
+
+_PCA_TOPK_ORACLE = (
+    "WITH proj AS (SELECT vec_id, ["
+    + ", ".join(
+        f"list_inner_product(centered, {_pca_lit_sql(row)})"
+        for row in _PCA_COMPS_4096
+    )
+    + "] AS p FROM (SELECT vec_id, list_transform(list_zip("
+    "CAST(embedding AS DOUBLE[]), " + _pca_lit_sql(_PCA_MEAN_4096)
+    + "), x -> x[1] - x[2]) AS centered FROM embeddings)), "
+    "q AS (SELECT vec_id AS query_id, p AS qp FROM proj WHERE vec_id < 5), "
+    "s AS (SELECT query_id, vec_id AS neighbor_id, "
+    "list_inner_product(qp, p) / (sqrt(list_inner_product(qp, qp)) * "
+    "sqrt(list_inner_product(p, p))) AS cosine "
+    "FROM proj CROSS JOIN q WHERE vec_id <> query_id) "
+    "SELECT 'pca' AS method, query_id, neighbor_id, "
+    "ROUND(cosine, 6) AS score, rank FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5"
+)
+
+
+@q("pca_topk_embeddings", _PCA_TOPK_ORACLE)
+def pca_topk_embeddings(spark, sf_dir):
+    """Cosine top-k in the frozen 4-component PCA space: one codegen
+    projection pass (aggregate(zip_with) per component — no Python, no
+    shuffle) feeding the brute-force exactness baseline. The projected
+    doubles are bit-identical across engines (index-order fold on frozen
+    grid literals), so raw-cosine ranking needs no rounding guard."""
+    emb = load(spark, sf_dir, "embeddings")
+    proj = pc.apply_pca(emb, _PCA_FROZEN, "embedding", "pca")
+    queries = proj.filter(F.col("vec_id") < 5)
+    out = ss.brute_force_topk(queries, proj, k=5,
+                              query_vec="pca", corpus_vec="pca")
+    return out.select(
+        F.lit("pca").alias("method"), "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("score"), "rank")
+
+
 # ------------------------------------------ LLM-pipeline: lexical retrieval
 
 # BM25 / tf-idf keyword top-k (ops/retrieval.py) — the sparse counterpart
@@ -4299,19 +4390,22 @@ def bm25_topk_documents(spark, sf_dir):
     "SELECT method, query_id, neighbor_id, cosine AS score, rank FROM ("
     + ORACLES["ann_topk_embeddings"] + ") UNION ALL "
     "SELECT * FROM (" + ORACLES["pq_adc_topk_embeddings"] + ") UNION ALL "
-    "SELECT * FROM (" + _LEX_ORACLE_BODY + ")",
+    "SELECT * FROM (" + _LEX_ORACLE_BODY + ") UNION ALL "
+    "SELECT * FROM (" + _PCA_TOPK_ORACLE + ")",
 )
 def embedding_search_suite(spark, sf_dir):
     """Every similarity-search path in one row: brute/IVF/LSH (the
     ann_topk branches, cosine normalized to 'score'), the three PQ/ADC
     branches (driver-LUT, join formulation, IVF-PQ), and (r9) the two
     LEXICAL retrieval branches — BM25 and tf-idf keyword top-k
-    (ops/retrieval.py; sparse retrieval next to the dense paths)."""
+    (ops/retrieval.py; sparse retrieval next to the dense paths) — plus
+    the frozen-matrix PCA-space top-k (ops/pca.py)."""
     ann = ann_topk_embeddings(spark, sf_dir).withColumnRenamed(
         "cosine", "score")
     return ann.unionByName(
         pq_adc_topk_embeddings(spark, sf_dir)
-    ).unionByName(bm25_topk_documents(spark, sf_dir))
+    ).unionByName(bm25_topk_documents(spark, sf_dir)).unionByName(
+        pca_topk_embeddings(spark, sf_dir))
 
 
 @q(
@@ -4551,7 +4645,7 @@ def dedup_text_suite(spark, sf_dir):
 _RETIRED_INTO_SUITES = [
     "evolve_migrate_suite", "manifest_io_suite",
     "ann_topk_embeddings", "pq_adc_topk_embeddings",
-    "bm25_topk_documents",
+    "bm25_topk_documents", "pca_topk_embeddings",
     "near_dup_clusters_documents", "semdedup_clusters_embeddings",
     "sampling_split_mix_documents", "io_formats_suite",
     "text_stats_documents", "gopher_rules_documents",

@@ -1,0 +1,97 @@
+"""PCA (ops/pca.py): distributed one-pass fit == numpy, orthonormal
+components in descending variance order, codegen projection parity, and
+layout stability."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graflo_spark.ops import pca as pc
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def X(emb):
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    return np.array([np.asarray(r.embedding, dtype=np.float64)
+                     for r in rows])
+
+
+def _numpy_pca(X, k):
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / X.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    for i in order:
+        v = evecs[:, i]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    return mu, np.array(comps), evals[order]
+
+
+def test_fit_matches_numpy(emb, X):
+    model = pc.fit_pca(emb, "embedding", k=6)
+    mu, comps, evals = _numpy_pca(X, 6)
+    assert np.allclose(model.mean, mu, atol=1e-12)
+    assert np.allclose(model.explained_variance, evals, atol=1e-12)
+    assert np.allclose(model.components, comps, atol=1e-8)
+
+
+def test_components_orthonormal_and_ordered(emb):
+    model = pc.fit_pca(emb, "embedding", k=5)
+    C = np.array(model.components)
+    assert np.allclose(C @ C.T, np.eye(5), atol=1e-10)
+    ev = model.explained_variance
+    assert all(a >= b for a, b in zip(ev, ev[1:]))
+    assert all(v > 0 for v in ev)
+
+
+def test_fit_layout_stable(emb):
+    a = pc.fit_pca(emb.repartition(2), "embedding", k=3)
+    b = pc.fit_pca(emb.repartition(7, "vec_id"), "embedding", k=3)
+    assert np.allclose(a.mean, b.mean, atol=1e-12)
+    assert np.allclose(a.components, b.components, atol=1e-8)
+
+
+def test_apply_matches_numpy(emb, X):
+    model = pc.fit_pca(emb, "embedding", k=4)
+    out = sorted(pc.apply_pca(emb, model).select("vec_id", "pca").collect(),
+                 key=lambda r: r.vec_id)
+    ref = (X - np.asarray(model.mean)) @ np.asarray(model.components).T
+    got = np.array([r.pca for r in out])
+    assert np.allclose(got, ref, atol=1e-12)
+
+
+def test_projection_preserves_topk_better_than_random(emb, X):
+    """PCA-space cosine ordering correlates with full-space ordering —
+    sanity that the projection is the variance-maximizing one, not noise.
+    (The synthetic embeddings are near-isotropic, so demand only a clearly
+    better-than-random overlap, not high recall.)"""
+    model = pc.fit_pca(emb, "embedding", k=16)
+    P = (X - np.asarray(model.mean)) @ np.asarray(model.components).T
+
+    def topk(M, q, k=10):
+        sims = M @ M[q] / (np.linalg.norm(M, axis=1) * np.linalg.norm(M[q]))
+        sims[q] = -np.inf
+        return set(np.argsort(-sims)[:k])
+
+    overlap = np.mean([
+        len(topk(X, q) & topk(P, q)) / 10 for q in range(5)])
+    random_overlap = 10 / (X.shape[0] - 1)
+    assert overlap > 3 * random_overlap
+
+
+def test_fit_validation(spark, emb):
+    with pytest.raises(ValueError):
+        pc.fit_pca(emb, "embedding", k=0)
+    with pytest.raises(ValueError):
+        pc.fit_pca(emb, "embedding", k=10_000)
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError):
+        pc.fit_pca(empty, "embedding", k=2)

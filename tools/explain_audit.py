@@ -62,9 +62,10 @@ HEADLINES = [
     "dup_substring_spans_documents",
     "dedup_lines_documents",
     "gopher_rules_documents",
-    # round 9: fastText-style hashed-ngram quality classifier + BM25
+    # round 9: fastText-style hashed-ngram quality classifier + BM25 + PCA
     "quality_clf_documents",
     "bm25_topk_documents",
+    "pca_topk_embeddings",
 ]
 
 
