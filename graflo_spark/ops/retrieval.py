@@ -174,6 +174,27 @@ class LexicalIndex:
             F.col("term_bucket").isin(buckets)
         ).filter(F.col("term").isin(terms))
 
+    def extend(
+        self,
+        new_corpus: DataFrame,
+        corpus_id: str = "doc_id",
+        text_col: str = "text",
+    ) -> "LexicalIndex":
+        """Incremental ingest (the IvfIndex.extend shape): posting-build
+        ONLY the new docs, union, and recombine the (n, avgdl) scalars as
+        the count-weighted merge — never rescanning the indexed corpus.
+        Caller contract: new ids are disjoint from indexed ids (same as
+        every store in this repo; enforceable upstream by an anti-join)."""
+        add = build_postings(new_corpus, corpus_id, text_col).withColumn(
+            "term_bucket", term_bucket(F.col("term"), self.n_buckets))
+        add_stats = corpus_stats(new_corpus, text_col)
+        merged = self.stats.unionByName(add_stats).agg(
+            F.sum("n").alias("n"),
+            (F.sum(F.col("n") * F.col("avgdl")) / F.sum("n")).alias("avgdl"),
+        )
+        return LexicalIndex(
+            self.postings.unionByName(add), merged, self.n_buckets)
+
 
 def build_lexical_index(
     corpus: DataFrame,
@@ -201,6 +222,7 @@ def bm25_topk(
     method: str = "bm25",
     round_scores: int | None = 6,
     n_salts: int = 32,
+    require_all_terms: bool = False,
 ) -> DataFrame:
     """Top-k documents per query by lexical score; returns
     ``(query_id, neighbor_id, score, rank)`` with ``score`` rounded to
@@ -211,7 +233,13 @@ def bm25_topk(
     probe reads only the vocabulary's ``term_bucket`` partitions. df is
     per-term document frequency over the WHOLE corpus either way (the
     vocabulary prune cannot change it: df counts docs containing the
-    term, all of which survive the prune)."""
+    term, all of which survive the prune).
+
+    ``require_all_terms`` switches OR (rank anything matching any term —
+    the BM25 default) to boolean-AND retrieval: only documents containing
+    EVERY term of the query score; a query with a term absent from the
+    corpus matches nothing. One extra count in the existing per-doc
+    aggregate, no extra shuffle."""
     if (corpus is None) == (index is None):
         raise ValueError("pass exactly one of corpus= / index=")
     if method not in ("bm25", "tfidf"):
@@ -247,7 +275,17 @@ def bm25_topk(
     scored = scored_terms.select(
         "query_id", F.col("doc_id").alias("neighbor_id"),
         term_score.alias("s"),
-    ).groupBy("query_id", "neighbor_id").agg(F.sum("s").alias("score"))
+    ).groupBy("query_id", "neighbor_id").agg(
+        F.sum("s").alias("score"),
+        F.count(F.lit(1)).alias("_matched"),
+    )
+    if require_all_terms:
+        # per-query term counts are vocab-sized — broadcast the target in
+        n_terms = qt.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_needed"))
+        scored = scored.join(F.broadcast(n_terms), "query_id").filter(
+            F.col("_matched") == F.col("_needed")).drop("_needed")
+    scored = scored.drop("_matched")
     if round_scores is not None:
         scored = scored.withColumn("score", F.round("score", round_scores))
 

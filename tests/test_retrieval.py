@@ -141,6 +141,39 @@ def test_portable_bucket_twins_agree(spark):
         assert got[t] == rt.py_term_bucket(t, 64)
 
 
+def test_index_extend_matches_rebuild(spark, corpus):
+    """Incremental ingest == one-shot build: postings, n, avgdl, and the
+    probe results all agree (extend never rescans the indexed corpus)."""
+    rows, df = corpus
+    first = df.filter(F.col("doc_id") < 3)
+    rest = df.filter(F.col("doc_id") >= 3)
+    inc = rt.build_lexical_index(first, n_buckets=8).extend(rest)
+    full = rt.build_lexical_index(df, n_buckets=8)
+    assert sorted(inc.stats.collect()) == sorted(full.stats.collect())
+    key = lambda r: (r.doc_id, r.term)
+    assert sorted(inc.postings.collect(), key=key) == sorted(
+        full.postings.collect(), key=key)
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    rkey = lambda r: (r.query_id, r.rank)
+    assert sorted(rt.bm25_topk(qs, index=inc, k=5).collect(), key=rkey) == \
+        sorted(rt.bm25_topk(qs, index=full, k=5).collect(), key=rkey)
+
+
+def test_require_all_terms_and_semantics(spark, corpus):
+    _, df = corpus
+    qs = spark.createDataFrame(
+        [(0, "join spark"), (1, "join zzz")], "query_id long, text string")
+    out = rt.bm25_topk(qs, df, k=10, require_all_terms=True).collect()
+    # docs 0 and 2 contain BOTH 'join' and 'spark'; doc 1/3/5 lack one.
+    # query 1 contains a term absent from the corpus -> matches nothing.
+    assert {(r.query_id, r.neighbor_id) for r in out} == {(0, 0), (0, 2)}
+    # AND-mode scores equal OR-mode scores for the surviving docs
+    or_rows = {(r.query_id, r.neighbor_id): r.score
+               for r in rt.bm25_topk(qs, df, k=10).collect()}
+    for r in out:
+        assert r.score == or_rows[(r.query_id, r.neighbor_id)]
+
+
 def test_arg_validation(spark, corpus):
     _, df = corpus
     qs = spark.createDataFrame(QUERIES, "query_id long, text string")
