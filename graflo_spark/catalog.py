@@ -4494,6 +4494,54 @@ def corpus_io_suite(spark, sf_dir):
     return smp.unionByName(io).unionByName(bud).unionByName(bud_a)
 
 
+# ---------------------------------------------- LLM-pipeline: C4 cleaning
+
+# C4-style line cleaning (ops/textstats.c4_clean_lines, Raffel et al. 2020
+# §2.2) over the deterministic 10-token reflow (the dedup_lines staging —
+# both engines replay it identically). Corpus-fit rule configuration, the
+# Gopher-stop-list precedent: the synthetic corpus has no sentence
+# punctuation, so terminal_punct=None; min_words_per_line=10 drops exactly
+# the short tail line of any doc whose token count isn't a multiple of 10;
+# line_blocklist=('customer',) drops a data-dependent line subset; the
+# default doc blocklist is replayed verbatim (it fires on zero docs on
+# both engines — the branch, not the hit rate, is what's verified);
+# min_kept_lines=5 flags short-after-cleaning docs.
+_C4_CLEAN_ORACLE = (
+    r"WITH tk AS (SELECT doc_id, "
+    r"[x FOR x IN regexp_split_to_array(trim(text), '\s+') IF x != ''] "
+    "AS t FROM documents WHERE text IS NOT NULL), "
+    "lines AS (SELECT doc_id, i AS pos, "
+    "array_to_string(t[(i*10+1):(i*10+10)], ' ') AS line "
+    "FROM tk, unnest(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) r(i)), "
+    "refl AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) "
+    "AS full_text, count(*) AS nl FROM lines GROUP BY doc_id), "
+    "kept AS (SELECT doc_id, pos, line FROM lines WHERE "
+    r"len([x FOR x IN regexp_split_to_array(trim(line), '\s+') "
+    "IF x != '']) >= 10 AND NOT contains(lower(line), 'customer')), "
+    "reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS s, "
+    "count(*) AS nk FROM kept GROUP BY doc_id) "
+    "SELECT refl.doc_id, COALESCE(reb.s, '') AS text, "
+    "refl.nl AS n_lines, COALESCE(reb.nk, 0) AS n_lines_kept, "
+    "(NOT contains(lower(refl.full_text), 'lorem ipsum') "
+    "AND NOT contains(lower(refl.full_text), '{') "
+    "AND COALESCE(reb.nk, 0) >= 5) AS doc_pass "
+    "FROM refl LEFT JOIN reb USING (doc_id)"
+)
+
+
+@q("c4_clean_documents", _C4_CLEAN_ORACLE)
+def c4_clean_documents(spark, sf_dir):
+    """C4 line cleaning over the reflowed documents corpus: cleaned text,
+    line counts, and the page-level pass flag, all replayed in SQL."""
+    df = load(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = dd.reflow_lines(df, "doc_id", "text", width=10)
+    return ts.c4_clean_lines(
+        staged, "doc_id", "text",
+        min_words_per_line=10, terminal_punct=None,
+        line_blocklist=("customer",), min_kept_lines=5,
+    )
+
+
 _TEXT_STATS_NUM = (
     "n_chars_actual", "n_tokens", "n_tokens_bpe", "punct_ratio",
     "quality", "token_rep", "top2gram_frac", "n_pii_email", "n_pii_ipv4",
@@ -4536,8 +4584,18 @@ _GOPHER_RULES = (
             "FROM (__DSIRW__)",
             "SELECT 'dsir_sel', id, " + _S + ", ROUND(gk, 6) "
             "FROM (__DSIRS__)",
+            # r9: C4 line cleaning — cleaned text, line counts, page flag
+            "SELECT 'c4_text', doc_id, text, " + _D + " FROM (__C4__)",
+            "SELECT 'c4_nl', doc_id, " + _S + ", CAST(n_lines AS DOUBLE) "
+            "FROM (__C4__)",
+            "SELECT 'c4_nk', doc_id, " + _S + ", "
+            "CAST(n_lines_kept AS DOUBLE) FROM (__C4__)",
+            "SELECT 'c4_pass', doc_id, " + _S + ", "
+            "CAST(CASE WHEN doc_pass THEN 1 ELSE 0 END AS DOUBLE) "
+            "FROM (__C4__)",
         ]
     )
+    .replace("__C4__", _C4_CLEAN_ORACLE)
     .replace("__TS__", ORACLES["text_stats_documents"])
     .replace("__G__", ORACLES["gopher_rules_documents"])
     .replace("__BE__", ORACLES["bigram_entropy_documents"])
@@ -4597,6 +4655,21 @@ def text_quality_suite(spark, sf_dir):
             F.col("id").cast("long").alias("id"), nl_s.alias("s"),
             F.round("gumbel_key", 6).alias("v")),
     ]
+    c4 = c4_clean_documents(spark, sf_dir)
+    parts += [
+        c4.select(F.lit("c4_text").alias("kind"),
+                  F.col("doc_id").alias("id"), F.col("text").alias("s"),
+                  nl_d.alias("v")),
+        c4.select(F.lit("c4_nl").alias("kind"),
+                  F.col("doc_id").alias("id"), nl_s.alias("s"),
+                  F.col("n_lines").cast("double").alias("v")),
+        c4.select(F.lit("c4_nk").alias("kind"),
+                  F.col("doc_id").alias("id"), nl_s.alias("s"),
+                  F.col("n_lines_kept").cast("double").alias("v")),
+        c4.select(F.lit("c4_pass").alias("kind"),
+                  F.col("doc_id").alias("id"), nl_s.alias("s"),
+                  F.when(F.col("doc_pass"), 1.0).otherwise(0.0).alias("v")),
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -4649,6 +4722,7 @@ _RETIRED_INTO_SUITES = [
     "near_dup_clusters_documents", "semdedup_clusters_embeddings",
     "sampling_split_mix_documents", "io_formats_suite",
     "text_stats_documents", "gopher_rules_documents",
+    "c4_clean_documents",
     "bigram_entropy_documents", "lm_cross_entropy_documents",
     "dedup_exact_documents", "minhash_dedup_documents",
     "dedup_lines_documents", "dup_substring_spans_documents",

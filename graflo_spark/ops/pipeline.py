@@ -2,9 +2,10 @@
 this package's hygiene/dedup/packing operators in the order production
 pretraining pipelines run them —
 
-    URL dedup -> quality gate -> PII scrub -> benchmark decontamination ->
-    exact dedup -> near-dup clustering (quality-aware representatives) ->
-    train/val/test split -> sequence packing
+    URL dedup -> quality gate -> C4 page cleaning -> PII scrub ->
+    benchmark decontamination -> exact dedup -> near-dup clustering
+    (quality-aware representatives) -> train/val/test split ->
+    sequence packing
 
 `annotate` tags every input document with the FIRST stage that drops it
 (``drop_stage`` NULL for survivors) instead of filtering eagerly — so one
@@ -69,6 +70,17 @@ class PipelineConfig:
     # passes its own function-word list (the rule's premise is "target-
     # distribution function words appear", not those 8 literals)
     gopher_stopwords: tuple | None = None
+    # C4 page cleaning (Raffel et al. 2020 §2.2, ops/textstats.c4_exprs):
+    # when on, pages failing the doc rules (doc blocklist / too few lines
+    # survive the line rules) are charged to the 'c4' funnel stage, and
+    # SURVIVORS get the line-cleaned text (applied with the PII redaction
+    # at the end — dedup fingerprints, like PII, see the original text).
+    c4_clean: bool = False
+    c4_min_words_per_line: int = 5
+    c4_terminal_punct: str | None = ".!?\"'"
+    c4_line_blocklist: tuple = ("javascript",)
+    c4_doc_blocklist: tuple = ("lorem ipsum", "{")
+    c4_min_kept_lines: int = 3
     # Language gate (ops/textstats.lang_id stopword-argmax heuristic):
     # keep only documents whose predicted language is in this list
     # (None = off). Charged to its own 'lang' funnel stage. Include 'und'
@@ -107,7 +119,7 @@ class PipelineConfig:
 
 
 # funnel order — each document is charged to the FIRST stage that drops it
-STAGES = ("url_dup", "quality", "gopher", "lang", "lm_quality",
+STAGES = ("url_dup", "quality", "c4", "gopher", "lang", "lm_quality",
           "clf_quality", "decontam", "exact_dup", "near_dup")
 
 
@@ -135,6 +147,20 @@ def annotate(
         & (ts.quality_score(t) >= cfg.min_quality)
         & (ts.token_count(t) >= cfg.min_tokens)
     )
+
+    # optional C4 page gate — pure exprs, fused into the same scan; the
+    # kept-lines array is reused for the survivor text replacement below.
+    # NULL text is the quality stage's to charge (c4_ok true on NULL).
+    if cfg.c4_clean:
+        c4_kept, c4_pass = ts.c4_exprs(
+            t, min_words_per_line=cfg.c4_min_words_per_line,
+            terminal_punct=cfg.c4_terminal_punct,
+            line_blocklist=tuple(cfg.c4_line_blocklist),
+            doc_blocklist=tuple(cfg.c4_doc_blocklist),
+            min_kept_lines=cfg.c4_min_kept_lines)
+        c4_ok = t.isNull() | c4_pass
+    else:
+        c4_kept, c4_ok = None, F.lit(True)
 
     # optional Gopher rule-set gate — pure exprs, fused into the same scan
     gopher_kwargs = (
@@ -226,8 +252,8 @@ def annotate(
     if cfg.url_col:
         ukey = normalize_url(F.col(cfg.url_col))
         has_key = ukey.isNotNull() & (ukey != "")
-        url_elig = (quality_ok & gopher_ok & lang_ok & lm_ok & clf_ok
-                    & ~F.col("__contaminated"))
+        url_elig = (quality_ok & c4_ok & gopher_ok & lang_ok & lm_ok
+                    & clf_ok & ~F.col("__contaminated"))
         winners = (
             out.filter(has_key)
             .withColumn("__ukey", ukey)
@@ -250,8 +276,8 @@ def annotate(
     # duplicate group — otherwise its surviving twin gets dropped as a dup
     # of a document that is itself gone, and the content vanishes entirely.
     eligible = out.filter(
-        ~F.col("__url_dup") & quality_ok & gopher_ok & lang_ok & lm_ok
-        & clf_ok & ~F.col("__contaminated")
+        ~F.col("__url_dup") & quality_ok & c4_ok & gopher_ok & lang_ok
+        & lm_ok & clf_ok & ~F.col("__contaminated")
     )
 
     # 4. exact dedup on the normalized content fingerprint (min-id winner)
@@ -293,6 +319,7 @@ def annotate(
     drop = (
         F.when(F.col("__url_dup"), "url_dup")
         .when(~quality_ok, "quality")
+        .when(~c4_ok, "c4")
         .when(~gopher_ok, "gopher")
         .when(~lang_ok, "lang")
         .when(~lm_ok, "lm_quality")
@@ -307,9 +334,13 @@ def annotate(
     for helper in ("__ce", "__clf_prob"):
         if helper in annotated.columns:
             annotated = annotated.drop(helper)
+    survivor_text = (
+        redact_pii(F.array_join(c4_kept, "\n"))
+        if cfg.c4_clean else redact_pii(t)
+    )
     annotated = annotated.withColumn(
         t_c,
-        F.when(F.col("drop_stage").isNull(), redact_pii(t)).otherwise(t),
+        F.when(F.col("drop_stage").isNull(), survivor_text).otherwise(t),
     )
     return sp.hash_split(annotated, id_c, cfg.splits)
 

@@ -559,3 +559,88 @@ def bigram_entropy(
             F.sum("_plp").alias("bigram_entropy"),
         )
     )
+
+
+def c4_clean_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    terminal_punct: str | None = ".!?\"'",
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2): drop lines that
+    are too short, don't end in terminal punctuation, or contain a
+    blocklisted word; flag whole documents that contain a doc-blocklist
+    phrase or keep fewer than ``min_kept_lines`` lines. Rule thresholds
+    and word lists are parameters (the Gopher-stop-list precedent: C4's
+    published constants target web English; a corpus-fit configuration is
+    the same machinery).
+
+    Returns ``(id, text [cleaned], n_lines, n_lines_kept, doc_pass)`` —
+    the cleaned text keeps surviving lines in order; callers filter on
+    ``doc_pass`` (C4 discards failing pages outright).
+
+    100 TB shape: ONE zero-shuffle map pass — line predicates via array
+    HOFs and ``array_join`` reassembly. The Gopher A/B's exploded-codegen
+    rewrite deliberately does NOT apply here: cleaning must REBUILD the
+    text, which in exploded form costs a corpus-wide groupBy shuffle; the
+    interpreted HOF walk is per-doc-bounded and rides the scan.
+    ``terminal_punct=None`` disables the punctuation rule (corpora
+    without sentence punctuation)."""
+    t = F.col(text_col)
+    kept, doc_pass = c4_exprs(
+        t, min_words_per_line=min_words_per_line,
+        terminal_punct=terminal_punct, line_blocklist=line_blocklist,
+        doc_blocklist=doc_blocklist, min_kept_lines=min_kept_lines)
+    n_kept = F.when(t.isNull(), F.lit(0)).otherwise(F.size(kept))
+    return df.select(
+        F.col(id_col),
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(kept, "\n")).alias(text_col),
+        F.when(t.isNull(), F.lit(0)).otherwise(
+            F.size(F.split(t, "\n", -1))).alias("n_lines"),
+        n_kept.alias("n_lines_kept"),
+        doc_pass.alias("doc_pass"),
+    )
+
+
+def c4_exprs(
+    t: Column,
+    *,
+    min_words_per_line: int = 5,
+    terminal_punct: str | None = ".!?\"'",
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_kept_lines: int = 3,
+) -> tuple[Column, Column]:
+    """The C4 rules as raw Column expressions ``(kept_lines_array,
+    doc_pass)`` — :func:`c4_clean_lines` packages them per-document; the
+    pipeline fuses them into its gate scan (``ops/pipeline.annotate``,
+    the gopher_pass_expr pattern)."""
+    lines = F.split(t, "\n", -1)
+
+    def words(ln: Column) -> Column:
+        return F.filter(F.split(F.trim(ln), r"\s+"),
+                        lambda w: w != F.lit(""))
+
+    def line_ok(ln: Column) -> Column:
+        ok = F.size(words(ln)) >= F.lit(min_words_per_line)
+        if terminal_punct is not None:
+            last = F.substring(F.rtrim(ln), -1, 1)
+            ok = ok & last.isin(list(terminal_punct))
+        for w in line_blocklist:
+            ok = ok & ~F.lower(ln).contains(w.lower())
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    blocked = F.lit(False)
+    for p in doc_blocklist:
+        blocked = blocked | F.lower(t).contains(p.lower())
+    n_kept = F.when(t.isNull(), F.lit(0)).otherwise(F.size(kept))
+    doc_pass = (t.isNotNull() & ~blocked
+                & (n_kept >= F.lit(min_kept_lines)))
+    return kept, doc_pass

@@ -377,3 +377,60 @@ def test_gopher_exploded_formulation_matches_hof(spark, sf_dir):
         mism = a.exceptAll(b.select(*cols)).count() \
             + b.select(*cols).exceptAll(a).count()
         assert mism == 0, (kw, mism)
+
+
+# ------------------------------------------------- C4 line cleaning (r9)
+
+def test_c4_clean_published_defaults(spark):
+    from graflo_spark.ops.textstats import c4_clean_lines
+
+    rows = [
+        # 2 good lines survive, 'short' and the javascript line drop ->
+        # kept 2 < min_kept_lines 3 -> page fails
+        (0, "This is a good long sentence here.\nshort\n"
+            "Another decent line with enough words!\n"
+            "Enable javascript to view this page properly now."),
+        # blocked page: lines survive cleaning but doc_pass is False
+        (1, "Lorem Ipsum dolor sit amet and more words here.\n"
+            "A second full sentence with many words too.\n"
+            "Third ok sentence with lots of words here."),
+        (2, None),
+        # clean page: every line ends terminally, >=5 words, no blocks
+        (3, "One good sentence with many strong words here.\n"
+            "Two good sentence with many strong words here.\n"
+            "Six good sentence with many strong words here."),
+        # no terminal punctuation anywhere -> nothing kept
+        (4, "five words but no punctuation at all\n"
+            "again five words but no punctuation"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_clean_lines(df).collect()}
+
+    assert out[0].n_lines == 4 and out[0].n_lines_kept == 2
+    assert not out[0].doc_pass
+    assert "javascript" not in out[0].text and "short" not in out[0].text
+    assert out[1].n_lines_kept == 3 and not out[1].doc_pass  # lorem ipsum
+    assert out[2].text is None and out[2].n_lines_kept == 0
+    assert not out[2].doc_pass
+    assert out[3].doc_pass and out[3].text == rows[3][1]
+    assert out[4].n_lines_kept == 0 and out[4].text == ""
+    assert not out[4].doc_pass
+
+
+def test_c4_clean_terminal_punct_disabled_and_brace_block(spark):
+    from graflo_spark.ops.textstats import c4_clean_lines
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta\n"
+            "one two three four five six\n"
+            "seven eight nine ten eleven twelve"),
+        (1, "function() { return 1 } with many words here today\n"
+            "more words in this second line right here now\n"
+            "and a third line with plenty of words too"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_clean_lines(
+        df, terminal_punct=None).collect()}
+    assert out[0].doc_pass and out[0].n_lines_kept == 3
+    assert not out[1].doc_pass            # '{' page block
+    assert out[1].n_lines_kept == 3       # ...but lines themselves survive

@@ -381,3 +381,47 @@ def test_pipeline_all_optional_stages_compose(spark):
     # funnel stage names are all registered STAGES or 'kept'
     assert set(stages) - {"kept"} <= set(STAGES)
     assert chunks.count() > 0
+
+
+def test_pipeline_c4_stage_cleans_and_charges(spark):
+    """The C4 gate charges failing pages to 'c4' and survivors get the
+    line-cleaned text; dedup still sees the original text (doc 3's
+    javascript line does not break its exact-dup match with doc 4)."""
+    good = ("Alpha beta gamma delta epsilon sentence here.\n" * 4).strip()
+    rows = [
+        (0, good, "s.com/a"),
+        # page fails C4: only 1 of its 3 lines survives the line rules
+        (1, "Good first line with enough words here.\nshort\n"
+            "no terminal punctuation on this line at all", "s.com/b"),
+        # survivor with one droppable line -> cleaned text loses it
+        (2, "One decent sentence with many good words here.\n"
+            "Enable javascript now with plenty of words today.\n"
+            "Two decent sentence with many good words here.\n"
+            "Six decent sentence with many good words here.", "s.com/c"),
+        (3, good + "\nEnable javascript to continue reading this page.",
+         "s.com/d"),
+        (4, good + "\nEnable javascript to continue reading this page.",
+         "s.com/e"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+    cfg = PipelineConfig(
+        url_col="url", min_quality=0.0, min_tokens=3,
+        c4_clean=True, c4_min_kept_lines=3,
+        splits={"train": 1.0}, chunk_tokens=8, persist_annotated=False,
+    )
+    annotated = annotate(docs, None, cfg)
+    ann = {r["doc_id"]: r for r in annotated.collect()}
+    assert ann[1]["drop_stage"] == "c4"
+    assert ann[0]["drop_stage"] is None
+    assert ann[2]["drop_stage"] is None
+    assert "javascript" not in ann[2]["text"]          # cleaned survivor
+    assert ann[2]["text"].count("\n") == 2             # 3 lines kept
+    assert ann[1]["text"] == rows[1][1]                # dropped: original
+    # 3 and 4 are exact dups ON ORIGINAL TEXT (both carry the js line);
+    # the min-id winner survives and is cleaned, the loser charged
+    assert ann[3]["drop_stage"] is None
+    assert "javascript" not in ann[3]["text"]
+    assert ann[4]["drop_stage"] == "exact_dup"
+    funnel = {r["stage"]: r["n_docs"]
+              for r in training_funnel(annotated).collect()}
+    assert funnel == {"kept": 3, "c4": 1, "exact_dup": 1}

@@ -66,6 +66,7 @@ HEADLINES = [
     "quality_clf_documents",
     "bm25_topk_documents",
     "pca_topk_embeddings",
+    "c4_clean_documents",
 ]
 
 
