@@ -4542,6 +4542,74 @@ def c4_clean_documents(spark, sf_dir):
     )
 
 
+# ------------------------------------------ LLM-pipeline: vocabulary stats
+
+# Exact top-k terms (occurrence + document frequency) and top PMI
+# collocations (Church & Hanks 1990) — the corpus-vocabulary report that
+# stop lists and blocklists are fitted against. Counts are exact integers
+# on both engines; PMI is ONE log over an integer ratio (sum-free), so
+# ROUND(,6) is deterministic, and every ranking orders by the rounded
+# value with term tie-breaks.
+_VOCAB_TOKS = (
+    r"toks AS (SELECT doc_id, [x FOR x IN regexp_split_to_array("
+    r"trim(text), '\s+') IF x != ''] AS t FROM documents "
+    "WHERE text IS NOT NULL)"
+)
+_VOCAB_ORACLE = (
+    "WITH " + _VOCAB_TOKS + ", "
+    "tk AS (SELECT doc_id, unnest(t) AS term FROM toks), "
+    "c AS (SELECT term, count(*) AS n, count(DISTINCT doc_id) AS n_docs "
+    "FROM tk GROUP BY 1), "
+    "tt AS (SELECT term, n, n_docs, row_number() OVER "
+    "(ORDER BY n DESC, term) AS rank FROM c), "
+    "pairs AS (SELECT t[i] AS a, t[i+1] AS b "
+    "FROM toks, unnest(range(1, len(t))) r(i)), "
+    "pc AS (SELECT a, b, count(*) AS n_pair FROM pairs GROUP BY 1, 2), "
+    "uni AS (SELECT term, n FROM c), "
+    "total AS (SELECT CAST(SUM(len(t)) AS DOUBLE) AS n_total FROM toks), "
+    "sc AS (SELECT a, b, n_pair, ROUND(ln(n_total * n_pair / "
+    "(CAST(ua.n AS DOUBLE) * ub.n)), 6) AS pmi "
+    "FROM pc JOIN uni ua ON ua.term = pc.a JOIN uni ub ON ub.term = pc.b "
+    "CROSS JOIN total WHERE n_pair >= 2), "
+    "co AS (SELECT a, b, n_pair, pmi, row_number() OVER "
+    "(ORDER BY pmi DESC, a, b) AS rank FROM sc) "
+    "SELECT 'tt' AS kind, CAST(rank AS BIGINT) AS id, term AS s, "
+    "CAST(n AS DOUBLE) AS v FROM tt WHERE rank <= 50 "
+    "UNION ALL SELECT 'tt_df', rank, term, CAST(n_docs AS DOUBLE) "
+    "FROM tt WHERE rank <= 50 "
+    "UNION ALL SELECT 'co', rank, a || ' ' || b, pmi FROM co "
+    "WHERE rank <= 30 "
+    "UNION ALL SELECT 'co_n', rank, a || ' ' || b, CAST(n_pair AS DOUBLE) "
+    "FROM co WHERE rank <= 30"
+)
+
+
+@q("vocab_stats_documents", _VOCAB_ORACLE)
+def vocab_stats_documents(spark, sf_dir):
+    """Corpus vocabulary report: exact top-50 terms (occurrence count +
+    document frequency branches) and top-30 PMI collocations (pair count
+    + score branches), unpivoted to the (kind, id, s, v) suite shape with
+    id = rank."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tt = ts.top_terms(docs, "doc_id", "text", k=50)
+    co = ts.collocations(docs, "text", k=30, min_count=2)
+    rank = F.col("rank").cast("long").alias("id")
+    pair = F.concat_ws(" ", "term_a", "term_b").alias("s")
+    return (
+        tt.select(F.lit("tt").alias("kind"), rank, F.col("term").alias("s"),
+                  F.col("n").cast("double").alias("v"))
+        .unionByName(tt.select(
+            F.lit("tt_df").alias("kind"), rank, F.col("term").alias("s"),
+            F.col("n_docs").cast("double").alias("v")))
+        .unionByName(co.select(
+            F.lit("co").alias("kind"), rank, pair,
+            F.col("pmi").alias("v")))
+        .unionByName(co.select(
+            F.lit("co_n").alias("kind"), rank, pair,
+            F.col("n_pair").cast("double").alias("v")))
+    )
+
+
 _TEXT_STATS_NUM = (
     "n_chars_actual", "n_tokens", "n_tokens_bpe", "punct_ratio",
     "quality", "token_rep", "top2gram_frac", "n_pii_email", "n_pii_ipv4",
@@ -4593,8 +4661,11 @@ _GOPHER_RULES = (
             "SELECT 'c4_pass', doc_id, " + _S + ", "
             "CAST(CASE WHEN doc_pass THEN 1 ELSE 0 END AS DOUBLE) "
             "FROM (__C4__)",
+            # r9: vocabulary report — top terms + PMI collocations
+            "SELECT kind, id, s, v FROM (__VOCAB__)",
         ]
     )
+    .replace("__VOCAB__", _VOCAB_ORACLE)
     .replace("__C4__", _C4_CLEAN_ORACLE)
     .replace("__TS__", ORACLES["text_stats_documents"])
     .replace("__G__", ORACLES["gopher_rules_documents"])
@@ -4669,6 +4740,7 @@ def text_quality_suite(spark, sf_dir):
         c4.select(F.lit("c4_pass").alias("kind"),
                   F.col("doc_id").alias("id"), nl_s.alias("s"),
                   F.when(F.col("doc_pass"), 1.0).otherwise(0.0).alias("v")),
+        vocab_stats_documents(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4722,7 +4794,7 @@ _RETIRED_INTO_SUITES = [
     "near_dup_clusters_documents", "semdedup_clusters_embeddings",
     "sampling_split_mix_documents", "io_formats_suite",
     "text_stats_documents", "gopher_rules_documents",
-    "c4_clean_documents",
+    "c4_clean_documents", "vocab_stats_documents",
     "bigram_entropy_documents", "lm_cross_entropy_documents",
     "dedup_exact_documents", "minhash_dedup_documents",
     "dedup_lines_documents", "dup_substring_spans_documents",

@@ -5,7 +5,7 @@ deliberately reproducible in ANSI SQL for oracle checking.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword sets for the n-gram/stopword-hit heuristic
@@ -644,3 +644,92 @@ def c4_exprs(
     doc_pass = (t.isNotNull() & ~blocked
                 & (n_kept >= F.lit(min_kept_lines)))
     return kept, doc_pass
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Exact top-k corpus terms by occurrence count, with document
+    frequency: ``(term, n, n_docs, rank)``, rank ties broken by term. The
+    vocabulary-report staple (stop-list fitting, domain drift checks —
+    the Gopher stop list and the C4 blocklists are both parameterized on
+    exactly this table).
+
+    100 TB shape: one explode -> term-keyed groupBy with map-side combine
+    (output is vocabulary-sized, Zipf-concentrated), then
+    TakeOrderedAndProject for the top-k — no window over the full term
+    table, no driver-side counting."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda w: w != F.lit(""))
+    exploded = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__doc"),
+        F.explode(toks).alias("term"),
+    )
+    counts = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("__doc").alias("n_docs"),
+    )
+    top = counts.orderBy(F.col("n").desc(), "term").limit(k)
+    w = Window.orderBy(F.col("n").desc(), "term")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): ``PMI = ln(n * c(a,b) / (c(a) * c(b)))`` over
+    token-position bigrams, ``min_count`` pruning the long noise tail
+    (classic PMI blows up on hapax pairs). Returns
+    ``(term_a, term_b, n_pair, pmi, rank)``, PMI rounded to 6 (sum-free —
+    one log over integer counts — so the rounded value is cross-engine
+    deterministic); ties by (term_a, term_b).
+
+    Same scale shape as :func:`top_terms`: the bigram and unigram count
+    tables are vocabulary-sized after their map-side-combined groupBys;
+    the unigram table joins back TWICE by term — both joins broadcast
+    (vocabularies are small next to any corpus that matters)."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda w: w != F.lit(""))
+    docs = df.filter(F.col(text_col).isNotNull()).select(
+        toks.alias("__toks"))
+    pairs = docs.select(F.explode(
+        F.zip_with(
+            F.slice("__toks", 1, F.greatest(
+                F.size("__toks") - 1, F.lit(0))),
+            F.slice("__toks", 2, F.greatest(
+                F.size("__toks") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )).alias("p")).select("p.a", "p.b")
+    pair_counts = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_pair"))
+    uni = docs.select(F.explode("__toks").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_uni"))
+    total = docs.select(
+        F.sum(F.size("__toks")).cast("double").alias("n_total"))
+    scored = (
+        pair_counts.filter(F.col("n_pair") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("t", "a")
+                          .withColumnRenamed("n_uni", "na")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("t", "b")
+                          .withColumnRenamed("n_uni", "nb")), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("a").alias("term_a"), F.col("b").alias("term_b"),
+            "n_pair",
+            F.round(F.log(
+                F.col("n_total") * F.col("n_pair")
+                / (F.col("na").cast("double") * F.col("nb"))
+            ), 6).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), "term_a", "term_b").limit(k)
+    w = Window.orderBy(F.col("pmi").desc(), "term_a", "term_b")
+    return top.withColumn("rank", F.row_number().over(w))

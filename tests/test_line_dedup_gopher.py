@@ -434,3 +434,49 @@ def test_c4_clean_terminal_punct_disabled_and_brace_block(spark):
     assert out[0].doc_pass and out[0].n_lines_kept == 3
     assert not out[1].doc_pass            # '{' page block
     assert out[1].n_lines_kept == 3       # ...but lines themselves survive
+
+
+# ------------------------------------------- vocabulary stats (r9)
+
+def test_top_terms_counts_and_ties(spark):
+    from graflo_spark.ops.textstats import top_terms
+
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana apple"),
+        (2, None),
+        (3, "cherry  apple "),          # messy whitespace
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.term: (r.n, r.n_docs, r.rank)
+           for r in top_terms(df, k=10).collect()}
+    assert got["apple"] == (4, 3, 1)
+    assert got["banana"] == (2, 2, 2)   # tie with cherry -> term order
+    assert got["cherry"] == (2, 2, 3)
+    assert len(got) == 3
+    # k cuts the tail deterministically
+    top1 = top_terms(df, k=1).collect()
+    assert [(r.term, r.rank) for r in top1] == [("apple", 1)]
+
+
+def test_collocations_pmi_matches_math(spark):
+    import math
+
+    from graflo_spark.ops.textstats import collocations
+
+    rows = [(i, "red wine pairs well") for i in range(3)] + [
+        (10, "red car"), (11, "wine red")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.term_a, r.term_b): r for r in collocations(
+        df, k=10, min_count=2).collect()}
+    # corpus: 3x(red wine / wine pairs / pairs well), 1x(red car),
+    # 1x(wine red); totals: red 5, wine 4, pairs 3, well 3; n_total 16
+    rw = out[("red", "wine")]
+    assert rw.n_pair == 3
+    assert rw.pmi == round(math.log(16 * 3 / (5 * 4)), 6)
+    pw = out[("pairs", "well")]
+    assert pw.pmi == round(math.log(16 * 3 / (3 * 3)), 6)
+    # min_count prunes the hapax pairs (red car, wine red)
+    assert ("red", "car") not in out and ("wine", "red") not in out
+    # ranking is by PMI desc: pairs/well (rarer unigrams) outranks red/wine
+    assert pw.rank < rw.rank

@@ -791,6 +791,16 @@ def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int,
             max_cross_entropy=9.0,
             clf_pos_filter="lang = 'en'", clf_min_prob=0.0,
             dedup_substring_k=substring_k or 8,
+            # r9 C4 gate, corpus-fit + rotation-invariant: word counts
+            # survive the letter rotation, so min_words_per_line=8 drops
+            # the 5..7-token docs (min_tokens=5 charges the shorter ones
+            # first) identically in every replica; no punctuation in the
+            # corpus -> terminal rule off; empty line blocklist (a word
+            # list would not be rotation-closed); single-line docs ->
+            # page passes iff its line does.
+            c4_clean=True, c4_min_words_per_line=8,
+            c4_terminal_punct=None, c4_line_blocklist=(),
+            c4_min_kept_lines=1,
         )
     cfg = pl.PipelineConfig(**kwargs)
     for label, d in (("base", base_dir), ("scaled", scaled_dir)):
