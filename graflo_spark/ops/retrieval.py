@@ -301,3 +301,149 @@ def bm25_topk(
     w = Window.partitionBy("query_id").orderBy(*order)
     return pruned.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k)
+
+
+class LexicalIndexStore:
+    """Incremental inverted index across arriving batches — the streaming
+    counterpart of :func:`build_lexical_index`, same design family (and
+    the same (seq, batch_id)-committed protocol) as
+    ``dedup.LineDedupStore`` / ``packing.PackingStore``: each batch's
+    postings land under ``<path>/postings/batch=<seq>/term_bucket=*/``
+    with mode OVERWRITE, its exact-merge scalars (n, dl_sum) under
+    ``<path>/stats/batch=<seq>/``, and the seq+batch_id commit is an
+    atomic rename. Both crash windows hold: a retry that died BEFORE the
+    commit overwrites its own orphaned dirs (history reads filter
+    ``batch < seq``, so orphans are never visible); a retry that repeats
+    the LAST committed ``batch_id`` re-runs under its ORIGINAL seq and
+    overwrites its dirs with identical rows (the posting build is
+    deterministic), so at-least-once delivery never double-counts a
+    document. Caller contract, as for every store in this repo: batch doc
+    ids are disjoint from already-indexed ids (enforceable upstream by an
+    anti-join against the store's ids).
+
+    Scale: per batch, ONE tokenize+explode over the batch only — indexed
+    history is never rescanned. Probes read the whole store as one
+    parquet root where ``batch`` and ``term_bucket`` are both partition
+    columns, so the :meth:`LexicalIndex.pruned` literal bucket predicates
+    keep pruning. A long stream accumulates one dir per batch —
+    :meth:`compact` folds everything strictly BEFORE the last committed
+    batch into ``batch=0`` (the last batch dir is preserved verbatim: it
+    is the post-commit replay window, and folding it would double-count
+    a replayed batch's rows)."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = 64,
+    ):
+        import os
+
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_buckets = n_buckets
+        os.makedirs(f"{self.path}/postings", exist_ok=True)
+        os.makedirs(f"{self.path}/stats", exist_ok=True)
+
+    def _state(self) -> tuple[int, str | None]:
+        import os
+
+        f = os.path.join(self.path, "_seq")
+        if not os.path.exists(f):
+            return 0, None
+        with open(f) as fh:
+            parts = fh.read().split("\n")
+        seq = int(parts[0].strip() or 0)
+        bid = parts[1] if len(parts) > 1 and parts[1] != "" else None
+        return seq, bid
+
+    def _commit_seq(self, seq: int, batch_id=None) -> None:
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(seq))
+            if batch_id is not None:
+                fh.write(f"\n{batch_id}")
+        os.replace(tmp, os.path.join(self.path, "_seq"))
+
+    def ingest_batch(self, docs: DataFrame, batch_id=None) -> None:
+        """Index one batch and commit. ``batch_id``: stable delivery id
+        (foreachBatch passes its epoch id); a repeat of the last committed
+        one re-runs under its original seq — the post-commit replay
+        guarantee. Omit only if the caller never re-delivers."""
+        seq, last_bid = self._state()
+        if (batch_id is not None and last_bid is not None
+                and str(batch_id) == last_bid and seq > 0):
+            seq -= 1  # post-commit replay: re-run under the original seq
+        post = build_postings(docs, self.id_col, self.text_col).withColumn(
+            "term_bucket", term_bucket(F.col("term"), self.n_buckets))
+        post.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            f"{self.path}/postings/batch={seq}")
+        docs.select(
+            F.size(tokens_expr(F.col(self.text_col)))
+            .cast("double").alias("dl")
+        ).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0.0)).alias("dl_sum"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/stats/batch={seq}")
+        self._commit_seq(seq + 1, batch_id)
+
+    def as_index(self) -> LexicalIndex:
+        """The committed store as a probe-ready :class:`LexicalIndex`
+        (orphaned in-flight dirs pruned by the ``batch < seq`` partition
+        filter; scalars recombined exactly from the per-batch sums)."""
+        seq, _ = self._state()
+        if seq == 0:
+            raise ValueError("empty LexicalIndexStore")
+        post = self.spark.read.parquet(f"{self.path}/postings").filter(
+            F.col("batch") < seq).drop("batch")
+        stats = self.spark.read.parquet(f"{self.path}/stats").filter(
+            F.col("batch") < seq
+        ).agg(
+            F.sum("n").alias("n"),
+            (F.sum("dl_sum") / F.sum("n")).alias("avgdl"),
+        )
+        return LexicalIndex(post, stats, self.n_buckets)
+
+    def compact(self) -> None:
+        """Fold committed batch dirs strictly BEFORE the last one into a
+        consolidated ``batch=0`` (crash-safe staging rename, the
+        MinHashDedupStore pattern); the last committed dir — the replay
+        window — and any orphaned in-flight dir are preserved verbatim."""
+        import glob
+        import os
+        import shutil
+        import uuid
+
+        seq, _ = self._state()
+        if seq < 2:
+            return  # nothing strictly before the replay window
+        for sub, part_cols in (("postings", ["term_bucket"]), ("stats", [])):
+            root = f"{self.path}/{sub}"
+            old_dirs = [
+                d for d in glob.glob(f"{root}/batch=*")
+                if int(d.rsplit("=", 1)[1]) < seq - 1
+            ]
+            if len(old_dirs) <= 1:
+                continue
+            folded = self.spark.read.option("basePath", root).parquet(
+                *old_dirs).drop("batch")
+            if sub == "stats":
+                folded = folded.agg(
+                    F.sum("n").alias("n"), F.sum("dl_sum").alias("dl_sum"))
+            staging = f"{self.path}/.staging-{sub}-{uuid.uuid4().hex}"
+            if sub == "stats":
+                folded.coalesce(1).write.mode("overwrite").parquet(staging)
+            else:
+                folded.write.mode("overwrite").partitionBy(
+                    *part_cols).parquet(staging)
+            for d in old_dirs:
+                shutil.rmtree(d)
+            os.rename(staging, f"{root}/batch=0")

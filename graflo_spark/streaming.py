@@ -362,6 +362,32 @@ def stream_minhash_dedup(
     )
 
 
+def stream_lexical_index(
+    stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+):
+    """Continuous inverted-index maintenance: each micro-batch is indexed
+    by :class:`graflo_spark.ops.retrieval.LexicalIndexStore.ingest_batch`
+    — one tokenize+explode over the batch, never a rescan of indexed
+    history — so BM25/tf-idf probes (``bm25_topk(index=store.as_index())``)
+    always see the stream so far. The store's (seq, batch_id)-committed
+    protocol makes a replayed micro-batch overwrite its own dirs instead
+    of double-counting (at-least-once safe); the dedup-by-id contract is
+    the caller's, as for every store in this package."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.ingest_batch(batch_df, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_line_dedup(
     stream: DataFrame,
     store,

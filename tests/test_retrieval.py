@@ -183,3 +183,96 @@ def test_arg_validation(spark, corpus):
         rt.bm25_topk(qs)
     with pytest.raises(ValueError):
         rt.bm25_topk(qs, df, method="cosine")
+
+
+# ------------------------------------------- incremental index store (r9)
+
+def _probe(spark, idx, k=10):
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    return sorted(rt.bm25_topk(qs, index=idx, k=k).collect(),
+                  key=lambda r: (r.query_id, r.rank))
+
+
+def test_index_store_incremental_equals_oneshot(spark, corpus, tmp_path):
+    rows, df = corpus
+    store = rt.LexicalIndexStore(spark, str(tmp_path / "st"), n_buckets=8)
+    for lo, hi in ((0, 2), (2, 4), (4, 99)):
+        store.ingest_batch(df.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), batch_id=lo)
+    idx = store.as_index()
+    full = rt.build_lexical_index(df, n_buckets=8)
+    assert sorted(idx.stats.collect()) == sorted(full.stats.collect())
+    assert _probe(spark, idx) == _probe(spark, full)
+
+
+def test_index_store_precommit_crash_window(spark, corpus, tmp_path):
+    """A batch that died AFTER writing its dirs but BEFORE the seq commit
+    is invisible to reads and replaced verbatim by the retry."""
+    rows, df = corpus
+    store = rt.LexicalIndexStore(spark, str(tmp_path / "st"), n_buckets=8)
+    first, rest = df.filter(F.col("doc_id") < 3), df.filter(
+        F.col("doc_id") >= 3)
+    store.ingest_batch(first, batch_id=0)
+    # simulate the orphan: write rest's dirs under the next seq, no commit
+    seq, _ = store._state()
+    post = rt.build_postings(rest, "doc_id", "text").withColumn(
+        "term_bucket", rt.term_bucket(F.col("term"), 8))
+    post.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{store.path}/postings/batch={seq}")
+    # orphan is pruned by batch < seq
+    assert store.as_index().stats.collect()[0]["n"] == 3.0
+    store.ingest_batch(rest, batch_id=1)   # the retry replaces the orphan
+    assert _probe(spark, store.as_index()) == _probe(
+        spark, rt.build_lexical_index(df, n_buckets=8))
+
+
+def test_index_store_postcommit_replay_idempotent(spark, corpus, tmp_path):
+    """Re-delivering the LAST committed batch_id (the foreachBatch
+    at-least-once window) re-runs under its original seq: no
+    double-counting, identical probe results."""
+    rows, df = corpus
+    store = rt.LexicalIndexStore(spark, str(tmp_path / "st"), n_buckets=8)
+    first, rest = df.filter(F.col("doc_id") < 3), df.filter(
+        F.col("doc_id") >= 3)
+    store.ingest_batch(first, batch_id=0)
+    store.ingest_batch(rest, batch_id=1)
+    before = _probe(spark, store.as_index())
+    store.ingest_batch(rest, batch_id=1)   # replay
+    assert store._state()[0] == 2          # seq did not advance
+    assert store.as_index().stats.collect()[0]["n"] == float(len(rows))
+    assert _probe(spark, store.as_index()) == before
+
+
+def test_index_store_compact_preserves_results_and_bounds_dirs(
+        spark, corpus, tmp_path):
+    import glob
+
+    rows, df = corpus
+    store = rt.LexicalIndexStore(spark, str(tmp_path / "st"), n_buckets=8)
+    for i in range(len(rows)):
+        store.ingest_batch(df.filter(F.col("doc_id") == i), batch_id=i)
+    before = _probe(spark, store.as_index())
+    assert len(glob.glob(f"{store.path}/postings/batch=*")) == len(rows)
+    store.compact()
+    dirs = glob.glob(f"{store.path}/postings/batch=*")
+    # folded batch=0 + the preserved last committed (replay-window) dir
+    assert len(dirs) == 2
+    assert _probe(spark, store.as_index()) == before
+    # the replay window still works after compaction
+    last = df.filter(F.col("doc_id") == len(rows) - 1)
+    store.ingest_batch(last, batch_id=len(rows) - 1)
+    assert _probe(spark, store.as_index()) == before
+
+
+def test_stream_lexical_index_end_to_end(spark, corpus, tmp_path):
+    from graflo_spark.streaming import replay_as_stream, stream_lexical_index
+
+    rows, df = corpus
+    store = rt.LexicalIndexStore(spark, str(tmp_path / "st"), n_buckets=8)
+    q = stream_lexical_index(
+        replay_as_stream(spark, df.repartition(3)), store,
+        str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert _probe(spark, store.as_index()) == _probe(
+        spark, rt.build_lexical_index(df, n_buckets=8))
