@@ -4429,6 +4429,39 @@ def clusters_suite(spark, sf_dir):
     return docs.unionByName(emb)
 
 
+# --------------------------------------------- LLM-pipeline: RAG chunker
+
+# Overlapping sliding-window chunks (ops/packing.sliding_chunks) —
+# retrieval-unit chunking, distinct from pack_chunks' concatenation.
+# chunk=32 / stride=16 gives multi-window docs at every SF; windows and
+# counts are pure integer arithmetic replayed exactly in SQL.
+_SLIDING_ORACLE = (
+    r"WITH tk AS (SELECT doc_id, [x FOR x IN regexp_split_to_array("
+    r"trim(text), '\s+') IF x != ''] AS t FROM documents "
+    "WHERE text IS NOT NULL), "
+    "m AS (SELECT doc_id, t, CAST(ceil(greatest(len(t) - 16, 1) / 16.0) "
+    "AS INT) AS n_chunks FROM tk WHERE len(t) > 0), "
+    "ch AS (SELECT doc_id, i AS chunk_id, n_chunks, "
+    "t[(i*16+1):(i*16+32)] AS w FROM m, "
+    "unnest(range(0, CAST(n_chunks AS BIGINT))) r(i)) "
+    "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, n_chunks, "
+    "array_to_string(w, ' ') AS chunk_text, "
+    "CAST(len(w) AS INT) AS n_chunk_tokens FROM ch"
+)
+
+
+@q("sliding_chunks_documents", _SLIDING_ORACLE)
+def sliding_chunks_documents(spark, sf_dir):
+    """RAG-style overlapping token windows over every document: 32-token
+    chunks at stride 16 (50% overlap), last-window remainder semantics —
+    window starts, counts, texts, and token counts all replayed in SQL."""
+    from graflo_spark.ops.packing import sliding_chunks
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return sliding_chunks(docs, "doc_id", "text",
+                          chunk_tokens=32, stride=16)
+
+
 # Frozen score cutoffs for the approx token-budget branch (the
 # ccnet/PQ frozen-constant pattern): descending n_chars thresholds
 # spanning the documents score range (~47..558 at every SF). Production
@@ -4458,7 +4491,10 @@ _BUDGET_CUTS_SQL = (
     "(ORDER BY n_chars DESC, doc_id) AS cum FROM documents) "
     "WHERE cum <= 50000 UNION ALL "
     "SELECT 'budget_approx', doc_id, " + _S + ", n_chars "
-    f"FROM documents WHERE n_chars >= ({_BUDGET_CUTS_SQL})",
+    f"FROM documents WHERE n_chars >= ({_BUDGET_CUTS_SQL}) UNION ALL "
+    "SELECT 'rag', doc_id, chunk_id || ':' || n_chunks || ':' || "
+    "chunk_text, CAST(n_chunk_tokens AS BIGINT) FROM ("
+    + _SLIDING_ORACLE + ")",
 )
 def corpus_io_suite(spark, sf_dir):
     """Deterministic sampling/split/mix (portable-hash SQL replay), the
@@ -4491,7 +4527,12 @@ def corpus_io_suite(spark, sf_dir):
     ).select(
         F.lit("budget_approx").alias("kind"), F.col("doc_id").alias("id"),
         F.lit(None).cast("string").alias("s"), F.col("n_chars").alias("n"))
-    return smp.unionByName(io).unionByName(bud).unionByName(bud_a)
+    rag = sliding_chunks_documents(spark, sf_dir).select(
+        F.lit("rag").alias("kind"), F.col("doc_id").alias("id"),
+        F.concat_ws(":", "chunk_id", "n_chunks", "chunk_text").alias("s"),
+        F.col("n_chunk_tokens").cast("long").alias("n"))
+    return smp.unionByName(io).unionByName(bud).unionByName(
+        bud_a).unionByName(rag)
 
 
 # ---------------------------------------------- LLM-pipeline: C4 cleaning
@@ -4793,6 +4834,7 @@ _RETIRED_INTO_SUITES = [
     "bm25_topk_documents", "pca_topk_embeddings",
     "near_dup_clusters_documents", "semdedup_clusters_embeddings",
     "sampling_split_mix_documents", "io_formats_suite",
+    "sliding_chunks_documents",
     "text_stats_documents", "gopher_rules_documents",
     "c4_clean_documents", "vocab_stats_documents",
     "bigram_entropy_documents", "lm_cross_entropy_documents",

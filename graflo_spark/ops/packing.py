@@ -396,3 +396,78 @@ def materialize_chunks(
             ),
         )
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    stride: int | None = None,
+) -> DataFrame:
+    """Per-document overlapping token windows — the RAG/embedding chunker
+    (every retrieval pipeline's unit of indexing), distinct from
+    :func:`pack_chunks` which CONCATENATES documents into training
+    sequences. Window i covers tokens ``[i*stride, i*stride+chunk_tokens)``
+    of the whitespace tokenization; the last window is the remainder (never
+    empty, never duplicated: a doc emits ``ceil(max(n-overlap,1)/stride)``
+    windows, so a doc shorter than ``chunk_tokens`` emits exactly one).
+    ``stride`` defaults to ``chunk_tokens`` (disjoint windows); a smaller
+    stride overlaps neighbors by ``chunk_tokens - stride`` tokens.
+
+    Returns ``(id, chunk_id, n_chunks, chunk_text, n_chunk_tokens)``.
+    NULL and zero-token texts emit nothing (the quality gate's concern,
+    not the chunker's).
+
+    100 TB shape: one zero-shuffle map pass — tokenize once, fan out with
+    ``sequence`` + ``slice`` inside the row (array ops, no Python), then
+    one explode. Output volume is input volume times the overlap factor
+    ``chunk_tokens/stride`` — the caller's dial, visible in the plan as
+    nothing but a Generate."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    stride = chunk_tokens if stride is None else stride
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError("stride must be in (0, chunk_tokens]")
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    n = F.size(toks)
+    # number of windows: ceil(max(n - overlap, 1) / stride) — the last
+    # window starts at the last multiple of stride strictly below
+    # n - overlap, so every token is covered and no window is empty
+    overlap = chunk_tokens - stride
+    n_chunks = F.ceil(
+        F.greatest(n - F.lit(overlap), F.lit(1)).cast("double")
+        / F.lit(float(stride))
+    ).cast("int")
+    chunked = (
+        df.filter(t.isNotNull())
+        .select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            n_chunks.alias("n_chunks"),
+        )
+        .filter(F.size("__toks") > 0)
+        .select(
+            id_col,
+            "n_chunks",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                    lambda i: F.struct(
+                        i.alias("chunk_id"),
+                        F.slice(
+                            "__toks", i * stride + 1, chunk_tokens
+                        ).alias("__w"),
+                    ),
+                )
+            ).alias("c"),
+        )
+    )
+    return chunked.select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        "n_chunks",
+        F.array_join("c.__w", " ").alias("chunk_text"),
+        F.size("c.__w").alias("n_chunk_tokens"),
+    )

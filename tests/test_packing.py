@@ -410,3 +410,48 @@ def test_packing_store_migration_recomputes_missing_total(spark, tmp_path):
     }
     assert got == want
     assert total1 > 0  # sanity: the recomputed base was non-trivial
+
+
+# ---------------------------------------------- sliding RAG chunker (r9)
+
+def test_sliding_chunks_coverage_and_overlap(spark):
+    from graflo_spark.ops.packing import sliding_chunks
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = sorted(sliding_chunks(df, chunk_tokens=4, stride=2).collect(),
+                 key=lambda r: r.chunk_id)
+    # starts 0,2,4,6: ceil(max(10-2,1)/2) = 4 windows
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3]
+    assert all(r.n_chunks == 4 for r in out)
+    assert out[0].chunk_text == "w0 w1 w2 w3"
+    assert out[1].chunk_text == "w2 w3 w4 w5"      # 2-token overlap
+    assert out[3].chunk_text == "w6 w7 w8 w9"
+    # every token appears in some window
+    covered = {w for r in out for w in r.chunk_text.split()}
+    assert covered == set(text.split())
+
+
+def test_sliding_chunks_defaults_edges_and_validation(spark):
+    import pytest
+
+    from graflo_spark.ops.packing import sliding_chunks
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x"), (2, None), (3, "   ")],
+        "doc_id long, text string")
+    # default stride == chunk_tokens: disjoint windows, remainder last
+    out = {(r.doc_id, r.chunk_id): r for r in sliding_chunks(
+        df, chunk_tokens=2).collect()}
+    assert out[(0, 0)].chunk_text == "a b"
+    assert out[(0, 2)].chunk_text == "e"
+    assert out[(0, 2)].n_chunk_tokens == 1
+    assert out[(1, 0)].chunk_text == "x"
+    # NULL and blank texts emit nothing
+    assert {d for d, _ in out} == {0, 1}
+    with pytest.raises(ValueError):
+        sliding_chunks(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        sliding_chunks(df, chunk_tokens=4, stride=5)
+    with pytest.raises(ValueError):
+        sliding_chunks(df, chunk_tokens=4, stride=0)
