@@ -11,9 +11,11 @@ sublinear-tf / smoothed-idf variant ``(1 + ln tf) * ln((N+1)/(df+1))``
 
 100 TB shape — the corpus is never all-pairs joined with anything:
 
-1. ONE tokenize pass over the corpus; the exploded term stream is pruned
-   map-side against the broadcast query vocabulary BEFORE any shuffle, so
-   the posting build only ever shuffles terms that can score.
+1. One vocabulary-pruned posting pass over the corpus (an
+   ``arrays_overlap`` prefilter skips non-matching docs before the
+   explode) plus one text-column stats aggregate for (N, avgdl) — two
+   scans of ONE column; pass ``index=`` or ``stats=`` to skip both/the
+   latter on repeated query batches.
 2. tf per (doc, term): a (doc_id, term)-keyed groupBy with map-side
    combine; doc length rides along (it is constant per doc).
 3. df per term = the tf table's per-term row count — after the vocabulary
@@ -46,17 +48,15 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from graflo_spark.ops.textstats import tokens_expr  # the ONE tokenizer
+
+__all__ = [
+    "tokens_expr", "term_bucket", "py_term_bucket", "build_postings",
+    "corpus_stats", "LexicalIndex", "build_lexical_index", "bm25_topk",
+    "LexicalIndexStore",
+]
+
 _SEP = chr(31)
-
-
-def tokens_expr(text: Column) -> Column:
-    """Whitespace tokenization as a Column: trim, split on ``\\s+``, drop
-    empties (an all-blank text tokenizes to [] — DuckDB's
-    ``list_filter(string_split_regex(trim(t), '\\s+'), w -> w <> '')``
-    reproduces this exactly)."""
-    return F.filter(
-        F.split(F.trim(text), r"\s+"), lambda w: w != F.lit("")
-    )
 
 
 def term_bucket(term: Column, n_buckets: int) -> Column:
@@ -125,14 +125,25 @@ def build_postings(
     )
 
 
+def _dl_expr(text_col: str) -> F.Column:
+    """Document length with NULL text counted as ZERO tokens — the one
+    definition every stats path shares, so n * avgdl == total tokens
+    exactly and the extend/store count-weighted merges reproduce a
+    one-shot rebuild bit-for-bit even with NULL-text rows present."""
+    t = F.col(text_col)
+    return F.when(t.isNull(), F.lit(0.0)).otherwise(
+        F.size(tokens_expr(t)).cast("double"))
+
+
 def corpus_stats(corpus: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-row (n, avgdl) frame over ALL documents (zero-token ones
-    included — they weight avgdl exactly as the SQL replay does)."""
-    return corpus.select(
-        F.size(tokens_expr(F.col(text_col))).cast("double").alias("dl")
-    ).agg(
+    """One-row (n, avgdl, dl_sum) frame over ALL documents; NULL/blank
+    texts are zero-length docs (see :func:`_dl_expr`). ``dl_sum`` (an
+    exact integer-valued double) is what merges carry: avg-of-avgs is a
+    rounded quantity, sum-of-sums is not."""
+    return corpus.select(_dl_expr(text_col).alias("dl")).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
+        F.coalesce(F.sum("dl"), F.lit(0.0)).alias("dl_sum"),
     )
 
 
@@ -144,8 +155,11 @@ class LexicalIndex:
     the query vocabulary's buckets via literal partition predicates."""
 
     postings: DataFrame   # (doc_id, term, tf, dl, term_bucket)
-    stats: DataFrame      # 1 row: (n, avgdl)
+    stats: DataFrame      # 1 row: (n, avgdl, dl_sum)
     n_buckets: int
+
+    _POSTINGS_SCHEMA = ("doc_id bigint, term string, tf double, "
+                        "dl double, term_bucket int")
 
     def write(self, path: str) -> None:
         self.postings.write.mode("overwrite").partitionBy(
@@ -158,8 +172,12 @@ class LexicalIndex:
     def read(spark, path: str) -> "LexicalIndex":
         stats = spark.read.parquet(f"{path}/stats")
         n_buckets = stats.select("n_buckets").head()[0]
+        # explicit schema: an all-blank corpus writes ZERO posting files
+        # (partitionBy on an empty frame leaves only _SUCCESS) and plain
+        # reads would die with UNABLE_TO_INFER_SCHEMA
         return LexicalIndex(
-            postings=spark.read.parquet(f"{path}/postings"),
+            postings=spark.read.schema(
+                LexicalIndex._POSTINGS_SCHEMA).parquet(f"{path}/postings"),
             stats=stats.drop("n_buckets"),
             n_buckets=int(n_buckets),
         )
@@ -181,16 +199,20 @@ class LexicalIndex:
         text_col: str = "text",
     ) -> "LexicalIndex":
         """Incremental ingest (the IvfIndex.extend shape): posting-build
-        ONLY the new docs, union, and recombine the (n, avgdl) scalars as
-        the count-weighted merge — never rescanning the indexed corpus.
-        Caller contract: new ids are disjoint from indexed ids (same as
-        every store in this repo; enforceable upstream by an anti-join)."""
+        ONLY the new docs, union, and recombine the scalars EXACTLY from
+        the carried ``dl_sum`` token totals (integer-valued doubles: the
+        merged avgdl is bit-identical to a one-shot rebuild's, which an
+        avg-of-rounded-avgs merge would not be) — never rescanning the
+        indexed corpus. Caller contract: new ids are disjoint from
+        indexed ids (same as every store in this repo; enforceable
+        upstream by an anti-join)."""
         add = build_postings(new_corpus, corpus_id, text_col).withColumn(
             "term_bucket", term_bucket(F.col("term"), self.n_buckets))
         add_stats = corpus_stats(new_corpus, text_col)
         merged = self.stats.unionByName(add_stats).agg(
             F.sum("n").alias("n"),
-            (F.sum(F.col("n") * F.col("avgdl")) / F.sum("n")).alias("avgdl"),
+            (F.sum("dl_sum") / F.sum("n")).alias("avgdl"),
+            F.sum("dl_sum").alias("dl_sum"),
         )
         return LexicalIndex(
             self.postings.unionByName(add), merged, self.n_buckets)
@@ -223,6 +245,7 @@ def bm25_topk(
     round_scores: int | None = 6,
     n_salts: int = 32,
     require_all_terms: bool = False,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents per query by lexical score; returns
     ``(query_id, neighbor_id, score, rank)`` with ``score`` rounded to
@@ -239,7 +262,11 @@ def bm25_topk(
     the BM25 default) to boolean-AND retrieval: only documents containing
     EVERY term of the query score; a query with a term absent from the
     corpus matches nothing. One extra count in the existing per-doc
-    aggregate, no extra shuffle."""
+    aggregate, no extra shuffle.
+
+    ``stats``: a precomputed :func:`corpus_stats` frame for the corpus
+    path — skips the second text-column scan when the caller probes the
+    same corpus repeatedly (the index path never needs it)."""
     if (corpus is None) == (index is None):
         raise ValueError("pass exactly one of corpus= / index=")
     if method not in ("bm25", "tfidf"):
@@ -256,10 +283,12 @@ def bm25_topk(
 
     if corpus is not None:
         post = build_postings(corpus, corpus_id, corpus_text, vocab=terms)
-        stats = corpus_stats(corpus, corpus_text)
+        if stats is None:
+            stats = corpus_stats(corpus, corpus_text)
     else:
         post = index.pruned(terms).drop("term_bucket")
         stats = index.stats
+    stats = stats.select("n", "avgdl")  # the scoring scalars
 
     df_tbl = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df"))
@@ -385,15 +414,35 @@ class LexicalIndexStore:
             "term_bucket", term_bucket(F.col("term"), self.n_buckets))
         post.write.mode("overwrite").partitionBy("term_bucket").parquet(
             f"{self.path}/postings/batch={seq}")
-        docs.select(
-            F.size(tokens_expr(F.col(self.text_col)))
-            .cast("double").alias("dl")
-        ).agg(
+        docs.select(_dl_expr(self.text_col).alias("dl")).agg(
             F.count(F.lit(1)).cast("double").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0.0)).alias("dl_sum"),
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{self.path}/stats/batch={seq}")
         self._commit_seq(seq + 1, batch_id)
+
+    def _read_root(self, sub: str) -> DataFrame:
+        """All batch dirs of ``sub`` with the explicit schema (an all-blank
+        batch writes zero data files — schema inference would die) — plus
+        the crash-recovery restore: a death inside compact()'s two-rename
+        window leaves the full history only under ``.old-<sub>-*``; restore
+        the newest before reading (the LineDedupStore._history pattern)."""
+        import glob
+        import os
+        import shutil
+
+        root = f"{self.path}/{sub}"
+        if not glob.glob(f"{root}/batch=*"):
+            olds = sorted(glob.glob(f"{self.path}/.old-{sub}-*"),
+                          key=os.path.getmtime)
+            if olds:
+                shutil.rmtree(root, ignore_errors=True)
+                os.rename(olds[-1], root)
+        schema = (
+            LexicalIndex._POSTINGS_SCHEMA + ", batch int"
+            if sub == "postings" else "n double, dl_sum double, batch int"
+        )
+        return self.spark.read.schema(schema).parquet(root)
 
     def as_index(self) -> LexicalIndex:
         """The committed store as a probe-ready :class:`LexicalIndex`
@@ -402,48 +451,65 @@ class LexicalIndexStore:
         seq, _ = self._state()
         if seq == 0:
             raise ValueError("empty LexicalIndexStore")
-        post = self.spark.read.parquet(f"{self.path}/postings").filter(
+        post = self._read_root("postings").filter(
             F.col("batch") < seq).drop("batch")
-        stats = self.spark.read.parquet(f"{self.path}/stats").filter(
+        stats = self._read_root("stats").filter(
             F.col("batch") < seq
         ).agg(
             F.sum("n").alias("n"),
             (F.sum("dl_sum") / F.sum("n")).alias("avgdl"),
+            F.sum("dl_sum").alias("dl_sum"),
         )
         return LexicalIndex(post, stats, self.n_buckets)
 
     def compact(self) -> None:
         """Fold committed batch dirs strictly BEFORE the last one into a
-        consolidated ``batch=0`` (crash-safe staging rename, the
-        MinHashDedupStore pattern); the last committed dir — the replay
-        window — and any orphaned in-flight dir are preserved verbatim."""
+        consolidated ``batch=0``; the last committed dir — the replay
+        window — and any orphaned in-flight dir are preserved verbatim.
+        SINGLE-WRITER op, between batches (foreachBatch is sequential).
+
+        Crash-safe the LineDedupStore.compact way: the NEW root —
+        consolidated dir plus a COPY of the preserved dirs, so no state
+        is ever split across two roots — is staged under
+        ``.compact-<sub>-*``, then swapped in via two renames; a death
+        between them leaves the full history under ``.old-<sub>-*``,
+        which :meth:`_read_root` restores on next access (stale staging
+        dirs may remain to sweep). Committed data is never deleted before
+        its replacement is fully in place."""
         import glob
         import os
         import shutil
         import uuid
 
         seq, _ = self._state()
+        last = seq - 1  # the replay-window batch
         if seq < 2:
             return  # nothing strictly before the replay window
-        for sub, part_cols in (("postings", ["term_bucket"]), ("stats", [])):
+        for sub in ("postings", "stats"):
             root = f"{self.path}/{sub}"
-            old_dirs = [
-                d for d in glob.glob(f"{root}/batch=*")
-                if int(d.rsplit("=", 1)[1]) < seq - 1
-            ]
-            if len(old_dirs) <= 1:
+            vals = sorted(int(d.rsplit("=", 1)[1])
+                          for d in glob.glob(f"{root}/batch=*"))
+            if sum(1 for v in vals if v < last) < 2:
                 continue
-            folded = self.spark.read.option("basePath", root).parquet(
-                *old_dirs).drop("batch")
+            folded = self._read_root(sub).filter(
+                F.col("batch") < last).drop("batch")
+            staging = f"{self.path}/.compact-{sub}-{uuid.uuid4().hex}"
             if sub == "stats":
-                folded = folded.agg(
-                    F.sum("n").alias("n"), F.sum("dl_sum").alias("dl_sum"))
-            staging = f"{self.path}/.staging-{sub}-{uuid.uuid4().hex}"
-            if sub == "stats":
-                folded.coalesce(1).write.mode("overwrite").parquet(staging)
+                folded.agg(
+                    F.sum("n").alias("n"), F.sum("dl_sum").alias("dl_sum")
+                ).coalesce(1).write.parquet(f"{staging}/batch=0")
             else:
-                folded.write.mode("overwrite").partitionBy(
-                    *part_cols).parquet(staging)
-            for d in old_dirs:
-                shutil.rmtree(d)
-            os.rename(staging, f"{root}/batch=0")
+                folded.write.partitionBy("term_bucket").parquet(
+                    f"{staging}/batch=0")
+            for v in vals:
+                if v >= last:
+                    shutil.copytree(f"{root}/batch={v}",
+                                    f"{staging}/batch={v}")
+            old = f"{self.path}/.old-{sub}-{uuid.uuid4().hex}"
+            os.rename(root, old)
+            try:
+                os.rename(staging, root)
+            except OSError:
+                os.rename(old, root)  # roll back; staging left for sweep
+                raise
+            shutil.rmtree(old, ignore_errors=True)

@@ -17,6 +17,18 @@ STOPWORDS = {
 }
 
 
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization as a Column: trim, split on ``\\s+``, drop
+    empties (an all-blank text tokenizes to [] — DuckDB's
+    ``list_filter(string_split_regex(trim(t), '\\s+'), w -> w <> '')``
+    reproduces this exactly). THE shared tokenizer: retrieval, chunking,
+    vocabulary stats, and the C4 rules all route through this one
+    expression so the cross-engine parity contract lives in one place."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count; empty/blank text counts 0."""
     t = F.trim(text)
@@ -623,12 +635,8 @@ def c4_exprs(
     the gopher_pass_expr pattern)."""
     lines = F.split(t, "\n", -1)
 
-    def words(ln: Column) -> Column:
-        return F.filter(F.split(F.trim(ln), r"\s+"),
-                        lambda w: w != F.lit(""))
-
     def line_ok(ln: Column) -> Column:
-        ok = F.size(words(ln)) >= F.lit(min_words_per_line)
+        ok = F.size(tokens_expr(ln)) >= F.lit(min_words_per_line)
         if terminal_punct is not None:
             last = F.substring(F.rtrim(ln), -1, 1)
             ok = ok & last.isin(list(terminal_punct))
@@ -662,8 +670,7 @@ def top_terms(
     (output is vocabulary-sized, Zipf-concentrated), then
     TakeOrderedAndProject for the top-k — no window over the full term
     table, no driver-side counting."""
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
-                    lambda w: w != F.lit(""))
+    toks = tokens_expr(F.col(text_col))
     exploded = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__doc"),
         F.explode(toks).alias("term"),
@@ -695,8 +702,7 @@ def collocations(
     tables are vocabulary-sized after their map-side-combined groupBys;
     the unigram table joins back TWICE by term — both joins broadcast
     (vocabularies are small next to any corpus that matters)."""
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
-                    lambda w: w != F.lit(""))
+    toks = tokens_expr(F.col(text_col))
     docs = df.filter(F.col(text_col).isNotNull()).select(
         toks.alias("__toks"))
     pairs = docs.select(F.explode(

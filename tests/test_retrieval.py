@@ -276,3 +276,70 @@ def test_stream_lexical_index_end_to_end(spark, corpus, tmp_path):
     q.stop()
     assert _probe(spark, store.as_index()) == _probe(
         spark, rt.build_lexical_index(df, n_buckets=8))
+
+
+# --------------------------------------- review-finding regressions (r9)
+
+def test_extend_exact_with_null_texts(spark, tmp_path):
+    """dl_sum-carried merge: extend == rebuild even when NULL-text docs
+    make avg-of-avgs diverge (NULL text = zero-length doc everywhere)."""
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], "doc_id long, text string")
+    inc = rt.build_lexical_index(
+        df.filter(F.col("doc_id") < 1), n_buckets=4
+    ).extend(df.filter(F.col("doc_id") >= 1))
+    full = rt.build_lexical_index(df, n_buckets=4)
+    assert inc.stats.collect() == full.stats.collect()
+    store = rt.LexicalIndexStore(
+        spark, str(tmp_path / "lexnull"), n_buckets=4)
+    store.ingest_batch(df.filter(F.col("doc_id") < 1), batch_id=0)
+    store.ingest_batch(df.filter(F.col("doc_id") >= 1), batch_id=1)
+    got = store.as_index().stats.select("n", "avgdl", "dl_sum").collect()
+    assert got == full.stats.collect()
+
+
+def test_all_blank_corpus_index_roundtrip(spark, tmp_path):
+    """Zero postings (blank/NULL texts) must survive write/read and the
+    store path — empty parquet dirs have no inferable schema."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "   ")], "doc_id long, text string")
+    idx = rt.build_lexical_index(df, n_buckets=4)
+    idx.write(str(tmp_path / "blank"))
+    back = rt.LexicalIndex.read(spark, str(tmp_path / "blank"))
+    assert back.postings.count() == 0
+    assert back.stats.collect()[0]["n"] == 3.0
+    store = rt.LexicalIndexStore(spark, str(tmp_path / "st"), n_buckets=4)
+    store.ingest_batch(df, batch_id=0)
+    sidx = store.as_index()
+    assert sidx.postings.count() == 0
+    assert sidx.stats.collect()[0]["avgdl"] == 0.0
+    qs = spark.createDataFrame([(0, "a")], "query_id long, text string")
+    assert rt.bm25_topk(qs, index=sidx, k=3).count() == 0
+
+
+def test_store_recovers_from_compact_crash_window(spark, corpus, tmp_path):
+    """A death between compact()'s two renames leaves the history only
+    under .old-<sub>-*; the next read restores it."""
+    import glob
+    import os
+
+    rows, df = corpus
+    store = rt.LexicalIndexStore(spark, str(tmp_path / "st"), n_buckets=8)
+    for i in range(len(rows)):
+        store.ingest_batch(df.filter(F.col("doc_id") == i), batch_id=i)
+    before = _probe(spark, store.as_index())
+    # construct the crash state: root moved aside, replacement not yet in
+    os.rename(f"{store.path}/postings",
+              f"{store.path}/.old-postings-deadbeef")
+    got = _probe(spark, store.as_index())   # restore fires in _read_root
+    assert got == before
+    assert glob.glob(f"{store.path}/postings/batch=*")
+
+
+def test_bm25_stats_param_matches_inline(spark, corpus):
+    _, df = corpus
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    pre = rt.corpus_stats(df)
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(rt.bm25_topk(qs, df, k=5, stats=pre).collect(), key=key) \
+        == sorted(rt.bm25_topk(qs, df, k=5).collect(), key=key)
