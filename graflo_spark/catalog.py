@@ -4385,13 +4385,42 @@ def bm25_topk_documents(spark, sf_dir):
     return bm.unionByName(tfidf)
 
 
+# Reciprocal-rank fusion (ops/retrieval.rrf_fuse, Cormack et al. 2009)
+# over the two lexical rankings — the hybrid-search combiner, graded by
+# replaying 1/(60+rank) summation and rounded-score re-ranking in SQL on
+# the SAME lexical oracle body the bm25 row is graded against.
+_RRF_ORACLE = (
+    "SELECT 'rrf' AS method, query_id, neighbor_id, "
+    "ROUND(score, 6) AS score, rank FROM ("
+    "SELECT query_id, neighbor_id, score, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, neighbor_id"
+    ") AS rank FROM (SELECT query_id, neighbor_id, "
+    "SUM(1.0 / (60 + rank)) AS score FROM (" + _LEX_ORACLE_BODY + ") "
+    "GROUP BY 1, 2)) WHERE rank <= 5"
+)
+
+
+@q("hybrid_rrf_documents", _RRF_ORACLE)
+def hybrid_rrf_documents(spark, sf_dir):
+    """RRF fusion of the BM25 and tf-idf top-5 rankings over the
+    documents corpus (two retrieval systems -> one fused ranking)."""
+    docs = load(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, text string")
+    bm = rt.bm25_topk(qs, docs, k=5)
+    tfidf = rt.bm25_topk(qs, docs, k=5, method="tfidf")
+    return rt.rrf_fuse([bm, tfidf], k=5).select(
+        F.lit("rrf").alias("method"), "query_id", "neighbor_id",
+        "score", "rank")
+
+
 @q(
     "embedding_search_suite",
     "SELECT method, query_id, neighbor_id, cosine AS score, rank FROM ("
     + ORACLES["ann_topk_embeddings"] + ") UNION ALL "
     "SELECT * FROM (" + ORACLES["pq_adc_topk_embeddings"] + ") UNION ALL "
     "SELECT * FROM (" + _LEX_ORACLE_BODY + ") UNION ALL "
-    "SELECT * FROM (" + _PCA_TOPK_ORACLE + ")",
+    "SELECT * FROM (" + _PCA_TOPK_ORACLE + ") UNION ALL "
+    "SELECT * FROM (" + _RRF_ORACLE + ")",
 )
 def embedding_search_suite(spark, sf_dir):
     """Every similarity-search path in one row: brute/IVF/LSH (the
@@ -4399,13 +4428,15 @@ def embedding_search_suite(spark, sf_dir):
     branches (driver-LUT, join formulation, IVF-PQ), and (r9) the two
     LEXICAL retrieval branches — BM25 and tf-idf keyword top-k
     (ops/retrieval.py; sparse retrieval next to the dense paths) — plus
-    the frozen-matrix PCA-space top-k (ops/pca.py)."""
+    the frozen-matrix PCA-space top-k (ops/pca.py) and the RRF hybrid
+    fusion of the two lexical rankings (ops/retrieval.rrf_fuse)."""
     ann = ann_topk_embeddings(spark, sf_dir).withColumnRenamed(
         "cosine", "score")
     return ann.unionByName(
         pq_adc_topk_embeddings(spark, sf_dir)
     ).unionByName(bm25_topk_documents(spark, sf_dir)).unionByName(
-        pca_topk_embeddings(spark, sf_dir))
+        pca_topk_embeddings(spark, sf_dir)).unionByName(
+        hybrid_rrf_documents(spark, sf_dir))
 
 
 @q(
@@ -4832,6 +4863,7 @@ _RETIRED_INTO_SUITES = [
     "evolve_migrate_suite", "manifest_io_suite",
     "ann_topk_embeddings", "pq_adc_topk_embeddings",
     "bm25_topk_documents", "pca_topk_embeddings",
+    "hybrid_rrf_documents",
     "near_dup_clusters_documents", "semdedup_clusters_embeddings",
     "sampling_split_mix_documents", "io_formats_suite",
     "sliding_chunks_documents",

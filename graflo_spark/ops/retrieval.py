@@ -53,7 +53,7 @@ from graflo_spark.ops.textstats import tokens_expr  # the ONE tokenizer
 __all__ = [
     "tokens_expr", "term_bucket", "py_term_bucket", "build_postings",
     "corpus_stats", "LexicalIndex", "build_lexical_index", "bm25_topk",
-    "LexicalIndexStore",
+    "LexicalIndexStore", "rrf_fuse",
 ]
 
 _SEP = chr(31)
@@ -513,3 +513,40 @@ class LexicalIndexStore:
                 os.rename(old, root)  # roll back; staging left for sweep
                 raise
             shutil.rmtree(old, ignore_errors=True)
+
+
+def rrf_fuse(
+    results: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    round_scores: int | None = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard hybrid-search combiner: given per-system top-k rankings
+    ``(query_id, neighbor_id, rank)`` (e.g. one from :func:`bm25_topk`,
+    one from the dense ANN family), score each candidate
+    ``sum over systems of 1 / (rrf_k + rank)`` and re-rank. rrf_k=60 is
+    the published constant. A doc absent from a system's list simply
+    contributes nothing (the standard treatment).
+
+    Inputs are already top-k-bounded per query — k*|systems| rows per
+    query — so the final window needs no salting stage; ranking orders by
+    the rounded score (ties by id), the module's determinism discipline.
+    Returns ``(query_id, neighbor_id, score, rank)``."""
+    if not results:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    scored = None
+    for r in results:
+        part = r.select(
+            "query_id", "neighbor_id",
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank"))).alias("s"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    fused = scored.groupBy("query_id", "neighbor_id").agg(
+        F.sum("s").alias("score"))
+    if round_scores is not None:
+        fused = fused.withColumn("score", F.round("score", round_scores))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return fused.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)

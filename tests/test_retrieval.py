@@ -343,3 +343,26 @@ def test_bm25_stats_param_matches_inline(spark, corpus):
     key = lambda r: (r.query_id, r.rank)
     assert sorted(rt.bm25_topk(qs, df, k=5, stats=pre).collect(), key=key) \
         == sorted(rt.bm25_topk(qs, df, k=5).collect(), key=key)
+
+
+def test_rrf_fuse_math_and_absent_docs(spark):
+    """RRF = sum of 1/(60+rank) over the systems that ranked the doc;
+    docs absent from one list contribute only the other's term."""
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, neighbor_id long, rank int")
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, neighbor_id long, rank int")
+    out = {r.neighbor_id: r for r in rt.rrf_fuse([a, b], k=10).collect()}
+    assert out[11].score == round(1 / 62 + 1 / 61, 6)   # in both lists
+    assert out[10].score == round(1 / 61, 6)            # only in a
+    assert out[13].score == round(1 / 62, 6)            # only in b
+    assert out[11].rank == 1                            # fusion wins
+    # equal scores (10 from a@1, 13 from b@... no: 10=1/61, 13=1/62) ->
+    # strict ordering 11, 10, 13, 12
+    assert [out[i].rank for i in (11, 10, 13, 12)] == [1, 2, 3, 4]
+    import pytest
+
+    with pytest.raises(ValueError):
+        rt.rrf_fuse([])
