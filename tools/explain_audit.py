@@ -67,6 +67,9 @@ HEADLINES = [
     "bm25_topk_documents",
     "pca_topk_embeddings",
     "c4_clean_documents",
+    "vocab_stats_documents",
+    "sliding_chunks_documents",
+    "hybrid_rrf_documents",
 ]
 
 
