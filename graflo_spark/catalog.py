@@ -4385,6 +4385,44 @@ def bm25_topk_documents(spark, sf_dir):
     return bm.unionByName(tfidf)
 
 
+# Mean-pool embedding aggregation (ops/simsearch.mean_pool_embeddings):
+# member vectors -> group centroid / chunk embeddings -> doc embedding.
+# Unpivoted into the search-suite shape: method='pool', query_id=group,
+# neighbor_id=dimension index, score=rounded mean, rank=member count.
+# Per-(group, dim) sums are float with engine-dependent accumulation
+# order -> ROUND(,6), the module discipline.
+_POOL_ORACLE = (
+    "SELECT 'pool' AS method, g AS query_id, pos AS neighbor_id, "
+    "ROUND(s / n, 6) AS score, CAST(n AS INT) AS rank FROM ("
+    "SELECT vec_id % 8 AS g, pos - 1 AS pos, SUM(x) AS s, "
+    "COUNT(*) AS n FROM (SELECT vec_id, "
+    "unnest(CAST(embedding AS DOUBLE[])) AS x, "
+    "generate_subscripts(embedding, 1) AS pos FROM embeddings) "
+    "GROUP BY 1, 2)"
+)
+
+
+@q("mean_pool_embeddings", _POOL_ORACLE)
+def mean_pool_embeddings(spark, sf_dir):
+    """Group mean-pooling over the embeddings table (groups = vec_id % 8),
+    unpivoted per dimension; the oracle replays the per-(group, dim) sum
+    and count exactly."""
+    from graflo_spark.ops.simsearch import mean_pool_embeddings as pool
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "g", F.col("vec_id") % 8)
+    pooled = pool(emb, "g")
+    return pooled.select(
+        F.col("g"), F.posexplode("embedding").alias("pos", "v"),
+        F.col("n_members"),
+    ).select(
+        F.lit("pool").alias("method"), F.col("g").alias("query_id"),
+        F.col("pos").cast("long").alias("neighbor_id"),
+        F.round("v", 6).alias("score"),
+        F.col("n_members").cast("int").alias("rank"),
+    )
+
+
 # Reciprocal-rank fusion (ops/retrieval.rrf_fuse, Cormack et al. 2009)
 # over the two lexical rankings — the hybrid-search combiner, graded by
 # replaying 1/(60+rank) summation and rounded-score re-ranking in SQL on
@@ -4420,7 +4458,8 @@ def hybrid_rrf_documents(spark, sf_dir):
     "SELECT * FROM (" + ORACLES["pq_adc_topk_embeddings"] + ") UNION ALL "
     "SELECT * FROM (" + _LEX_ORACLE_BODY + ") UNION ALL "
     "SELECT * FROM (" + _PCA_TOPK_ORACLE + ") UNION ALL "
-    "SELECT * FROM (" + _RRF_ORACLE + ")",
+    "SELECT * FROM (" + _RRF_ORACLE + ") UNION ALL "
+    "SELECT * FROM (" + _POOL_ORACLE + ")",
 )
 def embedding_search_suite(spark, sf_dir):
     """Every similarity-search path in one row: brute/IVF/LSH (the
@@ -4436,7 +4475,8 @@ def embedding_search_suite(spark, sf_dir):
         pq_adc_topk_embeddings(spark, sf_dir)
     ).unionByName(bm25_topk_documents(spark, sf_dir)).unionByName(
         pca_topk_embeddings(spark, sf_dir)).unionByName(
-        hybrid_rrf_documents(spark, sf_dir))
+        hybrid_rrf_documents(spark, sf_dir)).unionByName(
+        mean_pool_embeddings(spark, sf_dir))
 
 
 @q(
@@ -4863,7 +4903,7 @@ _RETIRED_INTO_SUITES = [
     "evolve_migrate_suite", "manifest_io_suite",
     "ann_topk_embeddings", "pq_adc_topk_embeddings",
     "bm25_topk_documents", "pca_topk_embeddings",
-    "hybrid_rrf_documents",
+    "hybrid_rrf_documents", "mean_pool_embeddings",
     "near_dup_clusters_documents", "semdedup_clusters_embeddings",
     "sampling_split_mix_documents", "io_formats_suite",
     "sliding_chunks_documents",

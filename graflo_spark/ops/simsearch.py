@@ -363,3 +363,49 @@ def lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Element-wise mean of the vectors in each group — the pooling step
+    between granularities: chunk embeddings -> document embedding (the
+    sliding_chunks companion), member vectors -> cluster centroid.
+    Returns ``(group_col, embedding ARRAY<DOUBLE>, n_members)``;
+    ``normalize=True`` L2-normalizes the pooled vector (cosine-ready).
+    NULL vectors are skipped; a group with only NULLs is dropped.
+
+    100 TB shape: posexplode to (group, dim) -> ONE map-side-combinable
+    sum aggregate -> per-group reassembly via sort_array(collect_list) —
+    the collect_list is d elements per group (dimension-bounded, never
+    member-bounded), so no group's payload grows with its size. Two
+    keyed shuffles, no Python, no driver collection. Groups of vectors
+    never meet as whole rows — only their per-dimension partial sums."""
+    g = F.col(group_col)
+    exploded = df.filter(F.col(vec_col).isNotNull()).select(
+        g.alias("__g"),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+    )
+    # n_members = rows at dim 0 (every non-NULL vector contributes one)
+    per_dim = exploded.groupBy("__g", "__pos").agg(
+        F.sum(F.col("__x").cast("double")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    pooled = per_dim.groupBy("__g").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__pos", "__s", "__n"))),
+            lambda e: e["__s"] / e["__n"].cast("double"),
+        ).alias("embedding"),
+        F.max("__n").alias("n_members"),
+    )
+    if normalize:
+        nrm = norm_expr(F.col("embedding"))
+        pooled = pooled.withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x / nrm),
+        )
+    return pooled.select(
+        F.col("__g").alias(group_col), "embedding", "n_members")

@@ -244,3 +244,38 @@ def test_ivf_index_extend_incremental_matches_full_build(spark):
     g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
     w = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
     assert g == w
+
+
+# ------------------------------------------- mean-pool aggregation (r9)
+
+def test_mean_pool_matches_numpy(spark, tables):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from graflo_spark.ops.simsearch import mean_pool_embeddings
+
+    emb = tables["embeddings"].withColumn("g", F.col("vec_id") % 4)
+    got = {r.g: r for r in mean_pool_embeddings(emb, "g").collect()}
+    rows = emb.select("g", "embedding").collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(np.asarray(r.embedding, np.float64))
+    for g, vecs in by_g.items():
+        assert got[g].n_members == len(vecs)
+        assert np.allclose(got[g].embedding,
+                           np.mean(vecs, axis=0), atol=1e-9)
+
+
+def test_mean_pool_normalize_and_null_groups(spark):
+    import numpy as np
+    from graflo_spark.ops.simsearch import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (0, [3.0, 4.0]), (1, None)],
+        "g long, embedding array<double>")
+    out = {r.g: r for r in mean_pool_embeddings(
+        df, "g", normalize=True).collect()}
+    assert set(out) == {0}                      # all-NULL group dropped
+    v = np.asarray(out[0].embedding)
+    assert np.isclose(np.linalg.norm(v), 1.0)
+    assert np.allclose(v, [0.6, 0.8])
