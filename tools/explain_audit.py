@@ -70,6 +70,7 @@ HEADLINES = [
     "vocab_stats_documents",
     "sliding_chunks_documents",
     "hybrid_rrf_documents",
+    "mean_pool_embeddings",
 ]
 
 
