@@ -4342,8 +4342,12 @@ _LEX_ORACLE_BODY = (
     r"d AS (SELECT doc_id, list_filter(string_split_regex(trim(text), "
     r"'\s+'), w -> w <> '') AS toks FROM documents), "
     "dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d), "
-    "meta AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl "
-    "FROM dl), "
+    # n counts ALL docs and NULL text weighs 0 in avgdl — the
+    # operator's _dl_expr contract (adding 0.0 terms is exact, so
+    # sum-over-non-null / total-count == Spark's avg with zeros)
+    "meta AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) "
+    "AS n, COALESCE((SELECT SUM(dl) FROM dl), 0) / "
+    "(SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS avgdl), "
     "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM "
     "(SELECT doc_id, unnest(toks) AS term FROM d) "
     "WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2), "
@@ -4444,8 +4448,9 @@ def hybrid_rrf_documents(spark, sf_dir):
     documents corpus (two retrieval systems -> one fused ranking)."""
     docs = load(spark, sf_dir, "documents")
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, text string")
-    bm = rt.bm25_topk(qs, docs, k=5)
-    tfidf = rt.bm25_topk(qs, docs, k=5, method="tfidf")
+    st = rt.corpus_stats(docs)  # one stats aggregate shared by both systems
+    bm = rt.bm25_topk(qs, docs, k=5, stats=st)
+    tfidf = rt.bm25_topk(qs, docs, k=5, method="tfidf", stats=st)
     return rt.rrf_fuse([bm, tfidf], k=5).select(
         F.lit("rrf").alias("method"), "query_id", "neighbor_id",
         "score", "rank")

@@ -175,10 +175,17 @@ class LexicalIndex:
         # explicit schema: an all-blank corpus writes ZERO posting files
         # (partitionBy on an empty frame leaves only _SUCCESS) and plain
         # reads would die with UNABLE_TO_INFER_SCHEMA
+        stats = stats.drop("n_buckets")
+        if "dl_sum" not in stats.columns:
+            # index persisted before dl_sum existed: back-fill the token
+            # total from the rounded average (exact when n*avgdl is an
+            # integer-valued double, 1-ulp otherwise)
+            stats = stats.withColumn(
+                "dl_sum", F.col("n") * F.col("avgdl"))
         return LexicalIndex(
             postings=spark.read.schema(
                 LexicalIndex._POSTINGS_SCHEMA).parquet(f"{path}/postings"),
-            stats=stats.drop("n_buckets"),
+            stats=stats,
             n_buckets=int(n_buckets),
         )
 
@@ -269,6 +276,9 @@ def bm25_topk(
     same corpus repeatedly (the index path never needs it)."""
     if (corpus is None) == (index is None):
         raise ValueError("pass exactly one of corpus= / index=")
+    if index is not None and stats is not None:
+        raise ValueError("stats= only applies to the corpus path — the "
+                         "index carries its own scalars")
     if method not in ("bm25", "tfidf"):
         raise ValueError(f"unknown method {method!r}")
 
@@ -377,6 +387,11 @@ class LexicalIndexStore:
         self.n_buckets = n_buckets
         os.makedirs(f"{self.path}/postings", exist_ok=True)
         os.makedirs(f"{self.path}/stats", exist_ok=True)
+        # run crash recovery at construction, not just at first READ: a
+        # restarted stream may ingest before reading, and a batch written
+        # into a fresh empty root would mask the .old-* history forever
+        for sub in ("postings", "stats"):
+            self._restore_if_needed(sub)
 
     def _state(self) -> tuple[int, str | None]:
         import os
@@ -406,6 +421,8 @@ class LexicalIndexStore:
         (foreachBatch passes its epoch id); a repeat of the last committed
         one re-runs under its original seq — the post-commit replay
         guarantee. Omit only if the caller never re-delivers."""
+        for sub in ("postings", "stats"):
+            self._restore_if_needed(sub)
         seq, last_bid = self._state()
         if (batch_id is not None and last_bid is not None
                 and str(batch_id) == last_bid and seq > 0):
@@ -421,23 +438,35 @@ class LexicalIndexStore:
             f"{self.path}/stats/batch={seq}")
         self._commit_seq(seq + 1, batch_id)
 
-    def _read_root(self, sub: str) -> DataFrame:
-        """All batch dirs of ``sub`` with the explicit schema (an all-blank
-        batch writes zero data files — schema inference would die) — plus
-        the crash-recovery restore: a death inside compact()'s two-rename
-        window leaves the full history only under ``.old-<sub>-*``; restore
-        the newest before reading (the LineDedupStore._history pattern)."""
+    def _restore_if_needed(self, sub: str) -> None:
+        """Crash recovery: a death inside compact()'s two-rename window
+        leaves the full history only under ``.old-<sub>-*`` — restore the
+        newest (the LineDedupStore._history pattern). When the root IS
+        populated, any ``.old-<sub>-*`` left behind is the post-swap crash
+        window's leftover copy — sweep it, so stale copies neither
+        accumulate nor compete (by mtime) with a future real restore."""
         import glob
         import os
         import shutil
 
         root = f"{self.path}/{sub}"
+        olds = sorted(glob.glob(f"{self.path}/.old-{sub}-*"),
+                      key=os.path.getmtime)
         if not glob.glob(f"{root}/batch=*"):
-            olds = sorted(glob.glob(f"{self.path}/.old-{sub}-*"),
-                          key=os.path.getmtime)
             if olds:
                 shutil.rmtree(root, ignore_errors=True)
                 os.rename(olds[-1], root)
+                olds = olds[:-1]
+        for stale in olds:
+            if glob.glob(f"{root}/batch=*"):
+                shutil.rmtree(stale, ignore_errors=True)
+
+    def _read_root(self, sub: str) -> DataFrame:
+        """All batch dirs of ``sub`` with the explicit schema (an all-blank
+        batch writes zero data files — schema inference would die), after
+        :meth:`_restore_if_needed`."""
+        root = f"{self.path}/{sub}"
+        self._restore_if_needed(sub)
         schema = (
             LexicalIndex._POSTINGS_SCHEMA + ", batch int"
             if sub == "postings" else "n double, dl_sum double, batch int"

@@ -402,10 +402,18 @@ def mean_pool_embeddings(
         F.max("__n").alias("n_members"),
     )
     if normalize:
-        nrm = norm_expr(F.col("embedding"))
+        # materialize the norm ONCE per group: Spark does not hoist
+        # lambda-independent subexpressions, so embedding norm_expr inside
+        # the transform lambda would re-run the O(d) fold per ELEMENT
+        # (O(d^2) per group). Zero vectors stay zero (ANSI mode would
+        # otherwise abort the job on the division).
         pooled = pooled.withColumn(
+            "__nrm", norm_expr(F.col("embedding"))
+        ).withColumn(
             "embedding",
-            F.transform(F.col("embedding"), lambda x: x / nrm),
-        )
+            F.when(F.col("__nrm") == 0.0, F.col("embedding")).otherwise(
+                F.transform(F.col("embedding"),
+                            lambda x: x / F.col("__nrm"))),
+        ).drop("__nrm")
     return pooled.select(
         F.col("__g").alias(group_col), "embedding", "n_members")

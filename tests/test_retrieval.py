@@ -366,3 +366,63 @@ def test_rrf_fuse_math_and_absent_docs(spark):
 
     with pytest.raises(ValueError):
         rt.rrf_fuse([])
+
+
+def test_ingest_after_compact_crash_restores_history(spark, corpus, tmp_path):
+    """The .old-* restore must fire on the WRITE path too: a restarted
+    stream that ingests before reading must not bury the history under a
+    fresh root (review finding)."""
+    import glob
+    import os
+
+    rows, df = corpus
+    store = rt.LexicalIndexStore(spark, str(tmp_path / "st"), n_buckets=8)
+    for i in range(4):
+        store.ingest_batch(df.filter(F.col("doc_id") == i), batch_id=i)
+    # crash window: root renamed aside, replacement never arrived
+    os.rename(f"{store.path}/postings",
+              f"{store.path}/.old-postings-crash")
+    os.makedirs(f"{store.path}/postings")
+    store.ingest_batch(df.filter(F.col("doc_id") == 4), batch_id=4)
+    idx = store.as_index()
+    assert idx.stats.collect()[0]["n"] == 5.0
+    full = rt.build_lexical_index(
+        df.filter(F.col("doc_id") < 5), n_buckets=8)
+    key = lambda r: (r.doc_id, r.term)
+    assert sorted(idx.postings.collect(), key=key) == sorted(
+        full.postings.collect(), key=key)
+    # the stale-.old sweep: nothing left behind once the root is live
+    assert not glob.glob(f"{store.path}/.old-postings-*")
+
+
+def test_zero_norm_group_normalizes_to_zero(spark):
+    from graflo_spark.ops.simsearch import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0]), (0, [-1.0, 2.0]), (1, [3.0, 4.0])],
+        "g long, embedding array<double>")
+    out = {r.g: r.embedding for r in mean_pool_embeddings(
+        df, "g", normalize=True).collect()}
+    assert out[0] == [0.0, 0.0]          # no ANSI divide-by-zero abort
+    assert out[1] == [0.6, 0.8]
+
+
+def test_read_backfills_missing_dl_sum(spark, corpus, tmp_path):
+    rows, df = corpus
+    idx = rt.build_lexical_index(df, n_buckets=4)
+    idx.stats = idx.stats.drop("dl_sum")   # simulate a pre-dl_sum index
+    idx.write(str(tmp_path / "old"))
+    back = rt.LexicalIndex.read(spark, str(tmp_path / "old"))
+    assert "dl_sum" in back.stats.columns
+    extended = back.extend(
+        spark.createDataFrame([(99, "join spark")],
+                              "doc_id long, text string"))
+    assert extended.stats.collect()[0]["n"] == float(len(rows)) + 1
+
+
+def test_stats_with_index_rejected(spark, corpus):
+    _, df = corpus
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    idx = rt.build_lexical_index(df, n_buckets=4)
+    with pytest.raises(ValueError):
+        rt.bm25_topk(qs, index=idx, stats=rt.corpus_stats(df))
