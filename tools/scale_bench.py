@@ -131,6 +131,13 @@ SCALE_QUERIES = [
     # base-sized while the tokenize/prefilter scan grows with the corpus —
     # the honest 100 TB shape (scan-bound, match-bounded)
     "bm25_topk_documents",
+    # r9 vocabulary report: term/bigram groupBys over a vocabulary the
+    # rotation blow-up multiplies 26-fold at most (still tiny); the
+    # explode volume grows with the corpus
+    "vocab_stats_documents",
+    # r9 RAG chunker: pure map fan-out — output rows scale exactly with
+    # the corpus, wall with the single scan
+    "sliding_chunks_documents",
 ]
 
 # (table, [key cols offset by own stride], {col: stride-source table})
