@@ -4389,6 +4389,57 @@ def bm25_topk_documents(spark, sf_dir):
     return bm.unionByName(tfidf)
 
 
+# Exact phrase search (ops/retrieval.phrase_topk): the quoted-string
+# query — positional postings, per-slot shifted position sets, fold
+# intersection. Phrases are corpus-fit adjacent pairs (found via the
+# vocab_stats collocation report); scores are exact occurrence counts —
+# integer arithmetic end to end, no rounding discipline needed.
+_PHRASE_QUERIES = [
+    (0, "sort a"),
+    (1, "part filter"),
+    (2, "small dup"),
+]
+_PHRASE_ORACLE = (
+    "WITH ql(query_id, qtext) AS (VALUES "
+    + ", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in _PHRASE_QUERIES)
+    + "), "
+    r"qt AS (SELECT query_id, i - 1 AS idx, t[i] AS term FROM "
+    r"(SELECT query_id, [x FOR x IN regexp_split_to_array(trim(qtext), "
+    r"'\s+') IF x != ''] AS t FROM ql), "
+    "unnest(range(1, len(t) + 1)) r(i)), "
+    "m AS (SELECT query_id, COUNT(*) AS m FROM qt GROUP BY 1), "
+    r"d AS (SELECT doc_id, [x FOR x IN regexp_split_to_array(trim(text), "
+    r"'\s+') IF x != ''] AS toks FROM documents WHERE text IS NOT NULL), "
+    "pos AS (SELECT doc_id, t AS term, list_sort(list(p - 1)) AS ps FROM "
+    "(SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS p "
+    "FROM d) WHERE t IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2), "
+    "hits AS (SELECT query_id, doc_id, idx, "
+    "list_transform(ps, x -> x - idx) AS sh FROM pos JOIN qt USING (term)), "
+    "perdoc AS (SELECT query_id, doc_id, COUNT(*) AS slots, "
+    "list_reduce(list(sh ORDER BY idx), (a, b) -> list_intersect(a, b)) "
+    "AS common FROM hits GROUP BY 1, 2) "
+    "SELECT 'phrase' AS method, query_id, doc_id AS neighbor_id, "
+    "CAST(len(common) AS DOUBLE) AS score, rank FROM "
+    "(SELECT perdoc.*, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY len(common) DESC, doc_id) AS rank FROM perdoc "
+    "JOIN m USING (query_id) WHERE slots = m AND len(common) > 0) "
+    "WHERE rank <= 5"
+)
+
+
+@q("phrase_topk_documents", _PHRASE_ORACLE)
+def phrase_topk_documents(spark, sf_dir):
+    """Exact phrase top-5 over the documents corpus: positional postings,
+    shifted-position intersection, occurrence-count ranking — the full
+    chain replayed in SQL (list_reduce of list_intersect)."""
+    docs = load(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_PHRASE_QUERIES,
+                               "query_id long, text string")
+    return rt.phrase_topk(qs, docs, k=5).select(
+        F.lit("phrase").alias("method"), "query_id", "neighbor_id",
+        "score", "rank")
+
+
 # Mean-pool embedding aggregation (ops/simsearch.mean_pool_embeddings):
 # member vectors -> group centroid / chunk embeddings -> doc embedding.
 # Unpivoted into the search-suite shape: method='pool', query_id=group,
@@ -4464,7 +4515,8 @@ def hybrid_rrf_documents(spark, sf_dir):
     "SELECT * FROM (" + _LEX_ORACLE_BODY + ") UNION ALL "
     "SELECT * FROM (" + _PCA_TOPK_ORACLE + ") UNION ALL "
     "SELECT * FROM (" + _RRF_ORACLE + ") UNION ALL "
-    "SELECT * FROM (" + _POOL_ORACLE + ")",
+    "SELECT * FROM (" + _POOL_ORACLE + ") UNION ALL "
+    "SELECT * FROM (" + _PHRASE_ORACLE + ")",
 )
 def embedding_search_suite(spark, sf_dir):
     """Every similarity-search path in one row: brute/IVF/LSH (the
@@ -4481,7 +4533,8 @@ def embedding_search_suite(spark, sf_dir):
     ).unionByName(bm25_topk_documents(spark, sf_dir)).unionByName(
         pca_topk_embeddings(spark, sf_dir)).unionByName(
         hybrid_rrf_documents(spark, sf_dir)).unionByName(
-        mean_pool_embeddings(spark, sf_dir))
+        mean_pool_embeddings(spark, sf_dir)).unionByName(
+        phrase_topk_documents(spark, sf_dir))
 
 
 @q(
@@ -4909,6 +4962,7 @@ _RETIRED_INTO_SUITES = [
     "ann_topk_embeddings", "pq_adc_topk_embeddings",
     "bm25_topk_documents", "pca_topk_embeddings",
     "hybrid_rrf_documents", "mean_pool_embeddings",
+    "phrase_topk_documents",
     "near_dup_clusters_documents", "semdedup_clusters_embeddings",
     "sampling_split_mix_documents", "io_formats_suite",
     "sliding_chunks_documents",

@@ -579,3 +579,89 @@ def rrf_fuse(
         F.col("score").desc(), F.col("neighbor_id"))
     return fused.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k)
+
+
+def phrase_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    query_id: str = "query_id",
+    query_text: str = "text",
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Exact PHRASE search: rank documents by how many times the query's
+    tokens occur CONSECUTIVELY in order (the quoted-string query next to
+    BM25's OR and ``require_all_terms``'s AND). Returns
+    ``(query_id, neighbor_id, score, rank)`` with ``score`` = the phrase
+    occurrence count (an exact integer — no rounding discipline needed);
+    docs without a full occurrence are absent; ties by doc id.
+
+    The standard positional-index algorithm: a phrase of terms
+    t0..t(m-1) occurs at position p iff every ti occurs at p+i —
+    equivalently, the intersection of each term's position set shifted
+    left by its offset. Duplicate terms in the phrase are real
+    constraints ("b b" needs b at p AND p+1), so the phrase list keeps
+    duplicates (unlike the BM25 vocabulary).
+
+    100 TB shape: the same ``arrays_overlap``-prefiltered single corpus
+    pass as :func:`build_postings`, but keeping per-(doc, term) POSITION
+    arrays (sorted; bounded by the doc's term frequency); the per-doc
+    verify folds m position arrays with ``array_intersect`` — all array
+    Column ops, no Python — and the top-k runs salted two-stage."""
+    qterms = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.posexplode(tokens_expr(F.col(query_text))).alias("idx", "term"),
+    )
+    phrase_len = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_m"))
+    terms = [r[0] for r in qterms.select("term").distinct().collect()]
+
+    toks = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        tokens_expr(F.col(corpus_text)).alias("toks"),
+    ).filter(F.arrays_overlap(
+        "toks", F.array(*[F.lit(t) for t in sorted(set(terms))])))
+    positions = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term"),
+    ).filter(F.col("term").isin(sorted(set(terms)))).groupBy(
+        "doc_id", "term"
+    ).agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+
+    # one row per (query, phrase slot, matching doc): shift the slot's
+    # positions left by its offset, then fold-intersect per (query, doc)
+    hits = positions.join(F.broadcast(qterms), "term").select(
+        "query_id", "doc_id", "idx",
+        F.transform("positions", lambda p: p - F.col("idx")).alias("sh"),
+    )
+    per_doc = hits.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("_slots"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "sh"))),
+                lambda e: e["sh"],
+            ),
+            F.lit(None).cast("array<int>"),
+            lambda acc, arr: F.when(acc.isNull(), arr).otherwise(
+                F.array_intersect(acc, arr)),
+        ).alias("_common"),
+    )
+    scored = per_doc.join(F.broadcast(phrase_len), "query_id").filter(
+        # every slot matched something (duplicate terms produce one
+        # positions row per SLOT via the join, so _slots == m iff every
+        # phrase position has a posting) and at least one aligned start
+        (F.col("_slots") == F.col("_m")) & (F.size("_common") > 0)
+    ).select(
+        "query_id", F.col("doc_id").alias("neighbor_id"),
+        F.size("_common").cast("double").alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("neighbor_id")]
+    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(n_salts))
+    pruned = scored.withColumn("_lr", F.row_number().over(
+        Window.partitionBy("query_id", salt).orderBy(*order))
+    ).filter(F.col("_lr") <= k).drop("_lr")
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)

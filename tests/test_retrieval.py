@@ -426,3 +426,52 @@ def test_stats_with_index_rejected(spark, corpus):
     idx = rt.build_lexical_index(df, n_buckets=4)
     with pytest.raises(ValueError):
         rt.bm25_topk(qs, index=idx, stats=rt.corpus_stats(df))
+
+
+# ----------------------------------------------- phrase search (r9)
+
+def test_phrase_topk_semantics(spark):
+    docs = spark.createDataFrame([
+        (0, "a b c a b"),       # "a b" twice, "a b c" once
+        (1, "b a c"),           # both terms, never adjacent in order
+        (2, "a a b"),           # "a b" once; "a a" once
+        (3, "x y z"),
+    ], "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "a b"), (1, "a a"), (2, "a b c"), (3, "q z")],
+        "query_id long, text string")
+    out = {(r.query_id, r.neighbor_id): r
+           for r in rt.phrase_topk(qs, docs, k=5).collect()}
+    assert out[(0, 0)].score == 2.0 and out[(0, 0)].rank == 1
+    assert out[(0, 2)].score == 1.0 and out[(0, 2)].rank == 2
+    assert (0, 1) not in out            # terms present but not adjacent
+    # duplicate-term phrase: "a a" needs a at p AND p+1
+    assert {k for k in out if k[0] == 1} == {(1, 2)}
+    assert out[(2, 0)].score == 1.0     # 3-term phrase
+    assert not any(k[0] == 3 for k in out)   # absent terms match nothing
+
+
+def test_phrase_brute_force_property(spark):
+    """phrase_topk == a pure-Python sliding-window count on a random-ish
+    small-alphabet corpus (adjacency-dense, exercises every branch)."""
+    words = ["a", "b", "c"]
+    rows = [
+        (i, " ".join(words[(i * 7 + j * 5 + j * j) % 3]
+                     for j in range(12)))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    phrases = [(0, "a b"), (1, "b b"), (2, "c a c"), (3, "a b c")]
+    qs = spark.createDataFrame(phrases, "query_id long, text string")
+    got = {(r.query_id, r.neighbor_id): r.score
+           for r in rt.phrase_topk(qs, docs, k=100).collect()}
+    expect = {}
+    for qid, ph in phrases:
+        p = ph.split()
+        for did, text in rows:
+            t = text.split()
+            n = sum(1 for s in range(len(t) - len(p) + 1)
+                    if t[s:s + len(p)] == p)
+            if n:
+                expect[(qid, did)] = float(n)
+    assert got == expect
