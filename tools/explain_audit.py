@@ -71,6 +71,7 @@ HEADLINES = [
     "sliding_chunks_documents",
     "hybrid_rrf_documents",
     "mean_pool_embeddings",
+    "phrase_topk_documents",
 ]
 
 
