@@ -138,6 +138,9 @@ SCALE_QUERIES = [
     # r9 RAG chunker: pure map fan-out — output rows scale exactly with
     # the corpus, wall with the single scan
     "sliding_chunks_documents",
+    # r9 phrase search: positional postings + intersection; like bm25 the
+    # match set is rotation-bounded while the scan grows with the corpus
+    "phrase_topk_documents",
 ]
 
 # (table, [key cols offset by own stride], {col: stride-source table})
