@@ -4695,7 +4695,14 @@ _C4_CLEAN_ORACLE = (
     "(NOT contains(lower(refl.full_text), 'lorem ipsum') "
     "AND NOT contains(lower(refl.full_text), '{') "
     "AND COALESCE(reb.nk, 0) >= 5) AS doc_pass "
-    "FROM refl LEFT JOIN reb USING (doc_id)"
+    "FROM refl LEFT JOIN reb USING (doc_id) "
+    # NULL/blank-text parity (the operator emits a row for EVERY doc):
+    # NULL text reflows to NULL -> (NULL, 0 lines, fail); zero-token text
+    # reflows to '' -> (one empty line, nothing kept, fail)
+    "UNION ALL SELECT doc_id, CAST(NULL AS VARCHAR), CAST(0 AS BIGINT), "
+    "CAST(0 AS BIGINT), false FROM documents WHERE text IS NULL "
+    "UNION ALL SELECT doc_id, '', CAST(1 AS BIGINT), CAST(0 AS BIGINT), "
+    "false FROM tk WHERE len(t) = 0"
 )
 
 

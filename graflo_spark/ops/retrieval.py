@@ -125,6 +125,21 @@ def build_postings(
     )
 
 
+def _empty_ranking(
+    queries: DataFrame, query_id: str, corpus: DataFrame, corpus_id: str,
+) -> DataFrame:
+    """Zero-row ``(query_id, neighbor_id, score, rank)`` frame with the
+    id types inherited from the caller's frames — the empty-vocabulary
+    result of :func:`bm25_topk` / :func:`phrase_topk`."""
+    return (
+        queries.select(F.col(query_id).alias("query_id")).limit(0)
+        .crossJoin(
+            corpus.select(F.col(corpus_id).alias("neighbor_id")).limit(0))
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rank", F.lit(1).cast("int"))
+    )
+
+
 def _dl_expr(text_col: str) -> F.Column:
     """Document length with NULL text counted as ZERO tokens — the one
     definition every stats path shares, so n * avgdl == total tokens
@@ -290,6 +305,14 @@ def bm25_topk(
     # it once so the corpus scan gets LITERAL predicates (doc prefilter +
     # partition pruning), not a join it can't push below the explode
     terms = [r[0] for r in qt.select("term").distinct().collect()]
+    if not terms:
+        # all query texts NULL/blank: nothing can match — skip the corpus
+        # scan entirely (a zero-element F.array() prefilter would be an
+        # array<void> coercion hazard and a degenerate plan at best)
+        return _empty_ranking(
+            queries, query_id,
+            corpus if corpus is not None else index.postings,
+            corpus_id if corpus is not None else "doc_id")
 
     if corpus is not None:
         post = build_postings(corpus, corpus_id, corpus_text, vocab=terms)
@@ -618,6 +641,9 @@ def phrase_topk(
     phrase_len = qterms.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("_m"))
     terms = [r[0] for r in qterms.select("term").distinct().collect()]
+    if not terms:
+        # all query texts NULL/blank (see bm25_topk's early return)
+        return _empty_ranking(queries, query_id, corpus, corpus_id)
 
     toks = corpus.select(
         F.col(corpus_id).alias("doc_id"),

@@ -377,6 +377,12 @@ def mean_pool_embeddings(
     Returns ``(group_col, embedding ARRAY<DOUBLE>, n_members)``;
     ``normalize=True`` L2-normalizes the pooled vector (cosine-ready).
     NULL vectors are skipped; a group with only NULLs is dropped.
+    RAGGED vector lengths within a group raise at execution time (mixed
+    per-dimension denominators would silently produce garbage means):
+    uniform length <=> every dimension's contribution count equals the
+    group's dim-0 count, checked by one extra min() in the existing
+    aggregate. Zero-length vectors contribute no (dim, value) rows at all
+    and are therefore skipped like NULLs — not a length violation.
 
     100 TB shape: posexplode to (group, dim) -> ONE map-side-combinable
     sum aggregate -> per-group reassembly via sort_array(collect_list) —
@@ -400,7 +406,14 @@ def mean_pool_embeddings(
             lambda e: e["__s"] / e["__n"].cast("double"),
         ).alias("embedding"),
         F.max("__n").alias("n_members"),
-    )
+        F.min("__n").alias("__n_min"),
+    ).withColumn(
+        "embedding",
+        F.when(F.col("__n_min") == F.col("n_members"), F.col("embedding"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("mean_pool_embeddings: ragged vector lengths in group "),
+            F.col("__g").cast("string")))),
+    ).drop("__n_min")
     if normalize:
         # materialize the norm ONCE per group: Spark does not hoist
         # lambda-independent subexpressions, so embedding norm_expr inside

@@ -436,6 +436,46 @@ def test_c4_clean_terminal_punct_disabled_and_brace_block(spark):
     assert out[1].n_lines_kept == 3       # ...but lines themselves survive
 
 
+def test_c4_driver_oracle_null_blank_parity(spark):
+    """The catalog's C4 oracle and the Spark chain share ONE contract for
+    NULL and zero-token documents: NULL text -> (NULL, 0, 0, fail); blank
+    text reflows to '' -> (one empty line, 0 kept, fail). The sf fixtures
+    carry no such docs, so this is the branch's only executable proof."""
+    import duckdb
+
+    from graflo_spark.catalog import _C4_CLEAN_ORACLE
+    from graflo_spark.ops import dedup as dd
+    from graflo_spark.ops import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "),
+         (3, "a b c d e f g h i j k l"),
+         (4, "customer " * 12)],
+        "doc_id long, text string")
+    staged = dd.reflow_lines(docs, "doc_id", "text", width=10)
+    got = ts.c4_clean_lines(
+        staged, "doc_id", "text", min_words_per_line=10,
+        terminal_punct=None, line_blocklist=("customer",),
+        min_kept_lines=5,
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = con.execute(_C4_CLEAN_ORACLE).fetchdf()
+
+    def norm(pdf):
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            pdf[c] = pdf[c].map(
+                lambda v: "NULL" if v is None or (
+                    isinstance(v, float) and v != v) else str(v))
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    assert len(got) == 5 and len(want) == 5
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(norm(got), norm(want))
+
+
 # ------------------------------------------- vocabulary stats (r9)
 
 def test_top_terms_counts_and_ties(spark):

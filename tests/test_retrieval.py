@@ -420,6 +420,35 @@ def test_read_backfills_missing_dl_sum(spark, corpus, tmp_path):
     assert extended.stats.collect()[0]["n"] == float(len(rows)) + 1
 
 
+def test_mean_pool_ragged_lengths_raise(spark):
+    from graflo_spark.ops.simsearch import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [1.0, 2.0, 3.0]), (1, [3.0, 4.0])],
+        "g long, embedding array<double>")
+    with pytest.raises(Exception, match="ragged"):
+        mean_pool_embeddings(df, "g").collect()
+    # zero-length vectors are SKIPS (no dim rows), not violations
+    ok = spark.createDataFrame(
+        [(0, [2.0, 4.0]), (0, []), (1, [3.0, 4.0])],
+        "g long, embedding array<double>")
+    out = {r.g: r for r in mean_pool_embeddings(ok, "g").collect()}
+    assert out[0].embedding == [2.0, 4.0] and out[0].n_members == 1
+
+
+def test_empty_query_vocabulary_short_circuits(spark, corpus):
+    """All-NULL/blank query texts: no corpus scan, a typed empty result
+    (a zero-element array prefilter would be an array<void> hazard)."""
+    _, df = corpus
+    qs = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "   ")], "query_id long, text string")
+    for out in (rt.bm25_topk(qs, df, k=5), rt.phrase_topk(qs, df, k=5)):
+        assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+        assert out.count() == 0
+    idx = rt.build_lexical_index(df, n_buckets=4)
+    assert rt.bm25_topk(qs, index=idx, k=5).count() == 0
+
+
 def test_stats_with_index_rejected(spark, corpus):
     _, df = corpus
     qs = spark.createDataFrame(QUERIES, "query_id long, text string")
