@@ -699,9 +699,15 @@ def collocations(
     deterministic); ties by (term_a, term_b).
 
     Same scale shape as :func:`top_terms`: the bigram and unigram count
-    tables are vocabulary-sized after their map-side-combined groupBys;
-    the unigram table joins back TWICE by term — both joins broadcast
-    (vocabularies are small next to any corpus that matters)."""
+    tables are vocabulary-sized after their map-side-combined groupBys.
+    The unigram table joins back TWICE by term, with two guards for real
+    vocabularies (a raw crawl's distinct-token count is 1e8-1e9 — typos,
+    URLs, base64 — so "vocabulary-sized" is NOT broadcast-sized): the
+    unigram side is first semi-join-PRUNED to the terms of min_count
+    surviving pairs (Zipf-small after the prune), and no broadcast is
+    forced — AQE picks broadcast when the pruned table is actually small
+    and a shuffled join when it isn't. Only the one-row corpus total is
+    hint-broadcast."""
     toks = tokens_expr(F.col(text_col))
     docs = df.filter(F.col(text_col).isNotNull()).select(
         toks.alias("__toks"))
@@ -719,12 +725,16 @@ def collocations(
         F.count(F.lit(1)).alias("n_uni"))
     total = docs.select(
         F.sum(F.size("__toks")).cast("double").alias("n_total"))
+    survivors = pair_counts.filter(F.col("n_pair") >= min_count)
+    needed = survivors.select(F.col("a").alias("t")).unionByName(
+        survivors.select(F.col("b").alias("t"))).distinct()
+    uni_p = uni.join(needed, "t", "left_semi")
     scored = (
-        pair_counts.filter(F.col("n_pair") >= min_count)
-        .join(F.broadcast(uni.withColumnRenamed("t", "a")
-                          .withColumnRenamed("n_uni", "na")), "a")
-        .join(F.broadcast(uni.withColumnRenamed("t", "b")
-                          .withColumnRenamed("n_uni", "nb")), "b")
+        survivors
+        .join(uni_p.withColumnRenamed("t", "a")
+              .withColumnRenamed("n_uni", "na"), "a")
+        .join(uni_p.withColumnRenamed("t", "b")
+              .withColumnRenamed("n_uni", "nb"), "b")
         .crossJoin(F.broadcast(total))
         .select(
             F.col("a").alias("term_a"), F.col("b").alias("term_b"),

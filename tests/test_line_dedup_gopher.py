@@ -436,6 +436,24 @@ def test_c4_clean_terminal_punct_disabled_and_brace_block(spark):
     assert out[1].n_lines_kept == 3       # ...but lines themselves survive
 
 
+def test_collocations_no_forced_unigram_broadcast(spark):
+    """The 100 TB guard: the unigram table must reach its two joins
+    semi-pruned (LeftSemi against surviving-pair terms) and WITHOUT a
+    broadcast hint — only the one-row corpus total keeps one. A forced
+    broadcast of a raw-crawl vocabulary (1e8-1e9 distinct tokens) OOMs
+    executors; AQE decides at runtime instead."""
+    from graflo_spark.ops.textstats import collocations
+
+    df = spark.createDataFrame(
+        [("a b a b c d",), ("a b e f",)], "text string")
+    out = collocations(df, k=5, min_count=2)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1      # the 1-row total only
+    assert "LeftSemi" in analyzed                   # the vocabulary prune
+    top = out.orderBy("rank").first()
+    assert (top.term_a, top.term_b, top.n_pair) == ("a", "b", 3)
+
+
 def test_c4_driver_oracle_null_blank_parity(spark):
     """The catalog's C4 oracle and the Spark chain share ONE contract for
     NULL and zero-token documents: NULL text -> (NULL, 0, 0, fail); blank
