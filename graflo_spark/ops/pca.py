@@ -7,12 +7,22 @@ reduced space). No reference analogue.
 
 100 TB shape:
 
-- **fit** is ONE Arrow-batched pass: each partition emits a single
-  (count, sum, sum-of-outer-products) partial — d*(d+1)/2 + d + 1 doubles
-  — and the driver combines the P partials and eigendecomposes the d x d
-  covariance with numpy. Nothing quadratic in n ever shuffles; the d x d
-  combine is the classic treeAggregate shape. Bounded by d (fine through
-  d ~ 2048, i.e. every production embedding width).
+- **fit** is ONE Arrow-batched pass over a BOUNDED input: corpora larger
+  than ``max_sample`` rows are seeded-sampled first (PCA on a sample is
+  standard practice — the train_pq/train_bpe precedent; the apply path is
+  frozen-literal and scale-free either way), and the sampled frame is
+  coalesced to at most ``max_partials`` partitions, so the driver collect
+  is <= max_partials * d^2 doubles (d=2048, 256 partials ~ 8 GB worst
+  case at full width; 64-partial default widths are MBs) — never one
+  partial per input task. Each partition emits a single (count, sum,
+  sum-of-outer-products) partial; the driver combines and
+  eigendecomposes the d x d covariance with numpy. Nothing quadratic in
+  n ever shuffles.
+- **cancellation-safe**: moments accumulate over PIVOT-SHIFTED vectors
+  (x - x_first) so the one-pass E[yy^T] - mean_y*mean_y^T form cannot
+  catastrophically cancel when a large shared offset dominates the
+  variance (common for embedding columns); the pivot shift changes no
+  eigenvector mathematically, only conditioning.
 - **apply** is pure codegen: each output dimension is one
   ``aggregate(zip_with(vec - mean, component))`` over an array literal —
   the O(k) expression-tree trick from ops/simsearch.lsh_bucket_expr. No
@@ -54,14 +64,37 @@ def fit_pca(
     df: DataFrame,
     vec_col: str = "embedding",
     k: int = 8,
+    *,
+    max_sample: int | None = 1_048_576,
+    max_partials: int = 256,
+    seed: int = 13,
 ) -> PcaModel:
-    """Fit PCA in one distributed pass (per-partition moment partials ->
-    driver eigendecomposition). The collect is P rows of d^2-bounded
-    partials — index metadata, not data."""
+    """Fit PCA on a bounded, pivot-shifted moment pass (see module notes).
+
+    ``max_sample``: row bound for the fit — larger corpora are
+    seeded-sampled down first (None disables; deterministic for a fixed
+    seed and input layout). ``max_partials``: the sampled frame is
+    coalesced to at most this many partitions, which bounds the driver
+    collect to ``max_partials`` d^2-sized partials regardless of how many
+    tasks scanned the input."""
     import numpy as np
 
     schema = ("pid long, n long, s array<double>, "
               "outer array<double>")
+
+    vecs = df.select(vec_col)
+    if max_sample is not None:
+        n_total = vecs.count()
+        if n_total > max_sample:
+            vecs = vecs.sample(
+                fraction=max_sample / n_total, seed=seed
+            ).limit(max_sample)
+    vecs = vecs.coalesce(max_partials)
+
+    head = vecs.head()
+    if head is None:
+        raise ValueError("fit_pca: empty input")
+    pivot = np.asarray(head[0], dtype=np.float64)
 
     def partials(batches):
         import pandas as pd
@@ -72,13 +105,14 @@ def fit_pca(
         s = None
         outer = None
         for pdf in batches:
-            vecs = np.asarray(
+            vs = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if vecs.size == 0:
+            if vs.size == 0:
                 continue
-            n += vecs.shape[0]
-            bs = vecs.sum(axis=0)
-            bo = vecs.T @ vecs
+            vs = vs - pivot  # conditioning shift, mathematically inert
+            n += vs.shape[0]
+            bs = vs.sum(axis=0)
+            bo = vs.T @ vs
             s = bs if s is None else s + bs
             outer = bo if outer is None else outer + bo
         if n:
@@ -87,7 +121,7 @@ def fit_pca(
                 "outer": [outer.reshape(-1).tolist()],
             })
 
-    parts = df.select(vec_col).mapInPandas(partials, schema=schema).collect()
+    parts = vecs.mapInPandas(partials, schema=schema).collect()
     if not parts:
         raise ValueError("fit_pca: empty input")
     n = sum(p["n"] for p in parts)
@@ -99,8 +133,9 @@ def fit_pca(
     for p in sorted(parts, key=lambda r: r["pid"]):  # fixed combine order
         s += np.asarray(p["s"])
         outer += np.asarray(p["outer"]).reshape(d, d)
-    mean = s / n
-    cov = outer / n - np.outer(mean, mean)
+    mean_y = s / n
+    mean = pivot + mean_y
+    cov = outer / n - np.outer(mean_y, mean_y)
     evals, evecs = np.linalg.eigh(cov)      # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = []

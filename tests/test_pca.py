@@ -87,6 +87,46 @@ def test_projection_preserves_topk_better_than_random(emb, X):
     assert overlap > 3 * random_overlap
 
 
+def test_fit_sample_bounded_and_deterministic(emb):
+    """max_sample < n: the fit runs on the seeded sample only and two
+    invocations are bit-identical (fixed seed + layout + combine order)."""
+    a = pc.fit_pca(emb, "embedding", k=3, max_sample=400)
+    b = pc.fit_pca(emb, "embedding", k=3, max_sample=400)
+    assert a.mean == b.mean
+    assert a.components == b.components
+    C = np.array(a.components)
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-10)
+    assert all(v > 0 for v in a.explained_variance)
+
+
+def test_fit_partials_bounded(emb):
+    """max_partials caps the driver collect regardless of input tasks —
+    and changes nothing but float grouping (1-ulp territory)."""
+    a = pc.fit_pca(emb.repartition(16), "embedding", k=3, max_partials=2)
+    b = pc.fit_pca(emb, "embedding", k=3)
+    assert np.allclose(a.mean, b.mean, atol=1e-12)
+    assert np.allclose(a.components, b.components, atol=1e-8)
+
+
+def test_fit_cancellation_safe_with_large_offset(spark):
+    """A big shared offset (embedding columns often carry one) must not
+    corrupt the one-pass covariance: the pivot shift keeps E[yy^T] O(1)
+    where the unshifted form loses all variance digits at offset 1e8."""
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(300, 6))
+    X[:, 0] *= 4.0
+    X[:, 1] *= 2.0
+    Xoff = X + 1e8
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(Xoff)],
+        "vec_id long, embedding array<double>")
+    model = pc.fit_pca(df, "embedding", k=2)
+    mu, comps, evals = _numpy_pca(Xoff, 2)
+    assert np.allclose(model.mean, mu, rtol=1e-12)
+    assert np.allclose(model.components, comps, atol=1e-6)
+    assert np.allclose(model.explained_variance, evals, rtol=1e-6)
+
+
 def test_fit_validation(spark, emb):
     with pytest.raises(ValueError):
         pc.fit_pca(emb, "embedding", k=0)
