@@ -4399,7 +4399,7 @@ _PHRASE_QUERIES = [
     (1, "part filter"),
     (2, "small dup"),
 ]
-_PHRASE_ORACLE = (
+_PHRASE_BODY = (
     "WITH ql(query_id, qtext) AS (VALUES "
     + ", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in _PHRASE_QUERIES)
     + "), "
@@ -4418,26 +4418,47 @@ _PHRASE_ORACLE = (
     "perdoc AS (SELECT query_id, doc_id, COUNT(*) AS slots, "
     "list_reduce(list(sh ORDER BY idx), (a, b) -> list_intersect(a, b)) "
     "AS common FROM hits GROUP BY 1, 2) "
-    "SELECT 'phrase' AS method, query_id, doc_id AS neighbor_id, "
+    "SELECT query_id, doc_id AS neighbor_id, "
     "CAST(len(common) AS DOUBLE) AS score, rank FROM "
     "(SELECT perdoc.*, row_number() OVER (PARTITION BY query_id "
     "ORDER BY len(common) DESC, doc_id) AS rank FROM perdoc "
     "JOIN m USING (query_id) WHERE slots = m AND len(common) > 0) "
     "WHERE rank <= 5"
 )
+# the persisted-positional-index probe (r10) returns IDENTICAL rows to
+# the corpus rescan — one body, two labeled branches
+_PHRASE_ORACLE = (
+    "SELECT 'phrase' AS method, * FROM (" + _PHRASE_BODY + ") "
+    "UNION ALL SELECT 'phrase_idx' AS method, * FROM ("
+    + _PHRASE_BODY + ")"
+)
 
 
 @q("phrase_topk_documents", _PHRASE_ORACLE)
 def phrase_topk_documents(spark, sf_dir):
-    """Exact phrase top-5 over the documents corpus: positional postings,
-    shifted-position intersection, occurrence-count ranking — the full
-    chain replayed in SQL (list_reduce of list_intersect)."""
+    """Exact phrase top-5 over the documents corpus, BOTH probe paths:
+    'phrase' = the one-shot corpus rescan (positions built in-flight);
+    'phrase_idx' = the same queries probing a PERSISTED positional
+    inverted index (ops/retrieval.build_lexical_index(positions=True) ->
+    parquet round-trip -> literal term_bucket partition pruning — the
+    bm25 probe economics for quoted-string queries). The shifted-position
+    intersection chain is replayed in SQL (list_reduce of
+    list_intersect); both branches grade against the same body."""
+    import tempfile
+
     docs = load(spark, sf_dir, "documents")
     qs = spark.createDataFrame(_PHRASE_QUERIES,
                                "query_id long, text string")
-    return rt.phrase_topk(qs, docs, k=5).select(
+    rescan = rt.phrase_topk(qs, docs, k=5).select(
         F.lit("phrase").alias("method"), "query_id", "neighbor_id",
         "score", "rank")
+    root = tempfile.mkdtemp(prefix="graflo_phrase_idx_")
+    rt.build_lexical_index(docs, n_buckets=16, positions=True).write(root)
+    idx = rt.LexicalIndex.read(spark, root)
+    probed = rt.phrase_topk(qs, index=idx, k=5).select(
+        F.lit("phrase_idx").alias("method"), "query_id", "neighbor_id",
+        "score", "rank")
+    return rescan.unionByName(probed)
 
 
 # Mean-pool embedding aggregation (ops/simsearch.mean_pool_embeddings):

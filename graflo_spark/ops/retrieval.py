@@ -53,7 +53,7 @@ from graflo_spark.ops.textstats import tokens_expr  # the ONE tokenizer
 __all__ = [
     "tokens_expr", "term_bucket", "py_term_bucket", "build_postings",
     "corpus_stats", "LexicalIndex", "build_lexical_index", "bm25_topk",
-    "LexicalIndexStore", "rrf_fuse",
+    "LexicalIndexStore", "rrf_fuse", "phrase_topk",
 ]
 
 _SEP = chr(31)
@@ -95,15 +95,21 @@ def build_postings(
     corpus_id: str = "doc_id",
     text_col: str = "text",
     vocab: list[str] | DataFrame | None = None,
+    positions: bool = False,
 ) -> DataFrame:
-    """(doc_id, term, tf, dl) postings. ``vocab`` prunes the posting build
-    to the terms that can score — pass the query vocabulary for one-shot
-    scoring, leave None to build a full index. A LIST (the usual case:
-    query vocabularies are tiny and driver-known) becomes a codegen
-    ``arrays_overlap`` prefilter that skips non-matching documents BEFORE
-    the explode — at corpus scale the explode then only ever touches
-    matching docs — plus a literal ``isin`` on the exploded term; a
-    DataFrame falls back to a broadcast join downstream of the explode."""
+    """(doc_id, term, tf, dl[, positions]) postings. ``vocab`` prunes the
+    posting build to the terms that can score — pass the query vocabulary
+    for one-shot scoring, leave None to build a full index. A LIST (the
+    usual case: query vocabularies are tiny and driver-known) becomes a
+    codegen ``arrays_overlap`` prefilter that skips non-matching documents
+    BEFORE the explode — at corpus scale the explode then only ever
+    touches matching docs — plus a literal ``isin`` on the exploded term;
+    a DataFrame falls back to a broadcast join downstream of the explode.
+
+    ``positions=True`` additionally keeps each posting's sorted token
+    positions (``array<int>``, tf-bounded per posting) — the positional
+    index :func:`phrase_topk` probes; exactly the per-(doc, term) arrays
+    its corpus path builds in-flight, persisted once instead."""
     docs = corpus.select(
         F.col(corpus_id).alias("doc_id"),
         tokens_expr(F.col(text_col)).alias("toks"),
@@ -111,18 +117,27 @@ def build_postings(
     if isinstance(vocab, list):
         docs = docs.filter(F.arrays_overlap(
             "toks", F.array(*[F.lit(t) for t in sorted(set(vocab))])))
-    toks = docs.select(
-        "doc_id", F.size("toks").cast("double").alias("dl"),
-        F.explode("toks").alias("term"),
-    )
+    if positions:
+        toks = docs.select(
+            "doc_id", F.size("toks").cast("double").alias("dl"),
+            F.posexplode("toks").alias("pos", "term"),
+        )
+    else:
+        toks = docs.select(
+            "doc_id", F.size("toks").cast("double").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
     if isinstance(vocab, list):
         toks = toks.filter(F.col("term").isin(sorted(set(vocab))))
     elif vocab is not None:
         toks = toks.join(F.broadcast(vocab.select("term").distinct()), "term")
-    return toks.groupBy("doc_id", "term").agg(
+    aggs = [
         F.count(F.lit(1)).cast("double").alias("tf"),
         F.max("dl").alias("dl"),
-    )
+    ]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    return toks.groupBy("doc_id", "term").agg(*aggs)
 
 
 def _empty_ranking(
@@ -167,30 +182,45 @@ class LexicalIndex:
     """A persisted inverted index: bucket-partitioned postings plus the
     (n, avgdl) corpus scalars. Build once (:func:`build_lexical_index`),
     probe many times (:func:`bm25_topk` with ``index=``) — probes prune to
-    the query vocabulary's buckets via literal partition predicates."""
+    the query vocabulary's buckets via literal partition predicates.
+    ``positional=True`` indexes carry per-posting sorted position arrays
+    so :func:`phrase_topk` probes get the same pruned economics."""
 
-    postings: DataFrame   # (doc_id, term, tf, dl, term_bucket)
+    postings: DataFrame   # (doc_id, term, tf, dl[, positions], term_bucket)
     stats: DataFrame      # 1 row: (n, avgdl, dl_sum)
     n_buckets: int
+    positional: bool = False
 
     _POSTINGS_SCHEMA = ("doc_id bigint, term string, tf double, "
                         "dl double, term_bucket int")
+    _POSITIONAL_SCHEMA = ("doc_id bigint, term string, tf double, "
+                          "dl double, positions array<int>, term_bucket int")
+
+    @staticmethod
+    def postings_schema(positional: bool) -> str:
+        return (LexicalIndex._POSITIONAL_SCHEMA if positional
+                else LexicalIndex._POSTINGS_SCHEMA)
 
     def write(self, path: str) -> None:
         self.postings.write.mode("overwrite").partitionBy(
             "term_bucket").parquet(f"{path}/postings")
         self.stats.withColumn(
             "n_buckets", F.lit(self.n_buckets)
+        ).withColumn(
+            "positional", F.lit(self.positional)
         ).write.mode("overwrite").parquet(f"{path}/stats")
 
     @staticmethod
     def read(spark, path: str) -> "LexicalIndex":
         stats = spark.read.parquet(f"{path}/stats")
         n_buckets = stats.select("n_buckets").head()[0]
+        positional = bool(
+            "positional" in stats.columns
+            and stats.select("positional").head()[0])
         # explicit schema: an all-blank corpus writes ZERO posting files
         # (partitionBy on an empty frame leaves only _SUCCESS) and plain
         # reads would die with UNABLE_TO_INFER_SCHEMA
-        stats = stats.drop("n_buckets")
+        stats = stats.drop("n_buckets", "positional")
         if "dl_sum" not in stats.columns:
             # index persisted before dl_sum existed: back-fill the token
             # total from the rounded average (exact when n*avgdl is an
@@ -199,9 +229,11 @@ class LexicalIndex:
                 "dl_sum", F.col("n") * F.col("avgdl"))
         return LexicalIndex(
             postings=spark.read.schema(
-                LexicalIndex._POSTINGS_SCHEMA).parquet(f"{path}/postings"),
+                LexicalIndex.postings_schema(positional)
+            ).parquet(f"{path}/postings"),
             stats=stats,
             n_buckets=int(n_buckets),
+            positional=positional,
         )
 
     def pruned(self, terms: list[str]) -> DataFrame:
@@ -228,7 +260,9 @@ class LexicalIndex:
         indexed corpus. Caller contract: new ids are disjoint from
         indexed ids (same as every store in this repo; enforceable
         upstream by an anti-join)."""
-        add = build_postings(new_corpus, corpus_id, text_col).withColumn(
+        add = build_postings(
+            new_corpus, corpus_id, text_col, positions=self.positional,
+        ).withColumn(
             "term_bucket", term_bucket(F.col("term"), self.n_buckets))
         add_stats = corpus_stats(new_corpus, text_col)
         merged = self.stats.unionByName(add_stats).agg(
@@ -237,7 +271,8 @@ class LexicalIndex:
             F.sum("dl_sum").alias("dl_sum"),
         )
         return LexicalIndex(
-            self.postings.unionByName(add), merged, self.n_buckets)
+            self.postings.unionByName(add), merged, self.n_buckets,
+            self.positional)
 
 
 def build_lexical_index(
@@ -245,10 +280,13 @@ def build_lexical_index(
     corpus_id: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    positions: bool = False,
 ) -> LexicalIndex:
-    post = build_postings(corpus, corpus_id, text_col).withColumn(
-        "term_bucket", term_bucket(F.col("term"), n_buckets))
-    return LexicalIndex(post, corpus_stats(corpus, text_col), n_buckets)
+    post = build_postings(
+        corpus, corpus_id, text_col, positions=positions,
+    ).withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+    return LexicalIndex(
+        post, corpus_stats(corpus, text_col), n_buckets, positions)
 
 
 def bm25_topk(
@@ -319,7 +357,7 @@ def bm25_topk(
         if stats is None:
             stats = corpus_stats(corpus, corpus_text)
     else:
-        post = index.pruned(terms).drop("term_bucket")
+        post = index.pruned(terms).drop("term_bucket", "positions")
         stats = index.stats
     stats = stats.select("n", "avgdl")  # the scoring scalars
 
@@ -400,6 +438,7 @@ class LexicalIndexStore:
         id_col: str = "doc_id",
         text_col: str = "text",
         n_buckets: int = 64,
+        positions: bool = False,
     ):
         import os
 
@@ -408,6 +447,7 @@ class LexicalIndexStore:
         self.id_col = id_col
         self.text_col = text_col
         self.n_buckets = n_buckets
+        self.positional = positions
         os.makedirs(f"{self.path}/postings", exist_ok=True)
         os.makedirs(f"{self.path}/stats", exist_ok=True)
         # run crash recovery at construction, not just at first READ: a
@@ -450,7 +490,9 @@ class LexicalIndexStore:
         if (batch_id is not None and last_bid is not None
                 and str(batch_id) == last_bid and seq > 0):
             seq -= 1  # post-commit replay: re-run under the original seq
-        post = build_postings(docs, self.id_col, self.text_col).withColumn(
+        post = build_postings(
+            docs, self.id_col, self.text_col, positions=self.positional,
+        ).withColumn(
             "term_bucket", term_bucket(F.col("term"), self.n_buckets))
         post.write.mode("overwrite").partitionBy("term_bucket").parquet(
             f"{self.path}/postings/batch={seq}")
@@ -491,7 +533,7 @@ class LexicalIndexStore:
         root = f"{self.path}/{sub}"
         self._restore_if_needed(sub)
         schema = (
-            LexicalIndex._POSTINGS_SCHEMA + ", batch int"
+            LexicalIndex.postings_schema(self.positional) + ", batch int"
             if sub == "postings" else "n double, dl_sum double, batch int"
         )
         return self.spark.read.schema(schema).parquet(root)
@@ -512,7 +554,7 @@ class LexicalIndexStore:
             (F.sum("dl_sum") / F.sum("n")).alias("avgdl"),
             F.sum("dl_sum").alias("dl_sum"),
         )
-        return LexicalIndex(post, stats, self.n_buckets)
+        return LexicalIndex(post, stats, self.n_buckets, self.positional)
 
     def compact(self) -> None:
         """Fold committed batch dirs strictly BEFORE the last one into a
@@ -606,9 +648,10 @@ def rrf_fuse(
 
 def phrase_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     k: int = 10,
     *,
+    index: LexicalIndex | None = None,
     query_id: str = "query_id",
     query_text: str = "text",
     corpus_id: str = "doc_id",
@@ -629,11 +672,23 @@ def phrase_topk(
     constraints ("b b" needs b at p AND p+1), so the phrase list keeps
     duplicates (unlike the BM25 vocabulary).
 
+    Exactly one of ``corpus`` / ``index`` (bm25_topk's contract): with a
+    corpus, position arrays are built in-flight; with a POSITIONAL
+    :class:`LexicalIndex` (``build_lexical_index(..., positions=True)``)
+    the probe reads only the phrase vocabulary's ``term_bucket``
+    partitions — repeated phrase queries never rescan the corpus.
+
     100 TB shape: the same ``arrays_overlap``-prefiltered single corpus
     pass as :func:`build_postings`, but keeping per-(doc, term) POSITION
     arrays (sorted; bounded by the doc's term frequency); the per-doc
     verify folds m position arrays with ``array_intersect`` — all array
     Column ops, no Python — and the top-k runs salted two-stage."""
+    if (corpus is None) == (index is None):
+        raise ValueError("pass exactly one of corpus= / index=")
+    if index is not None and not index.positional:
+        raise ValueError(
+            "phrase_topk needs a positional index — build it with "
+            "build_lexical_index(..., positions=True)")
     qterms = queries.select(
         F.col(query_id).alias("query_id"),
         F.posexplode(tokens_expr(F.col(query_text))).alias("idx", "term"),
@@ -643,18 +698,25 @@ def phrase_topk(
     terms = [r[0] for r in qterms.select("term").distinct().collect()]
     if not terms:
         # all query texts NULL/blank (see bm25_topk's early return)
-        return _empty_ranking(queries, query_id, corpus, corpus_id)
+        return _empty_ranking(
+            queries, query_id,
+            corpus if corpus is not None else index.postings,
+            corpus_id if corpus is not None else "doc_id")
 
-    toks = corpus.select(
-        F.col(corpus_id).alias("doc_id"),
-        tokens_expr(F.col(corpus_text)).alias("toks"),
-    ).filter(F.arrays_overlap(
-        "toks", F.array(*[F.lit(t) for t in sorted(set(terms))])))
-    positions = toks.select(
-        "doc_id", F.posexplode("toks").alias("pos", "term"),
-    ).filter(F.col("term").isin(sorted(set(terms)))).groupBy(
-        "doc_id", "term"
-    ).agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    if corpus is not None:
+        toks = corpus.select(
+            F.col(corpus_id).alias("doc_id"),
+            tokens_expr(F.col(corpus_text)).alias("toks"),
+        ).filter(F.arrays_overlap(
+            "toks", F.array(*[F.lit(t) for t in sorted(set(terms))])))
+        positions = toks.select(
+            "doc_id", F.posexplode("toks").alias("pos", "term"),
+        ).filter(F.col("term").isin(sorted(set(terms)))).groupBy(
+            "doc_id", "term"
+        ).agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    else:
+        positions = index.pruned(terms).select(
+            "doc_id", "term", "positions")
 
     # one row per (query, phrase slot, matching doc): shift the slot's
     # positions left by its offset, then fold-intersect per (query, doc)

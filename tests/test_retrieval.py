@@ -420,6 +420,94 @@ def test_read_backfills_missing_dl_sum(spark, corpus, tmp_path):
     assert extended.stats.collect()[0]["n"] == float(len(rows)) + 1
 
 
+PHRASE_QS = [(0, "join hash"), (1, "spark spark"), (2, "hash hash hash")]
+
+
+def test_phrase_index_probe_matches_corpus_path(spark, corpus, tmp_path):
+    """A persisted POSITIONAL index answers phrase queries identically to
+    the corpus rescan — and still serves bm25 probes (tf rides along)."""
+    _, df = corpus
+    idx = rt.build_lexical_index(df, n_buckets=8, positions=True)
+    idx.write(str(tmp_path / "posidx"))
+    idx2 = rt.LexicalIndex.read(spark, str(tmp_path / "posidx"))
+    assert idx2.positional
+    qs = spark.createDataFrame(PHRASE_QS, "query_id long, text string")
+    key = lambda r: (r.query_id, r.rank)
+    direct = rt.phrase_topk(qs, df, k=10)
+    probed = rt.phrase_topk(qs, index=idx2, k=10)
+    assert sorted(direct.collect(), key=key) == sorted(
+        probed.collect(), key=key)
+    bm_direct = rt.bm25_topk(qs, df, k=10)
+    bm_probed = rt.bm25_topk(qs, index=idx2, k=10)
+    assert sorted(bm_direct.collect(), key=key) == sorted(
+        bm_probed.collect(), key=key)
+
+
+def test_phrase_index_probe_prunes_partitions(spark, corpus, tmp_path):
+    """The phrase probe reads only the phrase vocabulary's term_bucket
+    partitions — the same literal-predicate pruning the bm25 probe has."""
+    _, df = corpus
+    idx = rt.build_lexical_index(df, n_buckets=8, positions=True)
+    idx.write(str(tmp_path / "posidx"))
+    idx2 = rt.LexicalIndex.read(spark, str(tmp_path / "posidx"))
+    qs = spark.createDataFrame([(0, "join spark")],
+                               "query_id long, text string")
+    out = rt.phrase_topk(qs, index=idx2, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    buckets = sorted({rt.py_term_bucket(t, 8) for t in ["join", "spark"]})
+    pf = plan[plan.index("PartitionFilters"):].split("]", 1)[0]
+    assert f"IN ({','.join(map(str, buckets))})" in pf.replace(", ", ",")
+
+
+def test_phrase_index_arg_validation(spark, corpus):
+    _, df = corpus
+    qs = spark.createDataFrame(PHRASE_QS, "query_id long, text string")
+    tf_only = rt.build_lexical_index(df, n_buckets=4)
+    with pytest.raises(ValueError, match="positional"):
+        rt.phrase_topk(qs, index=tf_only)
+    with pytest.raises(ValueError, match="exactly one"):
+        rt.phrase_topk(qs)
+    with pytest.raises(ValueError, match="exactly one"):
+        rt.phrase_topk(qs, df, index=tf_only)
+
+
+def test_positional_extend_matches_rebuild(spark, corpus):
+    _, df = corpus
+    part = rt.build_lexical_index(
+        df.filter(F.col("doc_id") < 3), n_buckets=4, positions=True)
+    ext = part.extend(df.filter(F.col("doc_id") >= 3))
+    full = rt.build_lexical_index(df, n_buckets=4, positions=True)
+    key = lambda r: (r.doc_id, r.term)
+    got = sorted(ext.postings.collect(), key=key)
+    want = sorted(full.postings.collect(), key=key)
+    assert [(r.doc_id, r.term, r.positions) for r in got] == [
+        (r.doc_id, r.term, r.positions) for r in want]
+    assert ext.stats.collect() == full.stats.collect()
+
+
+def test_index_store_positional_phrase_probe(spark, corpus, tmp_path):
+    """Streaming-maintained positional index: incremental batches ==
+    one-shot, phrase probes keep matching after compact()."""
+    _, df = corpus
+    store = rt.LexicalIndexStore(
+        spark, str(tmp_path / "pstore"), n_buckets=4, positions=True)
+    for lo, hi, bid in ((0, 2, "a"), (2, 4, "b"), (4, 6, "c")):
+        store.ingest_batch(
+            df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            batch_id=bid)
+    qs = spark.createDataFrame(PHRASE_QS, "query_id long, text string")
+    key = lambda r: (r.query_id, r.rank)
+    direct = sorted(rt.phrase_topk(qs, df, k=10).collect(), key=key)
+    idx = store.as_index()
+    assert idx.positional
+    assert sorted(rt.phrase_topk(qs, index=idx, k=10).collect(),
+                  key=key) == direct
+    store.compact()
+    assert sorted(
+        rt.phrase_topk(qs, index=store.as_index(), k=10).collect(),
+        key=key) == direct
+
+
 def test_mean_pool_ragged_lengths_raise(spark):
     from graflo_spark.ops.simsearch import mean_pool_embeddings
 
