@@ -4528,6 +4528,48 @@ def hybrid_rrf_documents(spark, sf_dir):
         "score", "rank")
 
 
+# Dense+sparse hybrid retrieval (r10): THE production hybrid-search shape
+# — BM25 keyword ranking over the text corpus fused by RRF with exact
+# cosine ranking over the embedding corpus, candidates meeting on the
+# shared document id space (testdata keys documents and embeddings alike).
+# The oracle replays both systems' rankings and the 1/(60+rank) fusion.
+_DENSE3_ORACLE = _BRUTE_TOPK_ORACLE.replace(
+    "vec_id < 5", "vec_id < 3")  # queries 0..2, aligned with _BM25_QUERIES
+_HYBRID_DS_ORACLE = (
+    "SELECT 'hybrid' AS method, query_id, neighbor_id, "
+    "ROUND(score, 6) AS score, rank FROM ("
+    "SELECT query_id, neighbor_id, score, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, neighbor_id"
+    ") AS rank FROM (SELECT query_id, neighbor_id, "
+    "SUM(1.0 / (60 + rank)) AS score FROM ("
+    "SELECT query_id, neighbor_id, rank FROM (" + _LEX_ORACLE_BODY + ") "
+    "WHERE method = 'bm25' "
+    "UNION ALL SELECT query_id, neighbor_id, rank FROM ("
+    + _DENSE3_ORACLE + ")) GROUP BY 1, 2)) WHERE rank <= 5"
+)
+
+
+@q("hybrid_dense_sparse_search", _HYBRID_DS_ORACLE)
+def hybrid_dense_sparse_search(spark, sf_dir):
+    """Cross-modal hybrid retrieval: the BM25 top-5 over the documents
+    table fused (RRF, Cormack et al. 2009) with the exact-cosine top-5
+    over the embeddings table for the same query ids — the dense+sparse
+    composition every production search stack runs. Candidates from the
+    two systems meet on the shared id space; docs ranked by only one
+    system contribute one reciprocal term (the standard treatment)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, text string")
+    sparse = rt.bm25_topk(qs, docs, k=5)
+    dense = ss.brute_force_topk(
+        emb.filter(F.col("vec_id") < 3), emb, k=5)
+    return rt.rrf_fuse([sparse, dense.select(
+        "query_id", "neighbor_id",
+        F.col("cosine").alias("score"), "rank")], k=5).select(
+        F.lit("hybrid").alias("method"), "query_id", "neighbor_id",
+        "score", "rank")
+
+
 @q(
     "embedding_search_suite",
     "SELECT method, query_id, neighbor_id, cosine AS score, rank FROM ("
@@ -4537,7 +4579,8 @@ def hybrid_rrf_documents(spark, sf_dir):
     "SELECT * FROM (" + _PCA_TOPK_ORACLE + ") UNION ALL "
     "SELECT * FROM (" + _RRF_ORACLE + ") UNION ALL "
     "SELECT * FROM (" + _POOL_ORACLE + ") UNION ALL "
-    "SELECT * FROM (" + _PHRASE_ORACLE + ")",
+    "SELECT * FROM (" + _PHRASE_ORACLE + ") UNION ALL "
+    "SELECT * FROM (" + _HYBRID_DS_ORACLE + ")",
 )
 def embedding_search_suite(spark, sf_dir):
     """Every similarity-search path in one row: brute/IVF/LSH (the
@@ -4555,7 +4598,8 @@ def embedding_search_suite(spark, sf_dir):
         pca_topk_embeddings(spark, sf_dir)).unionByName(
         hybrid_rrf_documents(spark, sf_dir)).unionByName(
         mean_pool_embeddings(spark, sf_dir)).unionByName(
-        phrase_topk_documents(spark, sf_dir))
+        phrase_topk_documents(spark, sf_dir)).unionByName(
+        hybrid_dense_sparse_search(spark, sf_dir))
 
 
 @q(
@@ -4808,6 +4852,47 @@ def vocab_stats_documents(spark, sf_dir):
     )
 
 
+# Classifier evaluation (r10, ops/quality_clf.confusion_counts /
+# calibration_bins) over the r9 quality classifier's scores vs the truth
+# label it was trained toward (lang='en'): exact integer confusion cells
+# at threshold 0.5 plus the 10-bin reliability table a production gate
+# threshold is read from. Decisions (threshold compare, bin membership)
+# run on the 6dp-ROUNDED prob on BOTH engines so they cannot diverge at
+# the 1-ulp level. The per-bin MEAN prob is computed from integer
+# micro-probs (round(prob*1e6) -> BIGINT): integer sums are
+# order-independent where a float AVG of the same values is not (the avg
+# straddled a 6th-decimal rounding boundary at sf0.01), and one double
+# division of exact integers is bit-identical on both engines.
+# frac_positive is an avg of 0/1 doubles — exact in any order.
+_CLF_EVAL_ORACLE = (
+    "WITH sc AS (SELECT s.id, s.prob, (d.lang = 'en') AS truth "
+    "FROM (" + _QCLF_ORACLE + ") s JOIN documents d ON d.doc_id = s.id), "
+    "conf AS (SELECT "
+    "SUM(CASE WHEN prob >= 0.5 AND truth THEN 1 ELSE 0 END) AS tp, "
+    "SUM(CASE WHEN prob >= 0.5 AND NOT truth THEN 1 ELSE 0 END) AS fp, "
+    "SUM(CASE WHEN prob < 0.5 AND truth THEN 1 ELSE 0 END) AS fn, "
+    "SUM(CASE WHEN prob < 0.5 AND NOT truth THEN 1 ELSE 0 END) AS tn "
+    "FROM sc), "
+    "bins AS (SELECT LEAST(CAST(FLOOR(prob * 10) AS INT), 9) AS bin, "
+    "COUNT(*) AS n, "
+    "CAST(SUM(CAST(ROUND(prob * 1000000) AS BIGINT)) AS DOUBLE) "
+    "/ COUNT(*) / 1000000.0 AS mp, "
+    "ROUND(AVG(CASE WHEN truth THEN 1.0 ELSE 0.0 END), 6) AS fpos "
+    "FROM sc GROUP BY 1) "
+    "SELECT 'clfe_tp' AS kind, CAST(0 AS BIGINT) AS id, "
+    "CAST(NULL AS VARCHAR) AS s, CAST(tp AS DOUBLE) AS v FROM conf "
+    "UNION ALL SELECT 'clfe_fp', 0, NULL, CAST(fp AS DOUBLE) FROM conf "
+    "UNION ALL SELECT 'clfe_fn', 0, NULL, CAST(fn AS DOUBLE) FROM conf "
+    "UNION ALL SELECT 'clfe_tn', 0, NULL, CAST(tn AS DOUBLE) FROM conf "
+    "UNION ALL SELECT 'clfe_bin_n', CAST(bin AS BIGINT), NULL, "
+    "CAST(n AS DOUBLE) FROM bins "
+    "UNION ALL SELECT 'clfe_bin_mp', CAST(bin AS BIGINT), NULL, mp "
+    "FROM bins "
+    "UNION ALL SELECT 'clfe_bin_fp', CAST(bin AS BIGINT), NULL, fpos "
+    "FROM bins"
+)
+
+
 _TEXT_STATS_NUM = (
     "n_chars_actual", "n_tokens", "n_tokens_bpe", "punct_ratio",
     "quality", "token_rep", "top2gram_frac", "n_pii_email", "n_pii_ipv4",
@@ -4861,8 +4946,11 @@ _GOPHER_RULES = (
             "FROM (__C4__)",
             # r9: vocabulary report — top terms + PMI collocations
             "SELECT kind, id, s, v FROM (__VOCAB__)",
+            # r10: classifier evaluation — confusion + reliability bins
+            "SELECT kind, id, s, v FROM (__CLFE__)",
         ]
     )
+    .replace("__CLFE__", _CLF_EVAL_ORACLE)
     .replace("__VOCAB__", _VOCAB_ORACLE)
     .replace("__C4__", _C4_CLEAN_ORACLE)
     .replace("__TS__", ORACLES["text_stats_documents"])
@@ -4875,10 +4963,15 @@ _GOPHER_RULES = (
 def text_quality_suite(spark, sf_dir):
     """The whole per-document text-quality surface unpivoted to
     (kind, id, s, v): every text_stats metric, every Gopher rule bit, the
-    bigram-entropy + CCNet cross-entropy scores, and (r9) the DSIR
+    bigram-entropy + CCNet cross-entropy scores, (r9) the DSIR
     importance-resampling branches — 'dsir_logw' grades every document's
     log importance weight, 'dsir_sel' the Gumbel-top-k selected set with
-    its deterministic keys. Retired-row oracles embedded verbatim."""
+    its deterministic keys — and (r10) the classifier-evaluation
+    branches: 'clfe_tp/fp/fn/tn' exact confusion cells of the r9 quality
+    classifier against its own training label at threshold 0.5, and
+    'clfe_bin_*' the 10-bin reliability table (count, mean predicted
+    prob, empirical positive rate). Retired-row oracles embedded
+    verbatim."""
     nl_s = F.lit(None).cast("string")
     nl_d = F.lit(None).cast("double")
     ts_df = text_stats_documents(spark, sf_dir)
@@ -4940,6 +5033,42 @@ def text_quality_suite(spark, sf_dir):
                   F.when(F.col("doc_pass"), 1.0).otherwise(0.0).alias("v")),
         vocab_stats_documents(spark, sf_dir),
     ]
+    from graflo_spark.ops.quality_clf import (
+        calibration_bins, confusion_counts)
+
+    clfe = quality_clf_documents(spark, sf_dir).select("id", "prob").join(
+        load(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"),
+            (F.col("lang") == "en").alias("truth")), "id")
+    conf = confusion_counts(clfe, "truth", "prob", 0.5)
+    bins = calibration_bins(clfe, "truth", "prob", 10)
+    # exact per-bin mean prob: integer micro-prob sum, one double division
+    # (see the oracle comment) — the operator's float AVG is for humans
+    mbins = clfe.groupBy(
+        F.least(F.floor(F.col("prob") * 10), F.lit(9)).cast("int")
+        .alias("bin")
+    ).agg(
+        (F.sum(F.round(F.col("prob") * 1e6).cast("long")).cast("double")
+         / F.count(F.lit(1)) / F.lit(1e6)).alias("mp"))
+    parts += [
+        conf.select(F.explode(F.create_map(
+            F.lit("clfe_tp"), F.col("tp").cast("double"),
+            F.lit("clfe_fp"), F.col("fp").cast("double"),
+            F.lit("clfe_fn"), F.col("fn").cast("double"),
+            F.lit("clfe_tn"), F.col("tn").cast("double"),
+        )).alias("kind", "v")).select(
+            "kind", F.lit(0).cast("long").alias("id"), nl_s.alias("s"),
+            "v"),
+        bins.select(F.lit("clfe_bin_n").alias("kind"),
+                    F.col("bin").cast("long").alias("id"), nl_s.alias("s"),
+                    F.col("n").cast("double").alias("v")),
+        mbins.select(F.lit("clfe_bin_mp").alias("kind"),
+                     F.col("bin").cast("long").alias("id"),
+                     nl_s.alias("s"), F.col("mp").alias("v")),
+        bins.select(F.lit("clfe_bin_fp").alias("kind"),
+                    F.col("bin").cast("long").alias("id"), nl_s.alias("s"),
+                    F.round("frac_positive", 6).alias("v")),
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -4990,7 +5119,7 @@ _RETIRED_INTO_SUITES = [
     "ann_topk_embeddings", "pq_adc_topk_embeddings",
     "bm25_topk_documents", "pca_topk_embeddings",
     "hybrid_rrf_documents", "mean_pool_embeddings",
-    "phrase_topk_documents",
+    "phrase_topk_documents", "hybrid_dense_sparse_search",
     "near_dup_clusters_documents", "semdedup_clusters_embeddings",
     "sampling_split_mix_documents", "io_formats_suite",
     "sliding_chunks_documents",

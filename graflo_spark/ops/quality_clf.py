@@ -243,17 +243,18 @@ def dsir_select(
     )
 
 
-def classifier_report(
+def confusion_counts(
     scored: DataFrame,
     label_col: str,
     prob_col: str = "prob",
     threshold: float = 0.5,
-) -> dict:
-    """Evaluation of a scored frame against a boolean truth column: one
-    aggregate -> confusion counts + precision/recall/F1/accuracy at
-    ``threshold``. The calibration step every production quality gate
-    needs before its threshold goes into the funnel. Rows with a NULL
-    label or NULL probability are excluded (and counted)."""
+) -> DataFrame:
+    """One-row ``(tp, fp, fn, tn, skipped)`` confusion frame at
+    ``threshold`` — the distributed half of :func:`classifier_report`,
+    exposed as a DataFrame so pipelines (and the oracle gate) can compose
+    it without a driver round-trip. Rows with a NULL label or NULL
+    probability are excluded from the confusion cells and counted in
+    ``skipped``. All counts are exact integers."""
     pred = F.col(prob_col) >= F.lit(float(threshold))
     truth = F.col(label_col).cast("boolean")
     valid = truth.isNotNull() & F.col(prob_col).isNotNull()
@@ -261,13 +262,27 @@ def classifier_report(
     def _n(cond) -> F.Column:
         return F.sum(F.when(valid & cond, 1).otherwise(0))
 
-    row = scored.agg(
+    return scored.agg(
         _n(pred & truth).alias("tp"),
         _n(pred & ~truth).alias("fp"),
         _n(~pred & truth).alias("fn"),
         _n(~pred & ~truth).alias("tn"),
         F.sum(F.when(~valid, 1).otherwise(0)).alias("skipped"),
-    ).first()
+    )
+
+
+def classifier_report(
+    scored: DataFrame,
+    label_col: str,
+    prob_col: str = "prob",
+    threshold: float = 0.5,
+) -> dict:
+    """Evaluation of a scored frame against a boolean truth column: one
+    aggregate (:func:`confusion_counts`) -> confusion counts +
+    precision/recall/F1/accuracy at ``threshold``. The calibration step
+    every production quality gate needs before its threshold goes into
+    the funnel."""
+    row = confusion_counts(scored, label_col, prob_col, threshold).first()
     tp, fp, fn, tn = (row[k] or 0 for k in ("tp", "fp", "fn", "tn"))
     precision = tp / (tp + fp) if tp + fp else None
     recall = tp / (tp + fn) if tp + fn else None

@@ -455,3 +455,56 @@ def test_sliding_chunks_defaults_edges_and_validation(spark):
         sliding_chunks(df, chunk_tokens=4, stride=5)
     with pytest.raises(ValueError):
         sliding_chunks(df, chunk_tokens=4, stride=0)
+
+
+def test_rag_chunk_embed_pool_search_composes(spark, sf_dir):
+    """The RAG pipeline the r9 pieces were built for, end to end:
+    sliding_chunks -> per-chunk embeddings (deterministic hash stand-in
+    for the model call) -> mean_pool_embeddings back to doc level ->
+    cosine top-k over the pooled vectors. Pooled doc embeddings must
+    equal a direct numpy mean over that doc's chunk embeddings, and
+    n_members must equal the chunker's own n_chunks."""
+    import numpy as np
+
+    from graflo_spark.ops.packing import sliding_chunks
+    from graflo_spark.ops.simsearch import (
+        brute_force_topk, mean_pool_embeddings)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").limit(200)
+    chunks = sliding_chunks(docs, "doc_id", "text",
+                            chunk_tokens=32, stride=16)
+    d = 8
+    emb = chunks.withColumn(
+        "embedding",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.pmod(F.xxhash64(F.col("chunk_text"), i),
+                             F.lit(1000)).cast("double") / 1000.0,
+        ))
+    pooled = mean_pool_embeddings(emb, "doc_id")
+
+    ref = {}
+    for r in emb.select("doc_id", "embedding").collect():
+        ref.setdefault(r.doc_id, []).append(r.embedding)
+    got = {r.doc_id: r for r in pooled.collect()}
+    assert set(got) == set(ref)
+    for doc, vecs in ref.items():
+        assert np.allclose(got[doc].embedding,
+                           np.mean(np.asarray(vecs), axis=0), atol=1e-12)
+        assert got[doc].n_members == len(vecs)
+    n_chunks = {r.doc_id: r.n_chunks for r in chunks.select(
+        "doc_id", "n_chunks").distinct().collect()}
+    assert all(got[doc].n_members == n_chunks[doc] for doc in got)
+
+    hits = brute_force_topk(
+        pooled.filter(F.col("doc_id") < 3), pooled, k=5,
+        query_id="doc_id", corpus_id="doc_id").collect()
+    assert {r.query_id for r in hits} == {0, 1, 2}
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        assert r.neighbor_id != r.query_id
+    assert all(sorted(x.rank for x in v) == [1, 2, 3, 4, 5]
+               for v in by_q.values())
