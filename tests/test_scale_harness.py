@@ -206,3 +206,20 @@ def test_hub_graph_and_zipf_edges_shapes(spark):
     assert a == b  # layout-invariant determinism
     ones = sum(1 for p in a for x in p if x == 1)
     assert ones > len(a) * 0.5  # Pareto head at s=2
+
+
+def test_lexidx_incremental_bench_smoke(spark, sf_dir, tmp_path):
+    """--lexidx harness at factor 3 / sf0.001: flat-wall machinery runs,
+    compact cadence bounds dirs, probe parity holds vs one-shot."""
+    from tools.scale_bench import generate, lexidx_incremental_bench
+
+    out = str(tmp_path / "blow")
+    generate(spark, sf_dir, out, 3)
+    res = lexidx_incremental_bench(
+        spark, sf_dir, out, 3, str(tmp_path), compact_every=2)
+    assert len(res["batches"]) == 3
+    assert res["bm25_match"] and res["phrase_match"]
+    # after the compact at batch 2, dirs fold to <= 2 (batch=0 + replay
+    # window); batch 3 adds one more
+    assert res["batches"][1]["dirs"] <= 2
+    assert res["batches"][2]["dirs"] <= 3

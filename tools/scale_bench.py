@@ -83,6 +83,10 @@ Usage:
                             # repeated-substring scrub (spans+cut+repack)
         [--compact-every K] # --lines --incremental: LineDedupStore
                             # compaction cadence (bounded-file measurement)
+        [--lexidx]          # LexicalIndexStore (positional) one replica-
+                            # batch at a time: flat walls, bounded dirs
+                            # (honors --compact-every), final bm25+phrase
+                            # probe parity vs a one-shot corpus scan
         [--gopher]          # A/B the Gopher gate HOF vs exploded codegen
                             # formulations + lang_id exponent
         [--gates]           # --pipeline with EVERY optional stage on
@@ -603,6 +607,98 @@ def lines_incremental_bench(spark, base_dir: str, scaled_dir: str,
     return out
 
 
+def lexidx_incremental_bench(spark, base_dir: str, scaled_dir: str,
+                             factor: int, out_root: str,
+                             compact_every: int | None = None) -> dict:
+    """LexicalIndexStore (POSITIONAL) over the scaled corpus one
+    replica-batch at a time — the streaming-index counterpart of
+    lines_incremental_bench, the r9-verdict Next #6 measurement: per-batch
+    ingest walls must stay ~flat as the indexed history grows (each batch
+    tokenizes only itself; history is never rescanned), ``compact()``
+    every K batches must keep the batch-dir count saw-toothing instead of
+    growing, and the final incremental index must answer BOTH bm25 and
+    phrase probes identically to a one-shot scan of the full scaled
+    corpus (the incremental==one-shot contract, verified at scale)."""
+    import glob
+    import shutil
+    import uuid
+
+    from graflo_spark.ops import retrieval as rt
+
+    pc = time.perf_counter
+
+    def store_files(sd: str) -> tuple[int, int]:
+        dirs = glob.glob(f"{sd}/postings/batch=*")
+        files = glob.glob(f"{sd}/postings/batch=*/term_bucket=*/*.parquet")
+        return len(dirs), len(files)
+
+    base = spark.read.parquet(f"{base_dir}/documents.parquet")
+    max_id = base.agg(F.max("doc_id")).first()[0]
+    if max_id is None:
+        raise ValueError(f"{base_dir}/documents.parquet is empty")
+    stride = max_id + 1
+    scaled = spark.read.parquet(f"{scaled_dir}/documents.parquet")
+
+    store_dir = os.path.join(out_root, f"lexidx_{uuid.uuid4().hex[:8]}")
+    st = rt.LexicalIndexStore(spark, store_dir, n_buckets=64,
+                              positions=True)
+    out: dict = {"batches": [], "n_buckets": 64, "positional": True}
+    try:
+        for r in range(factor):
+            batch = scaled.filter(
+                (F.col("doc_id") >= r * stride)
+                & (F.col("doc_id") < (r + 1) * stride))
+            t0 = pc()
+            st.ingest_batch(batch, batch_id=r)
+            entry = {"wall": round(pc() - t0, 3)}
+            entry["dirs"], entry["files"] = store_files(store_dir)
+            if compact_every and (r + 1) % compact_every == 0:
+                t0 = pc()
+                st.compact()
+                entry["compact_wall"] = round(pc() - t0, 3)
+                entry["dirs"], entry["files"] = store_files(store_dir)
+            out["batches"].append(entry)
+            print(f"# lexidx batch {r}: {entry['wall']}s "
+                  f"dirs={entry['dirs']} files={entry['files']}"
+                  + (f" compact={entry['compact_wall']}s"
+                     if "compact_wall" in entry else ""), file=sys.stderr)
+        # probe parity: incremental store == one-shot corpus scan (the
+        # queries hit the unrotated replica; rotation bounds the match
+        # set, which is what makes the comparison corpus-size-free)
+        bm_q = [(0, "join hash filter"), (1, "customer scan batch window"),
+                (2, "spark vector")]
+        ph_q = [(0, "sort a"), (1, "part filter"), (2, "small dup")]
+        qs_bm = spark.createDataFrame(bm_q, "query_id long, text string")
+        qs_ph = spark.createDataFrame(ph_q, "query_id long, text string")
+        idx = st.as_index()
+        key = lambda r_: (r_.query_id, r_.rank)  # noqa: E731
+        t0 = pc()
+        inc_bm = sorted(rt.bm25_topk(qs_bm, index=idx, k=5).collect(),
+                        key=key)
+        out["t_probe_bm25"] = round(pc() - t0, 3)
+        t0 = pc()
+        inc_ph = sorted(rt.phrase_topk(qs_ph, index=idx, k=5).collect(),
+                        key=key)
+        out["t_probe_phrase"] = round(pc() - t0, 3)
+        t0 = pc()
+        ref_bm = sorted(rt.bm25_topk(qs_bm, scaled, k=5,
+                                     corpus_text="text").collect(), key=key)
+        out["t_oneshot_bm25"] = round(pc() - t0, 3)
+        t0 = pc()
+        ref_ph = sorted(rt.phrase_topk(qs_ph, scaled, k=5).collect(),
+                        key=key)
+        out["t_oneshot_phrase"] = round(pc() - t0, 3)
+        out["bm25_match"] = inc_bm == ref_bm
+        out["phrase_match"] = inc_ph == ref_ph
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    walls = [b["wall"] for b in out["batches"]]
+    out["wall_first"], out["wall_last"] = walls[0], walls[-1]
+    out["wall_ratio_last_first"] = (
+        round(walls[-1] / walls[0], 3) if walls[0] else None)
+    return out
+
+
 def lines_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     """Corpus-wide line dedup scaling (ops/dedup.dedup_lines, r8): docs
     reflowed to 10-token lines (the driver row's deterministic reflow),
@@ -1078,7 +1174,7 @@ def main() -> None:
     flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
              "--winnow", "--pipeline", "--graph", "--hub", "--power-law",
              "--uncapped-linkpred", "--substring", "--lines", "--gopher",
-             "--gates", "--semdedup"}
+             "--gates", "--semdedup", "--lexidx"}
     # --only <substr>: restrict --graph to matching queries (idle-box
     # single-query re-measurements, r7 verdict Next #7)
     only = None
@@ -1107,6 +1203,7 @@ def main() -> None:
     gates_mode = "--gates" in sys.argv[1:]
     pipeline_mode = "--pipeline" in sys.argv[1:] or gates_mode
     lines_mode = "--lines" in sys.argv[1:]
+    lexidx_mode = "--lexidx" in sys.argv[1:]
     gopher_mode = "--gopher" in sys.argv[1:]
     semdedup_mode = "--semdedup" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
@@ -1134,7 +1231,7 @@ def main() -> None:
     needs_blowup = not (hub_mode or power_law_mode) or (
         store_mode or temporal_skew or winnow_mode or pipeline_mode
         or lines_mode or graph_mode or incremental or gopher_mode
-        or semdedup_mode)
+        or semdedup_mode or lexidx_mode)
     if needs_blowup and not os.path.exists(
             os.path.join(out_dir, "_GENERATED")):
         t0 = time.perf_counter()
@@ -1148,7 +1245,7 @@ def main() -> None:
     # default mode's job (run both modes for the full picture)
     focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
                or lines_mode or gopher_mode or semdedup_mode
-               or graph_mode or hub_mode or power_law_mode)
+               or graph_mode or hub_mode or power_law_mode or lexidx_mode)
     for name in ([] if focused else SCALE_QUERIES):
         fn = QUERIES[name]
         try:  # codegen warm; never let a missing warm dir zero the artifact
@@ -1324,6 +1421,22 @@ def main() -> None:
                 payload["lines_incremental"] = {"error": str(exc)[:300]}
                 print(f"# lines_incremental: FAILED {exc}"[:300],
                       file=sys.stderr)
+
+    if lexidx_mode:
+        try:
+            payload["lexidx_incremental"] = lexidx_incremental_bench(
+                spark, BASE_DIR, out_dir, factor, out_root,
+                compact_every=compact_every)
+            li = payload["lexidx_incremental"]
+            print(f"# lexidx_incremental: wall {li['wall_first']} -> "
+                  f"{li['wall_last']} (x{li['wall_ratio_last_first']}) "
+                  f"dirs_last={li['batches'][-1]['dirs']} "
+                  f"bm25_match={li['bm25_match']} "
+                  f"phrase_match={li['phrase_match']}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["lexidx_incremental"] = {"error": str(exc)[:300]}
+            print(f"# lexidx_incremental: FAILED {exc}"[:300],
+                  file=sys.stderr)
 
     if incremental:
         # failure here must not zero the already-measured exponents — same
