@@ -4873,12 +4873,15 @@ _CLF_EVAL_ORACLE = (
     "SUM(CASE WHEN prob < 0.5 AND truth THEN 1 ELSE 0 END) AS fn, "
     "SUM(CASE WHEN prob < 0.5 AND NOT truth THEN 1 ELSE 0 END) AS tn "
     "FROM sc), "
+    # NULL-truth/prob rows are excluded exactly as calibration_bins does
+    # (lang is never NULL in the fixtures — the filter is the contract,
+    # not the hit rate)
     "bins AS (SELECT LEAST(CAST(FLOOR(prob * 10) AS INT), 9) AS bin, "
     "COUNT(*) AS n, "
     "CAST(SUM(CAST(ROUND(prob * 1000000) AS BIGINT)) AS DOUBLE) "
     "/ COUNT(*) / 1000000.0 AS mp, "
     "ROUND(AVG(CASE WHEN truth THEN 1.0 ELSE 0.0 END), 6) AS fpos "
-    "FROM sc GROUP BY 1) "
+    "FROM sc WHERE truth IS NOT NULL AND prob IS NOT NULL GROUP BY 1) "
     "SELECT 'clfe_tp' AS kind, CAST(0 AS BIGINT) AS id, "
     "CAST(NULL AS VARCHAR) AS s, CAST(tp AS DOUBLE) AS v FROM conf "
     "UNION ALL SELECT 'clfe_fp', 0, NULL, CAST(fp AS DOUBLE) FROM conf "
@@ -5043,8 +5046,12 @@ def text_quality_suite(spark, sf_dir):
     conf = confusion_counts(clfe, "truth", "prob", 0.5)
     bins = calibration_bins(clfe, "truth", "prob", 10)
     # exact per-bin mean prob: integer micro-prob sum, one double division
-    # (see the oracle comment) — the operator's float AVG is for humans
-    mbins = clfe.groupBy(
+    # (see the oracle comment) — the operator's float AVG is for humans;
+    # same NULL exclusions as calibration_bins so the two bin tables
+    # always cover the same rows
+    mbins = clfe.filter(
+        F.col("prob").isNotNull() & F.col("truth").isNotNull()
+    ).groupBy(
         F.least(F.floor(F.col("prob") * 10), F.lit(9)).cast("int")
         .alias("bin")
     ).agg(

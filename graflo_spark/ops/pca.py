@@ -8,16 +8,18 @@ reduced space). No reference analogue.
 100 TB shape:
 
 - **fit** is ONE Arrow-batched pass over a BOUNDED input: corpora larger
-  than ``max_sample`` rows are seeded-sampled first (PCA on a sample is
-  standard practice — the train_pq/train_bpe precedent; the apply path is
-  frozen-literal and scale-free either way), and the sampled frame is
-  coalesced to at most ``max_partials`` partitions, so the driver collect
-  is <= max_partials * d^2 doubles (d=2048, 256 partials ~ 8 GB worst
-  case at full width; 64-partial default widths are MBs) — never one
-  partial per input task. Each partition emits a single (count, sum,
-  sum-of-outer-products) partial; the driver combines and
-  eigendecomposes the d x d covariance with numpy. Nothing quadratic in
-  n ever shuffles.
+  than ``max_sample`` rows are seeded-Bernoulli-sampled first (expected
+  sample size ``max_sample``; a per-partition filter — no shuffle, no
+  LIMIT, parallelism preserved. PCA on a sample is standard practice —
+  the train_pq/train_bpe precedent; the apply path is frozen-literal and
+  scale-free either way), and the sampled frame is coalesced to at most
+  ``max_partials`` partitions (no shuffle), so the driver collect is
+  <= max_partials * d^2 doubles — with the 256-partial default that is
+  ~8 GB worst case at d=2048 and single-digit MBs at typical test
+  widths — never one partial per input task. Each partition emits a
+  single (count, sum, sum-of-outer-products) partial; the driver
+  combines and eigendecomposes the d x d covariance with numpy. Nothing
+  quadratic in n ever shuffles.
 - **cancellation-safe**: moments accumulate over PIVOT-SHIFTED vectors
   (x - x_first) so the one-pass E[yy^T] - mean_y*mean_y^T form cannot
   catastrophically cancel when a large shared offset dominates the
@@ -71,12 +73,15 @@ def fit_pca(
 ) -> PcaModel:
     """Fit PCA on a bounded, pivot-shifted moment pass (see module notes).
 
-    ``max_sample``: row bound for the fit — larger corpora are
-    seeded-sampled down first (None disables; deterministic for a fixed
-    seed and input layout). ``max_partials``: the sampled frame is
-    coalesced to at most this many partitions, which bounds the driver
-    collect to ``max_partials`` d^2-sized partials regardless of how many
-    tasks scanned the input."""
+    ``max_sample``: EXPECTED row bound for the fit — corpora larger than
+    it are seeded-Bernoulli-sampled down first (``sample(fraction)``
+    only: a per-partition filter that keeps parallelism; a LIMIT here
+    would funnel the whole sample through one partition AND truncate an
+    arbitrary shuffle-order-dependent subset). None disables.
+    Deterministic for a fixed seed and input layout. ``max_partials``:
+    the (sampled) frame is coalesced to at most this many partitions,
+    which bounds the driver collect to ``max_partials`` d^2-sized
+    partials regardless of how many tasks scanned the input."""
     import numpy as np
 
     schema = ("pid long, n long, s array<double>, "
@@ -86,9 +91,7 @@ def fit_pca(
     if max_sample is not None:
         n_total = vecs.count()
         if n_total > max_sample:
-            vecs = vecs.sample(
-                fraction=max_sample / n_total, seed=seed
-            ).limit(max_sample)
+            vecs = vecs.sample(fraction=max_sample / n_total, seed=seed)
     vecs = vecs.coalesce(max_partials)
 
     head = vecs.head()

@@ -440,6 +440,7 @@ class LexicalIndexStore:
         n_buckets: int = 64,
         positions: bool = False,
     ):
+        import json
         import os
 
         self.spark = spark
@@ -450,6 +451,24 @@ class LexicalIndexStore:
         self.positional = positions
         os.makedirs(f"{self.path}/postings", exist_ok=True)
         os.makedirs(f"{self.path}/stats", exist_ok=True)
+        # layout config (n_buckets, positions) is a property of the DATA
+        # on disk, not of the reopening process: persist it on first
+        # construction and let the persisted values WIN on reopen —
+        # restart-with-defaults is the expected crash-recovery mode, and
+        # reopening a positional store as tf-only would silently NULL
+        # phrase probes / destroy positions at the next compact()
+        meta_f = os.path.join(self.path, "_meta")
+        if os.path.exists(meta_f):
+            with open(meta_f) as fh:
+                meta = json.load(fh)
+            self.n_buckets = int(meta["n_buckets"])
+            self.positional = bool(meta["positional"])
+        else:
+            fd_meta = f"{meta_f}.tmp-{os.getpid()}"
+            with open(fd_meta, "w") as fh:
+                json.dump({"n_buckets": self.n_buckets,
+                           "positional": self.positional}, fh)
+            os.replace(fd_meta, meta_f)
         # run crash recovery at construction, not just at first READ: a
         # restarted stream may ingest before reading, and a batch written
         # into a fresh empty root would mask the .old-* history forever

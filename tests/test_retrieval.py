@@ -508,6 +508,27 @@ def test_index_store_positional_phrase_probe(spark, corpus, tmp_path):
         key=key) == direct
 
 
+def test_index_store_reopen_adopts_persisted_layout(spark, corpus, tmp_path):
+    """Layout config (n_buckets, positions) lives with the DATA: a store
+    reopened with default constructor args (the crash-restart mode) must
+    adopt the persisted layout — reopening a positional store as tf-only
+    would silently NULL phrase probes and destroy positions at the next
+    compact()."""
+    _, df = corpus
+    store = rt.LexicalIndexStore(
+        spark, str(tmp_path / "s"), n_buckets=8, positions=True)
+    store.ingest_batch(df.filter(F.col("doc_id") < 3), batch_id=0)
+    reopened = rt.LexicalIndexStore(spark, str(tmp_path / "s"))
+    assert reopened.positional and reopened.n_buckets == 8
+    reopened.ingest_batch(df.filter(F.col("doc_id") >= 3), batch_id=1)
+    reopened.compact()
+    qs = spark.createDataFrame(PHRASE_QS, "query_id long, text string")
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(rt.phrase_topk(
+        qs, index=reopened.as_index(), k=10).collect(), key=key
+    ) == sorted(rt.phrase_topk(qs, df, k=10).collect(), key=key)
+
+
 def test_mean_pool_ragged_lengths_raise(spark):
     from graflo_spark.ops.simsearch import mean_pool_embeddings
 

@@ -209,17 +209,20 @@ def test_hub_graph_and_zipf_edges_shapes(spark):
 
 
 def test_lexidx_incremental_bench_smoke(spark, sf_dir, tmp_path):
-    """--lexidx harness at factor 3 / sf0.001: flat-wall machinery runs,
-    compact cadence bounds dirs, probe parity holds vs one-shot."""
+    """--lexidx harness at factor 4 / sf0.001: flat-wall machinery runs,
+    the compact at batch 3 actually FOLDS (seq=3: batches 0+1 sit before
+    the replay window — a real fold, not the <2-dirs no-op), and probe
+    parity holds vs one-shot."""
     from tools.scale_bench import generate, lexidx_incremental_bench
 
     out = str(tmp_path / "blow")
-    generate(spark, sf_dir, out, 3)
+    generate(spark, sf_dir, out, 4)
     res = lexidx_incremental_bench(
-        spark, sf_dir, out, 3, str(tmp_path), compact_every=2)
-    assert len(res["batches"]) == 3
+        spark, sf_dir, out, 4, str(tmp_path), compact_every=3)
+    assert len(res["batches"]) == 4
     assert res["bm25_match"] and res["phrase_match"]
-    # after the compact at batch 2, dirs fold to <= 2 (batch=0 + replay
-    # window); batch 3 adds one more
-    assert res["batches"][1]["dirs"] <= 2
-    assert res["batches"][2]["dirs"] <= 3
+    # the fold ran and did real work: 3 dirs -> 2 (batch=0 + replay
+    # window), then batch 4 adds one more
+    assert "compact_wall" in res["batches"][2]
+    assert res["batches"][2]["dirs"] == 2
+    assert res["batches"][3]["dirs"] == 3

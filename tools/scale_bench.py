@@ -78,7 +78,8 @@ Usage:
     python3 tools/scale_bench.py [factor] [out_root] [--hot-group]
         [--incremental] [--store] [--temporal-skew] [--winnow] [--pipeline]
         [--graph] [--hub] [--power-law] [--uncapped-linkpred]
-        [--only <substr>]   # restrict --graph to matching queries
+        [--only <substr>]   # restrict --graph or the default sweep to
+                            # matching queries
         [--substring]       # --pipeline: enable the k=8 exact
                             # repeated-substring scrub (spans+cut+repack)
         [--compact-every K] # --lines --incremental: LineDedupStore
@@ -1246,7 +1247,9 @@ def main() -> None:
     focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
                or lines_mode or gopher_mode or semdedup_mode
                or graph_mode or hub_mode or power_law_mode or lexidx_mode)
-    for name in ([] if focused else SCALE_QUERIES):
+    sweep = [] if focused else [
+        n for n in SCALE_QUERIES if only is None or only in n]
+    for name in sweep:
         fn = QUERIES[name]
         try:  # codegen warm; never let a missing warm dir zero the artifact
             if os.path.isdir(warm_dir):
