@@ -1188,49 +1188,70 @@ class LineDedupStore:
             F.col("batch") < upto)
         return hist.select("_h")
 
-    def compact(self, target_files: int = 1) -> None:
-        """Fold the per-batch hash dirs into one consolidated partition.
-        Every ``scrub_batch`` writes one ``batch=<seq>`` parquet dir, so a
+    def compact(self, target_files: int = 1, min_run: int = 4,
+                full: bool = False) -> None:
+        """Fold per-batch hash dirs into consolidated partitions. Every
+        ``scrub_batch`` writes one ``batch=<seq>`` parquet dir, so a
         daily-crawl stream accumulates thousands of tiny dirs and the
         history side of the anti-join pays per-file open cost — the same
-        small-files problem ``MinHashDedupStore.compact`` closes. Batches
-        strictly BEFORE the last committed one merge (distinct) into
-        ``batch=0``; the last committed batch's dir — the post-commit
-        replay window (``batch_id`` re-run under its original seq, class
-        docstring) — and any orphaned in-flight dir are preserved
-        verbatim, so replay semantics are unchanged: every surviving
-        partition value stays ``< upto`` exactly when it did before.
+        small-files problem ``MinHashDedupStore.compact`` closes. The
+        last committed batch's dir — the post-commit replay window
+        (``batch_id`` re-run under its original seq, class docstring) —
+        and any orphaned in-flight dir are preserved verbatim, so replay
+        semantics are unchanged: every surviving partition value stays
+        ``< upto`` exactly when it did before.
+
+        Fold selection is size-tiered (``_store_compact.tiered_groups``,
+        LSM/STCS): only log4-size buckets holding >= ``min_run`` dirs
+        fold, each into the smallest batch id of its bucket — one call's
+        I/O is bounded by the tier that is ready, not by total history,
+        so compact walls stay flat over a long stream (amortized rewrite
+        O(N log N) vs fold-everything's Theta(N^2/cadence)).
+        ``full=True`` restores the everything-into-``batch=0`` policy.
 
         SINGLE-WRITER op, between batches (foreachBatch is sequential).
-        Crash-safe the MinHashDedupStore way: the new root — consolidated
-        dir plus a COPY of the replay-window dirs, so no state is ever
-        split across two roots — is staged under ``.compact-lines-*``,
-        then swapped in via rename; a death between the two renames
-        leaves everything under ``.old-lines-*``, which ``_history``
-        restores on next access (stale staging dirs may remain to
-        sweep)."""
+        Crash-safe the MinHashDedupStore way: the new root — folded dirs
+        plus the preserved dirs (hardlinked, metadata-only: parquet files
+        are immutable), so no state is ever split across two roots — is
+        staged under ``.compact-lines-*``, then swapped in via rename; a
+        death between the two renames leaves everything under
+        ``.old-lines-*``, which ``_history`` restores on next access
+        (stale staging dirs may remain to sweep)."""
         import glob
         import os
         import shutil
         import uuid
 
+        from graflo_spark.ops._store_compact import (
+            dir_bytes, link_tree, tiered_groups)
+
         last = self._seq() - 1  # the replay-window batch
         root = f"{self.path}/lines"
         dirs = glob.glob(f"{root}/batch=*")
         vals = sorted(int(d.rsplit("=", 1)[1]) for d in dirs)
-        if sum(1 for v in vals if v < last) < 2:
+        sizes = {v: dir_bytes(f"{root}/batch={v}")
+                 for v in vals if v < last}
+        if full:
+            groups = [sorted(sizes)] if len(sizes) >= 2 else []
+        else:
+            groups = [g for g in tiered_groups(sizes, min_run=min_run)
+                      if len(g) >= 2]
+        if not groups:
             return  # nothing worth folding
-        hist = (
-            self.spark.read.parquet(root)
-            .filter(F.col("batch") < last)
-            .select("_h").distinct()
-        )
         staging = f"{self.path}/.compact-lines-{uuid.uuid4().hex}"
-        hist.coalesce(max(target_files, 1)).write.parquet(
-            f"{staging}/batch=0")
+        folded_ids: set[int] = set()
+        for group in groups:
+            folded = (
+                self.spark.read.parquet(root)
+                .filter(F.col("batch").isin(group))
+                .select("_h").distinct()
+            )
+            folded.coalesce(max(target_files, 1)).write.parquet(
+                f"{staging}/batch={min(group)}")
+            folded_ids.update(group)
         for v in vals:
-            if v >= last:
-                shutil.copytree(f"{root}/batch={v}", f"{staging}/batch={v}")
+            if v not in folded_ids:
+                link_tree(f"{root}/batch={v}", f"{staging}/batch={v}")
         old = f"{self.path}/.old-lines-{uuid.uuid4().hex}"
         os.rename(root, old)
         try:

@@ -437,9 +437,10 @@ class LexicalIndexStore:
         path: str,
         id_col: str = "doc_id",
         text_col: str = "text",
-        n_buckets: int = 64,
-        positions: bool = False,
+        n_buckets: int | None = None,
+        positions: bool | None = None,
     ):
+        import glob
         import json
         import os
 
@@ -447,23 +448,43 @@ class LexicalIndexStore:
         self.path = path.rstrip("/")
         self.id_col = id_col
         self.text_col = text_col
-        self.n_buckets = n_buckets
-        self.positional = positions
         os.makedirs(f"{self.path}/postings", exist_ok=True)
         os.makedirs(f"{self.path}/stats", exist_ok=True)
         # layout config (n_buckets, positions) is a property of the DATA
-        # on disk, not of the reopening process: persist it on first
-        # construction and let the persisted values WIN on reopen —
-        # restart-with-defaults is the expected crash-recovery mode, and
-        # reopening a positional store as tf-only would silently NULL
-        # phrase probes / destroy positions at the next compact()
+        # on disk, not of the reopening process: persist it on FIRST
+        # construction of a fresh store and adopt the persisted values
+        # when the caller omits the args (restart-with-defaults is the
+        # expected crash-recovery mode — reopening a positional store as
+        # tf-only would silently NULL phrase probes / destroy positions
+        # at the next compact()). An EXPLICIT arg that conflicts with the
+        # persisted layout raises instead of being silently overridden,
+        # and a populated store with no _meta (pre-_meta layout) requires
+        # explicit args rather than freezing today's defaults over
+        # yesterday's unknown layout.
         meta_f = os.path.join(self.path, "_meta")
         if os.path.exists(meta_f):
             with open(meta_f) as fh:
                 meta = json.load(fh)
+            for arg, key in ((n_buckets, "n_buckets"),
+                             (positions, "positional")):
+                if arg is not None and arg != meta[key]:
+                    raise ValueError(
+                        f"LexicalIndexStore at {self.path} was built with "
+                        f"{key}={meta[key]}; got {key}={arg}. The on-disk "
+                        "layout is fixed at creation — omit the arg to "
+                        "adopt it, or rebuild the store to change it.")
             self.n_buckets = int(meta["n_buckets"])
             self.positional = bool(meta["positional"])
         else:
+            populated = (glob.glob(f"{self.path}/postings/batch=*")
+                         or glob.glob(f"{self.path}/.old-postings-*"))
+            if populated and (n_buckets is None or positions is None):
+                raise ValueError(
+                    f"LexicalIndexStore at {self.path} has postings but "
+                    "no _meta (pre-_meta layout): pass n_buckets= and "
+                    "positions= matching how it was built.")
+            self.n_buckets = 64 if n_buckets is None else n_buckets
+            self.positional = False if positions is None else positions
             fd_meta = f"{meta_f}.tmp-{os.getpid()}"
             with open(fd_meta, "w") as fh:
                 json.dump({"n_buckets": self.n_buckets,
@@ -575,49 +596,90 @@ class LexicalIndexStore:
         )
         return LexicalIndex(post, stats, self.n_buckets, self.positional)
 
-    def compact(self) -> None:
-        """Fold committed batch dirs strictly BEFORE the last one into a
-        consolidated ``batch=0``; the last committed dir — the replay
-        window — and any orphaned in-flight dir are preserved verbatim.
-        SINGLE-WRITER op, between batches (foreachBatch is sequential).
+    def compact(self, min_run: int = 4, full: bool = False) -> None:
+        """Fold committed batch dirs strictly BEFORE the last one — the
+        last committed dir (the post-commit replay window) and any
+        orphaned in-flight dir are preserved verbatim. SINGLE-WRITER op,
+        between batches (foreachBatch is sequential).
 
-        Crash-safe the LineDedupStore.compact way: the NEW root —
-        consolidated dir plus a COPY of the preserved dirs, so no state
-        is ever split across two roots — is staged under
-        ``.compact-<sub>-*``, then swapped in via two renames; a death
-        between them leaves the full history under ``.old-<sub>-*``,
-        which :meth:`_read_root` restores on next access (stale staging
-        dirs may remain to sweep). Committed data is never deleted before
-        its replacement is fully in place."""
+        Fold SELECTION is size-tiered (``_store_compact.tiered_groups``,
+        the LSM/STCS shape): eligible dirs bucket by log4 of their
+        on-disk bytes, and only buckets with >= ``min_run`` members fold,
+        each into the smallest batch id of its bucket. Small fresh
+        batches fold into a medium run, ``min_run`` medium runs fold into
+        a large one — so one compact() call's I/O is bounded by the tier
+        that is ready, NOT by total index size, and amortized rewrite
+        over a stream's life is O(N log N) postings instead of the
+        fold-everything Theta(N^2/cadence) the r10 measurement showed
+        (walls 2.0 -> 3.6 s monotone). ``full=True`` restores the
+        everything-into-one-dir policy (a final freeze before handing
+        the store to read-only probes).
+
+        Crash-safe the LineDedupStore.compact way: the NEW root — folded
+        dirs plus the preserved dirs (hardlinked, metadata-only: parquet
+        files are immutable), so no state is ever split across two roots
+        — is staged under ``.compact-<sub>-*``, then swapped in via two
+        renames; a death between them leaves the full history under
+        ``.old-<sub>-*``, which :meth:`_read_root` restores on next
+        access (stale staging dirs may remain to sweep). Committed data
+        is never deleted before its replacement is fully in place."""
         import glob
         import os
         import shutil
         import uuid
 
+        from graflo_spark.ops._store_compact import (
+            dir_bytes, link_tree, tiered_groups)
+
         seq, _ = self._state()
         last = seq - 1  # the replay-window batch
         if seq < 2:
             return  # nothing strictly before the replay window
+        # fold plan comes from the postings sizes (stats dirs are tiny)
+        # and applies to both subs, so their batch layouts stay aligned
+        post_root = f"{self.path}/postings"
+        sizes = {
+            int(d.rsplit("=", 1)[1]): dir_bytes(d)
+            for d in glob.glob(f"{post_root}/batch=*")
+            if int(d.rsplit("=", 1)[1]) < last
+        }
+        if full:
+            groups = [sorted(sizes)] if len(sizes) >= 2 else []
+        else:
+            groups = tiered_groups(sizes, min_run=min_run)
+        if not groups:
+            return
         for sub in ("postings", "stats"):
             root = f"{self.path}/{sub}"
             vals = sorted(int(d.rsplit("=", 1)[1])
                           for d in glob.glob(f"{root}/batch=*"))
-            if sum(1 for v in vals if v < last) < 2:
-                continue
-            folded = self._read_root(sub).filter(
-                F.col("batch") < last).drop("batch")
+            src = self._read_root(sub)
             staging = f"{self.path}/.compact-{sub}-{uuid.uuid4().hex}"
-            if sub == "stats":
-                folded.agg(
-                    F.sum("n").alias("n"), F.sum("dl_sum").alias("dl_sum")
-                ).coalesce(1).write.parquet(f"{staging}/batch=0")
-            else:
-                folded.write.partitionBy("term_bucket").parquet(
-                    f"{staging}/batch=0")
+            folded_ids: set[int] = set()
+            wrote = False
+            for group in groups:
+                present = [v for v in group if v in vals]
+                if len(present) < 2:
+                    continue
+                folded = src.filter(
+                    F.col("batch").isin(present)).drop("batch")
+                target = min(present)
+                if sub == "stats":
+                    folded.agg(
+                        F.sum("n").alias("n"),
+                        F.sum("dl_sum").alias("dl_sum"),
+                    ).coalesce(1).write.parquet(f"{staging}/batch={target}")
+                else:
+                    folded.write.partitionBy("term_bucket").parquet(
+                        f"{staging}/batch={target}")
+                folded_ids.update(present)
+                wrote = True
+            if not wrote:
+                continue
+            os.makedirs(staging, exist_ok=True)
             for v in vals:
-                if v >= last:
-                    shutil.copytree(f"{root}/batch={v}",
-                                    f"{staging}/batch={v}")
+                if v not in folded_ids:
+                    link_tree(f"{root}/batch={v}", f"{staging}/batch={v}")
             old = f"{self.path}/.old-{sub}-{uuid.uuid4().hex}"
             os.rename(root, old)
             try:

@@ -273,7 +273,7 @@ def test_line_dedup_store_compaction(spark, tmp_path):
         st.scrub_batch(b, batch_id=i)
     root = str(tmp_path / "ls" / "lines")
     assert len(glob.glob(f"{root}/batch=*")) == 6
-    st.compact()
+    st.compact(full=True)
     # batches 0..4 folded into batch=0; batch=5 (replay window) preserved
     vals = sorted(int(d.rsplit("=", 1)[1])
                   for d in glob.glob(f"{root}/batch=*"))
@@ -297,7 +297,7 @@ def test_line_dedup_store_compaction(spark, tmp_path):
     assert retry == got
 
     # idempotent: a second compact right after is a no-op fold of one dir
-    st.compact()
+    st.compact(full=True)
     # +1: only "brand new" was fresh (the other three lines were already
     # in history and fresh-only recording never re-stores them)
     assert spark.read.parquet(root).count() == 8
@@ -315,7 +315,7 @@ def test_line_dedup_store_compact_replay_window_after_fold(spark, tmp_path):
             [(i, f"shared line\nonly {i}")], "doc_id long, text string")
         first = {r["doc_id"]: r["text"]
                  for r in st.scrub_batch(b, batch_id=i).collect()}
-    st.compact()
+    st.compact(full=True)
     retry = {r["doc_id"]: r["text"]
              for r in st.scrub_batch(b, batch_id=2).collect()}
     assert retry == first == {2: "only 2"}
@@ -538,3 +538,41 @@ def test_collocations_pmi_matches_math(spark):
     assert ("red", "car") not in out and ("wine", "red") not in out
     # ranking is by PMI desc: pairs/well (rarer unigrams) outranks red/wine
     assert pw.rank < rw.rank
+
+
+def test_line_dedup_store_tiered_compact_skips_big_tier(spark, tmp_path):
+    """Size-tiered compact folds only the ready small tier; the big
+    consolidated dir enters the new root as hardlinks (same inodes) and
+    scrubbing continues correctly against the mixed-tier history."""
+    import glob
+    import os
+
+    from graflo_spark.ops.dedup import LineDedupStore
+
+    st = LineDedupStore(spark, str(tmp_path / "ls"))
+    big = "\n".join(f"bulk line {i}" for i in range(4000))
+    st.scrub_batch(spark.createDataFrame(
+        [(0, big)], "doc_id long, text string"), batch_id=0)
+    for i in range(1, 6):
+        st.scrub_batch(spark.createDataFrame(
+            [(i, f"common header\nonly {i}")],
+            "doc_id long, text string"), batch_id=i)
+    root = str(tmp_path / "ls" / "lines")
+    big_inos = {f: os.stat(f).st_ino
+                for f in glob.glob(f"{root}/batch=0/*.parquet")}
+    assert big_inos
+    st.compact(min_run=4)
+    vals = sorted(int(d.rsplit("=", 1)[1])
+                  for d in glob.glob(f"{root}/batch=*"))
+    # {1..4} folded into batch=1; batch=0 (big tier) and batch=5 (replay
+    # window) preserved
+    assert vals == [0, 1, 5]
+    for f, ino in big_inos.items():
+        assert os.stat(f).st_ino == ino
+    # history intact: every line seen once, later copies scrubbed
+    b = spark.createDataFrame(
+        [(100, "common header\nbulk line 17\nonly 3\nfresh")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in st.scrub_batch(b, batch_id=6).collect()}
+    assert got == {100: "fresh"}

@@ -253,7 +253,7 @@ def test_index_store_compact_preserves_results_and_bounds_dirs(
         store.ingest_batch(df.filter(F.col("doc_id") == i), batch_id=i)
     before = _probe(spark, store.as_index())
     assert len(glob.glob(f"{store.path}/postings/batch=*")) == len(rows)
-    store.compact()
+    store.compact(full=True)
     dirs = glob.glob(f"{store.path}/postings/batch=*")
     # folded batch=0 + the preserved last committed (replay-window) dir
     assert len(dirs) == 2
@@ -502,7 +502,7 @@ def test_index_store_positional_phrase_probe(spark, corpus, tmp_path):
     assert idx.positional
     assert sorted(rt.phrase_topk(qs, index=idx, k=10).collect(),
                   key=key) == direct
-    store.compact()
+    store.compact(full=True)
     assert sorted(
         rt.phrase_topk(qs, index=store.as_index(), k=10).collect(),
         key=key) == direct
@@ -521,7 +521,7 @@ def test_index_store_reopen_adopts_persisted_layout(spark, corpus, tmp_path):
     reopened = rt.LexicalIndexStore(spark, str(tmp_path / "s"))
     assert reopened.positional and reopened.n_buckets == 8
     reopened.ingest_batch(df.filter(F.col("doc_id") >= 3), batch_id=1)
-    reopened.compact()
+    reopened.compact(full=True)
     qs = spark.createDataFrame(PHRASE_QS, "query_id long, text string")
     key = lambda r: (r.query_id, r.rank)
     assert sorted(rt.phrase_topk(
@@ -613,3 +613,88 @@ def test_phrase_brute_force_property(spark):
             if n:
                 expect[(qid, did)] = float(n)
     assert got == expect
+
+
+# ---------------------------------------------------------------- tiered
+
+
+def test_tiered_groups_policy():
+    """Pure fold-policy unit: same-log4-bucket runs of >= min_run fold
+    (ascending, caller targets the min id); smaller runs and lone big
+    dirs are left alone."""
+    from graflo_spark.ops._store_compact import tiered_groups
+
+    sizes = {0: 100, 1: 110, 2: 90, 3: 95, 4: 100_000}
+    assert tiered_groups(sizes, min_run=4) == [[0, 1, 2, 3]]
+    # the big dir is a 1-member bucket: never folded
+    assert tiered_groups({0: 100, 1: 100_000}, min_run=2) == []
+    # three similar members under min_run=4 stay put
+    assert tiered_groups({0: 100, 1: 110, 2: 95}, min_run=4) == []
+    # ... but fold at min_run=2 (and groups come back sorted)
+    assert tiered_groups({2: 95, 0: 100, 1: 110}, min_run=2) == [[0, 1, 2]]
+    with pytest.raises(ValueError):
+        tiered_groups(sizes, min_run=1)
+
+
+def test_index_store_tiered_compact_skips_big_tier(spark, tmp_path):
+    """Size-tiered compact folds only the ready tier: the big already-
+    consolidated dir is carried into the new root as HARDLINKS (same
+    inodes — metadata-only, no rewrite), so one compact()'s I/O is
+    bounded by the small tier, not by index size."""
+    import glob
+    import os
+
+    big_text = " ".join(f"tok{i} common{i % 7}" for i in range(3000))
+    rows = [(0, big_text)] + [
+        (i, f"small doc {i} spark join hash") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    store = rt.LexicalIndexStore(spark, str(tmp_path / "st"), n_buckets=8)
+    for i in range(6):
+        store.ingest_batch(df.filter(F.col("doc_id") == i), batch_id=i)
+    before = _probe(spark, store.as_index())
+    root = f"{store.path}/postings"
+    big_files = {f: os.stat(f).st_ino
+                 for f in glob.glob(f"{root}/batch=0/*/*.parquet")}
+    assert big_files
+    store.compact(min_run=4)
+    vals = sorted(int(d.rsplit("=", 1)[1])
+                  for d in glob.glob(f"{root}/batch=*"))
+    # small tier {1..4} folded into batch=1; big batch=0 and the replay
+    # window batch=5 preserved
+    assert vals == [0, 1, 5]
+    for f, ino in big_files.items():
+        assert os.stat(f).st_ino == ino  # hardlinked, not rewritten
+    assert _probe(spark, store.as_index()) == before
+    # replay window still overwrites in place after the tiered fold
+    store.ingest_batch(df.filter(F.col("doc_id") == 5), batch_id=5)
+    assert _probe(spark, store.as_index()) == before
+
+
+def test_index_store_explicit_layout_conflict_raises(spark, corpus,
+                                                     tmp_path):
+    """An EXPLICIT n_buckets/positions that conflicts with the persisted
+    layout raises instead of being silently overridden; omitted args
+    adopt the persisted layout; a populated pre-_meta store demands
+    explicit args."""
+    import os
+
+    _, df = corpus
+    store = rt.LexicalIndexStore(
+        spark, str(tmp_path / "s"), n_buckets=8, positions=True)
+    store.ingest_batch(df.filter(F.col("doc_id") < 3), batch_id=0)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        rt.LexicalIndexStore(spark, str(tmp_path / "s"), n_buckets=16)
+    with pytest.raises(ValueError, match="positional"):
+        rt.LexicalIndexStore(spark, str(tmp_path / "s"), positions=False)
+    # matching explicit args are fine
+    again = rt.LexicalIndexStore(
+        spark, str(tmp_path / "s"), n_buckets=8, positions=True)
+    assert again.n_buckets == 8 and again.positional
+    # legacy store (postings, no _meta): defaults must not freeze over an
+    # unknown layout
+    os.remove(f"{store.path}/_meta")
+    with pytest.raises(ValueError, match="pre-_meta"):
+        rt.LexicalIndexStore(spark, str(tmp_path / "s"))
+    legacy = rt.LexicalIndexStore(
+        spark, str(tmp_path / "s"), n_buckets=8, positions=True)
+    assert legacy.positional and os.path.exists(f"{store.path}/_meta")
