@@ -288,6 +288,27 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+_TMP_ROOTS: dict[str, str] = {}
+
+
+def _cached_tmp_root(key: str) -> tuple[str, bool]:
+    """Per-process temp-dir registry for rows that persist an index to
+    probe it: ONE dir per (row, sf_dir) per process, swept at interpreter
+    exit — so the suite invoking a retired row twice per grading run
+    reuses the first build instead of accumulating mkdtemp dirs across
+    runs (advisor finding). Returns (path, fresh)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if key in _TMP_ROOTS:
+        return _TMP_ROOTS[key], False
+    d = tempfile.mkdtemp(prefix="graflo_idx_")
+    _TMP_ROOTS[key] = d
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d, True
+
+
 # ---------------------------------------------------------- graph ETL core
 
 @q(
@@ -4444,16 +4465,16 @@ def phrase_topk_documents(spark, sf_dir):
     bm25 probe economics for quoted-string queries). The shifted-position
     intersection chain is replayed in SQL (list_reduce of
     list_intersect); both branches grade against the same body."""
-    import tempfile
-
     docs = load(spark, sf_dir, "documents")
     qs = spark.createDataFrame(_PHRASE_QUERIES,
                                "query_id long, text string")
     rescan = rt.phrase_topk(qs, docs, k=5).select(
         F.lit("phrase").alias("method"), "query_id", "neighbor_id",
         "score", "rank")
-    root = tempfile.mkdtemp(prefix="graflo_phrase_idx_")
-    rt.build_lexical_index(docs, n_buckets=16, positions=True).write(root)
+    root, fresh = _cached_tmp_root(f"phrase_idx:{sf_dir}")
+    if fresh:
+        rt.build_lexical_index(
+            docs, n_buckets=16, positions=True).write(root)
     idx = rt.LexicalIndex.read(spark, root)
     probed = rt.phrase_topk(qs, index=idx, k=5).select(
         F.lit("phrase_idx").alias("method"), "query_id", "neighbor_id",
@@ -4570,6 +4591,70 @@ def hybrid_dense_sparse_search(spark, sf_dir):
         "score", "rank")
 
 
+# Incremental IVF store probe (r11): the embeddings corpus arrives in
+# three batches assigned to the FROZEN catalog centroid grid (the
+# semdedup constants — frozen so cell assignment is SQL-replayable), the
+# store compacts, and the persisted index answers a PRUNED
+# n_probe=3-of-8 probe. The oracle replays argmin-L2 cell assignment
+# (ties to the smallest cluster — the assign_to_centroids rule),
+# per-query centroid ranking (cosine DESC, cluster ASC), and
+# within-probed-cells cosine top-5. All double math folds in index order
+# on both engines; ROUND(,6) only on the emitted score.
+_IVFS_ORACLE = (
+    "WITH cents(c, cv) AS (VALUES " + _SEM_CENT_VALUES + "), "
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+    "WHERE embedding IS NOT NULL), "
+    "d AS (SELECT vec_id, c, "
+    "list_sum([(v[i]-cv[i])*(v[i]-cv[i]) FOR i IN range(1, 65)]) AS d2 "
+    "FROM e, cents), "
+    "cell AS (SELECT vec_id, c AS cluster FROM (SELECT vec_id, c, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM d) "
+    "WHERE rn = 1), "
+    "q AS (SELECT vec_id AS query_id, v AS q_vec FROM e WHERE vec_id < 5), "
+    "qc AS (SELECT query_id, q_vec, cluster FROM ("
+    "SELECT query_id, q_vec, c AS cluster, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY "
+    "list_inner_product(q_vec, cv) / (sqrt(list_inner_product(q_vec, q_vec)) "
+    "* sqrt(list_inner_product(cv, cv))) DESC, c) AS rn FROM q, cents) "
+    "WHERE rn <= 3), "
+    "s AS (SELECT query_id, e.vec_id AS neighbor_id, "
+    "list_inner_product(q_vec, v) / (sqrt(list_inner_product(q_vec, q_vec)) "
+    "* sqrt(list_inner_product(v, v))) AS cosine "
+    "FROM e JOIN cell USING (vec_id) JOIN qc USING (cluster) "
+    "WHERE e.vec_id <> qc.query_id) "
+    "SELECT query_id, neighbor_id, ROUND(cosine, 6) AS score, rank FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5"
+)
+
+
+@q("ivfs_topk_embeddings",
+   "SELECT 'ivfs' AS method, * FROM (" + _IVFS_ORACLE + ")")
+def ivfs_topk_embeddings(spark, sf_dir):
+    """Pruned ANN top-5 through an INCREMENTALLY MAINTAINED dense index
+    (ops/simsearch.IvfIndexStore — the embedding-side twin of
+    LexicalIndexStore): three disjoint batches assigned to frozen
+    centroids under the (seq, batch_id) commit protocol, a size-tiered
+    compact() fold, then ivf_probe over store.as_index() with
+    n_probe=3 of 8 — the maintained-index economics the one-shot
+    build_ivf_index path can't give a growing corpus."""
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())
+    cents = [[x / 4096.0 for x in row] for row in _SEM_CENTS_4096]
+    root, fresh = _cached_tmp_root(f"ivfs:{sf_dir}")
+    store = ss.IvfIndexStore(spark, root, centroids=cents)
+    if fresh:
+        for i in range(3):
+            store.ingest_batch(
+                emb.filter(F.col("vec_id") % 3 == i), batch_id=i)
+        store.compact(full=True)
+    out = ss.ivf_probe(
+        store.as_index(), emb.filter(F.col("vec_id") < 5), k=5, n_probe=3)
+    return out.select(
+        F.lit("ivfs").alias("method"), "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("score"), "rank")
+
+
 @q(
     "embedding_search_suite",
     "SELECT method, query_id, neighbor_id, cosine AS score, rank FROM ("
@@ -4580,7 +4665,8 @@ def hybrid_dense_sparse_search(spark, sf_dir):
     "SELECT * FROM (" + _RRF_ORACLE + ") UNION ALL "
     "SELECT * FROM (" + _POOL_ORACLE + ") UNION ALL "
     "SELECT * FROM (" + _PHRASE_ORACLE + ") UNION ALL "
-    "SELECT * FROM (" + _HYBRID_DS_ORACLE + ")",
+    "SELECT * FROM (" + _HYBRID_DS_ORACLE + ") UNION ALL "
+    "SELECT 'ivfs' AS method, * FROM (" + _IVFS_ORACLE + ")",
 )
 def embedding_search_suite(spark, sf_dir):
     """Every similarity-search path in one row: brute/IVF/LSH (the
@@ -4588,8 +4674,10 @@ def embedding_search_suite(spark, sf_dir):
     branches (driver-LUT, join formulation, IVF-PQ), and (r9) the two
     LEXICAL retrieval branches — BM25 and tf-idf keyword top-k
     (ops/retrieval.py; sparse retrieval next to the dense paths) — plus
-    the frozen-matrix PCA-space top-k (ops/pca.py) and the RRF hybrid
-    fusion of the two lexical rankings (ops/retrieval.rrf_fuse)."""
+    the frozen-matrix PCA-space top-k (ops/pca.py), the RRF hybrid
+    fusion of the two lexical rankings (ops/retrieval.rrf_fuse), and
+    (r11) the incrementally-maintained IVF store's pruned probe
+    (ops/simsearch.IvfIndexStore, method='ivfs')."""
     ann = ann_topk_embeddings(spark, sf_dir).withColumnRenamed(
         "cosine", "score")
     return ann.unionByName(
@@ -4599,7 +4687,8 @@ def embedding_search_suite(spark, sf_dir):
         hybrid_rrf_documents(spark, sf_dir)).unionByName(
         mean_pool_embeddings(spark, sf_dir)).unionByName(
         phrase_topk_documents(spark, sf_dir)).unionByName(
-        hybrid_dense_sparse_search(spark, sf_dir))
+        hybrid_dense_sparse_search(spark, sf_dir)).unionByName(
+        ivfs_topk_embeddings(spark, sf_dir))
 
 
 @q(
@@ -5127,6 +5216,7 @@ _RETIRED_INTO_SUITES = [
     "bm25_topk_documents", "pca_topk_embeddings",
     "hybrid_rrf_documents", "mean_pool_embeddings",
     "phrase_topk_documents", "hybrid_dense_sparse_search",
+    "ivfs_topk_embeddings",
     "near_dup_clusters_documents", "semdedup_clusters_embeddings",
     "sampling_split_mix_documents", "io_formats_suite",
     "sliding_chunks_documents",

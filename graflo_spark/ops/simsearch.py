@@ -430,3 +430,293 @@ def mean_pool_embeddings(
         ).drop("__nrm")
     return pooled.select(
         F.col("__g").alias(group_col), "embedding", "n_members")
+
+
+class IvfIndexStore:
+    """Incremental dense-ANN index across arriving batches — the
+    embedding-side twin of ``retrieval.LexicalIndexStore``, completing
+    the store family's symmetry: a streaming corpus can now maintain its
+    IVF index per-batch instead of rebuilding it on every growth (the
+    ``IvfIndex.write``/``read`` one-shot path).
+
+    Design: centroids are FROZEN at store creation (pass ``centroids=``,
+    e.g. from a ``build_ivf_index`` fit over a bootstrap sample) and each
+    batch is assigned to them via :func:`assign_to_centroids` — one
+    shuffle-free map pass over the batch only; indexed history is never
+    rescanned. Recall drifts only as far as the data distribution does
+    (the standard IVF operational trade-off); :meth:`refit` is the
+    explicit rebuild for when it has.
+
+    Layout and protocol are the ``LexicalIndexStore`` ones, with one
+    difference: centroids and assignments live under a SINGLE swap root
+    ``<path>/index/`` (``centroids/`` + ``assigned/batch=<seq>/
+    cluster=*/``), so :meth:`compact` and :meth:`refit` replace the
+    (centroids, assignment) PAIR atomically — a crash can never leave
+    new assignments probed against old centroids. Both crash windows
+    hold: a retry that died BEFORE the ``_seq`` commit overwrites its own
+    orphaned ``batch=<seq>`` dir (reads filter ``batch < seq``); a retry
+    that repeats the LAST committed ``batch_id`` re-runs under its
+    ORIGINAL seq and overwrites its dir with identical rows (assignment
+    against frozen centroids is deterministic), so at-least-once delivery
+    never double-indexes a vector. Caller contract as for every store in
+    this repo: batch vector ids are disjoint from already-indexed ids.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        centroids: list | None = None,
+    ):
+        import glob
+        import os
+
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        os.makedirs(f"{self.path}/index/assigned", exist_ok=True)
+        self._restore_if_needed()
+        cent_dir = f"{self.path}/index/centroids"
+        if glob.glob(f"{cent_dir}/*.parquet"):
+            persisted = [
+                r["centroid"] for r in
+                spark.read.parquet(cent_dir).orderBy("cluster").collect()
+            ]
+            if centroids is not None and [
+                    [float(x) for x in c] for c in centroids] != persisted:
+                raise ValueError(
+                    f"IvfIndexStore at {self.path} has persisted centroids "
+                    "that differ from the ones passed; omit centroids= to "
+                    "adopt them, or call refit() to rebuild.")
+            self._centroids = persisted
+        elif centroids is not None:
+            self._centroids = [[float(x) for x in c] for c in centroids]
+            self._write_centroids(cent_dir, self._centroids)
+        else:
+            raise ValueError(
+                "fresh IvfIndexStore needs centroids= (e.g. from a "
+                "build_ivf_index fit over a bootstrap sample)")
+
+    def _write_centroids(self, cent_dir: str, cents: list) -> None:
+        self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cluster INT, centroid ARRAY<DOUBLE>",
+        ).coalesce(1).write.mode("overwrite").parquet(cent_dir)
+
+    # ---- the LexicalIndexStore (seq, batch_id) commit protocol ----
+
+    def _state(self) -> tuple[int, str | None]:
+        import os
+
+        f = os.path.join(self.path, "_seq")
+        if not os.path.exists(f):
+            return 0, None
+        with open(f) as fh:
+            parts = fh.read().split("\n")
+        seq = int(parts[0].strip() or 0)
+        bid = parts[1] if len(parts) > 1 and parts[1] != "" else None
+        return seq, bid
+
+    def _commit_seq(self, seq: int, batch_id=None) -> None:
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(seq))
+            if batch_id is not None:
+                fh.write(f"\n{batch_id}")
+        os.replace(tmp, os.path.join(self.path, "_seq"))
+
+    def _restore_if_needed(self) -> None:
+        """Crash recovery: a death inside compact()/refit()'s two-rename
+        window leaves the store only under ``.old-index-*`` — restore the
+        newest; once the root is live, sweep stale copies."""
+        import glob
+        import os
+        import shutil
+
+        root = f"{self.path}/index"
+        olds = sorted(glob.glob(f"{self.path}/.old-index-*"),
+                      key=os.path.getmtime)
+        if not glob.glob(f"{root}/assigned/batch=*"):
+            if olds:
+                shutil.rmtree(root, ignore_errors=True)
+                os.rename(olds[-1], root)
+                olds = olds[:-1]
+        for stale in olds:
+            if glob.glob(f"{root}/assigned/batch=*"):
+                shutil.rmtree(stale, ignore_errors=True)
+
+    def _assigned_schema(self) -> str:
+        import json
+        import os
+
+        with open(os.path.join(self.path, "_meta")) as fh:
+            return json.load(fh)["assigned_schema"]
+
+    def ingest_batch(self, vecs: DataFrame, batch_id=None) -> None:
+        """Assign one batch to the frozen centroids and commit — one
+        map pass over the batch (no shuffle, no history scan), appended
+        cluster-partitioned so probes keep partition pruning.
+        ``batch_id``: stable delivery id (foreachBatch passes its epoch
+        id); a repeat of the last committed one re-runs under its
+        original seq — the post-commit replay guarantee."""
+        import json
+        import os
+
+        self._restore_if_needed()
+        seq, last_bid = self._state()
+        if (batch_id is not None and last_bid is not None
+                and str(batch_id) == last_bid and seq > 0):
+            seq -= 1  # post-commit replay: re-run under the original seq
+        assigned = assign_to_centroids(
+            vecs, self._centroids, self.id_col, self.vec_col).assigned
+        meta_f = os.path.join(self.path, "_meta")
+        if not os.path.exists(meta_f):
+            # persist the id dtype so an all-empty batch dir (zero data
+            # files) can still be read with an explicit schema
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in assigned.schema.fields if f.name != "cluster")
+            tmp = f"{meta_f}.tmp-{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump({"assigned_schema": ddl}, fh)
+            os.replace(tmp, meta_f)
+        assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+            f"{self.path}/index/assigned/batch={seq}")
+        self._commit_seq(seq + 1, batch_id)
+
+    def _read_assigned(self) -> DataFrame:
+        self._restore_if_needed()
+        schema = self._assigned_schema() + ", cluster int, batch int"
+        return self.spark.read.schema(schema).parquet(
+            f"{self.path}/index/assigned")
+
+    def as_index(self) -> IvfIndex:
+        """The committed store as a probe-ready :class:`IvfIndex`
+        (orphaned in-flight dirs pruned by the ``batch < seq`` partition
+        filter)."""
+        seq, _ = self._state()
+        if seq == 0:
+            raise ValueError("empty IvfIndexStore")
+        assigned = self._read_assigned().filter(
+            F.col("batch") < seq).drop("batch")
+        return IvfIndex(
+            assigned=assigned,
+            centroids=self.spark.read.parquet(
+                f"{self.path}/index/centroids"),
+        )
+
+    def compact(self, min_run: int = 4, full: bool = False) -> None:
+        """Fold committed batch dirs strictly BEFORE the last one — the
+        replay window and any orphaned in-flight dir are preserved
+        verbatim. Fold selection is size-tiered
+        (``_store_compact.tiered_groups``): one call's I/O is bounded by
+        the tier that is ready, not by index size; ``full=True`` folds
+        everything eligible into one dir. SINGLE-WRITER op, between
+        batches. Crash-safe via the whole-``index/`` two-rename swap
+        (centroids ride along as hardlinks, unchanged)."""
+        import glob
+        import os
+        import shutil
+        import uuid
+
+        from graflo_spark.ops._store_compact import (
+            dir_bytes, link_tree, tiered_groups)
+
+        seq, _ = self._state()
+        last = seq - 1
+        if seq < 2:
+            return
+        root = f"{self.path}/index"
+        vals = sorted(int(d.rsplit("=", 1)[1])
+                      for d in glob.glob(f"{root}/assigned/batch=*"))
+        sizes = {v: dir_bytes(f"{root}/assigned/batch={v}")
+                 for v in vals if v < last}
+        if full:
+            groups = [sorted(sizes)] if len(sizes) >= 2 else []
+        else:
+            groups = tiered_groups(sizes, min_run=min_run)
+        if not groups:
+            return
+        src = self._read_assigned()
+        staging = f"{self.path}/.compact-index-{uuid.uuid4().hex}"
+        folded_ids: set[int] = set()
+        for group in groups:
+            src.filter(F.col("batch").isin(group)).drop("batch").write \
+                .partitionBy("cluster").parquet(
+                    f"{staging}/assigned/batch={min(group)}")
+            folded_ids.update(group)
+        os.makedirs(f"{staging}/assigned", exist_ok=True)
+        for v in vals:
+            if v not in folded_ids:
+                link_tree(f"{root}/assigned/batch={v}",
+                          f"{staging}/assigned/batch={v}")
+        link_tree(f"{root}/centroids", f"{staging}/centroids")
+        old = f"{self.path}/.old-index-{uuid.uuid4().hex}"
+        os.rename(root, old)
+        try:
+            os.rename(staging, root)
+        except OSError:
+            os.rename(old, root)  # roll back; staging left for sweep
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+
+    def refit(self, n_centroids: int = 16, seed: int = 42,
+              max_iter: int = 20) -> None:
+        """The explicit rebuild for centroid drift: re-fit KMeans over
+        ALL committed vectors and re-assign everything to the new
+        centroids — history folds into ``batch=0``, the replay-window
+        batch is re-assigned UNDER ITS OWN seq (so a post-commit replay
+        still overwrites exactly its own dir; assignment against the new
+        persisted centroids is deterministic, so the overwrite is
+        byte-equivalent). The new (centroids, assignment) pair is staged
+        and swapped in atomically via the two-rename ``index/`` swap;
+        orphaned in-flight dirs (uncommitted) are dropped — their retry
+        re-runs from scratch. Full-index cost by design: this is the
+        rebuild, compaction is :meth:`compact`. SINGLE-WRITER op."""
+        import os
+        import shutil
+        import uuid
+
+        seq, _ = self._state()
+        if seq == 0:
+            raise ValueError("empty IvfIndexStore")
+        last = seq - 1
+        vecs = self._read_assigned().filter(F.col("batch") < seq)
+        fit = build_ivf_index(
+            vecs.drop("cluster"), n_centroids,
+            corpus_id="neighbor_id", corpus_vec="c_vec",
+            seed=seed, max_iter=max_iter)
+        cents = [
+            r["centroid"]
+            for r in fit.centroids.orderBy("cluster").collect()
+        ]
+        staging = f"{self.path}/.compact-index-{uuid.uuid4().hex}"
+        re_assigned = fit.assigned.join(
+            vecs.select("neighbor_id", "batch"), "neighbor_id")
+        if last > 0:
+            hist = re_assigned.filter(F.col("batch") < last).drop("batch")
+            hist.write.partitionBy("cluster").parquet(
+                f"{staging}/assigned/batch=0")
+        re_assigned.filter(F.col("batch") == last).drop("batch").write \
+            .partitionBy("cluster").parquet(
+                f"{staging}/assigned/batch={last}")
+        self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cluster INT, centroid ARRAY<DOUBLE>",
+        ).coalesce(1).write.parquet(f"{staging}/centroids")
+        root = f"{self.path}/index"
+        old = f"{self.path}/.old-index-{uuid.uuid4().hex}"
+        os.rename(root, old)
+        try:
+            os.rename(staging, root)
+        except OSError:
+            os.rename(old, root)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+        self._centroids = cents

@@ -388,6 +388,35 @@ def stream_lexical_index(
     )
 
 
+def stream_ivf_index(
+    stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+):
+    """Continuous dense-ANN index maintenance — the embedding-side twin of
+    :func:`stream_lexical_index`: each micro-batch is assigned to the
+    store's frozen centroids by
+    :class:`graflo_spark.ops.simsearch.IvfIndexStore.ingest_batch` — one
+    shuffle-free map pass over the batch, never a rescan of indexed
+    history — so ANN probes (``ivf_probe(store.as_index(), ...)``) always
+    see the stream so far. The (seq, batch_id)-committed protocol makes a
+    replayed micro-batch overwrite its own dirs instead of
+    double-indexing (at-least-once safe); dedup-by-id is the caller's
+    contract, as for every store in this package. Call ``store.refit()``
+    offline when the data distribution has drifted from the centroids."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.ingest_batch(batch_df, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_line_dedup(
     stream: DataFrame,
     store,
