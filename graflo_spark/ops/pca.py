@@ -87,16 +87,27 @@ def fit_pca(
     schema = ("pid long, n long, s array<double>, "
               "outer array<double>")
 
-    vecs = df.select(vec_col)
+    # NULL vectors carry no moment information and a NULL pivot would
+    # crash numpy with an opaque TypeError — drop them up front
+    vecs = df.select(vec_col).filter(F.col(vec_col).isNotNull())
+    sampled = False
     if max_sample is not None:
         n_total = vecs.count()
+        if n_total == 0:
+            raise ValueError("fit_pca: empty input (no non-null vectors)")
         if n_total > max_sample:
             vecs = vecs.sample(fraction=max_sample / n_total, seed=seed)
+            sampled = True
     vecs = vecs.coalesce(max_partials)
 
     head = vecs.head()
     if head is None:
-        raise ValueError("fit_pca: empty input")
+        if sampled:
+            raise ValueError(
+                "fit_pca: the seeded Bernoulli sample came back empty — "
+                f"max_sample={max_sample} is too aggressive for this "
+                "input; raise it or pass max_sample=None")
+        raise ValueError("fit_pca: empty input (no non-null vectors)")
     pivot = np.asarray(head[0], dtype=np.float64)
 
     def partials(batches):

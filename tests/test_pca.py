@@ -135,3 +135,49 @@ def test_fit_validation(spark, emb):
     empty = emb.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError):
         pc.fit_pca(empty, "embedding", k=2)
+
+
+def test_fit_pca_null_vectors_filtered(spark):
+    """A NULL first vector must not poison the pivot (advisor finding):
+    NULL rows are dropped before the moment pass, and the fit equals the
+    fit over the non-null subset."""
+    import numpy as np
+
+    from graflo_spark.ops.pca import fit_pca
+
+    rows = [(0, None), (1, [1.0, 2.0, 3.0]), (2, [2.0, 1.0, 0.0]),
+            (3, None), (4, [0.5, 0.5, 4.0]), (5, [3.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    clean = df.filter(F.col("embedding").isNotNull())
+    got = fit_pca(df, k=2)
+    ref = fit_pca(clean, k=2)
+    assert np.allclose(got.mean, ref.mean)
+    assert np.allclose(got.components, ref.components)
+
+
+def test_fit_pca_empty_and_overaggressive_sample_messages(spark):
+    import pytest
+
+    from graflo_spark.ops.pca import fit_pca
+
+    empty = spark.createDataFrame([], "id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        fit_pca(empty)
+    all_null = spark.createDataFrame(
+        [(0, None), (1, None)], "id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        fit_pca(all_null)
+    # a sample fraction so small the Bernoulli draw returns nothing must
+    # say so, not claim the input was empty. Which seed drains the draw
+    # depends on the partition layout, so scan a few: at fraction 1/200
+    # each seed is empty w.p. ~0.37, so 50 misses is ~1e-22.
+    many = spark.range(200).select(
+        F.array(F.col("id").cast("double")).alias("embedding"))
+    for seed in range(50):
+        try:
+            fit_pca(many, k=1, max_sample=1, seed=seed)
+        except ValueError as e:
+            assert "Bernoulli sample came back" in str(e)
+            break
+    else:
+        raise AssertionError("no seed produced an empty sample")
