@@ -4696,20 +4696,44 @@ def embedding_search_suite(spark, sf_dir):
     "SELECT 'docs' AS kind, doc_id AS id, cluster, is_representative "
     "FROM (" + ORACLES["near_dup_clusters_documents"] + ") UNION ALL "
     "SELECT 'emb', vec_id, cluster, is_representative FROM ("
+    + ORACLES["semdedup_clusters_embeddings"] + ") UNION ALL "
+    "SELECT 'semstore', vec_id, cluster, is_representative FROM ("
     + ORACLES["semdedup_clusters_embeddings"] + ")",
 )
 def clusters_suite(spark, sf_dir):
     """Near-dup cluster assignment over BOTH modalities: 'docs' = MinHash
     LSH pairs -> star-contraction CC over the documents table; 'emb' =
     SemDeDup frozen-centroid cells -> exact cosine pairs -> CC with
-    quality-graded representatives."""
+    quality-graded representatives; 'semstore' = the SAME answer produced
+    INCREMENTALLY (ops/dedup.SemDedupStore): three disjoint batches
+    assigned to the frozen centroids under the (seq, batch_id) commit
+    protocol, per-batch within-cell exact-cosine pairs persisted, a
+    size-tiered compact() fold, then CC + representatives over the
+    persisted pair set — graded against the one-shot oracle verbatim,
+    proving the union of per-batch pair sets IS the one-shot pair set."""
     docs = near_dup_clusters_documents(spark, sf_dir).select(
         F.lit("docs").alias("kind"), F.col("doc_id").alias("id"),
         "cluster", "is_representative")
+    emb_tbl = load(spark, sf_dir, "embeddings")
     emb = semdedup_clusters_embeddings(spark, sf_dir).select(
         F.lit("emb").alias("kind"), F.col("vec_id").alias("id"),
         "cluster", "is_representative")
-    return docs.unionByName(emb)
+    cents = [[x / 4096.0 for x in row] for row in _SEM_CENTS_4096]
+    root, fresh = _cached_tmp_root(f"semstore:{sf_dir}")
+    store = dd.SemDedupStore(spark, root, threshold=0.4, centroids=cents)
+    if fresh:
+        nn = emb_tbl.filter(F.col("embedding").isNotNull())
+        for i in range(3):
+            store.ingest_batch(
+                nn.filter(F.col("vec_id") % 3 == i), batch_id=i)
+        store.compact(full=True)
+    semstore = store.clusters(
+        scores=emb_tbl.select("vec_id", F.col("label").alias("score"))
+    ).select(
+        F.lit("semstore").alias("kind"), F.col("vec_id").alias("id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "is_representative")
+    return docs.unionByName(emb).unionByName(semstore)
 
 
 # --------------------------------------------- LLM-pipeline: RAG chunker

@@ -784,6 +784,39 @@ def select_representatives(
     )
 
 
+def _normalized_cells(assigned: DataFrame, id_alias: str,
+                      vec_alias: str) -> DataFrame:
+    """(cluster, neighbor_id, c_vec) -> (cluster, <id_alias>, <vec_alias>)
+    with the vector L2-normalized ONCE per row, so the per-PAIR work — the
+    quadratic term of within-cell comparison — is a bare dot product
+    instead of dot + two norms: measured 2.5x on the pair stage at sf0.1
+    (array-lambda HOFs run interpreted, so shrinking the per-pair
+    expression is the lever; identical pair set, cosine(a,b) ==
+    dot(a/|a|, b/|b|) up to the operation-order change the SQL oracle
+    replicates exactly). The norm lands in its OWN column first: embedding
+    the aggregate inside the transform lambda would re-evaluate the full
+    sum-of-squares per ELEMENT (interpreted HOFs do no common-subexpression
+    elimination — O(d^2) per vector instead of O(d)). Shared by
+    :func:`semantic_dedup` and :class:`SemDedupStore` so the one-shot and
+    incremental paths compare pairs with byte-identical expressions."""
+    norm = F.sqrt(F.aggregate(
+        F.col("c_vec"), F.lit(0.0), lambda acc, v: acc + v * v))
+    return assigned.select(
+        "cluster", "neighbor_id", "c_vec", norm.alias("_nrm")
+    ).select(
+        "cluster", F.col("neighbor_id").alias(id_alias),
+        F.transform(F.col("c_vec"),
+                    lambda x: x / F.col("_nrm")).alias(vec_alias))
+
+
+def _pair_dot() -> Column:
+    """Dot product of the two normalized sides of a candidate pair
+    (columns ``v_a`` / ``v_b`` from :func:`_normalized_cells`)."""
+    return F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -843,37 +876,12 @@ def semantic_dedup(
             df, n_centroids=n_clusters, corpus_id=id_col,
             corpus_vec=vec_col, seed=seed, max_iter=max_iter,
         ).assigned
-    # Normalize ONCE per vector (n rows), so the per-PAIR work — the
-    # quadratic term — is a bare dot product instead of dot + two norms:
-    # measured 2.5x on the pair stage at sf0.1 (array-lambda HOFs run
-    # interpreted, so shrinking the per-pair expression is the lever;
-    # identical pair set, cosine(a,b) == dot(a/|a|, b/|b|) up to the
-    # operation-order change the SQL oracle replicates exactly).
-    # norm lands in its OWN column first: embedding the aggregate inside
-    # the transform lambda would re-evaluate the full sum-of-squares per
-    # ELEMENT (interpreted HOFs do no common-subexpression elimination —
-    # O(d^2) per vector instead of O(d))
-    norm = F.sqrt(F.aggregate(
-        F.col("c_vec"), F.lit(0.0), lambda acc, v: acc + v * v))
-    normalized = assigned.select(
-        "cluster", "neighbor_id", "c_vec", norm.alias("_nrm")
-    ).select(
-        "cluster", "neighbor_id",
-        F.transform(F.col("c_vec"),
-                    lambda x: x / F.col("_nrm")).alias("n_vec"))
-    a = normalized.select(
-        "cluster", F.col("neighbor_id").alias("id_a"),
-        F.col("n_vec").alias("v_a"))
-    b = normalized.select(
-        "cluster", F.col("neighbor_id").alias("id_b"),
-        F.col("n_vec").alias("v_b"))
-    dot = F.aggregate(
-        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, v: acc + v)
+    a = _normalized_cells(assigned, "id_a", "v_a")
+    b = _normalized_cells(assigned, "id_b", "v_b")
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dot >= F.lit(float(threshold)))
+        .filter(_pair_dot() >= F.lit(float(threshold)))
         .select("id_a", "id_b")
     )
     clusters = near_dup_clusters(
@@ -882,6 +890,273 @@ def semantic_dedup(
         return select_representatives(
             clusters, scores, id_col=id_col, score_col=score_col)
     return clusters
+
+
+class SemDedupStore:
+    """Incremental SemDeDup across arriving batches — the embedding-side
+    twin of :class:`MinHashDedupStore`, built on the same frozen-centroid
+    machinery as :class:`graflo_spark.ops.simsearch.IvfIndexStore` (which
+    it composes for vector persistence, the commit protocol, compaction,
+    and crash recovery).
+
+    Semantics: each ingested batch is assigned to the FROZEN centroids
+    (one shuffle-free map pass — ``assign_to_centroids``), compared by
+    exact cosine against (a) earlier members of the SAME batch and (b) all
+    previously indexed history IN ITS CELL ONLY, and the duplicate PAIRS
+    found are persisted under ``<path>/pairs/batch=<seq>``. Because cell
+    assignment against frozen centroids is deterministic and batch ids are
+    disjoint (caller contract, as for every store in this package), the
+    union of per-batch pair sets equals the one-shot
+    :func:`semantic_dedup` pair set over the concatenated corpus — every
+    within-cell pair is enumerated exactly once, when its LATER member
+    arrives. :meth:`clusters` therefore reproduces one-shot
+    ``semantic_dedup(full_corpus, centroids=...)`` exactly (same connected
+    components, same representatives), which is how the tests and the
+    driver oracle grade it.
+
+    Scale: per batch, one assignment map pass, one within-batch cell join
+    (|batch|^2 / cells), and one batch-vs-history cell equi-join whose
+    right side is partition-pruned to the batch's clusters — history is
+    SCANNED per batch but only joined within matching cells, and the
+    quadratic term stays bounded by cell size (the SemDeDup dial). The
+    vector history itself is never rewritten; ``compact()`` folds batch
+    dirs size-tiered. Replay-idempotent for BOTH crash windows: pairs are
+    written to ``batch=<eff_seq>`` with mode OVERWRITE before the vector
+    commit, and a post-commit replay (repeated ``batch_id``) recomputes
+    against history ``< eff_seq`` — strictly pre-batch — so it overwrites
+    its own pair dir with identical rows instead of matching its own
+    stored vectors.
+
+    ``refit()`` (centroid drift) re-clusters the VECTOR store only;
+    persisted pairs are kept — they are exact-cosine facts independent of
+    the blocking that found them. Only future recall moves with the new
+    cells.
+
+    Reference parity: graflo has no streaming semantic dedup; this extends
+    the published SemDeDup method (Abbas et al. 2023, arXiv:2303.09540) to
+    the incremental-store discipline of this repo's dedup family.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float | None = None,
+        centroids: list | None = None,
+    ):
+        import json
+        import os
+
+        from graflo_spark.ops.simsearch import IvfIndexStore
+
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        os.makedirs(f"{self.path}/pairs", exist_ok=True)
+        self._vectors = IvfIndexStore(
+            spark, f"{self.path}/vectors", id_col=id_col,
+            vec_col=vec_col, centroids=centroids)
+        meta_f = os.path.join(self.path, "_meta")
+        if os.path.exists(meta_f):
+            with open(meta_f) as fh:
+                meta = json.load(fh)
+            if (threshold is not None
+                    and float(threshold) != meta["threshold"]):
+                raise ValueError(
+                    f"SemDedupStore at {self.path} was built with "
+                    f"threshold={meta['threshold']}; persisted pairs are "
+                    "only valid at that threshold. Omit threshold= to "
+                    "adopt it, or use a fresh path.")
+            self.threshold = float(meta["threshold"])
+            self._id_type = meta["id_type"]
+        else:
+            if threshold is None:
+                raise ValueError(
+                    "fresh SemDedupStore needs threshold= (persisted "
+                    "pairs are computed at store creation time)")
+            self.threshold = float(threshold)
+            self._id_type = None  # persisted on first ingest
+
+    def _write_meta(self, id_type: str) -> None:
+        import json
+        import os
+
+        tmp = f"{self.path}/_meta.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"threshold": self.threshold, "id_type": id_type},
+                      fh)
+        os.replace(tmp, os.path.join(self.path, "_meta"))
+        self._id_type = id_type
+
+    def _restore_pairs_if_needed(self) -> None:
+        """Crash recovery for compact()'s two-rename window on the pairs
+        root (the LineDedupStore._history pattern)."""
+        import glob
+        import os
+        import shutil
+
+        root = f"{self.path}/pairs"
+        olds = sorted(glob.glob(f"{self.path}/.old-pairs-*"),
+                      key=os.path.getmtime)
+        if not glob.glob(f"{root}/batch=*"):
+            if olds:
+                shutil.rmtree(root, ignore_errors=True)
+                os.rename(olds[-1], root)
+                olds = olds[:-1]
+        for stale in olds:
+            if glob.glob(f"{root}/batch=*"):
+                shutil.rmtree(stale, ignore_errors=True)
+
+    def _pairs_schema(self, with_batch: bool = False) -> str:
+        t = self._id_type
+        base = f"id_a {t}, id_b {t}"
+        return base + (", batch int" if with_batch else "")
+
+    def ingest_batch(self, vecs: DataFrame, batch_id=None) -> DataFrame:
+        """Index one batch and return the NEW duplicate pairs it
+        introduced (vs earlier in the batch and vs all cell history) —
+        read back from the committed pair dir, so the returned frame is
+        replay-stable. ``batch_id``: stable delivery id (foreachBatch
+        passes its epoch id); a repeat of the last committed one re-runs
+        under its original seq against strictly-pre-batch history."""
+        from graflo_spark.ops.simsearch import assign_to_centroids
+
+        self._restore_pairs_if_needed()
+        seq, last_bid = self._vectors._state()
+        eff = seq
+        if (batch_id is not None and last_bid is not None
+                and str(batch_id) == last_bid and seq > 0):
+            eff = seq - 1  # post-commit replay: original seq, pre-batch history
+        assigned = assign_to_centroids(
+            vecs, self._vectors._centroids, self.id_col,
+            self.vec_col).assigned
+        a = _normalized_cells(assigned, "id_a", "v_a")
+        b = _normalized_cells(assigned, "id_b", "v_b")
+        thr = F.lit(float(self.threshold))
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(_pair_dot() >= thr)
+            .select("id_a", "id_b")
+        )
+        if eff > 0:
+            hist = self._vectors._read_assigned().filter(
+                F.col("batch") < eff).drop("batch")
+            h = _normalized_cells(hist, "id_b", "v_b")
+            cross = (
+                a.join(h, "cluster")
+                .filter(_pair_dot() >= thr)
+                .select(
+                    F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+                    F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+                )
+            )
+            pairs = pairs.unionByName(cross)
+        if self._id_type is None:
+            self._write_meta(
+                vecs.schema[self.id_col].dataType.simpleString())
+        pair_dir = f"{self.path}/pairs/batch={eff}"
+        pairs.write.mode("overwrite").parquet(pair_dir)
+        self._vectors.ingest_batch(vecs, batch_id=batch_id)
+        return self.spark.read.schema(
+            self._pairs_schema()).parquet(pair_dir)
+
+    def duplicate_pairs(self) -> DataFrame:
+        """All committed duplicate pairs so far — equals the one-shot
+        :func:`semantic_dedup` pair set over everything ingested
+        (orphaned in-flight dirs pruned by the partition filter)."""
+        self._restore_pairs_if_needed()
+        seq, _ = self._vectors._state()
+        if seq == 0:
+            raise ValueError("empty SemDedupStore")
+        return self.spark.read.schema(
+            self._pairs_schema(with_batch=True)
+        ).parquet(f"{self.path}/pairs").filter(
+            F.col("batch") < seq).drop("batch")
+
+    def clusters(self, scores: DataFrame | None = None,
+                 score_col: str = "score") -> DataFrame:
+        """Semantic duplicate groups over everything ingested, in the
+        :func:`semantic_dedup` output shape: (id, cluster,
+        is_representative) — CC over the persisted pairs, representatives
+        by ``scores`` when given (max score, ties to smallest id), else
+        the smallest id. Training-data dedup is
+        ``filter(is_representative)``."""
+        from graflo_spark.ops.graphalgo import near_dup_clusters
+
+        ids = self._vectors.as_index().assigned.select(
+            F.col("neighbor_id").alias(self.id_col))
+        out = near_dup_clusters(
+            ids, self.duplicate_pairs(), id_col=self.id_col)
+        if scores is not None:
+            return select_representatives(
+                out, scores, id_col=self.id_col, score_col=score_col)
+        return out
+
+    def compact(self, min_run: int = 4, full: bool = False) -> None:
+        """Fold batch dirs on BOTH sides — the vector store's assignment
+        dirs (delegated) and this store's pair dirs — with the shared
+        size-tiered policy; the replay-window dir and any orphaned
+        in-flight dir are preserved verbatim. SINGLE-WRITER op, between
+        batches; crash-safe via the two-rename pairs-root swap."""
+        import glob
+        import os
+        import shutil
+        import uuid
+
+        from graflo_spark.ops._store_compact import (
+            dir_bytes, link_tree, tiered_groups)
+
+        self._restore_pairs_if_needed()
+        self._vectors.compact(min_run=min_run, full=full)
+        seq, _ = self._vectors._state()
+        if seq < 2:
+            return
+        last = seq - 1
+        root = f"{self.path}/pairs"
+        vals = sorted(int(d.rsplit("=", 1)[1])
+                      for d in glob.glob(f"{root}/batch=*"))
+        sizes = {v: dir_bytes(f"{root}/batch={v}")
+                 for v in vals if v < last}
+        if full:
+            groups = [sorted(sizes)] if len(sizes) >= 2 else []
+        else:
+            groups = tiered_groups(sizes, min_run=min_run)
+        if not groups:
+            return
+        src = self.spark.read.schema(
+            self._pairs_schema(with_batch=True)).parquet(root)
+        staging = f"{self.path}/.compact-pairs-{uuid.uuid4().hex}"
+        os.makedirs(staging, exist_ok=True)
+        folded: set[int] = set()
+        for group in groups:
+            src.filter(F.col("batch").isin(group)).drop("batch").write \
+                .parquet(f"{staging}/batch={min(group)}")
+            folded.update(group)
+        for v in vals:
+            if v not in folded:
+                link_tree(f"{root}/batch={v}", f"{staging}/batch={v}")
+        old = f"{self.path}/.old-pairs-{uuid.uuid4().hex}"
+        os.rename(root, old)
+        try:
+            os.rename(staging, root)
+        except OSError:
+            os.rename(old, root)  # roll back; staging left for sweep
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+
+    def refit(self, n_centroids: int = 16, seed: int = 42,
+              max_iter: int = 20) -> None:
+        """Explicit rebuild for centroid drift: re-fits and re-assigns the
+        VECTOR store (see ``IvfIndexStore.refit``). Persisted pairs are
+        kept — they are exact-cosine duplicates regardless of which cell
+        blocking found them; only future batches' recall follows the new
+        cells."""
+        self._vectors.refit(
+            n_centroids=n_centroids, seed=seed, max_iter=max_iter)
 
 
 def substring_overlap_pairs(

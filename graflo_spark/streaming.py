@@ -417,6 +417,42 @@ def stream_ivf_index(
     )
 
 
+def stream_semantic_dedup(
+    stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    output_dir: str | None = None,
+):
+    """Continuous semantic-dedup maintenance — the embedding-side twin of
+    :func:`stream_minhash_dedup`: each micro-batch is assigned to the
+    store's frozen centroids and compared by exact cosine against its
+    cell's history by
+    :class:`graflo_spark.ops.dedup.SemDedupStore.ingest_batch`; the
+    duplicate PAIRS the batch introduces are persisted in the store (and,
+    when ``output_dir`` is given, appended there as a live duplicate
+    feed). The union of per-batch pairs equals the one-shot
+    ``semantic_dedup`` pair set, so ``store.clusters()`` at any point is
+    the exact batch answer over the stream so far. The (seq,
+    batch_id)-committed protocol makes a replayed micro-batch overwrite
+    its own dirs with identical rows (at-least-once safe; the output feed
+    re-emits the same pairs at worst — dedup downstream by (id_a, id_b)
+    for exactly-once). Call ``store.refit()`` offline for centroid
+    drift."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_pairs = store.ingest_batch(batch_df, batch_id=batch_id)
+        if output_dir is not None:
+            new_pairs.write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_line_dedup(
     stream: DataFrame,
     store,

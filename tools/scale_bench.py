@@ -88,6 +88,11 @@ Usage:
                             # batch at a time: flat walls, bounded dirs
                             # (honors --compact-every), final bm25+phrase
                             # probe parity vs a one-shot corpus scan
+        [--ivfs]            # IvfIndexStore one replica-batch at a time:
+                            # flat ingest AND compact walls (size-tiered
+                            # folds; honors --compact-every), bounded
+                            # dirs, final pruned-probe parity vs one-shot
+                            # assignment to the same frozen centroids
         [--gopher]          # A/B the Gopher gate HOF vs exploded codegen
                             # formulations + lang_id exponent
         [--gates]           # --pipeline with EVERY optional stage on
@@ -800,6 +805,99 @@ def gopher_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     return out
 
 
+def ivfs_incremental_bench(spark, base_dir: str, scaled_dir: str,
+                           factor: int, out_root: str,
+                           compact_every: int | None = None) -> dict:
+    """IvfIndexStore over the scaled (sign-flip-rotated) embedding corpus
+    one replica-batch at a time — the dense-index counterpart of
+    lexidx_incremental_bench, the r10-verdict Next #1 measurement:
+    per-batch ingest walls must stay ~flat as the indexed history grows
+    (each batch is ONE frozen-centroid assignment map pass; history is
+    never rescanned), size-tiered ``compact()`` every K batches must keep
+    BOTH the batch-dir count saw-toothing AND the compact walls flat
+    (bounded by the ready tier, not index size — the r10 full-fold policy
+    read 2.0->3.6 s monotone), and the final incremental index must answer
+    pruned ivf_probe queries identically to a one-shot assignment of the
+    full scaled corpus to the SAME frozen centroids."""
+    import glob
+    import shutil
+    import uuid
+
+    from graflo_spark.ops import simsearch as ss
+
+    pc = time.perf_counter
+
+    def store_files(sd: str) -> tuple[int, int]:
+        dirs = glob.glob(f"{sd}/index/assigned/batch=*")
+        files = glob.glob(f"{sd}/index/assigned/batch=*/cluster=*/*.parquet")
+        return len(dirs), len(files)
+
+    base = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    stride = int(base.agg(F.max("vec_id")).first()[0]) + 1
+    scaled = spark.read.parquet(f"{scaled_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull())
+    # bootstrap fit on replica 0 only, then FROZEN for the whole stream —
+    # the store's operating contract (refit() is the explicit rebuild)
+    t0 = pc()
+    cents = [r["centroid"] for r in ss.build_ivf_index(
+        scaled.filter(F.col("vec_id") < stride), n_centroids=16,
+        corpus_id="vec_id", corpus_vec="embedding",
+    ).centroids.orderBy("cluster").collect()]
+    out: dict = {"batches": [], "n_centroids": 16,
+                 "t_bootstrap_fit": round(pc() - t0, 3)}
+    store_dir = os.path.join(out_root, f"ivfs_{uuid.uuid4().hex[:8]}")
+    st = ss.IvfIndexStore(spark, store_dir, centroids=cents)
+    try:
+        for r in range(factor):
+            batch = scaled.filter(
+                (F.col("vec_id") >= r * stride)
+                & (F.col("vec_id") < (r + 1) * stride))
+            t0 = pc()
+            st.ingest_batch(batch, batch_id=r)
+            entry = {"wall": round(pc() - t0, 3)}
+            entry["dirs"], entry["files"] = store_files(store_dir)
+            if compact_every and (r + 1) % compact_every == 0:
+                t0 = pc()
+                st.compact()
+                entry["compact_wall"] = round(pc() - t0, 3)
+                entry["dirs"], entry["files"] = store_files(store_dir)
+            out["batches"].append(entry)
+            print(f"# ivfs batch {r}: {entry['wall']}s "
+                  f"dirs={entry['dirs']} files={entry['files']}"
+                  + (f" compact={entry['compact_wall']}s"
+                     if "compact_wall" in entry else ""), file=sys.stderr)
+        # probe parity: the incremental, tiered-compacted index answers a
+        # PRUNED probe (n_probe=4 of 16) identically to a one-shot
+        # assignment of the full scaled corpus to the same centroids
+        qs = scaled.filter(F.col("vec_id") < 3)
+        key = lambda r_: (r_.query_id, r_.rank)  # noqa: E731
+        t0 = pc()
+        inc = sorted(ss.ivf_probe(st.as_index(), qs, k=5,
+                                  n_probe=4).collect(), key=key)
+        out["t_probe_incremental"] = round(pc() - t0, 3)
+        t0 = pc()
+        oneshot = ss.assign_to_centroids(scaled, cents, "vec_id",
+                                         "embedding")
+        ref = sorted(ss.ivf_probe(oneshot, qs, k=5,
+                                  n_probe=4).collect(), key=key)
+        out["t_probe_oneshot_assign"] = round(pc() - t0, 3)
+        out["probe_match"] = [
+            (a.query_id, a.rank, a.neighbor_id) for a in inc] == [
+            (a.query_id, a.rank, a.neighbor_id) for a in ref]
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    walls = [b["wall"] for b in out["batches"]]
+    out["wall_first"], out["wall_last"] = walls[0], walls[-1]
+    out["wall_ratio_last_first"] = (
+        round(walls[-1] / walls[0], 3) if walls[0] else None)
+    cw = [b["compact_wall"] for b in out["batches"] if "compact_wall" in b]
+    if cw:
+        out["compact_walls"] = cw
+        out["compact_ratio_last_first"] = (
+            round(cw[-1] / cw[0], 3) if cw[0] else None)
+    return out
+
+
 def semdedup_bench(spark, base_dir: str, scaled_dir: str,
                    factor: int) -> dict:
     """SemDeDup scaling (r8-verdict Next #5): cells -> within-cell exact
@@ -1175,7 +1273,7 @@ def main() -> None:
     flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
              "--winnow", "--pipeline", "--graph", "--hub", "--power-law",
              "--uncapped-linkpred", "--substring", "--lines", "--gopher",
-             "--gates", "--semdedup", "--lexidx"}
+             "--gates", "--semdedup", "--lexidx", "--ivfs"}
     # --only <substr>: restrict --graph to matching queries (idle-box
     # single-query re-measurements, r7 verdict Next #7)
     only = None
@@ -1205,6 +1303,7 @@ def main() -> None:
     pipeline_mode = "--pipeline" in sys.argv[1:] or gates_mode
     lines_mode = "--lines" in sys.argv[1:]
     lexidx_mode = "--lexidx" in sys.argv[1:]
+    ivfs_mode = "--ivfs" in sys.argv[1:]
     gopher_mode = "--gopher" in sys.argv[1:]
     semdedup_mode = "--semdedup" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
@@ -1232,7 +1331,7 @@ def main() -> None:
     needs_blowup = not (hub_mode or power_law_mode) or (
         store_mode or temporal_skew or winnow_mode or pipeline_mode
         or lines_mode or graph_mode or incremental or gopher_mode
-        or semdedup_mode or lexidx_mode)
+        or semdedup_mode or lexidx_mode or ivfs_mode)
     if needs_blowup and not os.path.exists(
             os.path.join(out_dir, "_GENERATED")):
         t0 = time.perf_counter()
@@ -1246,7 +1345,8 @@ def main() -> None:
     # default mode's job (run both modes for the full picture)
     focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
                or lines_mode or gopher_mode or semdedup_mode
-               or graph_mode or hub_mode or power_law_mode or lexidx_mode)
+               or graph_mode or hub_mode or power_law_mode or lexidx_mode
+               or ivfs_mode)
     sweep = [] if focused else [
         n for n in SCALE_QUERIES if only is None or only in n]
     for name in sweep:
@@ -1439,6 +1539,22 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             payload["lexidx_incremental"] = {"error": str(exc)[:300]}
             print(f"# lexidx_incremental: FAILED {exc}"[:300],
+                  file=sys.stderr)
+
+    if ivfs_mode:
+        try:
+            payload["ivfs_incremental"] = ivfs_incremental_bench(
+                spark, BASE_DIR, out_dir, factor, out_root,
+                compact_every=compact_every)
+            iv = payload["ivfs_incremental"]
+            print(f"# ivfs_incremental: wall {iv['wall_first']} -> "
+                  f"{iv['wall_last']} (x{iv['wall_ratio_last_first']}) "
+                  f"dirs_last={iv['batches'][-1]['dirs']} "
+                  f"compact_walls={iv.get('compact_walls')} "
+                  f"probe_match={iv['probe_match']}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["ivfs_incremental"] = {"error": str(exc)[:300]}
+            print(f"# ivfs_incremental: FAILED {exc}"[:300],
                   file=sys.stderr)
 
     if incremental:
