@@ -1938,6 +1938,90 @@ def pack_chunks_documents(spark, sf_dir):
     )
 
 
+# Doc-boundary-preserving packing oracle: whole documents into 256-token
+# bins at FROZEN length boundaries [25, 50, 75, 100] (each doc costed at
+# its bucket ceiling, so bin assignment is integer arithmetic over the
+# deterministic (tokens DESC, doc_id) in-bucket rank) — the same
+# frozen-literal convention the semdedup centroids use, so the whole
+# assignment replays exactly in SQL.
+_PACK_BINS_ORACLE = (
+    "WITH t AS (SELECT doc_id, "
+    + _QUALITY_TOKENS
+    + " AS n FROM documents), "
+    "p AS (SELECT doc_id, CAST(n AS BIGINT) AS n FROM t WHERE n > 0), "
+    "b AS (SELECT doc_id, n, CASE WHEN n > 256 THEN 5 ELSE "
+    "(CASE WHEN n > 25 THEN 1 ELSE 0 END + CASE WHEN n > 50 THEN 1 ELSE 0 "
+    "END + CASE WHEN n > 75 THEN 1 ELSE 0 END + CASE WHEN n > 100 THEN 1 "
+    "ELSE 0 END) END AS bucket FROM p), "
+    "d AS (SELECT *, CASE bucket WHEN 0 THEN 10 WHEN 1 THEN 5 WHEN 2 "
+    "THEN 3 WHEN 3 THEN 2 ELSE 1 END AS dpb FROM b), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY bucket "
+    "ORDER BY n DESC, doc_id) - 1 AS rk FROM d), "
+    "g AS (SELECT bucket, CAST(ceil(COUNT(*) / CAST(MAX(dpb) AS DOUBLE)) "
+    "AS BIGINT) AS nbins FROM r GROUP BY bucket), "
+    "base AS (SELECT bucket, COALESCE(SUM(nbins) OVER (ORDER BY bucket "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b0 FROM g) "
+    "SELECT r.doc_id, r.n AS n_tokens, CAST(r.bucket AS INT) AS bucket, "
+    "CAST(base.b0 + rk // dpb AS BIGINT) AS bin_id, "
+    "r.bucket = 5 AS oversize FROM r JOIN base USING (bucket)"
+)
+
+
+@q("pack_bins_documents", _PACK_BINS_ORACLE)
+def pack_bins_documents(spark, sf_dir):
+    """Doc-boundary-PRESERVING sequence packing
+    (ops/packing.pack_bins): whole documents into 256-token bins —
+    no document is ever split across training sequences, the property
+    pack_chunks' concat-and-chunk stream trades away. Frozen length
+    boundaries [25, 50, 75, 100] cost each doc at its bucket ceiling,
+    making bin assignment pure integer arithmetic over the
+    deterministic in-bucket rank — one window shuffle, one broadcast
+    base join, all replayed exactly in SQL. The tighter histogram-BFD
+    packer (pack_bins_ffd, Krell et al. 2021) shares the output
+    contract and is equivalence- and property-tested in
+    tests/test_pack_bins.py (its driver-side histogram solve is not
+    SQL-expressible)."""
+    docs = load(spark, sf_dir, "documents")
+    from graflo_spark.ops.packing import pack_bins
+
+    with_tok = docs.select(
+        "doc_id", ts.token_count(F.col("text")).alias("n_tok"))
+    out = pack_bins(with_tok, "doc_id", "n_tok", 256,
+                    boundaries=[25, 50, 75, 100])
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens",
+        F.col("bucket").cast("int").alias("bucket"), "bin_id", "oversize")
+
+
+@q(
+    "packing_suite",
+    "SELECT 'chunks' AS kind, doc_id, chunk_id AS a, tok_start AS b, "
+    "tok_end AS c, doc_tok_start AS d, doc_tok_end AS e FROM ("
+    + _PACK_ORACLE + ") UNION ALL "
+    "SELECT 'bins', doc_id, bin_id, n_tokens, CAST(bucket AS BIGINT), "
+    "CAST(oversize AS BIGINT), CAST(NULL AS BIGINT) FROM ("
+    + _PACK_BINS_ORACLE + ")",
+)
+def packing_suite(spark, sf_dir):
+    """Both sequence-packing disciplines over the documents table:
+    'chunks' = concat-and-chunk spans (pack_chunks — efficiency 1.0,
+    documents split at chunk borders), 'bins' = doc-boundary-preserving
+    bin packing (pack_bins — whole docs only, frozen bucket boundaries);
+    each branch's oracle embedded verbatim."""
+    nl = F.lit(None).cast("long")
+    ch = pack_chunks_documents(spark, sf_dir).select(
+        F.lit("chunks").alias("kind"), "doc_id",
+        F.col("chunk_id").alias("a"), F.col("tok_start").alias("b"),
+        F.col("tok_end").alias("c"), F.col("doc_tok_start").alias("d"),
+        F.col("doc_tok_end").alias("e"))
+    bn = pack_bins_documents(spark, sf_dir).select(
+        F.lit("bins").alias("kind"), "doc_id",
+        F.col("bin_id").alias("a"), F.col("n_tokens").alias("b"),
+        F.col("bucket").cast("long").alias("c"),
+        F.col("oversize").cast("long").alias("d"), nl.alias("e"))
+    return ch.unionByName(bn)
+
+
 # ---------------------------------------------------- LLM-pipeline: dedup
 
 @q(
@@ -5244,6 +5328,7 @@ _RETIRED_INTO_SUITES = [
     "near_dup_clusters_documents", "semdedup_clusters_embeddings",
     "sampling_split_mix_documents", "io_formats_suite",
     "sliding_chunks_documents",
+    "pack_chunks_documents", "pack_bins_documents",
     "text_stats_documents", "gopher_rules_documents",
     "c4_clean_documents", "vocab_stats_documents",
     "bigram_entropy_documents", "lm_cross_entropy_documents",

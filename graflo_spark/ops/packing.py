@@ -471,3 +471,302 @@ def sliding_chunks(
         F.array_join("c.__w", " ").alias("chunk_text"),
         F.size("c.__w").alias("n_chunk_tokens"),
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    boundaries: list[int] | None = None,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Doc-boundary-PRESERVING sequence packing: assign whole documents to
+    fixed-capacity training bins — no document is ever split across
+    sequences (the property :func:`pack_chunks`'s concat-and-chunk stream
+    gives up for its efficiency=1.0). The deterministic, SQL-replayable
+    scheme: length-bucket documents at ``boundaries`` (each doc costed at
+    its bucket CEILING), so a bin holds exactly ``capacity div ceiling``
+    docs of its bucket and bin assignment is pure integer arithmetic over
+    a deterministic in-bucket rank (tokens DESC, id ASC). Docs longer than
+    ``capacity`` land in singleton bins flagged ``oversize=true``
+    (downstream truncation policy's problem, not the packer's); zero-token
+    docs emit no rows (nothing to pack).
+
+    Returns one row per document: ``(id, n_tokens, bucket, bin_id,
+    oversize)`` with globally disjoint bin ids (buckets get contiguous bin
+    ranges in bucket order). Efficiency (packed tokens / bin capacity) is
+    the caller's one aggregate away — :func:`packing_stats`.
+
+    ``boundaries`` None derives them from ``approxQuantile`` over the
+    token counts (eager driver pass, approximate); pass explicit
+    boundaries for the deterministic/replayable path — the frozen-literal
+    convention the driver oracle uses.
+
+    100 TB shape: ONE shuffle (the per-bucket rank window, partitioned by
+    bucket — salt-free because bucket count is small but each bucket's
+    rank is a single ordered window; for corpora where one bucket
+    dominates, pick more/narrower boundaries: the partition count IS the
+    boundary count), one tiny per-bucket aggregate broadcast back, zero
+    Python. Compare :func:`pack_bins_ffd` for tighter packing at the cost
+    of a driver-side histogram solve.
+
+    Reference analogue: none; padded-length bucketing is the standard
+    batching-by-length trick (public: Tensor2Tensor/fairseq batch-by-size
+    buckets), here made a deterministic packer.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    n = F.col(token_col).cast("long")
+    if boundaries is None:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        qs = df.filter(n > 0).approxQuantile(token_col, probs, 0.001)
+        boundaries = sorted({int(q) for q in qs if 0 < q < capacity})
+    else:
+        boundaries = sorted({int(b) for b in boundaries})
+        if boundaries and (boundaries[0] <= 0 or boundaries[-1] > capacity):
+            raise ValueError(
+                f"boundaries must lie in (0, capacity]: {boundaries}")
+    k = len(boundaries)
+    # bucket = number of boundaries strictly below n_tokens; its ceiling
+    # (bounds[bucket], or capacity for the top bucket) is >= n_tokens by
+    # construction. Oversize docs get bucket k+1.
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(n > F.lit(int(b)), 1).otherwise(0)
+    bucket = F.when(n > F.lit(int(capacity)), F.lit(k + 1)).otherwise(bucket)
+    ceilings = [int(b) for b in boundaries] + [int(capacity)]
+    dpb = {i: int(capacity) // c for i, c in enumerate(ceilings)}
+    dpb[k + 1] = 1  # oversize: one doc per bin
+    dpb_col = F.lit(1)
+    for i, v in dpb.items():
+        dpb_col = F.when(F.col("bucket") == i, F.lit(v)).otherwise(dpb_col)
+    ranked = (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            n.alias("n_tokens"),
+            bucket.alias("bucket"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("bucket").orderBy(
+                    F.col("n_tokens").desc(), F.col("id"))) - 1,
+        )
+        .withColumn("_local_bin", F.floor(F.col("_rk") / dpb_col))
+    )
+    # per-bucket bin counts -> contiguous global bases (tiny frame)
+    bases = (
+        ranked.groupBy("bucket")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_dpb", dpb_col)
+        .withColumn("_nbins", F.ceil(F.col("_cnt") / F.col("_dpb")))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_nbins").over(
+                    W.orderBy("bucket").rowsBetween(
+                        W.unboundedPreceding, -1)),
+                F.lit(0)),
+        )
+        .select("bucket", "_base")
+    )
+    return (
+        ranked.join(F.broadcast(bases), "bucket")
+        .select(
+            "id",
+            "n_tokens",
+            "bucket",
+            (F.col("_base") + F.col("_local_bin")).alias("bin_id"),
+            (F.col("bucket") == F.lit(k + 1)).alias("oversize"),
+        )
+    )
+
+
+def packing_stats(assignment: DataFrame, capacity: int) -> DataFrame:
+    """One-row packing report over a :func:`pack_bins` /
+    :func:`pack_bins_ffd` assignment: ``(n_docs, n_bins, packed_tokens,
+    efficiency)`` where ``packed_tokens`` counts each doc at
+    ``min(n_tokens, capacity)`` (an oversize doc fills its singleton bin)
+    and ``efficiency = packed_tokens / (n_bins * capacity)`` — the
+    fraction of training-sequence capacity carrying real tokens
+    (concat-and-chunk's 1.0 is the ceiling; the gap is the price of never
+    splitting a document)."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    cap = F.lit(int(capacity))
+    return assignment.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum(F.least(F.col("n_tokens"), cap)).alias("packed_tokens"),
+    ).select(
+        "n_docs",
+        "n_bins",
+        "packed_tokens",
+        (F.col("packed_tokens")
+         / (F.col("n_bins") * cap)).alias("efficiency"),
+    )
+
+
+def _bfd_histogram(
+    hist: list[tuple[int, int]], capacity: int
+) -> list[tuple[tuple[int, ...], int]]:
+    """Best-fit-decreasing bin packing solved on the LENGTH HISTOGRAM —
+    the histogram-packing idea of Krell et al. 2021 ("Efficient Sequence
+    Packing without Cross-contamination", arXiv:2107.02027, published):
+    items of equal length are interchangeable, so the solve never touches
+    per-document state. Processes lengths longest-first; each placement
+    picks the bin COMPOSITION with the smallest remaining capacity that
+    still fits (ties to the lexicographically smallest composition —
+    fully deterministic), and because all items of one length are equal,
+    a chosen bin keeps being the best fit until it is full — so items
+    place in BULK per (composition, length) and the work is
+    O(distinct_lengths x live_compositions), independent of doc count.
+
+    Returns ``[(composition, n_bins)]`` sorted by composition — the
+    deterministic strategy table :func:`pack_bins_ffd` maps ranks
+    against. Lengths > capacity become singleton compositions (the
+    oversize contract of :func:`pack_bins`).
+    """
+    from collections import defaultdict
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    live: dict[tuple[int, ...], int] = defaultdict(int)
+    done: dict[tuple[int, ...], int] = defaultdict(int)
+
+    def move(comp: tuple[int, ...], m: int, add: tuple[int, ...]) -> None:
+        live[comp] -= m
+        if live[comp] == 0:
+            del live[comp]
+        new = tuple(sorted(comp + add))
+        if capacity - sum(new) > 0:
+            live[new] += m
+        else:
+            done[new] += m
+
+    for length, c in sorted(hist, reverse=True):
+        length, c = int(length), int(c)
+        if length <= 0 or c <= 0:
+            continue
+        if length > capacity:
+            done[(length,)] += c
+            continue
+        while c > 0:
+            cands = [
+                (capacity - sum(comp), comp)
+                for comp in live
+                if capacity - sum(comp) >= length
+            ]
+            if cands:
+                rem, comp = min(cands)
+                per_bin = rem // length
+                avail = live[comp]
+                full = min(avail, c // per_bin)
+                if full:
+                    move(comp, full, (length,) * per_bin)
+                    c -= full * per_bin
+                    continue
+                # fewer items than one bin takes: one partial placement
+                move(comp, 1, (length,) * c)
+                c = 0
+            else:
+                per_bin = capacity // length
+                nb = c // per_bin
+                if nb:
+                    comp = (length,) * per_bin
+                    if capacity - sum(comp) > 0:
+                        live[comp] += nb
+                    else:
+                        done[comp] += nb
+                    c -= nb * per_bin
+                if c:
+                    live[(length,) * c] += 1
+                    c = 0
+    out: dict[tuple[int, ...], int] = defaultdict(int)
+    for comp, m in live.items():
+        out[comp] += m
+    for comp, m in done.items():
+        out[comp] += m
+    return sorted(out.items())
+
+
+def pack_bins_ffd(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Doc-boundary-preserving packing at best-fit-decreasing quality:
+    the histogram-packing construction (Krell et al. 2021) distributed
+    the Spark way. The corpus-sized work is ONE tiny aggregate (the token
+    -length histogram — bounded by distinct lengths, NOT doc count: for
+    real corpora <= max sequence length rows) plus ONE rank window per
+    length group and a broadcast join against the driver-solved strategy
+    table; the NP-hard part runs on the histogram alone
+    (:func:`_bfd_histogram`), so the plan scales with data volume while
+    the solve scales with the length alphabet.
+
+    Output shape matches :func:`pack_bins` minus ``bucket``: ``(id,
+    n_tokens, bin_id, oversize)``; same contracts (whole docs only,
+    oversize singletons flagged, zero-token docs dropped). Typically
+    packs tighter than the bucket scheme because docs are costed at their
+    TRUE length, not a bucket ceiling; both satisfy the FFD/BFD guarantee
+    n_bins <= 11/9 * OPT + 1 on the non-oversize portion."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    spark = df.sparkSession
+    n = F.col(token_col).cast("long")
+    hist = [
+        (r["_len"], r["_cnt"])
+        for r in df.filter(n > 0)
+        .groupBy(n.alias("_len"))
+        .agg(F.count("*").alias("_cnt"))
+        .collect()
+    ]
+    strategies = _bfd_histogram(hist, capacity)
+    # strategy table -> per-(length, rank-interval) slot rows: docs of
+    # length L ranked within their length group map to strategy s's bins
+    # by pure arithmetic (replica = offset div copies-per-bin)
+    slot_rows = []
+    bin_base = 0
+    next_rank: dict[int, int] = {}
+    for comp, n_bins in strategies:
+        per_len: dict[int, int] = {}
+        for length in comp:
+            per_len[length] = per_len.get(length, 0) + 1
+        for length, copies in per_len.items():
+            start = next_rank.get(length, 0)
+            span = copies * n_bins
+            slot_rows.append((length, start, start + span, copies, bin_base))
+            next_rank[length] = start + span
+        bin_base += n_bins
+    slots = spark.createDataFrame(
+        slot_rows,
+        "n_tokens long, rank_start long, rank_end long, "
+        "copies int, bin_base long",
+    )
+    ranked = (
+        df.filter(n > 0)
+        .select(F.col(id_col).alias("id"), n.alias("n_tokens"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("n_tokens").orderBy("id")) - 1,
+        )
+    )
+    return (
+        ranked.join(F.broadcast(slots), "n_tokens")
+        .filter(
+            (F.col("_rk") >= F.col("rank_start"))
+            & (F.col("_rk") < F.col("rank_end")))
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("bin_base")
+             + F.floor((F.col("_rk") - F.col("rank_start"))
+                       / F.col("copies"))).alias("bin_id"),
+            (F.col("n_tokens") > F.lit(int(capacity))).alias("oversize"),
+        )
+    )

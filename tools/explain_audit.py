@@ -72,6 +72,11 @@ HEADLINES = [
     "hybrid_rrf_documents",
     "mean_pool_embeddings",
     "phrase_topk_documents",
+    # round 10/11: dense+sparse fusion, maintained dense index, whole-doc
+    # bin packing
+    "hybrid_dense_sparse_search",
+    "ivfs_topk_embeddings",
+    "pack_bins_documents",
 ]
 
 

@@ -93,6 +93,9 @@ Usage:
                             # folds; honors --compact-every), bounded
                             # dirs, final pruned-probe parity vs one-shot
                             # assignment to the same frozen centroids
+        [--vocab]           # vocabulary growth + the AQE-chosen join
+                            # strategy for the de-broadcast collocations
+                            # unigram join-backs, base vs scaled
         [--gopher]          # A/B the Gopher gate HOF vs exploded codegen
                             # formulations + lang_id exponent
         [--gates]           # --pipeline with EVERY optional stage on
@@ -805,6 +808,48 @@ def gopher_bench(spark, base_dir: str, scaled_dir: str, factor: int) -> dict:
     return out
 
 
+def vocab_bench(spark, base_dir: str, scaled_dir: str,
+                factor: int) -> dict:
+    """Vocabulary-growth behavior of the de-broadcast collocations join
+    (r9 verdict follow-up, measured r11): at base and scaled, record the
+    corpus's distinct-unigram count (the raw vocabulary the r9 fix
+    stopped force-broadcasting), the semi-pruned term count (the join's
+    ACTUAL right side), the collocations wall, and which physical join
+    strategy AQE chose at runtime for the unigram join-backs — the whole
+    point of dropping the hint is that this choice becomes
+    size-dependent instead of hardcoded."""
+    from graflo_spark.ops import textstats as tstats
+
+    pc = time.perf_counter
+    out: dict = {}
+    for label, d in (("base", base_dir), ("scaled", scaled_dir)):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        toks = docs.filter(F.col("text").isNotNull()).select(
+            F.explode(tstats.tokens_expr(F.col("text"))).alias("t"))
+        vocab = toks.distinct().count()
+        col = tstats.collocations(docs, k=100, min_count=5)
+        t0 = pc()
+        n_rows = len(col.collect())
+        wall = round(pc() - t0, 3)
+        # AQE's final physical plan, AFTER execution (isFinalPlan=true)
+        plan = col._jdf.queryExecution().executedPlan().toString()
+        out[label] = {
+            "wall": wall, "rows": n_rows, "vocab": int(vocab),
+            "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+            "sort_merge_joins": plan.count("SortMergeJoin"),
+            "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        }
+        print(f"# vocab {label}: {out[label]}", file=sys.stderr)
+    out["vocab_growth"] = (
+        round(out["scaled"]["vocab"] / out["base"]["vocab"], 3)
+        if out["base"]["vocab"] else None)
+    out["exponent"] = (
+        round(math.log(out["scaled"]["wall"] / out["base"]["wall"])
+              / math.log(factor), 3)
+        if factor > 1 and out["base"]["wall"] else None)
+    return out
+
+
 def ivfs_incremental_bench(spark, base_dir: str, scaled_dir: str,
                            factor: int, out_root: str,
                            compact_every: int | None = None) -> dict:
@@ -1273,7 +1318,7 @@ def main() -> None:
     flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
              "--winnow", "--pipeline", "--graph", "--hub", "--power-law",
              "--uncapped-linkpred", "--substring", "--lines", "--gopher",
-             "--gates", "--semdedup", "--lexidx", "--ivfs"}
+             "--gates", "--semdedup", "--lexidx", "--ivfs", "--vocab"}
     # --only <substr>: restrict --graph to matching queries (idle-box
     # single-query re-measurements, r7 verdict Next #7)
     only = None
@@ -1304,6 +1349,7 @@ def main() -> None:
     lines_mode = "--lines" in sys.argv[1:]
     lexidx_mode = "--lexidx" in sys.argv[1:]
     ivfs_mode = "--ivfs" in sys.argv[1:]
+    vocab_mode = "--vocab" in sys.argv[1:]
     gopher_mode = "--gopher" in sys.argv[1:]
     semdedup_mode = "--semdedup" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
@@ -1331,7 +1377,7 @@ def main() -> None:
     needs_blowup = not (hub_mode or power_law_mode) or (
         store_mode or temporal_skew or winnow_mode or pipeline_mode
         or lines_mode or graph_mode or incremental or gopher_mode
-        or semdedup_mode or lexidx_mode or ivfs_mode)
+        or semdedup_mode or lexidx_mode or ivfs_mode or vocab_mode)
     if needs_blowup and not os.path.exists(
             os.path.join(out_dir, "_GENERATED")):
         t0 = time.perf_counter()
@@ -1346,7 +1392,7 @@ def main() -> None:
     focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
                or lines_mode or gopher_mode or semdedup_mode
                or graph_mode or hub_mode or power_law_mode or lexidx_mode
-               or ivfs_mode)
+               or ivfs_mode or vocab_mode)
     sweep = [] if focused else [
         n for n in SCALE_QUERIES if only is None or only in n]
     for name in sweep:
@@ -1556,6 +1602,19 @@ def main() -> None:
             payload["ivfs_incremental"] = {"error": str(exc)[:300]}
             print(f"# ivfs_incremental: FAILED {exc}"[:300],
                   file=sys.stderr)
+
+    if vocab_mode:
+        try:
+            payload["vocab_growth"] = vocab_bench(
+                spark, BASE_DIR, out_dir, factor)
+            vg = payload["vocab_growth"]
+            print(f"# vocab_growth: vocab x{vg['vocab_growth']} "
+                  f"e={vg['exponent']} scaled_joins="
+                  f"bhj:{vg['scaled']['broadcast_hash_joins']}/"
+                  f"smj:{vg['scaled']['sort_merge_joins']}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["vocab_growth"] = {"error": str(exc)[:300]}
+            print(f"# vocab_growth: FAILED {exc}"[:300], file=sys.stderr)
 
     if incremental:
         # failure here must not zero the already-measured exponents — same
