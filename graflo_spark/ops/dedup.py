@@ -1060,7 +1060,10 @@ class SemDedupStore:
                 vecs.schema[self.id_col].dataType.simpleString())
         pair_dir = f"{self.path}/pairs/batch={eff}"
         pairs.write.mode("overwrite").parquet(pair_dir)
-        self._vectors.ingest_batch(vecs, batch_id=batch_id)
+        # hand the vector store the assignment we already computed — the
+        # batch pays ONE assignment map pass, not two
+        self._vectors.ingest_batch(vecs, batch_id=batch_id,
+                                   assigned=assigned)
         return self.spark.read.schema(
             self._pairs_schema()).parquet(pair_dir)
 

@@ -558,13 +558,19 @@ class IvfIndexStore:
         with open(os.path.join(self.path, "_meta")) as fh:
             return json.load(fh)["assigned_schema"]
 
-    def ingest_batch(self, vecs: DataFrame, batch_id=None) -> None:
+    def ingest_batch(self, vecs: DataFrame, batch_id=None,
+                     assigned: DataFrame | None = None) -> None:
         """Assign one batch to the frozen centroids and commit — one
         map pass over the batch (no shuffle, no history scan), appended
         cluster-partitioned so probes keep partition pruning.
         ``batch_id``: stable delivery id (foreachBatch passes its epoch
         id); a repeat of the last committed one re-runs under its
-        original seq — the post-commit replay guarantee."""
+        original seq — the post-commit replay guarantee. ``assigned``:
+        advanced — the precomputed ``assign_to_centroids(vecs, <this
+        store's centroids>).assigned`` frame, for callers that already
+        ran the assignment this batch (``dedup.SemDedupStore`` computes
+        pairs from it) — passing anything else breaks the probe
+        contract."""
         import json
         import os
 
@@ -573,8 +579,9 @@ class IvfIndexStore:
         if (batch_id is not None and last_bid is not None
                 and str(batch_id) == last_bid and seq > 0):
             seq -= 1  # post-commit replay: re-run under the original seq
-        assigned = assign_to_centroids(
-            vecs, self._centroids, self.id_col, self.vec_col).assigned
+        if assigned is None:
+            assigned = assign_to_centroids(
+                vecs, self._centroids, self.id_col, self.vec_col).assigned
         meta_f = os.path.join(self.path, "_meta")
         if not os.path.exists(meta_f):
             # persist the id dtype so an all-empty batch dir (zero data

@@ -93,6 +93,11 @@ Usage:
                             # folds; honors --compact-every), bounded
                             # dirs, final pruned-probe parity vs one-shot
                             # assignment to the same frozen centroids
+        [--semstore]        # SemDedupStore one replica-batch at a time:
+                            # per-batch dedup-vs-history walls (grow with
+                            # history/cells BY SEMANTICS — recorded
+                            # honestly), pair-dir bounds, end clusters()
+                            # parity vs one-shot semantic_dedup
         [--vocab]           # vocabulary growth + the AQE-chosen join
                             # strategy for the de-broadcast collocations
                             # unigram join-backs, base vs scaled
@@ -943,6 +948,82 @@ def ivfs_incremental_bench(spark, base_dir: str, scaled_dir: str,
     return out
 
 
+def semstore_incremental_bench(spark, base_dir: str, scaled_dir: str,
+                               factor: int, out_root: str,
+                               compact_every: int | None = None) -> dict:
+    """SemDedupStore over the scaled embedding corpus one replica-batch
+    at a time — the r11 streaming-semantic-dedup delivery measured at
+    scale. UNLIKE the index stores (whose ingest never rescans history),
+    each batch here must COMPARE against its cells' history — that is
+    the semantics of dedup-against-everything-seen — so the expected
+    ingest wall grows ~linearly with history/cells (the SemDeDup cell
+    dial bounds the constant, and the assignment itself stays one map
+    pass). This bench records that growth honestly, plus the end-state
+    parity: clusters() over the 20-batch store must equal one-shot
+    semantic_dedup of the full scaled corpus on the same frozen
+    centroids."""
+    import glob
+    import shutil
+    import uuid
+
+    from graflo_spark.ops import dedup as dd
+    from graflo_spark.ops import simsearch as ss
+
+    pc = time.perf_counter
+
+    base = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    stride = int(base.agg(F.max("vec_id")).first()[0]) + 1
+    scaled = spark.read.parquet(f"{scaled_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull())
+    t0 = pc()
+    cents = [r["centroid"] for r in ss.build_ivf_index(
+        scaled.filter(F.col("vec_id") < stride), n_centroids=16,
+        corpus_id="vec_id", corpus_vec="embedding",
+    ).centroids.orderBy("cluster").collect()]
+    out: dict = {"batches": [], "n_centroids": 16, "threshold": 0.4,
+                 "t_bootstrap_fit": round(pc() - t0, 3)}
+    store_dir = os.path.join(out_root, f"semstore_{uuid.uuid4().hex[:8]}")
+    st = dd.SemDedupStore(spark, store_dir, threshold=0.4, centroids=cents)
+    try:
+        for r in range(factor):
+            batch = scaled.filter(
+                (F.col("vec_id") >= r * stride)
+                & (F.col("vec_id") < (r + 1) * stride))
+            t0 = pc()
+            n_new = st.ingest_batch(batch, batch_id=r).count()
+            entry = {"wall": round(pc() - t0, 3), "new_pairs": int(n_new)}
+            entry["pair_dirs"] = len(
+                glob.glob(f"{store_dir}/pairs/batch=*"))
+            if compact_every and (r + 1) % compact_every == 0:
+                t0 = pc()
+                st.compact()
+                entry["compact_wall"] = round(pc() - t0, 3)
+                entry["pair_dirs"] = len(
+                    glob.glob(f"{store_dir}/pairs/batch=*"))
+            out["batches"].append(entry)
+            print(f"# semstore batch {r}: {entry['wall']}s "
+                  f"pairs+={n_new} dirs={entry['pair_dirs']}"
+                  + (f" compact={entry['compact_wall']}s"
+                     if "compact_wall" in entry else ""), file=sys.stderr)
+        t0 = pc()
+        inc = sorted(map(tuple, st.clusters().collect()))
+        out["t_clusters"] = round(pc() - t0, 3)
+        t0 = pc()
+        ref = sorted(map(tuple, dd.semantic_dedup(
+            scaled, "vec_id", "embedding", threshold=0.4,
+            centroids=cents).collect()))
+        out["t_oneshot"] = round(pc() - t0, 3)
+        out["clusters_match"] = inc == ref
+        out["n_rows"] = len(inc)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    walls = [b["wall"] for b in out["batches"]]
+    out["wall_first"], out["wall_last"] = walls[0], walls[-1]
+    out["wall_ratio_last_first"] = (
+        round(walls[-1] / walls[0], 3) if walls[0] else None)
+    return out
+
+
 def semdedup_bench(spark, base_dir: str, scaled_dir: str,
                    factor: int) -> dict:
     """SemDeDup scaling (r8-verdict Next #5): cells -> within-cell exact
@@ -1318,7 +1399,8 @@ def main() -> None:
     flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
              "--winnow", "--pipeline", "--graph", "--hub", "--power-law",
              "--uncapped-linkpred", "--substring", "--lines", "--gopher",
-             "--gates", "--semdedup", "--lexidx", "--ivfs", "--vocab"}
+             "--gates", "--semdedup", "--lexidx", "--ivfs", "--vocab",
+             "--semstore"}
     # --only <substr>: restrict --graph to matching queries (idle-box
     # single-query re-measurements, r7 verdict Next #7)
     only = None
@@ -1350,6 +1432,7 @@ def main() -> None:
     lexidx_mode = "--lexidx" in sys.argv[1:]
     ivfs_mode = "--ivfs" in sys.argv[1:]
     vocab_mode = "--vocab" in sys.argv[1:]
+    semstore_mode = "--semstore" in sys.argv[1:]
     gopher_mode = "--gopher" in sys.argv[1:]
     semdedup_mode = "--semdedup" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
@@ -1377,7 +1460,8 @@ def main() -> None:
     needs_blowup = not (hub_mode or power_law_mode) or (
         store_mode or temporal_skew or winnow_mode or pipeline_mode
         or lines_mode or graph_mode or incremental or gopher_mode
-        or semdedup_mode or lexidx_mode or ivfs_mode or vocab_mode)
+        or semdedup_mode or lexidx_mode or ivfs_mode or vocab_mode
+        or semstore_mode)
     if needs_blowup and not os.path.exists(
             os.path.join(out_dir, "_GENERATED")):
         t0 = time.perf_counter()
@@ -1392,7 +1476,7 @@ def main() -> None:
     focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
                or lines_mode or gopher_mode or semdedup_mode
                or graph_mode or hub_mode or power_law_mode or lexidx_mode
-               or ivfs_mode or vocab_mode)
+               or ivfs_mode or vocab_mode or semstore_mode)
     sweep = [] if focused else [
         n for n in SCALE_QUERIES if only is None or only in n]
     for name in sweep:
@@ -1601,6 +1685,22 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             payload["ivfs_incremental"] = {"error": str(exc)[:300]}
             print(f"# ivfs_incremental: FAILED {exc}"[:300],
+                  file=sys.stderr)
+
+    if semstore_mode:
+        try:
+            payload["semstore_incremental"] = semstore_incremental_bench(
+                spark, BASE_DIR, out_dir, factor, out_root,
+                compact_every=compact_every)
+            sm = payload["semstore_incremental"]
+            print(f"# semstore_incremental: wall {sm['wall_first']} -> "
+                  f"{sm['wall_last']} (x{sm['wall_ratio_last_first']}) "
+                  f"clusters_match={sm['clusters_match']} "
+                  f"t_clusters={sm['t_clusters']} vs oneshot "
+                  f"{sm['t_oneshot']}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["semstore_incremental"] = {"error": str(exc)[:300]}
+            print(f"# semstore_incremental: FAILED {exc}"[:300],
                   file=sys.stderr)
 
     if vocab_mode:
