@@ -211,14 +211,16 @@ def test_hub_graph_and_zipf_edges_shapes(spark):
 def test_lexidx_incremental_bench_smoke(spark, sf_dir, tmp_path):
     """--lexidx harness at factor 4 / sf0.001: flat-wall machinery runs,
     the compact at batch 3 actually FOLDS (seq=3: batches 0+1 sit before
-    the replay window — a real fold, not the <2-dirs no-op), and probe
-    parity holds vs one-shot."""
+    the replay window; min_run=2 so the size-tiered policy folds the
+    2-dir tier — the production default 4 correctly no-ops here), and
+    probe parity holds vs one-shot."""
     from tools.scale_bench import generate, lexidx_incremental_bench
 
     out = str(tmp_path / "blow")
     generate(spark, sf_dir, out, 4)
     res = lexidx_incremental_bench(
-        spark, sf_dir, out, 4, str(tmp_path), compact_every=3)
+        spark, sf_dir, out, 4, str(tmp_path), compact_every=3,
+        compact_min_run=2)
     assert len(res["batches"]) == 4
     assert res["bm25_match"] and res["phrase_match"]
     # the fold ran and did real work: 3 dirs -> 2 (batch=0 + replay
@@ -226,3 +228,53 @@ def test_lexidx_incremental_bench_smoke(spark, sf_dir, tmp_path):
     assert "compact_wall" in res["batches"][2]
     assert res["batches"][2]["dirs"] == 2
     assert res["batches"][3]["dirs"] == 3
+
+
+def test_ivfs_incremental_bench_smoke(spark, sf_dir, tmp_path):
+    """--ivfs harness at factor 4 / sf0.001: frozen-centroid ingest runs,
+    the compact at batch 3 really folds, pruned-probe parity holds vs
+    one-shot assignment."""
+    from tools.scale_bench import generate, ivfs_incremental_bench
+
+    out = str(tmp_path / "blow")
+    generate(spark, sf_dir, out, 4)
+    res = ivfs_incremental_bench(
+        spark, sf_dir, out, 4, str(tmp_path), compact_every=3,
+        compact_min_run=2)
+    assert len(res["batches"]) == 4
+    assert res["probe_match"]
+    assert "compact_wall" in res["batches"][2]
+    assert res["batches"][2]["dirs"] == 2
+    assert res["batches"][3]["dirs"] == 3
+
+
+def test_semstore_incremental_bench_smoke(spark, sf_dir, tmp_path):
+    """--semstore harness at factor 3 / sf0.001: per-batch pair feed is
+    non-degenerate, pair dirs fold, and the incremental clusters() equals
+    the one-shot semantic_dedup of the blown-up corpus."""
+    from tools.scale_bench import generate, semstore_incremental_bench
+
+    out = str(tmp_path / "blow")
+    generate(spark, sf_dir, out, 3)
+    res = semstore_incremental_bench(
+        spark, sf_dir, out, 3, str(tmp_path), compact_every=2)
+    assert len(res["batches"]) == 3
+    assert res["clusters_match"]
+    assert res["n_rows"] == 1500
+    assert sum(b["new_pairs"] for b in res["batches"]) > 0
+
+
+def test_vocab_bench_smoke(spark, sf_dir, tmp_path):
+    """--vocab harness at factor 3 / sf0.001: vocabulary growth recorded,
+    join-strategy counters read from the executed (AQE-final) plan."""
+    from tools.scale_bench import generate, vocab_bench
+
+    out = str(tmp_path / "blow")
+    generate(spark, sf_dir, out, 3)
+    res = vocab_bench(spark, sf_dir, out, 3)
+    assert res["scaled"]["vocab"] > res["base"]["vocab"]
+    assert res["base"]["rows"] > 0 and res["scaled"]["rows"] > 0
+    joins = (res["scaled"]["broadcast_hash_joins"]
+             + res["scaled"]["sort_merge_joins"]
+             + res["scaled"]["shuffled_hash_joins"])
+    assert joins >= 3  # two unigram join-backs + the 1-row total at least

@@ -623,7 +623,8 @@ def lines_incremental_bench(spark, base_dir: str, scaled_dir: str,
 
 def lexidx_incremental_bench(spark, base_dir: str, scaled_dir: str,
                              factor: int, out_root: str,
-                             compact_every: int | None = None) -> dict:
+                             compact_every: int | None = None,
+                             compact_min_run: int = 4) -> dict:
     """LexicalIndexStore (POSITIONAL) over the scaled corpus one
     replica-batch at a time — the streaming-index counterpart of
     lines_incremental_bench, the r9-verdict Next #6 measurement: per-batch
@@ -668,7 +669,7 @@ def lexidx_incremental_bench(spark, base_dir: str, scaled_dir: str,
             entry["dirs"], entry["files"] = store_files(store_dir)
             if compact_every and (r + 1) % compact_every == 0:
                 t0 = pc()
-                st.compact()
+                st.compact(min_run=compact_min_run)
                 entry["compact_wall"] = round(pc() - t0, 3)
                 entry["dirs"], entry["files"] = store_files(store_dir)
             out["batches"].append(entry)
@@ -857,7 +858,8 @@ def vocab_bench(spark, base_dir: str, scaled_dir: str,
 
 def ivfs_incremental_bench(spark, base_dir: str, scaled_dir: str,
                            factor: int, out_root: str,
-                           compact_every: int | None = None) -> dict:
+                           compact_every: int | None = None,
+                           compact_min_run: int = 4) -> dict:
     """IvfIndexStore over the scaled (sign-flip-rotated) embedding corpus
     one replica-batch at a time — the dense-index counterpart of
     lexidx_incremental_bench, the r10-verdict Next #1 measurement:
@@ -908,7 +910,7 @@ def ivfs_incremental_bench(spark, base_dir: str, scaled_dir: str,
             entry["dirs"], entry["files"] = store_files(store_dir)
             if compact_every and (r + 1) % compact_every == 0:
                 t0 = pc()
-                st.compact()
+                st.compact(min_run=compact_min_run)
                 entry["compact_wall"] = round(pc() - t0, 3)
                 entry["dirs"], entry["files"] = store_files(store_dir)
             out["batches"].append(entry)
@@ -950,7 +952,8 @@ def ivfs_incremental_bench(spark, base_dir: str, scaled_dir: str,
 
 def semstore_incremental_bench(spark, base_dir: str, scaled_dir: str,
                                factor: int, out_root: str,
-                               compact_every: int | None = None) -> dict:
+                               compact_every: int | None = None,
+                               compact_min_run: int = 4) -> dict:
     """SemDedupStore over the scaled embedding corpus one replica-batch
     at a time — the r11 streaming-semantic-dedup delivery measured at
     scale. UNLIKE the index stores (whose ingest never rescans history),
@@ -996,7 +999,7 @@ def semstore_incremental_bench(spark, base_dir: str, scaled_dir: str,
                 glob.glob(f"{store_dir}/pairs/batch=*"))
             if compact_every and (r + 1) % compact_every == 0:
                 t0 = pc()
-                st.compact()
+                st.compact(min_run=compact_min_run)
                 entry["compact_wall"] = round(pc() - t0, 3)
                 entry["pair_dirs"] = len(
                     glob.glob(f"{store_dir}/pairs/batch=*"))
