@@ -298,6 +298,7 @@ class PackingStore:
         import os
         import tempfile
 
+        self._restore_spans_if_needed()
         self._migrate_legacy_spans()
         base, seq = self._state()
         # Pin the batch before packing: token_offsets consumes its input in
@@ -332,9 +333,88 @@ class PackingStore:
         os.replace(tmp, self._total_file())
         return spans
 
+    def _restore_spans_if_needed(self) -> None:
+        """Crash recovery for compact()'s two-rename window (the family
+        pattern): a death between the renames leaves the history only
+        under ``.old-spans-*`` — restore the newest; sweep stale copies
+        once the root is live."""
+        import glob
+        import os
+        import shutil
+
+        root = os.path.join(self.path, "spans")
+        olds = sorted(glob.glob(os.path.join(self.path, ".old-spans-*")),
+                      key=os.path.getmtime)
+        if not glob.glob(os.path.join(root, "batch=*")):
+            if olds:
+                shutil.rmtree(root, ignore_errors=True)
+                os.rename(olds[-1], root)
+                olds = olds[:-1]
+        for stale in olds:
+            if glob.glob(os.path.join(root, "batch=*")):
+                shutil.rmtree(stale, ignore_errors=True)
+
+    def compact(self, min_run: int = 4, full: bool = False) -> None:
+        """Fold committed span dirs strictly BEFORE the last one (the
+        in-flight/retry window and any orphaned uncommitted dir are
+        preserved verbatim) with the shared size-tiered policy
+        (``_store_compact.tiered_groups``): one call's I/O is bounded by
+        the tier that is ready, not by store size; ``full=True`` folds
+        everything eligible into one dir. Span rows are append-only facts
+        — folding only re-locates them, so :meth:`spans` and the running
+        total are unchanged. SINGLE-WRITER op, between batches;
+        crash-safe via the two-rename spans-root swap."""
+        import glob
+        import os
+        import shutil
+        import uuid
+
+        from graflo_spark.ops._store_compact import (
+            dir_bytes, link_tree, tiered_groups)
+
+        self._restore_spans_if_needed()
+        self._migrate_legacy_spans()
+        _, seq = self._state()
+        if seq < 2:
+            return
+        last = seq - 1
+        root = os.path.join(self.path, "spans")
+        vals = sorted(int(d.rsplit("=", 1)[1])
+                      for d in glob.glob(os.path.join(root, "batch=*")))
+        sizes = {v: dir_bytes(os.path.join(root, f"batch={v}"))
+                 for v in vals if v < last}
+        if full:
+            groups = [sorted(sizes)] if len(sizes) >= 2 else []
+        else:
+            groups = tiered_groups(sizes, min_run=min_run)
+        if not groups:
+            return
+        src = self.spark.read.parquet(root)
+        staging = os.path.join(self.path,
+                               f".compact-spans-{uuid.uuid4().hex}")
+        os.makedirs(staging, exist_ok=True)
+        folded: set[int] = set()
+        for group in groups:
+            src.filter(F.col("batch").isin(group)).drop("batch").write \
+                .parquet(os.path.join(staging, f"batch={min(group)}"))
+            folded.update(group)
+        for v in vals:
+            if v not in folded:
+                link_tree(os.path.join(root, f"batch={v}"),
+                          os.path.join(staging, f"batch={v}"))
+        old = os.path.join(self.path, f".old-spans-{uuid.uuid4().hex}")
+        os.rename(root, old)
+        try:
+            os.rename(staging, root)
+        except OSError:
+            os.rename(old, root)  # roll back; staging left for sweep
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+
     def spans(self) -> DataFrame:
         import os
 
+        self._restore_spans_if_needed()
         self._migrate_legacy_spans()
         # partition discovery surfaces the batch=N dirs as a `batch`
         # column; drop it to keep the pack_chunks span schema

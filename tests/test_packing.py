@@ -508,3 +508,91 @@ def test_rag_chunk_embed_pool_search_composes(spark, sf_dir):
         assert r.neighbor_id != r.query_id
     assert all(sorted(x.rank for x in v) == [1, 2, 3, 4, 5]
                for v in by_q.values())
+
+
+def test_packing_store_compact_folds_and_preserves(spark, tmp_path):
+    """compact() folds committed span dirs size-tiered (full=True folds
+    all but the last committed dir), spans() and the running total are
+    unchanged, and the NEXT batch still continues the stream."""
+    import glob
+
+    from graflo_spark.ops.packing import PackingStore
+
+    full = _docs(spark, n=300)
+    store = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=64)
+    for lo in range(0, 250, 50):
+        store.pack_batch(full.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50)))
+    before = sorted(map(tuple, store.spans().collect()))
+    total = store.running_total()
+    root = f"{store.path}/spans"
+    assert len(glob.glob(f"{root}/batch=*")) == 5
+    store.compact(full=True)
+    vals = sorted(int(d.rsplit("=", 1)[1])
+                  for d in glob.glob(f"{root}/batch=*"))
+    assert vals == [0, 4]                 # folded + preserved last dir
+    assert sorted(map(tuple, store.spans().collect())) == before
+    assert store.running_total() == total
+    # the stream continues exactly where it stopped
+    store.pack_batch(full.filter(
+        (F.col("doc_id") >= 250) & (F.col("doc_id") < 300)))
+    got = {(r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+           for r in store.spans().collect()}
+    want = {(r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+            for r in pack_chunks(full, "doc_id", "n_tok", 64).collect()}
+    assert got == want
+
+
+def test_packing_store_compact_tiered_skips_big_tier(spark, tmp_path):
+    """Size-tiered fold: the consolidated dir (250 docs) is a bigger byte
+    tier than the 5-doc dirs — it enters the new root as hardlinks while
+    only the small ready tier folds."""
+    import glob
+    import os
+
+    from graflo_spark.ops.packing import PackingStore
+
+    full = _docs(spark, n=300)
+    store = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=64)
+    store.pack_batch(full.filter(F.col("doc_id") < 250))
+    for lo in range(250, 275, 5):
+        store.pack_batch(full.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 5)))
+    before = sorted(map(tuple, store.spans().collect()))
+    root = f"{store.path}/spans"
+    big_inos = {f: os.stat(f).st_ino
+                for f in glob.glob(f"{root}/batch=0/*.parquet")}
+    assert big_inos
+    store.compact(min_run=4)
+    for f, ino in big_inos.items():
+        assert os.stat(f).st_ino == ino   # big tier not rewritten
+    assert len(glob.glob(f"{root}/batch=*")) < 6
+    assert sorted(map(tuple, store.spans().collect())) == before
+
+
+def test_packing_store_compact_crash_window_restores(spark, tmp_path):
+    """Death between compact()'s two renames leaves the store only under
+    .old-spans-*; the next access — read OR pack — restores it."""
+    import glob
+    import os
+
+    from graflo_spark.ops.packing import PackingStore
+
+    full = _docs(spark, n=200)
+    store = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=64)
+    for lo in range(0, 150, 50):
+        store.pack_batch(full.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50)))
+    before = sorted(map(tuple, store.spans().collect()))
+    os.rename(f"{store.path}/spans", f"{store.path}/.old-spans-deadbeef")
+    assert sorted(map(tuple, store.spans().collect())) == before
+    assert glob.glob(f"{store.path}/spans/batch=*")
+    assert not glob.glob(f"{store.path}/.old-spans-*")
+    # the write path restores too
+    os.rename(f"{store.path}/spans", f"{store.path}/.old-spans-crash2")
+    store.pack_batch(full.filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 200)))
+    want = {(r["id"], r["chunk_id"]) for r in pack_chunks(
+        full, "doc_id", "n_tok", 64).collect()}
+    assert {(r["id"], r["chunk_id"])
+            for r in store.spans().collect()} == want
