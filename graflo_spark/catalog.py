@@ -296,17 +296,38 @@ def _cached_tmp_root(key: str) -> tuple[str, bool]:
     probe it: ONE dir per (row, sf_dir) per process, swept at interpreter
     exit — so the suite invoking a retired row twice per grading run
     reuses the first build instead of accumulating mkdtemp dirs across
-    runs (advisor finding). Returns (path, fresh)."""
+    runs (advisor finding). Returns (path, fresh).
+
+    A root counts as built only once the caller stamps it with
+    :func:`_mark_built` AFTER its build completes — a build that throws
+    midway leaves no stamp, so the next invocation gets ``fresh=True``
+    against an emptied dir instead of silently probing a partial index
+    (review finding: a transient failure must not poison the cache for
+    the rest of the process)."""
     import atexit
+    import os
     import shutil
     import tempfile
 
-    if key in _TMP_ROOTS:
-        return _TMP_ROOTS[key], False
-    d = tempfile.mkdtemp(prefix="graflo_idx_")
-    _TMP_ROOTS[key] = d
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    d = _TMP_ROOTS.get(key)
+    if d is not None and os.path.exists(os.path.join(d, "_BUILT")):
+        return d, False
+    if d is None:
+        d = tempfile.mkdtemp(prefix="graflo_idx_")
+        _TMP_ROOTS[key] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    else:  # a previous build died midway: restart from an empty dir
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
     return d, True
+
+
+def _mark_built(key: str) -> None:
+    """Stamp ``key``'s temp root as fully built (see _cached_tmp_root)."""
+    import os
+
+    with open(os.path.join(_TMP_ROOTS[key], "_BUILT"), "w"):
+        pass
 
 
 # ---------------------------------------------------------- graph ETL core
@@ -4559,6 +4580,7 @@ def phrase_topk_documents(spark, sf_dir):
     if fresh:
         rt.build_lexical_index(
             docs, n_buckets=16, positions=True).write(root)
+        _mark_built(f"phrase_idx:{sf_dir}")
     idx = rt.LexicalIndex.read(spark, root)
     probed = rt.phrase_topk(qs, index=idx, k=5).select(
         F.lit("phrase_idx").alias("method"), "query_id", "neighbor_id",
@@ -4732,6 +4754,7 @@ def ivfs_topk_embeddings(spark, sf_dir):
             store.ingest_batch(
                 emb.filter(F.col("vec_id") % 3 == i), batch_id=i)
         store.compact(full=True)
+        _mark_built(f"ivfs:{sf_dir}")
     out = ss.ivf_probe(
         store.as_index(), emb.filter(F.col("vec_id") < 5), k=5, n_probe=3)
     return out.select(
@@ -4811,13 +4834,22 @@ def clusters_suite(spark, sf_dir):
             store.ingest_batch(
                 nn.filter(F.col("vec_id") % 3 == i), batch_id=i)
         store.compact(full=True)
+        _mark_built(f"semstore:{sf_dir}")
     semstore = store.clusters(
         scores=emb_tbl.select("vec_id", F.col("label").alias("score"))
     ).select(
         F.lit("semstore").alias("kind"), F.col("vec_id").alias("id"),
         F.col("cluster").cast("long").alias("cluster"),
         "is_representative")
-    return docs.unionByName(emb).unionByName(semstore)
+    # NULL-embedding rows can't enter the vector store but ARE part of
+    # the one-shot answer (singleton clusters, their own representative —
+    # the oracle seeds reach from ALL vec_ids): append them so the branch
+    # matches its oracle on corpora that carry NULL vectors
+    nulls = emb_tbl.filter(F.col("embedding").isNull()).select(
+        F.lit("semstore").alias("kind"), F.col("vec_id").alias("id"),
+        F.col("vec_id").cast("long").alias("cluster"),
+        F.lit(True).alias("is_representative"))
+    return docs.unionByName(emb).unionByName(semstore).unionByName(nulls)
 
 
 # --------------------------------------------- LLM-pipeline: RAG chunker

@@ -10,13 +10,14 @@ Theta(N^2 / cadence) total I/O over a stream's life.
 
 This module provides the LSM-style size-tiered alternative (the policy
 behind Cassandra's STCS and Lucene's TieredMergePolicy, both public
-designs): bucket the eligible batch dirs by ``floor(log_base(bytes))``
-and fold only buckets holding at least ``min_run`` members, each into
-the smallest batch id of its bucket. Small fresh batches fold into a
-medium run; four medium runs fold into a large one; amortized rewrite is
-O(N log N) bytes over the stream's life, and any single ``compact()``
-call touches only the tiers that are actually ready — so compact walls
-stay flat as the index grows (ingest walls already are).
+designs): sort the eligible batch dirs by size, walk them into runs of
+similar size (within ``base``x of each run's smallest member), and fold
+only runs holding at least ``min_run`` members, each into the smallest
+batch id of its run. Small fresh batches fold into a medium run; four
+medium runs fold into a large one; amortized rewrite is O(N log N)
+bytes over the stream's life, and any single ``compact()`` call touches
+only the tiers that are actually ready — so compact walls stay flat as
+the index grows (ingest walls already are).
 
 Crash-safety is unchanged: callers keep their two-rename root-swap
 protocol; this module only decides WHICH dirs fold and provides
@@ -28,7 +29,6 @@ copy fallback applies; the fold I/O bound is what matters at scale.
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 
@@ -50,21 +50,40 @@ def tiered_groups(
     min_run: int = 4,
     base: float = 4.0,
 ) -> list[list[int]]:
-    """Size-tiered fold plan: group eligible batch ids by the log-``base``
-    bucket of their on-disk size; every bucket with >= ``min_run``
-    members becomes one fold group (sorted ascending — the caller folds
-    each group into its smallest id, keeping every surviving partition
-    value committed-and-visible exactly when it was before). Buckets
-    below the threshold are left alone — that is the whole point.
+    """Size-tiered fold plan: sort the eligible batch dirs by (bytes, id)
+    and walk them into RUNS of similar size — a run extends while the
+    next dir is within ``base``x of the run's SMALLEST member; every run
+    holding >= ``min_run`` members becomes one fold group (sorted
+    ascending — the caller folds each group into its smallest id, keeping
+    every surviving partition value committed-and-visible exactly when it
+    was before). Runs below the threshold are left alone — that is the
+    whole point.
+
+    Run-relative grouping rather than absolute ``floor(log_base(bytes))``
+    buckets (the first cut): two near-equal dirs straddling a ``base^k``
+    boundary would land in different absolute buckets and make the fold
+    nondeterministically no-op under byte jitter from compression or fs
+    metadata (review finding); with runs anchored at each run's smallest
+    member, equal-sized dirs always group, and drift within a run is
+    still capped at ``base``x of its floor.
     """
     if min_run < 2:
         raise ValueError("min_run must be >= 2")
-    buckets: dict[int, list[int]] = {}
-    for v, s in sizes.items():
-        tier = int(math.log(max(s, 1), base)) if s > 1 else 0
-        buckets.setdefault(tier, []).append(v)
-    return [sorted(vs) for _tier, vs in sorted(buckets.items())
-            if len(vs) >= min_run]
+    ordered = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    groups: list[list[int]] = []
+    run: list[int] = []
+    run_min = 0
+    for v, s in ordered:
+        if run and s > base * max(run_min, 1):
+            if len(run) >= min_run:
+                groups.append(sorted(run))
+            run = []
+        if not run:
+            run_min = s
+        run.append(v)
+    if len(run) >= min_run:
+        groups.append(sorted(run))
+    return groups
 
 
 def link_tree(src: str, dst: str) -> None:
@@ -75,3 +94,33 @@ def link_tree(src: str, dst: str) -> None:
     except OSError:
         shutil.rmtree(dst, ignore_errors=True)
         shutil.copytree(src, dst)
+
+
+def fold_plan(
+    sizes: dict[int, int],
+    min_run: int = 4,
+    full: bool = False,
+) -> list[list[int]]:
+    """The fold-group selection every store's ``compact()`` shares:
+    ``full=True`` folds everything eligible into one group (>= 2 dirs or
+    nothing), else the size-tiered :func:`tiered_groups` plan."""
+    if full:
+        return [sorted(sizes)] if len(sizes) >= 2 else []
+    return tiered_groups(sizes, min_run=min_run)
+
+
+def swap_in(root: str, staging: str, old: str) -> None:
+    """The two-rename root swap every store's ``compact()`` shares:
+    ``root`` -> ``old``, ``staging`` -> ``root``; a failure on the second
+    rename rolls the first back (staging is left for the stale sweep), a
+    process death between the renames leaves the full history under
+    ``old`` for the store's restore path. On success the old root is
+    swept. Committed data is never deleted before its replacement is
+    fully in place."""
+    os.rename(root, old)
+    try:
+        os.rename(staging, root)
+    except OSError:
+        os.rename(old, root)  # roll back; staging left for sweep
+        raise
+    shutil.rmtree(old, ignore_errors=True)

@@ -1015,6 +1015,35 @@ class SemDedupStore:
         base = f"id_a {t}, id_b {t}"
         return base + (", batch int" if with_batch else "")
 
+    def _batch_pairs(self, assigned: DataFrame,
+                     hist: DataFrame | None) -> DataFrame:
+        """Duplicate pairs one assigned batch introduces: within-batch
+        (id_a < id_b) plus batch-vs-history within shared cells, both at
+        exact cosine >= threshold, normalized to (least, greatest) — the
+        single pair expression ingest and refit must share so a replayed
+        batch overwrites its dir with row-identical content."""
+        a = _normalized_cells(assigned, "id_a", "v_a")
+        b = _normalized_cells(assigned, "id_b", "v_b")
+        thr = F.lit(float(self.threshold))
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(_pair_dot() >= thr)
+            .select("id_a", "id_b")
+        )
+        if hist is not None:
+            h = _normalized_cells(hist, "id_b", "v_b")
+            cross = (
+                a.join(h, "cluster")
+                .filter(_pair_dot() >= thr)
+                .select(
+                    F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+                    F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+                )
+            )
+            pairs = pairs.unionByName(cross)
+        return pairs
+
     def ingest_batch(self, vecs: DataFrame, batch_id=None) -> DataFrame:
         """Index one batch and return the NEW duplicate pairs it
         introduced (vs earlier in the batch and vs all cell history) —
@@ -1033,28 +1062,11 @@ class SemDedupStore:
         assigned = assign_to_centroids(
             vecs, self._vectors._centroids, self.id_col,
             self.vec_col).assigned
-        a = _normalized_cells(assigned, "id_a", "v_a")
-        b = _normalized_cells(assigned, "id_b", "v_b")
-        thr = F.lit(float(self.threshold))
-        pairs = (
-            a.join(b, "cluster")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .filter(_pair_dot() >= thr)
-            .select("id_a", "id_b")
-        )
+        hist = None
         if eff > 0:
             hist = self._vectors._read_assigned().filter(
                 F.col("batch") < eff).drop("batch")
-            h = _normalized_cells(hist, "id_b", "v_b")
-            cross = (
-                a.join(h, "cluster")
-                .filter(_pair_dot() >= thr)
-                .select(
-                    F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
-                    F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
-                )
-            )
-            pairs = pairs.unionByName(cross)
+        pairs = self._batch_pairs(assigned, hist)
         if self._id_type is None:
             self._write_meta(
                 vecs.schema[self.id_col].dataType.simpleString())
@@ -1107,11 +1119,10 @@ class SemDedupStore:
         batches; crash-safe via the two-rename pairs-root swap."""
         import glob
         import os
-        import shutil
         import uuid
 
         from graflo_spark.ops._store_compact import (
-            dir_bytes, link_tree, tiered_groups)
+            dir_bytes, fold_plan, link_tree, swap_in)
 
         self._restore_pairs_if_needed()
         self._vectors.compact(min_run=min_run, full=full)
@@ -1124,10 +1135,7 @@ class SemDedupStore:
                       for d in glob.glob(f"{root}/batch=*"))
         sizes = {v: dir_bytes(f"{root}/batch={v}")
                  for v in vals if v < last}
-        if full:
-            groups = [sorted(sizes)] if len(sizes) >= 2 else []
-        else:
-            groups = tiered_groups(sizes, min_run=min_run)
+        groups = fold_plan(sizes, min_run=min_run, full=full)
         if not groups:
             return
         src = self.spark.read.schema(
@@ -1142,24 +1150,45 @@ class SemDedupStore:
         for v in vals:
             if v not in folded:
                 link_tree(f"{root}/batch={v}", f"{staging}/batch={v}")
-        old = f"{self.path}/.old-pairs-{uuid.uuid4().hex}"
-        os.rename(root, old)
-        try:
-            os.rename(staging, root)
-        except OSError:
-            os.rename(old, root)  # roll back; staging left for sweep
-            raise
-        shutil.rmtree(old, ignore_errors=True)
+        swap_in(root, staging, f"{self.path}/.old-pairs-{uuid.uuid4().hex}")
 
     def refit(self, n_centroids: int = 16, seed: int = 42,
               max_iter: int = 20) -> None:
         """Explicit rebuild for centroid drift: re-fits and re-assigns the
-        VECTOR store (see ``IvfIndexStore.refit``). Persisted pairs are
-        kept — they are exact-cosine duplicates regardless of which cell
-        blocking found them; only future batches' recall follows the new
-        cells."""
+        VECTOR store (see ``IvfIndexStore.refit``), then RE-DERIVES the
+        replay-window batch's pair dir under the new blocking. Pairs of
+        all OLDER batches are kept as found — exact-cosine duplicates are
+        facts regardless of which cell blocking surfaced them — but the
+        last committed batch's dir must match what a post-commit replay
+        of its ``batch_id`` would now write (assignment and pair
+        expressions are shared with ``ingest_batch``, so the overwrite is
+        row-identical); without this, a replay after refit would silently
+        shrink the persisted pair set (review finding). The replay-window
+        batch's recall therefore follows the new cells; everything
+        older keeps its original recall."""
+        import glob
+
+        self._restore_pairs_if_needed()
         self._vectors.refit(
             n_centroids=n_centroids, seed=seed, max_iter=max_iter)
+        seq, _ = self._vectors._state()
+        last = seq - 1
+        assigned_all = self._vectors._read_assigned()
+        batch_last = assigned_all.filter(
+            F.col("batch") == last).drop("batch")
+        hist = (assigned_all.filter(F.col("batch") < last).drop("batch")
+                if last > 0 else None)
+        pairs = self._batch_pairs(batch_last, hist)
+        pairs.write.mode("overwrite").parquet(
+            f"{self.path}/pairs/batch={last}")
+        # orphaned pair dirs above the committed window (their vector
+        # twin was dropped by the vector refit) would survive as stale
+        # facts about vectors no longer indexed — drop them too
+        import shutil
+
+        for d in glob.glob(f"{self.path}/pairs/batch=*"):
+            if int(d.rsplit("=", 1)[1]) >= seq:
+                shutil.rmtree(d, ignore_errors=True)
 
 
 def substring_overlap_pairs(
@@ -1480,8 +1509,8 @@ class LineDedupStore:
         ``< upto`` exactly when it did before.
 
         Fold selection is size-tiered (``_store_compact.tiered_groups``,
-        LSM/STCS): only log4-size buckets holding >= ``min_run`` dirs
-        fold, each into the smallest batch id of its bucket — one call's
+        LSM/STCS): only similar-size runs holding >= ``min_run`` dirs
+        fold, each into the smallest batch id of its run — one call's
         I/O is bounded by the tier that is ready, not by total history,
         so compact walls stay flat over a long stream (amortized rewrite
         O(N log N) vs fold-everything's Theta(N^2/cadence)).
@@ -1496,12 +1525,10 @@ class LineDedupStore:
         ``.old-lines-*``, which ``_history`` restores on next access
         (stale staging dirs may remain to sweep)."""
         import glob
-        import os
-        import shutil
         import uuid
 
         from graflo_spark.ops._store_compact import (
-            dir_bytes, link_tree, tiered_groups)
+            dir_bytes, fold_plan, link_tree, swap_in)
 
         last = self._seq() - 1  # the replay-window batch
         root = f"{self.path}/lines"
@@ -1509,11 +1536,7 @@ class LineDedupStore:
         vals = sorted(int(d.rsplit("=", 1)[1]) for d in dirs)
         sizes = {v: dir_bytes(f"{root}/batch={v}")
                  for v in vals if v < last}
-        if full:
-            groups = [sorted(sizes)] if len(sizes) >= 2 else []
-        else:
-            groups = [g for g in tiered_groups(sizes, min_run=min_run)
-                      if len(g) >= 2]
+        groups = fold_plan(sizes, min_run=min_run, full=full)
         if not groups:
             return  # nothing worth folding
         staging = f"{self.path}/.compact-lines-{uuid.uuid4().hex}"
@@ -1530,14 +1553,7 @@ class LineDedupStore:
         for v in vals:
             if v not in folded_ids:
                 link_tree(f"{root}/batch={v}", f"{staging}/batch={v}")
-        old = f"{self.path}/.old-lines-{uuid.uuid4().hex}"
-        os.rename(root, old)
-        try:
-            os.rename(staging, root)
-        except OSError:
-            os.rename(old, root)  # roll back; staging left for sweep
-            raise
-        shutil.rmtree(old, ignore_errors=True)
+        swap_in(root, staging, f"{self.path}/.old-lines-{uuid.uuid4().hex}")
 
     def scrub_batch(self, df: DataFrame, batch_id=None) -> DataFrame:
         """Scrub one batch against stream history + itself, record its

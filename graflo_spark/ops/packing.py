@@ -355,38 +355,39 @@ class PackingStore:
                 shutil.rmtree(stale, ignore_errors=True)
 
     def compact(self, min_run: int = 4, full: bool = False) -> None:
-        """Fold committed span dirs strictly BEFORE the last one (the
-        in-flight/retry window and any orphaned uncommitted dir are
-        preserved verbatim) with the shared size-tiered policy
-        (``_store_compact.tiered_groups``): one call's I/O is bounded by
-        the tier that is ready, not by store size; ``full=True`` folds
-        everything eligible into one dir. Span rows are append-only facts
-        — folding only re-locates them, so :meth:`spans` and the running
-        total are unchanged. SINGLE-WRITER op, between batches;
+        """Fold COMMITTED span dirs (``batch < seq``) with the shared
+        size-tiered policy (``_store_compact.tiered_groups``): one call's
+        I/O is bounded by the tier that is ready, not by store size;
+        ``full=True`` folds everything eligible into one dir. Unlike the
+        batch_id-tracking stores, PackingStore has NO post-commit replay
+        window — only the uncommitted ``batch=<seq>`` dir can ever be
+        overwritten by a retry (pack_batch's crash-between-write-and-
+        commit case), so it alone is preserved verbatim; every committed
+        dir is final and foldable. (Corollary: a foreachBatch epoch
+        REDELIVERED after its commit would double-pack — arrival order
+        is the stream contract here, so exactly-once delivery of
+        committed batches is the caller's job.) Span rows are append-only
+        facts — folding only re-locates them, so :meth:`spans` and the
+        running total are unchanged. SINGLE-WRITER op, between batches;
         crash-safe via the two-rename spans-root swap."""
         import glob
         import os
-        import shutil
         import uuid
 
         from graflo_spark.ops._store_compact import (
-            dir_bytes, link_tree, tiered_groups)
+            dir_bytes, fold_plan, link_tree, swap_in)
 
         self._restore_spans_if_needed()
         self._migrate_legacy_spans()
         _, seq = self._state()
         if seq < 2:
             return
-        last = seq - 1
         root = os.path.join(self.path, "spans")
         vals = sorted(int(d.rsplit("=", 1)[1])
                       for d in glob.glob(os.path.join(root, "batch=*")))
         sizes = {v: dir_bytes(os.path.join(root, f"batch={v}"))
-                 for v in vals if v < last}
-        if full:
-            groups = [sorted(sizes)] if len(sizes) >= 2 else []
-        else:
-            groups = tiered_groups(sizes, min_run=min_run)
+                 for v in vals if v < seq}
+        groups = fold_plan(sizes, min_run=min_run, full=full)
         if not groups:
             return
         src = self.spark.read.parquet(root)
@@ -402,14 +403,8 @@ class PackingStore:
             if v not in folded:
                 link_tree(os.path.join(root, f"batch={v}"),
                           os.path.join(staging, f"batch={v}"))
-        old = os.path.join(self.path, f".old-spans-{uuid.uuid4().hex}")
-        os.rename(root, old)
-        try:
-            os.rename(staging, root)
-        except OSError:
-            os.rename(old, root)  # roll back; staging left for sweep
-            raise
-        shutil.rmtree(old, ignore_errors=True)
+        swap_in(root, staging,
+                os.path.join(self.path, f".old-spans-{uuid.uuid4().hex}"))
 
     def spans(self) -> DataFrame:
         import os

@@ -603,9 +603,9 @@ class LexicalIndexStore:
         between batches (foreachBatch is sequential).
 
         Fold SELECTION is size-tiered (``_store_compact.tiered_groups``,
-        the LSM/STCS shape): eligible dirs bucket by log4 of their
-        on-disk bytes, and only buckets with >= ``min_run`` members fold,
-        each into the smallest batch id of its bucket. Small fresh
+        the LSM/STCS shape): eligible dirs group into similar-size runs,
+        and only runs with >= ``min_run`` members fold,
+        each into the smallest batch id of its run. Small fresh
         batches fold into a medium run, ``min_run`` medium runs fold into
         a large one — so one compact() call's I/O is bounded by the tier
         that is ready, NOT by total index size, and amortized rewrite
@@ -625,11 +625,10 @@ class LexicalIndexStore:
         is never deleted before its replacement is fully in place."""
         import glob
         import os
-        import shutil
         import uuid
 
         from graflo_spark.ops._store_compact import (
-            dir_bytes, link_tree, tiered_groups)
+            dir_bytes, fold_plan, link_tree, swap_in)
 
         seq, _ = self._state()
         last = seq - 1  # the replay-window batch
@@ -643,10 +642,7 @@ class LexicalIndexStore:
             for d in glob.glob(f"{post_root}/batch=*")
             if int(d.rsplit("=", 1)[1]) < last
         }
-        if full:
-            groups = [sorted(sizes)] if len(sizes) >= 2 else []
-        else:
-            groups = tiered_groups(sizes, min_run=min_run)
+        groups = fold_plan(sizes, min_run=min_run, full=full)
         if not groups:
             return
         for sub in ("postings", "stats"):
@@ -680,14 +676,8 @@ class LexicalIndexStore:
             for v in vals:
                 if v not in folded_ids:
                     link_tree(f"{root}/batch={v}", f"{staging}/batch={v}")
-            old = f"{self.path}/.old-{sub}-{uuid.uuid4().hex}"
-            os.rename(root, old)
-            try:
-                os.rename(staging, root)
-            except OSError:
-                os.rename(old, root)  # roll back; staging left for sweep
-                raise
-            shutil.rmtree(old, ignore_errors=True)
+            swap_in(root, staging,
+                    f"{self.path}/.old-{sub}-{uuid.uuid4().hex}")
 
 
 def rrf_fuse(

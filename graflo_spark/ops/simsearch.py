@@ -629,11 +629,10 @@ class IvfIndexStore:
         (centroids ride along as hardlinks, unchanged)."""
         import glob
         import os
-        import shutil
         import uuid
 
         from graflo_spark.ops._store_compact import (
-            dir_bytes, link_tree, tiered_groups)
+            dir_bytes, fold_plan, link_tree, swap_in)
 
         seq, _ = self._state()
         last = seq - 1
@@ -644,10 +643,7 @@ class IvfIndexStore:
                       for d in glob.glob(f"{root}/assigned/batch=*"))
         sizes = {v: dir_bytes(f"{root}/assigned/batch={v}")
                  for v in vals if v < last}
-        if full:
-            groups = [sorted(sizes)] if len(sizes) >= 2 else []
-        else:
-            groups = tiered_groups(sizes, min_run=min_run)
+        groups = fold_plan(sizes, min_run=min_run, full=full)
         if not groups:
             return
         src = self._read_assigned()
@@ -664,14 +660,7 @@ class IvfIndexStore:
                 link_tree(f"{root}/assigned/batch={v}",
                           f"{staging}/assigned/batch={v}")
         link_tree(f"{root}/centroids", f"{staging}/centroids")
-        old = f"{self.path}/.old-index-{uuid.uuid4().hex}"
-        os.rename(root, old)
-        try:
-            os.rename(staging, root)
-        except OSError:
-            os.rename(old, root)  # roll back; staging left for sweep
-            raise
-        shutil.rmtree(old, ignore_errors=True)
+        swap_in(root, staging, f"{self.path}/.old-index-{uuid.uuid4().hex}")
 
     def refit(self, n_centroids: int = 16, seed: int = 42,
               max_iter: int = 20) -> None:
@@ -679,15 +668,14 @@ class IvfIndexStore:
         ALL committed vectors and re-assign everything to the new
         centroids — history folds into ``batch=0``, the replay-window
         batch is re-assigned UNDER ITS OWN seq (so a post-commit replay
-        still overwrites exactly its own dir; assignment against the new
-        persisted centroids is deterministic, so the overwrite is
-        byte-equivalent). The new (centroids, assignment) pair is staged
+        still overwrites exactly its own dir with row-identical content —
+        refit assigns through the SAME ``assign_to_centroids`` float path
+        the replayed ``ingest_batch`` will use). The new (centroids,
+        assignment) pair is staged
         and swapped in atomically via the two-rename ``index/`` swap;
         orphaned in-flight dirs (uncommitted) are dropped — their retry
         re-runs from scratch. Full-index cost by design: this is the
         rebuild, compaction is :meth:`compact`. SINGLE-WRITER op."""
-        import os
-        import shutil
         import uuid
 
         seq, _ = self._state()
@@ -704,8 +692,16 @@ class IvfIndexStore:
             for r in fit.centroids.orderBy("cluster").collect()
         ]
         staging = f"{self.path}/.compact-index-{uuid.uuid4().hex}"
-        re_assigned = fit.assigned.join(
-            vecs.select("neighbor_id", "batch"), "neighbor_id")
+        # Re-assign through assign_to_centroids — the SAME float path as
+        # ingest_batch — not KMeans.transform's: near-tie vectors could
+        # otherwise argmin differently between refit's write and a
+        # post-commit replay's overwrite of the replay-window dir, which
+        # must be row-identical for the protocol's determinism claim
+        # (review finding)
+        re_assigned = assign_to_centroids(
+            vecs.drop("cluster"), cents,
+            corpus_id="neighbor_id", corpus_vec="c_vec",
+        ).assigned.join(vecs.select("neighbor_id", "batch"), "neighbor_id")
         if last > 0:
             hist = re_assigned.filter(F.col("batch") < last).drop("batch")
             hist.write.partitionBy("cluster").parquet(
@@ -717,13 +713,8 @@ class IvfIndexStore:
             [(i, c) for i, c in enumerate(cents)],
             "cluster INT, centroid ARRAY<DOUBLE>",
         ).coalesce(1).write.parquet(f"{staging}/centroids")
-        root = f"{self.path}/index"
-        old = f"{self.path}/.old-index-{uuid.uuid4().hex}"
-        os.rename(root, old)
-        try:
-            os.rename(staging, root)
-        except OSError:
-            os.rename(old, root)
-            raise
-        shutil.rmtree(old, ignore_errors=True)
+        from graflo_spark.ops._store_compact import swap_in
+
+        swap_in(f"{self.path}/index", staging,
+                f"{self.path}/.old-index-{uuid.uuid4().hex}")
         self._centroids = cents

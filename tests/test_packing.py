@@ -530,7 +530,8 @@ def test_packing_store_compact_folds_and_preserves(spark, tmp_path):
     store.compact(full=True)
     vals = sorted(int(d.rsplit("=", 1)[1])
                   for d in glob.glob(f"{root}/batch=*"))
-    assert vals == [0, 4]                 # folded + preserved last dir
+    # no post-commit replay window here: ALL committed dirs fold
+    assert vals == [0]
     assert sorted(map(tuple, store.spans().collect())) == before
     assert store.running_total() == total
     # the stream continues exactly where it stopped

@@ -214,3 +214,21 @@ def test_stream_semantic_dedup_end_to_end(spark, tables, tmp_path):
     # duplicate only under replay, which processAllAvailable doesn't do)
     feed = spark.read.parquet(out_dir).select("id_a", "id_b").distinct()
     assert _rows(feed) == _rows(store.duplicate_pairs())
+
+
+def test_semdedup_store_refit_then_replay_is_row_identical(spark, tables,
+                                                           tmp_path):
+    """refit() re-derives the replay-window batch's pairs under the NEW
+    blocking (sharing ingest's assignment float path), so a post-commit
+    replay of the last batch_id AFTER a refit overwrites both its dirs
+    with row-identical content — pairs and clusters don't move."""
+    emb = tables["embeddings"]
+    store, _ = _fill(spark, tmp_path, emb)
+    store.refit(n_centroids=4, seed=7)
+    pairs_after_refit = _rows(store.duplicate_pairs())
+    clusters_after_refit = _rows(store.clusters())
+    assert pairs_after_refit                      # non-degenerate
+    store.ingest_batch(_batches(emb)[-1], batch_id=2)   # replay post-refit
+    assert store._vectors._state()[0] == 3              # seq did not move
+    assert _rows(store.duplicate_pairs()) == pairs_after_refit
+    assert _rows(store.clusters()) == clusters_after_refit
