@@ -178,14 +178,20 @@ class PackingStore:
 
     Spans land under ``<path>/spans/batch=<seq>/`` — one subdir per batch,
     written with mode OVERWRITE, where ``<seq>`` comes from the committed
-    state file. That makes the spans write IDEMPOTENT: if the spans write
-    succeeds but the commit doesn't (crash between the two), the retry
-    re-runs the SAME batch seq and REPLACES the orphaned subdir instead of
-    appending a second copy of the same spans — no silent duplicate
-    training chunks. The running total and the batch seq commit together
-    in ``<path>/_running_total`` (atomically replaced). Within one batch,
-    ordering follows ``order_col``; ACROSS batches, ordering is arrival
-    order — the stream semantics a packer wants."""
+    state file. That makes the spans write IDEMPOTENT for BOTH crash
+    windows: if the spans write succeeds but the commit doesn't (crash
+    between the two), the retry re-runs the SAME batch seq and REPLACES
+    the orphaned subdir instead of appending a second copy; and a batch
+    REDELIVERED after its commit (the foreachBatch at-least-once window)
+    is recognized by its repeated ``batch_id`` and re-runs under its
+    ORIGINAL seq and ORIGINAL base offset (the pre-batch running total
+    rides the commit file), overwriting its own dir with identical rows
+    instead of double-packing — no silent duplicate training chunks
+    either way. The running total, the batch seq, the batch_id, and the
+    pre-batch total commit together in ``<path>/_running_total``
+    (atomically replaced). Within one batch, ordering follows
+    ``order_col``; ACROSS batches, ordering is arrival order — the
+    stream semantics a packer wants."""
 
     def __init__(self, spark, path: str, chunk_tokens: int,
                  id_col: str = "doc_id", token_col: str = "n_tok",
@@ -218,19 +224,26 @@ class PackingStore:
 
         return os.path.join(self.path, "_running_total")
 
-    def _state(self) -> tuple[int, int]:
-        """(running_total, next_batch_seq) from the commit file. Legacy
-        single-integer files (pre-idempotency format) read as seq 0."""
+    def _state(self) -> tuple[int, int, str | None, int]:
+        """(running_total, next_batch_seq, last committed batch_id or
+        None, running_total BEFORE the last committed batch) from the
+        commit file. Legacy single-integer files (pre-idempotency format)
+        read as seq 0; two-line files (pre-replay format) as bid None —
+        both keep working unchanged."""
         import os
 
         f = self._total_file()
         if not os.path.exists(f):
-            return 0, 0
+            return 0, 0, None, 0
         with open(f) as fh:
-            lines = fh.read().split()
-        total = int(lines[0]) if lines else 0
-        seq = int(lines[1]) if len(lines) > 1 else 0
-        return total, seq
+            lines = fh.read().splitlines()
+        total = int(lines[0].strip()) if lines and lines[0].strip() else 0
+        seq = (int(lines[1].strip())
+               if len(lines) > 1 and lines[1].strip() else 0)
+        bid = lines[2] if len(lines) > 2 and lines[2] != "" else None
+        prev = (int(lines[3].strip())
+                if len(lines) > 3 and lines[3].strip() else total)
+        return total, seq, bid, prev
 
     def running_total(self) -> int:
         return self._state()[0]
@@ -264,7 +277,7 @@ class PackingStore:
         if not any(e.endswith(".parquet") for e in flat):
             return
         if os.path.exists(self._total_file()):
-            total, seq = self._state()
+            total, seq, _bid, _prev = self._state()
         else:
             total = int(
                 self.spark.read.parquet(sdir)
@@ -280,14 +293,24 @@ class PackingStore:
         for e in flat:
             os.replace(os.path.join(sdir, e), os.path.join(dest, e))
 
-    def pack_batch(self, batch: DataFrame) -> DataFrame:
+    def pack_batch(self, batch: DataFrame, batch_id=None) -> DataFrame:
         """Pack one batch against the persisted running total, write its
-        spans under the next batch seq, commit (total, seq+1). Returns the
-        batch's spans. The commit happens ONLY after the spans write
-        succeeds; because the spans write is a mode-overwrite of the
-        seq-keyed subdir, a crash between the two makes the retry REPLACE
-        the orphan rather than append a duplicate — idempotent, no gap and
-        no double-counted chunks.
+        spans under the next batch seq, commit (total, seq+1, batch_id,
+        pre-batch total). Returns the batch's spans. The commit happens
+        ONLY after the spans write succeeds; because the spans write is a
+        mode-overwrite of the seq-keyed subdir, a crash between the two
+        makes the retry REPLACE the orphan rather than append a duplicate
+        — idempotent, no gap and no double-counted chunks.
+
+        ``batch_id``: stable delivery id (foreachBatch passes its epoch
+        id; must not contain a newline). A call repeating the LAST
+        committed batch_id re-runs under its ORIGINAL seq AND original
+        base offset (the pre-batch running total rides the commit file),
+        so the post-commit replay the foreachBatch at-least-once window
+        produces overwrites its own span dir with identical rows instead
+        of double-packing the batch after the stream — the same guarantee
+        as the rest of the store family. Omit batch_id only if the caller
+        never re-delivers a committed batch.
 
         LIFETIME of the returned frame: its checkpoint blocks stay alive
         through the NEXT ``pack_batch`` call and are reclaimed after that
@@ -298,9 +321,16 @@ class PackingStore:
         import os
         import tempfile
 
+        if batch_id is not None and "\n" in str(batch_id):
+            raise ValueError("batch_id must not contain a newline")
         self._restore_spans_if_needed()
         self._migrate_legacy_spans()
-        base, seq = self._state()
+        base, seq, last_bid, prev_total = self._state()
+        if (batch_id is not None and last_bid is not None
+                and str(batch_id) == last_bid and seq > 0):
+            # post-commit replay: original seq, original base offset
+            seq -= 1
+            base = prev_total
         # Pin the batch before packing: token_offsets consumes its input in
         # two plan branches (window cumsum + per-bucket totals) plus an eager
         # quantile probe. Against a foreachBatch micro-batch source the
@@ -329,7 +359,9 @@ class PackingStore:
         )
         fd, tmp = tempfile.mkstemp(dir=self.path)
         with os.fdopen(fd, "w") as fh:
-            fh.write(f"{base + int(batch_tokens)}\n{seq + 1}\n")
+            bid = "" if batch_id is None else str(batch_id)
+            fh.write(f"{base + int(batch_tokens)}\n{seq + 1}\n"
+                     f"{bid}\n{base}\n")
         os.replace(tmp, self._total_file())
         return spans
 
@@ -355,21 +387,18 @@ class PackingStore:
                 shutil.rmtree(stale, ignore_errors=True)
 
     def compact(self, min_run: int = 4, full: bool = False) -> None:
-        """Fold COMMITTED span dirs (``batch < seq``) with the shared
-        size-tiered policy (``_store_compact.tiered_groups``): one call's
-        I/O is bounded by the tier that is ready, not by store size;
-        ``full=True`` folds everything eligible into one dir. Unlike the
-        batch_id-tracking stores, PackingStore has NO post-commit replay
-        window — only the uncommitted ``batch=<seq>`` dir can ever be
-        overwritten by a retry (pack_batch's crash-between-write-and-
-        commit case), so it alone is preserved verbatim; every committed
-        dir is final and foldable. (Corollary: a foreachBatch epoch
-        REDELIVERED after its commit would double-pack — arrival order
-        is the stream contract here, so exactly-once delivery of
-        committed batches is the caller's job.) Span rows are append-only
-        facts — folding only re-locates them, so :meth:`spans` and the
-        running total are unchanged. SINGLE-WRITER op, between batches;
-        crash-safe via the two-rename spans-root swap."""
+        """Fold committed span dirs strictly BEFORE the last one with the
+        shared size-tiered policy (``_store_compact.tiered_groups``): one
+        call's I/O is bounded by the tier that is ready, not by store
+        size; ``full=True`` folds everything eligible into one dir. The
+        last committed dir is the post-commit replay window (a repeated
+        ``batch_id`` re-runs under its original seq and base — pack_batch
+        docstring) and the uncommitted in-flight ``batch=<seq>`` dir is
+        the pre-commit retry window; both are preserved verbatim, the
+        family rule. Span rows are append-only facts — folding only
+        re-locates them, so :meth:`spans` and the running total are
+        unchanged. SINGLE-WRITER op, between batches; crash-safe via the
+        two-rename spans-root swap."""
         import glob
         import os
         import uuid
@@ -379,14 +408,14 @@ class PackingStore:
 
         self._restore_spans_if_needed()
         self._migrate_legacy_spans()
-        _, seq = self._state()
+        seq = self._state()[1]
         if seq < 2:
             return
         root = os.path.join(self.path, "spans")
         vals = sorted(int(d.rsplit("=", 1)[1])
                       for d in glob.glob(os.path.join(root, "batch=*")))
         sizes = {v: dir_bytes(os.path.join(root, f"batch={v}"))
-                 for v in vals if v < seq}
+                 for v in vals if v < seq - 1}
         groups = fold_plan(sizes, min_run=min_run, full=full)
         if not groups:
             return

@@ -485,6 +485,38 @@ def stream_line_dedup(
     )
 
 
+def stream_pack(
+    stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    output_dir: str | None = None,
+):
+    """Continuous sequence packing: each micro-batch is packed against the
+    persisted running token total by
+    :class:`graflo_spark.ops.packing.PackingStore.pack_batch` — batch N+1's
+    chunks continue exactly where batch N's stopped, without re-packing
+    history — and (when ``output_dir`` is given) the batch's span rows
+    append there as a live feed. The (total, seq, batch_id)-committed
+    protocol makes a replayed micro-batch re-run under its ORIGINAL seq
+    and base offset, overwriting its own span dir with identical rows
+    (at-least-once safe; the output feed re-emits the same spans at worst
+    — dedup downstream by (id, chunk_id) for exactly-once). The store's
+    :meth:`spans` is always the consistent full history."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spans = store.pack_batch(batch_df, batch_id=batch_id)
+        if output_dir is not None:
+            spans.write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_asof_enrich(
     stream: DataFrame,
     reference,

@@ -530,8 +530,7 @@ def test_packing_store_compact_folds_and_preserves(spark, tmp_path):
     store.compact(full=True)
     vals = sorted(int(d.rsplit("=", 1)[1])
                   for d in glob.glob(f"{root}/batch=*"))
-    # no post-commit replay window here: ALL committed dirs fold
-    assert vals == [0]
+    assert vals == [0, 4]             # folded + preserved replay window
     assert sorted(map(tuple, store.spans().collect())) == before
     assert store.running_total() == total
     # the stream continues exactly where it stopped
@@ -597,3 +596,71 @@ def test_packing_store_compact_crash_window_restores(spark, tmp_path):
         full, "doc_id", "n_tok", 64).collect()}
     assert {(r["id"], r["chunk_id"])
             for r in store.spans().collect()} == want
+
+
+def test_packing_store_post_commit_replay_same_batch_id(spark, tmp_path):
+    """A batch REDELIVERED after its commit (repeated batch_id) re-runs
+    under its original seq and base offset: identical spans, unchanged
+    running total, no double-packed chunks."""
+    import glob
+
+    from graflo_spark.ops.packing import PackingStore
+
+    full = _docs(spark, n=300)
+    store = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=64)
+    for i, (lo, hi) in enumerate(((0, 100), (100, 200), (200, 300))):
+        store.pack_batch(full.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), batch_id=i)
+    before = sorted(map(tuple, store.spans().collect()))
+    total = store.running_total()
+    n_dirs = len(glob.glob(f"{store.path}/spans/batch=*"))
+    # replay the LAST committed batch
+    replayed = store.pack_batch(
+        full.filter(F.col("doc_id") >= 200), batch_id=2)
+    assert store._state()[1] == 3                # seq did not move
+    assert store.running_total() == total        # total did not move
+    assert len(glob.glob(f"{store.path}/spans/batch=*")) == n_dirs
+    assert sorted(map(tuple, store.spans().collect())) == before
+    # the replayed frame equals the batch's original spans
+    orig = {(r["id"], r["chunk_id"]) for r in store.spans().collect()
+            if r["id"] >= 200}
+    assert {(r["id"], r["chunk_id"])
+            for r in replayed.collect()} == orig
+    # ... and the whole stream still equals one-shot packing
+    want = {(r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+            for r in pack_chunks(full, "doc_id", "n_tok", 64).collect()}
+    got = {(r["id"], r["chunk_id"]): (r["doc_tok_start"], r["doc_tok_end"])
+           for r in store.spans().collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="newline"):
+        store.pack_batch(full.limit(1), batch_id="a\nb")
+
+
+def test_stream_pack_end_to_end(spark, tmp_path):
+    from graflo_spark.ops.packing import PackingStore
+    from graflo_spark.streaming import replay_as_stream, stream_pack
+
+    full = _docs(spark, n=300).filter(F.col("n_tok") > 0)
+    store = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=64,
+                         pin_results=True)
+    out_dir = str(tmp_path / "feed")
+    q = stream_pack(
+        replay_as_stream(spark, full.repartition(3)), store,
+        str(tmp_path / "ckpt"), output_dir=out_dir)
+    q.processAllAvailable()
+    q.stop()
+    # arrival order is the stream contract; verify structural invariants
+    # + the live feed mirrors the persisted spans
+    spans = store.spans().collect()
+    assert {r["id"] for r in spans} == {
+        r["doc_id"] for r in full.collect()}
+    feed = spark.read.parquet(out_dir)
+    assert sorted(map(tuple, feed.collect())) == sorted(
+        map(tuple, spans))
+    # offsets form one contiguous global stream
+    ordered = sorted({(r["tok_start"], r["tok_end"]) for r in spans})
+    pos = 0
+    for s, e in ordered:
+        assert s == pos and e > s
+        pos = e
+    assert pos == store.running_total()
