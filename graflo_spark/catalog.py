@@ -161,13 +161,6 @@ def star_resources() -> list[ResourceConfig]:
     ]
 
 
-_TABLE_FOR_RESOURCE = {
-    "region": "region", "nation": "nation", "customer": "customer",
-    "supplier": "supplier", "part": "part", "orders": "orders",
-    "lineitem": "lineitem",
-}
-
-
 class _SessionPlanCache:
     """Per-(session, key) plan cache, safe for long-lived processes.
 
@@ -215,7 +208,7 @@ def build_star_graph_raw(spark: SparkSession, sf_dir: str) -> GraphBatch:
         schema = star_schema()
         batch: GraphBatch | None = None
         for res in star_resources():
-            df = load(spark, sf_dir, _TABLE_FOR_RESOURCE[res.name])
+            df = load(spark, sf_dir, res.name)
             b = compile_resource(schema, res, df)
             batch = b if batch is None else batch.union(b)
         per_session[sf_dir] = batch
@@ -281,6 +274,12 @@ ORACLES: dict[str, str] = {}
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # a duplicate @q would silently REPLACE the prior row's
+            # function+oracle while the registry gate stays green (the
+            # name is still registered) — the exact coverage-loss class
+            # the gate exists to prevent, so fail loudly at import
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -645,8 +644,6 @@ def dynamic_edges_router(spark, sf_dir):
 # ----------------------------------------------- endpoint resolution + joins
 
 def _nation_supplier_edges(spark, sf_dir):
-    from graflo_spark.resolve import resolve_endpoints
-
     nation = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("_src_n_nationkey"),
         F.col("n_nationkey").alias("_dst_s_nationkey"),
@@ -1054,21 +1051,8 @@ def sssp_trade_network(spark, sf_dir):
     unrolled SQL oracle replays the exact semantics."""
     from graflo_spark.ops import graphalgo as ga
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.col("s_nationkey").alias("id_a"),
-            F.col("c_nationkey").alias("id_b"),
-        )
-        .agg((F.lit(1.0) / F.count(F.lit(1))).alias("w"))
-    )
+    edges = _trade_edge_frame(spark, sf_dir).groupBy("id_a", "id_b").agg(
+        (F.lit(1.0) / F.count(F.lit(1))).alias("w"))
     d = ga.shortest_paths(edges, [0], weight_col="w", max_iter=6)
     return d.select(
         F.col("node").cast("long").alias("node"),
@@ -1076,11 +1060,16 @@ def sssp_trade_network(spark, sf_dir):
     )
 
 
-_TRIANGLE_ORACLE = (
-    "WITH pairs AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, "
+_COPURCHASE_PAIRS_SQL = (
+    "SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, "
     "greatest(a.l_partkey, b.l_partkey) AS b "
     "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
-    "AND a.l_partkey <> b.l_partkey), "
+    "AND a.l_partkey <> b.l_partkey"
+)
+
+
+_TRIANGLE_ORACLE = (
+    "WITH pairs AS (" + _COPURCHASE_PAIRS_SQL + "), "
     "tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM pairs e1 "
     "JOIN pairs e2 ON e2.a = e1.b "
     "JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b), "
@@ -1154,11 +1143,7 @@ def lpa_communities_trade(spark, sf_dir):
 
 
 _LINKPRED_ORACLE = (
-    "WITH pairs AS MATERIALIZED ("
-    "SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, "
-    "greatest(a.l_partkey, b.l_partkey) AS b "
-    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
-    "AND a.l_partkey <> b.l_partkey), "
+    "WITH pairs AS MATERIALIZED (" + _COPURCHASE_PAIRS_SQL + "), "
     "edges AS MATERIALIZED (SELECT a, b FROM pairs "
     "UNION SELECT b, a FROM pairs), "
     "deg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS d FROM edges "
@@ -1179,6 +1164,22 @@ _LINKPRED_ORACLE = (
 )
 
 
+def _copurchase_pairs(spark, sf_dir):
+    """Part co-purchase adjacency (parts sharing an order), directed both
+    ways — the one pairs frame all three copurchase rows consume (Spark
+    twin of _COPURCHASE_PAIRS_SQL, which the oracles embed)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+    )
+
+
 @q("link_prediction_copurchase", _LINKPRED_ORACLE)
 def link_prediction_copurchase(spark, sf_dir):
     """Link prediction (Liben-Nowell/Kleinberg measures) on the part
@@ -1188,16 +1189,7 @@ def link_prediction_copurchase(spark, sf_dir):
     aggregate + degree joins), vs the same computation in SQL."""
     from graflo_spark.ops import graphalgo as ga
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     out = ga.link_prediction_scores(pairs, min_common=20)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -1206,14 +1198,6 @@ def link_prediction_copurchase(spark, sf_dir):
         F.round("jaccard", 6).alias("jaccard"),
         F.round("adamic_adar", 6).alias("adamic_adar"),
     )
-
-
-_COPURCHASE_PAIRS_SQL = (
-    "SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, "
-    "greatest(a.l_partkey, b.l_partkey) AS b "
-    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
-    "AND a.l_partkey <> b.l_partkey"
-)
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
@@ -1250,16 +1234,7 @@ def kcore_copurchase(spark, sf_dir):
     6 avalanching rounds and keeps an 1857-node core."""
     from graflo_spark.ops import graphalgo as ga
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     out = ga.k_core(pairs, 80, max_iter=8)
     return out.select(
         F.col("node").cast("long").alias("node"), "core_deg")
@@ -1273,16 +1248,7 @@ def triangle_corners_copurchase(spark, sf_dir):
     against DuckDB's canonical a<b<c 3-join closure, per corner."""
     from graflo_spark.ops import graphalgo as ga
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     tri = ga.triangle_count(pairs, per_node=True)
     return tri.select(
         F.col("node").cast("long").alias("node"),
@@ -1564,10 +1530,10 @@ _CCNET_ORACLE = (
     "FROM base "
     "UNION ALL "
     "SELECT 'approx' AS mode, id, cross_entropy, "
-    "1 + CASE WHEN cross_entropy > {c0} THEN 1 ELSE 0 END "
-    "+ CASE WHEN cross_entropy > {c1} THEN 1 ELSE 0 END AS bucket, "
-    "CASE WHEN cross_entropy <= {c0} THEN 'head' "
-    "WHEN cross_entropy <= {c1} THEN 'middle' ELSE 'tail' END AS label "
+    "1 + CASE WHEN cross_entropy > __C0__ THEN 1 ELSE 0 END "
+    "+ CASE WHEN cross_entropy > __C1__ THEN 1 ELSE 0 END AS bucket, "
+    "CASE WHEN cross_entropy <= __C0__ THEN 'head' "
+    "WHEN cross_entropy <= __C1__ THEN 'middle' ELSE 'tail' END AS label "
     "FROM base"
 )
 
@@ -1580,7 +1546,8 @@ _CCNET_ORACLE = (
 # same function's replay mode (cuts=...) — score data against a
 # reference corpus's tier boundaries.
 _CCNET_CUTS = [3.493546, 3.560634]
-_CCNET_ORACLE = _CCNET_ORACLE.format(c0=_CCNET_CUTS[0], c1=_CCNET_CUTS[1])
+_CCNET_ORACLE = (_CCNET_ORACLE.replace("__C0__", str(_CCNET_CUTS[0]))
+                 .replace("__C1__", str(_CCNET_CUTS[1])))
 
 
 @q("ccnet_buckets_documents", _CCNET_ORACLE)
@@ -2463,7 +2430,10 @@ def pq_adc_topk_embeddings(spark, sf_dir):
     from graflo_spark.ops import pq as pqm
     from graflo_spark.ops.simsearch import assign_to_centroids
 
-    emb = load(spark, sf_dir, "embeddings")
+    # the oracle drops NULL vectors ('WHERE embedding IS NOT NULL');
+    # mirror it so the row stays green on corpora that carry them
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())
     book = pqm.PqCodebook(
         centroids=[
             np.asarray(t, dtype=np.float64) / 4096.0 for t in _PQ_CENTS_4096
@@ -3440,9 +3410,11 @@ def fetch_edges_nation_anchor(spark, sf_dir):
     """fetch_edges: all edges incident to one anchor vertex, ANY direction
     (reference db/conn.py:483-527)."""
     view = star_view(spark, sf_dir)
+    # no limit= : the oracle is unbounded, and a cap would truncate
+    # nondeterministically once the anchor's incidence exceeds it
     return view.fetch_edges(
         "nation", {"field": "n_nationkey", "op": "==", "value": 3},
-        direction=Direction.ANY, limit=100_000)
+        direction=Direction.ANY)
 
 
 _WINNOWING_ORACLE = (
@@ -4506,10 +4478,11 @@ def bm25_topk_documents(spark, sf_dir):
     per-doc sum -> rounded-score ranking, term for term."""
     docs = load(spark, sf_dir, "documents")
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, text string")
-    bm = rt.bm25_topk(qs, docs, k=5).select(
+    st = rt.corpus_stats(docs)  # ONE stats aggregate shared by both methods
+    bm = rt.bm25_topk(qs, docs, k=5, stats=st).select(
         F.lit("bm25").alias("method"), "query_id", "neighbor_id",
         "score", "rank")
-    tfidf = rt.bm25_topk(qs, docs, k=5, method="tfidf").select(
+    tfidf = rt.bm25_topk(qs, docs, k=5, method="tfidf", stats=st).select(
         F.lit("tfidf").alias("method"), "query_id", "neighbor_id",
         "score", "rank")
     return bm.unionByName(tfidf)
@@ -4612,7 +4585,9 @@ def mean_pool_embeddings(spark, sf_dir):
     and count exactly."""
     from graflo_spark.ops.simsearch import mean_pool_embeddings as pool
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    # the oracle's unnest drops NULL vectors; mirror it explicitly
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()).withColumn(
         "g", F.col("vec_id") % 8)
     pooled = pool(emb, "g")
     return pooled.select(
@@ -4687,7 +4662,7 @@ def hybrid_dense_sparse_search(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, text string")
-    sparse = rt.bm25_topk(qs, docs, k=5)
+    sparse = rt.bm25_topk(qs, docs, k=5, stats=rt.corpus_stats(docs))
     dense = ss.brute_force_topk(
         emb.filter(F.col("vec_id") < 3), emb, k=5)
     return rt.rrf_fuse([sparse, dense.select(
