@@ -139,6 +139,12 @@ class GraphView:
 
     # ------------------------------------------------------------ edge ops
     def _node_key(self, vertex: str, prefix: str) -> F.Column:
+        # NOTE concat_ws skips NULL components, so two multi-field
+        # identities differing only in WHICH field is null would collide.
+        # The ingest pipeline guarantees non-null identity (unkeyed rows
+        # are dropped/resolved at build — compiler drop-unkeyed policy),
+        # so keys here are total; data bypassing the pipeline must uphold
+        # the same contract.
         identity = self.schema.vertex(vertex).identity_fields
         return F.concat_ws(
             "\x1f", F.lit(vertex), *[F.col(f"{prefix}{f}").cast("string") for f in identity]
@@ -216,8 +222,15 @@ class GraphView:
             FilterExpression.parse(anchor).to_column()
         )
         akeys = anchors.select(self.vertex_key_col(vertex).alias("src_key"))
+        # the same size guard as _bfs's frontier: a broad anchor filter can
+        # match millions of vertices, and a FORCED broadcast there is an
+        # executor OOM — past the threshold the hint drops and AQE picks
+        # the strategy from real stats
+        if anchors.limit(BROADCAST_FRONTIER_MAX_ROWS + 1).count() \
+                <= BROADCAST_FRONTIER_MAX_ROWS:
+            akeys = F.broadcast(akeys)
         edges = self.typed_edge_list(direction=direction)
-        return edges.join(F.broadcast(akeys), "src_key").limit(limit)
+        return edges.join(akeys, "src_key").limit(limit)
 
     # ----------------------------------------------------------- traversal
     def neighbors(
@@ -319,6 +332,11 @@ class GraphView:
                         .select(*[
                             F.col(f"b_{i}").alias(f"k_{i}") for i in range(n_dst)
                         ])
+                        # a NULL endpoint key is not an addressable node —
+                        # and it would defeat the visited anti-join (SQL
+                        # null never equals null), re-entering the
+                        # frontier every hop with duplicate output rows
+                        .na.drop()
                         .dropDuplicates()
                     )
                     reached[dst_t] = (
@@ -469,6 +487,13 @@ class GraphView:
         # the merged-result contract explicit
         return out.groupBy("node_key", "node_type").agg(F.min("hop").alias("hop"))
 
+    def _algo_edges(self, relations: list[str] | None) -> DataFrame:
+        """The (id_a, id_b) edge projection every graph-algorithm wrapper
+        feeds to ops/graphalgo — one definition, not five copies."""
+        return self.typed_edge_list(
+            relations=relations, direction=Direction.OUT
+        ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
+
     def connected_components(
         self,
         relations: list[str] | None = None,
@@ -483,9 +508,7 @@ class GraphView:
         the relation filter) are their own singleton components."""
         from graflo_spark.ops import graphalgo as ga
 
-        edges = self.typed_edge_list(
-            relations=relations, direction=Direction.OUT
-        ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
+        edges = self._algo_edges(relations)
         cc = ga.connected_components(edges, max_iter=max_iter)
         nodes = self._all_typed_nodes()
         return (
@@ -513,9 +536,7 @@ class GraphView:
         (:func:`graflo_spark.ops.graphalgo.pagerank`)."""
         from graflo_spark.ops import graphalgo as ga
 
-        edges = self.typed_edge_list(
-            relations=relations, direction=Direction.OUT
-        ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
+        edges = self._algo_edges(relations)
         pr = ga.pagerank(
             edges, damping=damping, max_iter=max_iter, tol=tol)
         nodes = self._all_typed_nodes()
@@ -540,9 +561,7 @@ class GraphView:
         orientation (:func:`graflo_spark.ops.graphalgo.triangle_count`)."""
         from graflo_spark.ops import graphalgo as ga
 
-        edges = self.typed_edge_list(
-            relations=relations, direction=Direction.OUT
-        ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
+        edges = self._algo_edges(relations)
         tri = ga.triangle_count(edges, per_node=per_node)
         if not per_node:
             return tri
@@ -568,9 +587,7 @@ class GraphView:
         (:func:`graflo_spark.ops.graphalgo.label_propagation`)."""
         from graflo_spark.ops import graphalgo as ga
 
-        edges = self.typed_edge_list(
-            relations=relations, direction=Direction.OUT
-        ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
+        edges = self._algo_edges(relations)
         lp = ga.label_propagation(edges, max_iter=max_iter)
         nodes = self._all_typed_nodes()
         return (
@@ -595,9 +612,7 @@ class GraphView:
         :func:`graflo_spark.ops.graphalgo.link_prediction_scores`)."""
         from graflo_spark.ops import graphalgo as ga
 
-        edges = self.typed_edge_list(
-            relations=relations, direction=Direction.OUT
-        ).select(F.col("src_key").alias("id_a"), F.col("dst_key").alias("id_b"))
+        edges = self._algo_edges(relations)
         return ga.link_prediction_scores(
             edges, min_common=min_common, exclude_existing=exclude_existing,
             max_degree=max_degree,

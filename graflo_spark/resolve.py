@@ -10,8 +10,10 @@ policy when a secondary key matches several vertices (graflo/onto.py:176-188):
     skip   — drop ambiguous keys entirely
     error  — raise if any key is ambiguous
 
-Spark design: one left join on the secondary-key columns; the policy is join
-multiplicity control (``row_number() == 1`` for first, a match-count filter
+Spark design: one INNER join on the secondary-key columns (edges whose key
+matches no vertex are dropped — unresolvable endpoints cannot form an edge;
+surface them beforehand with ``keep_absent`` if the pipeline must account
+for them); the policy is join multiplicity control (``row_number() == 1`` for first, a match-count filter
 for skip, an assertion count for error). The vertex side is the small side in
 typical workloads — broadcast when it fits.
 
@@ -47,6 +49,13 @@ def resolve_endpoints(
         *[F.col(f).alias(f"{pref}{f}__sec") for f in secondary_fields],
         *[F.col(f).alias(f"{pref}{f}") for f in primary_fields],
     )
+    # Secondary identities are soft-unique and typically SPARSE: a null
+    # key can never match an edge (SQL null equality), but left in the
+    # lookup it would make policy='error' raise on — and policy='skip'
+    # pointlessly window over — vertices that are not ambiguous at all
+    # (review finding). Drop them before any policy logic.
+    lookup = lookup.na.drop(
+        subset=[f"{pref}{f}__sec" for f in secondary_fields])
     if policy == "first":
         w = Window.partitionBy(
             *[f"{pref}{f}__sec" for f in secondary_fields]
@@ -103,16 +112,26 @@ def blank_edge_join(
 ) -> DataFrame:
     """Blank-vertex edge assembly (reference hq/db_writer.py:314-349): after
     uuid mint, join source/target docs on their shared identity fields; when
-    no shared fields exist, fall back to positional zip (row_number join)."""
+    no shared fields exist, fall back to positional zip (row_number join).
+
+    The zip orders each side by its OWN key column — minted keys are
+    unique, so the pairing is deterministic across runs and partitionings
+    (a ``row_number`` over ``orderBy(lit(1))`` would pair whatever order
+    each branch's shuffle happened to produce — review finding). A length
+    mismatch raises instead of silently truncating to the shorter side."""
     if shared_fields:
         s = source_docs.select(*shared_fields, F.col(src_key).alias("_src__key"))
         t = target_docs.select(*shared_fields, F.col(dst_key).alias("_dst__key"))
         return s.join(t, shared_fields).select("_src__key", "_dst__key")
-    w = Window.orderBy(F.lit(1))
+    n_s, n_t = source_docs.count(), target_docs.count()
+    if n_s != n_t:
+        raise ValueError(
+            f"blank_edge_join positional zip needs equal sides: "
+            f"{n_s} source rows vs {n_t} target rows")
     s = source_docs.select(F.col(src_key).alias("_src__key")).withColumn(
-        "__rn", F.row_number().over(w)
+        "__rn", F.row_number().over(Window.orderBy("_src__key"))
     )
     t = target_docs.select(F.col(dst_key).alias("_dst__key")).withColumn(
-        "__rn", F.row_number().over(w)
+        "__rn", F.row_number().over(Window.orderBy("_dst__key"))
     )
     return s.join(t, "__rn").drop("__rn")

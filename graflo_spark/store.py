@@ -150,12 +150,16 @@ class GraphStore:
 
     def _current_manifest(self, table_dir: str) -> tuple[int, dict[str, str]]:
         """(version, {bucket_id: table-relative data dir}) of the newest
-        committed manifest; (0, {}) when the table has none. Manifest files
-        appear atomically (hard-link publish), so the newest one present is
-        always complete."""
+        committed manifest; when the table has none, (floor, {}) where
+        floor is the snapshot-era version counter (_write_snapshot) or 0
+        for a genuinely fresh table — the counter NEVER restarts across a
+        schema-evolution snapshot, so a post-evolution commit can never
+        alias a version number some graph manifest pinned pre-evolution.
+        Manifest files appear atomically (hard-link publish), so the
+        newest one present is always complete."""
         cdir = self._commits_dir(table_dir)
         if not os.path.isdir(cdir):
-            return 0, {}
+            return self._snapshot_floor(table_dir), {}
         versions = sorted(
             (
                 int(f[1:-5])
@@ -165,7 +169,7 @@ class GraphStore:
             reverse=True,
         )
         if not versions:
-            return 0, {}
+            return self._snapshot_floor(table_dir), {}
         v = versions[0]
         with open(os.path.join(cdir, f"v{v:010d}.json")) as f:
             return v, json.load(f)["buckets"]
@@ -191,7 +195,8 @@ class GraphStore:
         finally:
             os.unlink(tmp)
 
-    def _gc_table(self, table_dir: str, grace: float | None = None) -> None:
+    def _gc_table(self, table_dir: str, grace: float | None = None,
+                  keep: int | None = None) -> None:
         """Expire old versions: drop manifests beyond ``snapshot_keep`` and
         delete data commit dirs no kept manifest references. Run only after
         a successful commit, so the newest version always survives. Data
@@ -200,7 +205,7 @@ class GraphStore:
         version finish their scan instead of hitting missing files."""
         if grace is None:
             grace = self.gc_grace_seconds
-        keep = max(self.snapshot_keep, 1)
+        keep = max(self.snapshot_keep if keep is None else keep, 1)
         cdir = self._commits_dir(table_dir)
         if not os.path.isdir(cdir):
             return
@@ -408,6 +413,16 @@ class GraphStore:
             keep = 1
         for g in sorted(gens, reverse=True)[keep - 1:]:
             shutil.rmtree(os.path.join(snaps, str(g)), ignore_errors=True)
+        # The snapshot takes the NEXT version number and the counter is
+        # persisted in the snapshots dir: evolution supersedes history
+        # (pre-evolution pinned versions now raise loudly as expired) but
+        # must never RESTART the counter — a restarted counter would let a
+        # later commit silently alias a version number an unexpired graph
+        # manifest still pins to pre-evolution data (review finding).
+        floor = max(self._table_version(table_dir) + 1,
+                    self._snapshot_floor(table_dir) + 1)
+        with open(os.path.join(snaps, "_floor"), "w") as fh:
+            fh.write(str(floor))
         # a full-table snapshot supersedes every incremental layout: drop
         # the legacy bucket dirs AND the manifest commit log + data dirs
         # (the df was fully materialized into the snapshot above, so their
@@ -415,6 +430,17 @@ class GraphStore:
         shutil.rmtree(self._buckets_dir(table_dir), ignore_errors=True)
         shutil.rmtree(self._commits_dir(table_dir), ignore_errors=True)
         shutil.rmtree(self._data_dir(table_dir), ignore_errors=True)
+
+    def _snapshot_floor(self, table_dir: str) -> int:
+        """The version number the latest evolution snapshot carries (0 when
+        the table never snapshotted): the version counter's low-water mark
+        across commit-log resets."""
+        f = os.path.join(table_dir, "snapshots", "_floor")
+        try:
+            with open(f) as fh:
+                return int(fh.read().strip() or 0)
+        except OSError:
+            return 0
 
     # ---------------------------------------------------------------- DDL
     def apply_target_schema(self, recreate: bool = False) -> None:
@@ -528,9 +554,19 @@ class GraphStore:
         if dry:
             df.explain()
             return
-        identity = [
-            f for f in self.schema.vertex(name).identity_fields if f in df.columns
-        ]
+        declared = self.schema.vertex(name).identity_fields
+        missing = [f for f in declared if f not in df.columns]
+        if missing:
+            # merging on a SUBSET of the identity would hash rows to
+            # different buckets than the table was written with — the
+            # existing-row read then misses the real row and the commit
+            # publishes a duplicate entity (or collapses distinct ones):
+            # silent corruption, so fail loudly instead (review finding)
+            raise ValueError(
+                f"upsert_vertices({name!r}): batch is missing identity "
+                f"column(s) {missing}; merge-on-identity needs every "
+                "identity field present")
+        identity = list(declared)
         table_dir = self._table_dir("vertices", name)
         n = self._record_buckets(table_dir)
         # identity-less tables bucket on the full row hash: duplicates still
@@ -921,6 +957,14 @@ class GraphStore:
         path = os.path.join(
             self._commits_dir(table_dir), f"v{version:010d}.json")
         if not os.path.exists(path):
+            # the snapshot-era version: between a schema-evolution
+            # snapshot and the next upsert, the snapshot IS the version
+            # the counter floor names — graph manifests committed in that
+            # window must stay readable
+            if version == self._snapshot_floor(table_dir):
+                latest = self._latest_snapshot(table_dir)
+                if latest is not None:
+                    return self.spark.read.parquet(latest)
             raise FileNotFoundError(
                 f"version {version} of {table_dir} is not committed or has "
                 f"been expired (kept: {self.snapshot_keep})")
@@ -936,15 +980,10 @@ class GraphStore:
         """Iceberg-style snapshot expiration, public handle: drop all but
         the newest ``keep`` manifests (default ``snapshot_keep``) and
         delete data dirs nothing kept references."""
-        if keep is not None:
-            old = self.snapshot_keep
-            self.snapshot_keep = keep
-            try:
-                self._gc_table(self._table_dir(kind, name), grace=0.0)
-            finally:
-                self.snapshot_keep = old
-        else:
-            self._gc_table(self._table_dir(kind, name), grace=0.0)
+        # keep rides as a parameter — mutating self.snapshot_keep here
+        # would leak the temporary retention into a concurrent writer's
+        # post-commit _gc_table on ANOTHER table (review finding)
+        self._gc_table(self._table_dir(kind, name), grace=0.0, keep=keep)
 
     # --------------------------------------------------------------- read
     def _read_table(self, table_dir: str, label: str) -> DataFrame:
