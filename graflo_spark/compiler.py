@@ -142,6 +142,7 @@ class ResourceCompiler:
 
     def compile(self, df: DataFrame, persist: bool = True) -> GraphBatch:
         self.extracts, self.edge_jobs = [], []
+        self._dynamic_steps: list[DynamicEdgeStep] = []
         self._explicit_pairs = set()
 
         base = self._prepare_base(df)
@@ -151,6 +152,15 @@ class ResourceCompiler:
             base = base.persist(StorageLevel.MEMORY_AND_DISK)
         root = Frame(path=(), df=base, pos_cols=(), pos_path=())
         self._walk(root, self.resource.steps)
+        # dynamic links enumerate AFTER the whole walk: their role cross
+        # product must see every extract, including ones from steps that
+        # appear after the DynamicEdgeStep (review finding — eager
+        # enumeration silently dropped later branches' edges; only
+        # RENDERING was deferred before)
+        for dstep in self._dynamic_steps:
+            for link in self._dynamic_links(dstep):
+                self.edge_jobs.append(_EdgeJob(link, dynamic=True))
+                self._explicit_pairs.add((link.source, link.target))
 
         edges: dict[EdgeId, list[DataFrame]] = {}
         for job in self.edge_jobs:
@@ -210,9 +220,7 @@ class ResourceCompiler:
                         self.edge_jobs.append(_EdgeJob(link))
                         self._explicit_pairs.add((link.source, link.target))
                 else:
-                    for link in self._dynamic_links(step):
-                        self.edge_jobs.append(_EdgeJob(link, dynamic=True))
-                        self._explicit_pairs.add((link.source, link.target))
+                    self._dynamic_steps.append(step)
             else:
                 raise TypeError(f"unknown step {step!r}")
 
@@ -305,9 +313,23 @@ class ResourceCompiler:
                 col = col.cast(st)
             exprs[f.name] = col
 
-        resolver = lambda name: exprs[name]  # noqa: E731
+        def resolver(name):
+            try:
+                return exprs[name]
+            except KeyError:
+                raise ValueError(
+                    f"vertex {v.name!r}: filter references field {name!r} "
+                    f"not extracted at this site (available: "
+                    f"{sorted(exprs)})") from None
+
+        # a funnel BRANCH whose field is absent at this site must fall
+        # through to the next branch (ordered-fallback semantics), not
+        # crash compile (review finding): absent -> null -> branch loses
+        funnel_resolver = (
+            lambda name: exprs.get(name, F.lit(None).cast("string")))
         if v.identity_mode == IdentityMode.HASH:
-            exprs[Vertex.HASH_KEY] = ident.funnel_expr(v.identity_funnel, resolver)
+            exprs[Vertex.HASH_KEY] = ident.funnel_expr(
+                v.identity_funnel, funnel_resolver)
         elif v.identity_mode in (IdentityMode.ASSIGNED, IdentityMode.BLANK):
             # deterministic mint: digest over all extracted fields + site
             seed = dict(exprs)
@@ -546,6 +568,19 @@ class ResourceCompiler:
         else:
             join_keys = [DOC_ID] + self._shared_pos_cols(se.frame, te.frame)
             sdf, tdf = se.frame.df, te.frame.df
+            if DOC_ID not in sdf.columns or DOC_ID not in tdf.columns:
+                # doc-id-free resources (flat + natural identity, no
+                # doc_key) only support SAME-ROW edges; a TransformStep
+                # between the two endpoint extracts rebinds the frame, so
+                # there is no row identity to join on — fail with the fix
+                # (a doc_key) instead of an unresolved-column
+                # AnalysisException deep in the plan (review finding)
+                raise ValueError(
+                    f"edge {link.source}->{link.target}: endpoints were "
+                    "extracted from different frames of a resource with "
+                    "no document id; set ResourceConfig.doc_key (or keep "
+                    "both extracts on one frame) so the endpoints can be "
+                    "matched by row")
             if se.filter_cond is not None:
                 sdf = sdf.filter(se.filter_cond)
             if te.filter_cond is not None:

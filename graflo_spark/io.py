@@ -303,7 +303,11 @@ def read_api_source(
             raise ValueError(f"unknown pagination {cfg.pagination!r}")
 
         last_err: Exception | None = None
-        for attempt in range(cfg.max_retries):
+        last_err: Exception | None = None
+        for attempt in range(max(cfg.max_retries, 1)):
+            # max(,1): max_retries=0 must still attempt once — a zero-trip
+            # loop would leave batch/cursor unbound and raise a confusing
+            # UnboundLocalError instead of the real fetch error
             try:
                 batch, cursor = fetch_page(params)
                 last_err = None
@@ -425,6 +429,12 @@ class SelectSpec:
         df = tables[self.base]
         for j in self.joins:
             right = tables[j.table]
+            if j.alias:
+                # two joins against the SAME table (two FKs to one parent,
+                # the shape derive_join_spec emits) need distinct lineage:
+                # an aliased plan keeps the second join's column references
+                # resolvable instead of self-join-ambiguous
+                right = right.alias(j.alias)
             if j.select_fields is not None:
                 right = right.select(
                     *dict.fromkeys(list(j.on.values()) + j.select_fields)
@@ -434,10 +444,13 @@ class SelectSpec:
                 c = df[lc] == right[rc]
                 cond = c if cond is None else (cond & c)
             df = df.join(right, cond, j.how)
-            # drop the duplicated right-side join keys
+            # drop the duplicated right-side join keys — BY COLUMN
+            # REFERENCE, unconditionally: a same-name key (rc == lc, the
+            # common FK-to-PK-of-same-name join) otherwise leaves two
+            # identically-named columns and every later reference is
+            # AMBIGUOUS_REFERENCE (review finding)
             for lc, rc in j.on.items():
-                if rc in df.columns and rc != lc:
-                    df = df.drop(right[rc])
+                df = df.drop(right[rc])
         if self.where is not None:
             df = df.filter(FilterExpression.parse(self.where).to_column())
         for g in self.not_null_guards:

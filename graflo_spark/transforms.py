@@ -58,14 +58,22 @@ BUILTINS: dict[str, Callable[..., list[Column]]] = {
     "try_int": lambda cols, p: [c.cast("string").try_cast("long") for c in cols],
     "try_float": lambda cols, p: [c.cast("string").try_cast("double") for c in cols],
     "round_str": lambda cols, p: [
-        F.format_number(c.cast("double"), int(p.get("ndigits", 2))) for c in cols
+        # format_string, not format_number: the latter inserts thousands
+        # separators ("1,234.57"), which the reference's plain rounded
+        # string does not and numeric re-parses reject (review finding)
+        F.when(c.isNotNull(), F.format_string(
+            f"%.{int(p.get('ndigits', 2))}f", F.round(
+                c.cast("double"), int(p.get("ndigits", 2))))) for c in cols
     ],
     "round": lambda cols, p: [F.round(c, int(p.get("ndigits", 2))) for c in cols],
+    # re.escape: the reference semantics are LITERAL str.removeprefix /
+    # removesuffix — an unescaped "." or "$" in the param would mis-match
+    # or never match as a regex (review finding)
     "remove_prefix": lambda cols, p: [
-        F.regexp_replace(c, "^" + p["prefix"], "") for c in cols
+        F.regexp_replace(c, "^" + _re_escape(p["prefix"]), "") for c in cols
     ],
     "remove_suffix": lambda cols, p: [
-        F.regexp_replace(c, p["suffix"] + "$", "") for c in cols
+        F.regexp_replace(c, _re_escape(p["suffix"]) + "$", "") for c in cols
     ],
     "split_keep_part": lambda cols, p: [
         F.element_at(F.split(c, p.get("sep", r"\s+")), int(p.get("index", 0)) + 1)
@@ -111,6 +119,12 @@ BUILTINS: dict[str, Callable[..., list[Column]]] = {
 }
 
 
+def _re_escape(s: str) -> str:
+    import re
+
+    return re.escape(str(s))
+
+
 def _parse_multi_item(col: Column, params: dict) -> list[Column]:
     """Quoted/bracketed multi-item string -> per-key arrays (reference
     util/transform.py:328-377: ``'[name: John, age: 30] [name: Jane]'`` with
@@ -127,7 +141,11 @@ def _parse_multi_item(col: Column, params: dict) -> list[Column]:
         F.regexp_extract_all(col, F.lit(r"'(.*?)'"), F.lit(1)),
     )
     bracketed = F.regexp_extract_all(col, F.lit(r"\[([^]]+)\]"), F.lit(1))
-    items = F.when(col.contains("'"), quoted).otherwise(bracketed)
+    # bracketed input wins even when a VALUE carries an apostrophe
+    # ("[name: O'Brien]"), and double-quoted input is quoted input too
+    items = F.when(
+        col.contains("["), bracketed
+    ).when(col.contains("'") | col.contains('"'), quoted).otherwise(bracketed)
     out = []
     def value_for(item: Column, key: str) -> Column:
         # "k: v" entries; regexp_extract rejects lambda-variable inputs, so
@@ -193,6 +211,10 @@ class Transform:
             return self._apply_keys(df)
         if self.rename:
             present = {k: v for k, v in self.rename.items() if k in df.columns}
+            if len(present) < len(self.rename) and self.fail_on_missing:
+                missing = sorted(set(self.rename) - set(present))
+                raise ValueError(
+                    f"rename inputs missing from frame: {missing}")
             return df.withColumnsRenamed(present)
         if self.input_groups:
             out = df
@@ -233,8 +255,12 @@ class Transform:
             return self._apply_python_all(df)
         outputs = self.output or input_cols
         if not self._missing_guard(df, input_cols):
-            # error tolerance: null the declared outputs (reference
-            # actor/transform.py:277-294)
+            # error tolerance: null the DECLARED outputs — for a dress
+            # transform those are the key/value pivot columns, not the
+            # missing input's name (review finding: nulling the input
+            # name left downstream mappings unresolved)
+            if self.dress:
+                outputs = [self.dress["key"], self.dress["value"]]
             return df.withColumns({o: F.lit(None) for o in outputs})
 
         if self.dress:
@@ -316,9 +342,15 @@ class Transform:
         if n_out == 1:
             @pandas_udf("string")
             def u(*series: pd.Series) -> pd.Series:
+                # keep None as SQL null: .astype(str) would mint the
+                # literal string "None", which survives isNotNull guards
+                # and poisons identity digests (review finding); the
+                # multi-output struct path already preserves None
                 return pd.Series(
-                    [fn(*vals, **params) for vals in zip(*series)], dtype=object
-                ).astype(str)
+                    [None if v is None else str(v)
+                     for v in (fn(*vals, **params) for vals in zip(*series))],
+                    dtype=object,
+                )
 
             return [u(*[F.col(c) for c in input_cols])]
 

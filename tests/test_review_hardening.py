@@ -137,3 +137,126 @@ def test_bfs_null_endpoint_not_reexpanded(spark):
     rows = [(r["node_key"], r["hop"]) for r in out.collect()]
     assert len(rows) == len(set(r[0] for r in rows))  # one row per node
     assert sorted(rows) == [("n\x1f0", 0), ("n\x1f1", 1)]
+
+
+def test_selectspec_same_name_join_key_not_ambiguous(spark):
+    from graflo_spark.io import JoinClause, SelectSpec
+
+    base = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    right = spark.createDataFrame([(1, "R1")], "id long, r string")
+    spec = SelectSpec(
+        base="b",
+        joins=[JoinClause(table="r", on={"id": "id"})],
+        where={"field": "id", "op": ">=", "value": 1},   # would be AMBIGUOUS pre-fix
+        select=["id", "v", "r"],
+    )
+    out = spec.compile({"b": base, "r": right}).collect()
+    assert sorted((r["id"], r["r"]) for r in out) == [(1, "R1"), (2, None)]
+
+
+def test_round_str_no_thousands_separators(spark):
+    from graflo_spark.transforms import Transform
+
+    df = spark.createDataFrame([(1234.567,), (None,)], "x double")
+    out = Transform(fn="round_str", input=["x"], output=["s"]).apply(df)
+    vals = [r["s"] for r in out.orderBy(F.col("x").asc_nulls_last()).collect()]
+    assert vals == ["1234.57", None]
+
+
+def test_python_fn_none_stays_null(spark):
+    from graflo_spark.transforms import Transform
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    t = Transform(python_fn=lambda v: None if v == 2 else f"v{v}",
+                  input=["x"], output=["y"])
+    rows = {r["x"]: r["y"] for r in t.apply(df).collect()}
+    assert rows == {1: "v1", 2: None}            # not the string "None"
+
+
+def test_remove_prefix_is_literal(spark):
+    from graflo_spark.transforms import Transform
+
+    df = spark.createDataFrame([("1.2-a",), ("1x2-b",)], "x string")
+    out = Transform(fn="remove_prefix", input=["x"], output=["y"],
+                    params={"prefix": "1.2-"}).apply(df)
+    assert {r["x"]: r["y"] for r in out.collect()} == {
+        "1.2-a": "a", "1x2-b": "1x2-b"}          # dot no longer wildcards
+
+
+def test_parse_multi_item_double_quotes_and_bracketed_apostrophe(spark):
+    from graflo_spark.transforms import Transform
+
+    df = spark.createDataFrame(
+        [('"name: John" "name: Jane"',), ("[name: O'Brien] [name: Jane]",)],
+        "x string")
+    out = Transform(fn="parse_multi_item", input=["x"], output=["names"],
+                    params={"keys": {"name": "names"}}).apply(df)
+    got = {r["x"]: r["names"] for r in out.collect()}
+    assert got['"name: John" "name: Jane"'] == ["John", "Jane"]
+    assert got["[name: O'Brien] [name: Jane]"] == ["O'Brien", "Jane"]
+
+
+def test_dress_missing_input_nulls_declared_outputs(spark):
+    from graflo_spark.transforms import Transform
+
+    df = spark.createDataFrame([(1,)], "other long")
+    t = Transform(fn="standardize", input=["price"],
+                  dress={"key": "k", "value": "v"}, fail_on_missing=False)
+    out = t.apply(df)
+    assert {"k", "v"} <= set(out.columns)        # pivot columns exist, null
+    r = out.first()
+    assert r["k"] is None and r["v"] is None
+
+
+def test_doc_id_free_cross_frame_edge_raises_clearly(spark):
+    from graflo_spark.compiler import compile_resource
+    from graflo_spark.steps import (
+        EdgeLink, EdgeStep, ResourceConfig, TransformStep, VertexStep)
+    from graflo_spark.transforms import Transform
+
+    schema = CoreSchema(
+        vertices=[Vertex("a", [Field("x")], identity=["x"]),
+                  Vertex("b", [Field("y")], identity=["y"])],
+        edges=[Edge("a", "b", relation="to")],
+    )
+    df = spark.createDataFrame([("1", "2")], "x string, y string")
+    res = ResourceConfig("r", steps=[
+        VertexStep(name="a"),
+        TransformStep(transform=Transform(rename={"y": "y"})),
+        VertexStep(name="b"),
+        EdgeStep(links=[EdgeLink(source="a", target="b")]),
+    ], infer_edges=False)
+    with pytest.raises(ValueError, match="doc_key"):
+        compile_resource(schema, res, df)
+
+
+def test_dynamic_edge_step_sees_later_extracts(spark):
+    """A DynamicEdgeStep placed BEFORE the router that fills its target
+    role must still render those edges: link enumeration happens after the
+    whole walk, not at the step's position (pre-fix the later router's
+    types were silently absent from the cross product)."""
+    from graflo_spark.compiler import compile_resource
+    from graflo_spark.steps import (
+        DynamicEdgeStep, ResourceConfig, VertexRouterStep)
+
+    schema = CoreSchema(
+        vertices=[Vertex("s", [Field("sid")], identity=["sid"]),
+                  Vertex("t", [Field("tid")], identity=["tid"])],
+        edges=[Edge("s", "t", relation="to")],
+    )
+    df = spark.createDataFrame(
+        [(1, "s", 10, "t")], "sid long, skind string, tid long, tkind string")
+    res = ResourceConfig("r", steps=[
+        VertexRouterStep(type_field="skind", type_map={"s": "s"},
+                         vertex_from_map={"s": {"sid": "sid"}},
+                         role="src"),
+        DynamicEdgeStep(source_role="src", target_role="dst"),
+        # the target-role router comes AFTER the dynamic edge step
+        VertexRouterStep(type_field="tkind", type_map={"t": "t"},
+                         vertex_from_map={"t": {"tid": "tid"}},
+                         role="dst"),
+    ], infer_edges=False)
+    batch = compile_resource(schema, res, df)
+    eids = {(e.source, e.target) for e in batch.edges}
+    assert ("s", "t") in eids
+    assert batch.edges[next(iter(batch.edges))].count() == 1
