@@ -87,9 +87,20 @@ class RemoveVertexOp(EvolutionOp):
         return s
 
     def migrate(self, store) -> None:
+        import os
         import shutil
 
         shutil.rmtree(store._table_dir("vertices", self.name), ignore_errors=True)
+        # cascade removed incident edges from the SCHEMA; their tables
+        # must go too, or a later re-declaration of the same vertex+edge
+        # would resurrect the pre-removal edge rows as current data
+        # (review finding)
+        edir = os.path.join(store.root, "edges")
+        if os.path.isdir(edir):
+            for d in os.listdir(edir):
+                parts = d.split("__")
+                if len(parts) == 3 and self.name in (parts[0], parts[2]):
+                    shutil.rmtree(os.path.join(edir, d), ignore_errors=True)
 
 
 @dataclass
@@ -177,6 +188,13 @@ class RenamePropertyOp(EvolutionOp):
         v = s.vertex(self.vertex)
         if self.old not in v.field_names:
             raise KeyError(f"{self.vertex}.{self.old}")
+        if self.new in v.field_names:
+            # withColumnRenamed onto an existing name yields DUPLICATE
+            # columns and an unreadable table (review finding; the edge
+            # rename op already guards this)
+            raise ValueError(
+                f"{self.vertex}.{self.new} already exists; cannot rename "
+                f"{self.old!r} onto it")
         v.fields = [
             Field(self.new, f.type, f.item_type) if f.name == self.old else f
             for f in v.fields
@@ -275,10 +293,14 @@ class ReplaceIdentityOp(EvolutionOp):
             df = store.read_vertices(self.vertex)
         except FileNotFoundError:
             return
+        subset = [c for c in self.identity if c in df.columns]
+        # dropDuplicates([]) collapses the WHOLE table to one arbitrary
+        # row (verified on Spark 4.1) — hash/funnel/assigned identities
+        # have no stored identity column, so fall back to full-row dedup,
+        # which never merges distinct rows (review finding)
+        deduped = df.dropDuplicates(subset) if subset else df.dropDuplicates()
         store._write_snapshot(
-            store._table_dir("vertices", self.vertex),
-            df.dropDuplicates([c for c in self.identity if c in df.columns]),
-        )
+            store._table_dir("vertices", self.vertex), deduped)
 
 
 # -------------------------------------------------------------------- edges
@@ -331,11 +353,23 @@ class RetargetEdgesOp(EvolutionOp):
         s = _clone(schema)
         if self.new_vertex not in s.vertex_names:
             raise ValueError(f"vertex {self.new_vertex!r} not declared")
+        if not any(self.old_vertex in (e.source, e.target) for e in s.edges):
+            # a typo'd old_vertex must not silently no-op
+            raise ValueError(
+                f"no edges reference vertex {self.old_vertex!r}")
         for e in s.edges:
             if e.source == self.old_vertex:
                 e.source = self.new_vertex
             if e.target == self.old_vertex:
                 e.target = self.new_vertex
+        # a retarget can collide two edge ids; keep first (the
+        # MergeVerticesOp discipline — duplicate ids are invalid schema)
+        seen, edges = set(), []
+        for e in s.edges:
+            if e.edge_id not in seen:
+                seen.add(e.edge_id)
+                edges.append(e)
+        s.edges = edges
         return s
 
 
@@ -353,7 +387,8 @@ class MergeVerticesOp(EvolutionOp):
         dst, src = s.vertex(self.into), s.vertex(self.other)
         have = set(dst.field_names)
         dst.fields += [f for f in src.fields if f.name not in have]
-        s = RetargetEdgesOp(self.other, self.into).apply(s)
+        if any(self.other in (e.source, e.target) for e in s.edges):
+            s = RetargetEdgesOp(self.other, self.into).apply(s)
         s.vertices = [v for v in s.vertices if v.name != self.other]
         # a merge can create self-loops or duplicate edge ids; keep first
         seen, edges = set(), []
@@ -385,6 +420,27 @@ class MergeVerticesOp(EvolutionOp):
                 merged = merged.dropDuplicates(identity)
             store._write_snapshot(store._table_dir("vertices", self.into), merged)
             shutil.rmtree(store._table_dir("vertices", self.other), ignore_errors=True)
+        # edge table dirs embed endpoint names: the retarget in apply()
+        # re-addressed (other -> X) edges as (into -> X), so the physical
+        # dirs must follow or their data is orphaned (review finding; the
+        # RenameVertexOp.migrate pattern). A collision with an existing
+        # (into -> X) table keeps the existing dir — the first-id-wins
+        # dedup apply() already performs on the schema side.
+        import os
+
+        edir = os.path.join(store.root, "edges")
+        if os.path.isdir(edir):
+            for d in sorted(os.listdir(edir)):
+                parts = d.split("__")
+                if len(parts) == 3 and self.other in (parts[0], parts[2]):
+                    parts = [self.into if p == self.other else p
+                             for p in parts]
+                    dst = os.path.join(edir, "__".join(parts))
+                    srcdir = os.path.join(edir, d)
+                    if os.path.exists(dst):
+                        shutil.rmtree(srcdir, ignore_errors=True)
+                    else:
+                        os.rename(srcdir, dst)
 
 
 @dataclass

@@ -31,12 +31,19 @@ def column_uniqueness(df: DataFrame, cols: list[str] | None = None) -> DataFrame
     column with ratio 1.0 and no nulls is a perfect natural key).
     """
     cols = cols or df.columns
+    # positional aliases + quote-escaped name literals: a column named
+    # "order id" (space/hyphen/quote) would otherwise make the stack()
+    # expression unparseable (review finding, verified ParseException)
     agg = df.agg(
         F.count(F.lit(1)).alias("__n"),
-        *[F.countDistinct(F.col(c)).alias(f"__d_{c}") for c in cols],
-        *[F.count(F.col(c)).alias(f"__nn_{c}") for c in cols],
+        *[F.countDistinct(F.col(c)).alias(f"__d_{i}")
+          for i, c in enumerate(cols)],
+        *[F.count(F.col(c)).alias(f"__nn_{i}")
+          for i, c in enumerate(cols)],
     )
-    stack = ", ".join(f"'{c}', __d_{c}, __nn_{c}" for c in cols)
+    stack = ", ".join(
+        "'{}', __d_{}, __nn_{}".format(c.replace("'", "\\'"), i, i)
+        for i, c in enumerate(cols))
     return agg.selectExpr(
         "__n", f"stack({len(cols)}, {stack}) AS (column_name, n_distinct, n_nonnull)"
     ).select(
@@ -499,22 +506,39 @@ def infer_manifest_from_information_schema(
         table_fields.setdefault(r["table_name"], []).append(
             Field(r["column_name"], t, item))
 
-    kcu_by_con: dict[str, list] = {}
+    # constraints key by (table, name): constraint names COLLIDE across
+    # tables (MySQL names every PK 'PRIMARY'; Postgres permits duplicates
+    # per schema) — a bare-name key concatenates every table's PK columns
+    # into one entry (review finding)
+    kcu_by_con: dict[tuple[str, str], list] = {}
     for r in kcu:
-        kcu_by_con.setdefault(r["constraint_name"], []).append(r)
-    con_type = {r["constraint_name"]: r["constraint_type"] for r in cons}
-    con_table = {r["constraint_name"]: r["table_name"] for r in cons}
+        kcu_by_con.setdefault(
+            (r["table_name"], r["constraint_name"]), []).append(r)
+    con_type = {(r["table_name"], r["constraint_name"]):
+                r["constraint_type"] for r in cons}
+    con_tables: dict[str, list[str]] = {}
+    for r in cons:
+        con_tables.setdefault(r["constraint_name"], []).append(
+            r["table_name"])
 
     identities: dict[str, list[str]] = {name: [] for name in table_fields}
-    for con, rows in kcu_by_con.items():
-        if con_type.get(con) == "PRIMARY KEY":
-            identities[con_table[con]] = [r["column_name"] for r in rows]
+    for (tbl, con), rows in kcu_by_con.items():
+        if con_type.get((tbl, con)) == "PRIMARY KEY":
+            identities[tbl] = [r["column_name"] for r in rows]
+
+    def _rows_for(con_name: str) -> list:
+        # referential_constraints carries only the NAME; resolve it to
+        # the (single) table that declares a constraint so named
+        matches = [t for t in con_tables.get(con_name, [])]
+        if len(matches) != 1:
+            return []  # ambiguous cross-table name: skip rather than mispair
+        return kcu_by_con.get((matches[0], con_name), [])
 
     proven: dict[str, list[FkCandidate]] = {name: [] for name in table_fields}
     for r in refs:
         fk_con, uniq_con = r["constraint_name"], r["unique_constraint_name"]
-        child_rows = kcu_by_con.get(fk_con, [])
-        parent_rows = kcu_by_con.get(uniq_con, [])
+        child_rows = _rows_for(fk_con)
+        parent_rows = _rows_for(uniq_con)
         if not child_rows or len(child_rows) != len(parent_rows):
             continue
         for c_row, p_row in zip(child_rows, parent_rows):
