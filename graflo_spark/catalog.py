@@ -3410,11 +3410,12 @@ def fetch_edges_nation_anchor(spark, sf_dir):
     """fetch_edges: all edges incident to one anchor vertex, ANY direction
     (reference db/conn.py:483-527)."""
     view = star_view(spark, sf_dir)
-    # no limit= : the oracle is unbounded, and a cap would truncate
+    # limit=None: the oracle is unbounded, and any cap would truncate
     # nondeterministically once the anchor's incidence exceeds it
+    # (nation 3 has ~6000*sf customers at TPC-H scale)
     return view.fetch_edges(
         "nation", {"field": "n_nationkey", "op": "==", "value": 3},
-        direction=Direction.ANY)
+        direction=Direction.ANY, limit=None)
 
 
 _WINNOWING_ORACLE = (

@@ -343,11 +343,31 @@ class RemoveEdgeOp(EvolutionOp):
 @dataclass
 class RetargetEdgesOp(EvolutionOp):
     """Repoint edges from one endpoint vertex to another (reference
-    RetargetEdgesOp). Data migration remaps the endpoint key columns through
-    a provided key-mapping DataFrame (old_key -> new_key)."""
+    RetargetEdgesOp; graflo/architecture/evolution/apply.py retarget
+    semantics).
+
+    Data migration (:meth:`migrate`) physically re-addresses every edge
+    table that references ``old_vertex`` — the dir name embeds endpoint
+    names — and, when the two vertex types don't share a key space,
+    remaps the endpoint key columns through ``key_mapping``:
+
+    - ``key_mapping=None``: the vertices share a key space; requires the
+      old side's key columns to match ``new_vertex``'s identity fields
+      by name (raises otherwise — silently keeping mismatched columns
+      would orphan every edge), and migration is a pure dir rename.
+    - ``key_mapping`` DataFrame with columns ``old_<field>`` (one per
+      old-side key column) and ``new_<field>`` (one per ``new_vertex``
+      identity field): endpoint keys are remapped via an inner
+      broadcast join — an edge whose key has no mapping row is DANGLING
+      under the new addressing and is dropped, the resolve-endpoints
+      inner-join contract.
+
+    A dir collision with an existing ``new_vertex`` edge table keeps the
+    existing dir (apply()'s first-id-wins dedup on the schema side)."""
 
     old_vertex: str = ""
     new_vertex: str = ""
+    key_mapping: "object | None" = None  # DataFrame; not part of diffs
 
     def apply(self, schema: CoreSchema) -> CoreSchema:
         s = _clone(schema)
@@ -371,6 +391,84 @@ class RetargetEdgesOp(EvolutionOp):
                 edges.append(e)
         s.edges = edges
         return s
+
+    def migrate(self, store) -> None:
+        import os
+        import shutil
+
+        edir = os.path.join(store.root, "edges")
+        if not os.path.isdir(edir):
+            return
+        new_ident = list(store.schema.vertex(self.new_vertex).identity_fields)
+        for d in sorted(os.listdir(edir)):
+            parts = d.split("__")
+            if len(parts) != 3 or self.old_vertex not in (parts[0], parts[2]):
+                continue
+            srcdir = os.path.join(edir, d)
+            # endpoint segments only — parts[1] is the relation
+            new_parts = [
+                self.new_vertex if i != 1 and p == self.old_vertex else p
+                for i, p in enumerate(parts)
+            ]
+            dst = os.path.join(edir, "__".join(new_parts))
+            df = store._read_table(srcdir, f"edge table {d}")
+            changed = False
+            for side, idx in (("_src_", 0), ("_dst_", 2)):
+                if parts[idx] != self.old_vertex:
+                    continue
+                old_cols = [c for c in df.columns if c.startswith(side)]
+                old_fields = [c[len(side):] for c in old_cols]
+                if self.key_mapping is None:
+                    if sorted(old_fields) != sorted(new_ident):
+                        raise ValueError(
+                            f"retarget {self.old_vertex!r}->"
+                            f"{self.new_vertex!r}: edge table {d} keys "
+                            f"{old_fields} != new identity {new_ident}; "
+                            "pass key_mapping to remap")
+                    continue  # shared key space: dir rename suffices
+                m = self.key_mapping
+                need = [f"old_{f}" for f in old_fields] + [
+                    f"new_{f}" for f in new_ident]
+                missing = [c for c in need if c not in m.columns]
+                if missing:
+                    raise ValueError(
+                        f"key_mapping is missing columns {missing} "
+                        f"(needs old_<field> for {old_fields} and "
+                        f"new_<field> for {new_ident})")
+                lookup = m.select(*[
+                    F.col(f"old_{f}").alias(c)
+                    for f, c in zip(old_fields, old_cols)
+                ], *[
+                    F.col(f"new_{f}").alias(f"{side}{f}__new")
+                    for f in new_ident
+                ])
+                # mapping is vertex-count-sized metadata, broadcast-safe;
+                # inner join drops edges dangling under the new addressing
+                df = (
+                    df.join(F.broadcast(lookup), on=old_cols, how="inner")
+                    .drop(*old_cols)
+                )
+                for f in new_ident:
+                    df = df.withColumnRenamed(f"{side}{f}__new", f"{side}{f}")
+                changed = True
+            if changed:
+                # a remap can collide key tuples; keep one row per key
+                # (apply()'s first-id-wins discipline, data side)
+                key_cols = [c for c in df.columns
+                            if c.startswith(("_src_", "_dst_"))]
+                if "_relation" in df.columns:
+                    key_cols.append("_relation")
+                df = df.dropDuplicates(key_cols)
+                if os.path.exists(dst):
+                    shutil.rmtree(srcdir, ignore_errors=True)
+                else:
+                    store._write_snapshot(dst, df)
+                    shutil.rmtree(srcdir, ignore_errors=True)
+            else:
+                if os.path.exists(dst):
+                    shutil.rmtree(srcdir, ignore_errors=True)
+                elif dst != srcdir:
+                    os.rename(srcdir, dst)
 
 
 @dataclass
@@ -433,8 +531,14 @@ class MergeVerticesOp(EvolutionOp):
             for d in sorted(os.listdir(edir)):
                 parts = d.split("__")
                 if len(parts) == 3 and self.other in (parts[0], parts[2]):
-                    parts = [self.into if p == self.other else p
-                             for p in parts]
+                    # remap ENDPOINT segments only — parts[1] is the
+                    # RELATION, and a relation that happens to share the
+                    # merged-away vertex's name must not be re-addressed
+                    # (review finding)
+                    parts = [
+                        self.into if i != 1 and p == self.other else p
+                        for i, p in enumerate(parts)
+                    ]
                     dst = os.path.join(edir, "__".join(parts))
                     srcdir = os.path.join(edir, d)
                     if os.path.exists(dst):

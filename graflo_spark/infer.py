@@ -497,8 +497,14 @@ def infer_manifest_from_information_schema(
                                 "ordinal_position").collect(),
         key=lambda r: (r["constraint_name"], r["ordinal_position"]),
     )
-    refs = referential_constraints.select(
-        "constraint_name", "unique_constraint_name").collect()
+    # MySQL (and others) extend the ANSI shape with referenced_table_name;
+    # carry it when present — it is the only way to disambiguate the parent
+    # side when every PK shares one name ('PRIMARY' on MySQL)
+    _ref_cols = ["constraint_name", "unique_constraint_name"]
+    has_ref_table = "referenced_table_name" in referential_constraints.columns
+    if has_ref_table:
+        _ref_cols.append("referenced_table_name")
+    refs = referential_constraints.select(*_ref_cols).collect()
 
     table_fields: dict[str, list[Field]] = {}
     for r in cols:
@@ -516,20 +522,36 @@ def infer_manifest_from_information_schema(
             (r["table_name"], r["constraint_name"]), []).append(r)
     con_type = {(r["table_name"], r["constraint_name"]):
                 r["constraint_type"] for r in cons}
-    con_tables: dict[str, list[str]] = {}
+    # constraint name -> declaring tables, bucketed by ROLE: the child
+    # side of a referential_constraints row can only be a FOREIGN KEY,
+    # the parent side only a PRIMARY KEY/UNIQUE. Role-blind resolution
+    # made MySQL — the very system whose 'PRIMARY' naming motivated the
+    # (table, name) keying — drop EVERY proven FK the moment two tables
+    # had PKs, because 'PRIMARY' matched both and resolved to []
+    con_tables_child: dict[str, list[str]] = {}
+    con_tables_parent: dict[str, list[str]] = {}
     for r in cons:
-        con_tables.setdefault(r["constraint_name"], []).append(
-            r["table_name"])
+        if r["constraint_type"] == "FOREIGN KEY":
+            con_tables_child.setdefault(
+                r["constraint_name"], []).append(r["table_name"])
+        elif r["constraint_type"] in ("PRIMARY KEY", "UNIQUE"):
+            con_tables_parent.setdefault(
+                r["constraint_name"], []).append(r["table_name"])
 
     identities: dict[str, list[str]] = {name: [] for name in table_fields}
     for (tbl, con), rows in kcu_by_con.items():
         if con_type.get((tbl, con)) == "PRIMARY KEY":
             identities[tbl] = [r["column_name"] for r in rows]
 
-    def _rows_for(con_name: str) -> list:
+    def _rows_for(con_name: str, role_tables: dict[str, list[str]],
+                  table_hint: str | None = None) -> list:
         # referential_constraints carries only the NAME; resolve it to
-        # the (single) table that declares a constraint so named
-        matches = [t for t in con_tables.get(con_name, [])]
+        # the table that declares a constraint so named IN THAT ROLE.
+        # A still-ambiguous name (MySQL 'PRIMARY' across tables) needs
+        # the row's referenced_table_name hint to disambiguate.
+        matches = role_tables.get(con_name, [])
+        if table_hint is not None and table_hint in matches:
+            matches = [table_hint]
         if len(matches) != 1:
             return []  # ambiguous cross-table name: skip rather than mispair
         return kcu_by_con.get((matches[0], con_name), [])
@@ -537,8 +559,9 @@ def infer_manifest_from_information_schema(
     proven: dict[str, list[FkCandidate]] = {name: [] for name in table_fields}
     for r in refs:
         fk_con, uniq_con = r["constraint_name"], r["unique_constraint_name"]
-        child_rows = _rows_for(fk_con)
-        parent_rows = _rows_for(uniq_con)
+        hint = r["referenced_table_name"] if has_ref_table else None
+        child_rows = _rows_for(fk_con, con_tables_child)
+        parent_rows = _rows_for(uniq_con, con_tables_parent, table_hint=hint)
         if not child_rows or len(child_rows) != len(parent_rows):
             continue
         for c_row, p_row in zip(child_rows, parent_rows):

@@ -441,10 +441,15 @@ class PackingStore:
         self._restore_spans_if_needed()
         self._migrate_legacy_spans()
         # partition discovery surfaces the batch=N dirs as a `batch`
-        # column; drop it to keep the pack_chunks span schema
+        # column; filter to the COMMITTED window (batch < seq) before
+        # dropping it — after a crash between the spans write and the
+        # commit, the orphaned in-flight batch=<seq> dir must stay
+        # invisible until its retry lands (the family rule; matches
+        # SemDedupStore.duplicate_pairs — review finding)
+        seq = self._state()[1]
         return self.spark.read.parquet(
             os.path.join(self.path, "spans")
-        ).drop("batch")
+        ).filter(F.col("batch") < F.lit(seq)).drop("batch")
 
 
 def materialize_chunks(

@@ -215,9 +215,15 @@ class GraphView:
         vertex: str,
         anchor: FilterExpression | dict | list,
         direction: Direction = Direction.ANY,
-        limit: int = DEFAULT_EDGE_LIMIT,
+        limit: int | None = DEFAULT_EDGE_LIMIT,
     ) -> DataFrame:
-        """Edges incident to anchor vertices (reference db/conn.py:483-527)."""
+        """Edges incident to anchor vertices (reference db/conn.py:483-527).
+
+        ``limit=None`` returns the full incidence set unbounded — callers
+        that need exactness (oracle comparisons, exports) must opt out
+        explicitly, because the default cap truncates nondeterministically
+        once an anchor's incidence exceeds it.
+        """
         anchors = self.vertices[vertex].filter(
             FilterExpression.parse(anchor).to_column()
         )
@@ -230,7 +236,8 @@ class GraphView:
                 <= BROADCAST_FRONTIER_MAX_ROWS:
             akeys = F.broadcast(akeys)
         edges = self.typed_edge_list(direction=direction)
-        return edges.join(akeys, "src_key").limit(limit)
+        out = edges.join(akeys, "src_key")
+        return out if limit is None else out.limit(limit)
 
     # ----------------------------------------------------------- traversal
     def neighbors(

@@ -114,11 +114,15 @@ def blank_edge_join(
     uuid mint, join source/target docs on their shared identity fields; when
     no shared fields exist, fall back to positional zip (row_number join).
 
-    The zip orders each side by its OWN key column — minted keys are
-    unique, so the pairing is deterministic across runs and partitionings
-    (a ``row_number`` over ``orderBy(lit(1))`` would pair whatever order
-    each branch's shuffle happened to produce — review finding). A length
-    mismatch raises instead of silently truncating to the shorter side."""
+    The zip orders each side by its row identity when it has one: the
+    reference (hq/db_writer.py:348) zips source/target docs in DOCUMENT
+    order, so when both frames carry ``__doc_id`` (+ any position columns
+    in ``order_cols``) we order by that and preserve the original row
+    correspondence. Only when neither side has a row identity do we fall
+    back to ordering each side by its own minted key — deterministic
+    across runs and partitionings, but an arbitrary bijection (review
+    finding). A length mismatch raises instead of silently truncating to
+    the shorter side."""
     if shared_fields:
         s = source_docs.select(*shared_fields, F.col(src_key).alias("_src__key"))
         t = target_docs.select(*shared_fields, F.col(dst_key).alias("_dst__key"))
@@ -128,10 +132,20 @@ def blank_edge_join(
         raise ValueError(
             f"blank_edge_join positional zip needs equal sides: "
             f"{n_s} source rows vs {n_t} target rows")
-    s = source_docs.select(F.col(src_key).alias("_src__key")).withColumn(
-        "__rn", F.row_number().over(Window.orderBy("_src__key"))
-    )
-    t = target_docs.select(F.col(dst_key).alias("_dst__key")).withColumn(
-        "__rn", F.row_number().over(Window.orderBy("_dst__key"))
-    )
+    from graflo_spark.compiler import DOC_ID
+
+    def _numbered(df: DataFrame, key: str, alias: str) -> DataFrame:
+        if DOC_ID in df.columns:
+            # document order, then any positional columns the extraction
+            # carried, then the minted key as a final unique tie-break
+            pos = sorted(c for c in df.columns if c.startswith("__pos"))
+            order = [DOC_ID, *pos, key]
+        else:
+            order = [key]
+        return df.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(*order))
+        ).select(F.col(key).alias(alias), "__rn")
+
+    s = _numbered(source_docs, src_key, "_src__key")
+    t = _numbered(target_docs, dst_key, "_dst__key")
     return s.join(t, "__rn").drop("__rn")

@@ -551,3 +551,111 @@ def test_change_field_types_migrates_store(spark, tables, tmp_path):
     ev.apply_plan(schema, plan, store=store)
     out = store.read_vertices("customer")
     assert dict(out.dtypes)["c_acctbal"] == "double"
+
+
+def test_retarget_edges_migrates_store_shared_key_space(spark, tables, tmp_path):
+    """RetargetEdgesOp.migrate physically re-addresses the edge dirs, so
+    pre-retarget edge rows remain addressable at the NEW EdgeId (r11
+    review finding #4: apply() changed the schema but left the data
+    orphaned under the old dir name)."""
+    schema = CoreSchema(
+        vertices=[
+            Vertex("customer", [Field("c_custkey", FieldType.INT)],
+                   identity=["c_custkey"]),
+            Vertex("buyer", [Field("c_custkey", FieldType.INT)],
+                   identity=["c_custkey"]),
+            Vertex("nation", [Field("n_nationkey", FieldType.INT)],
+                   identity=["n_nationkey"]),
+        ],
+        edges=[Edge("customer", "nation", relation="located_in")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    edges = tables["customer"].select(
+        F.col("c_custkey").alias("_src_c_custkey"),
+        F.col("c_nationkey").alias("_dst_n_nationkey"),
+    )
+    store.insert_edges(EdgeId("customer", "nation", "located_in"), edges)
+    n = store.read_edges(EdgeId("customer", "nation", "located_in")).count()
+
+    ev.apply_plan(
+        schema, [ev.RetargetEdgesOp("customer", "buyer")], store=store)
+    out = store.read_edges(EdgeId("buyer", "nation", "located_in"))
+    assert out.count() == n
+    assert "_src_c_custkey" in out.columns
+    import os
+    assert not os.path.isdir(
+        store._table_dir("edges", "customer__located_in__nation"))
+
+
+def test_retarget_edges_migrates_store_key_mapping(spark, tmp_path):
+    """Different key spaces: endpoint keys remap through the mapping
+    frame (inner join — unmapped keys are dangling and dropped), and the
+    key columns are renamed to the new vertex's identity fields."""
+    schema = CoreSchema(
+        vertices=[
+            Vertex("city", [Field("city_id", FieldType.INT)],
+                   identity=["city_id"]),
+            Vertex("metro", [Field("metro_code")], identity=["metro_code"]),
+            Vertex("person", [Field("pid", FieldType.INT)],
+                   identity=["pid"]),
+        ],
+        edges=[Edge("person", "city", relation="lives_in")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.insert_edges(
+        EdgeId("person", "city", "lives_in"),
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "_src_pid int, _dst_city_id int"),
+    )
+    mapping = spark.createDataFrame(
+        [(10, "NYC"), (20, "SFO")], "old_city_id int, new_metro_code string")
+
+    # without a mapping, mismatched key fields must raise, not orphan
+    store2 = GraphStore(spark, str(tmp_path / "g2"), schema)
+    store2.apply_target_schema()
+    store2.insert_edges(
+        EdgeId("person", "city", "lives_in"),
+        spark.createDataFrame([(1, 10)], "_src_pid int, _dst_city_id int"),
+    )
+    with pytest.raises(ValueError, match="key_mapping"):
+        ev.apply_plan(
+            schema, [ev.RetargetEdgesOp("city", "metro")], store=store2)
+
+    ev.apply_plan(
+        schema,
+        [ev.RetargetEdgesOp("city", "metro", key_mapping=mapping)],
+        store=store)
+    out = store.read_edges(EdgeId("person", "metro", "lives_in"))
+    got = sorted((r["_src_pid"], r["_dst_metro_code"]) for r in out.collect())
+    assert got == [(1, "NYC"), (2, "SFO")]  # city 30 unmapped -> dropped
+
+
+def test_merge_vertices_migrate_keeps_relation_segment(spark, tmp_path):
+    """An edge whose RELATION name coincides with the merged-away vertex
+    name keeps its relation id — only endpoint segments are re-addressed
+    (advisor finding on MergeVerticesOp.migrate)."""
+    schema = CoreSchema(
+        vertices=[
+            Vertex("person", [Field("pid", FieldType.INT)], identity=["pid"]),
+            Vertex("org", [Field("oid", FieldType.INT)], identity=["oid"]),
+            Vertex("employer", [Field("oid", FieldType.INT)],
+                   identity=["oid"]),
+        ],
+        # relation literally named 'employer', same as the merged vertex
+        edges=[Edge("person", "employer", relation="employer")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.insert_edges(
+        EdgeId("person", "employer", "employer"),
+        spark.createDataFrame([(1, 10)], "_src_pid int, _dst_oid int"),
+    )
+    ev.apply_plan(
+        schema, [ev.MergeVerticesOp(into="org", other="employer")],
+        store=store)
+    import os
+    assert os.path.isdir(store._table_dir("edges", "person__employer__org"))
+    assert not os.path.isdir(store._table_dir("edges", "person__org__org"))
+    assert store.read_edges(EdgeId("person", "org", "employer")).count() == 1

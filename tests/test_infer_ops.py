@@ -371,6 +371,52 @@ def test_infer_manifest_from_information_schema(spark):
     assert batch.edges[eid].count() == 2
 
 
+def test_infer_information_schema_mysql_primary_collision(spark):
+    """MySQL names EVERY primary key 'PRIMARY', so the parent-side
+    constraint name in referential_constraints is ambiguous by itself the
+    moment two tables have PKs. Resolution must (a) bucket constraint
+    names by ROLE (the parent side can only be PRIMARY KEY/UNIQUE, the
+    child only FOREIGN KEY) and (b) use the MySQL-extension
+    referenced_table_name column to pick the parent table. A role-blind
+    bare-name lookup silently dropped all proven FKs here."""
+    from graflo_spark import infer
+
+    columns = spark.createDataFrame([
+        ("customer", "id", "bigint", 1),
+        ("customer", "name", "varchar(25)", 2),
+        ("orders", "id", "bigint", 1),
+        ("orders", "customer_id", "bigint", 2),
+    ], "table_name string, column_name string, data_type string, ordinal_position int")
+    constraints = spark.createDataFrame([
+        ("customer", "PRIMARY", "PRIMARY KEY"),
+        ("orders", "PRIMARY", "PRIMARY KEY"),
+        ("orders", "orders_ibfk_1", "FOREIGN KEY"),
+    ], "table_name string, constraint_name string, constraint_type string")
+    kcu = spark.createDataFrame([
+        ("PRIMARY", "customer", "id", 1),
+        ("PRIMARY", "orders", "id", 1),
+        ("orders_ibfk_1", "orders", "customer_id", 1),
+    ], "constraint_name string, table_name string, column_name string, ordinal_position int")
+    refs = spark.createDataFrame([
+        ("orders_ibfk_1", "PRIMARY", "customer"),
+    ], "constraint_name string, unique_constraint_name string, "
+       "referenced_table_name string")
+
+    manifest = infer.infer_manifest_from_information_schema(
+        columns, constraints, kcu, refs)
+    schema = manifest.schema
+    assert schema.vertex("customer").identity == ["id"]
+    pairs = {(e.source, e.target) for e in schema.edges}
+    assert ("orders", "customer") in pairs
+
+    # without the referenced_table_name hint the name stays ambiguous:
+    # skip (no mispairing), never guess
+    refs_ansi = refs.select("constraint_name", "unique_constraint_name")
+    m2 = infer.infer_manifest_from_information_schema(
+        columns, constraints, kcu, refs_ansi)
+    assert not {(e.source, e.target) for e in m2.schema.edges}
+
+
 def test_cross_resource_identity_funnel_fallback(spark):
     """When no shared field tuple keys every resource, the proposal falls
     back to per-resource funnel branches (reference _fallback_proposal)."""

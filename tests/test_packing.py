@@ -277,6 +277,16 @@ def test_packing_store_retry_is_idempotent(spark, tmp_path):
     store.pack_batch(b2)
     with open(commit, "w") as fh:
         fh.write(old_state)
+    # between crash and retry, spans() reads only the COMMITTED window:
+    # the orphaned in-flight batch dir stays invisible (review finding —
+    # matches SemDedupStore.duplicate_pairs' batch < seq prune)
+    crashed = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=64)
+    want_b1 = {
+        (r["id"], r["chunk_id"])
+        for r in pack_chunks(b1, "doc_id", "n_tok", 64).collect()
+    }
+    assert {(r["id"], r["chunk_id"])
+            for r in crashed.spans().collect()} == want_b1
     # retry of the same batch on a fresh handle
     store2 = PackingStore(spark, str(tmp_path / "pk"), chunk_tokens=64)
     store2.pack_batch(b2)

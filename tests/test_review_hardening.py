@@ -117,6 +117,26 @@ def test_blank_edge_join_positional_zip_deterministic(spark):
         blank_edge_join(s, t.limit(5), [])
 
 
+def test_blank_edge_join_zips_in_document_order(spark):
+    """When both sides carry __doc_id, the positional zip pairs rows in
+    DOCUMENT order (reference hq/db_writer.py:348 zips docs as extracted)
+    — not by the minted keys, whose sort order is an arbitrary bijection
+    that loses the row correspondence (advisor finding). Keys here are
+    chosen so key-order and doc-order DISAGREE."""
+    from graflo_spark.resolve import blank_edge_join
+
+    # doc order 0,1,2 but source keys sort z,y,x and target keys a,b,c:
+    # key-order zip would pair (x,a),(y,b),(z,c); doc-order pairs (z,a)...
+    s = spark.createDataFrame(
+        [("z", 0), ("y", 1), ("x", 2)], "_key string, __doc_id long"
+    ).repartition(3)
+    t = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", 2)], "_key string, __doc_id long"
+    ).repartition(2)
+    got = sorted(map(tuple, blank_edge_join(s, t, []).collect()))
+    assert got == [("x", "c"), ("y", "b"), ("z", "a")]
+
+
 def test_bfs_null_endpoint_not_reexpanded(spark):
     """An edge with a NULL destination key must not enter the frontier:
     pre-fix it re-entered visited every hop (null never equals null in the
