@@ -67,6 +67,14 @@ def propose_identity(
     when no combination within ``max_width`` is unique.
 
     Each greedy step is one aggregate job; the driver only sees counts.
+
+    Ranking (r12 fix of a verified wrong-answer heuristic): a STRICTLY
+    UNIQUE no-null single column wins outright, whatever its name — the
+    name prior (key-like suffix, self-table stem) only breaks ties AMONG
+    unique candidates. The pre-fix ordering put key-LIKE names above
+    actual uniqueness, so a non-unique ``*_id`` FK column seeded the walk
+    ahead of a true unique natural key and polluted the proposal
+    (``['group_id','email']`` where ``['email']`` is the key).
     """
     stats = {
         r["column_name"]: r
@@ -108,12 +116,19 @@ def propose_identity(
                 return 0
         return 1
 
-    # no-null columns only, most selective first (name tiebreak = determinism)
+    eligible = [
+        c for c, r in stats.items()
+        if r["n_nonnull"] == n_rows and c not in fractional
+    ]
+    # a strictly-unique single column IS the key — name prior only as a
+    # tie-break among unique candidates (uniqueness before names)
+    unique_cols = [c for c in eligible if stats[c]["n_distinct"] == n_rows]
+    if unique_cols:
+        return [min(unique_cols, key=lambda c: (keylike(c), selfkey(c), c))]
+    # composite walk: no single key exists, so seed from the name prior
+    # (the cheap stand-in for catalog PK metadata), most selective first
     ranked = sorted(
-        (
-            c for c, r in stats.items()
-            if r["n_nonnull"] == n_rows and c not in fractional
-        ),
+        eligible,
         key=lambda c: (keylike(c), selfkey(c), -stats[c]["n_distinct"], c),
     )
     chosen: list[str] = []

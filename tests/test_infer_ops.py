@@ -19,6 +19,32 @@ def test_propose_identity_multi_step(spark):
     assert key == ["l_orderkey", "l_partkey", "l_suppkey"]
 
 
+def test_propose_identity_uniqueness_beats_keylike_name(spark):
+    """r11 deferred finding #2, the builder's reproduction: a non-unique
+    ``*_id`` FK column must NOT outrank a strictly-unique natural key —
+    uniqueness decides, the name prior only breaks ties among unique
+    candidates. Pre-fix output was ['group_id','email']."""
+    from graflo_spark import infer
+
+    df = spark.createDataFrame(
+        [(1, "a@x", "g1"), (1, "b@x", "g2"), (2, "c@x", "g3"),
+         (2, "d@x", "g4")],
+        "group_id int, email string, note string")
+    assert infer.propose_identity(df) == ["email"]
+
+    # among several unique candidates the key-like name wins the tie
+    df2 = spark.createDataFrame(
+        [(1, "a@x"), (2, "b@x"), (3, "c@x")], "user_id int, email string")
+    assert infer.propose_identity(df2) == ["user_id"]
+
+    # no single unique column: the composite walk still seeds from the
+    # name prior and extends (most selective next) to a proven key
+    df3 = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (2, "x", 1), (2, "y", 3)],
+        "order_id int, line string, qty int")
+    assert infer.propose_identity(df3) == ["order_id", "qty"]
+
+
 def test_propose_identity_no_key(spark, tables):
     from graflo_spark import infer
 
