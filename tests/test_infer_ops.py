@@ -82,6 +82,42 @@ def test_fk_containment_negative_control(spark, tables):
     assert by[("orders", "o_custkey", "supplier")]["containment"] < 0.5
 
 
+def test_fk_candidates_surrogate_pk_requires_table_stem(spark):
+    """r11 deferred finding #3, the builder's reproduction: with bare
+    surrogate `id` PKs, every table's pk cross-matched every other
+    table's `id`-suffixed columns (and their identity columns), and
+    sequential ids proved the containment spuriously — a bogus
+    users->groups edge on users.id itself. The fix requires the child
+    column stem to NAME the parent table (singular/plural-normalized)
+    when the PK name carries no table information."""
+    from graflo_spark import infer
+
+    users = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")],
+        "id int, group_id int, name string")
+    groups = spark.createDataFrame(
+        [(1, "g1"), (2, "g2"), (3, "g3")], "id int, label string")
+    m = infer.infer_manifest_from_tables({"users": users, "groups": groups})
+    pairs = {(e.source, e.target) for e in m.schema.edges}
+    assert pairs == {("users", "groups")}
+    # the proven FK is group_id, never the users.id identity column
+    res = m.resource("users")
+    lookup = [s for s in res.steps
+              if getattr(s, "mapping", None) == {"id": "group_id"}]
+    assert lookup, "group_id -> groups.id lookup step missing"
+    users_res_cols = {
+        c for s in res.steps for c in (getattr(s, "mapping", None) or {}).values()
+    }
+    assert "id" not in users_res_cols  # users.id never mapped as an FK
+
+
+def test_fk_containment_empty_candidates_raises(spark):
+    from graflo_spark import infer
+
+    with pytest.raises(ValueError, match="at least one FkCandidate"):
+        infer.fk_containment({}, [])
+
+
 def test_combinations_vs_star_counts(spark, tables):
     """COMBINATIONS yields n*(n-1)/2 pairs per doc; star yields n-1."""
     from graflo_spark.catalog import compile_resource
