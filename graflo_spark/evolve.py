@@ -1426,9 +1426,28 @@ def ops_reaching_ingestion(ops: list[EvolutionOp]) -> list[str]:
 # ------------------------------------------------------------- diff/plan/apply
 
 def diff(old: CoreSchema, new: CoreSchema) -> list[EvolutionOp]:
-    """Structural diff -> ordered op plan (reference migrate/diff.py +
-    planner.py). Renames are not guessed — a rename appears as remove+add
-    (the reference's planner has the same default)."""
+    """Structural diff -> ordered op plan, CONVERGENT by construction:
+    ``apply_plan(old, diff(old, new))`` reproduces ``new`` hash-exactly
+    for any pair within the diff surface (vertices/fields/types/identity
+    policy/secondary identities/indexes/edges — property-tested over
+    randomized op chains). Renames are not guessed — a rename appears as
+    remove+add (the reference's planner has the same default; reference
+    migrate/diff.py + planner.py).
+
+    Per-vertex op ORDER is load-bearing (r11 deferred finding #1):
+    additions land first (a new identity column must exist before the
+    identity swap), then type changes, then the identity replacement —
+    BEFORE removals, so removing a swapped-away identity column is legal
+    — then secondary-identity changes, then removals. The identity op is
+    emitted with ``retire='keep'``: 'demote' (the interactive-migration
+    default) adds a retired_identity secondary + index that the target
+    schema doesn't declare, so a demoting diff can never converge; the
+    explicit RemovePropertyOps already express exactly which old-identity
+    columns the target drops. A same-id edge whose payload changed
+    (properties/identities/directedness/weight) is remove+add. A final
+    reconciliation pass compares the plan's simulated result against the
+    target and patches residual vertex-index differences (ops like
+    AddSecondaryIdentitiesOp append derived indexes as a side effect)."""
     ops: list[EvolutionOp] = []
     old_v, new_v = set(old.vertex_names), set(new.vertex_names)
     for name in sorted(new_v - old_v):
@@ -1438,23 +1457,69 @@ def diff(old: CoreSchema, new: CoreSchema) -> list[EvolutionOp]:
         for f in nv.fields:
             if f.name not in ov.field_names:
                 ops.append(AddPropertyOp(name, f))
+        old_types = {f.name: (f.type, f.item_type) for f in ov.fields}
+        spec = {
+            f.name: (f.type, f.item_type)
+            for f in nv.fields
+            if f.name in old_types
+            and old_types[f.name] != (f.type, f.item_type)
+        }
+        if spec:
+            ops.append(ChangeFieldTypesOp(vertices={name: spec}))
+        if (ov.identity != nv.identity
+                or ov.identity_mode != nv.identity_mode
+                or ov.identity_funnel != nv.identity_funnel):
+            ops.append(ReplaceIdentityOp(
+                name, list(nv.identity), mode=nv.identity_mode,
+                funnel=[list(b) for b in nv.identity_funnel],
+                retire="keep"))
+        removed_sec = [
+            k for k, cols in ov.secondary_identities.items()
+            if nv.secondary_identities.get(k) != cols
+        ]
+        added_sec = {
+            k: list(cols) for k, cols in nv.secondary_identities.items()
+            if ov.secondary_identities.get(k) != cols
+        }
+        if removed_sec:
+            ops.append(RemoveSecondaryIdentitiesOp({name: removed_sec}))
+        if added_sec:
+            ops.append(AddSecondaryIdentitiesOp({name: added_sec}))
         for f in ov.fields:
             if f.name not in nv.field_names:
                 ops.append(RemovePropertyOp(name, f.name))
-        if ov.identity != nv.identity:
-            ops.append(ReplaceIdentityOp(name, nv.identity))
-    old_e = {e.edge_id for e in old.edges}
-    new_e = {e.edge_id for e in new.edges}
+    old_by_id = {e.edge_id: e for e in old.edges}
+    new_by_id = {e.edge_id: e for e in new.edges}
     for e in new.edges:
-        if e.edge_id not in old_e:
+        o = old_by_id.get(e.edge_id)
+        if o is None:
+            ops.append(AddEdgeOp(e))
+        elif o != e:
+            ops.append(RemoveEdgeOp(e.edge_id))
             ops.append(AddEdgeOp(e))
     for e in old.edges:
-        if e.edge_id not in new_e:
+        if e.edge_id not in new_by_id:
             ops.append(RemoveEdgeOp(e.edge_id))
     # vertex removals last (after dependent edge removals)
     for name in sorted(old_v - new_v):
         ops.append(RemoveVertexOp(name))
-    return ops
+    # index reconciliation: simulate the plan (schema-level, cheap) and
+    # patch what still differs from the target — removals first, so a
+    # same-fields index with a different unique/type flag re-adds cleanly
+    interim = apply_plan(old, ops)
+    fixups: list[EvolutionOp] = []
+    for name in sorted(new_v):
+        iv, nv = interim.vertex(name), new.vertex(name)
+        if iv.indexes == nv.indexes:
+            continue
+        # RemoveIndexOp drops every index on its fields-tuple, so clear
+        # each distinct tuple once, then re-declare the target's indexes
+        # in ORDER (AddIndexOp appends — the rebuilt list is exact)
+        for fields in dict.fromkeys(tuple(i.fields) for i in iv.indexes):
+            fixups.append(RemoveIndexOp(vertex=name, fields=fields))
+        for i in nv.indexes:
+            fixups.append(AddIndexOp(vertex=name, index=i))
+    return ops + fixups
 
 
 def apply_plan(

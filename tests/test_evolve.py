@@ -659,3 +659,185 @@ def test_merge_vertices_migrate_keeps_relation_segment(spark, tmp_path):
     assert os.path.isdir(store._table_dir("edges", "person__employer__org"))
     assert not os.path.isdir(store._table_dir("edges", "person__org__org"))
     assert store.read_edges(EdgeId("person", "org", "employer")).count() == 1
+
+
+# ---------------------------------------------------- diff convergence (r12)
+
+def _canon(s: CoreSchema):
+    """Order-insensitive semantic form: diff() normalizes renames and
+    payload changes to remove+add, which can only reorder SIBLING list
+    entries (fields/edges/indexes append at the end) — identity, funnel
+    order, and every declared property survive exactly."""
+    def fld(fs):
+        return tuple(sorted((f.name, f.type, f.item_type) for f in fs))
+
+    return (
+        tuple(sorted(
+            (v.name, fld(v.fields), tuple(v.identity), v.identity_mode,
+             tuple(map(tuple, v.identity_funnel)),
+             tuple(sorted((k, tuple(c))
+                          for k, c in v.secondary_identities.items())),
+             tuple(sorted((tuple(i.fields), i.type, i.unique, i.sparse)
+                          for i in v.indexes)))
+            for v in s.vertices)),
+        tuple(sorted(
+            (e.source, e.target, e.relation, e.directed, e.type,
+             fld(e.properties), tuple(e.identities))
+            for e in s.edges)),
+    )
+
+
+def _random_op(rng, s: CoreSchema, fresh):
+    """One random VALID evolution op against schema ``s`` (or None when
+    the drawn kind has no valid move). ``fresh`` mints unique names."""
+    from graflo_spark.manifest import FieldType, IndexConfig, IndexType
+
+    names = list(s.vertex_names)
+    kinds = ["add_v", "rm_v", "add_p", "rm_p", "type", "ident", "funnel",
+             "sec_add", "sec_rm", "idx_add", "idx_rm", "e_add", "e_rm",
+             "e_prop"]
+    kind = rng.choice(kinds)
+    types = [FieldType.INT, FieldType.STRING, FieldType.DOUBLE, FieldType.BOOL]
+    if kind == "add_v":
+        n = fresh("v")
+        flds = [Field(fresh("f"), rng.choice(types)) for _ in range(rng.randint(1, 3))]
+        return ev.AddVertexOp(Vertex(
+            n, flds, identity=[f.name for f in flds[:rng.randint(1, len(flds))]]))
+    if not names:
+        return None
+    v = s.vertex(rng.choice(names))
+    protected = set(v.identity) | {c for b in v.identity_funnel for c in b}
+    for cols in v.secondary_identities.values():
+        protected |= set(cols)
+    for i in v.indexes:
+        protected |= set(i.fields)
+    if kind == "rm_v":
+        return ev.RemoveVertexOp(v.name)
+    if kind == "add_p":
+        return ev.AddPropertyOp(v.name, Field(fresh("f"), rng.choice(types)))
+    if kind == "rm_p":
+        cand = [f.name for f in v.fields if f.name not in protected]
+        return ev.RemovePropertyOp(v.name, rng.choice(cand)) if cand else None
+    if kind == "type":
+        if not v.fields:
+            return None
+        f = rng.choice(v.fields)
+        other = [t for t in types if t != f.type]
+        return ev.ChangeFieldTypesOp(
+            vertices={v.name: {f.name: (rng.choice(other),)}})
+    if kind == "ident":
+        if not v.fields:
+            return None
+        k = rng.randint(1, min(2, len(v.fields)))
+        ident = [f.name for f in rng.sample(v.fields, k)]
+        retire = rng.choice(["demote", "keep", "drop"])
+        kw = {}
+        if retire == "demote":
+            kw["retire_as"] = fresh("ret")
+        return ev.ReplaceIdentityOp(v.name, ident, retire=retire, **kw)
+    if kind == "funnel":
+        if len(v.fields) < 2:
+            return None
+        br = [[f.name] for f in rng.sample(v.fields, 2)]
+        return ev.ReplaceIdentityOp(
+            v.name, [], mode=ev.IdentityMode.HASH, funnel=br, retire="keep")
+    if kind == "sec_add":
+        if not v.fields:
+            return None
+        cols = [f.name for f in rng.sample(
+            v.fields, rng.randint(1, min(2, len(v.fields))))]
+        return ev.AddSecondaryIdentitiesOp({v.name: {fresh("sk"): cols}})
+    if kind == "sec_rm":
+        if not v.secondary_identities:
+            return None
+        return ev.RemoveSecondaryIdentitiesOp(
+            {v.name: [rng.choice(sorted(v.secondary_identities))]})
+    if kind == "idx_add":
+        if not v.fields:
+            return None
+        cols = tuple(f.name for f in rng.sample(
+            v.fields, rng.randint(1, min(2, len(v.fields)))))
+        if any(i.fields == cols and i.type == IndexType.PERSISTENT
+               for i in v.indexes):
+            return None
+        return ev.AddIndexOp(
+            vertex=v.name, index=IndexConfig(cols, unique=rng.random() < 0.3))
+    if kind == "idx_rm":
+        if not v.indexes:
+            return None
+        return ev.RemoveIndexOp(
+            vertex=v.name, fields=tuple(rng.choice(v.indexes).fields))
+    if kind == "e_add":
+        src, tgt = rng.choice(names), rng.choice(names)
+        return ev.AddEdgeOp(Edge(src, tgt, relation=fresh("rel"),
+                                 directed=rng.random() < 0.8))
+    if kind == "e_rm":
+        if not s.edges:
+            return None
+        return ev.RemoveEdgeOp(rng.choice(s.edges).edge_id)
+    if kind == "e_prop":
+        with_rel = [e for e in s.edges if e.relation]
+        if not with_rel:
+            return None
+        e = rng.choice(with_rel)
+        return ev.AddEdgePropertiesOp(
+            {e.relation: [Field(fresh("ep"), rng.choice(types))]})
+    return None
+
+
+def test_diff_converges_over_random_op_chains():
+    """The r12 convergence property (VERDICT r11 #1 + #6): for any target
+    reachable by a random valid op chain — including identity swaps with
+    column removals, the exact shape whose pre-fix diff raised 'cannot
+    remove identity column', and demoting replacements whose secondary +
+    index artifacts a demoting diff could never reproduce —
+    ``apply_plan(old, diff(old, new))`` is semantically equal to ``new``.
+    200+ randomized chains, seeded (deterministic)."""
+    import random
+
+    counter = [0]
+
+    def fresh(p):
+        counter[0] += 1
+        return f"{p}{counter[0]}"
+
+    n_checked = 0
+    for seed in range(220):
+        rng = random.Random(seed)
+        old = base_schema()
+        new = old
+        for _ in range(rng.randint(1, 6)):
+            op = _random_op(rng, new, fresh)
+            if op is None:
+                continue
+            new = op.apply(new)
+        plan = ev.diff(old, new)
+        replayed = ev.apply_plan(old, plan)
+        assert _canon(replayed) == _canon(new), (
+            f"seed {seed}: diff did not converge\nplan={plan}")
+        n_checked += 1
+    assert n_checked >= 200
+
+
+def test_diff_identity_swap_with_column_swap_converges():
+    """The builder's r11 reproduction, pinned exactly: identity changes
+    from old_id -> new_col while old_id is dropped. Pre-fix diff emitted
+    RemovePropertyOp(old_id) BEFORE ReplaceIdentityOp (apply raised
+    'cannot remove identity column'), and its retire='demote' added a
+    retired_identity secondary + index absent from the target."""
+    old = CoreSchema(vertices=[
+        Vertex("user", [Field("old_id", FieldType.INT), Field("name")],
+               identity=["old_id"]),
+    ])
+    new = CoreSchema(vertices=[
+        Vertex("user", [Field("name"), Field("email")], identity=["email"]),
+    ])
+    plan = ev.diff(old, new)
+    replayed = ev.apply_plan(old, plan)
+    v = replayed.vertex("user")
+    assert v.identity == ["email"]
+    assert v.field_names == ["name", "email"]
+    assert v.secondary_identities == {}
+    assert v.indexes == []
+    from graflo_spark.migrate import schema_hash
+    assert schema_hash(replayed) == schema_hash(new)
