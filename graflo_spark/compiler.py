@@ -246,10 +246,25 @@ class ResourceCompiler:
         depth = len(frame.pos_cols)
         pos = f"__pos{depth}"
 
+        def shelter(df):
+            """Move minted ``__item``/``__loc_key`` columns from an
+            ENCLOSING descend to depth-suffixed names so this descend can
+            own the canonical names — map-in-map (and scalar
+            array-in-array) previously re-aliased the same name and left
+            duplicate columns behind (review finding). The innermost
+            descend keeps the canonical name; ancestors stay addressable
+            at ``__item<N>``/``__loc_key<N>``."""
+            for c in ("__item", "__loc_key"):
+                if c != key and c in df.columns:
+                    df = df.withColumnRenamed(c, f"{c}{len(frame.path)}")
+            return df
+
         if isinstance(dtype, T.ArrayType):
-            exploded = frame.df.select(
-                "*", F.posexplode(key).alias(pos, "__item")
-            ).drop(key)
+            src = shelter(frame.df)
+            exploded = src.select(
+                *[c for c in src.columns if c != key],
+                F.posexplode(key).alias(pos, "__item"),
+            )
             if isinstance(dtype.elementType, T.StructType):
                 item_fields = [f.name for f in dtype.elementType.fields]
                 keep = [c for c in exploded.columns if c not in item_fields and c != "__item"]
@@ -281,9 +296,11 @@ class ResourceCompiler:
                 )
             ]
         if isinstance(dtype, T.MapType):
-            exploded = frame.df.select(
-                "*", F.explode(key).alias("__loc_key", "__item")
-            ).drop(key)
+            src = shelter(frame.df)
+            exploded = src.select(
+                *[c for c in src.columns if c != key],
+                F.explode(key).alias("__loc_key", "__item"),
+            )
             return [
                 Frame(
                     path=frame.path + (key,),

@@ -626,6 +626,25 @@ class AddIndexOp(EvolutionOp):
                 df = store.read_edges(self.edge_id)
             except FileNotFoundError:
                 return
+            if self.index.unique:
+                # the vertex path verifies via verify_unique_indexes; the
+                # edge path must enforce the same contract (review
+                # finding: a violated unique edge index was accepted
+                # silently). struct() so null keys count as distinct.
+                keyed = df
+                if self.index.sparse:
+                    keyed = keyed.na.drop(
+                        subset=list(self.index.fields), how="any")
+                total, distinct = keyed.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(F.struct(
+                        *[F.col(c) for c in self.index.fields])).alias("d"),
+                ).first()
+                if total != distinct:
+                    raise ValueError(
+                        f"unique index {self.index.fields} on edge "
+                        f"{self.edge_id.table_name()!r} violated: "
+                        f"{total} rows, {distinct} distinct keys")
             store._write_snapshot(
                 store._table_dir("edges", self.edge_id.table_name()),
                 store._apply_index_layout(df, [self.index]),
@@ -676,6 +695,14 @@ class SanitizeOp(EvolutionOp):
     SanitizeOp)."""
 
     def apply(self, schema: CoreSchema) -> CoreSchema:
+        def snake_indexes(indexes: list[IndexConfig]) -> list[IndexConfig]:
+            # IndexConfig is frozen — rebuild with sanitized field names
+            return [
+                IndexConfig(tuple(camel_to_snake(c) for c in i.fields),
+                            i.type, i.unique, i.sparse)
+                for i in indexes
+            ]
+
         s = _clone(schema)
         renames = {v.name: camel_to_snake(v.name) for v in s.vertices}
         for v in s.vertices:
@@ -691,11 +718,22 @@ class SanitizeOp(EvolutionOp):
                 camel_to_snake(k): [camel_to_snake(c) for c in cols]
                 for k, cols in v.secondary_identities.items()
             }
+            v.indexes = snake_indexes(v.indexes)
         for e in s.edges:
             e.source = renames.get(e.source, camel_to_snake(e.source))
             e.target = renames.get(e.target, camel_to_snake(e.target))
             if e.relation is not None:
                 e.relation = camel_to_snake(e.relation)
+            # edge payload names sanitize too — properties, their
+            # uniqueness keys, and index fields (review finding: the op
+            # previously left an edge's camelCase internals untouched,
+            # desynchronizing identities/indexes from sanitized columns)
+            e.properties = [
+                Field(camel_to_snake(f.name), f.type, f.item_type)
+                for f in e.properties
+            ]
+            e.identities = [camel_to_snake(c) for c in e.identities]
+            e.indexes = snake_indexes(e.indexes)
         return s
 
 
@@ -774,22 +812,55 @@ class RenameRelationsOp(EvolutionOp):
         _validate_injective(self.renames, "rename_relations")
         s = _clone(schema)
         self._renamed = []
-        hit = False
-        for e in s.edges:
-            if e.relation in self.renames:
-                new_id = EdgeId(e.source, e.target, self.renames[e.relation])
-                if any(o.edge_id == new_id for o in s.edges):
-                    raise ValueError(f"edge {new_id} already declared")
-                self._renamed.append(e.edge_id)
-                e.relation = self.renames[e.relation]
-                hit = True
-        if not hit:
+        # SIMULTANEOUS application: each edge maps once from its ORIGINAL
+        # relation, and collisions are judged against the FINAL state — a
+        # chained map like {r1: r2, r2: r3} is valid (r1's target name is
+        # being vacated by the same op), which the old incremental check
+        # falsely rejected against the not-yet-renamed r2 edge
+        final = [self.renames.get(e.relation, e.relation) for e in s.edges]
+        if all(rel == e.relation for e, rel in zip(s.edges, final)):
             raise KeyError(f"no edge carries relations {sorted(self.renames)}")
+        ids = [EdgeId(e.source, e.target, rel)
+               for e, rel in zip(s.edges, final)]
+        seen: set[EdgeId] = set()
+        for i in ids:
+            if i in seen:
+                raise ValueError(f"edge {i} already declared")
+            seen.add(i)
+        for e, rel in zip(s.edges, final):
+            if rel != e.relation:
+                self._renamed.append(e.edge_id)
+                e.relation = rel
         return s
 
     def migrate(self, store) -> None:
+        import os
+        import uuid
+
+        # two-phase dir move: chained ({r1: r2, r2: r3}) and cyclic
+        # ({a: b, b: a}) maps rename INTO names being vacated by this
+        # same op, so every source dir steps aside to a temp name before
+        # any final rename lands
+        moves = []
         for eid in self._renamed:
-            RenameEdgeRelationOp(eid, self.renames[eid.relation]).migrate(store)
+            old_dir = store._table_dir("edges", eid.table_name())
+            if not os.path.isdir(old_dir):
+                continue
+            new_id = EdgeId(eid.source, eid.target,
+                            self.renames[eid.relation])
+            tmp = f"{old_dir}.mv-{uuid.uuid4().hex}"
+            os.rename(old_dir, tmp)
+            moves.append((tmp, new_id))
+        for tmp, new_id in moves:
+            os.rename(tmp, store._table_dir("edges", new_id.table_name()))
+            try:
+                df = store.read_edges(new_id)
+            except FileNotFoundError:
+                continue
+            if "_relation" in df.columns:
+                store._write_snapshot(
+                    store._table_dir("edges", new_id.table_name()),
+                    df.withColumn("_relation", F.lit(new_id.relation)))
 
 
 @dataclass

@@ -119,3 +119,60 @@ def test_filter_sql_and_python_agree(duck):
         for r in rows
     )
     assert sql_n == py_n
+
+
+def test_map_in_map_descend_no_duplicate_loc_key(spark):
+    """Nested map descend (review finding): the inner explode re-aliased
+    __loc_key/__item while the outer pair was still in the frame, leaving
+    duplicate columns that made every later reference ambiguous. The
+    innermost descend owns the canonical names; the enclosing level is
+    sheltered at __loc_key<depth>/__item<depth>."""
+    from graflo_spark.steps import DescendStep
+    from pyspark.sql import types as T
+
+    schema = CoreSchema(vertices=[
+        Vertex("entry", [Field("outer"), Field("inner"), Field("val")],
+               identity=["outer", "inner"]),
+    ])
+    df = spark.createDataFrame(
+        [({"a": {"x": 1, "y": 2}, "b": {"z": 3}},)],
+        T.StructType([T.StructField(
+            "m", T.MapType(T.StringType(),
+                           T.MapType(T.StringType(), T.IntegerType())))]),
+    )
+    res = ResourceConfig(name="maps", steps=[
+        DescendStep(key="m", steps=[
+            DescendStep(key="__item", steps=[
+                VertexStep(name="entry", mapping={
+                    "outer": "__loc_key1", "inner": "__loc_key",
+                    "val": "__item"}),
+            ]),
+        ]),
+    ])
+    batch = compile_resource(schema, res, df)
+    rows = {(r["outer"], r["inner"], r["val"])
+            for r in batch.vertices["entry"].collect()}
+    assert rows == {("a", "x", 1), ("a", "y", 2), ("b", "z", 3)}
+
+
+def test_array_in_array_descend_no_duplicate_item(spark):
+    """Scalar array-of-array: the inner posexplode re-aliased __item with
+    the outer __item still present (same duplicate-column family). The
+    outer item is the array being exploded here, so only __pos columns
+    and the fresh __item remain."""
+    from graflo_spark.steps import DescendStep
+
+    schema = CoreSchema(vertices=[
+        Vertex("cell", [Field("val")], identity=["val"]),
+    ])
+    df = spark.createDataFrame(
+        [([[1, 2], [3]],)], "arr array<array<int>>")
+    res = ResourceConfig(name="arrs", steps=[
+        DescendStep(key="arr", steps=[
+            DescendStep(key="__item", steps=[
+                VertexStep(name="cell", mapping={"val": "__item"}),
+            ]),
+        ]),
+    ])
+    batch = compile_resource(schema, res, df)
+    assert {r["val"] for r in batch.vertices["cell"].collect()} == {1, 2, 3}

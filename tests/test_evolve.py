@@ -841,3 +841,102 @@ def test_diff_identity_swap_with_column_swap_converges():
     assert v.indexes == []
     from graflo_spark.migrate import schema_hash
     assert schema_hash(replayed) == schema_hash(new)
+
+
+def test_rename_relations_chained_map(spark, tmp_path):
+    """{r1: r2, r2: r3} is a valid SIMULTANEOUS rename — r1's target name
+    is being vacated by the same op (review finding: the incremental
+    check falsely raised 'already declared' against the not-yet-renamed
+    r2 edge). Each edge maps once from its ORIGINAL relation; the dir
+    migration is two-phase so r1->r2 can't clobber the dir r2 vacates."""
+    schema = CoreSchema(
+        vertices=[
+            Vertex("a", [Field("id", FieldType.INT)], identity=["id"]),
+            Vertex("b", [Field("id", FieldType.INT)], identity=["id"]),
+        ],
+        edges=[Edge("a", "b", relation="r1"), Edge("a", "b", relation="r2")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.insert_edges(
+        EdgeId("a", "b", "r1"),
+        spark.createDataFrame([(1, 10)], "_src_id int, _dst_id int"))
+    store.insert_edges(
+        EdgeId("a", "b", "r2"),
+        spark.createDataFrame([(2, 20), (3, 30)], "_src_id int, _dst_id int"))
+
+    s2 = ev.apply_plan(
+        schema, [ev.RenameRelationsOp({"r1": "r2", "r2": "r3"})], store=store)
+    assert sorted(e.relation for e in s2.edges) == ["r2", "r3"]
+    assert store.read_edges(EdgeId("a", "b", "r2")).count() == 1   # was r1
+    assert store.read_edges(EdgeId("a", "b", "r3")).count() == 2   # was r2
+
+    # a swap cycle is simultaneous too
+    s3 = ev.apply_plan(s2, [ev.RenameRelationsOp({"r2": "r3", "r3": "r2"})],
+                       store=store)
+    assert sorted(e.relation for e in s3.edges) == ["r2", "r3"]
+    assert store.read_edges(EdgeId("a", "b", "r3")).count() == 1
+    assert store.read_edges(EdgeId("a", "b", "r2")).count() == 2
+
+    # a genuine collision (target exists and is NOT vacated) still raises
+    with pytest.raises(ValueError, match="already declared"):
+        ev.RenameRelationsOp({"r2": "r3"}).apply(s3)
+
+
+def test_sanitize_covers_edge_payload_and_indexes():
+    """SanitizeOp previously skipped edge properties/identities and
+    IndexConfig.fields (review finding), desynchronizing them from the
+    sanitized column names."""
+    from graflo_spark.manifest import IndexConfig
+
+    s = CoreSchema(
+        vertices=[Vertex(
+            "UserAccount", [Field("userId", FieldType.INT), Field("fullName")],
+            identity=["userId"],
+            indexes=[IndexConfig(("fullName",), unique=True)],
+        )],
+        edges=[Edge(
+            "UserAccount", "UserAccount", relation="knowsWell",
+            properties=[Field("sinceYear", FieldType.INT)],
+            identities=["sinceYear"],
+            indexes=[IndexConfig(("sinceYear",))],
+        )],
+    )
+    out = ev.SanitizeOp().apply(s)
+    v = out.vertex("user_account")
+    assert v.indexes[0].fields == ("full_name",) and v.indexes[0].unique
+    e = out.edges[0]
+    assert e.relation == "knows_well"
+    assert e.property_names == ["since_year"]
+    assert e.identities == ["since_year"]
+    assert e.indexes[0].fields == ("since_year",)
+
+
+def test_add_index_verifies_unique_on_edges(spark, tmp_path):
+    """AddIndexOp.migrate enforced `unique` only on the vertex path
+    (review finding); a violated unique EDGE index must raise too."""
+    from graflo_spark.manifest import IndexConfig
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex("a", [Field("id", FieldType.INT)], identity=["id"]),
+            Vertex("b", [Field("id", FieldType.INT)], identity=["id"]),
+        ],
+        edges=[Edge("a", "b", relation="r",
+                    properties=[Field("w", FieldType.INT)])],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.insert_edges(
+        EdgeId("a", "b", "r"),
+        spark.createDataFrame(
+            [(1, 10, 5), (1, 11, 5), (2, 20, 7)],
+            "_src_id int, _dst_id int, w int"))
+    with pytest.raises(ValueError, match="unique index.*violated"):
+        ev.apply_plan(schema, [ev.AddIndexOp(
+            edge_id=EdgeId("a", "b", "r"),
+            index=IndexConfig(("w",), unique=True))], store=store)
+    # a satisfied unique edge index is accepted
+    ev.apply_plan(schema, [ev.AddIndexOp(
+        edge_id=EdgeId("a", "b", "r"),
+        index=IndexConfig(("_dst_id",), unique=True))], store=store)

@@ -98,6 +98,13 @@ Usage:
                             # history/cells BY SEMANTICS — recorded
                             # honestly), pair-dir bounds, end clusters()
                             # parity vs one-shot semantic_dedup
+        [--subsplit N]      # --semstore: slice each replica into N
+                            # sub-batches (history grows to factor*N x
+                            # batch — the history-term measurement)
+        [--drift]           # IvfIndexStore recall under distribution
+                            # drift: sign-flip the stream halfway,
+                            # pruned-probe recall@k vs brute force
+                            # before/after refit()
         [--vocab]           # vocabulary growth + the AQE-chosen join
                             # strategy for the de-broadcast collocations
                             # unigram join-backs, base vs scaled
@@ -950,10 +957,94 @@ def ivfs_incremental_bench(spark, base_dir: str, scaled_dir: str,
     return out
 
 
+def ivfs_drift_bench(spark, base_dir: str, scaled_dir: str,
+                     factor: int, out_root: str, k: int = 10,
+                     n_probe: int = 3, n_queries: int = 20) -> dict:
+    """IVF recall under distribution drift + when to call ``refit()``
+    (r11 verdict Next #5): centroids are fit on replica 0, then the
+    stream SHIFTS halfway — the second half's vectors are sign-flipped,
+    the worst-case drift for a cosine index (every drifted vector's
+    nearest pre-drift centroid is the one OPPOSITE its true direction,
+    so drifted mass piles into few stale cells and pruned probes miss).
+    Measures pruned-probe recall@k against brute force, separately for
+    pre-drift and post-drift query sets, BEFORE and AFTER ``refit()`` —
+    the quantitative answer to 'how much drift do frozen centroids
+    tolerate, and what does refit buy'."""
+    import shutil
+    import uuid
+
+    from graflo_spark.ops import simsearch as ss
+
+    pc = time.perf_counter
+
+    base = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    stride = int(base.agg(F.max("vec_id")).first()[0]) + 1
+    scaled = spark.read.parquet(f"{scaled_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull())
+    half = max(1, factor // 2)
+    flip = F.transform(F.col("embedding"), lambda x: -x)
+    drifted = scaled.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") >= half * stride, flip)
+        .otherwise(F.col("embedding")))
+
+    t0 = pc()
+    cents = [r["centroid"] for r in ss.build_ivf_index(
+        drifted.filter(F.col("vec_id") < stride), n_centroids=16,
+        corpus_id="vec_id", corpus_vec="embedding",
+    ).centroids.orderBy("cluster").collect()]
+    out: dict = {"n_centroids": 16, "k": k, "n_probe": n_probe,
+                 "drift_at_batch": half, "n_batches": factor,
+                 "t_bootstrap_fit": round(pc() - t0, 3)}
+    store_dir = os.path.join(out_root, f"ivfsdrift_{uuid.uuid4().hex[:8]}")
+    st = ss.IvfIndexStore(spark, store_dir, centroids=cents)
+    try:
+        for r in range(factor):
+            batch = drifted.filter(
+                (F.col("vec_id") >= r * stride)
+                & (F.col("vec_id") < (r + 1) * stride))
+            st.ingest_batch(batch, batch_id=r)
+
+        q_pre = drifted.filter(F.col("vec_id") < n_queries)
+        q_post = drifted.filter(
+            (F.col("vec_id") >= half * stride)
+            & (F.col("vec_id") < half * stride + n_queries))
+
+        def recall(queries) -> float:
+            idx = st.as_index()
+            got = ss.ivf_probe(idx, queries, k=k, n_probe=n_probe).collect()
+            ref = ss.brute_force_topk(
+                queries, idx.assigned, k=k,
+                corpus_id="neighbor_id", corpus_vec="c_vec").collect()
+            by_q: dict = {}
+            for r_ in got:
+                by_q.setdefault(r_.query_id, set()).add(r_.neighbor_id)
+            hits = tot = 0
+            truth: dict = {}
+            for r_ in ref:
+                truth.setdefault(r_.query_id, set()).add(r_.neighbor_id)
+            for qid, t in truth.items():
+                hits += len(t & by_q.get(qid, set()))
+                tot += len(t)
+            return round(hits / tot, 4) if tot else 0.0
+
+        out["recall_pre_drift_queries_frozen"] = recall(q_pre)
+        out["recall_post_drift_queries_frozen"] = recall(q_post)
+        t0 = pc()
+        st.refit(n_centroids=16)
+        out["t_refit"] = round(pc() - t0, 3)
+        out["recall_pre_drift_queries_refit"] = recall(q_pre)
+        out["recall_post_drift_queries_refit"] = recall(q_post)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    return out
+
+
 def semstore_incremental_bench(spark, base_dir: str, scaled_dir: str,
                                factor: int, out_root: str,
                                compact_every: int | None = None,
-                               compact_min_run: int = 4) -> dict:
+                               compact_min_run: int = 4,
+                               sub_splits: int = 1) -> dict:
     """SemDedupStore over the scaled embedding corpus one replica-batch
     at a time — the r11 streaming-semantic-dedup delivery measured at
     scale. UNLIKE the index stores (whose ingest never rescans history),
@@ -987,11 +1078,21 @@ def semstore_incremental_bench(spark, base_dir: str, scaled_dir: str,
                  "t_bootstrap_fit": round(pc() - t0, 3)}
     store_dir = os.path.join(out_root, f"semstore_{uuid.uuid4().hex[:8]}")
     st = dd.SemDedupStore(spark, store_dir, threshold=0.4, centroids=cents)
+    # --subsplit: slice each replica into sub_splits smaller batches so
+    # accumulated history grows to (factor*sub_splits)x the batch size —
+    # the regime where the Theta(|batch| * history/cells) comparison term
+    # is measurable above scheduling noise (r11 verdict Next #4)
+    n_batches = factor * sub_splits
+    sub = max(1, -(-stride // sub_splits))  # ceil division
+    out["n_batches"] = n_batches
+    out["batch_rows"] = None
     try:
-        for r in range(factor):
+        for r in range(n_batches):
             batch = scaled.filter(
-                (F.col("vec_id") >= r * stride)
-                & (F.col("vec_id") < (r + 1) * stride))
+                (F.col("vec_id") >= r * sub)
+                & (F.col("vec_id") < (r + 1) * sub))
+            if out["batch_rows"] is None:
+                out["batch_rows"] = batch.count()
             t0 = pc()
             n_new = st.ingest_batch(batch, batch_id=r).count()
             entry = {"wall": round(pc() - t0, 3), "new_pairs": int(n_new)}
@@ -1024,6 +1125,19 @@ def semstore_incremental_bench(spark, base_dir: str, scaled_dir: str,
     out["wall_first"], out["wall_last"] = walls[0], walls[-1]
     out["wall_ratio_last_first"] = (
         round(walls[-1] / walls[0], 3) if walls[0] else None)
+    # history-growth fit (r11 verdict Next #4): per-batch ingest wall vs
+    # batch index. Least-squares slope in ms/batch isolates the linear
+    # history term from the constant assignment term; the quarter means
+    # give the same signal robustly against single-batch noise.
+    n = len(walls)
+    if n >= 8:
+        xm, ym = (n - 1) / 2, sum(walls) / n
+        sxx = sum((i - xm) ** 2 for i in range(n))
+        sxy = sum((i - xm) * (w - ym) for i, w in enumerate(walls))
+        out["wall_slope_ms_per_batch"] = round(1000 * sxy / sxx, 2)
+        q = max(1, n // 4)
+        out["wall_mean_first_quarter"] = round(sum(walls[:q]) / q, 3)
+        out["wall_mean_last_quarter"] = round(sum(walls[-q:]) / q, 3)
     return out
 
 
@@ -1403,7 +1517,7 @@ def main() -> None:
              "--winnow", "--pipeline", "--graph", "--hub", "--power-law",
              "--uncapped-linkpred", "--substring", "--lines", "--gopher",
              "--gates", "--semdedup", "--lexidx", "--ivfs", "--vocab",
-             "--semstore"}
+             "--semstore", "--drift"}
     # --only <substr>: restrict --graph to matching queries (idle-box
     # single-query re-measurements, r7 verdict Next #7)
     only = None
@@ -1423,6 +1537,16 @@ def main() -> None:
             raise SystemExit("--compact-every requires an integer value")
         compact_every = int(argv[i + 1])
         del argv[i:i + 2]
+    # --subsplit N: slice each replica into N sub-batches during
+    # --semstore so history grows to factor*N x the batch size (the
+    # history-term measurement regime)
+    sub_splits = 1
+    if "--subsplit" in argv:
+        i = argv.index("--subsplit")
+        if i + 1 >= len(argv):
+            raise SystemExit("--subsplit requires an integer value")
+        sub_splits = int(argv[i + 1])
+        del argv[i:i + 2]
     args = [a for a in argv if a not in flags]
     hot_group = "--hot-group" in sys.argv[1:]
     incremental = "--incremental" in sys.argv[1:]
@@ -1436,6 +1560,7 @@ def main() -> None:
     ivfs_mode = "--ivfs" in sys.argv[1:]
     vocab_mode = "--vocab" in sys.argv[1:]
     semstore_mode = "--semstore" in sys.argv[1:]
+    drift_mode = "--drift" in sys.argv[1:]
     gopher_mode = "--gopher" in sys.argv[1:]
     semdedup_mode = "--semdedup" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
@@ -1464,7 +1589,7 @@ def main() -> None:
         store_mode or temporal_skew or winnow_mode or pipeline_mode
         or lines_mode or graph_mode or incremental or gopher_mode
         or semdedup_mode or lexidx_mode or ivfs_mode or vocab_mode
-        or semstore_mode)
+        or semstore_mode or drift_mode)
     if needs_blowup and not os.path.exists(
             os.path.join(out_dir, "_GENERATED")):
         t0 = time.perf_counter()
@@ -1479,7 +1604,7 @@ def main() -> None:
     focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
                or lines_mode or gopher_mode or semdedup_mode
                or graph_mode or hub_mode or power_law_mode or lexidx_mode
-               or ivfs_mode or vocab_mode or semstore_mode)
+               or ivfs_mode or vocab_mode or semstore_mode or drift_mode)
     sweep = [] if focused else [
         n for n in SCALE_QUERIES if only is None or only in n]
     for name in sweep:
@@ -1694,10 +1819,11 @@ def main() -> None:
         try:
             payload["semstore_incremental"] = semstore_incremental_bench(
                 spark, BASE_DIR, out_dir, factor, out_root,
-                compact_every=compact_every)
+                compact_every=compact_every, sub_splits=sub_splits)
             sm = payload["semstore_incremental"]
             print(f"# semstore_incremental: wall {sm['wall_first']} -> "
                   f"{sm['wall_last']} (x{sm['wall_ratio_last_first']}) "
+                  f"slope={sm.get('wall_slope_ms_per_batch')}ms/batch "
                   f"clusters_match={sm['clusters_match']} "
                   f"t_clusters={sm['t_clusters']} vs oneshot "
                   f"{sm['t_oneshot']}", file=sys.stderr)
@@ -1705,6 +1831,22 @@ def main() -> None:
             payload["semstore_incremental"] = {"error": str(exc)[:300]}
             print(f"# semstore_incremental: FAILED {exc}"[:300],
                   file=sys.stderr)
+
+    if drift_mode:
+        try:
+            payload["ivfs_drift"] = ivfs_drift_bench(
+                spark, BASE_DIR, out_dir, factor, out_root)
+            dr = payload["ivfs_drift"]
+            print(f"# ivfs_drift: frozen pre/post="
+                  f"{dr['recall_pre_drift_queries_frozen']}/"
+                  f"{dr['recall_post_drift_queries_frozen']} "
+                  f"refit pre/post="
+                  f"{dr['recall_pre_drift_queries_refit']}/"
+                  f"{dr['recall_post_drift_queries_refit']} "
+                  f"t_refit={dr['t_refit']}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["ivfs_drift"] = {"error": str(exc)[:300]}
+            print(f"# ivfs_drift: FAILED {exc}"[:300], file=sys.stderr)
 
     if vocab_mode:
         try:
