@@ -1496,6 +1496,56 @@ def ops_reaching_ingestion(ops: list[EvolutionOp]) -> list[str]:
 
 # ------------------------------------------------------------- diff/plan/apply
 
+def _edge_payload_ops(old_e: Edge, new_e: Edge,
+                      rel_unique: bool) -> list[EvolutionOp] | None:
+    """In-place ops reconciling a same-id edge's payload, or ``None``
+    when the delta isn't expressible without remove+add (no SetEdgeType
+    op; relation-scoped property ops would spill onto OTHER edges when
+    the relation is shared or None). Data-safety is the point: a
+    remove+add plan applied against a store DELETES the edge table for
+    what is semantically an in-place tweak, so diff prefers these."""
+    if old_e.type != new_e.type:
+        return None
+    rel = old_e.relation
+    prop_delta = old_e.properties != new_e.properties
+    if prop_delta and (rel is None or not rel_unique):
+        return None
+    ops: list[EvolutionOp] = []
+    eid = new_e.edge_id
+    if old_e.directed != new_e.directed:
+        ops.append(SetEdgeDirectedOp([eid], new_e.directed))
+    if prop_delta:
+        op_by = {f.name: f for f in old_e.properties}
+        np_by = {f.name: f for f in new_e.properties}
+        added = [f for f in new_e.properties if f.name not in op_by]
+        removed = [nm for nm in op_by if nm not in np_by]
+        typed = {
+            nm: (f.type, f.item_type) for nm, f in np_by.items()
+            if nm in op_by
+            and (op_by[nm].type, op_by[nm].item_type) != (f.type, f.item_type)
+        }
+        if added:
+            ops.append(AddEdgePropertiesOp({rel: added}))
+        if typed:
+            ops.append(ChangeFieldTypesOp(edges={rel: typed}))
+        # identity replacement BEFORE property removals, the same
+        # ordering rule as the vertex side (RemoveEdgePropertiesOp
+        # refuses to drop a column still declared as an identity)
+        if old_e.identities != new_e.identities:
+            ops.append(ReplaceEdgeIdentitiesOp(
+                {eid: list(new_e.identities)}))
+        if removed:
+            ops.append(RemoveEdgePropertiesOp({rel: removed}))
+    elif old_e.identities != new_e.identities:
+        ops.append(ReplaceEdgeIdentitiesOp({eid: list(new_e.identities)}))
+    if old_e.indexes != new_e.indexes:
+        for fields in dict.fromkeys(tuple(i.fields) for i in old_e.indexes):
+            ops.append(RemoveIndexOp(edge_id=eid, fields=fields))
+        for i in new_e.indexes:
+            ops.append(AddIndexOp(edge_id=eid, index=i))
+    return ops
+
+
 def diff(old: CoreSchema, new: CoreSchema) -> list[EvolutionOp]:
     """Structural diff -> ordered op plan, CONVERGENT by construction:
     ``apply_plan(old, diff(old, new))`` reproduces ``new`` hash-exactly
@@ -1561,13 +1611,25 @@ def diff(old: CoreSchema, new: CoreSchema) -> list[EvolutionOp]:
                 ops.append(RemovePropertyOp(name, f.name))
     old_by_id = {e.edge_id: e for e in old.edges}
     new_by_id = {e.edge_id: e for e in new.edges}
+    rel_counts: dict[str | None, int] = {}
+    for e in list(old.edges) + [
+            e for e in new.edges if e.edge_id not in old_by_id]:
+        rel_counts[e.relation] = rel_counts.get(e.relation, 0) + 1
     for e in new.edges:
         o = old_by_id.get(e.edge_id)
         if o is None:
             ops.append(AddEdgeOp(e))
         elif o != e:
-            ops.append(RemoveEdgeOp(e.edge_id))
-            ops.append(AddEdgeOp(e))
+            payload = _edge_payload_ops(
+                o, e, rel_unique=rel_counts.get(e.relation, 0) == 1)
+            if payload is not None:
+                ops.extend(payload)
+            else:
+                # last resort — and, applied against a STORE, this drops
+                # the edge table (RemoveEdgeOp.migrate); only reached
+                # for EdgeType changes or shared-relation payload deltas
+                ops.append(RemoveEdgeOp(e.edge_id))
+                ops.append(AddEdgeOp(e))
     for e in old.edges:
         if e.edge_id not in new_by_id:
             ops.append(RemoveEdgeOp(e.edge_id))

@@ -940,3 +940,44 @@ def test_add_index_verifies_unique_on_edges(spark, tmp_path):
     ev.apply_plan(schema, [ev.AddIndexOp(
         edge_id=EdgeId("a", "b", "r"),
         index=IndexConfig(("_dst_id",), unique=True))], store=store)
+
+
+def test_diff_edge_payload_change_is_in_place_not_remove_add(spark, tmp_path):
+    """A same-id edge whose payload changed must diff to IN-PLACE ops
+    (add/remove/retype properties, replace identities, set directed),
+    never remove+add: RemoveEdgeOp.migrate deletes the physical edge
+    table, so a remove+add plan applied against a store destroys data
+    for what is semantically a tweak. Verified end-to-end: the edge
+    rows survive the migration."""
+    schema = CoreSchema(
+        vertices=[
+            Vertex("a", [Field("id", FieldType.INT)], identity=["id"]),
+            Vertex("b", [Field("id", FieldType.INT)], identity=["id"]),
+        ],
+        edges=[Edge("a", "b", relation="r",
+                    properties=[Field("w", FieldType.INT)])],
+    )
+    new = CoreSchema(
+        vertices=[
+            Vertex("a", [Field("id", FieldType.INT)], identity=["id"]),
+            Vertex("b", [Field("id", FieldType.INT)], identity=["id"]),
+        ],
+        edges=[Edge("a", "b", relation="r", directed=False,
+                    properties=[Field("w", FieldType.DOUBLE),
+                                Field("note")])],
+    )
+    plan = ev.diff(schema, new)
+    assert not any(isinstance(op, ev.RemoveEdgeOp) for op in plan)
+
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.insert_edges(
+        EdgeId("a", "b", "r"),
+        spark.createDataFrame([(1, 10, 5), (2, 20, 7)],
+                              "_src_id int, _dst_id int, w int"))
+    replayed = ev.apply_plan(schema, plan, store=store)
+    from graflo_spark.migrate import schema_hash
+    assert schema_hash(replayed) == schema_hash(new)
+    out = store.read_edges(EdgeId("a", "b", "r"))
+    assert out.count() == 2                      # data survived
+    assert dict(out.dtypes)["w"] == "double"     # and was retyped
