@@ -538,6 +538,26 @@ def to_evolution_ops(
             out.append(ev.ReplaceEdgeIdentitiesOp({eid: list(op.new_value or [])}))
         # index CHANGE / edge-index ops fall through: AddIndexOp covers the
         # edge case via edge_id, and CHANGE_INDEX never comes out of compare()
+    # Executable-order fixup (same defect class as evolve.diff's r12 fix):
+    # the published OP_ORDER runs REMOVE_VERTEX_FIELD (120) before the
+    # identity ops (160/170), but RemovePropertyOp refuses to drop a column
+    # that is STILL the identity — an identity swap that also drops the old
+    # key column would raise at apply time. Hoist each vertex's
+    # ReplaceIdentityOp ahead of the first removal of an old-identity
+    # column; the MigrationPlan itself keeps the reference ordering, only
+    # the executable translation reorders.
+    for v in {op.vertex for op in out if isinstance(op, ev.ReplaceIdentityOp)}:
+        old_ident = (set(old.vertex(v).identity)
+                     if v in old.vertex_names else set())
+        first_rm = next(
+            (i for i, op in enumerate(out)
+             if isinstance(op, ev.RemovePropertyOp)
+             and op.vertex == v and op.prop in old_ident), None)
+        rep_i = next(i for i, op in enumerate(out)
+                     if isinstance(op, ev.ReplaceIdentityOp)
+                     and op.vertex == v)
+        if first_rm is not None and rep_i > first_rm:
+            out.insert(first_rm, out.pop(rep_i))
     return out
 
 

@@ -216,3 +216,35 @@ def test_revision_chain_replay_verified():
     with pytest.raises(mg.RevisionError):
         # stale head: creating from a schema that is not the chain head
         chain.create_revision(base, [], slug="stale")
+
+
+def test_planner_identity_swap_with_column_drop_executes(spark, tables, tmp_path):
+    """The planner's published OP_ORDER runs REMOVE_VERTEX_FIELD before
+    the identity ops, so an identity swap that also drops the old key
+    column produced an executable plan that raised 'cannot remove
+    identity column' at apply time (the r12 evolve.diff defect class,
+    on the SchemaDiff/MigrationPlanner path). to_evolution_ops now
+    hoists the ReplaceIdentityOp ahead of the first old-identity-column
+    removal; the MigrationPlan itself keeps the reference ordering."""
+    old = CoreSchema(vertices=[
+        Vertex("customer",
+               [Field("c_custkey", FieldType.INT), Field("c_name")],
+               identity=["c_custkey"]),
+    ])
+    new = CoreSchema(vertices=[
+        Vertex("customer", [Field("c_name")], identity=["c_name"]),
+    ])
+    diff = mg.SchemaDiff(old, new).compare()
+    plan = mg.MigrationPlanner(allow_high_risk=True).build(diff)
+    ev_ops = mg.to_evolution_ops(plan, old, new)
+
+    store = GraphStore(spark, str(tmp_path / "g"), old)
+    store.apply_target_schema()
+    store.upsert_vertices("customer", tables["customer"].select(
+        "c_custkey", "c_name"))
+    final = ev.apply_plan(old, ev_ops, store=store)
+    assert final.vertex("customer").identity == ["c_name"]
+    assert final.vertex("customer").field_names == ["c_name"]
+    out = store.read_vertices("customer")
+    assert out.columns == ["c_name"]
+    assert out.count() == tables["customer"].select("c_name").distinct().count()
