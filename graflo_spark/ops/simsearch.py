@@ -675,7 +675,16 @@ class IvfIndexStore:
         and swapped in atomically via the two-rename ``index/`` swap;
         orphaned in-flight dirs (uncommitted) are dropped — their retry
         re-runs from scratch. Full-index cost by design: this is the
-        rebuild, compaction is :meth:`compact`. SINGLE-WRITER op."""
+        rebuild, compaction is :meth:`compact`. SINGLE-WRITER op.
+
+        When to call (measured, SCALE.md r12 drift row): frozen
+        centroids tolerate substantial drift — half the corpus shifting
+        to a mirrored distribution cost drifted queries ~29% relative
+        recall@10 at n_probe=3/16 — and one refit recovered most of it
+        (+26% relative) for one bootstrap-fit + one assignment pass
+        (~14 s at 40k vectors). Watch pruned-probe recall on a
+        recent-query sample; a sustained ~25%+ relative drop is the
+        refit signal."""
         import uuid
 
         seq, _ = self._state()

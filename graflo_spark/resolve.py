@@ -137,8 +137,11 @@ def blank_edge_join(
     def _numbered(df: DataFrame, key: str, alias: str) -> DataFrame:
         if DOC_ID in df.columns:
             # document order, then any positional columns the extraction
-            # carried, then the minted key as a final unique tie-break
-            pos = sorted(c for c in df.columns if c.startswith("__pos"))
+            # carried (numeric depth order — lexical sort would put
+            # __pos10 before __pos2), then the key as a unique tie-break
+            pos = sorted(
+                (c for c in df.columns if c.startswith("__pos")),
+                key=lambda c: int(c[5:]) if c[5:].isdigit() else 0)
             order = [DOC_ID, *pos, key]
         else:
             order = [key]
