@@ -1248,7 +1248,13 @@ class ChangeFieldTypesOp(EvolutionOp):
             t, item = (tup + (None,))[:2]
             if t is None or name not in df.columns:
                 continue
-            casts[name] = F.col(name).cast(t.to_spark(item))
+            # try_cast, not cast: under ANSI mode (Spark 4 default) a
+            # strict cast THROWS on the first malformed value and aborts
+            # the whole table rewrite mid-migration — a declared-type
+            # change over dirty data must be total, with unparseable
+            # values becoming NULL (found by the r12 random-migration
+            # property test)
+            casts[name] = F.col(name).try_cast(t.to_spark(item))
         return df.withColumns(casts) if casts else None
 
     def migrate(self, store) -> None:

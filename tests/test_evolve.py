@@ -981,3 +981,152 @@ def test_diff_edge_payload_change_is_in_place_not_remove_add(spark, tmp_path):
     out = store.read_edges(EdgeId("a", "b", "r"))
     assert out.count() == 2                      # data survived
     assert dict(out.dtypes)["w"] == "double"     # and was retyped
+
+
+def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
+    """Data-plane twin of the diff-convergence property: random valid op
+    chains applied against a POPULATED store must leave the physical
+    layout consistent with the schema after every step — no orphan
+    table dirs (the r11 retarget/merge/remove bug class: apply() moved
+    the schema, migrate() left data stranded under dead addressing), no
+    unreadable declared tables, and natural-identity columns present in
+    every surviving vertex table."""
+    import os
+    import random
+
+    from graflo_spark.manifest import IndexConfig
+
+    def consistent(store, schema):
+        vdir = os.path.join(store.root, "vertices")
+        if os.path.isdir(vdir):
+            for d in os.listdir(vdir):
+                if not d.startswith("."):
+                    assert d in schema.vertex_names, f"orphan vertex dir {d}"
+        declared = {e.edge_id.table_name() for e in schema.edges}
+        edir = os.path.join(store.root, "edges")
+        if os.path.isdir(edir):
+            for d in os.listdir(edir):
+                if not d.startswith("."):
+                    assert d in declared, f"orphan edge dir {d}"
+        for vn in schema.vertex_names:
+            try:
+                df = store.read_vertices(vn)
+            except FileNotFoundError:
+                continue
+            v = schema.vertex(vn)
+            if v.identity_mode.value == "natural":
+                for c in v.identity:
+                    assert c in df.columns, f"{vn} missing identity {c}"
+        for e in schema.edges:
+            try:
+                store.read_edges(e.edge_id).columns
+            except FileNotFoundError:
+                pass
+
+    def rand_op(rng, s, fresh):
+        kind = rng.choice([
+            "add_v", "add_p", "rm_p", "type", "ident", "rename_v",
+            "rename_rel", "merge_v", "add_e", "rm_e", "rm_v", "idx"])
+        names = list(s.vertex_names)
+        if kind == "add_v":
+            n = fresh("v")
+            return ev.AddVertexOp(Vertex(
+                n, [Field(f"{n}_id", FieldType.INT), Field(f"{n}_x")],
+                identity=[f"{n}_id"]))
+        if not names:
+            return None
+        v = s.vertex(rng.choice(names))
+        protected = set(v.identity) | {
+            c for b in v.identity_funnel for c in b}
+        for cols in v.secondary_identities.values():
+            protected |= set(cols)
+        for i in v.indexes:
+            protected |= set(i.fields)
+        if kind == "add_p":
+            return ev.AddPropertyOp(v.name, Field(fresh("f"), FieldType.STRING))
+        if kind == "rm_p":
+            cand = [f.name for f in v.fields if f.name not in protected]
+            return ev.RemovePropertyOp(v.name, rng.choice(cand)) if cand else None
+        if kind == "type":
+            cand = [f for f in v.fields if f.name not in set(v.identity)]
+            if not cand:
+                return None
+            f = rng.choice(cand)
+            t = rng.choice([x for x in (FieldType.STRING, FieldType.DOUBLE,
+                                        FieldType.INT) if x != f.type])
+            return ev.ChangeFieldTypesOp(vertices={v.name: {f.name: (t,)}})
+        if kind == "ident":
+            if not v.fields:
+                return None
+            ident = [rng.choice(v.fields).name]
+            return ev.ReplaceIdentityOp(v.name, ident, retire="keep")
+        if kind == "rename_v":
+            return ev.RenameVertexOp(v.name, fresh("v"))
+        if kind == "rename_rel":
+            rels = [e.relation for e in s.edges if e.relation]
+            if not rels:
+                return None
+            return ev.RenameRelationsOp({rng.choice(rels): fresh("rel")})
+        if kind == "merge_v":
+            if len(names) < 2:
+                return None
+            a, b = rng.sample(names, 2)
+            return ev.MergeVerticesOp(into=a, other=b)
+        if kind == "add_e":
+            src, tgt = rng.choice(names), rng.choice(names)
+            return ev.AddEdgeOp(Edge(src, tgt, relation=fresh("rel")))
+        if kind == "rm_e":
+            if not s.edges:
+                return None
+            return ev.RemoveEdgeOp(rng.choice(s.edges).edge_id)
+        if kind == "rm_v":
+            return ev.RemoveVertexOp(v.name)
+        if kind == "idx":
+            cand = [f.name for f in v.fields]
+            if not cand:
+                return None
+            fields = (rng.choice(cand),)
+            if any(i.fields == fields for i in v.indexes):
+                return None
+            return ev.AddIndexOp(vertex=v.name, index=IndexConfig(fields))
+        return None
+
+    counter = [0]
+
+    def fresh(p):
+        counter[0] += 1
+        return f"{p}{counter[0]}"
+
+    for seed in range(8):
+        rng = random.Random(1000 + seed)
+        schema = CoreSchema(
+            vertices=[
+                Vertex("person", [Field("pid", FieldType.INT), Field("nm")],
+                       identity=["pid"]),
+                Vertex("city", [Field("cid", FieldType.INT), Field("cn")],
+                       identity=["cid"]),
+            ],
+            edges=[Edge("person", "city", relation="lives_in")],
+        )
+        store = GraphStore(spark, str(tmp_path / f"g{seed}"), schema)
+        store.apply_target_schema()
+        store.upsert_vertices("person", spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "pid int, nm string"))
+        store.upsert_vertices("city", spark.createDataFrame(
+            [(10, "X"), (20, "Y")], "cid int, cn string"))
+        store.insert_edges(
+            EdgeId("person", "city", "lives_in"),
+            spark.createDataFrame(
+                [(1, 10), (2, 20), (3, 10)], "_src_pid int, _dst_cid int"))
+        consistent(store, schema)
+        for _ in range(5):
+            op = rand_op(rng, schema, fresh)
+            if op is None:
+                continue
+            try:
+                probe = op.apply(schema)  # schema-level validity gate
+            except (ValueError, KeyError):
+                continue
+            del probe
+            schema = ev.apply_plan(schema, [op], store=store)
+            consistent(store, schema)
