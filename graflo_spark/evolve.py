@@ -692,7 +692,13 @@ def camel_to_snake(name: str) -> str:
 @dataclass
 class SanitizeOp(EvolutionOp):
     """Normalize all vertex/edge/property names to snake_case (reference
-    SanitizeOp)."""
+    SanitizeOp). A rename map that COLLAPSES distinct names ('FooBar' and
+    'fooBar' both snake to 'foo_bar') is rejected, the
+    :func:`_validate_injective` rule. Data migration renames the physical
+    vertex/edge table dirs (two-phase, since sanitized names can collide
+    with still-unrenamed siblings mid-walk) and the data columns;
+    ``_relation`` VALUES on dynamic edges are runtime data, not schema
+    names, and are left untouched."""
 
     def apply(self, schema: CoreSchema) -> CoreSchema:
         def snake_indexes(indexes: list[IndexConfig]) -> list[IndexConfig]:
@@ -705,7 +711,17 @@ class SanitizeOp(EvolutionOp):
 
         s = _clone(schema)
         renames = {v.name: camel_to_snake(v.name) for v in s.vertices}
+        if len(set(renames.values())) != len(renames):
+            dupes = sorted({n for n in renames.values()
+                            if list(renames.values()).count(n) > 1})
+            raise ValueError(
+                f"sanitize collapses distinct vertex names into {dupes}; "
+                "rename one side first")
         for v in s.vertices:
+            fr = [camel_to_snake(f.name) for f in v.fields]
+            if len(set(fr)) != len(fr):
+                raise ValueError(
+                    f"sanitize collapses field names on {v.name!r}")
             v.name = renames[v.name]
             v.fields = [
                 Field(camel_to_snake(f.name), f.type, f.item_type) for f in v.fields
@@ -734,7 +750,79 @@ class SanitizeOp(EvolutionOp):
             ]
             e.identities = [camel_to_snake(c) for c in e.identities]
             e.indexes = snake_indexes(e.indexes)
+        ids = [e.edge_id for e in s.edges]
+        if len(ids) != len(set(ids)):
+            raise ValueError(
+                "sanitize collapses distinct edge ids; rename one side first")
         return s
+
+    def migrate(self, store) -> None:
+        import os
+        import uuid
+
+        # two-phase dir renames: a sanitized name can equal a sibling's
+        # UNsanitized name mid-walk (the RenameRelationsOp r12 pattern)
+        moves: list[tuple[str, str]] = []
+        root_v = os.path.join(store.root, "vertices")
+        if os.path.isdir(root_v):
+            for d in sorted(os.listdir(root_v)):
+                if d.startswith("."):
+                    continue
+                nd = camel_to_snake(d)
+                if nd != d:
+                    src = os.path.join(root_v, d)
+                    tmp = f"{src}.mv-{uuid.uuid4().hex}"
+                    os.rename(src, tmp)
+                    moves.append((tmp, os.path.join(root_v, nd)))
+        root_e = os.path.join(store.root, "edges")
+        if os.path.isdir(root_e):
+            for d in sorted(os.listdir(root_e)):
+                if d.startswith("."):
+                    continue
+                parts = d.split("__")
+                nd = ("__".join(camel_to_snake(p) for p in parts)
+                      if len(parts) == 3 else camel_to_snake(d))
+                if nd != d:
+                    src = os.path.join(root_e, d)
+                    tmp = f"{src}.mv-{uuid.uuid4().hex}"
+                    os.rename(src, tmp)
+                    moves.append((tmp, os.path.join(root_e, nd)))
+        for tmp, dst in moves:
+            os.rename(tmp, dst)
+        # column renames inside each surviving table (endpoint key columns
+        # keep their _src_/_dst_ prefix; _relation values are data)
+        for v in store.schema.vertices:
+            try:
+                df = store.read_vertices(v.name)
+            except FileNotFoundError:
+                continue
+            ren = {c: camel_to_snake(c) for c in df.columns
+                   if camel_to_snake(c) != c}
+            if ren:
+                store._write_snapshot(
+                    store._table_dir("vertices", v.name),
+                    df.withColumnsRenamed(ren))
+        for e in store.schema.edges:
+            try:
+                df = store.read_edges(e.edge_id)
+            except FileNotFoundError:
+                continue
+            ren = {}
+            for c in df.columns:
+                if c == "_relation":
+                    continue
+                if c.startswith(("_src_", "_dst_")):
+                    nf = camel_to_snake(c[5:])
+                    if nf != c[5:]:
+                        ren[c] = c[:5] + nf
+                else:
+                    nc = camel_to_snake(c)
+                    if nc != c:
+                        ren[c] = nc
+            if ren:
+                store._write_snapshot(
+                    store._table_dir("edges", e.edge_id.table_name()),
+                    df.withColumnsRenamed(ren))
 
 
 @dataclass

@@ -1026,10 +1026,14 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
     def rand_op(rng, s, fresh):
         kind = rng.choice([
             "add_v", "add_p", "rm_p", "type", "ident", "rename_v",
-            "rename_rel", "merge_v", "add_e", "rm_e", "rm_v", "idx"])
+            "rename_rel", "merge_v", "add_e", "rm_e", "rm_v", "idx",
+            "sanitize"])
         names = list(s.vertex_names)
+        if kind == "sanitize":
+            return ev.SanitizeOp()
         if kind == "add_v":
-            n = fresh("v")
+            # mixedCase half the time so SanitizeOp has real work
+            n = fresh("V") if rng.random() < 0.5 else fresh("v")
             return ev.AddVertexOp(Vertex(
                 n, [Field(f"{n}_id", FieldType.INT), Field(f"{n}_x")],
                 identity=[f"{n}_id"]))
@@ -1130,3 +1134,49 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
             del probe
             schema = ev.apply_plan(schema, [op], store=store)
             consistent(store, schema)
+
+
+def test_sanitize_migrates_store_dirs_and_columns(spark, tmp_path):
+    """SanitizeOp had NO migrate (found by the r12 data-plane review):
+    sanitizing a populated store renamed every camelCase type in the
+    schema while the physical dirs and parquet columns kept the old
+    names — the orphan-addressing bug class. Now dirs move (two-phase)
+    and columns rename; _relation VALUES stay untouched (runtime data).
+    A collapsing sanitize ('FooBar' + 'fooBar') is rejected."""
+    schema = CoreSchema(
+        vertices=[
+            Vertex("PersonX", [Field("personId", FieldType.INT),
+                               Field("fullName")], identity=["personId"]),
+            Vertex("HomeCity", [Field("cityId", FieldType.INT)],
+                   identity=["cityId"]),
+        ],
+        edges=[Edge("PersonX", "HomeCity", relation="livesIn",
+                    properties=[Field("sinceYear", FieldType.INT)])],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("PersonX", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "personId int, fullName string"))
+    store.insert_edges(
+        EdgeId("PersonX", "HomeCity", "livesIn"),
+        spark.createDataFrame([(1, 10, 2020)],
+                              "_src_personId int, _dst_cityId int, sinceYear int"))
+
+    s2 = ev.apply_plan(schema, [ev.SanitizeOp()], store=store)
+    assert sorted(s2.vertex_names) == ["home_city", "person_x"]
+    out = store.read_vertices("person_x")
+    assert sorted(out.columns) == ["full_name", "person_id"]
+    assert out.count() == 2
+    e = store.read_edges(EdgeId("person_x", "home_city", "lives_in"))
+    assert sorted(e.columns) == ["_dst_city_id", "_src_person_id",
+                                 "since_year"]
+    assert e.count() == 1
+    import os
+    assert not os.path.isdir(store._table_dir("vertices", "PersonX"))
+
+    bad = CoreSchema(vertices=[
+        Vertex("FooBar", [Field("x")], identity=["x"]),
+        Vertex("fooBar", [Field("x")], identity=["x"]),
+    ])
+    with pytest.raises(ValueError, match="collapses"):
+        ev.SanitizeOp().apply(bad)
