@@ -1027,10 +1027,21 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
         kind = rng.choice([
             "add_v", "add_p", "rm_p", "type", "ident", "rename_v",
             "rename_rel", "merge_v", "add_e", "rm_e", "rm_v", "idx",
-            "sanitize"])
+            "sanitize", "project", "inverse"])
         names = list(s.vertex_names)
         if kind == "sanitize":
             return ev.SanitizeOp()
+        if kind == "project":
+            if len(names) < 2:
+                return None
+            keep = rng.sample(names, rng.randint(1, len(names) - 1))
+            return ev.ProjectManifestOp(keep_vertices=keep, strict=False)
+        if kind == "inverse":
+            cand = [e for e in s.edges if e.relation and e.directed]
+            if not cand:
+                return None
+            e = rng.choice(cand)
+            return ev.AddInverseEdgesOp({e.relation: fresh("inv")})
         if kind == "add_v":
             # mixedCase half the time so SanitizeOp has real work
             n = fresh("V") if rng.random() < 0.5 else fresh("v")
