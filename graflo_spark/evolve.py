@@ -294,10 +294,22 @@ class ReplaceIdentityOp(EvolutionOp):
         except FileNotFoundError:
             return
         subset = [c for c in self.identity if c in df.columns]
-        # dropDuplicates([]) collapses the WHOLE table to one arbitrary
-        # row (verified on Spark 4.1) — hash/funnel/assigned identities
-        # have no stored identity column, so fall back to full-row dedup,
-        # which never merges distinct rows (review finding)
+        # conform: an identity swapped onto a DECLARED-but-never-populated
+        # column materializes it as a typed NULL column — a vertex table
+        # missing its identity column breaks every keyed path (r12 fuzz).
+        # The dedup key stays the columns that CARRY data: deduping on an
+        # all-null column would collapse the table to one arbitrary row,
+        # the same failure class as dropDuplicates([]) on Spark 4.1
+        # (r11 review finding) — hash/funnel/assigned identities have no
+        # stored identity column, so those fall back to full-row dedup,
+        # which never merges distinct rows.
+        declared = {f.name: f for f in store.schema.vertex(self.vertex).fields}
+        for c in self.identity:
+            if c not in df.columns and c in declared:
+                f = declared[c]
+                df = df.withColumn(c, F.lit(None).cast(
+                    f.type.to_spark(f.item_type)
+                    if f.type is not None else "string"))
         deduped = df.dropDuplicates(subset) if subset else df.dropDuplicates()
         store._write_snapshot(
             store._table_dir("vertices", self.vertex), deduped)
@@ -510,10 +522,28 @@ class MergeVerticesOp(EvolutionOp):
             b = None
         if b is not None:
             merged = b if a is None else a.unionByName(b, allowMissingColumns=True)
+            # conform to the merged DECLARATION: when `into` had no data
+            # yet, the union degenerates to `other`'s frame, which lacks
+            # `into`'s own columns — including its IDENTITY columns, and
+            # a vertex table without its identity columns breaks every
+            # keyed path (upsert merge, endpoint resolution). Declared-
+            # but-absent columns materialize as typed NULLs (found by the
+            # r12 random-migration fuzz). The dedup key is computed from
+            # the columns that CARRIED data BEFORE conforming — deduping
+            # on a just-minted all-null identity column would collapse
+            # the table to one arbitrary row (the dropDuplicates([])
+            # failure class).
+            v = store.schema.vertex(self.into)
             identity = [
-                c for c in store.schema.vertex(self.into).identity_fields
-                if c in merged.columns
+                c for c in v.identity_fields if c in merged.columns
             ]
+            for f in v.fields:
+                if f.name not in merged.columns:
+                    merged = merged.withColumn(
+                        f.name,
+                        F.lit(None).cast(
+                            f.type.to_spark(f.item_type)
+                            if f.type is not None else "string"))
             if identity:
                 merged = merged.dropDuplicates(identity)
             store._write_snapshot(store._table_dir("vertices", self.into), merged)

@@ -1191,3 +1191,53 @@ def test_sanitize_migrates_store_dirs_and_columns(spark, tmp_path):
     ])
     with pytest.raises(ValueError, match="collapses"):
         ev.SanitizeOp().apply(bad)
+
+
+def test_merge_into_empty_vertex_conforms_identity_columns(spark, tmp_path):
+    """r12 fuzz find #1 (seed 24): merging a populated vertex into a
+    DECLARED-but-never-populated one degenerated the union to the other
+    side's frame, writing a vertex table without `into`'s identity
+    column — which breaks every keyed path. Declared-but-absent columns
+    now materialize as typed NULLs."""
+    schema = CoreSchema(vertices=[
+        Vertex("canon", [Field("canon_id", FieldType.INT), Field("x")],
+               identity=["canon_id"]),
+        Vertex("city", [Field("cid", FieldType.INT), Field("cn")],
+               identity=["cid"]),
+    ])
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("city", spark.createDataFrame(
+        [(10, "X"), (20, "Y")], "cid int, cn string"))
+    s2 = ev.apply_plan(
+        schema, [ev.MergeVerticesOp(into="canon", other="city")],
+        store=store)
+    out = store.read_vertices("canon")
+    assert "canon_id" in out.columns and "x" in out.columns
+    assert dict(out.dtypes)["canon_id"] == "bigint"  # FieldType.INT -> long
+    assert out.count() == 2           # rows carried over, not collapsed
+    assert "canon" in s2.vertex_names and "city" not in s2.vertex_names
+
+
+def test_replace_identity_with_unpopulated_column(spark, tmp_path):
+    """r12 fuzz find #2 (seed ~45): AddPropertyOp then ReplaceIdentityOp
+    onto the new (never-populated) column left the physical table
+    without its identity column; and deduping ON an all-null column
+    would have collapsed the table to one arbitrary row. The column now
+    materializes as typed NULL and the dedup key stays the columns that
+    carry data (here: none -> full-row dedup, rows preserved)."""
+    schema = CoreSchema(vertices=[
+        Vertex("person", [Field("pid", FieldType.INT), Field("nm")],
+               identity=["pid"]),
+    ])
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("person", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "pid int, nm string"))
+    plan = [ev.AddPropertyOp("person", Field("email")),
+            ev.ReplaceIdentityOp("person", ["email"], retire="keep")]
+    s2 = ev.apply_plan(schema, plan, store=store)
+    out = store.read_vertices("person")
+    assert "email" in out.columns
+    assert out.count() == 3           # NOT collapsed to one row
+    assert s2.vertex("person").identity == ["email"]
