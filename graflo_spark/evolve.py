@@ -153,6 +153,22 @@ class AddPropertyOp(EvolutionOp):
         return s
 
 
+def _strip_field_from_indexes(
+    indexes: list[IndexConfig], gone: set[str]
+) -> list[IndexConfig]:
+    """Property-removal cascade for index metadata (reference
+    apply.py remove_vertex_properties: removed fields are stripped from
+    each index's field list; an index left with no fields is dropped)."""
+    out = []
+    for i in indexes:
+        fields = tuple(c for c in i.fields if c not in gone)
+        if not fields:
+            continue
+        out.append(i if fields == i.fields
+                   else IndexConfig(fields, i.type, i.unique, i.sparse))
+    return out
+
+
 @dataclass
 class RemovePropertyOp(EvolutionOp):
     vertex: str = ""
@@ -163,7 +179,17 @@ class RemovePropertyOp(EvolutionOp):
         v = s.vertex(self.vertex)
         if self.prop in v.identity:
             raise ValueError(f"cannot remove identity column {self.prop!r}")
+        if any(self.prop in b for b in v.identity_funnel):
+            raise ValueError(
+                f"cannot remove identity-funnel column {self.prop!r}")
+        used_sec = sorted(k for k, cols in v.secondary_identities.items()
+                          if self.prop in cols)
+        if used_sec:
+            raise ValueError(
+                f"cannot remove {self.prop!r}: referenced by secondary "
+                f"identities {used_sec}; remove those first")
         v.fields = [f for f in v.fields if f.name != self.prop]
+        v.indexes = _strip_field_from_indexes(v.indexes, {self.prop})
         return s
 
     def migrate(self, store) -> None:
@@ -286,6 +312,13 @@ class ReplaceIdentityOp(EvolutionOp):
                 still_used.update(cols)
             gone = [c for c in old_identity if c not in still_used]
             v.fields = [f for f in v.fields if f.name not in gone]
+            # index cascade, same as RemovePropertyOp: a dropped column
+            # must not survive inside index metadata (a dangling index
+            # makes the schema unreplayable — AddIndexOp validates
+            # fields — and its layout/unique checks reference a column
+            # that no longer exists; found by the r12 2000-seed
+            # convergence sweep)
+            v.indexes = _strip_field_from_indexes(v.indexes, set(gone))
         return s
 
     def migrate(self, store) -> None:

@@ -1241,3 +1241,39 @@ def test_replace_identity_with_unpopulated_column(spark, tmp_path):
     assert "email" in out.columns
     assert out.count() == 3           # NOT collapsed to one row
     assert s2.vertex("person").identity == ["email"]
+
+
+def test_remove_property_cascades_indexes_and_guards_keys():
+    """Reference apply.py remove_vertex_properties semantics: removing a
+    property strips it from every index (an emptied index is dropped);
+    removing a column still referenced by a secondary identity or a
+    funnel branch raises (key semantics must be withdrawn explicitly).
+    Found by the 2000-seed convergence sweep: ReplaceIdentityOp
+    retire='drop' previously left a dangling index on the dropped
+    column, making the evolved schema unreplayable."""
+    from graflo_spark.manifest import IndexConfig
+
+    s = CoreSchema(vertices=[
+        Vertex("u",
+               [Field("id", FieldType.INT), Field("email"), Field("note")],
+               identity=["id"],
+               secondary_identities={"mail": ["email"]},
+               indexes=[IndexConfig(("note",)),
+                        IndexConfig(("note", "email"))]),
+    ])
+    out = ev.RemovePropertyOp("u", "note").apply(s)
+    v = out.vertex("u")
+    assert [i.fields for i in v.indexes] == [("email",)]  # stripped, kept
+    with pytest.raises(ValueError, match="secondary"):
+        ev.RemovePropertyOp("u", "email").apply(s)
+
+    # retire='drop' cascade: the old identity's derived index goes too
+    s2 = CoreSchema(vertices=[
+        Vertex("u", [Field("id", FieldType.INT), Field("email")],
+               identity=["id"],
+               indexes=[IndexConfig(("id",))]),
+    ])
+    out2 = ev.ReplaceIdentityOp("u", ["email"], retire="drop").apply(s2)
+    v2 = out2.vertex("u")
+    assert v2.field_names == ["email"]
+    assert v2.indexes == []
