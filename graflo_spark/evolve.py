@@ -158,14 +158,25 @@ def _strip_field_from_indexes(
 ) -> list[IndexConfig]:
     """Property-removal cascade for index metadata (reference
     apply.py remove_vertex_properties: removed fields are stripped from
-    each index's field list; an index left with no fields is dropped)."""
-    out = []
+    each index's field list; an index left with no fields is dropped).
+    Stripping can make two indexes IDENTICAL — ('name','city_id') minus
+    'name' collides with an existing ('city_id',) — so exact duplicates
+    dedup to the first occurrence (two identical indexes are meaningless
+    and an exact-dup schema is unreplayable through AddIndexOp; found by
+    the r12 10k-seed convergence sweep)."""
+    out: list[IndexConfig] = []
+    seen: set[tuple] = set()
     for i in indexes:
         fields = tuple(c for c in i.fields if c not in gone)
         if not fields:
             continue
-        out.append(i if fields == i.fields
-                   else IndexConfig(fields, i.type, i.unique, i.sparse))
+        cfg = (i if fields == i.fields
+               else IndexConfig(fields, i.type, i.unique, i.sparse))
+        key = (cfg.fields, cfg.type, cfg.unique, cfg.sparse)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(cfg)
     return out
 
 
