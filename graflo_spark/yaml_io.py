@@ -133,18 +133,21 @@ def vertex_to_dict(v: Vertex) -> dict:
 
 
 _EDGE_KEYS = {
-    "source", "target", "relation", "directed", "properties", "identities",
-    "indexes",
+    "source", "target", "relation", "directed", "type", "properties",
+    "identities", "indexes",
 }
 
 
 def edge_from_dict(d: dict) -> Edge:
     _check_keys(d, _EDGE_KEYS, f"edge {d.get('source')}->{d.get('target')}")
+    from graflo_spark.manifest import EdgeType
+
     return Edge(
         source=d["source"],
         target=d["target"],
         relation=d.get("relation"),
         directed=d.get("directed", True),
+        type=EdgeType(d.get("type", "direct")),
         properties=[_field_from(f) for f in d.get("properties", [])],
         identities=list(d.get("identities", [])),
         indexes=[_index_from(i) for i in d.get("indexes", [])],
@@ -152,11 +155,17 @@ def edge_from_dict(d: dict) -> Edge:
 
 
 def edge_to_dict(e: Edge) -> dict:
+    from graflo_spark.manifest import EdgeType
+
     out: dict = {"source": e.source, "target": e.target}
     if e.relation is not None:
         out["relation"] = e.relation
     if not e.directed:
         out["directed"] = False
+    if e.type != EdgeType.DIRECT:
+        # round-trip fidelity: an INDIRECT edge previously lost its type
+        # through save/load (review finding)
+        out["type"] = e.type.value
     if e.properties:
         out["properties"] = [_field_dict(f) for f in e.properties]
     if e.identities:

@@ -73,3 +73,18 @@ def test_yaml_manifest_compiles_end_to_end(spark, tables, tmp_path):
     yaml_io.save_manifest(m, p)
     m2 = yaml_io.load_manifest(p)
     assert yaml_io.manifest_to_dict(m2) == yaml_io.manifest_to_dict(m)
+
+
+def test_yaml_edge_type_round_trips():
+    """Edge.type (direct/indirect) survives save/load — an INDIRECT edge
+    previously silently degraded to DIRECT through the YAML round-trip
+    (r12 review finding); the default stays un-serialized."""
+    from graflo_spark.manifest import Edge, EdgeType
+
+    e = Edge("a", "b", relation="r", type=EdgeType.INDIRECT)
+    d = yaml_io.edge_to_dict(e)
+    assert d["type"] == "indirect"
+    assert yaml_io.edge_from_dict(d).type is EdgeType.INDIRECT
+    plain = yaml_io.edge_to_dict(Edge("a", "b"))
+    assert "type" not in plain
+    assert yaml_io.edge_from_dict(plain).type is EdgeType.DIRECT
