@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import copy
 import re
+import warnings
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import functions as F
@@ -245,6 +246,16 @@ class RenamePropertyOp(EvolutionOp):
             k: [self.new if c == self.old else c for c in cols]
             for k, cols in v.secondary_identities.items()
         }
+        # index metadata follows the rename — a stale index field makes
+        # the schema unreplayable (AddIndexOp validates fields) and its
+        # layout/unique checks reference a dead column (r13 fuzz class)
+        v.indexes = [
+            (IndexConfig(
+                tuple(self.new if c == self.old else c for c in i.fields),
+                i.type, i.unique, i.sparse)
+             if self.old in i.fields else i)
+            for i in v.indexes
+        ]
         return s
 
     def migrate(self, store) -> None:
@@ -257,6 +268,27 @@ class RenamePropertyOp(EvolutionOp):
                 store._table_dir("vertices", self.vertex),
                 df.withColumnRenamed(self.old, self.new),
             )
+        # renaming an IDENTITY field renames the vertex's addressing: edge
+        # endpoint key columns are _src_/_dst_<identity field>, so every
+        # incident edge table must follow or traversal compiles against a
+        # dead column (found by the r13 migration fuzz)
+        v = store.schema.vertex(self.vertex)
+        if (v.identity_mode is not IdentityMode.NATURAL
+                or self.new not in v.identity):
+            return
+        for e in store.schema.edges:
+            for side, endpoint in (("_src_", e.source), ("_dst_", e.target)):
+                if endpoint != self.vertex:
+                    continue
+                try:
+                    edf = store.read_edges(e.edge_id)
+                except FileNotFoundError:
+                    continue
+                if f"{side}{self.old}" in edf.columns:
+                    store._write_snapshot(
+                        store._table_dir("edges", e.edge_id.table_name()),
+                        edf.withColumnRenamed(
+                            f"{side}{self.old}", f"{side}{self.new}"))
 
 
 @dataclass
@@ -278,6 +310,7 @@ class ReplaceIdentityOp(EvolutionOp):
     funnel: list[list[str]] = dc_field(default_factory=list)
     retire: str = "demote"  # demote | keep | drop
     retire_as: str | None = None
+    _old_identity: list[str] = dc_field(default_factory=list)
 
     def apply(self, schema: CoreSchema) -> CoreSchema:
         if self.retire not in ("demote", "keep", "drop"):
@@ -297,6 +330,9 @@ class ReplaceIdentityOp(EvolutionOp):
 
         old_identity = list(v.identity)
         old_synthetic = v.identity_mode is not IdentityMode.NATURAL
+        # migrate() re-keys edge endpoint columns old->new; only natural
+        # identities have stored key columns to re-key from
+        self._old_identity = [] if old_synthetic else old_identity
         v.identity = list(self.identity)
         v.identity_mode = self.mode
         v.identity_funnel = [list(b) for b in self.funnel]
@@ -354,6 +390,57 @@ class ReplaceIdentityOp(EvolutionOp):
                 df = df.withColumn(c, F.lit(None).cast(
                     f.type.to_spark(f.item_type)
                     if f.type is not None else "string"))
+        # re-key incident edge tables from the OLD natural identity onto
+        # the new one (the query._node_key addressing contract compiles
+        # _src_<current identity field>, so edge tables keeping the old
+        # key columns break every traversal — found by the r13 migration
+        # fuzz). The mapping comes from the PRE-dedup frame: when the new
+        # identity collapses rows, each old key maps to the new key of
+        # ITS row, so edges follow the merge. Unmapped keys drop (the
+        # resolve-endpoints inner-join contract). Runs BEFORE the vertex
+        # snapshot write: the mapping reads the pre-write files lazily
+        # and a size-capped write may prune the generation it reads from.
+        new_natural = self.mode is IdentityMode.NATURAL
+        if (self._old_identity and new_natural
+                and self._old_identity != list(self.identity)
+                and all(c in df.columns
+                        for c in (*self._old_identity, *self.identity))):
+            need = list(dict.fromkeys([*self._old_identity, *self.identity]))
+            mapping = df.select(*need).dropDuplicates(self._old_identity)
+            produce = [c for c in self.identity
+                       if c not in self._old_identity]
+            drop = [c for c in self._old_identity if c not in self.identity]
+            if produce or drop:
+                for e in store.schema.edges:
+                    for side, endpoint in (("_src_", e.source),
+                                           ("_dst_", e.target)):
+                        if endpoint != self.vertex:
+                            continue
+                        try:
+                            edf = store.read_edges(e.edge_id)
+                        except FileNotFoundError:
+                            continue
+                        old_cols = [f"{side}{f}"
+                                    for f in self._old_identity]
+                        if not all(c in edf.columns for c in old_cols):
+                            continue
+                        lookup = mapping.select(
+                            *[F.col(f).alias(c)
+                              for f, c in zip(self._old_identity, old_cols)],
+                            *[F.col(f).alias(f"{side}{f}__new")
+                              for f in produce])
+                        out = edf.join(lookup, on=old_cols, how="inner")
+                        out = out.drop(*[f"{side}{f}" for f in drop])
+                        for f in produce:
+                            out = out.withColumnRenamed(
+                                f"{side}{f}__new", f"{side}{f}")
+                        key_cols = [c for c in out.columns
+                                    if c.startswith(("_src_", "_dst_"))]
+                        if "_relation" in out.columns:
+                            key_cols.append("_relation")
+                        store._write_snapshot(
+                            store._table_dir("edges", e.edge_id.table_name()),
+                            out.dropDuplicates(key_cols))
         deduped = df.dropDuplicates(subset) if subset else df.dropDuplicates()
         store._write_snapshot(
             store._table_dir("vertices", self.vertex), deduped)
@@ -516,12 +603,30 @@ class RetargetEdgesOp(EvolutionOp):
                     key_cols.append("_relation")
                 df = df.dropDuplicates(key_cols)
                 if os.path.exists(dst):
+                    # schema-side first-id-wins dedup kept the existing
+                    # table; dropping this one's rows silently would be
+                    # irreversible data loss with no signal (review
+                    # finding) — warn so operators can recover first
+                    warnings.warn(
+                        f"retarget {self.old_vertex!r}->"
+                        f"{self.new_vertex!r}: edge table {d} collides "
+                        f"with existing {os.path.basename(dst)}; its "
+                        "rows are DROPPED (first-id-wins). Merge the "
+                        "tables first if both must survive.",
+                        stacklevel=2)
                     shutil.rmtree(srcdir, ignore_errors=True)
                 else:
                     store._write_snapshot(dst, df)
                     shutil.rmtree(srcdir, ignore_errors=True)
             else:
                 if os.path.exists(dst):
+                    warnings.warn(
+                        f"retarget {self.old_vertex!r}->"
+                        f"{self.new_vertex!r}: edge table {d} collides "
+                        f"with existing {os.path.basename(dst)}; its "
+                        "rows are DROPPED (first-id-wins). Merge the "
+                        "tables first if both must survive.",
+                        stacklevel=2)
                     shutil.rmtree(srcdir, ignore_errors=True)
                 elif dst != srcdir:
                     os.rename(srcdir, dst)
@@ -531,16 +636,58 @@ class RetargetEdgesOp(EvolutionOp):
 class MergeVerticesOp(EvolutionOp):
     """Merge vertex type ``other`` into ``into``: union fields, retarget
     edges, drop ``other`` (reference MergeVerticesOp). Data migration unions
-    the two vertex tables and re-dedups on ``into``'s identity."""
+    the two vertex tables and re-dedups on ``into``'s identity.
+
+    Differently-keyed merge (identity field names differ): ``other``'s rows
+    carry no values for ``into``'s identity, so they join the merged table
+    as NULL-keyed rows — kept, not collapsed (the keyed/unkeyed dedup
+    split below) — and ``other``'s old identity is DEMOTED to a secondary
+    identity of ``into`` so those rows stay addressable by lookup
+    (the ReplaceIdentityOp retire='demote' pattern). Edges that addressed
+    ``other`` are RE-KEYED through the merged table onto ``into``'s
+    identity columns (the ``query._node_key`` addressing contract compiles
+    ``_src_<into identity>``, so edge tables keeping ``other``'s key
+    columns would break every traversal — found by the r13 migration
+    fuzz); the mapped key for a pure-``other`` row is NULL, which under
+    ``concat_ws`` addressing collapses all such rows onto one degenerate
+    key — align the key spaces first (ReplaceIdentityOp) for a clean
+    merge."""
 
     into: str = ""
     other: str = ""
+    _other_identity: list[str] = dc_field(default_factory=list)
+    _rekey: list[tuple[EdgeId, str]] = dc_field(default_factory=list)
 
     def apply(self, schema: CoreSchema) -> CoreSchema:
         s = _clone(schema)
         dst, src = s.vertex(self.into), s.vertex(self.other)
         have = set(dst.field_names)
         dst.fields += [f for f in src.fields if f.name not in have]
+        self._other_identity = (
+            list(src.identity)
+            if src.identity_mode is IdentityMode.NATURAL else [])
+        self._rekey = []
+        if (self._other_identity
+                and dst.identity_mode is IdentityMode.NATURAL
+                and sorted(self._other_identity) != sorted(dst.identity)):
+            # demote the merged-away key so other's rows stay findable
+            name = f"merged_{self.other}"
+            while name in dst.secondary_identities:
+                name += "_"
+            dst.secondary_identities[name] = list(self._other_identity)
+            if not any(i.fields == tuple(self._other_identity)
+                       for i in dst.indexes):
+                dst.indexes.append(IndexConfig(tuple(self._other_identity)))
+            # record which endpoint sides need data-plane re-keying
+            for e in s.edges:
+                for side, endpoint in (("_src_", e.source),
+                                       ("_dst_", e.target)):
+                    if endpoint == self.other:
+                        new_id = EdgeId(
+                            self.into if e.source == self.other else e.source,
+                            self.into if e.target == self.other else e.target,
+                            e.relation)
+                        self._rekey.append((new_id, side))
         if any(self.other in (e.source, e.target) for e in s.edges):
             s = RetargetEdgesOp(self.other, self.into).apply(s)
         s.vertices = [v for v in s.vertices if v.name != self.other]
@@ -554,6 +701,7 @@ class MergeVerticesOp(EvolutionOp):
         return s
 
     def migrate(self, store) -> None:
+        import os
         import shutil
 
         try:
@@ -564,8 +712,12 @@ class MergeVerticesOp(EvolutionOp):
             b = store.read_vertices(self.other)
         except FileNotFoundError:
             b = None
+        v = store.schema.vertex(self.into)
+        merged = mapping = None
+        pre_conform_cols: set[str] = set()
         if b is not None:
             merged = b if a is None else a.unionByName(b, allowMissingColumns=True)
+            pre_conform_cols = set(merged.columns)
             # conform to the merged DECLARATION: when `into` had no data
             # yet, the union degenerates to `other`'s frame, which lacks
             # `into`'s own columns — including its IDENTITY columns, and
@@ -577,10 +729,6 @@ class MergeVerticesOp(EvolutionOp):
             # on a just-minted all-null identity column would collapse
             # the table to one arbitrary row (the dropDuplicates([])
             # failure class).
-            v = store.schema.vertex(self.into)
-            identity = [
-                c for c in v.identity_fields if c in merged.columns
-            ]
             for f in v.fields:
                 if f.name not in merged.columns:
                     merged = merged.withColumn(
@@ -588,18 +736,23 @@ class MergeVerticesOp(EvolutionOp):
                         F.lit(None).cast(
                             f.type.to_spark(f.item_type)
                             if f.type is not None else "string"))
-            if identity:
-                merged = merged.dropDuplicates(identity)
-            store._write_snapshot(store._table_dir("vertices", self.into), merged)
-            shutil.rmtree(store._table_dir("vertices", self.other), ignore_errors=True)
+            # edge re-key mapping comes from the PRE-dedup merged frame
+            # (dedup on into's identity would collapse exactly the
+            # NULL-keyed other-rows that carry the old->new key pairs)
+            if self._rekey and self._other_identity and all(
+                    c in merged.columns
+                    for c in (*self._other_identity, *v.identity_fields)):
+                need = list(dict.fromkeys(
+                    [*self._other_identity, *v.identity_fields]))
+                mapping = merged.select(*need).dropDuplicates(
+                    self._other_identity)
         # edge table dirs embed endpoint names: the retarget in apply()
         # re-addressed (other -> X) edges as (into -> X), so the physical
         # dirs must follow or their data is orphaned (review finding; the
         # RenameVertexOp.migrate pattern). A collision with an existing
         # (into -> X) table keeps the existing dir — the first-id-wins
-        # dedup apply() already performs on the schema side.
-        import os
-
+        # dedup apply() already performs on the schema side — and WARNS,
+        # since the colliding table's rows are dropped irreversibly.
         edir = os.path.join(store.root, "edges")
         if os.path.isdir(edir):
             for d in sorted(os.listdir(edir)):
@@ -616,9 +769,64 @@ class MergeVerticesOp(EvolutionOp):
                     dst = os.path.join(edir, "__".join(parts))
                     srcdir = os.path.join(edir, d)
                     if os.path.exists(dst):
+                        warnings.warn(
+                            f"merge {self.other!r}->{self.into!r}: edge "
+                            f"table {d} collides with existing "
+                            f"{os.path.basename(dst)}; its rows are "
+                            "DROPPED (first-id-wins). Merge the edge "
+                            "tables first if both must survive.",
+                            stacklevel=2)
                         shutil.rmtree(srcdir, ignore_errors=True)
                     else:
                         os.rename(srcdir, dst)
+        # re-key edges that addressed `other` onto into's identity columns
+        # BEFORE the vertex snapshot write: mapping reads the pre-write
+        # vertex files lazily, and a size-capped snapshot write may prune
+        # the very generation it reads from
+        if mapping is not None:
+            new_ident = list(v.identity_fields)
+            for eid, side in self._rekey:
+                try:
+                    edf = store.read_edges(eid)
+                except FileNotFoundError:
+                    continue
+                old_cols = [f"{side}{f}" for f in self._other_identity]
+                if not all(c in edf.columns for c in old_cols):
+                    continue  # already keyed differently (collision kept)
+                lookup = mapping.select(
+                    *[F.col(f).alias(c)
+                      for f, c in zip(self._other_identity, old_cols)],
+                    *[F.col(f).alias(f"{side}{f}__new") for f in new_ident])
+                out = edf.join(lookup, on=old_cols, how="inner").drop(
+                    *old_cols)
+                for f in new_ident:
+                    out = out.withColumnRenamed(f"{side}{f}__new",
+                                                f"{side}{f}")
+                key_cols = [c for c in out.columns
+                            if c.startswith(("_src_", "_dst_"))]
+                if "_relation" in out.columns:
+                    key_cols.append("_relation")
+                store._write_snapshot(
+                    store._table_dir("edges", eid.table_name()),
+                    out.dropDuplicates(key_cols))
+        if merged is not None:
+            # keyed/unkeyed dedup split: rows with an all-NULL identity —
+            # other's rows in a differently-keyed merge — must not
+            # collapse to one arbitrary row under dropDuplicates' NULL==
+            # NULL grouping (found by the r13 migration fuzz); only rows
+            # that actually carry key values dedup on them
+            identity = [c for c in v.identity_fields
+                        if c in pre_conform_cols]
+            if identity:
+                null_key = F.lit(True)
+                for c in identity:
+                    null_key = null_key & F.col(c).isNull()
+                keyed = merged.filter(~null_key).dropDuplicates(identity)
+                merged = keyed.unionByName(merged.filter(null_key))
+            store._write_snapshot(
+                store._table_dir("vertices", self.into), merged)
+            shutil.rmtree(
+                store._table_dir("vertices", self.other), ignore_errors=True)
 
 
 @dataclass
@@ -691,6 +899,19 @@ class AddIndexOp(EvolutionOp):
                 raise ValueError(
                     f"index fields {missing} not declared on vertex {t.name!r}"
                 )
+        else:
+            # edge indexes may target properties or endpoint key columns
+            # (_src_/_dst_<identity field>); anything else is a dead
+            # column the layout sort would crash on (r13 fuzz hardening)
+            allowed = {f.name for f in t.properties}
+            for side, endpoint in (("_src_", t.source), ("_dst_", t.target)):
+                vv = s.vertex(endpoint)
+                allowed |= {f"{side}{f}" for f in vv.identity_fields}
+            missing = [c for c in self.index.fields if c not in allowed]
+            if missing:
+                raise ValueError(
+                    f"index fields {missing} not declared on edge "
+                    f"{t.edge_id}")
         t.indexes.append(self.index)
         return s
 
@@ -835,32 +1056,40 @@ class SanitizeOp(EvolutionOp):
         import uuid
 
         # two-phase dir renames: a sanitized name can equal a sibling's
-        # UNsanitized name mid-walk (the RenameRelationsOp r12 pattern)
+        # UNsanitized name mid-walk (the RenameRelationsOp r12 pattern).
+        # The walk covers ALL dirs — including stale/untracked ones apply()
+        # never saw — so the full post-move name set is validated BEFORE
+        # any rename: a collision discovered mid-phase-2 would strand
+        # already-moved tables at .mv-<uuid> temp names, a partially
+        # applied migration with data addressed nowhere.
+        planned: list[tuple[str, str, str]] = []  # (root, old, new)
+        for root, sanitize in (
+            (os.path.join(store.root, "vertices"), camel_to_snake),
+            (os.path.join(store.root, "edges"),
+             lambda d: ("__".join(camel_to_snake(p) for p in d.split("__"))
+                        if len(d.split("__")) == 3 else camel_to_snake(d))),
+        ):
+            if not os.path.isdir(root):
+                continue
+            entries = [d for d in sorted(os.listdir(root))
+                       if not d.startswith(".")]
+            final: dict[str, str] = {}  # post-move name -> source dir
+            for d in entries:
+                nd = sanitize(d)
+                if nd in final:
+                    raise ValueError(
+                        f"sanitize migration collides on "
+                        f"{os.path.basename(root)}/{nd!r} (from {final[nd]!r} "
+                        f"and {d!r}); remove or rename the stale dir first")
+                final[nd] = d
+                if nd != d:
+                    planned.append((root, d, nd))
         moves: list[tuple[str, str]] = []
-        root_v = os.path.join(store.root, "vertices")
-        if os.path.isdir(root_v):
-            for d in sorted(os.listdir(root_v)):
-                if d.startswith("."):
-                    continue
-                nd = camel_to_snake(d)
-                if nd != d:
-                    src = os.path.join(root_v, d)
-                    tmp = f"{src}.mv-{uuid.uuid4().hex}"
-                    os.rename(src, tmp)
-                    moves.append((tmp, os.path.join(root_v, nd)))
-        root_e = os.path.join(store.root, "edges")
-        if os.path.isdir(root_e):
-            for d in sorted(os.listdir(root_e)):
-                if d.startswith("."):
-                    continue
-                parts = d.split("__")
-                nd = ("__".join(camel_to_snake(p) for p in parts)
-                      if len(parts) == 3 else camel_to_snake(d))
-                if nd != d:
-                    src = os.path.join(root_e, d)
-                    tmp = f"{src}.mv-{uuid.uuid4().hex}"
-                    os.rename(src, tmp)
-                    moves.append((tmp, os.path.join(root_e, nd)))
+        for root, d, nd in planned:
+            src = os.path.join(root, d)
+            tmp = f"{src}.mv-{uuid.uuid4().hex}"
+            os.rename(src, tmp)
+            moves.append((tmp, os.path.join(root, nd)))
         for tmp, dst in moves:
             os.rename(tmp, dst)
         # column renames inside each surviving table (endpoint key columns
@@ -1291,6 +1520,9 @@ class RemoveEdgePropertiesOp(EvolutionOp):
                 )
             for e in _edges_by_relation(s, rel):
                 e.properties = [f for f in e.properties if f.name not in gone]
+                # index cascade, the RemovePropertyOp rule: a removed
+                # property must not survive inside index metadata
+                e.indexes = _strip_field_from_indexes(e.indexes, gone)
                 self._touched.append(e.edge_id)
         return s
 
@@ -1333,6 +1565,14 @@ class RenameEdgePropertiesOp(EvolutionOp):
                     for f in e.properties
                 ]
                 e.identities = [mapping.get(c, c) for c in e.identities]
+                # index metadata follows the rename (r13 fuzz class)
+                e.indexes = [
+                    (IndexConfig(
+                        tuple(mapping.get(c, c) for c in i.fields),
+                        i.type, i.unique, i.sparse)
+                     if any(c in mapping for c in i.fields) else i)
+                    for i in e.indexes
+                ]
                 self._touched.append(e.edge_id)
         return s
 

@@ -116,13 +116,15 @@ def blank_edge_join(
 
     The zip orders each side by its row identity when it has one: the
     reference (hq/db_writer.py:348) zips source/target docs in DOCUMENT
-    order, so when both frames carry ``__doc_id`` (+ any position columns
+    order, so when BOTH frames carry ``__doc_id`` (+ any position columns
     in ``order_cols``) we order by that and preserve the original row
-    correspondence. Only when neither side has a row identity do we fall
-    back to ordering each side by its own minted key — deterministic
-    across runs and partitionings, but an arbitrary bijection (review
-    finding). A length mismatch raises instead of silently truncating to
-    the shorter side."""
+    correspondence. When only one side carries ``__doc_id`` — or neither
+    does — both sides fall back to ordering by their own minted key:
+    doc-order against key-order would be an arbitrary bijection
+    masquerading as document order (review finding), so the mixed case
+    uses the same deterministic-but-arbitrary key order on both sides.
+    A length mismatch raises instead of silently truncating to the
+    shorter side."""
     if shared_fields:
         s = source_docs.select(*shared_fields, F.col(src_key).alias("_src__key"))
         t = target_docs.select(*shared_fields, F.col(dst_key).alias("_dst__key"))
@@ -134,8 +136,11 @@ def blank_edge_join(
             f"{n_s} source rows vs {n_t} target rows")
     from graflo_spark.compiler import DOC_ID
 
+    doc_ordered = (DOC_ID in source_docs.columns
+                   and DOC_ID in target_docs.columns)
+
     def _numbered(df: DataFrame, key: str, alias: str) -> DataFrame:
-        if DOC_ID in df.columns:
+        if doc_ordered:
             # document order, then any positional columns the extraction
             # carried (numeric depth order — lexical sort would put
             # __pos10 before __pos2), then the key as a unique tie-break

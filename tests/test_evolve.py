@@ -989,18 +989,46 @@ def test_diff_edge_payload_change_is_in_place_not_remove_add(spark, tmp_path):
 
 def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
     """Data-plane twin of the diff-convergence property: random valid op
-    chains applied against a POPULATED store must leave the physical
-    layout consistent with the schema after every step — no orphan
-    table dirs (the r11 retarget/merge/remove bug class: apply() moved
-    the schema, migrate() left data stranded under dead addressing), no
-    unreadable declared tables, and natural-identity columns present in
-    every surviving vertex table."""
+    chains applied against a POPULATED store must leave, after EVERY step:
+
+    1. physical layout consistent with the schema — no orphan table dirs
+       (the r11 retarget/merge/remove bug class), no unreadable declared
+       tables, natural-identity columns present in surviving vertex tables;
+    2. schema-internal integrity — identity / funnel / secondary / index
+       fields all declared on their vertex, edge identities and index
+       fields among edge properties (the stale-index class: a rename or
+       removal that forgets to cascade into index metadata);
+    3. referential integrity (NEW in r13, the verdict's top item) — for
+       every populated edge table whose natural-identity endpoints have
+       populated vertex tables, the edge carries a ``_src_<f>``/``_dst_<f>``
+       column per CURRENT identity field (the addressing contract
+       ``query._node_key`` compiles against), and every endpoint key tuple
+       resolves against the vertex table (null-safe, driver-side set
+       check — fuzz tables are tiny by construction).
+
+    The op pool covers every evolution op with data-plane consequences —
+    all of §2.12's 33 concrete ops except RenameResourcesOp, which
+    rewrites GraphManifest.resources (ingestion bindings) and by design
+    touches neither CoreSchema nor the store (its apply() is the identity
+    on schemas); it is covered by its own unit tests instead.
+
+    Depth knobs for the offline sweep (REVIEW_NOTES_r13 ledger):
+    SPARK_GRAFT_FUZZ_SEEDS (default 8), SPARK_GRAFT_FUZZ_OPS (default 6),
+    SPARK_GRAFT_FUZZ_BASE (first seed, default 1000)."""
     import os
     import random
 
     from graflo_spark.manifest import IndexConfig
 
+    def _keyset(df, cols):
+        # null-safe driver-side key set; fuzz tables are <100 rows
+        return {
+            tuple("\x00null" if r[c] is None else str(r[c]) for c in cols)
+            for r in df.select(*cols).collect()
+        }
+
     def consistent(store, schema):
+        # -- 1. physical layout ⇄ schema
         vdir = os.path.join(store.root, "vertices")
         if os.path.isdir(vdir):
             for d in os.listdir(vdir):
@@ -1012,26 +1040,78 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
             for d in os.listdir(edir):
                 if not d.startswith("."):
                     assert d in declared, f"orphan edge dir {d}"
+        # -- 2. schema-internal integrity
+        for v in schema.vertices:
+            have = set(v.field_names)
+            for c in v.identity:
+                assert c in have, f"{v.name}: identity {c} undeclared"
+            for b in v.identity_funnel:
+                for c in b:
+                    assert c in have, f"{v.name}: funnel col {c} undeclared"
+            for k, cols in v.secondary_identities.items():
+                for c in cols:
+                    assert c in have, f"{v.name}.{k}: secondary {c} undeclared"
+            for i in v.indexes:
+                for c in i.fields:
+                    assert c in have, f"{v.name}: index field {c} undeclared"
+        for e in schema.edges:
+            assert e.source in schema.vertex_names, f"{e.edge_id}: source"
+            assert e.target in schema.vertex_names, f"{e.edge_id}: target"
+            props = {f.name for f in e.properties}
+            for c in e.identities:
+                assert c in props, f"{e.edge_id}: identity {c} undeclared"
+            idx_ok = set(props)
+            for side, endpoint in (("_src_", e.source), ("_dst_", e.target)):
+                idx_ok |= {f"{side}{f}"
+                           for f in schema.vertex(endpoint).identity_fields}
+            for i in e.indexes:
+                for c in i.fields:
+                    assert c in idx_ok, (
+                        f"{e.edge_id}: index field {c} undeclared")
+        # -- vertex tables readable, identity columns present
+        vframes = {}
         for vn in schema.vertex_names:
             try:
                 df = store.read_vertices(vn)
             except FileNotFoundError:
                 continue
+            vframes[vn] = df
             v = schema.vertex(vn)
             if v.identity_mode.value == "natural":
                 for c in v.identity:
                     assert c in df.columns, f"{vn} missing identity {c}"
+        # -- 3. referential integrity per edge table
+        vkeys = {}  # vertex -> frozenset of identity tuples (lazy)
         for e in schema.edges:
             try:
-                store.read_edges(e.edge_id).columns
+                edf = store.read_edges(e.edge_id)
             except FileNotFoundError:
-                pass
+                continue
+            for side, vname in (("_src_", e.source), ("_dst_", e.target)):
+                v = schema.vertex(vname)
+                if v.identity_mode.value != "natural" or vname not in vframes:
+                    continue
+                key_cols = [f"{side}{f}" for f in v.identity_fields]
+                missing = [c for c in key_cols if c not in edf.columns]
+                assert not missing, (
+                    f"{e.edge_id}: edge table lost endpoint key columns "
+                    f"{missing} (has {edf.columns})")
+                if vname not in vkeys:
+                    vkeys[vname] = _keyset(vframes[vname], v.identity_fields)
+                dangling = _keyset(edf, key_cols) - vkeys[vname]
+                assert not dangling, (
+                    f"{e.edge_id} {side}: {len(dangling)} endpoint keys "
+                    f"unresolvable against {vname}: {sorted(dangling)[:5]}")
 
     def rand_op(rng, s, fresh):
         kind = rng.choice([
-            "add_v", "add_p", "rm_p", "type", "ident", "rename_v",
-            "rename_rel", "merge_v", "add_e", "rm_e", "rm_v", "idx",
-            "sanitize", "project", "inverse"])
+            "add_v", "clone_v", "add_vs", "add_p", "rm_p", "rename_p",
+            "type", "ident", "rename_v", "rename_vs", "rename_rel",
+            "rename_er", "merge_v", "add_e", "add_es", "rm_e", "rm_es",
+            "rm_v", "idx", "rm_idx", "idx_e", "add_sid", "rm_sid",
+            "sanitize", "project", "inverse", "retarget", "merge_e",
+            "set_dir", "add_ep", "rm_ep", "rename_ep", "ident_e",
+            "compose"])
         names = list(s.vertex_names)
         if kind == "sanitize":
             return ev.SanitizeOp()
@@ -1052,9 +1132,50 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
             return ev.AddVertexOp(Vertex(
                 n, [Field(f"{n}_id", FieldType.INT), Field(f"{n}_x")],
                 identity=[f"{n}_id"]))
+        if kind == "add_vs":
+            vs = []
+            for _ in range(2):
+                n = fresh("v")
+                vs.append(Vertex(n, [Field(f"{n}_id", FieldType.INT)],
+                                 identity=[f"{n}_id"]))
+            return ev.AddVerticesOp(vs)
+        if kind == "compose":
+            n = fresh("cx")
+            other = CoreSchema(
+                vertices=[Vertex(n, [Field(f"{n}_id", FieldType.INT)],
+                                 identity=[f"{n}_id"])],
+                edges=[Edge(n, n, relation=fresh("rel"))])
+            return ev.ComposeManifestsOp(other=other)
         if not names:
             return None
         v = s.vertex(rng.choice(names))
+        if kind == "clone_v":
+            # same identity FIELD NAMES as an existing vertex -> makes
+            # shared-key-space RetargetEdgesOp reachable downstream
+            if v.identity_mode.value != "natural" or not v.identity:
+                return None
+            fields = [Field(f.name, f.type, f.item_type)
+                      for f in v.fields if f.name in set(v.identity)]
+            return ev.AddVertexOp(Vertex(
+                fresh("tw"), fields, identity=list(v.identity)))
+        if kind == "retarget":
+            # shared key space: identity field names must match by name
+            # (RetargetEdgesOp key_mapping=None contract)
+            olds = [vn for vn in names
+                    if any(vn in (e.source, e.target) for e in s.edges)]
+            rng.shuffle(olds)
+            for on in olds:
+                ov = s.vertex(on)
+                if ov.identity_mode.value != "natural":
+                    continue
+                cands = [
+                    vn for vn in names if vn != on
+                    and s.vertex(vn).identity_mode.value == "natural"
+                    and sorted(s.vertex(vn).identity) == sorted(ov.identity)]
+                if cands:
+                    return ev.RetargetEdgesOp(
+                        old_vertex=on, new_vertex=rng.choice(cands))
+            return None
         protected = set(v.identity) | {
             c for b in v.identity_funnel for c in b}
         for cols in v.secondary_identities.values():
@@ -1066,6 +1187,13 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
         if kind == "rm_p":
             cand = [f.name for f in v.fields if f.name not in protected]
             return ev.RemovePropertyOp(v.name, rng.choice(cand)) if cand else None
+        if kind == "rename_p":
+            if not v.fields:
+                return None
+            # any field INCLUDING identity fields: renaming an identity
+            # column must cascade into edge endpoint key columns
+            return ev.RenamePropertyOp(
+                v.name, rng.choice(v.fields).name, fresh("f"))
         if kind == "type":
             cand = [f for f in v.fields if f.name not in set(v.identity)]
             if not cand:
@@ -1078,14 +1206,24 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
             if not v.fields:
                 return None
             ident = [rng.choice(v.fields).name]
-            return ev.ReplaceIdentityOp(v.name, ident, retire="keep")
+            retire = rng.choice(["keep", "demote", "drop"])
+            kw = {"retire_as": fresh("sid")} if retire == "demote" else {}
+            return ev.ReplaceIdentityOp(v.name, ident, retire=retire, **kw)
         if kind == "rename_v":
             return ev.RenameVertexOp(v.name, fresh("v"))
+        if kind == "rename_vs":
+            picks = rng.sample(names, min(len(names), rng.randint(1, 2)))
+            return ev.RenameVerticesOp({n: fresh("v") for n in picks})
         if kind == "rename_rel":
             rels = [e.relation for e in s.edges if e.relation]
             if not rels:
                 return None
             return ev.RenameRelationsOp({rng.choice(rels): fresh("rel")})
+        if kind == "rename_er":
+            if not s.edges:
+                return None
+            return ev.RenameEdgeRelationOp(
+                rng.choice(s.edges).edge_id, fresh("rel"))
         if kind == "merge_v":
             if len(names) < 2:
                 return None
@@ -1094,10 +1232,18 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
         if kind == "add_e":
             src, tgt = rng.choice(names), rng.choice(names)
             return ev.AddEdgeOp(Edge(src, tgt, relation=fresh("rel")))
+        if kind == "add_es":
+            src, tgt = rng.choice(names), rng.choice(names)
+            return ev.AddEdgesOp([Edge(src, tgt, relation=fresh("rel"))])
         if kind == "rm_e":
             if not s.edges:
                 return None
             return ev.RemoveEdgeOp(rng.choice(s.edges).edge_id)
+        if kind == "rm_es":
+            rels = [e.relation for e in s.edges if e.relation]
+            if not rels:
+                return None
+            return ev.RemoveEdgesOp(relations=[rng.choice(rels)])
         if kind == "rm_v":
             return ev.RemoveVertexOp(v.name)
         if kind == "idx":
@@ -1108,6 +1254,79 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
             if any(i.fields == fields for i in v.indexes):
                 return None
             return ev.AddIndexOp(vertex=v.name, index=IndexConfig(fields))
+        if kind == "rm_idx":
+            if not v.indexes:
+                return None
+            return ev.RemoveIndexOp(
+                vertex=v.name, fields=rng.choice(v.indexes).fields)
+        if kind == "idx_e":
+            cand = [e for e in s.edges if e.properties]
+            if not cand:
+                return None
+            e = rng.choice(cand)
+            fields = (rng.choice(e.properties).name,)
+            if any(i.fields == fields for i in e.indexes):
+                return None
+            return ev.AddIndexOp(edge_id=e.edge_id, index=IndexConfig(fields))
+        if kind == "add_sid":
+            if not v.fields:
+                return None
+            return ev.AddSecondaryIdentitiesOp(
+                {v.name: {fresh("sid"): [rng.choice(v.fields).name]}})
+        if kind == "rm_sid":
+            cand = [vn for vn in names if s.vertex(vn).secondary_identities]
+            if not cand:
+                return None
+            vv = s.vertex(rng.choice(cand))
+            return ev.RemoveSecondaryIdentitiesOp(
+                {vv.name: [rng.choice(sorted(vv.secondary_identities))]})
+        # ---- edge-payload family (the r12-added migrate paths)
+        rels = [e.relation for e in s.edges if e.relation]
+        if kind == "merge_e":
+            if not rels:
+                return None
+            src_rel = rng.choice(rels)
+            others = [r for r in rels if r != src_rel]
+            into = (rng.choice(others)
+                    if others and rng.random() < 0.5 else fresh("rel"))
+            return ev.MergeEdgesOp(sources=[src_rel], into=into)
+        if kind == "set_dir":
+            if not s.edges:
+                return None
+            return ev.SetEdgeDirectedOp(
+                edges=[rng.choice(s.edges).edge_id],
+                directed=rng.random() < 0.5)
+        if kind == "add_ep":
+            if not rels:
+                return None
+            return ev.AddEdgePropertiesOp(
+                {rng.choice(rels): [Field(fresh("ep"), FieldType.STRING)]})
+        if kind == "rm_ep":
+            for e in rng.sample(s.edges, len(s.edges)):
+                if not e.relation:
+                    continue
+                ident = set(e.identities) | {
+                    c for i in e.indexes for c in i.fields}
+                cand = [f.name for f in e.properties if f.name not in ident]
+                if cand:
+                    return ev.RemoveEdgePropertiesOp(
+                        {e.relation: [rng.choice(cand)]})
+            return None
+        if kind == "rename_ep":
+            for e in rng.sample(s.edges, len(s.edges)):
+                if e.relation and e.properties:
+                    return ev.RenameEdgePropertiesOp(
+                        {e.relation:
+                         {rng.choice(e.properties).name: fresh("ep")}})
+            return None
+        if kind == "ident_e":
+            cand = [e for e in s.edges if e.properties]
+            if not cand:
+                return None
+            e = rng.choice(cand)
+            n = rng.randint(0, min(2, len(e.properties)))
+            keys = [f.name for f in rng.sample(e.properties, n)]
+            return ev.ReplaceEdgeIdentitiesOp({e.edge_id: keys})
         return None
 
     counter = [0]
@@ -1116,8 +1335,11 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
         counter[0] += 1
         return f"{p}{counter[0]}"
 
-    for seed in range(8):
-        rng = random.Random(1000 + seed)
+    n_seeds = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "8"))
+    n_ops = int(os.environ.get("SPARK_GRAFT_FUZZ_OPS", "6"))
+    base = int(os.environ.get("SPARK_GRAFT_FUZZ_BASE", "1000"))
+    for seed in range(n_seeds):
+        rng = random.Random(base + seed)
         schema = CoreSchema(
             vertices=[
                 Vertex("person", [Field("pid", FieldType.INT), Field("nm")],
@@ -1125,7 +1347,12 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
                 Vertex("city", [Field("cid", FieldType.INT), Field("cn")],
                        identity=["cid"]),
             ],
-            edges=[Edge("person", "city", relation="lives_in")],
+            edges=[
+                Edge("person", "city", relation="lives_in",
+                     properties=[Field("since", FieldType.INT)]),
+                Edge("person", "person", relation="knows",
+                     properties=[Field("w", FieldType.DOUBLE)]),
+            ],
         )
         store = GraphStore(spark, str(tmp_path / f"g{seed}"), schema)
         store.apply_target_schema()
@@ -1136,9 +1363,15 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
         store.insert_edges(
             EdgeId("person", "city", "lives_in"),
             spark.createDataFrame(
-                [(1, 10), (2, 20), (3, 10)], "_src_pid int, _dst_cid int"))
+                [(1, 10, 2001), (2, 20, 2002), (3, 10, 2003)],
+                "_src_pid int, _dst_cid int, since int"))
+        store.insert_edges(
+            EdgeId("person", "person", "knows"),
+            spark.createDataFrame(
+                [(1, 2, 0.5), (2, 3, 0.7)],
+                "_src_pid int, _dst_pid int, w double"))
         consistent(store, schema)
-        for _ in range(5):
+        for step in range(n_ops):
             op = rand_op(rng, schema, fresh)
             if op is None:
                 continue
@@ -1147,7 +1380,14 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
             except (ValueError, KeyError):
                 continue
             del probe
-            schema = ev.apply_plan(schema, [op], store=store)
+            try:
+                schema = ev.apply_plan(schema, [op], store=store)
+            except AssertionError:
+                raise
+            except Exception as exc:  # noqa: BLE001 - fuzz reporting
+                raise AssertionError(
+                    f"seed {base + seed} step {step}: "
+                    f"{type(op).__name__} migrate blew up: {exc}") from exc
             consistent(store, schema)
 
 
@@ -1281,3 +1521,230 @@ def test_remove_property_cascades_indexes_and_guards_keys():
     v2 = out2.vertex("u")
     assert v2.field_names == ["email"]
     assert v2.indexes == []
+
+
+def test_sanitize_migrate_fails_fast_on_stale_dir_collision(spark, tmp_path):
+    """Advisor finding (r12): SanitizeOp.migrate walks ALL physical dirs —
+    including stale/untracked ones apply() never validated. If a stale
+    dir's snake-cased name collides with an existing dir, the old code
+    raised mid-phase-2 with already-moved tables stranded at .mv-<uuid>
+    temp names. Now the full post-move name set is validated BEFORE any
+    rename: the migration fails fast and the store is untouched."""
+    import os
+
+    schema = CoreSchema(vertices=[
+        Vertex("FooBar", [Field("fid", FieldType.INT)], identity=["fid"]),
+    ])
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("FooBar", spark.createDataFrame(
+        [(1,), (2,)], "fid int"))
+    # a stale untracked dir whose sanitized name collides with FooBar's
+    stale = os.path.join(store.root, "vertices", "foo_bar")
+    os.makedirs(stale)
+    before = sorted(os.listdir(os.path.join(store.root, "vertices")))
+    with pytest.raises(ValueError, match="collides"):
+        ev.apply_plan(schema, [ev.SanitizeOp()], store=store)
+    after = sorted(os.listdir(os.path.join(store.root, "vertices")))
+    assert after == before                       # nothing moved, no temps
+    assert not any(".mv-" in d for d in after)
+    assert store.read_vertices("FooBar").count() == 2  # data reachable
+
+
+def test_retarget_collision_drop_warns(spark, tmp_path):
+    """Advisor finding (r12): a retarget whose destination edge table
+    already exists keeps the existing table (first-id-wins) and drops the
+    source table's rows — silently. The drop is documented behavior; the
+    silence was the bug. It now emits a UserWarning naming both tables."""
+    import warnings as _w
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex("a", [Field("k", FieldType.INT)], identity=["k"]),
+            Vertex("b", [Field("k", FieldType.INT)], identity=["k"]),
+            Vertex("c", [Field("k", FieldType.INT)], identity=["k"]),
+        ],
+        edges=[Edge("a", "c", relation="r"), Edge("b", "c", relation="r")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.insert_edges(EdgeId("a", "c", "r"), spark.createDataFrame(
+        [(1, 10)], "_src_k int, _dst_k int"))
+    store.insert_edges(EdgeId("b", "c", "r"), spark.createDataFrame(
+        [(2, 20)], "_src_k int, _dst_k int"))
+    # retarget a->b collides a__r__c onto the existing b__r__c
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        s2 = ev.apply_plan(
+            schema, [ev.RetargetEdgesOp(old_vertex="a", new_vertex="b")],
+            store=store)
+    msgs = [str(c.message) for c in caught if c.category is UserWarning]
+    assert any("DROPPED" in m and "a__r__c" in m for m in msgs)
+    assert [e.edge_id for e in s2.edges] == [EdgeId("b", "c", "r")]
+    out = store.read_edges(EdgeId("b", "c", "r"))
+    assert sorted(map(tuple, out.select("_src_k", "_dst_k").collect())) == [
+        (2, 20)]                                 # survivor untouched
+
+
+def test_merge_differently_keyed_rekeys_edges_and_keeps_unkeyed_rows(
+        spark, tmp_path):
+    """r13 fuzz find #1: merging differently-keyed vertex types left edge
+    tables carrying the merged-away vertex's key columns (_dst_cid) while
+    the addressing contract (query._node_key) compiles _dst_<into
+    identity> — every traversal through the merged type broke. And the
+    dedup on into's identity collapsed ALL of other's rows (NULL==NULL
+    under dropDuplicates) to one arbitrary row — silent data loss.
+
+    Now: edges re-key through the merged table onto into's identity,
+    NULL-keyed rows survive the dedup split, and other's old identity is
+    demoted to a secondary identity so its rows stay addressable."""
+    schema = CoreSchema(
+        vertices=[
+            Vertex("person", [Field("pid", FieldType.INT), Field("nm")],
+                   identity=["pid"]),
+            Vertex("city", [Field("cid", FieldType.INT), Field("cn")],
+                   identity=["cid"]),
+        ],
+        edges=[Edge("person", "city", relation="lives_in")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("person", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "pid int, nm string"))
+    store.upsert_vertices("city", spark.createDataFrame(
+        [(10, "X"), (20, "Y")], "cid int, cn string"))
+    store.insert_edges(EdgeId("person", "city", "lives_in"),
+                       spark.createDataFrame(
+                           [(1, 10), (2, 20)], "_src_pid int, _dst_cid int"))
+
+    s2 = ev.apply_plan(schema, [ev.MergeVerticesOp(into="person",
+                                                   other="city")],
+                       store=store)
+    v = s2.vertex("person")
+    assert v.secondary_identities.get("merged_city") == ["cid"]  # demoted
+    out = store.read_vertices("person")
+    assert out.count() == 4                       # both cities SURVIVE
+    assert out.filter(F.col("pid").isNull()).count() == 2
+    e = store.read_edges(EdgeId("person", "person", "lives_in"))
+    # addressing contract: _dst_<into identity>, not the dead _dst_cid
+    assert "_dst_pid" in e.columns and "_dst_cid" not in e.columns
+    # pure-city rows carry no pid -> edges re-key to NULL (degenerate but
+    # resolvable against the NULL-keyed surviving rows)
+    assert e.count() == 2
+    assert sorted((r["_src_pid"], r["_dst_pid"]) for r in e.collect()) == [
+        (1, None), (2, None)]
+
+
+def test_merge_same_keyed_types_still_plain_union(spark, tmp_path):
+    """Same-keyed merge (identity names equal) keeps the r12 semantics:
+    union + dedup on the shared identity, no demotion, no edge re-key."""
+    schema = CoreSchema(
+        vertices=[
+            Vertex("user", [Field("email"), Field("a")], identity=["email"]),
+            Vertex("customer", [Field("email"), Field("b")],
+                   identity=["email"]),
+        ],
+        edges=[],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("user", spark.createDataFrame(
+        [("x@e", "1")], "email string, a string"))
+    store.upsert_vertices("customer", spark.createDataFrame(
+        [("x@e", "2"), ("y@e", "3")], "email string, b string"))
+    s2 = ev.apply_plan(schema, [ev.MergeVerticesOp(into="user",
+                                                   other="customer")],
+                       store=store)
+    assert not s2.vertex("user").secondary_identities
+    out = store.read_vertices("user")
+    assert out.count() == 2                       # x@e deduped, y@e kept
+
+
+def test_replace_identity_rekeys_incident_edges(spark, tmp_path):
+    """r13 fuzz find #2: ReplaceIdentityOp re-deduped the vertex table but
+    left incident edge tables keyed on the RETIRED identity columns —
+    _src_pid against a vertex now addressed by nm (query._node_key
+    compiles _src_nm). Edges now re-key through the pre-dedup old->new
+    mapping, following merges: two rows collapsing onto one new key send
+    both old keys to the surviving address."""
+    schema = CoreSchema(
+        vertices=[
+            Vertex("person", [Field("pid", FieldType.INT), Field("nm")],
+                   identity=["pid"]),
+            Vertex("city", [Field("cid", FieldType.INT)], identity=["cid"]),
+        ],
+        edges=[Edge("person", "city", relation="lives_in"),
+               Edge("person", "person", relation="knows")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    # pid 2 and 3 share nm 'b' -> replacing identity onto nm MERGES them
+    store.upsert_vertices("person", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b")], "pid int, nm string"))
+    store.upsert_vertices("city", spark.createDataFrame(
+        [(10,)], "cid int"))
+    store.insert_edges(EdgeId("person", "city", "lives_in"),
+                       spark.createDataFrame(
+                           [(1, 10), (3, 10)], "_src_pid int, _dst_cid int"))
+    store.insert_edges(EdgeId("person", "person", "knows"),
+                       spark.createDataFrame(
+                           [(1, 2), (2, 3)], "_src_pid int, _dst_pid int"))
+
+    s2 = ev.apply_plan(
+        schema, [ev.ReplaceIdentityOp("person", ["nm"], retire="keep")],
+        store=store)
+    assert s2.vertex("person").identity == ["nm"]
+    out = store.read_vertices("person")
+    assert out.count() == 2                       # b-rows merged
+    e = store.read_edges(EdgeId("person", "city", "lives_in"))
+    assert "_src_nm" in e.columns and "_src_pid" not in e.columns
+    assert sorted(r["_src_nm"] for r in e.collect()) == ["a", "b"]
+    k = store.read_edges(EdgeId("person", "person", "knows"))
+    assert sorted(k.columns) == ["_dst_nm", "_src_nm"]  # BOTH sides re-keyed
+    # (1->2) maps to (a->b); (2->3) maps to (b->b), a self-loop on the
+    # merged vertex — the two old edges now address surviving rows
+    assert sorted((r["_src_nm"], r["_dst_nm"]) for r in k.collect()) == [
+        ("a", "b"), ("b", "b")]
+
+
+def test_rename_identity_property_renames_edge_key_columns(spark, tmp_path):
+    """r13 fuzz find #3: renaming an IDENTITY field migrated the vertex
+    column but left incident edge tables with _src_<old>/_dst_<old> —
+    dead addressing. Index metadata also kept the old field name, making
+    the schema unreplayable. Both now cascade."""
+    from graflo_spark.manifest import IndexConfig
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex("person", [Field("pid", FieldType.INT), Field("nm")],
+                   identity=["pid"], indexes=[IndexConfig(("pid",))]),
+            Vertex("city", [Field("cid", FieldType.INT)], identity=["cid"]),
+        ],
+        edges=[Edge("person", "city", relation="lives_in"),
+               Edge("person", "person", relation="knows")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("person", spark.createDataFrame(
+        [(1, "a")], "pid int, nm string"))
+    store.upsert_vertices("city", spark.createDataFrame(
+        [(10,)], "cid int"))
+    store.insert_edges(EdgeId("person", "city", "lives_in"),
+                       spark.createDataFrame(
+                           [(1, 10)], "_src_pid int, _dst_cid int"))
+    store.insert_edges(EdgeId("person", "person", "knows"),
+                       spark.createDataFrame(
+                           [(1, 1)], "_src_pid int, _dst_pid int"))
+
+    s2 = ev.apply_plan(
+        schema, [ev.RenamePropertyOp("person", "pid", "person_id")],
+        store=store)
+    v = s2.vertex("person")
+    assert v.identity == ["person_id"]
+    assert [i.fields for i in v.indexes] == [("person_id",)]  # cascaded
+    assert "person_id" in store.read_vertices("person").columns
+    e = store.read_edges(EdgeId("person", "city", "lives_in"))
+    assert "_src_person_id" in e.columns and "_src_pid" not in e.columns
+    k = store.read_edges(EdgeId("person", "person", "knows"))
+    assert sorted(c for c in k.columns) == ["_dst_person_id",
+                                            "_src_person_id"]

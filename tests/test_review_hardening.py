@@ -280,3 +280,26 @@ def test_dynamic_edge_step_sees_later_extracts(spark):
     eids = {(e.source, e.target) for e in batch.edges}
     assert ("s", "t") in eids
     assert batch.edges[next(iter(batch.edges))].count() == 1
+
+
+def test_blank_edge_join_mixed_doc_id_uses_key_order_both_sides(spark):
+    """Advisor finding (r12): when only ONE side carries __doc_id, the
+    zip used doc-order on that side against key-order on the other — an
+    arbitrary bijection sold as document order. The mixed case now falls
+    back to key-order on BOTH sides (same contract as the no-doc_id
+    case), keeping the zip a deterministic, partitioning-invariant pairing."""
+    from graflo_spark.resolve import blank_edge_join
+
+    # source carries __doc_id whose order DISAGREES with its key order;
+    # target has no __doc_id. Key-order on both sides pairs x-a, y-b, z-c.
+    s = spark.createDataFrame(
+        [("z", 0), ("y", 1), ("x", 2)], "_key string, __doc_id long"
+    ).repartition(3)
+    t = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "_key string").repartition(2)
+    got = sorted(map(tuple, blank_edge_join(s, t, []).collect()))
+    assert got == [("x", "a"), ("y", "b"), ("z", "c")]
+    # and it is invariant under repartitioning
+    got2 = sorted(map(tuple, blank_edge_join(
+        s.repartition(5), t.repartition(1), []).collect()))
+    assert got2 == got

@@ -1367,6 +1367,86 @@ def graph_bench(spark, base_dir: str, scaled_dir: str, factor: int,
     return out
 
 
+def traverse_bench(spark, base_dir: str, scaled_dir: str, factor: int,
+                   hops: int = 3, n_seeds: int = 8) -> dict:
+    """k-hop BFS scaling over the copurchase edge set (VERDICT r12 Next
+    #3: SCALE.md had no traverse exponent — the registered row runs on a
+    9-row result). Seeds are the ``n_seeds`` lowest part keys under the
+    same rule at both scales; the replica blow-up keeps part keys
+    disjoint, so the frontier expands within one replica while the EDGE
+    side grows ``factor``x — exactly the regime where a frontier design
+    that rescans or re-shuffles the whole edge table per hop would go
+    super-linear.
+
+    Two timings per scale: the default path (frontiers under
+    ``BROADCAST_FRONTIER_MAX_ROWS`` broadcast-probe the edge table) and a
+    forced-AQE path (threshold monkeypatched to 0 — every hop takes the
+    shuffled-join route a 100 TB frontier would), proving the
+    above-threshold fallback is planful, not just reachable. Per-hop
+    cumulative walls come from re-running at hops=1..k (BFS work is
+    prefix-shaped, so wall(k) - wall(k-1) is the marginal hop cost);
+    per-hop reach counts come from the hop column of the deepest run."""
+    from graflo_spark import query as q
+    from graflo_spark.manifest import (
+        CoreSchema, Edge, EdgeId, Field, FieldType, Vertex)
+    from graflo_spark.query import Direction, GraphView
+
+    pc = time.perf_counter
+    schema = CoreSchema(
+        vertices=[Vertex("part", [Field("p_partkey", FieldType.INT)],
+                         identity=["p_partkey"])],
+        edges=[Edge("part", "part", relation="copurchase")],
+    )
+    out: dict = {}
+    for label, d in (("base", base_dir), ("scaled", scaled_dir)):
+        pairs = _copurchase_pairs(spark, d)
+        edges = pairs.select(
+            F.col("id_a").alias("_src_p_partkey"),
+            F.col("id_b").alias("_dst_p_partkey")).dropDuplicates()
+        verts = (pairs.select(F.col("id_a").alias("p_partkey"))
+                 .union(pairs.select("id_b")).distinct())
+        # materialize inputs once: the timing must charge the TRAVERSAL,
+        # not the co-purchase wedge self-join that builds the fixture
+        edges = edges.localCheckpoint()
+        verts = verts.localCheckpoint()
+        entry: dict = {"edges": edges.count(), "vertices": verts.count()}
+        view = GraphView(
+            vertices={"part": verts},
+            edges={EdgeId("part", "part", "copurchase"): edges},
+            schema=schema)
+        seeds = [int(r[0]) for r in
+                 verts.orderBy("p_partkey").limit(n_seeds).collect()]
+        flt = [("part", {"field": "p_partkey", "op": "IN", "value": seeds})]
+        for h in range(1, hops + 1):
+            t0 = pc()
+            res = view.traverse(flt, hops=h, direction=Direction.ANY)
+            by_hop = dict(res.groupBy("hop").count().collect())
+            entry[f"h{h}_wall"] = round(pc() - t0, 3)
+            entry[f"h{h}_reach"] = int(by_hop.get(h, 0))
+        # forced-AQE: the above-threshold (no-broadcast-hint) route
+        saved = q.BROADCAST_FRONTIER_MAX_ROWS
+        q.BROADCAST_FRONTIER_MAX_ROWS = 0
+        try:
+            t0 = pc()
+            view.traverse(flt, hops=hops, direction=Direction.ANY).count()
+            entry["aqe_wall"] = round(pc() - t0, 3)
+        finally:
+            q.BROADCAST_FRONTIER_MAX_ROWS = saved
+        print(f"# traverse@{label}: " + " ".join(
+            f"h{h}={entry[f'h{h}_wall']}s/{entry[f'h{h}_reach']}"
+            for h in range(1, hops + 1)) +
+            f" aqe={entry['aqe_wall']}s edges={entry['edges']}",
+            file=sys.stderr)
+        out[label] = entry
+    tb, ts = out["base"].get(f"h{hops}_wall"), out["scaled"].get(f"h{hops}_wall")
+    out["exponent"] = (round(math.log(ts / tb) / math.log(factor), 3)
+                       if tb and ts and factor > 1 else None)
+    ta, tsa = out["base"].get("aqe_wall"), out["scaled"].get("aqe_wall")
+    out["aqe_exponent"] = (round(math.log(tsa / ta) / math.log(factor), 3)
+                           if ta and tsa and factor > 1 else None)
+    return out
+
+
 def hub_bench(spark, factor: int) -> dict:
     """The celebrity-hub adversarial graph for link prediction: ONE node
     adjacent to every other node, over a sparse ring background. Through
@@ -1514,7 +1594,8 @@ def power_law_bench(spark, factor: int, s: float = 2.0) -> dict:
 
 def main() -> None:
     flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
-             "--winnow", "--pipeline", "--graph", "--hub", "--power-law",
+             "--winnow", "--pipeline", "--graph", "--traverse", "--hub",
+             "--power-law",
              "--uncapped-linkpred", "--substring", "--lines", "--gopher",
              "--gates", "--semdedup", "--lexidx", "--ivfs", "--vocab",
              "--semstore", "--drift"}
@@ -1564,6 +1645,7 @@ def main() -> None:
     gopher_mode = "--gopher" in sys.argv[1:]
     semdedup_mode = "--semdedup" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
+    traverse_mode = "--traverse" in sys.argv[1:]
     hub_mode = "--hub" in sys.argv[1:]
     power_law_mode = "--power-law" in sys.argv[1:]
     uncapped_linkpred = "--uncapped-linkpred" in sys.argv[1:]
@@ -1587,7 +1669,8 @@ def main() -> None:
     # hub / power-law synthesize their own graphs: no blow-up needed
     needs_blowup = not (hub_mode or power_law_mode) or (
         store_mode or temporal_skew or winnow_mode or pipeline_mode
-        or lines_mode or graph_mode or incremental or gopher_mode
+        or lines_mode or graph_mode or traverse_mode
+        or incremental or gopher_mode
         or semdedup_mode or lexidx_mode or ivfs_mode or vocab_mode
         or semstore_mode or drift_mode)
     if needs_blowup and not os.path.exists(
@@ -1603,7 +1686,8 @@ def main() -> None:
     # default mode's job (run both modes for the full picture)
     focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
                or lines_mode or gopher_mode or semdedup_mode
-               or graph_mode or hub_mode or power_law_mode or lexidx_mode
+               or graph_mode or traverse_mode
+               or hub_mode or power_law_mode or lexidx_mode
                or ivfs_mode or vocab_mode or semstore_mode or drift_mode)
     sweep = [] if focused else [
         n for n in SCALE_QUERIES if only is None or only in n]
@@ -1702,6 +1786,17 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             payload["graph"] = {"error": str(exc)[:300]}
             print(f"# graph: FAILED {exc}"[:300], file=sys.stderr)
+
+    if traverse_mode:
+        try:
+            payload["traverse"] = traverse_bench(
+                spark, BASE_DIR, out_dir, factor)
+            print(f"# traverse: e={payload['traverse']['exponent']} "
+                  f"aqe_e={payload['traverse']['aqe_exponent']}",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["traverse"] = {"error": str(exc)[:300]}
+            print(f"# traverse: FAILED {exc}"[:300], file=sys.stderr)
 
     if hub_mode:
         try:
