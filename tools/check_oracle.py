@@ -8,6 +8,7 @@ value-hash comparison. Usage:
 from __future__ import annotations
 
 import sys
+import time
 import traceback
 
 import duckdb
@@ -34,8 +35,9 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as entry
     from graflo_spark.session import get_spark
@@ -49,9 +51,12 @@ def main() -> int:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     n_pass = n_fail = n_weak = 0
+    t_gate0 = time.perf_counter()
+    timings: dict[str, tuple[float, float]] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        t_q0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
@@ -60,10 +65,13 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        t_spark = time.perf_counter() - t_q0
         if name not in oracles:
+            timings[name] = (t_spark, 0.0)
             print(f"weak {name}: rows={len(spdf)} (no oracle)")
             n_weak += 1
             continue
+        t_o0 = time.perf_counter()
         try:
             opdf = con.execute(oracles[name]).fetchdf()
         except Exception:
@@ -71,6 +79,7 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        timings[name] = (t_spark, time.perf_counter() - t_o0)
         if sorted(map(str.lower, spdf.columns)) != sorted(map(str.lower, opdf.columns)):
             print(f"FAIL {name}: columns {sorted(spdf.columns)} vs {sorted(opdf.columns)}")
             n_fail += 1
@@ -91,6 +100,12 @@ def main() -> int:
         print(f"PASS {name}: rows={len(spdf)}")
         n_pass += 1
 
+    gate_wall = time.perf_counter() - t_gate0
+    if "--timings" in sys.argv:
+        print(f"\n# gate wall: {gate_wall:.1f}s; per-query (spark_s, oracle_s), slowest first:")
+        for name, (ts, to) in sorted(
+                timings.items(), key=lambda kv: -(kv[1][0] + kv[1][1])):
+            print(f"#   {name}: spark={ts:.2f}s oracle={to:.2f}s total={ts+to:.2f}s")
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
     return 1 if n_fail else 0
 

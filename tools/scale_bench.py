@@ -1216,40 +1216,12 @@ def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int,
     kwargs: dict = dict(min_quality=0.0, min_tokens=5,
                         dedup_substring_k=substring_k)
     if all_gates:
-        import string
-
-        # Corpus-fit Gopher stop list (the synthetic corpus is a tech
-        # word-salad with none of the 8 English function words — 0/5000
-        # would pass the canonical set), CLOSED under all 26 letter
-        # rotations so every blow-up replica scores its documents exactly
-        # like replica 0 does against the same set: the gopher stage count
-        # is replica-invariant by construction, keeping the funnel exactly
-        # linear where the un-closed set would drain all rotated replicas.
-        lo = string.ascii_lowercase
-        rot_stops = tuple(sorted({
-            w.translate(str.maketrans(lo, lo[r:] + lo[:r]))
-            for w in ("spark", "query", "table", "line",
-                      "scan", "hash", "part", "fast")
-            for r in range(26)}))
-        kwargs.update(
-            gopher_rules=True, gopher_min_words=20,
-            gopher_stopwords=rot_stops,
-            allowed_langs=["en", "de", "fr", "es", "zh", "und"],
-            dedup_lines_delimiter="\n",
-            max_cross_entropy=9.0,
-            clf_pos_filter="lang = 'en'", clf_min_prob=0.0,
-            dedup_substring_k=substring_k or 8,
-            # r9 C4 gate, corpus-fit + rotation-invariant: word counts
-            # survive the letter rotation, so min_words_per_line=8 drops
-            # the 5..7-token docs (min_tokens=5 charges the shorter ones
-            # first) identically in every replica; no punctuation in the
-            # corpus -> terminal rule off; empty line blocklist (a word
-            # list would not be rotation-closed); single-line docs ->
-            # page passes iff its line does.
-            c4_clean=True, c4_min_words_per_line=8,
-            c4_terminal_punct=None, c4_line_blocklist=(),
-            c4_min_kept_lines=1,
-        )
+        # Corpus-fit, rotation-closed gate thresholds — rationale for
+        # every knob in _gates_kwargs (Gopher stop list closed under all
+        # 26 letter rotations so replica counts stay invariant; C4
+        # word-count rule survives rotation; terminal-punct rule off for
+        # the punctuation-free corpus).
+        kwargs.update(_gates_kwargs(substring_k))
     cfg = pl.PipelineConfig(**kwargs)
     for label, d in (("base", base_dir), ("scaled", scaled_dir)):
         docs = spark.read.parquet(f"{d}/documents.parquet")
@@ -1267,6 +1239,136 @@ def pipeline_bench(spark, base_dir: str, scaled_dir: str, factor: int,
     out["kept_match"] = sf_.get("kept") == factor * bf.get("kept", 0)
     out["stage_match"] = {
         k: sf_.get(k) == factor * v for k, v in bf.items()}
+    return out
+
+
+def _gates_kwargs(substring_k: int | None = None) -> dict:
+    """The --gates production configuration (every optional stage on,
+    thresholds rotation-safe — see pipeline_bench's docstring for why
+    each knob is what it is), shared by the composed run and the
+    per-stage ladder."""
+    import string
+
+    lo = string.ascii_lowercase
+    rot_stops = tuple(sorted({
+        w.translate(str.maketrans(lo, lo[r:] + lo[:r]))
+        for w in ("spark", "query", "table", "line",
+                  "scan", "hash", "part", "fast")
+        for r in range(26)}))
+    return dict(
+        gopher_rules=True, gopher_min_words=20,
+        gopher_stopwords=rot_stops,
+        allowed_langs=["en", "de", "fr", "es", "zh", "und"],
+        dedup_lines_delimiter="\n",
+        max_cross_entropy=9.0,
+        clf_pos_filter="lang = 'en'", clf_min_prob=0.0,
+        dedup_substring_k=substring_k or 8,
+        c4_clean=True, c4_min_words_per_line=8,
+        c4_terminal_punct=None, c4_line_blocklist=(),
+        c4_min_kept_lines=1,
+    )
+
+
+def pipeline_stage_bench(spark, base_dir: str, scaled_dir: str,
+                         factor: int) -> dict:
+    """Per-stage cost decomposition of the composed pipeline (VERDICT r12
+    Next #4 asks for per-stage walls + exponents, not just the composed
+    total pipeline_bench reports). Spark fuses the flag gates into one
+    scan, so an in-DAG stopwatch would lie; instead each optional gate's
+    cost is measured as the MARGINAL wall of a config ladder — run k has
+    gates 1..k on, and stage k costs wall(k) - wall(k-1) under full
+    composition (interactions with everything before it included, which
+    is the number a capacity planner actually needs). The ladder floor
+    is the always-on spine (quality flags + decontam + exact dedup +
+    near-dup LSH + split + pack), whose members carry their own SCALE.md
+    rows; the ladder adds gopher -> lang -> c4 -> line-dedup -> lm ->
+    classifier -> substring-scrub in production order. Marginals under
+    0.3 s at base are reported but their exponents marked None (noise
+    division). Funnel counts per stage come with the final all-gates
+    run."""
+    from graflo_spark.ops import pipeline as pl
+
+    pc = time.perf_counter
+    gates = _gates_kwargs()
+    floor = dict(min_quality=0.0, min_tokens=5)
+    ladder: list[tuple[str, dict]] = [("floor", {})]
+    for name, keys in (
+        ("gopher", ("gopher_rules", "gopher_min_words", "gopher_stopwords")),
+        ("lang", ("allowed_langs",)),
+        ("c4", ("c4_clean", "c4_min_words_per_line", "c4_terminal_punct",
+                "c4_line_blocklist", "c4_min_kept_lines")),
+        ("line_dedup", ("dedup_lines_delimiter",)),
+        ("lm", ("max_cross_entropy",)),
+        ("clf", ("clf_pos_filter", "clf_min_prob")),
+        ("substring", ("dedup_substring_k",)),
+    ):
+        step = dict(ladder[-1][1])
+        step.update({k: gates[k] for k in keys})
+        ladder.append((name, step))
+    out: dict = {}
+    # untimed all-gates warm-up: the first timed run would otherwise be
+    # charged the whole-stage-codegen compilation tax and every marginal
+    # after it would absorb the warm-up DECAY (the smoke run read
+    # NEGATIVE gate marginals before this)
+    warm_docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    wcfg = pl.PipelineConfig(**{**floor, **ladder[-1][1]})
+    wc, wa, wf = pl.prepare_training_data(warm_docs, None, wcfg)
+    wf.collect()
+    wc.count()
+    wa.unpersist()
+    repeats = int(os.environ.get("SPARK_GRAFT_STAGE_REPEATS", "3"))
+    for label, d in (("base", base_dir), ("scaled", scaled_dir)):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        walls: dict[str, float] = {}
+        funnel_counts: dict[str, int] = {}
+        for name, extra in ladder:
+            cfg = pl.PipelineConfig(**{**floor, **extra})
+            # single-pass marginals at 10x read +-20s run-to-run swings
+            # (JVM heap churn across 8 heavy composed runs) — each rung
+            # is the MEDIAN of `repeats` runs, cache cleared between
+            runs: list[float] = []
+            for _ in range(repeats):
+                spark.catalog.clearCache()
+                # localCheckpoint blocks from the near-dup CC survive
+                # clearCache and unpersist-of-the-annotated-frame; after
+                # ~20 composed runs the accumulated blocks starve the
+                # MemoryStore and a checkpoint write aborts (observed at
+                # 10x). Drop every persistent RDD between runs.
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                for rdd in list(jmap.values()):
+                    try:
+                        rdd.unpersist()
+                    except Exception:  # noqa: BLE001
+                        pass
+                t0 = pc()
+                chunks, annotated, funnel = pl.prepare_training_data(
+                    docs, None, cfg)
+                stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+                chunks.count()
+                runs.append(round(pc() - t0, 3))
+                annotated.unpersist()
+            walls[name] = sorted(runs)[len(runs) // 2]
+            if name == ladder[-1][0]:
+                funnel_counts = stages
+        entry: dict = {"walls": walls, "funnel": funnel_counts}
+        prev = None
+        marg: dict[str, float] = {}
+        for name, _ in ladder:
+            marg[name] = (round(walls[name] - prev, 3)
+                          if prev is not None else walls[name])
+            prev = walls[name]
+        entry["marginal"] = marg
+        print(f"# stages@{label}: " + " ".join(
+            f"{k}={v}s" for k, v in marg.items()), file=sys.stderr)
+        out[label] = entry
+    exps: dict[str, float | None] = {}
+    for name, _ in ladder:
+        mb = out["base"]["marginal"].get(name)
+        ms = out["scaled"]["marginal"].get(name)
+        exps[name] = (
+            round(math.log(ms / mb) / math.log(factor), 3)
+            if mb and ms and mb >= 0.3 and ms > 0 and factor > 1 else None)
+    out["exponents"] = exps
     return out
 
 
@@ -1594,8 +1696,8 @@ def power_law_bench(spark, factor: int, s: float = 2.0) -> dict:
 
 def main() -> None:
     flags = {"--hot-group", "--incremental", "--store", "--temporal-skew",
-             "--winnow", "--pipeline", "--graph", "--traverse", "--hub",
-             "--power-law",
+             "--winnow", "--pipeline", "--stages", "--graph",
+             "--traverse", "--hub", "--power-law",
              "--uncapped-linkpred", "--substring", "--lines", "--gopher",
              "--gates", "--semdedup", "--lexidx", "--ivfs", "--vocab",
              "--semstore", "--drift"}
@@ -1646,6 +1748,7 @@ def main() -> None:
     semdedup_mode = "--semdedup" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
     traverse_mode = "--traverse" in sys.argv[1:]
+    stages_mode = "--stages" in sys.argv[1:]
     hub_mode = "--hub" in sys.argv[1:]
     power_law_mode = "--power-law" in sys.argv[1:]
     uncapped_linkpred = "--uncapped-linkpred" in sys.argv[1:]
@@ -1669,7 +1772,7 @@ def main() -> None:
     # hub / power-law synthesize their own graphs: no blow-up needed
     needs_blowup = not (hub_mode or power_law_mode) or (
         store_mode or temporal_skew or winnow_mode or pipeline_mode
-        or lines_mode or graph_mode or traverse_mode
+        or lines_mode or graph_mode or traverse_mode or stages_mode
         or incremental or gopher_mode
         or semdedup_mode or lexidx_mode or ivfs_mode or vocab_mode
         or semstore_mode or drift_mode)
@@ -1686,7 +1789,7 @@ def main() -> None:
     # default mode's job (run both modes for the full picture)
     focused = (store_mode or temporal_skew or winnow_mode or pipeline_mode
                or lines_mode or gopher_mode or semdedup_mode
-               or graph_mode or traverse_mode
+               or graph_mode or traverse_mode or stages_mode
                or hub_mode or power_law_mode or lexidx_mode
                or ivfs_mode or vocab_mode or semstore_mode or drift_mode)
     sweep = [] if focused else [
@@ -1786,6 +1889,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             payload["graph"] = {"error": str(exc)[:300]}
             print(f"# graph: FAILED {exc}"[:300], file=sys.stderr)
+
+    if stages_mode:
+        try:
+            payload["stages"] = pipeline_stage_bench(
+                spark, BASE_DIR, out_dir, factor)
+            print(f"# stages: exponents {payload['stages']['exponents']}",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            payload["stages"] = {"error": str(exc)[:300]}
+            print(f"# stages: FAILED {exc}"[:300], file=sys.stderr)
 
     if traverse_mode:
         try:
