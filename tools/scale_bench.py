@@ -1347,7 +1347,12 @@ def pipeline_stage_bench(spark, base_dir: str, scaled_dir: str,
                 chunks.count()
                 runs.append(round(pc() - t0, 3))
                 annotated.unpersist()
-            walls[name] = sorted(runs)[len(runs) // 2]
+            # min-of-k, not median: composed-run walls at 10x are
+            # bimodal (GC pauses, cold page cache) with +-20s spikes;
+            # the MIN is the classic low-noise wall estimator and biases
+            # every rung consistently, so the DIFFERENCES (the marginals)
+            # are what stabilize
+            walls[name] = min(runs)
             if name == ladder[-1][0]:
                 funnel_counts = stages
         entry: dict = {"walls": walls, "funnel": funnel_counts}
