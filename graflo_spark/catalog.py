@@ -15,6 +15,7 @@ hash-equality hold across engines:
 
 from __future__ import annotations
 
+import re
 import weakref
 from typing import Callable
 
@@ -5190,23 +5191,36 @@ def text_quality_suite(spark, sf_dir):
         # suite paid ~29 full text-processing passes over the corpus —
         # the dominant term of the driver's correctness-gate wall
         # (verdict r12 Next #5). Identical rows/values, one pass.
-        body = ", ".join(f"'{k}', {s}, {v}" for k, s, v in rows)
+        # Interpolation hardening (r13 advisory): kind labels are escaped
+        # as SQL string literals, and bare-identifier expressions are
+        # backtick-quoted so a column name that needs quoting can't break
+        # the stack() parse or silently change semantics.
+        def qident(expr: str) -> str:
+            return (f"`{expr}`"
+                    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr)
+                    else expr)
+
+        def lab(k: str) -> str:
+            return "'" + k.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        body = ", ".join(
+            f"{lab(k)}, {qident(s)}, {qident(v)}" for k, s, v in rows)
         return df.select(
-            F.expr(id_expr).alias("id"),
+            F.expr(qident(id_expr)).alias("id"),
             F.expr(f"stack({len(rows)}, {body}) AS (kind, s, v)"),
         ).select("kind", "id", "s", "v")
 
     ts_df = text_stats_documents(spark, sf_dir)
     parts = [unpivot(
         ts_df, "doc_id",
-        [(f"ts_{c}", "CAST(NULL AS STRING)", f"CAST({c} AS DOUBLE)")
+        [(f"ts_{c}", "CAST(NULL AS STRING)", f"CAST(`{c}` AS DOUBLE)")
          for c in _TEXT_STATS_NUM] +
         [(f"ts_{c}", c, "CAST(NULL AS DOUBLE)") for c in _TEXT_STATS_STR])]
     g_df = gopher_rules_documents(spark, sf_dir)
     parts += [unpivot(
         g_df, "doc_id",
         [(f"g_{c}", "CAST(NULL AS STRING)",
-          f"CASE WHEN {c} THEN CAST(1.0 AS DOUBLE) "
+          f"CASE WHEN `{c}` THEN CAST(1.0 AS DOUBLE) "
           "ELSE CAST(0.0 AS DOUBLE) END")
          for c in _GOPHER_RULES])]
     be = bigram_entropy_documents(spark, sf_dir)

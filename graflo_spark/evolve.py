@@ -384,6 +384,7 @@ class ReplaceIdentityOp(EvolutionOp):
         # stored identity column, so those fall back to full-row dedup,
         # which never merges distinct rows.
         declared = {f.name: f for f in store.schema.vertex(self.vertex).fields}
+        pre_mint_cols = set(df.columns)
         for c in self.identity:
             if c not in df.columns and c in declared:
                 f = declared[c]
@@ -400,10 +401,29 @@ class ReplaceIdentityOp(EvolutionOp):
         # resolve-endpoints inner-join contract). Runs BEFORE the vertex
         # snapshot write: the mapping reads the pre-write files lazily
         # and a size-capped write may prune the generation it reads from.
+        # the guard reads the PRE-mint column set: an identity replaced
+        # onto a declared-but-never-populated column would otherwise re-key
+        # every incident edge onto an all-NULL column and the dedup's
+        # NULL==NULL grouping would irreversibly collapse edge rows
+        # (r13 advisory). Skipping keeps edges keyed on the OLD identity —
+        # still addressable when retire='demote' declares it a secondary
+        # identity (query._funnel_key endpoint fallback).
         new_natural = self.mode is IdentityMode.NATURAL
-        if (self._old_identity and new_natural
-                and self._old_identity != list(self.identity)
-                and all(c in df.columns
+        rekey_wanted = (self._old_identity and new_natural
+                        and self._old_identity != list(self.identity))
+        if rekey_wanted and not all(c in pre_mint_cols for c in self.identity):
+            warnings.warn(
+                f"{self.vertex}: new identity column(s) "
+                f"{[c for c in self.identity if c not in pre_mint_cols]} "
+                "carry no data; incident edges stay keyed on the old "
+                f"identity {self._old_identity}"
+                + (" (addressable via the demoted secondary identity)"
+                   if self.retire == "demote" else
+                   " and are NOT addressable until the new identity is "
+                   "populated and edges re-keyed"),
+                stacklevel=2)
+        elif (rekey_wanted
+                and all(c in pre_mint_cols
                         for c in (*self._old_identity, *self.identity))):
             need = list(dict.fromkeys([*self._old_identity, *self.identity]))
             mapping = df.select(*need).dropDuplicates(self._old_identity)
@@ -430,7 +450,12 @@ class ReplaceIdentityOp(EvolutionOp):
                             *[F.col(f).alias(f"{side}{f}__new")
                               for f in produce])
                         out = edf.join(lookup, on=old_cols, how="inner")
-                        out = out.drop(*[f"{side}{f}" for f in drop])
+                        if self.retire != "demote":
+                            # demote keeps the old key columns on the edge:
+                            # they are the demoted secondary identity's key
+                            # and make rows whose NEW key is NULL still
+                            # addressable (query._funnel_key fallback)
+                            out = out.drop(*[f"{side}{f}" for f in drop])
                         for f in produce:
                             out = out.withColumnRenamed(
                                 f"{side}{f}__new", f"{side}{f}")
@@ -797,8 +822,15 @@ class MergeVerticesOp(EvolutionOp):
                     *[F.col(f).alias(c)
                       for f, c in zip(self._other_identity, old_cols)],
                     *[F.col(f).alias(f"{side}{f}__new") for f in new_ident])
-                out = edf.join(lookup, on=old_cols, how="inner").drop(
-                    *old_cols)
+                # the OLD key columns are RETAINED: they are the demoted
+                # secondary identity's key, so a pure-`other` endpoint —
+                # whose mapped `into`-identity key is NULL — stays
+                # addressable through query._funnel_key's secondary-space
+                # fallback, and parallel edges sharing the kept endpoint
+                # survive the dedup (they differ in old key; r13 advisory:
+                # dropping them collapsed parallel edges on NULL==NULL and
+                # made the original destination unrecoverable)
+                out = edf.join(lookup, on=old_cols, how="inner")
                 for f in new_ident:
                     out = out.withColumnRenamed(f"{side}{f}__new",
                                                 f"{side}{f}")
@@ -806,9 +838,25 @@ class MergeVerticesOp(EvolutionOp):
                             if c.startswith(("_src_", "_dst_"))]
                 if "_relation" in out.columns:
                     key_cols.append("_relation")
+                out = out.dropDuplicates(key_cols)
+                null_key = F.lit(True)
+                for f in new_ident:
+                    null_key = null_key & F.col(f"{side}{f}").isNull()
+                n_null = out.filter(null_key).count()
+                if n_null:
+                    warnings.warn(
+                        f"merge {self.other!r}->{self.into!r}: {n_null} "
+                        f"edge row(s) in {eid.table_name()} carry a NULL "
+                        f"{side}<{'/'.join(new_ident)}> key (their endpoint "
+                        f"has no {self.into!r}-identity value); they remain "
+                        "addressable through the demoted secondary identity "
+                        f"key columns {old_cols}. Align the key spaces "
+                        "first (ReplaceIdentityOp) for a fully "
+                        "primary-keyed merge.",
+                        stacklevel=2)
                 store._write_snapshot(
                     store._table_dir("edges", eid.table_name()),
-                    out.dropDuplicates(key_cols))
+                    out)
         if merged is not None:
             # keyed/unkeyed dedup split: rows with an all-NULL identity —
             # other's rows in a differently-keyed merge — must not

@@ -138,23 +138,81 @@ class GraphView:
         return df.agg(expr.alias("agg_value"))
 
     # ------------------------------------------------------------ edge ops
-    def _node_key(self, vertex: str, prefix: str) -> F.Column:
-        # NOTE concat_ws skips NULL components, so two multi-field
-        # identities differing only in WHICH field is null would collide.
-        # The ingest pipeline guarantees non-null identity (unkeyed rows
-        # are dropped/resolved at build — compiler drop-unkeyed policy),
-        # so keys here are total; data bypassing the pipeline must uphold
-        # the same contract.
-        identity = self.schema.vertex(vertex).identity_fields
-        return F.concat_ws(
-            "\x1f", F.lit(vertex), *[F.col(f"{prefix}{f}").cast("string") for f in identity]
-        )
+    def _identity_funnel(self, vertex: str) -> list[tuple[str, list[str]]]:
+        """Ordered address spaces for a vertex type: the primary identity
+        (space name ``""``) followed by each declared secondary identity in
+        declaration order. Secondary-identity endpoint resolution (reference
+        hq/endpoint_resolve.py:73-166, steps/models.py:347-377): a row whose
+        primary identity columns are all NULL — e.g. a pure-``other`` row
+        after a differently-keyed MergeVerticesOp, or rows whose identity
+        was replaced onto a never-populated column — is addressed through
+        the first secondary identity that carries data instead of
+        collapsing onto one degenerate key."""
+        v = self.schema.vertex(vertex)
+        return [("", list(v.identity_fields))] + [
+            (n, list(c)) for n, c in v.secondary_identities.items()
+        ]
 
-    def vertex_key_col(self, vertex: str) -> F.Column:
-        identity = self.schema.vertex(vertex).identity_fields
-        return F.concat_ws(
-            "\x1f", F.lit(vertex), *[F.col(f).cast("string") for f in identity]
-        )
+    def _funnel_key(self, vertex: str, prefix: str,
+                    columns: list[str] | set[str]) -> F.Column:
+        """Per-row address key: the first identity space (primary, then
+        secondaries) whose ``{prefix}{field}`` columns are all present in
+        ``columns`` AND carry at least one non-NULL value wins. Secondary
+        keys are disambiguated with a ``#<name>`` component so a secondary
+        value can never collide with a primary value.
+
+        NOTE concat_ws skips NULL components, so two multi-field identities
+        differing only in WHICH field is null would collide. The ingest
+        pipeline guarantees non-null identity (unkeyed rows are dropped/
+        resolved at build — compiler drop-unkeyed policy), so primary keys
+        here are total; data bypassing the pipeline must uphold the same
+        contract."""
+        cols = set(columns)
+        spaces = [(n, fs) for n, fs in self._identity_funnel(vertex)
+                  if fs and all(f"{prefix}{f}" in cols for f in fs)]
+        if not spaces:
+            raise ValueError(
+                f"no identity columns of {vertex!r} (prefix {prefix!r}) "
+                f"present among {sorted(cols)[:20]}")
+
+        def key_of(name: str, fields: list[str]) -> F.Column:
+            parts = [F.lit(vertex)]
+            if name:
+                parts.append(F.lit(f"#{name}"))
+            parts += [F.col(f"{prefix}{f}").cast("string") for f in fields]
+            return F.concat_ws("\x1f", *parts)
+
+        def any_nonnull(fields: list[str]) -> F.Column:
+            cond = F.col(f"{prefix}{fields[0]}").isNotNull()
+            for f in fields[1:]:
+                cond = cond | F.col(f"{prefix}{f}").isNotNull()
+            return cond
+
+        first_n, first_fs = spaces[0]
+        if len(spaces) == 1:
+            # single space -> plain concat, the exact pre-funnel expression
+            # (keeps WholeStageCodegen spans identical for standard graphs)
+            return key_of(first_n, first_fs)
+        expr = key_of(first_n, first_fs)  # all-spaces-NULL fallback
+        for n, fs in reversed(spaces[1:]):
+            expr = F.when(any_nonnull(fs), key_of(n, fs)).otherwise(expr)
+        return F.when(any_nonnull(first_fs),
+                      key_of(first_n, first_fs)).otherwise(expr)
+
+    def _node_key(self, vertex: str, prefix: str,
+                  columns: list[str] | set[str] | None = None) -> F.Column:
+        if columns is None:
+            identity = self.schema.vertex(vertex).identity_fields
+            columns = [f"{prefix}{f}" for f in identity]
+        return self._funnel_key(vertex, prefix, columns)
+
+    def vertex_key_col(self, vertex: str,
+                       columns: list[str] | set[str] | None = None) -> F.Column:
+        if columns is None:
+            columns = (self.vertices[vertex].columns
+                       if vertex in self.vertices
+                       else self.schema.vertex(vertex).identity_fields)
+        return self._funnel_key(vertex, "", columns)
 
     def typed_edge_list(
         self,
@@ -171,8 +229,8 @@ class GraphView:
                 else F.lit(eid.relation)
             )
             base = df.select(
-                self._node_key(eid.source, "_src_").alias("src_key"),
-                self._node_key(eid.target, "_dst_").alias("dst_key"),
+                self._node_key(eid.source, "_src_", df.columns).alias("src_key"),
+                self._node_key(eid.target, "_dst_", df.columns).alias("dst_key"),
                 F.lit(eid.source).alias("src_type"),
                 F.lit(eid.target).alias("dst_type"),
                 rel.cast("string").alias("relation"),
@@ -258,44 +316,70 @@ class GraphView:
         """
         caps = caps or QueryCaps()
         caps.check_hops(hops)
-        seeds = self._seed_frontier(
+        seeds = self._seed_frontiers(
             vertex, FilterExpression.parse(anchor).to_column())
-        return self._bfs({vertex: seeds}, hops, direction, relations, plan_sink)
+        return self._bfs(seeds, hops, direction, relations, plan_sink)
 
-    def _seed_frontier(self, vertex: str, cond: F.Column) -> DataFrame:
-        """Identity-key frontier for seed vertices matching ``cond`` —
-        LAZY; ``_bfs`` checkpoints it through its tracker so the block is
-        reclaimed when the traversal finishes."""
-        return (
-            self.vertices[vertex]
-            .filter(cond)
-            .select(*[
-                F.col(f).alias(f"k_{i}")
-                for i, f in enumerate(self.schema.vertex(vertex).identity_fields)
-            ])
-            .dropDuplicates()
-        )
+    def _seed_frontiers(
+        self, vertex: str, cond: F.Column
+    ) -> dict[tuple[str, str], DataFrame]:
+        """Per-address-space identity-key frontiers for seed vertices
+        matching ``cond`` — LAZY; ``_bfs`` checkpoints them through its
+        tracker so the blocks are reclaimed when the traversal finishes.
+
+        A seed row belongs to the FIRST space of :meth:`_identity_funnel`
+        whose columns carry any value (earlier spaces all-NULL); for the
+        common no-secondaries case this is one unfiltered frame — the exact
+        pre-funnel plan."""
+        rows = self.vertices[vertex].filter(cond)
+        cols = set(rows.columns)
+        spaces = [(n, fs) for n, fs in self._identity_funnel(vertex)
+                  if fs and all(f in cols for f in fs)]
+        out: dict[tuple[str, str], DataFrame] = {}
+        prior_all_null: F.Column | None = None
+        for n, fs in spaces:
+            space_rows = rows
+            if prior_all_null is not None:
+                space_rows = space_rows.filter(prior_all_null)
+            if len(spaces) > 1:
+                nonnull = F.col(fs[0]).isNotNull()
+                for f in fs[1:]:
+                    nonnull = nonnull | F.col(f).isNotNull()
+                space_rows = space_rows.filter(nonnull)
+            out[(vertex, n)] = space_rows.select(*[
+                F.col(f).alias(f"k_{i}") for i, f in enumerate(fs)
+            ]).dropDuplicates()
+            this_null = F.col(fs[0]).isNull()
+            for f in fs[1:]:
+                this_null = this_null & F.col(f).isNull()
+            prior_all_null = (this_null if prior_all_null is None
+                              else prior_all_null & this_null)
+        return out
 
     def _bfs(
         self,
-        initial: dict[str, DataFrame],
+        initial: dict[tuple[str, str], DataFrame],
         hops: int,
         direction: Direction,
         relations: list[str] | None,
         plan_sink: list[str] | None = None,
     ) -> DataFrame:
-        """Multi-source, multi-type BFS from per-type seed frontiers.
+        """Multi-source, multi-type BFS from per-(type, address-space) seed
+        frontiers.
 
         Returns ``(node_key, node_type, hop)``, minimal hop per node over
         ALL sources (seeds are hop 0).
         """
-        # Type-aware BFS: the frontier is a per-vertex-type dict of native
-        # identity keys, and each hop joins ONLY the edge types whose source
-        # type currently has a frontier. Versus a type-erased union-of-all-
-        # edges join this (a) never scans edge types unreachable this hop —
-        # at scale, per-type edge tables make that real partition pruning —
-        # and (b) joins on native key columns instead of building a string
-        # node_key for every edge row in the graph.
+        # Type-aware BFS: the frontier is a dict of native identity keys
+        # per (vertex type, identity space) — space "" is the primary
+        # identity, named spaces are declared secondary identities (the
+        # merged-away / retired key fallback) — and each hop joins ONLY the
+        # edge projections whose source space currently has a frontier.
+        # Versus a type-erased union-of-all-edges join this (a) never scans
+        # edge types unreachable this hop — at scale, per-type edge tables
+        # make that real partition pruning — and (b) joins on native key
+        # columns instead of building a string node_key for every edge row
+        # in the graph.
         from graflo_spark.ops.graphalgo import _RoundCheckpointer
 
         adjacency = self._adjacency(relations, direction)
@@ -306,12 +390,13 @@ class GraphView:
         spark = next(iter(initial.values())).sparkSession
         with _RoundCheckpointer(spark, keep=None) as ck:
             initial = {
-                t: ck(df, f"seed:{t}") for t, df in initial.items()
+                t: ck(df, f"seed:{t[0]}:{t[1] or 'primary'}")
+                for t, df in initial.items()
             }
-            visited: dict[str, DataFrame] = {
+            visited: dict[tuple[str, str], DataFrame] = {
                 t: df.withColumn("hop", F.lit(0)) for t, df in initial.items()
             }
-            frontier: dict[str, DataFrame] = dict(initial)
+            frontier: dict[tuple[str, str], DataFrame] = dict(initial)
             # Frontiers are eagerly checkpointed, so an exact count is
             # nearly free — broadcast the probe side only while it is
             # provably small. A multi-hop frontier on a dense graph can
@@ -319,11 +404,16 @@ class GraphView:
             # executors at scale, so past the threshold the hint is
             # dropped and AQE picks the join strategy from the
             # checkpoint's real stats.
-            frontier_rows: dict[str, int] = {
+            frontier_rows: dict[tuple[str, str], int] = {
                 t: df.count() for t, df in initial.items()
             }
+            # an empty seed space (e.g. the secondary space of a type whose
+            # rows are all primary-keyed — the common case) must not cost a
+            # join per hop
+            frontier = {t: df for t, df in frontier.items()
+                        if frontier_rows[t] > 0}
             for h in range(1, hops + 1):
-                reached: dict[str, DataFrame] = {}
+                reached: dict[tuple[str, str], DataFrame] = {}
                 for src_t, dst_t, adj_df, n_dst in adjacency:
                     if src_t not in frontier:
                         continue
@@ -364,14 +454,14 @@ class GraphView:
                     # materialize per hop: keeps lineage short and lets AQE size
                     # the next hop's join from real stats
                     pre_ckpt = new
-                    new = ck(new, f"hop:{t}")
+                    new = ck(new, f"hop:{t[0]}:{t[1] or 'primary'}")
                     if plan_sink is not None:
                         # the eager checkpoint just EXECUTED pre_ckpt's plan, so
                         # its query execution now holds the FINAL adaptive plan
                         # (AQE's actual join choice), which the checkpointed
                         # frame's own plan (a scan of cached partitions) hides
                         plan_sink.append(
-                            f"-- hop {h} -> {t}\n"
+                            f"-- hop {h} -> {t[0]}:{t[1] or 'primary'}\n"
                             + pre_ckpt._jdf.queryExecution().explainString(
                                 pre_ckpt.sparkSession._jvm.org.apache.spark.sql
                                 .execution.ExplainMode.fromString("formatted")
@@ -389,18 +479,18 @@ class GraphView:
                 if not frontier:
                     break
             outs = []
-            for t, df in visited.items():
-                identity = self.schema.vertex(t).identity_fields
+            for (t, space), df in visited.items():
+                fields = dict(self._identity_funnel(t))[space]
+                parts = [F.lit(t)]
+                if space:
+                    # the same "#<name>" marker _funnel_key emits, so BFS
+                    # output keys join vertex-side keys exactly
+                    parts.append(F.lit(f"#{space}"))
+                parts += [F.col(f"k_{i}").cast("string")
+                          for i in range(len(fields))]
                 outs.append(
                     df.select(
-                        F.concat_ws(
-                            "\x1f",
-                            F.lit(t),
-                            *[
-                                F.col(f"k_{i}").cast("string")
-                                for i in range(len(identity))
-                            ],
-                        ).alias("node_key"),
+                        F.concat_ws("\x1f", *parts).alias("node_key"),
                         F.lit(t).alias("node_type"),
                         "hop",
                     )
@@ -414,20 +504,45 @@ class GraphView:
         self,
         relations: list[str] | None,
         direction: Direction,
-    ) -> list[tuple[str, str, DataFrame, int]]:
+    ) -> list[tuple[tuple[str, str], tuple[str, str], DataFrame, int]]:
         """Per-edge-type adjacency projections for the typed BFS: each entry
-        is ``(src_type, dst_type, df[a_0..a_m, b_0..b_n], n_dst_keys)`` in
-        traversal orientation (reversed entries added per direction /
-        undirected semantics, matching :meth:`typed_edge_list`)."""
-        out: list[tuple[str, str, DataFrame, int]] = []
+        is ``((src_type, src_space), (dst_type, dst_space),
+        df[a_0..a_m, b_0..b_n], n_dst_keys)`` in traversal orientation
+        (reversed entries added per direction / undirected semantics,
+        matching :meth:`typed_edge_list`).
+
+        For an edge table carrying only the primary identity key columns —
+        every table the ingest pipeline writes — this is exactly one entry
+        per orientation with no added filter: the pre-funnel plan. A table
+        that ALSO retains secondary-identity key columns (a re-keyed table
+        after a differently-keyed MergeVerticesOp, or one left keyed on a
+        retired identity by ReplaceIdentityOp) fans out into one entry per
+        (src space, dst space) pair: rows address an endpoint through a
+        secondary space only when every earlier space's key columns on that
+        side are all NULL (or absent), mirroring :meth:`_funnel_key`'s
+        per-row winner — so each edge row feeds exactly one dst space."""
+        out: list[tuple[tuple[str, str], tuple[str, str], DataFrame, int]] = []
         for eid, df in self.edges.items():
             if "_relation" in df.columns:
                 if relations is not None:
                     df = df.filter(F.col("_relation").isin(relations))
             elif relations is not None and eid.relation not in relations:
                 continue
-            src_id = self.schema.vertex(eid.source).identity_fields
-            dst_id = self.schema.vertex(eid.target).identity_fields
+            cols = set(df.columns)
+
+            def spaces_for(vname, prefix, cols=cols):
+                return [
+                    (n, fs) for n, fs in self._identity_funnel(vname)
+                    if fs and all(f"{prefix}{f}" in cols for f in fs)
+                ]
+
+            src_spaces = spaces_for(eid.source, "_src_")
+            dst_spaces = spaces_for(eid.target, "_dst_")
+            if not src_spaces or not dst_spaces:
+                raise ValueError(
+                    f"edge table {eid} carries no complete identity key "
+                    f"column set for "
+                    f"{eid.source if not src_spaces else eid.target!r}")
             try:
                 directed = self.schema.edge(
                     eid.source, eid.target, eid.relation
@@ -435,30 +550,36 @@ class GraphView:
             except KeyError:
                 directed = True
 
-            def proj(a_fields, a_pre, b_fields, b_pre, df=df):
-                return df.select(
-                    *[
-                        F.col(f"{a_pre}{f}").alias(f"a_{i}")
-                        for i, f in enumerate(a_fields)
-                    ],
-                    *[
-                        F.col(f"{b_pre}{f}").alias(f"b_{i}")
-                        for i, f in enumerate(b_fields)
-                    ],
-                )
+            def entries(a_vertex, a_spaces, a_pre, b_vertex, b_spaces,
+                        b_pre, df=df, cols=cols):
+                res = []
+                for ai, (an, afs) in enumerate(a_spaces):
+                    for bi, (bn, bfs) in enumerate(b_spaces):
+                        d = df
+                        for pre, spaces, idx in ((a_pre, a_spaces, ai),
+                                                 (b_pre, b_spaces, bi)):
+                            for _, pfs in spaces[:idx]:
+                                for f in pfs:
+                                    d = d.filter(
+                                        F.col(f"{pre}{f}").isNull())
+                        proj = d.select(
+                            *[F.col(f"{a_pre}{f}").alias(f"a_{i}")
+                              for i, f in enumerate(afs)],
+                            *[F.col(f"{b_pre}{f}").alias(f"b_{i}")
+                              for i, f in enumerate(bfs)],
+                        )
+                        res.append(((a_vertex, an), (b_vertex, bn),
+                                    proj, len(bfs)))
+                return res
 
             fwd = direction in (Direction.OUT, Direction.ANY) or not directed
             rev = direction in (Direction.IN, Direction.ANY) or not directed
             if fwd:
-                out.append(
-                    (eid.source, eid.target,
-                     proj(src_id, "_src_", dst_id, "_dst_"), len(dst_id))
-                )
+                out += entries(eid.source, src_spaces, "_src_",
+                               eid.target, dst_spaces, "_dst_")
             if rev:
-                out.append(
-                    (eid.target, eid.source,
-                     proj(dst_id, "_dst_", src_id, "_src_"), len(src_id))
-                )
+                out += entries(eid.target, dst_spaces, "_dst_",
+                               eid.source, src_spaces, "_src_")
         if not out:
             raise ValueError("graph has no edges")
         return out
@@ -486,9 +607,9 @@ class GraphView:
         for v, a in seeds:
             cond = FilterExpression.parse(a).to_column()
             by_type[v] = cond if v not in by_type else (by_type[v] | cond)
-        initial = {
-            v: self._seed_frontier(v, cond) for v, cond in by_type.items()
-        }
+        initial: dict[tuple[str, str], DataFrame] = {}
+        for v, cond in by_type.items():
+            initial.update(self._seed_frontiers(v, cond))
         out = self._bfs(initial, hops, direction, relations)
         # min() is a no-op on the BFS output (one row per node) but keeps
         # the merged-result contract explicit

@@ -626,10 +626,40 @@ class GraphStore:
 
         def build(existing: DataFrame | None) -> DataFrame:
             incoming = df.withColumn("__gen", F.lit(1))
+            passthrough = None
             if existing is not None:
+                retained = [
+                    c for c in existing.columns
+                    if c.startswith(("_src_", "_dst_")) and c not in key_cols
+                ]
                 incoming = existing.withColumn("__gen", F.lit(0)).unionByName(
                     incoming, allowMissingColumns=True
                 )
+                if retained:
+                    # the table retains secondary-identity key columns (a
+                    # re-keyed table after a differently-keyed merge /
+                    # identity replacement). Rows whose PRIMARY key on
+                    # either side is all-NULL are addressed only through
+                    # those retained columns — grouping them by the primary
+                    # key would collapse distinct endpoints under NULL==
+                    # NULL, so they bypass the merge untouched (an incoming
+                    # batch keyed on the primary identity cannot address
+                    # them anyway).
+                    side_null = []
+                    for pre in ("_src_", "_dst_"):
+                        side = [c for c in key_cols if c.startswith(pre)]
+                        if side:
+                            cond = F.col(side[0]).isNull()
+                            for c in side[1:]:
+                                cond = cond & F.col(c).isNull()
+                            side_null.append(cond)
+                    if side_null:
+                        bypass = side_null[0]
+                        for c in side_null[1:]:
+                            bypass = bypass | c
+                        passthrough = (incoming.filter(bypass)
+                                       .drop("__gen").dropDuplicates())
+                        incoming = incoming.filter(~bypass)
             value_cols = [
                 c for c in incoming.columns if c not in key_cols + ["__gen"]
             ]
@@ -655,8 +685,13 @@ class GraphStore:
                         F.xxhash64(*[F.col(c) for c in value_cols]).alias("h"),
                     )
                     aggs = [F.max_by(F.col(c), order).alias(c) for c in value_cols]
-                return incoming.groupBy(*key_cols).agg(*aggs)
-            return incoming.select(*key_cols).dropDuplicates()
+                merged = incoming.groupBy(*key_cols).agg(*aggs)
+            else:
+                merged = incoming.select(*key_cols).dropDuplicates()
+            if passthrough is not None:
+                merged = merged.unionByName(
+                    passthrough, allowMissingColumns=True)
+            return merged
 
         self._merge_commit(
             table_dir, df, bucket_cols, n, build,

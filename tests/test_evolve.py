@@ -1,5 +1,7 @@
 """Manifest evolution + migration tests (SURVEY §1.3/§2.12)."""
 
+import warnings
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -998,13 +1000,20 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
        fields all declared on their vertex, edge identities and index
        fields among edge properties (the stale-index class: a rename or
        removal that forgets to cascade into index metadata);
-    3. referential integrity (NEW in r13, the verdict's top item) — for
-       every populated edge table whose natural-identity endpoints have
-       populated vertex tables, the edge carries a ``_src_<f>``/``_dst_<f>``
-       column per CURRENT identity field (the addressing contract
-       ``query._node_key`` compiles against), and every endpoint key tuple
-       resolves against the vertex table (null-safe, driver-side set
-       check — fuzz tables are tiny by construction).
+    3. referential integrity, FUNNEL-AWARE since r14 — every edge row's
+       per-row winning identity space (the driver-side mirror of
+       ``query._funnel_key``: first of primary + declared secondaries
+       whose key columns carry data) must resolve against the vertex
+       rows' winning addresses, and any row addressed through a
+       NON-primary space (NULL-keyed after a differently-keyed merge,
+       old-keyed after a skipped re-key) requires that ``migrate()``
+       WARNED — the silent-NULL-key class (r13 verdict Next #1) is an
+       invariant violation;
+    4. operational probe (r13 verdict Next #2) — a real ``fetch_edges``
+       against the mutated store after EVERY step and a 1-hop BFS at
+       chain end, because all three r13 fuzz finds lived in the
+       compiler-vs-data-plane addressing seam that static column checks
+       only half-encode.
 
     The op pool covers every evolution op with data-plane consequences —
     all of §2.12's 33 concrete ops except RenameResourcesOp, which
@@ -1020,14 +1029,32 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
 
     from graflo_spark.manifest import IndexConfig
 
-    def _keyset(df, cols):
-        # null-safe driver-side key set; fuzz tables are <100 rows
-        return {
-            tuple("\x00null" if r[c] is None else str(r[c]) for c in cols)
-            for r in df.select(*cols).collect()
-        }
+    def _spaces(v):
+        # the identity funnel query._funnel_key compiles against: primary
+        # space "" first, then declared secondaries in declaration order
+        return [("", list(v.identity_fields))] + [
+            (n, list(c)) for n, c in v.secondary_identities.items()]
 
-    def consistent(store, schema):
+    def _winning(row, spaces, prefix):
+        # driver-side mirror of query._funnel_key's per-row winner: the
+        # FIRST space whose columns carry any non-null value. None = every
+        # space all-NULL (the degenerate concat_ws fallback address).
+        for name, cols in spaces:
+            vals = [row[f"{prefix}{c}"] for c in cols]
+            if any(x is not None for x in vals):
+                return (name, tuple("\x00null" if x is None else str(x)
+                                    for x in vals))
+        return None
+
+    def _degraded(warned):
+        # every engineered degradation path warns with one of these
+        # markers; a NULL-primary-keyed or old-keyed edge row without a
+        # prior warning is the SILENT degradation class the r13 verdict
+        # ordered this invariant to kill
+        return any("addressab" in m or "carry no data" in m or "NULL" in m
+                   for m in warned)
+
+    def consistent(store, schema, warned):
         # -- 1. physical layout ⇄ schema
         vdir = os.path.join(store.root, "vertices")
         if os.path.isdir(vdir):
@@ -1080,28 +1107,71 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
             if v.identity_mode.value == "natural":
                 for c in v.identity:
                     assert c in df.columns, f"{vn} missing identity {c}"
-        # -- 3. referential integrity per edge table
-        vkeys = {}  # vertex -> frozenset of identity tuples (lazy)
+        # -- 3. referential integrity per edge table, FUNNEL-AWARE (r14):
+        # an edge row addresses each endpoint through its per-row winning
+        # identity space (query._funnel_key), so resolvability is checked
+        # space-by-space: the edge row's winning (space, key) must appear
+        # among the vertex rows' winning (space, key) addresses. A row
+        # addressed through a NON-primary space (NULL-keyed after a
+        # differently-keyed merge, or old-keyed after a skipped re-key)
+        # is allowed ONLY if migrate() warned about the degradation —
+        # the silent-NULL-key class may not reappear.
+        vaddr = {}  # vertex -> set of winning (space, key) addresses (lazy)
+        vnull = {}  # vertex -> has an all-spaces-NULL (degenerate) row
         for e in schema.edges:
             try:
                 edf = store.read_edges(e.edge_id)
             except FileNotFoundError:
                 continue
+            ecols = set(edf.columns)
+            erows = None
             for side, vname in (("_src_", e.source), ("_dst_", e.target)):
                 v = schema.vertex(vname)
                 if v.identity_mode.value != "natural" or vname not in vframes:
                     continue
-                key_cols = [f"{side}{f}" for f in v.identity_fields]
-                missing = [c for c in key_cols if c not in edf.columns]
-                assert not missing, (
-                    f"{e.edge_id}: edge table lost endpoint key columns "
-                    f"{missing} (has {edf.columns})")
-                if vname not in vkeys:
-                    vkeys[vname] = _keyset(vframes[vname], v.identity_fields)
-                dangling = _keyset(edf, key_cols) - vkeys[vname]
-                assert not dangling, (
-                    f"{e.edge_id} {side}: {len(dangling)} endpoint keys "
-                    f"unresolvable against {vname}: {sorted(dangling)[:5]}")
+                e_spaces = [
+                    (n, c) for n, c in _spaces(v)
+                    if c and all(f"{side}{f}" in ecols for f in c)]
+                if not e_spaces:
+                    assert _degraded(warned), (
+                        f"{e.edge_id} {side}: edge table carries NO complete "
+                        f"identity key column set for {vname} (has "
+                        f"{sorted(ecols)}) and no degradation warning fired")
+                    continue
+                if vname not in vaddr:
+                    vdf = vframes[vname]
+                    vcols = set(vdf.columns)
+                    v_spaces = [(n, c) for n, c in _spaces(v)
+                                if c and all(f in vcols for f in c)]
+                    addrs, has_null = set(), False
+                    for r in vdf.collect():
+                        w = _winning(r, v_spaces, "")
+                        if w is None:
+                            has_null = True
+                        else:
+                            addrs.add(w)
+                    vaddr[vname], vnull[vname] = addrs, has_null
+                if erows is None:
+                    erows = edf.collect()
+                for r in erows:
+                    w = _winning(r, e_spaces, side)
+                    if w is None:
+                        # all-spaces-NULL endpoint: the degenerate
+                        # fallback address — never silent
+                        assert _degraded(warned) and vnull[vname], (
+                            f"{e.edge_id} {side}: all-NULL endpoint "
+                            f"address with no warning / no matching "
+                            f"degenerate vertex row")
+                        continue
+                    if w[0] != "":
+                        assert _degraded(warned), (
+                            f"{e.edge_id} {side}: row addressed through "
+                            f"secondary space {w[0]!r} but no degradation "
+                            f"warning fired (silent NULL/old-keyed edge)")
+                    assert w in vaddr[vname], (
+                        f"{e.edge_id} {side}: endpoint address {w} "
+                        f"unresolvable against {vname} (vertex addresses: "
+                        f"{sorted(vaddr[vname])[:6]})")
 
     def rand_op(rng, s, fresh):
         kind = rng.choice([
@@ -1335,6 +1405,74 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
         counter[0] += 1
         return f"{p}{counter[0]}"
 
+    def probe(store, schema, warned, hops=0):
+        """Operational probe (r13 verdict Next #2): run a REAL query against
+        the mutated store — fetch_edges every step, a 1-hop BFS at chain end
+        — so compiler-vs-data-plane addressing seams that static column
+        checks can't encode (all three r13 finds) surface as query-time
+        failures. Asserts execution + plausibly-bounded counts."""
+        from graflo_spark.query import Direction
+
+        try:
+            view = store.as_view()
+        except FileNotFoundError:
+            return
+        total_edge_rows = 0
+        for e in schema.edges:
+            try:
+                total_edge_rows += store.read_edges(e.edge_id).count()
+            except FileNotFoundError:
+                pass
+        for vn in schema.vertex_names:
+            v = schema.vertex(vn)
+            if v.identity_mode.value != "natural":
+                continue
+            try:
+                vrows = store.read_vertices(vn).limit(1).collect()
+            except FileNotFoundError:
+                continue
+            if not vrows:
+                continue
+            row = vrows[0]
+            declared = set(v.field_names)
+            anchor = next(
+                ({"field": f, "op": "==", "value": row[f]}
+                 for f in row.asDict()
+                 if f in declared and row[f] is not None
+                 and isinstance(row[f], (int, float, str))),
+                None)
+            if anchor is None:
+                continue
+            try:
+                n = view.fetch_edges(vn, anchor, direction=Direction.ANY,
+                                     limit=None).count()
+            except ValueError as exc:
+                if "no edges" in str(exc):
+                    return
+                assert _degraded(warned), (
+                    f"fetch_edges({vn}) raised {exc} with no prior "
+                    f"degradation warning")
+                return
+            assert 0 <= n <= 2 * total_edge_rows, (
+                f"fetch_edges({vn}, {anchor}) returned {n} rows; "
+                f"graph has {total_edge_rows} edge rows")
+            if hops:
+                total_v = sum(df.count() for df in view.vertices.values())
+                try:
+                    out = view.neighbors(vn, anchor, hops=hops).collect()
+                except ValueError as exc:
+                    if "no edges" in str(exc):
+                        return
+                    assert _degraded(warned), (
+                        f"neighbors({vn}) raised {exc} with no prior "
+                        f"degradation warning")
+                    return
+                assert any(r["hop"] == 0 for r in out), (
+                    f"neighbors({vn}, {anchor}): anchor missing at hop 0")
+                assert len(out) <= total_v, (
+                    f"neighbors({vn}) reached {len(out)} > {total_v} nodes")
+            return
+
     n_seeds = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "8"))
     n_ops = int(os.environ.get("SPARK_GRAFT_FUZZ_OPS", "6"))
     base = int(os.environ.get("SPARK_GRAFT_FUZZ_BASE", "1000"))
@@ -1370,25 +1508,36 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
             spark.createDataFrame(
                 [(1, 2, 0.5), (2, 3, 0.7)],
                 "_src_pid int, _dst_pid int, w double"))
-        consistent(store, schema)
+        warned: list[str] = []
+        consistent(store, schema, warned)
         for step in range(n_ops):
             op = rand_op(rng, schema, fresh)
             if op is None:
                 continue
             try:
-                probe = op.apply(schema)  # schema-level validity gate
+                valid = op.apply(schema)  # schema-level validity gate
             except (ValueError, KeyError):
                 continue
-            del probe
+            del valid
             try:
-                schema = ev.apply_plan(schema, [op], store=store)
+                with warnings.catch_warnings(record=True) as caught:
+                    warnings.simplefilter("always")
+                    schema = ev.apply_plan(schema, [op], store=store)
+                warned += [str(c.message) for c in caught]
             except AssertionError:
                 raise
             except Exception as exc:  # noqa: BLE001 - fuzz reporting
                 raise AssertionError(
                     f"seed {base + seed} step {step}: "
                     f"{type(op).__name__} migrate blew up: {exc}") from exc
-            consistent(store, schema)
+            try:
+                consistent(store, schema, warned)
+                probe(store, schema, warned,
+                      hops=1 if step == n_ops - 1 else 0)
+            except AssertionError as exc:
+                raise AssertionError(
+                    f"seed {base + seed} step {step} after "
+                    f"{type(op).__name__}: {exc}") from exc
 
 
 def test_sanitize_migrates_store_dirs_and_columns(spark, tmp_path):
@@ -1626,13 +1775,14 @@ def test_merge_differently_keyed_rekeys_edges_and_keeps_unkeyed_rows(
     assert out.count() == 4                       # both cities SURVIVE
     assert out.filter(F.col("pid").isNull()).count() == 2
     e = store.read_edges(EdgeId("person", "person", "lives_in"))
-    # addressing contract: _dst_<into identity>, not the dead _dst_cid
-    assert "_dst_pid" in e.columns and "_dst_cid" not in e.columns
-    # pure-city rows carry no pid -> edges re-key to NULL (degenerate but
-    # resolvable against the NULL-keyed surviving rows)
+    # addressing contract: _dst_<into identity> present, and (r14) the old
+    # key columns are RETAINED as the demoted secondary identity's key so
+    # NULL-primary-keyed rows stay addressable (funnel endpoint fallback)
+    assert "_dst_pid" in e.columns and "_dst_cid" in e.columns
+    # pure-city rows carry no pid -> primary key NULL, secondary key kept
     assert e.count() == 2
-    assert sorted((r["_src_pid"], r["_dst_pid"]) for r in e.collect()) == [
-        (1, None), (2, None)]
+    assert sorted((r["_src_pid"], r["_dst_pid"], r["_dst_cid"])
+                  for r in e.collect()) == [(1, None, 10), (2, None, 20)]
 
 
 def test_merge_same_keyed_types_still_plain_union(spark, tmp_path):
@@ -1748,3 +1898,168 @@ def test_rename_identity_property_renames_edge_key_columns(spark, tmp_path):
     k = store.read_edges(EdgeId("person", "person", "knows"))
     assert sorted(c for c in k.columns) == ["_dst_person_id",
                                             "_src_person_id"]
+
+
+# ---------------------------------------------------------------- r14:
+# secondary-identity endpoint resolution (reference
+# hq/endpoint_resolve.py:73-166, steps/models.py:347-377): edges whose
+# re-keyed primary endpoint key is NULL stay traversable through the
+# demoted secondary identity's retained key columns.
+
+def _merged_city_store(spark, tmp_path):
+    import warnings as _w
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex("person", [Field("pid", FieldType.INT), Field("nm")],
+                   identity=["pid"]),
+            Vertex("city", [Field("cid", FieldType.INT), Field("cn")],
+                   identity=["cid"]),
+        ],
+        edges=[Edge("person", "city", relation="lives_in")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("person", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "pid int, nm string"))
+    store.upsert_vertices("city", spark.createDataFrame(
+        [(10, "X"), (20, "Y")], "cid int, cn string"))
+    store.insert_edges(EdgeId("person", "city", "lives_in"),
+                       spark.createDataFrame(
+                           [(1, 10), (1, 20), (2, 10)],
+                           "_src_pid int, _dst_cid int"))
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        s2 = ev.apply_plan(
+            schema, [ev.MergeVerticesOp(into="person", other="city")],
+            store=store)
+    store.schema = s2
+    msgs = [str(c.message) for c in caught if c.category is UserWarning]
+    return store, s2, msgs
+
+
+def test_merge_parallel_edges_survive_and_warns(spark, tmp_path):
+    """r13 advisory: parallel edges sharing the kept endpoint — (1,c10),
+    (1,c20) — collapsed under the NULL==NULL dedup once both re-keyed to
+    (_src_pid=1, _dst_pid=NULL), and the dropped _dst_cid made the original
+    destination unrecoverable. Retaining the old key columns in the dedup
+    key keeps all three rows, and migrate() warns with the NULL-key count."""
+    store, s2, msgs = _merged_city_store(spark, tmp_path)
+    e = store.read_edges(EdgeId("person", "person", "lives_in"))
+    got = sorted((r["_src_pid"], r["_dst_pid"], r["_dst_cid"])
+                 for r in e.collect())
+    assert got == [(1, None, 10), (1, None, 20), (2, None, 10)]
+    assert any("NULL" in m and "addressable" in m for m in msgs)
+
+
+def test_traverse_through_merged_away_endpoint(spark, tmp_path):
+    """The r13 verdict's Next #1 'done' bar: a traversal THROUGH a
+    merged-away endpoint. person 1 -> (cities 10, 20) must be reachable at
+    hop 1 even though the re-keyed edge rows carry NULL _dst_pid — the
+    funnel addresses them through the demoted merged_city secondary
+    identity, with '#merged_city'-marked node keys that join the
+    vertex-side keys exactly (hydrate round-trip proves it)."""
+    store, s2, _ = _merged_city_store(spark, tmp_path)
+    view = store.as_view()
+    out = view.neighbors("person", {"field": "pid", "op": "==", "value": 1},
+                         hops=1)
+    rows = sorted((r["node_key"], r["hop"]) for r in out.collect())
+    assert ("person\x1f1", 0) in rows
+    assert ("person\x1f#merged_city\x1f10", 1) in rows
+    assert ("person\x1f#merged_city\x1f20", 1) in rows
+    assert len(rows) == 3
+    # reverse direction: seed on a merged-away row (pure-city, NULL pid)
+    # and traverse back to its primary-keyed neighbors
+    back = view.neighbors("person", {"field": "cid", "op": "==", "value": 10},
+                          hops=1)
+    brows = sorted((r["node_key"], r["hop"]) for r in back.collect())
+    assert ("person\x1f#merged_city\x1f10", 0) in brows
+    assert ("person\x1f1", 1) in brows and ("person\x1f2", 1) in brows
+    # hydrate: funnel node keys resolve back to full vertex docs
+    docs = view.hydrate(out, "person")
+    assert docs.count() == 3
+    assert sorted(r["cn"] for r in docs.collect() if r["cn"]) == ["X", "Y"]
+
+
+def test_fetch_edges_through_secondary_identity(spark, tmp_path):
+    """fetch_edges anchored on a merged-away row: the anchor's funnel key
+    ('person\\x1f#merged_city\\x1f10') must match the edge list's dst-side
+    funnel key, so incidence works for NULL-primary-keyed endpoints."""
+    from graflo_spark.query import Direction
+
+    store, s2, _ = _merged_city_store(spark, tmp_path)
+    view = store.as_view()
+    inc = view.fetch_edges(
+        "person", {"field": "cid", "op": "==", "value": 10},
+        direction=Direction.ANY, limit=None)
+    got = sorted((r["src_key"], r["dst_key"]) for r in inc.collect())
+    assert got == [
+        ("person\x1f#merged_city\x1f10", "person\x1f1"),
+        ("person\x1f#merged_city\x1f10", "person\x1f2"),
+    ]
+
+
+def test_insert_edges_after_merge_preserves_secondary_keyed_rows(
+        spark, tmp_path):
+    """A post-merge insert_edges batch (keyed on the primary identity only)
+    must not collapse the existing NULL-primary-keyed rows under the
+    NULL==NULL groupBy — they bypass the merge untouched."""
+    store, s2, _ = _merged_city_store(spark, tmp_path)
+    eid = EdgeId("person", "person", "lives_in")
+    store.insert_edges(eid, spark.createDataFrame(
+        [(2, 1)], "_src_pid int, _dst_pid int"))
+    e = store.read_edges(eid)
+    got = sorted(
+        ((r["_src_pid"], r["_dst_pid"], r["_dst_cid"]) for r in e.collect()),
+        key=lambda t: tuple((x is None, x) for x in t))
+    assert got == [(1, None, 10), (1, None, 20), (2, 1, None), (2, None, 10)]
+
+
+def test_replace_identity_onto_unpopulated_column_warns_keeps_edges(
+        spark, tmp_path):
+    """r13 advisory repro: AddPropertyOp('email') + ReplaceIdentityOp(
+    ['email']) re-keyed incident edges onto the just-minted all-NULL email
+    column and the dedup destroyed rows irreversibly. Now the pre-mint
+    guard skips the re-key, warns, and — with retire='demote' — the edges
+    stay fully traversable through the retired_identity secondary."""
+    import warnings as _w
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex("person", [Field("pid", FieldType.INT)],
+                   identity=["pid"]),
+        ],
+        edges=[Edge("person", "person", relation="knows")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("person", spark.createDataFrame(
+        [(1,), (2,), (3,)], "pid int"))
+    eid = EdgeId("person", "person", "knows")
+    store.insert_edges(eid, spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "_src_pid int, _dst_pid int"))
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        s2 = ev.apply_plan(
+            schema,
+            [ev.AddPropertyOp("person", Field("email")),
+             ev.ReplaceIdentityOp("person", ["email"], retire="demote")],
+            store=store)
+    store.schema = s2
+    msgs = [str(c.message) for c in caught if c.category is UserWarning]
+    assert any("carry no data" in m for m in msgs)
+    e = store.read_edges(eid)
+    assert e.count() == 3                       # rows SURVIVE (pre-fix: 2)
+    assert "_src_pid" in e.columns              # old key kept, recoverable
+    assert s2.vertex("person").secondary_identities["retired_identity"] == \
+        ["pid"]
+    # and the graph stays fully traversable through the retired identity
+    view = store.as_view()
+    out = view.neighbors("person", {"field": "pid", "op": "==", "value": 1},
+                         hops=2)
+    keys = sorted(r["node_key"] for r in out.collect())
+    assert keys == [
+        "person\x1f#retired_identity\x1f1",
+        "person\x1f#retired_identity\x1f2",
+        "person\x1f#retired_identity\x1f3",
+    ]

@@ -82,7 +82,8 @@ def test_traverse_merges_same_type_seeds_into_one_bfs(spark):
     finally:
         GraphView._bfs = orig
 
-    assert calls == [{"n": 3}]  # one BFS, one merged 3-seed frontier
+    # one BFS, one merged 3-seed frontier in the primary identity space
+    assert calls == [{("n", ""): 3}]
     # min-hop semantics: node 1 is hop 1 from seed 0; node 3 hop 1 from
     # seed 2; seeds themselves hop 0 even when reachable from another seed
     assert got == {"n\x1f0": 0, "n\x1f2": 0, "n\x1f5": 0,
