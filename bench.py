@@ -160,12 +160,16 @@ def main() -> None:
         else round(sum(t for t in timings.values() if t is not None), 3)
     )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass  # non-sf-named dir (scale blow-ups): keep the raw suffix
     out = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
         "repeats": repeats,
         "totals_per_run": totals_per_run,
         # round-8 verdict, Next #4: the contaminated-run signature is now

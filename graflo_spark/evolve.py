@@ -670,13 +670,14 @@ class MergeVerticesOp(EvolutionOp):
     identity of ``into`` so those rows stay addressable by lookup
     (the ReplaceIdentityOp retire='demote' pattern). Edges that addressed
     ``other`` are RE-KEYED through the merged table onto ``into``'s
-    identity columns (the ``query._node_key`` addressing contract compiles
-    ``_src_<into identity>``, so edge tables keeping ``other``'s key
-    columns would break every traversal — found by the r13 migration
-    fuzz); the mapped key for a pure-``other`` row is NULL, which under
-    ``concat_ws`` addressing collapses all such rows onto one degenerate
-    key — align the key spaces first (ReplaceIdentityOp) for a clean
-    merge."""
+    identity columns (found by the r13 migration fuzz) while RETAINING the
+    old key columns: a pure-``other`` row's mapped ``into``-key is NULL,
+    and ``query._funnel_key`` addresses such endpoints through the demoted
+    secondary identity's retained columns (reference secondary-identity
+    endpoint resolution, hq/endpoint_resolve.py:73-166) — so the edges
+    stay traversable, with a runtime warning reporting the NULL-keyed row
+    count and the align-first (ReplaceIdentityOp) recipe for a fully
+    primary-keyed merge."""
 
     into: str = ""
     other: str = ""
