@@ -449,7 +449,18 @@ class ReplaceIdentityOp(EvolutionOp):
                               for f, c in zip(self._old_identity, old_cols)],
                             *[F.col(f).alias(f"{side}{f}__new")
                               for f in produce])
-                        out = edf.join(lookup, on=old_cols, how="inner")
+                        # rows whose OLD key is (partially) NULL are not
+                        # addressed by the old primary — they ride a
+                        # retained secondary from an earlier migration.
+                        # The null-unsafe inner join would silently DROP
+                        # them (r14 fuzz find); they bypass the re-key
+                        # with their addressing untouched.
+                        null_old = F.col(old_cols[0]).isNull()
+                        for c in old_cols[1:]:
+                            null_old = null_old | F.col(c).isNull()
+                        bypass = edf.filter(null_old)
+                        out = edf.filter(~null_old).join(
+                            lookup, on=old_cols, how="inner")
                         if self.retire != "demote":
                             # demote keeps the old key columns on the edge:
                             # they are the demoted secondary identity's key
@@ -457,16 +468,72 @@ class ReplaceIdentityOp(EvolutionOp):
                             # addressable (query._funnel_key fallback)
                             out = out.drop(*[f"{side}{f}" for f in drop])
                         for f in produce:
-                            out = out.withColumnRenamed(
-                                f"{side}{f}__new", f"{side}{f}")
+                            tgt = f"{side}{f}"
+                            if tgt in out.columns:
+                                # stale key column retained by an earlier
+                                # migration under the same name — its
+                                # funnel space is dead vs the new primary
+                                # (subset prune); fresh mapping wins
+                                # (AMBIGUOUS_REFERENCE — r14 fuzz find)
+                                out = out.drop(tgt)
+                            out = out.withColumnRenamed(f"{tgt}__new", tgt)
+                        # union only when bypass rows EXIST: the union's
+                        # schema-widening would otherwise resurrect
+                        # dropped old key columns as all-NULL noise
+                        if bypass.limit(1).count():
+                            out = out.unionByName(bypass,
+                                                  allowMissingColumns=True)
                         key_cols = [c for c in out.columns
                                     if c.startswith(("_src_", "_dst_"))]
                         if "_relation" in out.columns:
                             key_cols.append("_relation")
+                        out = out.dropDuplicates(key_cols)
+                        # a PARTIALLY populated replacement identity maps
+                        # some endpoints to NULL keys — never silently
+                        # (the r14 fuzz invariant): with retire='demote'
+                        # the retained old key columns keep those rows
+                        # addressable via the funnel, otherwise they are
+                        # unaddressable until re-keyed
+                        null_key = F.lit(True)
+                        for f in self.identity:
+                            null_key = null_key & F.col(
+                                f"{side}{f}").isNull()
+                        n_null = out.filter(null_key).count()
+                        if n_null:
+                            warnings.warn(
+                                f"{self.vertex}: identity replacement "
+                                f"{self._old_identity}->"
+                                f"{list(self.identity)} left {n_null} edge "
+                                f"row(s) in {e.edge_id.table_name()} with "
+                                f"a NULL {side}<"
+                                f"{'/'.join(self.identity)}> key"
+                                + ("; they remain addressable through the "
+                                   "demoted secondary identity key columns "
+                                   f"{old_cols}"
+                                   if self.retire == "demote" else
+                                   "; they are NOT addressable until the "
+                                   "new identity is populated and edges "
+                                   "re-keyed"),
+                                stacklevel=2)
                         store._write_snapshot(
                             store._table_dir("edges", e.edge_id.table_name()),
-                            out.dropDuplicates(key_cols))
-        deduped = df.dropDuplicates(subset) if subset else df.dropDuplicates()
+                            out)
+        # keyed/unkeyed dedup split (the MergeVerticesOp pattern, found by
+        # the r14 fuzz resolvability probe): rows whose NEW identity is
+        # all-NULL — a PARTIALLY populated replacement column — must not
+        # collapse to one arbitrary row under dropDuplicates' NULL==NULL
+        # grouping, which would strand their re-keyed edges (the retained
+        # old-key addresses would resolve against a single survivor).
+        # Unkeyed rows pass through un-deduped: the pre-replacement table
+        # was already distinct on the old identity.
+        if subset:
+            null_key = F.lit(True)
+            for c in subset:
+                null_key = null_key & F.col(c).isNull()
+            deduped = (df.filter(~null_key).dropDuplicates(subset)
+                       .unionByName(df.filter(null_key)))
+        else:
+            deduped = df.dropDuplicates()
         store._write_snapshot(
             store._table_dir("vertices", self.vertex), deduped)
 
@@ -831,10 +898,36 @@ class MergeVerticesOp(EvolutionOp):
                 # survive the dedup (they differ in old key; r13 advisory:
                 # dropping them collapsed parallel edges on NULL==NULL and
                 # made the original destination unrecoverable)
-                out = edf.join(lookup, on=old_cols, how="inner")
+                # rows whose old key is (partially) NULL ride a retained
+                # secondary from an earlier migration — the null-unsafe
+                # inner join would silently drop them; bypass untouched
+                null_old = F.col(old_cols[0]).isNull()
+                for c in old_cols[1:]:
+                    null_old = null_old | F.col(c).isNull()
+                bypass = edf.filter(null_old)
+                out = edf.filter(~null_old).join(
+                    lookup, on=old_cols, how="inner")
                 for f in new_ident:
-                    out = out.withColumnRenamed(f"{side}{f}__new",
-                                                f"{side}{f}")
+                    tgt = f"{side}{f}"
+                    if tgt in old_cols:
+                        # OVERLAPPING identity field (into and other share
+                        # f): the mapped value equals the retained old
+                        # value by construction (the mapping row IS the
+                        # matched other-row), and renaming onto the
+                        # retained column would mint a duplicate name
+                        # (AMBIGUOUS_REFERENCE — r14 fuzz find)
+                        out = out.drop(f"{tgt}__new")
+                        continue
+                    if tgt in out.columns:
+                        # stale key column RETAINED by an EARLIER
+                        # migration under the same name: its funnel space
+                        # is dead (same column set as the new primary —
+                        # _identity_funnel's subset prune), so the fresh
+                        # mapping wins
+                        out = out.drop(tgt)
+                    out = out.withColumnRenamed(f"{tgt}__new", tgt)
+                if bypass.limit(1).count():
+                    out = out.unionByName(bypass, allowMissingColumns=True)
                 key_cols = [c for c in out.columns
                             if c.startswith(("_src_", "_dst_"))]
                 if "_relation" in out.columns:

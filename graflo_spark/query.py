@@ -147,11 +147,22 @@ class GraphView:
         after a differently-keyed MergeVerticesOp, or rows whose identity
         was replaced onto a never-populated column — is addressed through
         the first secondary identity that carries data instead of
-        collapsing onto one degenerate key."""
+        collapsing onto one degenerate key.
+
+        DEAD spaces are pruned: a space whose columns are a subset of the
+        union of all earlier spaces' columns can never win (it is all-NULL
+        exactly when they are), so keeping it would only fan out adjacency
+        projections and CASE WHEN chains for provably-empty row sets —
+        e.g. a secondary identity declared over the primary key column
+        itself (a lookup alias, not an address space)."""
         v = self.schema.vertex(vertex)
-        return [("", list(v.identity_fields))] + [
-            (n, list(c)) for n, c in v.secondary_identities.items()
-        ]
+        out = [("", list(v.identity_fields))]
+        seen = set(v.identity_fields)
+        for n, c in v.secondary_identities.items():
+            if c and not set(c) <= seen:
+                out.append((n, list(c)))
+                seen |= set(c)
+        return out
 
     def _funnel_key(self, vertex: str, prefix: str,
                     columns: list[str] | set[str]) -> F.Column:
@@ -420,20 +431,33 @@ class GraphView:
                     fr = frontier[src_t]
                     n_src = len(fr.columns)
                     probe = fr.select(*[
-                        F.col(f"k_{i}").alias(f"a_{i}") for i in range(n_src)
+                        F.col(f"k_{i}").alias(f"p_{i}") for i in range(n_src)
                     ])
                     if frontier_rows.get(src_t, 0) <= BROADCAST_FRONTIER_MAX_ROWS:
                         probe = F.broadcast(probe)
+                    # NULL-SAFE equi-join (still an equi-join for the
+                    # planner — EqualNullSafe extracts as a hash join key):
+                    # a PARTIAL-null multi-field key is a legitimate
+                    # address after an overlapping-identity merge (the
+                    # merged-away rows carry values for only their own
+                    # fields), so (1, NULL) must match (1, NULL)
+                    cond = F.col("a_0").eqNullSafe(F.col("p_0"))
+                    for i in range(1, n_src):
+                        cond = cond & F.col(f"a_{i}").eqNullSafe(
+                            F.col(f"p_{i}"))
+                    keep = F.col("b_0").isNotNull()
+                    for i in range(1, n_dst):
+                        keep = keep | F.col(f"b_{i}").isNotNull()
                     nxt = (
-                        adj_df.join(probe, [f"a_{i}" for i in range(n_src)])
+                        adj_df.join(probe, cond)
+                        # an ALL-null endpoint key is not an addressable
+                        # node (the degenerate fallback address); partial
+                        # nulls stay — the null-safe visited anti-join
+                        # below handles their cycle avoidance
+                        .filter(keep)
                         .select(*[
                             F.col(f"b_{i}").alias(f"k_{i}") for i in range(n_dst)
                         ])
-                        # a NULL endpoint key is not an addressable node —
-                        # and it would defeat the visited anti-join (SQL
-                        # null never equals null), re-entering the
-                        # frontier every hop with duplicate output rows
-                        .na.drop()
                         .dropDuplicates()
                     )
                     reached[dst_t] = (
@@ -445,12 +469,18 @@ class GraphView:
                     new = df.dropDuplicates()
                     if t in visited:
                         # cycle avoidance: visited-set anti-join (reference
-                        # traversal.py row markers)
-                        new = new.join(
-                            visited[t].drop("hop"),
-                            [f"k_{i}" for i in range(len(new.columns))],
-                            "left_anti",
-                        )
+                        # traversal.py row markers), NULL-SAFE so a
+                        # partial-null key that was already visited does
+                        # not re-enter the frontier every hop
+                        seen = visited[t].drop("hop").select(*[
+                            F.col(f"k_{i}").alias(f"v_{i}")
+                            for i in range(len(new.columns))
+                        ])
+                        anti = F.col("k_0").eqNullSafe(F.col("v_0"))
+                        for i in range(1, len(new.columns)):
+                            anti = anti & F.col(f"k_{i}").eqNullSafe(
+                                F.col(f"v_{i}"))
+                        new = new.join(seen, anti, "left_anti")
                     # materialize per hop: keeps lineage short and lets AQE size
                     # the next hop's join from real stats
                     pre_ckpt = new

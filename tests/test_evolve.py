@@ -2063,3 +2063,145 @@ def test_replace_identity_onto_unpopulated_column_warns_keeps_edges(
         "person\x1f#retired_identity\x1f2",
         "person\x1f#retired_identity\x1f3",
     ]
+
+
+def test_replace_identity_partially_populated_splits_and_warns(
+        spark, tmp_path):
+    """r14 fuzz find (seed 1015): replacing an identity onto a PARTIALLY
+    populated column. Rows carrying a value re-key normally; rows with
+    NULL must (a) not collapse together under the vertex dedup's
+    NULL==NULL grouping (each survives), (b) keep their re-keyed edges
+    addressable through the demoted secondary identity, and (c) fire the
+    NULL-key warning — the silent half of the class the r13 advisory
+    flagged for the fully-unpopulated column."""
+    import warnings as _w
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex("city", [Field("cid", FieldType.INT), Field("em")],
+                   identity=["cid"]),
+        ],
+        edges=[Edge("city", "city", relation="twin")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    # em populated for cid=10 only; 20 and 30 are NULL
+    store.upsert_vertices("city", spark.createDataFrame(
+        [(10, "a@x"), (20, None), (30, None)], "cid int, em string"))
+    eid = EdgeId("city", "city", "twin")
+    store.insert_edges(eid, spark.createDataFrame(
+        [(10, 20), (10, 30)], "_src_cid int, _dst_cid int"))
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        s2 = ev.apply_plan(
+            schema,
+            [ev.ReplaceIdentityOp("city", ["em"], retire="demote",
+                                  retire_as="old_cid")],
+            store=store)
+    store.schema = s2
+    msgs = [str(c.message) for c in caught if c.category is UserWarning]
+    assert any("NULL" in m and "addressable" in m for m in msgs)
+    v = store.read_vertices("city")
+    assert v.count() == 3                      # NULL-em rows both survive
+    e = store.read_edges(eid)
+    got = sorted(
+        ((r["_src_em"], r["_dst_em"], r["_dst_cid"]) for r in e.collect()),
+        key=lambda t: tuple((x is None, x) for x in t))
+    assert got == [("a@x", None, 20), ("a@x", None, 30)]
+    # and the graph stays fully traversable: 10 reaches both NULL-em
+    # cities through their old_cid secondary addresses
+    view = store.as_view()
+    out = view.neighbors("city", {"field": "em", "op": "==", "value": "a@x"},
+                         hops=1)
+    keys = sorted(r["node_key"] for r in out.collect())
+    assert keys == ["city\x1f#old_cid\x1f20", "city\x1f#old_cid\x1f30",
+                    "city\x1fa@x"]
+
+
+def test_merge_overlapping_identity_fields_no_duplicate_columns(
+        spark, tmp_path):
+    """r14 fuzz find #2a: a differently-keyed merge whose identities
+    OVERLAP in a field name (into [pid, cid], other [cid]) renamed the
+    mapped `__new` column onto the retained old key column, minting a
+    duplicate column name that blew up the very next reference
+    (AMBIGUOUS_REFERENCE). The mapped value equals the retained value by
+    construction, so the duplicate is dropped instead."""
+    import warnings as _w
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex("person", [Field("pid", FieldType.INT),
+                              Field("cid", FieldType.INT)],
+                   identity=["pid", "cid"]),
+            Vertex("city", [Field("cid", FieldType.INT), Field("cn")],
+                   identity=["cid"]),
+        ],
+        edges=[Edge("person", "city", relation="lives_in")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("person", spark.createDataFrame(
+        [(1, 100), (2, 200)], "pid int, cid int"))
+    store.upsert_vertices("city", spark.createDataFrame(
+        [(10, "X"), (20, "Y")], "cid int, cn string"))
+    store.insert_edges(EdgeId("person", "city", "lives_in"),
+                       spark.createDataFrame(
+                           [(1, 100, 10), (2, 200, 20)],
+                           "_src_pid int, _src_cid int, _dst_cid int"))
+    with _w.catch_warnings(record=True):
+        _w.simplefilter("always")
+        s2 = ev.apply_plan(
+            schema, [ev.MergeVerticesOp(into="person", other="city")],
+            store=store)
+    store.schema = s2
+    e = store.read_edges(EdgeId("person", "person", "lives_in"))
+    assert len(e.columns) == len(set(e.columns))   # no duplicate names
+    assert e.count() == 2
+    # the merged graph still traverses through the secondary addresses
+    view = store.as_view()
+    out = view.neighbors("person",
+                         {"field": "pid", "op": "==", "value": 1}, hops=1)
+    assert out.count() == 2   # seed + city 10 through the funnel
+
+
+def test_replace_identity_onto_stale_retained_key_column(spark, tmp_path):
+    """r14 fuzz find #2b: ReplaceIdentityOp re-keying edges onto a column
+    NAME an earlier migration had retained (the demoted merge key) minted
+    the same duplicate. The stale column's funnel space is dead against
+    the new primary (identical column set — the subset prune), so the
+    fresh mapping replaces it."""
+    import warnings as _w
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex("person", [Field("pid", FieldType.INT)],
+                   identity=["pid"]),
+            Vertex("city", [Field("cid", FieldType.INT)],
+                   identity=["cid"]),
+        ],
+        edges=[Edge("person", "city", relation="lives_in")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("person", spark.createDataFrame(
+        [(1,), (2,)], "pid int"))
+    store.upsert_vertices("city", spark.createDataFrame(
+        [(10,), (20,)], "cid int"))
+    store.insert_edges(EdgeId("person", "city", "lives_in"),
+                       spark.createDataFrame(
+                           [(1, 10), (2, 20)], "_src_pid int, _dst_cid int"))
+    with _w.catch_warnings(record=True):
+        _w.simplefilter("always")
+        s2 = ev.apply_plan(
+            schema, [ev.MergeVerticesOp(into="person", other="city")],
+            store=store)
+        # person now carries cid (NULL for original persons, value for
+        # merged cities) and edges retain _dst_cid; replacing person's
+        # identity WITH cid re-keys onto that very column name
+        s3 = ev.apply_plan(
+            s2, [ev.ReplaceIdentityOp("person", ["cid"], retire="demote")],
+            store=store)
+    store.schema = s3
+    e = store.read_edges(EdgeId("person", "person", "lives_in"))
+    assert len(e.columns) == len(set(e.columns))   # no duplicate names
+    assert e.count() == 2

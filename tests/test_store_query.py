@@ -863,3 +863,37 @@ def test_graph_pinned_versions_survive_table_gc(spark, tmp_path):
     if g_first not in kept:
         with pytest.raises(FileNotFoundError):
             st.as_view_at(g_first)
+
+
+def test_single_space_funnel_compiles_to_plain_concat_plan(spark):
+    """The 100 TB guard for the r14 identity funnel: a graph with NO
+    declared secondary identities — every graph the ingest pipeline
+    builds — must compile node keys to the plain concat_ws expression
+    with no per-row CASE WHEN fallback chain and no per-space adjacency
+    fan-out: the exact pre-funnel plan, keeping WholeStageCodegen spans
+    and the per-type single-pass edge scans identical."""
+    from graflo_spark.manifest import CoreSchema, Edge, Field, Vertex
+    from graflo_spark.query import Direction, GraphView
+
+    schema = CoreSchema(
+        vertices=[Vertex("n", [Field("id")], identity=["id"])],
+        edges=[Edge("n", "n", relation="to")],
+    )
+    view = GraphView(
+        vertices={"n": spark.createDataFrame([(i,) for i in range(4)],
+                                             "id long")},
+        edges={EdgeId("n", "n", "to"): spark.createDataFrame(
+            [(0, 1), (1, 2)], "_src_id long, _dst_id long")},
+        schema=schema,
+    )
+    el = view.typed_edge_list(direction=Direction.OUT)
+    plan = el._jdf.queryExecution().analyzed().toString()
+    assert "CASE WHEN" not in plan and "concat_ws" in plan
+    # adjacency: exactly one entry per orientation, primary space only
+    adj = view._adjacency(None, Direction.OUT)
+    assert [(a, b) for a, b, _, _ in adj] == [(("n", ""), ("n", ""))]
+    # and the secondary-space machinery kicks in ONLY when both the
+    # schema declares a space and the edge table carries its columns
+    schema.vertex("n").secondary_identities["alt"] = ["id"]
+    adj2 = view._adjacency(None, Direction.OUT)   # no _src_alt columns
+    assert [(a, b) for a, b, _, _ in adj2] == [(("n", ""), ("n", ""))]
