@@ -217,6 +217,88 @@ class GraphView:
             columns = [f"{prefix}{f}" for f in identity]
         return self._funnel_key(vertex, prefix, columns)
 
+    def _multi_space(self, vertex: str) -> bool:
+        return len(self._identity_funnel(vertex)) > 1
+
+    def _with_canon(self, df: DataFrame, vertex: str, prefix: str,
+                    out_col: str) -> DataFrame:
+        """Add ``out_col``: the CANONICAL endpoint key for the
+        ``{prefix}``-side of each edge row.
+
+        Single-space type (every pipeline-built graph): a pure Column
+        expression — the plain concat key, zero joins, plan unchanged.
+
+        Multi-space type (a store that went through identity-changing
+        migrations): an edge row may address its endpoint through any
+        space whose key columns it carries — and the VERTEX row it
+        addresses may win a HIGHER space (it carries data the edge does
+        not). Winner-vs-winner addressing would silently miss those
+        edges (r14 fuzz, seed 1201: a bypassed re-key left edges keyed in
+        `merged_person` while the vertices' replaced identity won
+        primary). So each edge row's winner-space key is RESOLVED against
+        the vertex rows that carry that key in that space (a per-space
+        left equi-join against a deduped two-column projection of the
+        vertex table — broadcast-sized after projection for any
+        realistically keyed type, and AQE picks the strategy) and
+        rewritten to the addressed vertex's canonical winner key.
+        Unresolved (dangling) rows keep their self-computed funnel key —
+        the same node-from-edge semantics the single-space path has."""
+        fallback = self._funnel_key(vertex, prefix, df.columns).alias(out_col)
+        if not self._multi_space(vertex) or vertex not in self.vertices:
+            return df.select("*", fallback)
+        vdf = self.vertices[vertex]
+        vcols = set(vdf.columns)
+        ecols = set(df.columns)
+        spaces = [(n, fs) for n, fs in self._identity_funnel(vertex)
+                  if fs and all(f"{prefix}{f}" in ecols for f in fs)]
+        if not spaces:
+            raise ValueError(
+                f"no identity columns of {vertex!r} (prefix {prefix!r}) "
+                f"present among {sorted(ecols)[:20]}")
+        canon_key = self._funnel_key(vertex, "", vdf.columns)
+
+        def any_nonnull(fields, pre):
+            cond = F.col(f"{pre}{fields[0]}").isNotNull()
+            for f in fields[1:]:
+                cond = cond | F.col(f"{pre}{f}").isNotNull()
+            return cond
+
+        parts = []
+        prior_all_null = None
+        for n, fs in spaces:
+            rows = df
+            if prior_all_null is not None:
+                rows = rows.filter(prior_all_null)
+            rows = rows.filter(any_nonnull(fs, prefix))
+            if all(f in vcols for f in fs):
+                lut = (vdf.filter(any_nonnull(fs, ""))
+                       .select(*[F.col(f).alias(f"__m_{i}")
+                                 for i, f in enumerate(fs)],
+                               canon_key.alias("__m_key"))
+                       .dropDuplicates([f"__m_{i}" for i in range(len(fs))]))
+                cond = F.col(f"{prefix}{fs[0]}").eqNullSafe(F.col("__m_0"))
+                for i, f in enumerate(fs[1:], start=1):
+                    cond = cond & F.col(f"{prefix}{f}").eqNullSafe(
+                        F.col(f"__m_{i}"))
+                rows = (rows.join(lut, cond, "left")
+                        .withColumn(out_col,
+                                    F.coalesce(F.col("__m_key"), fallback))
+                        .drop(*[f"__m_{i}" for i in range(len(fs))],
+                              "__m_key"))
+            else:
+                rows = rows.select("*", fallback)
+            parts.append(rows)
+            this_null = F.col(f"{prefix}{fs[0]}").isNull()
+            for f in fs[1:]:
+                this_null = this_null & F.col(f"{prefix}{f}").isNull()
+            prior_all_null = (this_null if prior_all_null is None
+                              else prior_all_null & this_null)
+        parts.append(df.filter(prior_all_null).select("*", fallback))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def vertex_key_col(self, vertex: str,
                        columns: list[str] | set[str] | None = None) -> F.Column:
         if columns is None:
@@ -239,9 +321,11 @@ class GraphView:
                 if "_relation" in df.columns
                 else F.lit(eid.relation)
             )
-            base = df.select(
-                self._node_key(eid.source, "_src_", df.columns).alias("src_key"),
-                self._node_key(eid.target, "_dst_", df.columns).alias("dst_key"),
+            keyed = self._with_canon(df, eid.source, "_src_", "__src_key")
+            keyed = self._with_canon(keyed, eid.target, "_dst_", "__dst_key")
+            base = keyed.select(
+                F.col("__src_key").alias("src_key"),
+                F.col("__dst_key").alias("dst_key"),
                 F.lit(eid.source).alias("src_type"),
                 F.lit(eid.target).alias("dst_type"),
                 rel.cast("string").alias("relation"),
@@ -334,38 +418,23 @@ class GraphView:
     def _seed_frontiers(
         self, vertex: str, cond: F.Column
     ) -> dict[tuple[str, str], DataFrame]:
-        """Per-address-space identity-key frontiers for seed vertices
-        matching ``cond`` — LAZY; ``_bfs`` checkpoints them through its
-        tracker so the blocks are reclaimed when the traversal finishes.
+        """Seed frontier(s) for vertices matching ``cond`` — LAZY;
+        ``_bfs`` checkpoints them through its tracker so the blocks are
+        reclaimed when the traversal finishes.
 
-        A seed row belongs to the FIRST space of :meth:`_identity_funnel`
-        whose columns carry any value (earlier spaces all-NULL); for the
-        common no-secondaries case this is one unfiltered frame — the exact
-        pre-funnel plan."""
+        Single-space type (every pipeline-built graph): one frame of
+        native identity key columns under space ``""`` — the exact
+        pre-funnel plan. Multi-space type: one frame of CANONICAL string
+        keys under space ``"@"`` (the addressing :meth:`_with_canon`
+        rewrites edge endpoints into)."""
         rows = self.vertices[vertex].filter(cond)
-        cols = set(rows.columns)
-        spaces = [(n, fs) for n, fs in self._identity_funnel(vertex)
-                  if fs and all(f in cols for f in fs)]
-        out: dict[tuple[str, str], DataFrame] = {}
-        prior_all_null: F.Column | None = None
-        for n, fs in spaces:
-            space_rows = rows
-            if prior_all_null is not None:
-                space_rows = space_rows.filter(prior_all_null)
-            if len(spaces) > 1:
-                nonnull = F.col(fs[0]).isNotNull()
-                for f in fs[1:]:
-                    nonnull = nonnull | F.col(f).isNotNull()
-                space_rows = space_rows.filter(nonnull)
-            out[(vertex, n)] = space_rows.select(*[
-                F.col(f).alias(f"k_{i}") for i, f in enumerate(fs)
-            ]).dropDuplicates()
-            this_null = F.col(fs[0]).isNull()
-            for f in fs[1:]:
-                this_null = this_null & F.col(f).isNull()
-            prior_all_null = (this_null if prior_all_null is None
-                              else prior_all_null & this_null)
-        return out
+        if self._multi_space(vertex):
+            return {(vertex, "@"): rows.select(
+                self.vertex_key_col(vertex).alias("k_0")).dropDuplicates()}
+        fields = self.schema.vertex(vertex).identity_fields
+        return {(vertex, ""): rows.select(*[
+            F.col(f).alias(f"k_{i}") for i, f in enumerate(fields)
+        ]).dropDuplicates()}
 
     def _bfs(
         self,
@@ -510,14 +579,19 @@ class GraphView:
                     break
             outs = []
             for (t, space), df in visited.items():
-                fields = dict(self._identity_funnel(t))[space]
-                parts = [F.lit(t)]
-                if space:
-                    # the same "#<name>" marker _funnel_key emits, so BFS
-                    # output keys join vertex-side keys exactly
-                    parts.append(F.lit(f"#{space}"))
-                parts += [F.col(f"k_{i}").cast("string")
-                          for i in range(len(fields))]
+                if space == "@":
+                    # canonical-key space: k_0 IS the node_key (the same
+                    # winner key vertex_key_col emits, so output joins
+                    # vertex-side keys exactly)
+                    outs.append(df.select(
+                        F.col("k_0").alias("node_key"),
+                        F.lit(t).alias("node_type"),
+                        "hop",
+                    ))
+                    continue
+                fields = self.schema.vertex(t).identity_fields
+                parts = [F.lit(t)] + [F.col(f"k_{i}").cast("string")
+                                      for i in range(len(fields))]
                 outs.append(
                     df.select(
                         F.concat_ws("\x1f", *parts).alias("node_key"),
@@ -543,14 +617,15 @@ class GraphView:
 
         For an edge table carrying only the primary identity key columns —
         every table the ingest pipeline writes — this is exactly one entry
-        per orientation with no added filter: the pre-funnel plan. A table
-        that ALSO retains secondary-identity key columns (a re-keyed table
-        after a differently-keyed MergeVerticesOp, or one left keyed on a
-        retired identity by ReplaceIdentityOp) fans out into one entry per
-        (src space, dst space) pair: rows address an endpoint through a
-        secondary space only when every earlier space's key columns on that
-        side are all NULL (or absent), mirroring :meth:`_funnel_key`'s
-        per-row winner — so each edge row feeds exactly one dst space."""
+        per orientation with no added filter: the pre-funnel plan, native
+        identity key columns, space ``""``. A MULTI-space endpoint type (a
+        store that went through identity-changing migrations) uses the
+        canonical addressing instead: the side's endpoint keys are
+        resolved through :meth:`_with_canon` (per-space lookup against
+        the vertex table → the addressed vertex's winner key) and the
+        side becomes ONE entry in canonical string space ``"@"`` — no
+        per-space fan-out, and edges keyed in an older space than their
+        endpoint's current winner still traverse (r14 fuzz, seed 1201)."""
         out: list[tuple[tuple[str, str], tuple[str, str], DataFrame, int]] = []
         for eid, df in self.edges.items():
             if "_relation" in df.columns:
@@ -559,20 +634,15 @@ class GraphView:
             elif relations is not None and eid.relation not in relations:
                 continue
             cols = set(df.columns)
-
-            def spaces_for(vname, prefix, cols=cols):
-                return [
+            for vname, prefix in ((eid.source, "_src_"),
+                                  (eid.target, "_dst_")):
+                present = [
                     (n, fs) for n, fs in self._identity_funnel(vname)
-                    if fs and all(f"{prefix}{f}" in cols for f in fs)
-                ]
-
-            src_spaces = spaces_for(eid.source, "_src_")
-            dst_spaces = spaces_for(eid.target, "_dst_")
-            if not src_spaces or not dst_spaces:
-                raise ValueError(
-                    f"edge table {eid} carries no complete identity key "
-                    f"column set for "
-                    f"{eid.source if not src_spaces else eid.target!r}")
+                    if fs and all(f"{prefix}{f}" in cols for f in fs)]
+                if not present:
+                    raise ValueError(
+                        f"edge table {eid} carries no complete identity "
+                        f"key column set for {vname!r}")
             try:
                 directed = self.schema.edge(
                     eid.source, eid.target, eid.relation
@@ -580,36 +650,41 @@ class GraphView:
             except KeyError:
                 directed = True
 
-            def entries(a_vertex, a_spaces, a_pre, b_vertex, b_spaces,
-                        b_pre, df=df, cols=cols):
-                res = []
-                for ai, (an, afs) in enumerate(a_spaces):
-                    for bi, (bn, bfs) in enumerate(b_spaces):
-                        d = df
-                        for pre, spaces, idx in ((a_pre, a_spaces, ai),
-                                                 (b_pre, b_spaces, bi)):
-                            for _, pfs in spaces[:idx]:
-                                for f in pfs:
-                                    d = d.filter(
-                                        F.col(f"{pre}{f}").isNull())
-                        proj = d.select(
-                            *[F.col(f"{a_pre}{f}").alias(f"a_{i}")
-                              for i, f in enumerate(afs)],
-                            *[F.col(f"{b_pre}{f}").alias(f"b_{i}")
-                              for i, f in enumerate(bfs)],
-                        )
-                        res.append(((a_vertex, an), (b_vertex, bn),
-                                    proj, len(bfs)))
-                return res
+            def side(vname, prefix, df=df):
+                """(space_label, key_col_names, prepared_df_cols) — native
+                identity columns for a single-space type; the canonical
+                string key (space label "@") for a multi-space type."""
+                if self._multi_space(vname):
+                    return "@", [f"__{prefix}canon"]
+                fields = self.schema.vertex(vname).identity_fields
+                return "", [f"{prefix}{f}" for f in fields]
+
+            src_space, src_cols = side(eid.source, "_src_")
+            dst_space, dst_cols = side(eid.target, "_dst_")
+            work = df
+            if src_space == "@":
+                work = self._with_canon(work, eid.source, "_src_",
+                                        "___src_canon")
+            if dst_space == "@":
+                work = self._with_canon(work, eid.target, "_dst_",
+                                        "___dst_canon")
+
+            def proj(a_cols, b_cols, work=work):
+                return work.select(
+                    *[F.col(c).alias(f"a_{i}")
+                      for i, c in enumerate(a_cols)],
+                    *[F.col(c).alias(f"b_{i}")
+                      for i, c in enumerate(b_cols)],
+                )
 
             fwd = direction in (Direction.OUT, Direction.ANY) or not directed
             rev = direction in (Direction.IN, Direction.ANY) or not directed
             if fwd:
-                out += entries(eid.source, src_spaces, "_src_",
-                               eid.target, dst_spaces, "_dst_")
+                out.append(((eid.source, src_space), (eid.target, dst_space),
+                            proj(src_cols, dst_cols), len(dst_cols)))
             if rev:
-                out += entries(eid.target, dst_spaces, "_dst_",
-                               eid.source, src_spaces, "_src_")
+                out.append(((eid.target, dst_space), (eid.source, src_space),
+                            proj(dst_cols, src_cols), len(src_cols)))
         if not out:
             raise ValueError("graph has no edges")
         return out

@@ -1109,14 +1109,17 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
                     assert c in df.columns, f"{vn} missing identity {c}"
         # -- 3. referential integrity per edge table, FUNNEL-AWARE (r14):
         # an edge row addresses each endpoint through its per-row winning
-        # identity space (query._funnel_key), so resolvability is checked
-        # space-by-space: the edge row's winning (space, key) must appear
-        # among the vertex rows' winning (space, key) addresses. A row
+        # identity space (query._funnel_key), and the query layer resolves
+        # that address against any vertex row CARRYING that key in that
+        # space (query._with_canon's per-space lookup — the vertex's own
+        # winner may be a higher space; r14 fuzz seed 1201). So the mirror
+        # here exposes every (space, key) a vertex row carries data for,
+        # and the edge row's winning address must appear among them. A row
         # addressed through a NON-primary space (NULL-keyed after a
         # differently-keyed merge, or old-keyed after a skipped re-key)
         # is allowed ONLY if migrate() warned about the degradation —
         # the silent-NULL-key class may not reappear.
-        vaddr = {}  # vertex -> set of winning (space, key) addresses (lazy)
+        vaddr = {}  # vertex -> set of carried (space, key) addresses (lazy)
         vnull = {}  # vertex -> has an all-spaces-NULL (degenerate) row
         for e in schema.edges:
             try:
@@ -1145,11 +1148,16 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
                                 if c and all(f in vcols for f in c)]
                     addrs, has_null = set(), False
                     for r in vdf.collect():
-                        w = _winning(r, v_spaces, "")
-                        if w is None:
+                        carried = False
+                        for n, c in v_spaces:
+                            vals = [r[f] for f in c]
+                            if any(x is not None for x in vals):
+                                carried = True
+                                addrs.add((n, tuple(
+                                    "\x00null" if x is None else str(x)
+                                    for x in vals)))
+                        if not carried:
                             has_null = True
-                        else:
-                            addrs.add(w)
                     vaddr[vname], vnull[vname] = addrs, has_null
                 if erows is None:
                     erows = edf.collect()
@@ -2205,3 +2213,66 @@ def test_replace_identity_onto_stale_retained_key_column(spark, tmp_path):
     e = store.read_edges(EdgeId("person", "person", "lives_in"))
     assert len(e.columns) == len(set(e.columns))   # no duplicate names
     assert e.count() == 2
+
+
+def test_traverse_edge_keyed_in_older_space_than_vertex_winner(
+        spark, tmp_path):
+    """r14 fuzz find (seed 1201): after merge(person->city) the edges kept
+    the merged_person key; a later ReplaceIdentityOp(city, [nm]) gave the
+    former-person VERTEX rows a populated primary (nm) — their winner
+    space moved UP while their incident edges stayed keyed in
+    merged_person (the NULL-old-key bypass). Winner-vs-winner addressing
+    silently missed those edges; canonical resolution (query._with_canon:
+    per-space lookup -> vertex winner key) must traverse them in both
+    directions."""
+    import warnings as _w
+
+    schema = CoreSchema(
+        vertices=[
+            Vertex("person", [Field("pid", FieldType.INT), Field("nm")],
+                   identity=["pid"]),
+            Vertex("city", [Field("cid", FieldType.INT)],
+                   identity=["cid"]),
+        ],
+        edges=[Edge("person", "city", relation="lives_in")],
+    )
+    store = GraphStore(spark, str(tmp_path / "g"), schema)
+    store.apply_target_schema()
+    store.upsert_vertices("person", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "pid int, nm string"))
+    store.upsert_vertices("city", spark.createDataFrame(
+        [(10,)], "cid int"))
+    store.insert_edges(EdgeId("person", "city", "lives_in"),
+                       spark.createDataFrame(
+                           [(1, 10), (2, 10)], "_src_pid int, _dst_cid int"))
+    with _w.catch_warnings(record=True):
+        _w.simplefilter("always")
+        s2 = ev.apply_plan(
+            schema, [ev.MergeVerticesOp(into="city", other="person")],
+            store=store)
+        s3 = ev.apply_plan(
+            s2, [ev.ReplaceIdentityOp("city", ["nm"], retire="demote")],
+            store=store)
+    store.schema = s3
+    view = store.as_view()
+    # forward: seed on the former-person row, whose winner is now the
+    # populated primary (nm='a') while its edge is keyed _src_pid only
+    out = view.neighbors("city", {"field": "nm", "op": "==", "value": "a"},
+                         hops=1)
+    keys = {r["node_key"]: r["hop"] for r in out.collect()}
+    assert keys.get("city\x1fa") == 0
+    assert any(k.startswith("city\x1f#") and h == 1
+               for k, h in keys.items()), keys   # the city reached at hop 1
+    # reverse: seed on the city, reach BOTH former persons by their
+    # canonical (primary) keys
+    back = view.neighbors("city", {"field": "cid", "op": "==", "value": 10},
+                          hops=1)
+    bkeys = {r["node_key"]: r["hop"] for r in back.collect()}
+    assert bkeys.get("city\x1fa") == 1 and bkeys.get("city\x1fb") == 1
+    # incidence agrees: fetch_edges anchored on the former person finds
+    # its pid-keyed edge rewritten to canonical endpoint keys
+    from graflo_spark.query import Direction
+
+    inc = view.fetch_edges("city", {"field": "nm", "op": "==", "value": "a"},
+                           direction=Direction.ANY, limit=None)
+    assert inc.count() >= 1
