@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # One lock for ALL trackers: block ids are attributed by diffing the
 # session-global getPersistentRDDs map, so two trackers (or two threads
@@ -141,6 +141,26 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev).filter(F.col("a") != F.col("b")).distinct()
 
 
+def _both_dirs_of_oriented(edges: DataFrame) -> DataFrame:
+    """Both directions of an edge set whose rows are all strictly
+    ORIENTED (a > b) and distinct — the star-contraction outputs. The
+    forward rows (a > b) and reversed rows (a < b) cannot collide, so the
+    union IS the exact symmetric closure with no dedup shuffle needed."""
+    fwd = edges.select(F.col("a"), F.col("b"))
+    rev = edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return fwd.unionByName(rev)
+
+
+# Star-contraction shape note (r14 optimization round): a window-min
+# rewrite of the stars (attach the per-group minimum via
+# Window.partitionBy("a") instead of groupBy + join) was measured and
+# REVERTED — the window shuffles every edge ROW into the sort (no
+# partial aggregation), where the groupBy ships only per-partition
+# minima and AQE broadcasts the node-sized minima table back onto the
+# edges (tasks 316 -> 1222, near_dup_clusters wall 4.8 -> 7.0 s at
+# sf0.1). The groupBy + broadcast-join shape is also the scale-safe one:
+# the edge set is never exchanged for the join.
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to the
     minimum of N(u) ∪ {u}."""
@@ -208,9 +228,29 @@ def connected_components(
         prev = edges
         prev_cnt = edges.count()
         converged = False
+        # Both stars emit strictly ORIENTED rows (a > b: large star maps
+        # (a, b), b > a to (b, m) with m <= a < b; small star maps its
+        # b <= a rows to (b, m) and (a, m) with m <= b <= a, self-loops
+        # dropped), and both end in distinct(). Two exchanges per round
+        # fall out of that invariant (r14 optimization round):
+        #   - the symmetrize between the half-rounds is a provable NO-OP:
+        #     small_star filters to b <= a, and on an all-oriented input
+        #     the reversed rows (all a < b) are exactly the rows that
+        #     filter discards — large_star's output can feed small_star
+        #     directly;
+        #   - the symmetrize before large_star needs the reversal but NOT
+        #     the dedup: fwd (a > b) and rev (a < b) row sets are
+        #     disjoint and the input is already distinct, so the union IS
+        #     the symmetric closure (_both_dirs_of_oriented).
+        # Round 1's input is the already-symmetric seed edge set, so it
+        # skips the reversal too. The edge SET reaching each star is
+        # bit-identical to the former symmetrize-everywhere shape (pinned
+        # by test_star_round_oriented_inputs_match_symmetrized).
+        already_symmetric = True
         for _ in range(max_iter):
-            edges = _large_star(_symmetrize(edges))
-            edges = ck(_small_star(_symmetrize(edges)), "edges")
+            src = edges if already_symmetric else _both_dirs_of_oriented(edges)
+            already_symmetric = False
+            edges = ck(_small_star(_large_star(src)), "edges")
             cnt = edges.count()
             if cnt == prev_cnt and edges.exceptAll(prev).limit(1).count() == 0:
                 # same cardinality + no edge outside prev ⇒ identical sets
@@ -390,7 +430,6 @@ def pagerank(
         # out-edges annotated once with 1/outdegree; reused every iteration
         contrib_edges = ck(edges.join(outdeg, "src"), "contrib")
 
-        ranks = nodes.withColumn("rank", F.lit(1.0))
         d = float(damping)
         # teleport weight per node: uniform 1.0 classically; n/|seeds| on
         # the seed set (0 elsewhere) for personalized mode. The same update
@@ -403,6 +442,22 @@ def pagerank(
             ).otherwise(F.lit(0.0))
         else:
             t_expr = F.lit(1.0)
+        # Per-node CONSTANTS (dangling flag, teleport weight) are computed
+        # once and carried through every round's checkpoint: the dangling
+        # mass becomes a filter+sum over the rank frame the iteration
+        # already scans — the former per-iteration anti-join against the
+        # out-degree table (one extra join + broadcast build per round)
+        # summed the exact same rank values.
+        ranks = (
+            nodes.join(
+                outdeg.select(F.col("src").alias("node"),
+                              F.lit(True).alias("_has_out")),
+                "node", "left")
+            .select(
+                "node", F.lit(1.0).alias("rank"),
+                F.coalesce(F.col("_has_out"), F.lit(False)).alias("_has_out"),
+                t_expr.alias("_t"))
+        )
         for _ in range(max_iter):
             # mass of dangling nodes (rank with no out-edges) stays IN-PLAN
             # as a broadcast 1-row aggregate instead of a driver-side
@@ -410,8 +465,7 @@ def pagerank(
             # (the former scalar pull was a full action before every
             # checkpoint)
             dangling = (
-                ranks.join(outdeg.select(F.col("src").alias("node")),
-                           "node", "left_anti")
+                ranks.filter(~F.col("_has_out"))
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
             inflow = (
@@ -421,14 +475,15 @@ def pagerank(
                 .agg(F.sum(F.col("rank") / F.col("od")).alias("_in"))
             )
             new_ranks = ck(
-                nodes.join(inflow, "node", "left")
+                ranks.join(inflow, "node", "left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
                     "node",
-                    (F.lit(1.0 - d) * t_expr
-                     + F.lit(d) * F.col("_dm") * t_expr / F.lit(float(n))
+                    (F.lit(1.0 - d) * F.col("_t")
+                     + F.lit(d) * F.col("_dm") * F.col("_t") / F.lit(float(n))
                      + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
-                     ).alias("rank")),
+                     ).alias("rank"),
+                    "_has_out", "_t"),
                 "ranks")
             if tol is not None:
                 delta = (
@@ -443,7 +498,7 @@ def pagerank(
                     break
             else:
                 ranks = new_ranks
-        return ck.finish(ranks)
+        return ck.finish(ranks.select("node", "rank"))
 
 
 def label_propagation(
@@ -475,8 +530,6 @@ def label_propagation(
     histogram — partition sizes bounded by a node's distinct neighbor
     LABELS, not its degree. Per-round ``localCheckpoint`` truncates
     lineage like the other iterative algorithms here."""
-    from pyspark.sql import Window as W
-
     with _RoundCheckpointer(pairs.sparkSession, checkpoint) as ck:
         edges = ck(_symmetrize(
             pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))),
@@ -485,7 +538,13 @@ def label_propagation(
             edges.select(F.col("a").alias("node")).distinct()
             .withColumn("label", F.col("node"))
         )
-        w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+        # "most frequent label, ties to the smallest" = min of the struct
+        # (-count, label): a second HASH aggregate over the per-(node,
+        # label) histogram, with map-side partial aggregation, instead of
+        # the former row_number window (whose sort of the whole histogram
+        # per round bought nothing — only the argmin row was kept)
+        best = F.min(F.struct(
+            (-F.col("c")).alias("_nc"), F.col("label"))).alias("_b")
         for _ in range(max_iter):
             hist = (
                 edges.join(
@@ -494,9 +553,8 @@ def label_propagation(
                 .agg(F.count(F.lit(1)).alias("c"))
             )
             labels = ck(
-                hist.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select("node", "label"),
+                hist.groupBy("node").agg(best)
+                .select("node", F.col("_b.label").alias("label")),
                 "labels")
         return ck.finish(labels)
 

@@ -658,3 +658,44 @@ def test_iterative_algorithms_do_not_accumulate_blocks(spark):
     ga.hits(df, max_iter=2)
     # one self-contained result block per algorithm call at most
     assert _persistent_rdd_count(spark) - base <= 6
+
+
+def test_star_round_oriented_inputs_match_symmetrized(spark):
+    # r14 optimization: the CC loop feeds large_star a dedup-free
+    # fwd-union-rev of the (oriented) previous round and feeds small_star
+    # the large_star output DIRECTLY. Pin the invariants that make both
+    # equivalent to the former symmetrize-everywhere shape, on a batch of
+    # random graphs: (1) star outputs are strictly oriented a > b and
+    # distinct; (2) each half-round's edge set is identical either way.
+    from graflo_spark.ops.graphalgo import (
+        _both_dirs_of_oriented, _large_star, _small_star, _symmetrize)
+
+    rng = random.Random(99)
+    for trial in range(4):
+        pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "a long, b long")
+        # checkpoint between rounds: an uncheckpointed multi-round star
+        # lineage grows 3^rounds (the exact hazard the production loop's
+        # per-round checkpoint exists to prevent)
+        edges = _symmetrize(df).localCheckpoint(eager=True)
+        for rnd in range(3):  # three rounds deep
+            ls_new = _large_star(
+                edges if rnd == 0 else _both_dirs_of_oriented(edges)
+            ).localCheckpoint(eager=True)
+            ls_old = _large_star(_symmetrize(edges)).localCheckpoint(
+                eager=True)
+            assert ls_new.exceptAll(ls_old).count() == 0
+            assert ls_old.exceptAll(ls_new).count() == 0
+            rows = ls_new.collect()
+            assert all(r["a"] > r["b"] for r in rows)
+            assert len(rows) == len({(r["a"], r["b"]) for r in rows})
+            ss_new = _small_star(ls_new).localCheckpoint(eager=True)
+            ss_old = _small_star(_symmetrize(ls_old)).localCheckpoint(
+                eager=True)
+            assert ss_new.exceptAll(ss_old).count() == 0
+            assert ss_old.exceptAll(ss_new).count() == 0
+            rows = ss_new.collect()
+            assert all(r["a"] > r["b"] for r in rows)
+            assert len(rows) == len({(r["a"], r["b"]) for r in rows})
+            edges = ss_new
