@@ -2279,14 +2279,15 @@ def ann_topk_embeddings(spark, sf_dir):
     brute-force within buckets."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    # max_iter=2: at the full-probe recall-1 point the result is exact under
-    # ANY centroids, so extra KMeans passes buy nothing for this proof —
+    # max_iter=2, init_mode="random": at the full-probe recall-1 point the
+    # result is exact under ANY centroids, so extra KMeans passes (and the
+    # k-means|| init's extra corpus scans) buy nothing for this proof —
     # pruned-probe recall (where quality matters) is tested in tests/
     brute = ss.brute_force_topk(queries, emb, k=5).select(
         F.lit("brute").alias("method"), "query_id", "neighbor_id",
         F.round("cosine", 6).alias("cosine"), "rank")
     ivf = ss.ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=8,
-                      max_iter=2).select(
+                      max_iter=2, init_mode="random").select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id",
         F.round("cosine", 6).alias("cosine"), "rank")
     lsh = ss.lsh_topk(queries, emb, k=5, n_planes=8).select(

@@ -401,15 +401,16 @@ def embedding_near_dup(
     generation is one equi-join on (band, bucket) after a posexplode —
     shuffle-bounded, never all-pairs. Returns (id_a, id_b, cosine).
     """
-    from graflo_spark.ops.simsearch import cosine_expr, lsh_bucket_expr
+    from graflo_spark.ops.simsearch import cosine_expr, lsh_band_batch
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     first = base.select("v").limit(1).collect()
     dim = len(first[0][0]) if first else 0
-    band_arr = F.array(*[
-        lsh_bucket_expr(F.col("v"), dim, band_planes, plane_offset=b * band_planes)
-        for b in range(n_bands)
-    ])
+    # all n_bands bucket ids in ONE Arrow pass (bit-identical twin of the
+    # per-band lsh_bucket_expr chain, which evaluated n_bands*band_planes
+    # interpreted plane dots per row — see simsearch.lsh_band_batch)
+    band_arr = lsh_band_batch(dim, band_planes, n_bands)(
+        F.col("v").cast("array<double>"))
     bucketed = base.select(
         "id", "v", F.posexplode(band_arr).alias("band", "bucket")
     )

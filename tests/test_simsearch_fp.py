@@ -279,3 +279,41 @@ def test_mean_pool_normalize_and_null_groups(spark):
     v = np.asarray(out[0].embedding)
     assert np.isclose(np.linalg.norm(v), 1.0)
     assert np.allclose(v, [0.6, 0.8])
+
+
+def test_lsh_bucket_batch_matches_expr(spark):
+    """The Arrow-batched bucket twins must be BIT-identical to the
+    expression path — including degenerate rows (NULL vector, wrong
+    length, NULL element), which hash to bucket 0 on both paths."""
+    import random
+
+    rng = random.Random(31)
+    dim = 16
+    rows = []
+    for v in range(40):
+        vec = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((v, vec))
+    rows.append((100, None))                      # NULL vector
+    rows.append((101, [0.5] * (dim - 3)))         # short vector
+    rows.append((102, [0.5] * (dim + 2)))         # long vector
+    rows.append((103, [None] + [0.5] * (dim - 1)))  # NULL element
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    expr = df.select(
+        "id", ss.lsh_bucket_expr(F.col("v"), dim, 8).alias("b"))
+    fast = df.select(
+        "id", ss.lsh_bucket_batch(dim, 8)(F.col("v")).alias("b"))
+    assert ({r["id"]: r["b"] for r in expr.collect()}
+            == {r["id"]: r["b"] for r in fast.collect()})
+
+    # banded form: element b == lsh_bucket_expr with plane_offset b*planes
+    n_bands, band_planes = 5, 3
+    expr_bands = df.select("id", F.array(*[
+        ss.lsh_bucket_expr(F.col("v"), dim, band_planes,
+                           plane_offset=b * band_planes)
+        for b in range(n_bands)
+    ]).alias("bs"))
+    fast_bands = df.select("id", ss.lsh_band_batch(
+        dim, band_planes, n_bands)(F.col("v")).alias("bs"))
+    assert ({r["id"]: r["bs"] for r in expr_bands.collect()}
+            == {r["id"]: list(r["bs"]) for r in fast_bands.collect()})
