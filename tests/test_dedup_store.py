@@ -257,3 +257,50 @@ def test_store_recovers_from_compact_crash_window(spark, tmp_path):
     dup = spark.createDataFrame([(50, ROWS[0][1])], SCHEMA)
     assert store.dedup_batch(dup).count() == 0  # history intact
     assert os.path.isdir(f"{root}/sigs")  # restored in place
+
+
+def test_minhash_portable_arrow_matches_expression_chain(spark):
+    """r14 optimization pin: the Arrow-batched portable-md5 signature path
+    must be BIT-identical to the former expression chain (explode ->
+    md5-hex -> conv -> 64 affine min-aggregates), including short/empty
+    texts (one whole-text shingle), duplicate ids (merged by min over the
+    union of shingle sets) and NULL texts (no signature row)."""
+    from pyspark.sql import functions as F
+
+    from graflo_spark.ops import dedup as dd
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dot"),
+        (2, "abc"),          # shorter than shingle_k
+        (3, ""),             # empty text -> one empty shingle
+        (4, None),           # NULL -> all-NULL signature row
+        (5, "unicode éè中文 text body"),
+        (6, "first half of a merged doc"),
+        (6, "second half of a merged doc"),  # duplicate id
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["id"]: list(r["sig"])
+           for r in dd.minhash_signatures(
+               df, "doc_id", "text", shingle_k=5, num_perm=16,
+               portable_hash=True).collect()}
+
+    # the former expression chain, inlined verbatim
+    shingled = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(dd.char_shingles(F.col("text"), 5)).alias("s"))
+    h = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    hashed = shingled.select(
+        "id", h.bitwiseAND(F.lit(dd._MERSENNE_31)).alias("h"))
+    coeffs = dd._perm_coeffs(16)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(dd._MERSENNE_31))
+        .alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    want = {r["id"]: [r[f"_m{i}"] for i in range(16)]
+            for r in hashed.groupBy("id").agg(*aggs).collect()}
+
+    assert got == want
+    assert got[4] == [None] * 16
