@@ -4482,13 +4482,11 @@ def bm25_topk_documents(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, text string")
     st = rt.corpus_stats(docs)  # ONE stats aggregate shared by both methods
-    bm = rt.bm25_topk(qs, docs, k=5, stats=st).select(
-        F.lit("bm25").alias("method"), "query_id", "neighbor_id",
-        "score", "rank")
-    tfidf = rt.bm25_topk(qs, docs, k=5, method="tfidf", stats=st).select(
-        F.lit("tfidf").alias("method"), "query_id", "neighbor_id",
-        "score", "rank")
-    return bm.unionByName(tfidf)
+    # one-pass multi-method scoring: ONE postings build / df table /
+    # per-(query, doc) aggregate feeds both methods (r14 — the old
+    # two-call union re-ran the corpus tokenize+explode per method;
+    # Catalyst holds no CSE across union children)
+    return rt.bm25_topk(qs, docs, k=5, method=("bm25", "tfidf"), stats=st)
 
 
 # Exact phrase search (ops/retrieval.phrase_topk): the quoted-string
@@ -4626,9 +4624,11 @@ def hybrid_rrf_documents(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, text string")
     st = rt.corpus_stats(docs)  # one stats aggregate shared by both systems
-    bm = rt.bm25_topk(qs, docs, k=5, stats=st)
-    tfidf = rt.bm25_topk(qs, docs, k=5, method="tfidf", stats=st)
-    return rt.rrf_fuse([bm, tfidf], k=5).select(
+    # one-pass multi-method frame (r14): both systems' per-query rankings
+    # come out of ONE postings build; RRF's union-then-sum sees exactly
+    # the rows the old two-call union carried
+    both = rt.bm25_topk(qs, docs, k=5, method=("bm25", "tfidf"), stats=st)
+    return rt.rrf_fuse([both.drop("method")], k=5).select(
         F.lit("rrf").alias("method"), "query_id", "neighbor_id",
         "score", "rank")
 

@@ -324,6 +324,14 @@ def bm25_topk(
     corpus matches nothing. One extra count in the existing per-doc
     aggregate, no extra shuffle.
 
+    ``method`` may also be a SEQUENCE of methods (``("bm25", "tfidf")``):
+    every method is scored off ONE postings build / ONE df table / ONE
+    per-(query, doc) aggregate — each term score is one more codegen
+    column over rows the single-method path already aggregates — and the
+    result gains a leading ``method`` column. Two separate calls pay the
+    corpus tokenize+explode once per call; Catalyst holds no common
+    subexpressions across union children, so this is the one-pass shape.
+
     ``stats``: a precomputed :func:`corpus_stats` frame for the corpus
     path — skips the second text-column scan when the caller probes the
     same corpus repeatedly (the index path never needs it)."""
@@ -332,8 +340,13 @@ def bm25_topk(
     if index is not None and stats is not None:
         raise ValueError("stats= only applies to the corpus path — the "
                          "index carries its own scalars")
-    if method not in ("bm25", "tfidf"):
-        raise ValueError(f"unknown method {method!r}")
+    multi = not isinstance(method, str)
+    methods = tuple(method) if multi else (method,)
+    for m in methods:
+        if m not in ("bm25", "tfidf"):
+            raise ValueError(f"unknown method {m!r}")
+    if len(set(methods)) != len(methods):
+        raise ValueError(f"duplicate methods {methods!r}")
 
     qt = queries.select(
         F.col(query_id).alias("query_id"),
@@ -347,10 +360,14 @@ def bm25_topk(
         # all query texts NULL/blank: nothing can match — skip the corpus
         # scan entirely (a zero-element F.array() prefilter would be an
         # array<void> coercion hazard and a degenerate plan at best)
-        return _empty_ranking(
+        empty = _empty_ranking(
             queries, query_id,
             corpus if corpus is not None else index.postings,
             corpus_id if corpus is not None else "doc_id")
+        if multi:
+            empty = empty.select(
+                F.lit(methods[0]).alias("method"), "*")
+        return empty
 
     if corpus is not None:
         post = build_postings(corpus, corpus_id, corpus_text, vocab=terms)
@@ -366,17 +383,19 @@ def bm25_topk(
     qdf = qt.join(df_tbl, "term")  # vocab-sized; broadcast onto postings
     scored_terms = post.join(F.broadcast(qdf), "term").crossJoin(
         F.broadcast(stats))
-    if method == "bm25":
-        term_score = _bm25_term_score(
-            F.col("tf"), F.col("df"), F.col("dl"), F.col("n"),
-            F.col("avgdl"), k1, b)
-    else:
-        term_score = _tfidf_term_score(F.col("tf"), F.col("df"), F.col("n"))
+
+    def _term_score(m: str) -> Column:
+        if m == "bm25":
+            return _bm25_term_score(
+                F.col("tf"), F.col("df"), F.col("dl"), F.col("n"),
+                F.col("avgdl"), k1, b)
+        return _tfidf_term_score(F.col("tf"), F.col("df"), F.col("n"))
+
     scored = scored_terms.select(
         "query_id", F.col("doc_id").alias("neighbor_id"),
-        term_score.alias("s"),
+        *[_term_score(m).alias(f"_s{i}") for i, m in enumerate(methods)],
     ).groupBy("query_id", "neighbor_id").agg(
-        F.sum("s").alias("score"),
+        *[F.sum(f"_s{i}").alias(f"_sum{i}") for i in range(len(methods))],
         F.count(F.lit(1)).alias("_matched"),
     )
     if require_all_terms:
@@ -386,6 +405,22 @@ def bm25_topk(
         scored = scored.join(F.broadcast(n_terms), "query_id").filter(
             F.col("_matched") == F.col("_needed")).drop("_needed")
     scored = scored.drop("_matched")
+    if multi:
+        # fan the per-method sums into (method, score) rows AFTER the
+        # per-(query, doc) aggregate — a narrow explode of already-reduced
+        # rows, so the postings join/aggregate (the corpus-sized work)
+        # runs exactly once however many methods score
+        scored = scored.select(
+            "query_id", "neighbor_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(m).alias("method"),
+                         F.col(f"_sum{i}").alias("score"))
+                for i, m in enumerate(methods)])).alias("_e"),
+        ).select("query_id", "neighbor_id", "_e.method", "_e.score")
+        part_keys = ["method", "query_id"]
+    else:
+        scored = scored.withColumnRenamed("_sum0", "score")
+        part_keys = ["query_id"]
     if round_scores is not None:
         scored = scored.withColumn("score", F.round("score", round_scores))
 
@@ -396,11 +431,15 @@ def bm25_topk(
     order = [F.col("score").desc(), F.col("neighbor_id")]
     salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(n_salts))
     pruned = scored.withColumn("_lr", F.row_number().over(
-        Window.partitionBy("query_id", salt).orderBy(*order))
+        Window.partitionBy(*part_keys, salt).orderBy(*order))
     ).filter(F.col("_lr") <= k).drop("_lr")
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return pruned.withColumn("rank", F.row_number().over(w)).filter(
+    w = Window.partitionBy(*part_keys).orderBy(*order)
+    out = pruned.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k)
+    if multi:
+        out = out.select(
+            "method", "query_id", "neighbor_id", "score", "rank")
+    return out
 
 
 class LexicalIndexStore:

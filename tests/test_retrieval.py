@@ -91,6 +91,38 @@ def test_salted_topk_equals_single_window(spark, corpus):
     assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)
 
 
+def test_multi_method_one_pass_matches_two_calls(spark, corpus):
+    """method=("bm25","tfidf") must return exactly the union of the two
+    single-method calls, tagged by a leading method column (r14: the
+    one-postings-pass optimization behind bm25_topk_documents)."""
+    _, df = corpus
+    qs = spark.createDataFrame(QUERIES, "query_id long, text string")
+    both = rt.bm25_topk(qs, df, k=3, method=("bm25", "tfidf"))
+    assert both.columns == [
+        "method", "query_id", "neighbor_id", "score", "rank"]
+    key = lambda r: (r.method, r.query_id, r.rank)
+    expect = []
+    for m in ("bm25", "tfidf"):
+        expect += [(m, r.query_id, r.neighbor_id, r.score, r.rank)
+                   for r in rt.bm25_topk(qs, df, k=3, method=m).collect()]
+    got = [(r.method, r.query_id, r.neighbor_id, r.score, r.rank)
+           for r in both.collect()]
+    assert sorted(got) == sorted(expect)
+    # the require_all_terms filter applies per method identically
+    ba = rt.bm25_topk(qs, df, k=3, method=("bm25", "tfidf"),
+                      require_all_terms=True)
+    ea = []
+    for m in ("bm25", "tfidf"):
+        ea += [(m, r.query_id, r.neighbor_id, r.score, r.rank)
+               for r in rt.bm25_topk(qs, df, k=3, method=m,
+                                     require_all_terms=True).collect()]
+    ga = [(r.method, r.query_id, r.neighbor_id, r.score, r.rank)
+          for r in ba.collect()]
+    assert sorted(ga) == sorted(ea)
+    with pytest.raises(ValueError, match="duplicate"):
+        rt.bm25_topk(qs, df, method=("bm25", "bm25"))
+
+
 def test_unseen_terms_and_no_match_query(spark, corpus):
     _, df = corpus
     qs = spark.createDataFrame(
