@@ -388,6 +388,7 @@ def pagerank(
     tol: float | None = 1e-6,
     checkpoint: bool = True,
     personalized: list | None = None,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list (public power-iteration
     formulation). Returns ``(node, rank)`` for every node appearing in
@@ -411,6 +412,18 @@ def pagerank(
     iteration stops early when the L1 delta falls below ``tol * n`` (one
     extra small aggregate per round); ``tol=None`` always runs
     ``max_iter`` rounds — the deterministic-work mode for benchmarking.
+
+    Driver-round-trip economics (r14, guide §5): the rank vector is
+    referenced ONCE per round — inflow joins the static per-node
+    constants frame, not last round's ranks — so un-checkpointed lineage
+    grows LINEARLY and ``checkpoint_interval`` can batch several rounds
+    into one action (same shuffles, fewer driver round-trips / scheduler
+    fixed costs). With ``tol`` set, every round runs a delta action
+    anyway, so the interval is forced to 1 (otherwise each delta would
+    re-execute the un-materialized tail — cross-query plans share no
+    exchange reuse). Graphs with NO dangling nodes (checked once
+    up-front) skip the per-round dangling aggregate + broadcast
+    entirely; the update term it fed is exactly ``+ 0.0``.
     """
     with _RoundCheckpointer(pairs.sparkSession, checkpoint) as ck:
         edges = ck(
@@ -442,49 +455,70 @@ def pagerank(
             ).otherwise(F.lit(0.0))
         else:
             t_expr = F.lit(1.0)
-        # Per-node CONSTANTS (dangling flag, teleport weight) are computed
-        # once and carried through every round's checkpoint: the dangling
-        # mass becomes a filter+sum over the rank frame the iteration
-        # already scans — the former per-iteration anti-join against the
-        # out-degree table (one extra join + broadcast build per round)
-        # summed the exact same rank values.
-        ranks = (
+        # Per-node CONSTANTS (dangling flag, teleport weight) live in ONE
+        # static checkpointed frame the loop re-joins every round — the
+        # rank frame itself carries only (node, rank), so each round's
+        # shuffle ships two columns and the rank vector is referenced
+        # exactly once per round (linear un-checkpointed lineage).
+        node_const = ck(
             nodes.join(
                 outdeg.select(F.col("src").alias("node"),
                               F.lit(True).alias("_has_out")),
                 "node", "left")
             .select(
-                "node", F.lit(1.0).alias("rank"),
+                "node",
                 F.coalesce(F.col("_has_out"), F.lit(False)).alias("_has_out"),
-                t_expr.alias("_t"))
-        )
-        for _ in range(max_iter):
-            # mass of dangling nodes (rank with no out-edges) stays IN-PLAN
-            # as a broadcast 1-row aggregate instead of a driver-side
-            # .first(): with tol=None that halves the jobs per iteration
-            # (the former scalar pull was a full action before every
-            # checkpoint)
-            dangling = (
-                ranks.filter(~F.col("_has_out"))
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
-            )
+                t_expr.alias("_t")),
+            "const")
+        # dangling nodes are a property of the EDGE SET, not of the
+        # iteration: check once; a no-dangling graph skips the per-round
+        # mass aggregate + broadcast (its term is exactly + 0.0). When
+        # dangling mass DOES flow, the rank frame carries the _has_out
+        # flag (the aggregate is a filter+sum over it — two references
+        # per round) and the interval stays 1: batched rounds with a
+        # twice-referenced un-materialized tail would double plan copies
+        # per round.
+        has_dangling = (
+            node_const.filter(~F.col("_has_out")).limit(1).count() > 0)
+        rank_cols = ["node", "rank"] + (["_has_out"] if has_dangling else [])
+        ranks = node_const.select(
+            "node", F.lit(1.0).alias("rank"), "_has_out"
+        ).select(*rank_cols)
+        interval = (1 if tol is not None or has_dangling
+                    else max(1, checkpoint_interval))
+        for i in range(max_iter):
+            if has_dangling:
+                # mass of dangling nodes (rank with no out-edges) stays
+                # IN-PLAN as a broadcast 1-row aggregate instead of a
+                # driver-side .first()
+                dangling = (
+                    ranks.filter(~F.col("_has_out"))
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+                )
             inflow = (
                 contrib_edges.join(
                     ranks.select(F.col("node").alias("src"), "rank"), "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("rank") / F.col("od")).alias("_in"))
             )
-            new_ranks = ck(
-                ranks.join(inflow, "node", "left")
-                .crossJoin(F.broadcast(dangling))
-                .select(
+            base = node_const.join(inflow, "node", "left")
+            if has_dangling:
+                new_ranks = base.crossJoin(F.broadcast(dangling)).select(
                     "node",
                     (F.lit(1.0 - d) * F.col("_t")
                      + F.lit(d) * F.col("_dm") * F.col("_t") / F.lit(float(n))
                      + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
                      ).alias("rank"),
-                    "_has_out", "_t"),
-                "ranks")
+                    "_has_out")
+            else:
+                new_ranks = base.select(
+                    "node",
+                    (F.lit(1.0 - d) * F.col("_t")
+                     + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
+                     ).alias("rank"))
+            if (i + 1) % interval == 0 and (tol is not None
+                                            or i != max_iter - 1):
+                new_ranks = ck(new_ranks, "ranks")
             if tol is not None:
                 delta = (
                     new_ranks.join(
@@ -507,6 +541,7 @@ def label_propagation(
     id_b: str = "id_b",
     max_iter: int = 5,
     checkpoint: bool = True,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan et
     al. 2007, public) with a deterministic tie-break: labels start as the
@@ -528,8 +563,10 @@ def label_propagation(
     symmetrized edge list (shuffle on node id, reused across rounds) plus
     one count aggregate and one row_number window over the per-node label
     histogram — partition sizes bounded by a node's distinct neighbor
-    LABELS, not its degree. Per-round ``localCheckpoint`` truncates
-    lineage like the other iterative algorithms here."""
+    LABELS, not its degree. The label vector is referenced ONCE per
+    round (the histogram join), so un-checkpointed lineage grows
+    linearly and ``checkpoint_interval`` batches rounds into one action
+    (same shuffles, fewer driver round-trips — r14, guide §5)."""
     with _RoundCheckpointer(pairs.sparkSession, checkpoint) as ck:
         edges = ck(_symmetrize(
             pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))),
@@ -545,17 +582,20 @@ def label_propagation(
         # per round bought nothing — only the argmin row was kept)
         best = F.min(F.struct(
             (-F.col("c")).alias("_nc"), F.col("label"))).alias("_b")
-        for _ in range(max_iter):
+        interval = max(1, checkpoint_interval)
+        for i in range(max_iter):
             hist = (
                 edges.join(
                     labels.select(F.col("node").alias("b"), "label"), "b")
                 .groupBy(F.col("a").alias("node"), "label")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
-            labels = ck(
+            labels = (
                 hist.groupBy("node").agg(best)
-                .select("node", F.col("_b.label").alias("label")),
-                "labels")
+                .select("node", F.col("_b.label").alias("label"))
+            )
+            if (i + 1) % interval == 0 and i != max_iter - 1:
+                labels = ck(labels, "labels")
         return ck.finish(labels)
 
 

@@ -230,6 +230,32 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert sum(got.values()) == pytest.approx(n, rel=1e-9)
 
 
+def test_checkpoint_interval_invariance(spark):
+    """checkpoint_interval is a pure execution knob (r14): pagerank and
+    LPA results are identical at interval 1 vs 3 — on a no-dangling
+    graph (the batched fast path) AND on a graph with dangling nodes
+    (forced interval-1 path with the per-round mass aggregate)."""
+    from graflo_spark.ops.graphalgo import label_propagation, pagerank
+
+    no_dangle = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)], "id_a long, id_b long")
+    dangle = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 3)], "id_a long, id_b long")  # 2, 3 dangle
+    for df in (no_dangle, dangle):
+        base = sorted(
+            pagerank(df, max_iter=6, tol=None,
+                     checkpoint_interval=1).collect())
+        alt = sorted(
+            pagerank(df, max_iter=6, tol=None,
+                     checkpoint_interval=3).collect())
+        assert base == alt
+    l1 = sorted(label_propagation(
+        no_dangle, max_iter=4, checkpoint_interval=1).collect())
+    l3 = sorted(label_propagation(
+        no_dangle, max_iter=4, checkpoint_interval=3).collect())
+    assert l1 == l3
+
+
 def test_pagerank_early_stop_and_shapes(spark):
     from graflo_spark.ops.graphalgo import pagerank
 
