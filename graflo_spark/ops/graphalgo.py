@@ -161,6 +161,48 @@ def _both_dirs_of_oriented(edges: DataFrame) -> DataFrame:
 # sf0.1). The groupBy + broadcast-join shape is also the scale-safe one:
 # the edge set is never exchanged for the join.
 
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Union-find collapse of a SMALL (driver-bounded, already
+    materialized) symmetric edge set — the broadcast-join principle
+    applied to connected components: below the bound, O(log n)
+    distributed star rounds (each 2+ shuffles, a checkpoint and a
+    convergence count) cost orders of magnitude more scheduler time
+    than one bounded collect. Returns the identical
+    ``(node, component = min id of the component)`` mapping the star
+    contraction produces, as a local relation."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        if m is None or v < m:
+            comp_min[r] = v
+    t = edges.schema["a"].dataType
+    schema = T.StructType([
+        T.StructField("node", t), T.StructField("component", t)])
+    return edges.sparkSession.createDataFrame(
+        [(v, comp_min[find(v)]) for v in parent], schema)
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to the
     minimum of N(u) ∪ {u}."""
@@ -196,6 +238,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     checkpoint: bool = True,
+    driver_collapse_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components of the undirected graph given as id pairs.
 
@@ -213,6 +256,14 @@ def connected_components(
     node-sized result block survives the call. No driver-side state beyond
     the per-round convergence counter (a count() action on the round's
     delta).
+
+    Small graphs (symmetric edge count <= ``driver_collapse_max_edges``,
+    read off the count the loop takes anyway on the already-checkpointed
+    edge set — no extra work) collapse by driver-side union-find instead
+    (r14, guide §3's small-side principle): ~100k edges is a few MB on
+    any driver, and the distributed rounds' scheduler fixed costs dwarf
+    the arithmetic at that size. Output identical either way; set it to
+    0 to force the distributed path.
     """
     with _RoundCheckpointer(pairs.sparkSession, checkpoint) as ck:
         edges = ck(_symmetrize(
@@ -227,6 +278,10 @@ def connected_components(
         # in two components.
         prev = edges
         prev_cnt = edges.count()
+        if prev_cnt <= driver_collapse_max_edges:
+            out = _driver_components(edges)
+            ck.abort()
+            return out
         converged = False
         # Both stars emit strictly ORIENTED rows (a > b: large star maps
         # (a, b), b > a to (b, m) with m <= a < b; small star maps its

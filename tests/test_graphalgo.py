@@ -30,11 +30,17 @@ def _union_find(pairs):
 
 def _check(spark, pairs, max_iter=25):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(df, max_iter=max_iter).collect()
-    }
-    assert got == _union_find(pairs)
+    expected = _union_find(pairs)
+    # r14: both the driver union-find fast path (default bound) and the
+    # forced distributed star rounds must produce the identical mapping
+    for dmax in (100_000, 0):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                df, max_iter=max_iter,
+                driver_collapse_max_edges=dmax).collect()
+        }
+        assert got == expected
 
 
 def test_cc_random_graph(spark):
@@ -53,7 +59,7 @@ def test_cc_regression_premature_convergence(spark):
     pairs = [(7, 9), (7, 14), (2, 0), (15, 4), (11, 13), (12, 10), (14, 4),
              (0, 6), (13, 6), (2, 8), (3, 9), (14, 12), (6, 12)]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, driver_collapse_max_edges=0).collect()
     nodes = [r["node"] for r in rows]
     assert len(nodes) == len(set(nodes)), "duplicate node rows"
     assert {r["component"] for r in rows} == {0}
@@ -82,10 +88,12 @@ def test_cc_stress_many_random_sparse_graphs(spark):
     if not offset_pairs:
         return
     df = spark.createDataFrame(offset_pairs, "id_a long, id_b long")
-    rows = connected_components(df).collect()
-    nodes = [r["node"] for r in rows]
-    assert len(nodes) == len(set(nodes)), "duplicate node rows"
-    assert {r["node"]: r["component"] for r in rows} == expected
+    for dmax in (100_000, 0):
+        rows = connected_components(
+            df, driver_collapse_max_edges=dmax).collect()
+        nodes = [r["node"] for r in rows]
+        assert len(nodes) == len(set(nodes)), "duplicate node rows"
+        assert {r["node"]: r["component"] for r in rows} == expected
 
 
 def test_cc_long_chain_converges_in_log_rounds(spark):
@@ -97,13 +105,16 @@ def test_cc_long_chain_converges_in_log_rounds(spark):
 
 def test_cc_multiple_components_and_roots(spark):
     pairs = [(5, 3), (3, 9), (20, 21), (40, 40)]  # self-loop ignored
-    df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = {
-        r["node"]: r["component"] for r in connected_components(df).collect()
-    }
-    assert got[5] == 3 and got[9] == 3 and got[3] == 3
-    assert got[20] == 20 and got[21] == 20
-    assert 40 not in got  # self-loop only -> no edge -> caller's outer join
+    for dmax in (100_000, 0):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(pairs, "id_a long, id_b long"),
+                driver_collapse_max_edges=dmax).collect()
+        }
+        assert got[5] == 3 and got[9] == 3 and got[3] == 3
+        assert got[20] == 20 and got[21] == 20
+        assert 40 not in got  # self-loop only -> no edge -> outer join
 
 
 def test_near_dup_clusters_representatives(spark):
@@ -124,7 +135,7 @@ def test_cc_raises_on_max_iter_exhaustion(spark):
     pairs = [(i, i + 1) for i in range(64)]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, driver_collapse_max_edges=0)
 
 
 def test_triangle_count_known_graphs(spark):

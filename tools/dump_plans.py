@@ -51,7 +51,11 @@ def round_plan(spark, name: str) -> str | None:
             reps, "doc_id", "text", portable_hash=True)
         verified = cand.filter(F.col("est_jaccard") >= 0.7).select(
             "id_a", "id_b")
-        cc = ga.connected_components(verified, max_iter=1, checkpoint=False)
+        # driver_collapse_max_edges=0 forces the distributed star rounds:
+        # this dump documents the ROUND plan, not the small-graph
+        # union-find fast path
+        cc = ga.connected_components(verified, max_iter=1, checkpoint=False,
+                                     driver_collapse_max_edges=0)
         try:
             return explain_str(cc)
         except Exception as exc:  # max_iter=1 may raise no-convergence
