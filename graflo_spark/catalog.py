@@ -2442,7 +2442,11 @@ def pq_adc_topk_embeddings(spark, sf_dir):
         ],
         dim=64,
     )
-    codes = pqm.pq_encode(emb, book, "vec_id", "embedding")
+    # one encode pass shared by all three branches: Catalyst holds no CSE
+    # across union children (text_quality_suite precedent), so without the
+    # eager localCheckpoint the count action re-runs the mapInPandas
+    # encode + its parquet scan once PER method branch
+    codes = pqm.pq_encode(emb, book, "vec_id", "embedding").localCheckpoint()
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     lut = pqm.pq_topk(queries, codes, book, k=10).select(
         F.lit("lut").alias("method"), "query_id", "neighbor_id",

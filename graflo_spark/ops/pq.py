@@ -289,11 +289,12 @@ def pq_topk(
         F.col(query_id).cast("long").alias("qid"),
         F.col(query_vec).cast("array<float>").alias("v"),
     ).filter(F.col(query_vec).isNotNull())
-    # limit(N+1) bounds the count probe itself — never a full count of an
-    # arbitrarily large query set just to pick a strategy
-    if len(q_n.limit(max_driver_queries + 1).take(max_driver_queries + 1)) > max_driver_queries:
+    # take(N+1) bounds the strategy probe itself — never a full count of
+    # an arbitrarily large query set — and when the driver path wins, the
+    # probe's rows ARE the full query set: no second collect/scan
+    q_rows = q_n.take(max_driver_queries + 1)
+    if len(q_rows) > max_driver_queries:
         return _pq_topk_join(q_n, codes, book, k, exclude_self)
-    q_rows = q_n.collect()
     cents = [c.astype(np.float32) for c in book.centroids]
     dsub = book.dsub
     luts = []  # (qid, (m, k_sub) float32 LUT of exact sub-dot-products)

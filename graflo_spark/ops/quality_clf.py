@@ -40,20 +40,71 @@ method only.
 
 from __future__ import annotations
 
+import hashlib
 import math
+import re
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from graflo_spark.ops.util import ensure_min_parallelism
+
 _US = chr(31)  # unit separator: the package's n-gram joiner convention
+
+# Java regex \s is the ASCII class [ \t\n\x0B\f\r] (no Unicode spaces);
+# F.trim strips 0x20 only. The pair below reproduces
+# split(trim(text), '\s+') exactly — including the empty first/last token
+# a leading/trailing non-space whitespace char produces, and [''] for
+# empty/space-only text (probe-verified against Spark 4.1, and pinned by
+# test_arrow_portable_path_matches_expression_chain).
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _py_feats(text: str, bigrams: bool) -> list:
+    """Feature strings of one document, matching :func:`_doc_buckets`:
+    tokenize like ``split(trim(text), '\\s+')``, then unigrams + chr(31)-
+    joined bigrams."""
+    toks = _JAVA_WS.split(text.strip(" "))
+    feats = list(toks)
+    if bigrams and len(toks) > 1:
+        feats += [a + _US + b for a, b in zip(toks, toks[1:])]
+    return feats
+
+
+def _py_bucket(feat: str, n_bins: int) -> int:
+    """The portable md5-60-bit bucket, in Python — bucket-identical to the
+    expression path's ``conv(substring(md5(feat), 1, 15), 16, 10) %
+    n_bins`` (hashlib, JVM md5 and DuckDB md5 agree byte-for-byte;
+    MinHash precedent)."""
+    return int(hashlib.md5(feat.encode("utf-8")).hexdigest()[:15], 16) % n_bins
+
+
+# feature-string memo cap per task: natural-language features are Zipf-
+# distributed, so a memo turns ~20x repeated md5 work into dict hits; the
+# cap bounds a pathological all-distinct corpus (strings + values, a few
+# tens of MB at worst) — cleared, not LRU, because Zipf heads re-warm in
+# one batch
+_FEAT_CACHE_MAX = 1 << 20
+
+# local-mode fan-out bound for the quality Python stages: with the memo
+# the per-row work is light (~50 us/doc measured at sf0.1), so each extra
+# task mostly buys its ~10 ms Python-worker roundtrip, not speedup —
+# measured 0.29 s @ 1 task / 0.38 s @ 8 / 0.54 s @ 32 for identical work.
+# 8 keeps headroom for bigger local corpora while bounding the tax; on a
+# real cluster ensure_min_parallelism is a no-op (input already parallel).
+_QCLF_MIN_PARTS = 8
 
 
 @dataclass
 class HashedNgramNb:
     """Trained scorer state. ``weights``: (bucket, wt) — at most ``n_bins``
     rows, broadcast at scoring; ``default_w``: smoothing-floor weight for
-    buckets unseen in training; ``bias``: document-class log prior."""
+    buckets unseen in training; ``bias``: document-class log prior.
+    ``wmap``: the same weights as a driver dict when training already
+    collected them (portable-hash path) — lets Arrow scoring skip a
+    collect job; None on the expression path."""
 
     weights: DataFrame
     default_w: float
@@ -61,6 +112,7 @@ class HashedNgramNb:
     n_bins: int
     bigrams: bool
     portable_hash: bool
+    wmap: dict | None = None
 
 
 def _bucket(feat: F.Column, n_bins: int, portable_hash: bool) -> F.Column:
@@ -122,41 +174,136 @@ def train_quality_classifier(
     non-empty."""
     labeled = df.filter(F.col(text_col).isNotNull()).withColumn(
         "__pos", label.cast("boolean"))
-    feats = _doc_buckets(
-        labeled, id_col, text_col, n_bins, bigrams, portable_hash,
-        carry=["__pos"])
-    counts = feats.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("cp"),
-        F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("cn"),
-    )
-    tot = counts.agg(
-        F.sum("cp").alias("tp"), F.sum("cn").alias("tn")).first()
-    prior = labeled.agg(
-        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("np"),
-        F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("nn"),
-    ).first()
-    if not prior["np"] or not prior["nn"]:
-        raise ValueError(
-            "train_quality_classifier: both classes must be non-empty, "
-            f"got pos={prior['np']} neg={prior['nn']}")
-    tp = float(tot["tp"] or 0)
-    tn = float(tot["tn"] or 0)
-    # persist: the table is <= n_bins rows, but its LINEAGE is the whole
-    # training explode — without this, every scoring action (and every
-    # branch that reuses the model) re-runs training. Callers done with
-    # the model can `model.weights.unpersist()`.
-    weights = counts.select(
-        "bucket",
-        (F.log((F.col("cp") + F.lit(1.0)) / F.lit(tp + n_bins))
-         - F.log((F.col("cn") + F.lit(1.0)) / F.lit(tn + n_bins))
-         ).alias("wt"),
-    ).persist()
+    if portable_hash:
+        # one action total: the Arrow pass folds the doc-count prior into
+        # the same per-batch partial maps (bucket -1, never a real md5
+        # bucket), the <= n_bins+1 count rows collect, and the weight
+        # table is BUILT driver-side as a local relation — so scoring
+        # never re-materializes the training lineage (the old shape ran
+        # the training pass once for the totals action and AGAIN when the
+        # first scoring action materialized the persisted weights)
+        count_rows = _train_counts_arrow(
+            labeled, text_col, n_bins, bigrams).collect()
+        np_ = nn_ = tp_i = tn_i = 0
+        buckets = []
+        for r in count_rows:
+            if r["bucket"] < 0:
+                np_, nn_ = r["cp"], r["cn"]
+            else:
+                buckets.append((r["bucket"], r["cp"], r["cn"]))
+                tp_i += r["cp"]
+                tn_i += r["cn"]
+        if not np_ or not nn_:
+            raise ValueError(
+                "train_quality_classifier: both classes must be non-empty, "
+                f"got pos={np_} neg={nn_}")
+        tp, tn = float(tp_i), float(tn_i)
+        wmap = {
+            b: math.log((cp + 1.0) / (tp + n_bins))
+            - math.log((cn + 1.0) / (tn + n_bins))
+            for b, cp, cn in buckets
+        }
+        weights = labeled.sparkSession.createDataFrame(
+            list(wmap.items()), schema="bucket long, wt double",
+        ).persist()
+        prior_np, prior_nn = np_, nn_
+    else:
+        feats = _doc_buckets(
+            labeled, id_col, text_col, n_bins, bigrams, portable_hash,
+            carry=["__pos"])
+        counts = feats.groupBy("bucket").agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("cp"),
+            F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("cn"),
+        )
+        tot = counts.agg(
+            F.sum("cp").alias("tp"), F.sum("cn").alias("tn")).first()
+        prior = labeled.agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("np"),
+            F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("nn"),
+        ).first()
+        if not prior["np"] or not prior["nn"]:
+            raise ValueError(
+                "train_quality_classifier: both classes must be non-empty, "
+                f"got pos={prior['np']} neg={prior['nn']}")
+        tp = float(tot["tp"] or 0)
+        tn = float(tot["tn"] or 0)
+        # persist: the table is <= n_bins rows, but its LINEAGE is the
+        # whole training explode — without this, every scoring action
+        # (and every branch that reuses the model) re-runs training.
+        # Callers done with the model can `model.weights.unpersist()`.
+        weights = counts.select(
+            "bucket",
+            (F.log((F.col("cp") + F.lit(1.0)) / F.lit(tp + n_bins))
+             - F.log((F.col("cn") + F.lit(1.0)) / F.lit(tn + n_bins))
+             ).alias("wt"),
+        ).persist()
+        prior_np, prior_nn = prior["np"], prior["nn"]
     default_w = (math.log(1.0 / (tp + n_bins))
                  - math.log(1.0 / (tn + n_bins)))
-    bias = math.log(prior["np"] / prior["nn"])
+    bias = math.log(prior_np / prior_nn)
     return HashedNgramNb(
         weights=weights, default_w=default_w, bias=bias,
-        n_bins=n_bins, bigrams=bigrams, portable_hash=portable_hash)
+        n_bins=n_bins, bigrams=bigrams, portable_hash=portable_hash,
+        wmap=wmap if portable_hash else None)
+
+
+def _train_counts_arrow(
+    labeled: DataFrame, text_col: str, n_bins: int, bigrams: bool
+) -> DataFrame:
+    """Per-bucket (cp, cn) training counts on the portable-hash Arrow fast
+    path: one ``mapInPandas`` pass emits PER-BATCH partial count maps (at
+    most ``n_bins`` rows each), so the only shuffle carries a few thousand
+    pre-aggregated rows instead of one row per feature occurrence — and
+    the posexplode + per-doc lead-window sort (a full shuffle of the
+    exploded slice, just to form bigrams) disappears. Counts are exact
+    integers, bit-identical to the expression path's groupBy. The class
+    prior's labeled-doc counts ride along as one ``bucket = -1`` row per
+    batch (a real md5 bucket is never negative), so training needs no
+    second scan of the slice.
+
+    NULL labels: the expression path counts such rows' features in NEITHER
+    class but still mints their (0, 0) bucket rows, whose weight equals
+    the COALESCE smoothing floor — dropping the rows entirely (done here)
+    changes nothing but which side computes ln(1/(t + n_bins))."""
+
+    def run(batches):
+        memo: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts: dict = {}
+            ndoc = [0, 0]
+            for t, pos in zip(pdf["t"], pdf["p"]):
+                if pos is None:
+                    continue
+                idx = 0 if pos else 1
+                ndoc[idx] += 1
+                if len(memo) > _FEAT_CACHE_MAX:
+                    memo.clear()
+                for f in _py_feats(t, bigrams):
+                    b = memo.get(f)
+                    if b is None:
+                        memo[f] = b = _py_bucket(f, n_bins)
+                    c = counts.get(b)
+                    if c is None:
+                        counts[b] = c = [0, 0]
+                    c[idx] += 1
+            counts[-1] = ndoc
+            yield pd.DataFrame(
+                {
+                    "bucket": list(counts.keys()),
+                    "cp": [v[0] for v in counts.values()],
+                    "cn": [v[1] for v in counts.values()],
+                }
+            )
+
+    narrowed = labeled.select(
+        F.col(text_col).alias("t"), F.col("__pos").alias("p"))
+    parts = ensure_min_parallelism(
+        narrowed, min_parts=_QCLF_MIN_PARTS
+    ).mapInPandas(run, schema="bucket long, cp long, cn long")
+    return parts.groupBy("bucket").agg(
+        F.sum("cp").alias("cp"), F.sum("cn").alias("cn"))
 
 
 def dsir_importance(
@@ -334,6 +481,8 @@ def quality_scores(
     with NULL text emit no row (the heuristic token gate owns them —
     lm_cross_entropy precedent). ``prob`` is the positive-class sigmoid;
     gate with ``prob >= threshold``."""
+    if model.portable_hash:
+        return _quality_scores_arrow(df, id_col, text_col, model)
     maybe_b = F.broadcast if broadcast_weights else (lambda x: x)
     feats = _doc_buckets(
         df, id_col, text_col, model.n_bins, model.bigrams,
@@ -343,6 +492,65 @@ def quality_scores(
         F.coalesce(F.col("wt"), F.lit(model.default_w)))
     return joined.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_feats"),
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
+    )
+
+
+def _quality_scores_arrow(
+    df: DataFrame, id_col: str, text_col: str, model: HashedNgramNb
+) -> DataFrame:
+    """Portable-hash scoring without the feature explosion: the expression
+    path exploded every unigram/bigram occurrence, shuffled the exploded
+    frame TWICE (per-doc lead window for bigrams, then groupBy(id)) and
+    ran one md5 → conv chain per occurrence. Here one Arrow-batched
+    pandas_udf computes each document's (n_feats, logit) against the
+    collected weight map (at most ``n_bins`` rows — bounded, and already
+    persisted by training), so per-doc rows never widen and the only
+    shuffle is the duplicate-id merge over one narrow row per document.
+
+    The merge reconstructs the expression path's semantics exactly:
+    grouped docs pool their features, and each row's partial carries NO
+    bias term, so logit = bias + sum(partials) on any grouping. Float
+    sums reassociate (Spark's own groupBy order was already
+    partition-dependent); pinned within 1e-9 by
+    test_arrow_portable_path_matches_expression_chain."""
+    wmap = model.wmap if model.wmap is not None else {
+        int(r["bucket"]): float(r["wt"]) for r in model.weights.collect()
+    }
+    bias, default_w = model.bias, model.default_w
+    n_bins, bigrams = model.n_bins, model.bigrams
+
+    # feat-string -> weight memo, shared across a task's batches via the
+    # closure (guide §4.5 shape): Zipf repetition makes most md5 calls
+    # dict hits; the weight lookup folds in for free
+    memo: dict = {}
+
+    @F.pandas_udf("struct<n_feats:long,logit:double>")
+    def score_of(text: pd.Series) -> pd.DataFrame:
+        get = memo.get
+        n_out, l_out = [], []
+        for t in text:
+            if len(memo) > _FEAT_CACHE_MAX:
+                memo.clear()
+            feats = _py_feats(t, bigrams)
+            part = 0.0
+            for f in feats:
+                w = get(f)
+                if w is None:
+                    memo[f] = w = wmap.get(_py_bucket(f, n_bins), default_w)
+                part += w
+            n_out.append(len(feats))
+            l_out.append(part)
+        return pd.DataFrame({"n_feats": n_out, "logit": l_out})
+
+    base = ensure_min_parallelism(
+        df.filter(F.col(text_col).isNotNull()), min_parts=_QCLF_MIN_PARTS)
+    per_row = base.select(
+        F.col(id_col).alias("id"), score_of(F.col(text_col)).alias("s"))
+    logit = F.lit(bias) + F.sum("s.logit")
+    return per_row.groupBy("id").agg(
+        F.sum("s.n_feats").alias("n_feats"),
         logit.alias("logit"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
     )

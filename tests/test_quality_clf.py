@@ -151,6 +151,121 @@ def test_null_text_emits_no_row_and_unseen_buckets_use_floor(spark):
     assert r["logit"] == pytest.approx(want, abs=1e-9)
 
 
+WS_EDGE_DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, ""),                       # -> [''] : one empty-string feature
+    (2, "   "),                    # trim -> '' -> ['']
+    (3, "\tleading tab"),          # -> ['', 'leading', 'tab']
+    (4, "trailing tab\t"),         # -> ['trailing', 'tab', '']
+    (5, "nb space en sp 　ideo"),  # unicode ws: NOT split
+    (6, "a\nb\rc\x0bd\x0ce"),      # every ASCII \s class member splits
+    (7, "  padded  interior   runs  "),
+    (8, None),                     # NULL text: no row
+    (9, "solo token row"),
+]
+
+
+def _expression_scores(df, id_col, text_col, model):
+    """The pre-r14 expression formulation of quality_scores, replayed
+    verbatim (portable hash): posexplode + lead-window bigrams + md5
+    chain + broadcast weight join + groupBy(id)."""
+    from graflo_spark.ops.quality_clf import _doc_buckets
+
+    feats = _doc_buckets(
+        df, id_col, text_col, model.n_bins, model.bigrams, True)
+    joined = feats.join(F.broadcast(model.weights), "bucket", "left")
+    logit = F.lit(model.bias) + F.sum(
+        F.coalesce(F.col("wt"), F.lit(model.default_w)))
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
+    )
+
+
+def test_arrow_portable_path_matches_expression_chain(spark):
+    """r14: the portable-hash path runs Arrow-batched (python md5 +
+    driver weight map) — pin it feature-for-feature against the former
+    expression chain on every tokenizer edge case: empty tokens from
+    leading/trailing ASCII whitespace, unicode spaces that must NOT
+    split, NULL text, and duplicate ids whose features pool."""
+    docs = spark.createDataFrame(
+        [(i, t, i % 2 == 0) for i, t in WS_EDGE_DOCS],
+        ["doc_id", "text", "is_en"])
+    model = train_quality_classifier(
+        docs, "doc_id", "text", F.col("is_en"),
+        n_bins=64, portable_hash=True)
+
+    # training counts: Arrow partial-count path vs the expression
+    # explode+groupBy, exact integer equality per bucket
+    from graflo_spark.ops.quality_clf import _doc_buckets
+
+    labeled = docs.filter(F.col("text").isNotNull()).withColumn(
+        "__pos", F.col("is_en").cast("boolean"))
+    expr_counts = {
+        r["bucket"]: (r["cp"], r["cn"])
+        for r in _doc_buckets(
+            labeled, "doc_id", "text", 64, True, True, carry=["__pos"])
+        .groupBy("bucket").agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("cp"),
+            F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("cn"))
+        .collect()
+    }
+    from graflo_spark.ops.quality_clf import _train_counts_arrow
+
+    got_counts = {
+        r["bucket"]: (r["cp"], r["cn"])
+        for r in _train_counts_arrow(labeled, "text", 64, True).collect()
+    }
+    # bucket -1 carries the class prior's labeled-doc counts (one scan)
+    n_pos = labeled.filter(F.col("__pos")).count()
+    n_neg = labeled.filter(~F.col("__pos")).count()
+    assert got_counts.pop(-1) == (n_pos, n_neg)
+    assert got_counts == expr_counts
+
+    # scoring: n_feats exact, logit/prob within float-reassociation noise
+    got = {r["id"]: r for r in quality_scores(
+        docs, "doc_id", "text", model).collect()}
+    want = {r["id"]: r for r in _expression_scores(
+        docs, "doc_id", "text", model).collect()}
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i]["n_feats"] == want[i]["n_feats"], i
+        assert got[i]["logit"] == pytest.approx(
+            want[i]["logit"], abs=1e-9), i
+        assert got[i]["prob"] == pytest.approx(
+            want[i]["prob"], abs=1e-12), i
+
+
+def test_arrow_portable_duplicate_ids_pool_per_row(spark):
+    """Duplicate-id merge on the Arrow path: features pool across the
+    rows (n_feats sums; logit = bias + sum of per-row partials) and
+    bigrams NEVER span rows. The former lead-window path interleaved
+    same-id rows' tokens inside one window partition under an arbitrary
+    pos tie-break — duplicate-id bigrams were nondeterministic; the
+    Arrow path's per-row formation is the deterministic semantics, so
+    it's pinned against per-row scoring + manual merge, not the chain."""
+    base = [(1, "alpha beta gamma"), (2, "delta")]
+    dup = base + [(1, "epsilon zeta")]
+    docs = spark.createDataFrame(dup, ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(10, "alpha beta", True), (11, "gamma delta", False)],
+        ["doc_id", "text", "is_en"])
+    model = train_quality_classifier(
+        train, "doc_id", "text", F.col("is_en"),
+        n_bins=64, portable_hash=True)
+    got = {r["id"]: r for r in quality_scores(
+        docs, "doc_id", "text", model).collect()}
+    solo = {r["id"]: r for r in quality_scores(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (3, "epsilon zeta")],
+            ["doc_id", "text"]),
+        "doc_id", "text", model).collect()}
+    assert got[1]["n_feats"] == solo[1]["n_feats"] + solo[3]["n_feats"]
+    want_logit = (solo[1]["logit"] - model.bias) + solo[3]["logit"]
+    assert got[1]["logit"] == pytest.approx(want_logit, abs=1e-9)
+
+
 def test_pipeline_clf_quality_stage(spark):
     from graflo_spark.ops.pipeline import PipelineConfig, annotate
 

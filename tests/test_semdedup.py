@@ -112,3 +112,46 @@ def test_assign_to_centroids_argmin_and_ties(spark):
     # vec 2 is equidistant: tie breaks to the smaller cluster id
     assert got == {0: 0, 1: 1, 2: 0}
     assert idx.centroids.count() == 2
+
+
+def test_assign_arrow_matches_expression_path(spark):
+    """r14: the default Arrow assignment path must agree with the
+    expression formulation (zip_with/aggregate fold + struct-least)
+    ROW FOR ROW — including every degenerate shape the fold's NULL
+    propagation maps to cluster 0 (NULL vector, wrong length, NULL
+    element) and non-finite elements where numpy argmin's first-minimum
+    must match struct-least's smallest-c tie-break. Random block: both
+    paths accumulate float64 in index order, so equality is exact, not
+    approximate."""
+    import random
+
+    from graflo_spark.ops.simsearch import assign_to_centroids
+
+    rng = random.Random(14)
+    dim, k = 16, 5
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(k)]
+    rows = [
+        (100, None),
+        (101, []),
+        (102, [1.0] * (dim - 1)),          # short
+        (103, [1.0] * (dim + 1)),          # long
+        (104, [float("nan")] + [0.0] * (dim - 1)),
+        (105, [float("inf")] + [0.0] * (dim - 1)),
+        (106, [None] + [0.5] * (dim - 1)),  # NULL element
+        (107, [1e200] + [0.0] * (dim - 1)),  # squares overflow to inf
+    ] + [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    got = {
+        r["neighbor_id"]: r["cluster"]
+        for r in assign_to_centroids(df, cents).assigned.collect()
+    }
+    want = {
+        r["neighbor_id"]: r["cluster"]
+        for r in assign_to_centroids(
+            df, cents, use_arrow=False).assigned.collect()
+    }
+    assert got == want
+    assert got[100] == got[101] == got[102] == got[103] == got[106] == 0
