@@ -342,7 +342,18 @@ def minhash_dedup(
         .select(F.col("id_b").alias(id_col))
         .dropDuplicates()
     )
-    survivors = reps.select(id_col).join(drop, id_col, "left_anti")
+    # the survivor base needs only the rep ID SET; re-deriving reps here
+    # would re-run its sha256 + full-text groupBy shuffle (Catalyst shares
+    # no subtree with the sig build's copy) — the digest-keyed min-id
+    # aggregate is the same set with a 32-byte shuffle key and no text
+    # payload (r14; the near-dup clustering twin below does the same)
+    rep_ids = (
+        nonnull.select(
+            F.col(id_col), F.sha2(F.col(text_col), 256).alias("__td"))
+        .groupBy("__td").agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    survivors = rep_ids.join(drop, id_col, "left_anti")
     return df.filter(F.col(text_col).isNull()).unionByName(
         df.join(survivors, id_col, "left_semi"))
 
@@ -790,17 +801,28 @@ def minhash_near_dup_clusters(
     # them: each must come out as its own singleton cluster (matching the
     # all-docs closure oracle), NOT collapsed into one NULL group.
     nonnull = df.filter(F.col(text_col).isNotNull())
-    reps = _exact_text_reps(nonnull, id_col, text_col, keep_digest=True)
-    cand = minhash_lsh_candidates(
-        reps.drop("__td"), id_col, text_col, **lsh_kwargs)
+    reps = _exact_text_reps(nonnull, id_col, text_col)
+    cand = minhash_lsh_candidates(reps, id_col, text_col, **lsh_kwargs)
     verified = cand.filter(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b")
+    # The cluster-assignment doc side and the expansion join need only
+    # (digest -> min-id representative) — NOT the text-carrying reps
+    # aggregate. Catalyst shares no subtree across the three consumers,
+    # so re-deriving reps for them would re-run the sha256 + full-text
+    # groupBy shuffle once per consumer (r14; a reps.persist() was
+    # measured WORSE — the InMemoryRelation hides size stats and flips
+    # the downstream broadcasts to shuffled joins, 680 -> 1353 tasks).
+    # rep_map shuffles 32-byte digests + ids only; by construction its
+    # min-id per digest is exactly reps' id set.
+    tds = nonnull.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("__td"))
+    rep_map = tds.groupBy("__td").agg(F.min(id_col).alias("__rep_id"))
     rep_clusters = ga.near_dup_clusters(
-        reps.drop("__td"), verified, id_col=id_col)
+        rep_map.select(F.col("__rep_id").alias(id_col)),
+        verified, id_col=id_col)
     # expansion joins on the 32-byte digest, not the full text body
     expanded = (
-        nonnull.select(id_col, F.sha2(F.col(text_col), 256).alias("__td"))
-        .join(reps.select(F.col(id_col).alias("__rep_id"), "__td"), "__td")
+        tds.join(rep_map, "__td")
         .join(
             rep_clusters.select(
                 F.col(id_col).alias("__rep_id"), "cluster"),

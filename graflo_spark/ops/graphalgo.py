@@ -203,6 +203,78 @@ def _driver_components(edges: DataFrame) -> DataFrame:
         [(v, comp_min[find(v)]) for v in parent], schema)
 
 
+def _sorted_pairs(rows) -> list:
+    """Collected edge rows as (a, b) tuples in a DETERMINISTIC order
+    (repr-keyed, so any id type sorts): the driver fast paths accumulate
+    float64 in this order, making their output a pure function of the
+    edge SET rather than of collect()'s partition order."""
+    return sorted(
+        ((r[0], r[1]) for r in rows),
+        key=lambda p: (repr(p[0]), repr(p[1])))
+
+
+def _driver_pagerank(
+    edge_rows, damping: float, max_iter: int, personalized
+) -> list:
+    """Power iteration over a SMALL collected edge set — the exact update
+    of the distributed loop (rank' = (1-d)*t + d*dangling*t/n + d*inflow,
+    ranks init 1.0, dangling mass redistributed via t/n) in driver
+    float64. Sums accumulate in sorted-edge order (deterministic); the
+    distributed groupBy's own accumulation order is partition-dependent,
+    so both paths agree to float-reassociation noise (~1e-15 relative,
+    pinned at 1e-9 by test_pagerank_driver_path_matches_distributed)."""
+    pairs = _sorted_pairs(edge_rows)
+    nodes = sorted({v for p in pairs for v in p}, key=repr)
+    n = len(nodes)
+    od: dict = {}
+    for s, _ in pairs:
+        od[s] = od.get(s, 0) + 1
+    if personalized:
+        seeds = set(personalized)
+        share = float(n) / len(personalized)
+        t = {v: (share if v in seeds else 0.0) for v in nodes}
+    else:
+        t = {v: 1.0 for v in nodes}
+    d = float(damping)
+    rank = {v: 1.0 for v in nodes}
+    for _ in range(max_iter):
+        dm = 0.0
+        for v in nodes:
+            if v not in od:
+                dm += rank[v]
+        inflow: dict = {}
+        for s, dst in pairs:
+            inflow[dst] = inflow.get(dst, 0.0) + rank[s] / od[s]
+        rank = {
+            v: (1.0 - d) * t[v] + d * dm * t[v] / n
+            + d * inflow.get(v, 0.0)
+            for v in nodes
+        }
+    return [(v, rank[v]) for v in nodes]
+
+
+def _driver_lpa(edge_rows, max_iter: int) -> list:
+    """Synchronous min-tie label propagation over a SMALL collected
+    symmetric edge set — integer label arithmetic, so the result is
+    EXACTLY the distributed loop's (same histogram, same (-count, label)
+    argmin), with no float caveat at all."""
+    pairs = _sorted_pairs(edge_rows)
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    labels = {v: v for v in adj}
+    for _ in range(max_iter):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt: dict = {}
+            for u in nbrs:
+                lu = labels[u]
+                cnt[lu] = cnt.get(lu, 0) + 1
+            new[v] = min((-c, l) for l, c in cnt.items())[1]
+        labels = new
+    return sorted(labels.items(), key=lambda kv: repr(kv[0]))
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to the
     minimum of N(u) ∪ {u}."""
@@ -444,6 +516,7 @@ def pagerank(
     checkpoint: bool = True,
     personalized: list | None = None,
     checkpoint_interval: int = 4,
+    driver_collapse_max_edges: int = 100_000,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list (public power-iteration
     formulation). Returns ``(node, rank)`` for every node appearing in
@@ -479,6 +552,20 @@ def pagerank(
     exchange reuse). Graphs with NO dangling nodes (checked once
     up-front) skip the per-round dangling aggregate + broadcast
     entirely; the update term it fed is exactly ``+ 0.0``.
+
+    Small graphs (r14, the :func:`_driver_components` principle): with
+    ``tol=None`` (the deterministic-work mode) and at most
+    ``driver_collapse_max_edges`` distinct edges — probed with a bounded
+    ``take`` on the already-checkpointed edge set, attempted only when
+    the node count the loop takes anyway allows it — the whole power
+    iteration runs driver-side (:func:`_driver_pagerank`): ~100k edges
+    is a few MB, and max_iter scheduler round-trips dwarf the arithmetic
+    at that size. Ranks agree with the distributed loop to
+    float-reassociation noise (both paths' sum orders are arbitrary
+    associations of the same float64 terms; the distributed one is not
+    even self-deterministic across runs). Set it to 0 to force the
+    distributed path; ``tol`` mode always takes the distributed path (the
+    early-stop delta is defined by the distributed accumulation).
     """
     with _RoundCheckpointer(pairs.sparkSession, checkpoint) as ck:
         edges = ck(
@@ -486,6 +573,26 @@ def pagerank(
             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
             .distinct(),
             "edges")
+        # driver fast path probe BEFORE the nodes build: the driver
+        # iteration derives the node set (src ∪ dst) and n from the
+        # collected edges, so a fitting graph skips the nodes
+        # checkpoint + count entirely. A large graph pays one bounded
+        # take (~a few MB) on the already-checkpointed edge blocks.
+        if tol is None and driver_collapse_max_edges > 0:
+            rows = edges.take(driver_collapse_max_edges + 1)
+            if len(rows) <= driver_collapse_max_edges:
+                from pyspark.sql import types as T
+
+                ranks_local = _driver_pagerank(
+                    rows, damping, max_iter, personalized)
+                node_t = edges.schema["src"].dataType
+                schema = T.StructType([
+                    T.StructField("node", node_t),
+                    T.StructField("rank", T.DoubleType())])
+                out = pairs.sparkSession.createDataFrame(
+                    ranks_local, schema)
+                ck.abort()
+                return out
         nodes = ck(
             edges.select(F.col("src").alias("node"))
             .unionAll(edges.select(F.col("dst").alias("node")))
@@ -597,6 +704,7 @@ def label_propagation(
     max_iter: int = 5,
     checkpoint: bool = True,
     checkpoint_interval: int = 4,
+    driver_collapse_max_edges: int = 100_000,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan et
     al. 2007, public) with a deterministic tie-break: labels start as the
@@ -621,11 +729,31 @@ def label_propagation(
     LABELS, not its degree. The label vector is referenced ONCE per
     round (the histogram join), so un-checkpointed lineage grows
     linearly and ``checkpoint_interval`` batches rounds into one action
-    (same shuffles, fewer driver round-trips — r14, guide §5)."""
+    (same shuffles, fewer driver round-trips — r14, guide §5).
+
+    Small graphs (symmetric edge count <= ``driver_collapse_max_edges``,
+    probed by a bounded ``take`` on the checkpointed edge set) run the
+    whole propagation driver-side (:func:`_driver_lpa`) — integer label
+    arithmetic, so the output is EXACTLY the distributed loop's, pinned
+    by test_lpa_driver_path_matches_distributed. 0 forces the
+    distributed path."""
     with _RoundCheckpointer(pairs.sparkSession, checkpoint) as ck:
         edges = ck(_symmetrize(
             pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))),
             "edges")
+        if driver_collapse_max_edges > 0:
+            rows = edges.take(driver_collapse_max_edges + 1)
+            if len(rows) <= driver_collapse_max_edges:
+                from pyspark.sql import types as T
+
+                node_t = edges.schema["a"].dataType
+                schema = T.StructType([
+                    T.StructField("node", node_t),
+                    T.StructField("label", node_t)])
+                out = pairs.sparkSession.createDataFrame(
+                    _driver_lpa(rows, max_iter), schema)
+                ck.abort()
+                return out
         labels = (
             edges.select(F.col("a").alias("node")).distinct()
             .withColumn("label", F.col("node"))

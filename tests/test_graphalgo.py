@@ -216,8 +216,15 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         if a != b:
             rows.append((a, b))
     df = spark.createDataFrame(rows, "id_a long, id_b long")
-    got = {r["node"]: r["rank"]
-           for r in pagerank(df, max_iter=40, tol=None).collect()}
+    # r14: both the driver fast path (default bound) and the forced
+    # distributed loop must match the reference
+    per_path = []
+    for dmax in (100_000, 0):
+        per_path.append({
+            r["node"]: r["rank"]
+            for r in pagerank(df, max_iter=40, tol=None,
+                              driver_collapse_max_edges=dmax).collect()})
+    got = per_path[0]
 
     nodes = sorted({a for a, _ in rows} | {b for _, b in rows})
     idx = {v: i for i, v in enumerate(nodes)}
@@ -235,10 +242,12 @@ def test_pagerank_matches_numpy_power_iteration(spark):
             for b in dsts:
                 nxt[idx[b]] += share
         r = (1 - d) + d * dangling / n + d * nxt
-    for v in nodes:
-        assert got[v] == pytest.approx(r[idx[v]], rel=1e-9)
-    # classic normalization: ranks sum to n (mass conserved incl. dangling)
-    assert sum(got.values()) == pytest.approx(n, rel=1e-9)
+    for path_ranks in per_path:
+        for v in nodes:
+            assert path_ranks[v] == pytest.approx(r[idx[v]], rel=1e-9)
+        # classic normalization: ranks sum to n (mass conserved incl.
+        # dangling)
+        assert sum(path_ranks.values()) == pytest.approx(n, rel=1e-9)
 
 
 def test_checkpoint_interval_invariance(spark):
@@ -252,19 +261,74 @@ def test_checkpoint_interval_invariance(spark):
         [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)], "id_a long, id_b long")
     dangle = spark.createDataFrame(
         [(0, 1), (1, 2), (0, 3)], "id_a long, id_b long")  # 2, 3 dangle
+    # driver_collapse_max_edges=0: the interval is a DISTRIBUTED-loop
+    # knob; the driver fast path would otherwise absorb both sides
     for df in (no_dangle, dangle):
         base = sorted(
-            pagerank(df, max_iter=6, tol=None,
-                     checkpoint_interval=1).collect())
+            pagerank(df, max_iter=6, tol=None, checkpoint_interval=1,
+                     driver_collapse_max_edges=0).collect())
         alt = sorted(
-            pagerank(df, max_iter=6, tol=None,
-                     checkpoint_interval=3).collect())
+            pagerank(df, max_iter=6, tol=None, checkpoint_interval=3,
+                     driver_collapse_max_edges=0).collect())
         assert base == alt
     l1 = sorted(label_propagation(
-        no_dangle, max_iter=4, checkpoint_interval=1).collect())
+        no_dangle, max_iter=4, checkpoint_interval=1,
+        driver_collapse_max_edges=0).collect())
     l3 = sorted(label_propagation(
-        no_dangle, max_iter=4, checkpoint_interval=3).collect())
+        no_dangle, max_iter=4, checkpoint_interval=3,
+        driver_collapse_max_edges=0).collect())
     assert l1 == l3
+
+
+def test_pagerank_driver_path_matches_distributed(spark):
+    """r14 driver fast path: on graphs with dangling nodes, classic AND
+    personalized, the driver power iteration agrees with the forced
+    distributed loop to float-reassociation noise (both sum the same
+    float64 terms in different orders), and covers the same node set."""
+    from graflo_spark.ops.graphalgo import pagerank
+
+    rng = random.Random(20250817)
+    for trial in range(3):
+        rows = list({
+            (rng.randrange(40), rng.randrange(40)) for _ in range(90)})
+        rows = [(a, b) for a, b in rows if a != b]
+        df = spark.createDataFrame(rows, "id_a long, id_b long")
+        for seeds in (None, [rows[0][0], rows[1][1]]):
+            fast = {r["node"]: r["rank"]
+                    for r in pagerank(df, max_iter=7, tol=None,
+                                      personalized=seeds).collect()}
+            dist = {r["node"]: r["rank"]
+                    for r in pagerank(
+                        df, max_iter=7, tol=None, personalized=seeds,
+                        driver_collapse_max_edges=0).collect()}
+            assert set(fast) == set(dist)
+            for v in fast:
+                assert fast[v] == pytest.approx(dist[v], abs=1e-9), (
+                    trial, seeds, v)
+
+
+def test_lpa_driver_path_matches_distributed(spark):
+    """r14 driver fast path: LPA is integer label arithmetic, so the
+    driver loop must match the forced distributed loop EXACTLY, across
+    random graphs and iteration counts."""
+    from graflo_spark.ops.graphalgo import label_propagation
+
+    rng = random.Random(814)
+    for trial in range(3):
+        rows = list({
+            (rng.randrange(30), rng.randrange(30)) for _ in range(60)})
+        rows = [(a, b) for a, b in rows if a != b]
+        df = spark.createDataFrame(rows, "id_a long, id_b long")
+        for iters in (1, 4):
+            fast = sorted(
+                (r["node"], r["label"])
+                for r in label_propagation(df, max_iter=iters).collect())
+            dist = sorted(
+                (r["node"], r["label"])
+                for r in label_propagation(
+                    df, max_iter=iters,
+                    driver_collapse_max_edges=0).collect())
+            assert fast == dist, (trial, iters)
 
 
 def test_pagerank_early_stop_and_shapes(spark):

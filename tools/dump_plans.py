@@ -36,12 +36,16 @@ def round_plan(spark, name: str) -> str | None:
 
     if name in ("pagerank_trade_network", "ppr_trade_network"):
         seeds = [0, 7] if name.startswith("ppr") else None
+        # driver_collapse_max_edges=0: document the distributed ROUND
+        # plan, not the small-graph driver fast path
         pr = ga.pagerank(C._trade_edge_frame(spark, SMALL), max_iter=2,
-                         tol=None, personalized=seeds, checkpoint=False)
+                         tol=None, personalized=seeds, checkpoint=False,
+                         driver_collapse_max_edges=0)
         return explain_str(pr)
     if name == "lpa_communities_trade":
         lp = ga.label_propagation(
-            C._trade_edge_frame(spark, SMALL), max_iter=1, checkpoint=False)
+            C._trade_edge_frame(spark, SMALL), max_iter=1, checkpoint=False,
+            driver_collapse_max_edges=0)
         return explain_str(lp)
     if name == "near_dup_clusters_documents":
         docs = C.load(spark, SMALL, "documents")

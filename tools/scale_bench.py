@@ -1676,8 +1676,12 @@ def power_law_bench(spark, factor: int, s: float = 2.0) -> dict:
         for name, fn in (
             ("triangles", lambda: ga.triangle_count(
                 edges, per_node=True).count()),
+            # driver_collapse_max_edges=0: this ladder measures the
+            # DISTRIBUTED rounds' scaling — the base point (60k edges)
+            # would otherwise take the driver fast path and fake the
+            # exponent
             ("lpa", lambda: ga.label_propagation(
-                edges, max_iter=4).count()),
+                edges, max_iter=4, driver_collapse_max_edges=0).count()),
             ("kcore", lambda: ga.k_core(edges, k=8).count()),
             ("linkpred_capped", lambda: ga.link_prediction_scores(
                 edges, min_common=2, max_degree=LINKPRED_CAP).count()),
