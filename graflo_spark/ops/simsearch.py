@@ -255,23 +255,45 @@ def build_ivf_index(
     seed: int = 42,
     max_iter: int = 20,
     init_mode: str = "k-means||",
+    driver_fit_max_rows: int = 100_000,
 ) -> IvfIndex:
-    """Fit distributed KMeans over the corpus and assign every vector to its
-    nearest centroid (one map pass). The returned index is reusable across
+    """Fit KMeans over the corpus and assign every vector to its nearest
+    centroid (one map pass). The returned index is reusable across
     arbitrarily many query batches — no refit per query.
 
     ``max_iter`` bounds the fit cost (each iteration is a full corpus pass).
     Centroid quality only affects RECALL of pruned probes
     (``n_probe < n_centroids``) — correctness of what IS probed never
     depends on it, and a full probe is exact under any centroids — so
-    latency-sensitive builds can lower it and recall-test the result."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    latency-sensitive builds can lower it and recall-test the result.
 
+    Corpora of at most ``driver_fit_max_rows`` vectors (probed with a
+    bounded ``take``) fit DRIVER-SIDE: seeded Lloyd's in NumPy over the
+    collected block (sorted by id, so the fit is a pure function of the
+    data), then one :func:`assign_to_centroids` map pass — the
+    small-side principle (r14): a distributed fit below this bound is
+    all scheduler fixed cost (per-iteration jobs, the vector-UDF
+    conversion), not compute. Centroid VALUES differ from the MLlib fit
+    (exactly as they differ between MLlib versions and ``init_mode``
+    settings); every full-probe result is centroid-independent and
+    pruned-probe recall is covered by tests. 0 forces the distributed
+    MLlib fit, which also owns corpora above the bound (each iteration
+    a map-reduce pass, never a collect)."""
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).cast("array<double>").alias("c_vec"),
-    ).withColumn("__fv", array_to_vector(F.col("c_vec")))
+    )
+    if driver_fit_max_rows > 0:
+        rows = c.take(driver_fit_max_rows + 1)
+        if len(rows) <= driver_fit_max_rows:
+            cents = _driver_kmeans_fit(rows, n_centroids, seed, max_iter)
+            if cents is not None:
+                return assign_to_centroids(
+                    corpus, cents, corpus_id, corpus_vec)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cf = c.withColumn("__fv", array_to_vector(F.col("c_vec")))
     # init_mode="random" skips the k-means|| init's extra corpus passes
     # (initSteps scans + a driver-side local KMeans over the candidates)
     # when centroid QUALITY is immaterial — e.g. the full-probe recall-1
@@ -279,8 +301,8 @@ def build_ivf_index(
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="__fv",
         predictionCol="cluster", maxIter=max_iter, initMode=init_mode,
-    ).fit(c)
-    assigned = model.transform(c).drop("__fv")
+    ).fit(cf)
+    assigned = model.transform(cf).drop("__fv")
 
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
@@ -288,6 +310,51 @@ def build_ivf_index(
         "cluster INT, centroid ARRAY<DOUBLE>",
     )
     return IvfIndex(assigned=assigned, centroids=centroids)
+
+
+def _driver_kmeans_fit(rows, k: int, seed: int, max_iter: int):
+    """Seeded Lloyd's over a collected (id, vec) block: distinct-row
+    random init, argmin-L2 assignment (ties to the smallest cluster id,
+    the :func:`assign_to_centroids` rule), empty clusters keep their
+    previous centroid (the MLlib behavior). Rows sort by id first so the
+    fit is a pure function of the data, not of collect order. Returns a
+    list of float64 centroid arrays, or None when the block has fewer
+    than k usable vectors or ragged dimensions (callers fall back to the
+    distributed fit, which owns those diagnostics)."""
+    import numpy as np
+
+    vecs = [
+        (r[0], r[1]) for r in rows
+        if r[1] is not None and all(x is not None for x in r[1])
+    ]
+    if len(vecs) < k or not vecs:
+        return None
+    vecs.sort(key=lambda p: repr(p[0]))
+    dims = {len(v) for _, v in vecs}
+    if len(dims) != 1:
+        return None
+    x = np.asarray([v for _, v in vecs], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    xsq = (x * x).sum(axis=1)
+    for _ in range(max(1, max_iter)):
+        # |x - c|^2 = |x|^2 - 2 x·c + |c|^2, argmin over c (first minimum
+        # = smallest cluster id on ties)
+        d2 = xsq[:, None] - 2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)
+        assign = d2.argmin(axis=1)
+        new = cents.copy()
+        moved = False
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                if not np.array_equal(m, new[j]):
+                    new[j] = m
+                    moved = True
+        cents = new
+        if not moved:
+            break
+    return [cents[j] for j in range(k)]
 
 
 def assign_to_centroids(

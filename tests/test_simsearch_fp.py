@@ -18,6 +18,31 @@ def test_ivf_full_probe_equals_brute_force(spark, tables):
     assert b == i
 
 
+def test_ivf_driver_fit_matches_brute_and_mllib_at_full_probe(
+        spark, tables):
+    """r14: build_ivf_index fits driver-side below the row bound. Under
+    ANY centroids a full probe is exact, so both fit paths must return
+    exactly the brute-force top-k; the driver fit must also be
+    deterministic (same data -> same centroids)."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in ss.brute_force_topk(queries, emb, k=5).collect()}
+    for dmax in (100_000, 0):
+        ivf = ss.ivf_topk(queries, emb, k=5, n_centroids=4, n_probe=4)
+        idx = ss.build_ivf_index(emb, n_centroids=4,
+                                 driver_fit_max_rows=dmax)
+        got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in ss.ivf_probe(idx, queries, k=5, n_probe=4).collect()}
+        assert got == brute, dmax
+    c1 = ss.build_ivf_index(emb, n_centroids=4).centroids.collect()
+    c2 = ss.build_ivf_index(emb, n_centroids=4).centroids.collect()
+    assert sorted(map(tuple, ((r["cluster"], tuple(r["centroid"]))
+                              for r in c1))) == \
+        sorted(map(tuple, ((r["cluster"], tuple(r["centroid"]))
+                           for r in c2)))
+
+
 def test_ivf_pruned_is_subset_shape(spark, tables):
     emb = tables["embeddings"]
     queries = emb.filter(F.col("vec_id") < 3)
@@ -34,14 +59,19 @@ def test_ivf_pruned_is_subset_shape(spark, tables):
 def test_ivf_index_reused_across_query_batches_without_refit(
         spark, tables, monkeypatch, tmp_path):
     """The index lifecycle API: ONE build serves many query batches — no
-    KMeans refit per probe (counted via a fit spy) — and the index survives a
-    write/read round-trip partitioned by cluster."""
+    KMeans refit per probe (counted via a fit spy on BOTH fit paths: the
+    r14 driver Lloyd's and the distributed MLlib fallback) — and the index
+    survives a write/read round-trip partitioned by cluster."""
     from pyspark.ml.clustering import KMeans
 
     fits = []
     orig_fit = KMeans.fit
     monkeypatch.setattr(
         KMeans, "fit", lambda self, df: (fits.append(1), orig_fit(self, df))[1])
+    orig_driver = ss._driver_kmeans_fit
+    monkeypatch.setattr(
+        ss, "_driver_kmeans_fit",
+        lambda *a, **kw: (fits.append(1), orig_driver(*a, **kw))[1])
 
     emb = tables["embeddings"]
     index = ss.build_ivf_index(emb, n_centroids=4)
