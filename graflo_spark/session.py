@@ -45,6 +45,34 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Whole-stage-codegen compile cache (r14, guide §1.2 step 3 "configs
+        # ... fix a stability problem"). The default cache holds only 100
+        # compiled fragments; a session that runs the full operator surface
+        # (the bench alone compiles several hundred distinct fragments)
+        # thrashes it, and every eviction re-pays a Janino compile ON the
+        # first task that needs the fragment — measured on this box as
+        # 10-50 s stalls landing on RANDOM queries once the working set
+        # exceeded 100 (driver jstack: task thread RUNNABLE inside
+        # org.codehaus.janino.UnitCompiler for 53 s; bench totals decayed
+        # 43→166→233 s run-to-run). Entries are compiled classes keyed by
+        # source text — a few KB each, bounded memory.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
+        # JIT code cache: the JVM default (240 MB) fills under the same
+        # churn (C2 had burned 21.7 s CPU 66 s into the bench JVM with the
+        # sweeper running hot), which is what makes each Janino compile
+        # slow in the first place. 512 MB removes the sweep pressure:
+        # first-run bench total 106 s → 57 s with everything else equal.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     if master is not None:
         builder = builder.master(master)
