@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from graflo_spark.ops.util import ensure_min_parallelism
+from graflo_spark.ops.util import ensure_min_parallelism, scoped_persist
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str,
@@ -210,10 +210,14 @@ def minhash_lsh_candidates(
     # The sig table feeds three consumers (band explode + two hydration
     # joins); Catalyst does not reuse the aggregate subtree across them, so
     # without persist the shingle explosion runs 3x. One row per doc makes
-    # this the natural materialization point at any scale.
-    sig = minhash_signatures(
-        df, id_col, text_col, shingle_k, num_perm, portable_hash
-    ).persist()
+    # this the natural materialization point at any scale. scoped: a bare
+    # persist() is never unpersisted, so every invocation leaked a
+    # CacheManager entry AND later invocations plan-matched into the stale
+    # blocks instead of recomputing from the input files (ops/util.py).
+    sig = scoped_persist(
+        minhash_signatures(
+            df, id_col, text_col, shingle_k, num_perm, portable_hash),
+        "minhash_lsh_candidates.sig")
     return _candidates_from_sigs(sig, num_perm, bands, portable_hash)
 
 

@@ -49,7 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from graflo_spark.ops.util import ensure_min_parallelism
+from graflo_spark.ops.util import ensure_min_parallelism, scoped_persist
 
 _US = chr(31)  # unit separator: the package's n-gram joiner convention
 
@@ -203,9 +203,12 @@ def train_quality_classifier(
             - math.log((cn + 1.0) / (tn + n_bins))
             for b, cp, cn in buckets
         }
-        weights = labeled.sparkSession.createDataFrame(
-            list(wmap.items()), schema="bucket long, wt double",
-        ).persist()
+        # scoped: a bare persist() leaked one CacheManager entry per
+        # training call for the life of the session (ops/util.py)
+        weights = scoped_persist(
+            labeled.sparkSession.createDataFrame(
+                list(wmap.items()), schema="bucket long, wt double"),
+            "quality_clf.weights.portable")
         prior_np, prior_nn = np_, nn_
     else:
         feats = _doc_buckets(
@@ -230,13 +233,19 @@ def train_quality_classifier(
         # persist: the table is <= n_bins rows, but its LINEAGE is the
         # whole training explode — without this, every scoring action
         # (and every branch that reuses the model) re-runs training.
-        # Callers done with the model can `model.weights.unpersist()`.
-        weights = counts.select(
-            "bucket",
-            (F.log((F.col("cp") + F.lit(1.0)) / F.lit(tp + n_bins))
-             - F.log((F.col("cn") + F.lit(1.0)) / F.lit(tn + n_bins))
-             ).alias("wt"),
-        ).persist()
+        # scoped: a bare persist() leaked the entry for the session AND
+        # let a LATER training call plan-match into this one's stale
+        # blocks instead of re-reading its inputs (ops/util.py); training
+        # a new model retires the previous model's cache (its weights
+        # recompute from lineage if still referenced).
+        weights = scoped_persist(
+            counts.select(
+                "bucket",
+                (F.log((F.col("cp") + F.lit(1.0)) / F.lit(tp + n_bins))
+                 - F.log((F.col("cn") + F.lit(1.0)) / F.lit(tn + n_bins))
+                 ).alias("wt"),
+            ),
+            "quality_clf.weights")
         prior_np, prior_nn = prior["np"], prior["nn"]
     default_w = (math.log(1.0 / (tp + n_bins))
                  - math.log(1.0 / (tn + n_bins)))

@@ -2,7 +2,48 @@
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+_SCOPED_CACHE: dict[str, DataFrame] = {}
+_SCOPED_LOCK = threading.Lock()
+
+
+def scoped_persist(df: DataFrame, scope: str) -> DataFrame:
+    """``persist()`` with a single-generation, per-scope lifetime.
+
+    Spark's CacheManager keys cache entries on the CANONICALIZED PLAN and
+    splices them into every later query: a second invocation of an
+    operator that builds the same plan over the same input paths silently
+    short-circuits into the first invocation's materialized blocks
+    (verified: a fresh ``minhash_lsh_candidates`` plan contained an
+    ``InMemoryTableScan`` of the previous call's persist). For a library
+    whose operators are re-invoked against live paths that silently
+    serves STALE data if the files changed between calls, and in a
+    benchmark it lets later runs skip the very work being timed; either
+    way the un-unpersisted entries and their blocks accumulate for the
+    session (r14 bench: progressive run-to-run degradation).
+
+    scoped_persist keeps exactly ONE live generation per scope: each call
+    unpersists the scope's previous frame (removing its CacheManager
+    entry and blocks) before persisting the new one. Reuse is therefore
+    WITHIN the invocation that created the frame; across invocations the
+    plan recomputes from its inputs. Unpersisting a frame an earlier
+    consumer still references is safe — Spark transparently recomputes
+    from lineage.
+    """
+    with _SCOPED_LOCK:
+        old = _SCOPED_CACHE.pop(scope, None)
+    if old is not None:
+        try:
+            old.unpersist(False)
+        except Exception:  # session already stopped — nothing to free
+            pass
+    out = df.persist()
+    with _SCOPED_LOCK:
+        _SCOPED_CACHE[scope] = out
+    return out
 
 
 def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
