@@ -817,9 +817,14 @@ def minhash_near_dup_clusters(
     # measured WORSE — the InMemoryRelation hides size stats and flips
     # the downstream broadcasts to shuffled joins, 680 -> 1353 tasks).
     # rep_map shuffles 32-byte digests + ids only; by construction its
-    # min-id per digest is exactly reps' id set.
-    tds = nonnull.select(
-        F.col(id_col), F.sha2(F.col(text_col), 256).alias("__td"))
+    # min-id per digest is exactly reps' id set. tds feeds BOTH rep_map
+    # and the expansion join below — Catalyst shares no subtree, so
+    # without the scoped persist the document scan + sha256 pass ran
+    # twice per invocation (r14).
+    tds = scoped_persist(
+        nonnull.select(
+            F.col(id_col), F.sha2(F.col(text_col), 256).alias("__td")),
+        "minhash_near_dup_clusters.tds")
     rep_map = tds.groupBy("__td").agg(F.min(id_col).alias("__rep_id"))
     rep_clusters = ga.near_dup_clusters(
         rep_map.select(F.col("__rep_id").alias(id_col)),

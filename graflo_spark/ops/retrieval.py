@@ -49,6 +49,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from graflo_spark.ops.textstats import tokens_expr  # the ONE tokenizer
+from graflo_spark.ops.util import scoped_persist
 
 __all__ = [
     "tokens_expr", "term_bucket", "py_term_bucket", "build_postings",
@@ -377,6 +378,14 @@ def bm25_topk(
         post = index.pruned(terms).drop("term_bucket", "positions")
         stats = index.stats
     stats = stats.select("n", "avgdl")  # the scoring scalars
+
+    # post feeds BOTH the df aggregate and the scoring join — Catalyst
+    # shares no subtree across them, so without this the vocab-pruned
+    # postings build (the corpus tokenize+explode on the corpus path) ran
+    # twice per call (r14). Vocab-pruned postings are bounded by the query
+    # vocabulary, the natural materialization point; scoped so
+    # re-invocations recompute from their inputs (ops/util.py).
+    post = scoped_persist(post, "bm25_topk.postings")
 
     df_tbl = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df"))
