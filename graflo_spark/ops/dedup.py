@@ -207,6 +207,25 @@ def minhash_lsh_candidates(
     the signature agreement ratio. Verify candidates with
     :func:`ngram_jaccard_pairs` when exactness matters.
     """
+    cand, _sig = _lsh_candidates_with_sigs(
+        df, id_col, text_col, shingle_k, num_perm, bands, portable_hash)
+    return cand
+
+
+def _lsh_candidates_with_sigs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    portable_hash: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, the persisted ``(id, sig)`` table they were built
+    from). The sig table has exactly one row per input doc — callers that
+    need the input ID SET (e.g. the survivor base in :func:`minhash_dedup`)
+    read it off the already-persisted blocks instead of re-deriving it
+    with another scan + digest shuffle (r14)."""
     # The sig table feeds three consumers (band explode + two hydration
     # joins); Catalyst does not reuse the aggregate subtree across them, so
     # without persist the shingle explosion runs 3x. One row per doc makes
@@ -218,7 +237,7 @@ def minhash_lsh_candidates(
         minhash_signatures(
             df, id_col, text_col, shingle_k, num_perm, portable_hash),
         "minhash_lsh_candidates.sig")
-    return _candidates_from_sigs(sig, num_perm, bands, portable_hash)
+    return _candidates_from_sigs(sig, num_perm, bands, portable_hash), sig
 
 
 def _band_hash_fn(portable_hash: bool):
@@ -340,23 +359,20 @@ def minhash_dedup(
     # (groupBy would lump every NULL into one group and drop all but one.)
     nonnull = df.filter(F.col(text_col).isNotNull())
     reps = _exact_text_reps(nonnull, id_col, text_col)
-    cand = minhash_lsh_candidates(reps, id_col, text_col, **lsh_kwargs)
+    cand, sig = _lsh_candidates_with_sigs(reps, id_col, text_col,
+                                          **lsh_kwargs)
     drop = (
         cand.filter(F.col("est_jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .dropDuplicates()
     )
-    # the survivor base needs only the rep ID SET; re-deriving reps here
-    # would re-run its sha256 + full-text groupBy shuffle (Catalyst shares
-    # no subtree with the sig build's copy) — the digest-keyed min-id
-    # aggregate is the same set with a 32-byte shuffle key and no text
-    # payload (r14; the near-dup clustering twin below does the same)
-    rep_ids = (
-        nonnull.select(
-            F.col(id_col), F.sha2(F.col(text_col), 256).alias("__td"))
-        .groupBy("__td").agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
+    # the survivor base needs only the rep ID SET — which is exactly the
+    # id column of the persisted signature table (one row per rep; reps
+    # are non-null texts, so no NULL-signature rows exist). Reading it off
+    # the persisted blocks replaces the former digest-keyed min-id
+    # re-aggregate: one document scan + sha256 pass + shuffle less per
+    # call (r14).
+    rep_ids = sig.select(F.col("id").alias(id_col))
     survivors = rep_ids.join(drop, id_col, "left_anti")
     return df.filter(F.col(text_col).isNull()).unionByName(
         df.join(survivors, id_col, "left_semi"))
