@@ -82,6 +82,7 @@ def minhash_signatures(
     shingle_k: int = 5,
     num_perm: int = 64,
     portable_hash: bool = False,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """``(id, sig: array<long>)`` MinHash signatures.
 
@@ -103,10 +104,18 @@ def minhash_signatures(
     Scale: shuffle is one 64-wide row per doc per partition either way
     (the xxhash64 path reduces the shingle explosion map-side; the Arrow
     path never explodes at all).
+
+    ``unique_ids``: promise that ``id_col`` is unique (e.g. the input is
+    the exact-collapse representative frame, min-id per distinct text).
+    The Arrow path's duplicate-id merge aggregate is then the identity —
+    min over one row per permutation — and is skipped: one full shuffle
+    (and a 32-task stage per call at local defaults) less. The xxhash64
+    path is unaffected (its groupBy IS the signature aggregation).
     """
     if portable_hash:
         return _minhash_signatures_md5_arrow(
-            df, id_col, text_col, shingle_k, num_perm)
+            df, id_col, text_col, shingle_k, num_perm,
+            unique_ids=unique_ids)
     coeffs = _perm_coeffs(num_perm)
     df = ensure_min_parallelism(df)
     # no array_distinct: the min aggregate is duplicate-insensitive (min over
@@ -135,6 +144,7 @@ def _minhash_signatures_md5_arrow(
     text_col: str,
     shingle_k: int,
     num_perm: int,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Arrow-batched portable-md5 MinHash signatures, bit-identical to the
     former expression chain (pinned by
@@ -185,6 +195,12 @@ def _minhash_signatures_md5_arrow(
     base = ensure_min_parallelism(df)
     per_row = base.select(
         F.col(id_col).alias("id"), sig_of(F.col(text_col)).alias("sig"))
+    if unique_ids:
+        # one row per id by caller contract: the merge aggregate below is
+        # the identity (elementwise min over a single row) — skip its
+        # shuffle outright (r14, guide §2.4 "a distinct on data that is
+        # already unique")
+        return per_row
     merged = per_row.groupBy("id").agg(
         F.array(*[
             F.min(F.element_at("sig", i + 1)) for i in range(num_perm)
@@ -200,6 +216,7 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     portable_hash: bool = False,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -208,7 +225,8 @@ def minhash_lsh_candidates(
     :func:`ngram_jaccard_pairs` when exactness matters.
     """
     cand, _sig = _lsh_candidates_with_sigs(
-        df, id_col, text_col, shingle_k, num_perm, bands, portable_hash)
+        df, id_col, text_col, shingle_k, num_perm, bands, portable_hash,
+        unique_ids=unique_ids)
     return cand
 
 
@@ -220,6 +238,7 @@ def _lsh_candidates_with_sigs(
     num_perm: int = 64,
     bands: int = 16,
     portable_hash: bool = False,
+    unique_ids: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(candidate pairs, the persisted ``(id, sig)`` table they were built
     from). The sig table has exactly one row per input doc — callers that
@@ -235,7 +254,8 @@ def _lsh_candidates_with_sigs(
     # blocks instead of recomputing from the input files (ops/util.py).
     sig = scoped_persist(
         minhash_signatures(
-            df, id_col, text_col, shingle_k, num_perm, portable_hash),
+            df, id_col, text_col, shingle_k, num_perm, portable_hash,
+            unique_ids=unique_ids),
         "minhash_lsh_candidates.sig")
     return _candidates_from_sigs(sig, num_perm, bands, portable_hash), sig
 
@@ -359,8 +379,10 @@ def minhash_dedup(
     # (groupBy would lump every NULL into one group and drop all but one.)
     nonnull = df.filter(F.col(text_col).isNotNull())
     reps = _exact_text_reps(nonnull, id_col, text_col)
+    # reps carry one row per distinct text with a unique min-id — the
+    # signature merge aggregate is skippable (unique_ids)
     cand, sig = _lsh_candidates_with_sigs(reps, id_col, text_col,
-                                          **lsh_kwargs)
+                                          unique_ids=True, **lsh_kwargs)
     drop = (
         cand.filter(F.col("est_jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
@@ -708,6 +730,7 @@ class MinHashDedupStore:
         sig = minhash_signatures(
             reps, self.id_col, self.text_col,
             self.shingle_k, self.num_perm, self.portable_hash,
+            unique_ids=True,
         ).persist()
 
         # (a) within-batch: greedy drop-larger-id over verified candidates
@@ -822,7 +845,8 @@ def minhash_near_dup_clusters(
     # all-docs closure oracle), NOT collapsed into one NULL group.
     nonnull = df.filter(F.col(text_col).isNotNull())
     reps = _exact_text_reps(nonnull, id_col, text_col)
-    cand = minhash_lsh_candidates(reps, id_col, text_col, **lsh_kwargs)
+    cand = minhash_lsh_candidates(reps, id_col, text_col, unique_ids=True,
+                                  **lsh_kwargs)
     verified = cand.filter(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b")
     # The cluster-assignment doc side and the expansion join need only

@@ -199,8 +199,17 @@ def _driver_components(edges: DataFrame) -> DataFrame:
     t = edges.schema["a"].dataType
     schema = T.StructType([
         T.StructField("node", t), T.StructField("component", t)])
-    return edges.sparkSession.createDataFrame(
-        [(v, comp_min[find(v)]) for v in parent], schema)
+    # ONE slice: the default createDataFrame parallelizes into
+    # defaultParallelism pickled slices, so every downstream action over
+    # this few-hundred-row local result pays a 32-task Python-boundary
+    # stage at local defaults. (NOT .coalesce(1): a no-shuffle coalesce
+    # computes the 32 parent Python-RDD partitions SEQUENTIALLY in one
+    # task — 32 serial Python worker rounds, measured ~7 s per action.)
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(v, comp_min[find(v)]) for v in parent], 1),
+        schema)
 
 
 def _sorted_pairs(rows) -> list:
@@ -589,8 +598,11 @@ def pagerank(
                 schema = T.StructType([
                     T.StructField("node", node_t),
                     T.StructField("rank", T.DoubleType())])
+                # one slice — see _driver_components on why not coalesce
                 out = pairs.sparkSession.createDataFrame(
-                    ranks_local, schema)
+                    pairs.sparkSession.sparkContext.parallelize(
+                        ranks_local, 1),
+                    schema)
                 ck.abort()
                 return out
         nodes = ck(
@@ -750,8 +762,11 @@ def label_propagation(
                 schema = T.StructType([
                     T.StructField("node", node_t),
                     T.StructField("label", node_t)])
+                # one slice — see _driver_components on why not coalesce
                 out = pairs.sparkSession.createDataFrame(
-                    _driver_lpa(rows, max_iter), schema)
+                    pairs.sparkSession.sparkContext.parallelize(
+                        _driver_lpa(rows, max_iter), 1),
+                    schema)
                 ck.abort()
                 return out
         labels = (
