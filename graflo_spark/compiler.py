@@ -40,11 +40,10 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
-
 from graflo_spark import identity as ident
 from graflo_spark.container import GraphBatch
 from graflo_spark.manifest import CoreSchema, Edge, EdgeId, IdentityMode, Vertex
+from graflo_spark.ops.util import scoped_persist
 from graflo_spark.steps import (
     DescendStep,
     DynamicEdgeStep,
@@ -148,8 +147,12 @@ class ResourceCompiler:
         base = self._prepare_base(df)
         if persist and self.resource.doc_key is None and self._doc_id_matters():
             # monotonically_increasing_id must not be recomputed differently
-            # across the DAG branches that re-read the base
-            base = base.persist(StorageLevel.MEMORY_AND_DISK)
+            # across the DAG branches that re-read the base. Scoped: a
+            # recompile of the same resource must not splice into the
+            # previous compile's blocks (CacheManager keys on the
+            # canonicalized plan — stale data if the files changed, and
+            # cross-invocation reuse of work that should recompute).
+            base = scoped_persist(base, f"compiler.base.{self.resource.name}")
         root = Frame(path=(), df=base, pos_cols=(), pos_path=())
         self._walk(root, self.resource.steps)
         # dynamic links enumerate AFTER the whole walk: their role cross

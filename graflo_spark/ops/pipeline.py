@@ -184,14 +184,29 @@ def annotate(
         if cfg.allowed_langs is not None else F.lit(True)
     )
 
+    # The lm / clf / decontam branches below each join a derived
+    # (id -> value) frame back onto ``out``. Scoring them against
+    # ``out``-so-far embedded one full copy of the accumulated plan PER
+    # BRANCH (and the training calls EXECUTED that composed plan): with
+    # every gate on, the logical tree held ~2^k copies of the docs
+    # subtree and Catalyst re-analysis made annotate() construction
+    # alone cost ~90 s on a 7-row frame (r15 measurement; guide §3.3
+    # "very wide joins of many inputs produce enormous plans"). The
+    # branches are functions of the ORIGINAL (id, text[, label cols])
+    # only — text is not rewritten until the survivor projection at the
+    # end — so they score ``docs`` directly: each branch's plan is one
+    # scan + its own work, and the assembled tree stays linear in the
+    # number of gates. Output-identical by construction.
+
     # optional LM fluency gate (CCNet-style): cross-entropy under a model
     # trained on the deterministic reference slice of THIS corpus. Docs
     # too short to score (<2 tokens) pass — the token gate owns them.
     if cfg.max_cross_entropy is not None:
         from graflo_spark.ops.lm import lm_cross_entropy, train_bigram_lm
 
-        model = train_bigram_lm(out, id_c, t_c, train_mod=cfg.lm_train_mod)
-        ce = lm_cross_entropy(out, id_c, t_c, model).select(
+        nar = docs.select(F.col(id_c), F.col(t_c))
+        model = train_bigram_lm(nar, id_c, t_c, train_mod=cfg.lm_train_mod)
+        ce = lm_cross_entropy(nar, id_c, t_c, model).select(
             F.col("id").alias(id_c),
             F.col("cross_entropy").alias("__ce"),
         )
@@ -204,16 +219,19 @@ def annotate(
         lm_ok = F.lit(True)
 
     # optional quality-classifier gate (fastText-style): trained on the
-    # deterministic id-mod slice labeled by cfg.clf_pos_filter, scored
-    # over the whole corpus (one explode + broadcast weight join)
+    # deterministic id-mod slice labeled by cfg.clf_pos_filter — an
+    # expression over the INPUT frame's columns — scored over the whole
+    # corpus (one Arrow pass / explode + broadcast weight join)
     if cfg.clf_pos_filter is not None:
         from graflo_spark.ops.quality_clf import (
             quality_scores, train_quality_classifier)
 
         model = train_quality_classifier(
-            out.filter(F.col(id_c) % cfg.clf_train_mod == 0),
+            docs.filter(F.col(id_c) % cfg.clf_train_mod == 0),
             id_c, t_c, F.expr(cfg.clf_pos_filter), n_bins=cfg.clf_n_bins)
-        sc = quality_scores(out, id_c, t_c, model).select(
+        sc = quality_scores(
+            docs.select(F.col(id_c), F.col(t_c)), id_c, t_c, model
+        ).select(
             F.col("id").alias(id_c), F.col("prob").alias("__clf_prob"))
         out = out.join(sc, id_c, "left")
         clf_ok = (
@@ -226,7 +244,7 @@ def annotate(
     # decontamination — the proven operator, not a re-implementation
     if bench is not None:
         flags = contamination_flags(
-            out, bench, id_c, t_c,
+            docs.select(F.col(id_c), F.col(t_c)), bench, id_c, t_c,
             ngram_n=cfg.decontam_ngram,
             min_overlap=cfg.decontam_min_overlap,
         )
@@ -371,19 +389,27 @@ def prepare_training_data(
     train), ``annotated`` carries every input document with its
     ``drop_stage``/``split`` tags, and ``funnel`` is the stage report.
 
-    The annotated frame is persisted (``cfg.persist_annotated``, default
-    MEMORY_AND_DISK) before the fan-out: chunks branch per split and the
-    funnel/annotated outputs each trigger their own action, and without the
-    persist every one of them would re-run the whole annotate DAG — the
-    LSH band join and representative selection ~5x per run at the default
-    3 splits. Callers streaming the outputs to disk can
-    ``annotated.unpersist()`` afterwards."""
+    The annotated frame is materialized via an eager ``localCheckpoint``
+    (``cfg.persist_annotated``) before the fan-out: chunks branch per
+    split and the funnel/annotated outputs each trigger their own action,
+    and without it every one of them would re-run the whole annotate DAG
+    — the LSH band join and representative selection ~5x per run at the
+    default 3 splits. A checkpoint rather than a persist (r15): the
+    annotate plan with every optional gate on is large enough that each
+    downstream TRANSFORMATION (line scrub, substring scrub, packing) paid
+    seconds of Catalyst re-analysis over it — a persist caches data but
+    not the logical plan; the checkpoint truncates lineage to one
+    LogicalRDD (guide §3.3), and measured 142 -> ~35 s on the all-gates
+    composition. It also cannot serve stale cross-invocation state: each
+    call computes a fresh RDD (no CacheManager plan-matching). Blocks are
+    freed when the returned frame is garbage-collected; an explicit
+    ``annotated.unpersist()`` frees them immediately but — unlike the
+    pre-r15 persist — the frame cannot be re-read afterwards (checkpoints
+    truncate lineage), so unpersist only once done with it."""
     cfg = cfg or PipelineConfig()
     annotated = annotate(docs, bench, cfg)
     if cfg.persist_annotated:
-        from pyspark import StorageLevel
-
-        annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
+        annotated = annotated.localCheckpoint()
     kept = survivors(annotated)
     if cfg.dedup_lines_delimiter is not None:
         # line scrub before the token-span scrub: whole boilerplate lines

@@ -11,7 +11,27 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from graflo_spark.session import get_spark
 
-    s = get_spark("graflo-spark-tests", shuffle_partitions=4)
+    # Interpreted execution for the TEST session only (r15): the suite
+    # runs thousands of fresh single-use plans over toy frames, where
+    # whole-stage-codegen buys nothing and every plan pays a Janino
+    # compile — on this box pathologically slow ones (see session.py's
+    # codegen-cache note). Measured 3.5x on fresh-plan toy queries and
+    # 2-3x on whole test files; results are identical (Spark's
+    # interpreted mode is the reference semantics its own test matrix
+    # runs). The driver's oracle gate (tools/check_oracle.py) still runs
+    # the default COMPILED mode over all 50 registered queries, so
+    # codegen-path coverage is not lost. SPARK_GRAFT_TEST_CODEGEN=1
+    # restores compiled mode for offline cross-mode runs; tests that
+    # assert ON codegen itself re-enable it locally (the conf is
+    # runtime-settable).
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_TEST_CODEGEN", "") != "1":
+        extra = {
+            "spark.sql.codegen.wholeStage": "false",
+            "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+        }
+    s = get_spark("graflo-spark-tests", shuffle_partitions=4,
+                  extra_conf=extra)
     yield s
 
 

@@ -80,21 +80,43 @@ class _Killer:
 
 
 def _sweep(tmp_path, build, op, retry, read):
-    """Exhaustive kill-point sweep of one op.
+    """Kill-point sweep of one op.
 
     ``build(path)`` populates a store and returns its handle; ``op(h)``
     is the operation under test; ``retry(path)`` re-runs it from a FRESH
     handle (the post-crash restart); ``read(path)`` returns the canonical
     reader-visible state from a fresh handle. Returns the number of kill
-    points exercised (>= 1 asserts the op actually mutates)."""
+    points AVAILABLE (>= 1 asserts the op actually mutates).
+
+    Depth (r15, driver-budget fix): each kill point costs a full store
+    rebuild + op + two reads (~10 s of Spark actions), so the two compact
+    sweeps alone were 13.5 min of the 64-min suite. CI sweeps a
+    DETERMINISTIC sample of at most ``SPARK_GRAFT_CRASH_SWEEP_MAX``
+    (default 6) kill points — always including the first two mutations
+    (the earliest-rename hazards), the last, and evenly spaced middles —
+    plus one un-killed commit check. ``SPARK_GRAFT_CRASH_SWEEP_MAX=0``
+    restores the exhaustive sweep (the offline/ledgered depth; r13-r15
+    all ran it at least once per round)."""
     ref = str(tmp_path / "ref")
     h = build(ref)
     old = read(ref)
-    op(h)
+    with _Killer() as counting:  # count the op's fs mutations; no kill
+        op(h)
     new = read(ref)
+    total = counting.count
+    if total == 0:
+        return 0
 
-    n = 1
-    while True:
+    max_pts = int(os.environ.get("SPARK_GRAFT_CRASH_SWEEP_MAX", "6"))
+    if max_pts and total > max_pts:
+        step = max(1, total // max_pts)
+        pts = sorted({1, 2, total, *range(1, total + 1, step)})[:max_pts]
+        if total not in pts:
+            pts[-1] = total
+    else:
+        pts = list(range(1, total + 1))
+
+    for n in pts:
         path = str(tmp_path / f"k{n}")
         h = build(path)
         assert read(path) == old
@@ -109,14 +131,21 @@ def _sweep(tmp_path, build, op, retry, read):
         assert seen == old or seen == new, (
             f"kill at mutation {n}: torn state — reader saw neither the "
             f"old nor the new version")
-        if not killed:
+        if killed:
+            retry(path)
+            assert read(path) == new, (
+                f"kill at mutation {n}: retry did not converge to the "
+                f"committed new state")
+        else:
             assert seen == new, f"un-killed run at n={n} did not commit"
-            return n - 1
-        retry(path)
-        assert read(path) == new, (
-            f"kill at mutation {n}: retry did not converge to the "
-            f"committed new state")
-        n += 1
+
+    # un-killed commit check on a fresh build (the exhaustive loop's
+    # terminating iteration, preserved under sampling)
+    path = str(tmp_path / "k-commit")
+    h = build(path)
+    op(h)
+    assert read(path) == new, "un-killed run did not commit"
+    return total
 
 
 # ------------------------------------------------------------ GraphStore

@@ -1481,7 +1481,10 @@ def test_random_op_chains_keep_store_physically_consistent(spark, tmp_path):
                     f"neighbors({vn}) reached {len(out)} > {total_v} nodes")
             return
 
-    n_seeds = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "8"))
+    # CI default 4 seeds (~60 s; r15 driver-budget fix — the offline
+    # ledgered depth runs with SPARK_GRAFT_FUZZ_SEEDS raised, as r13-r15
+    # did at 8-500 seeds per round)
+    n_seeds = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "4"))
     n_ops = int(os.environ.get("SPARK_GRAFT_FUZZ_OPS", "6"))
     base = int(os.environ.get("SPARK_GRAFT_FUZZ_BASE", "1000"))
     for seed in range(n_seeds):

@@ -61,6 +61,80 @@ def test_minhash_candidates_reread_changed_files(spark, tmp_path):
     assert second.count() == 0  # all-distinct texts: no candidates
 
 
+def test_compile_reread_changed_files(spark, tmp_path):
+    """A recompile over a path whose FILES changed must reflect the new
+    data (r15: compiler.py's base persist was the last bare `.persist()`
+    of the f3cc98d leak class — a later compile whose canonicalized plan
+    matched spliced into the previous compile's blocks)."""
+    from graflo_spark.compiler import compile_resource
+    from graflo_spark.manifest import CoreSchema, Field, IdentityMode, Vertex
+    from graflo_spark.ops.util import _SCOPED_CACHE
+    from graflo_spark.steps import ResourceConfig, VertexStep
+
+    # BLANK identity => _doc_id_matters() => the base-persist path runs
+    schema = CoreSchema(
+        vertices=[Vertex("note", [Field("body")], identity=[],
+                         identity_mode=IdentityMode.BLANK)],
+        edges=[])
+    res = ResourceConfig(name="notes_stale", steps=[VertexStep(name="note")],
+                         infer_edges=False)
+    p = str(tmp_path / "notes.parquet")
+    spark.createDataFrame([("a",), ("b",)], "body string") \
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    first = compile_resource(schema, res, spark.read.parquet(p))
+    assert first.vertices["note"].count() == 2
+    base1 = _SCOPED_CACHE.get("compiler.base.notes_stale")
+    assert base1 is not None and base1.storageLevel.useMemory
+    spark.createDataFrame([("x",), ("y",), ("z",)], "body string") \
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    second = compile_resource(schema, res, spark.read.parquet(p))
+    # THE assertion: pre-fix, the second compile's persist plan-matched
+    # the first compile's cached blocks and this read 2 stale rows.
+    # (storageLevel on base1 can't witness the retirement here: both
+    # compiles scan the same path, so CacheManager answers base1's plan
+    # with the SECOND generation's entry — the retrain test covers the
+    # distinct-plan case.)
+    assert second.vertices["note"].count() == 3
+    # single generation per scope: the cache advanced to a new frame
+    base2 = _SCOPED_CACHE.pop("compiler.base.notes_stale", None)
+    assert base2 is not None and base2 is not base1
+    base2.unpersist()
+
+
+def test_pipeline_reinvoke_reflects_changed_files(spark, tmp_path):
+    """A second prepare_training_data over a path whose FILES changed must
+    reflect the new data (pipeline.py's annotated frame was the other
+    bare-persist site; r15 made it an eager localCheckpoint — computed
+    fresh per invocation, never plan-matched into stale blocks)."""
+    from graflo_spark.ops.pipeline import PipelineConfig, prepare_training_data
+
+    # per-doc DISSIMILAR texts: the near-dup stage must not pair them
+    words = ["apple", "bridge", "copper", "dune", "ember", "fjord",
+             "garnet", "harbor", "iris", "jasper", "kelp", "lagoon"]
+    def doc(i):
+        w = words[i % len(words)]
+        return (i, f"{w} " * 3 + f"travel {w}note {i} report {w}{i} "
+                   f"summary of the {w} season {i}")
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [doc(i) for i in range(12)], "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    cfg = PipelineConfig(decontam_ngram=3)
+    _, ann1, funnel1 = prepare_training_data(
+        spark.read.parquet(p), None, cfg)
+    assert ann1.count() == 12
+    assert {r["stage"]: r["n_docs"] for r in funnel1.collect()} == {
+        "kept": 12}
+    spark.createDataFrame(
+        [doc(i) for i in range(8)], "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    _, ann2, funnel2 = prepare_training_data(
+        spark.read.parquet(p), None, cfg)
+    assert ann2.count() == 8
+    assert {r["stage"]: r["n_docs"] for r in funnel2.collect()} == {
+        "kept": 8}
+
+
 def test_quality_clf_retrain_retires_previous_cache(spark):
     """Training a second model unpersists the first model's weights
     (single generation per scope) — NB: ``storageLevel`` is answered by

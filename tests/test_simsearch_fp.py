@@ -146,10 +146,24 @@ def test_lsh_bucket_expr_wide_dim(spark):
         expected[v] = bucket
     assert {r["id"]: r["b"] for r in out.collect()} == expected
 
-    jvm = spark._jvm
-    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
-    s = out._jdf.queryExecution().explainString(mode)
-    assert "Found 1 WholeStageCodegen subtrees" in s, s.splitlines()[0]
+    # the codegen-span assertion needs compiled mode; the test session
+    # runs interpreted (conftest) — toggle the runtime conf around a
+    # fresh plan build
+    prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    prev_fm = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    try:
+        out2 = df.select(
+            "id", ss.lsh_bucket_expr(F.col("v"), dim, n_planes).alias("b"))
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "codegen")
+        s = out2._jdf.queryExecution().explainString(mode)
+        assert "Found 1 WholeStageCodegen subtrees" in s, s.splitlines()[0]
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+        spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
 
 
 def test_lsh_topk_multi_probe_raises_recall(spark, tables):
