@@ -138,6 +138,86 @@ def minhash_signatures(
     )
 
 
+def _md5_sig_udf(shingle_k: int, num_perm: int):
+    """The Arrow-batched portable-md5 signature UDF (see
+    :func:`_minhash_signatures_md5_arrow` for the bit-identity proof)."""
+    import numpy as np
+
+    coeffs = _perm_coeffs(num_perm)
+    a_col = np.array([a for a, _ in coeffs], dtype=np.int64).reshape(-1, 1)
+    b_col = np.array([b for _, b in coeffs], dtype=np.int64).reshape(-1, 1)
+    null_sig = [None] * num_perm
+
+    @F.pandas_udf("array<long>")
+    def sig_of(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(null_sig)
+                continue
+            n = max(len(t) - (shingle_k - 1), 1)
+            hs = np.fromiter(
+                (int(hashlib.md5(
+                    t[i:i + shingle_k].encode("utf-8")).hexdigest()[:8], 16)
+                 & _MERSENNE_31
+                 for i in range(n)),
+                dtype=np.int64, count=n)
+            out.append(((a_col * hs[None, :] + b_col) % _MERSENNE_31)
+                       .min(axis=1))
+        return pd.Series(out)
+
+    return sig_of
+
+
+def _rep_signatures(
+    nonnull: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """``(id, sig)`` — one row per DISTINCT text with its min-id
+    representative: the exact-collapse + signature composition every
+    dedup entry point runs.
+
+    On the portable (Arrow) path the signature is computed BEFORE the
+    collapse (r15, guide §2.3 "shuffle keys and metadata instead of
+    payloads" / §8): the former ``_exact_text_reps -> minhash_signatures``
+    order shuffled the full text body twice — once inside the collapse
+    (whose ``first(text)`` aggregate existed ONLY to feed the signature
+    UDF, and whose var-width buffer forced a SortAggregate) and once in
+    the parallelism-floor repartition ahead of the UDF. Computing the
+    per-row signature on scan partitions first, the collapse groups by
+    ``(sha256 digest, sig)`` — ~550 narrow bytes per row — with a
+    fixed-width ``min(id)`` buffer (HashAggregate, map-side partials).
+    Identical output: identical texts hash to identical signatures, and
+    the group's min id is the same representative `_exact_text_reps`
+    picks. The extra cost is one signature per DUPLICATE row (instead of
+    per distinct text) — bounded by the duplicate fraction — against a
+    full-corpus payload shuffle saved.
+
+    The xxhash64 expression path keeps the collapse-first order: its
+    signature aggregate is itself a narrow map-side-reduced groupBy, and
+    sig-first would need an extra (id -> digest) join instead."""
+    if not portable_hash:
+        reps = _exact_text_reps(nonnull, id_col, text_col)
+        return minhash_signatures(
+            reps, id_col, text_col, shingle_k, num_perm,
+            portable_hash, unique_ids=True)
+    sig_of = _md5_sig_udf(shingle_k, num_perm)
+    per_row = ensure_min_parallelism(nonnull).select(
+        F.sha2(F.col(text_col), 256).alias("__td"),
+        F.col(id_col).alias("id"),
+        sig_of(F.col(text_col)).alias("sig"),
+    )
+    return (
+        per_row.groupBy("__td", "sig")
+        .agg(F.min("id").alias("id"))
+        .select("id", "sig")
+    )
+
+
 def _minhash_signatures_md5_arrow(
     df: DataFrame,
     id_col: str,
@@ -167,31 +247,7 @@ def _minhash_signatures_md5_arrow(
     both paths — so the merge aggregate reproduces the former
     groupBy-over-shingles semantics exactly; it ships the same one
     64-wide row per doc the old partial aggregate shipped."""
-    import numpy as np
-
-    coeffs = _perm_coeffs(num_perm)
-    a_col = np.array([a for a, _ in coeffs], dtype=np.int64).reshape(-1, 1)
-    b_col = np.array([b for _, b in coeffs], dtype=np.int64).reshape(-1, 1)
-    null_sig = [None] * num_perm
-
-    @F.pandas_udf("array<long>")
-    def sig_of(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            if t is None:
-                out.append(null_sig)
-                continue
-            n = max(len(t) - (shingle_k - 1), 1)
-            hs = np.fromiter(
-                (int(hashlib.md5(
-                    t[i:i + shingle_k].encode("utf-8")).hexdigest()[:8], 16)
-                 & _MERSENNE_31
-                 for i in range(n)),
-                dtype=np.int64, count=n)
-            out.append(((a_col * hs[None, :] + b_col) % _MERSENNE_31)
-                       .min(axis=1))
-        return pd.Series(out)
-
+    sig_of = _md5_sig_udf(shingle_k, num_perm)
     base = ensure_min_parallelism(df)
     per_row = base.select(
         F.col(id_col).alias("id"), sig_of(F.col(text_col)).alias("sig"))
@@ -256,6 +312,26 @@ def _lsh_candidates_with_sigs(
         minhash_signatures(
             df, id_col, text_col, shingle_k, num_perm, portable_hash,
             unique_ids=unique_ids),
+        "minhash_lsh_candidates.sig")
+    return _candidates_from_sigs(sig, num_perm, bands, portable_hash), sig
+
+
+def _rep_candidates_with_sigs(
+    nonnull: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    portable_hash: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The exact-collapse dedup entry shape: candidate pairs + the
+    persisted ``(id, sig)`` table over the min-id representative of each
+    distinct non-null text (:func:`_rep_signatures` — sig-first on the
+    portable path, so no shuffle carries the text payload)."""
+    sig = scoped_persist(
+        _rep_signatures(nonnull, id_col, text_col, shingle_k, num_perm,
+                        portable_hash),
         "minhash_lsh_candidates.sig")
     return _candidates_from_sigs(sig, num_perm, bands, portable_hash), sig
 
@@ -378,11 +454,10 @@ def minhash_dedup(
     # the uncollapsed pipeline could never pair them — they all survive.
     # (groupBy would lump every NULL into one group and drop all but one.)
     nonnull = df.filter(F.col(text_col).isNotNull())
-    reps = _exact_text_reps(nonnull, id_col, text_col)
-    # reps carry one row per distinct text with a unique min-id — the
-    # signature merge aggregate is skippable (unique_ids)
-    cand, sig = _lsh_candidates_with_sigs(reps, id_col, text_col,
-                                          unique_ids=True, **lsh_kwargs)
+    # one row per distinct text with its unique min-id representative;
+    # sig-first on the portable path so no shuffle carries the text
+    cand, sig = _rep_candidates_with_sigs(nonnull, id_col, text_col,
+                                          **lsh_kwargs)
     drop = (
         cand.filter(F.col("est_jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
@@ -723,14 +798,12 @@ class MinHashDedupStore:
         pass through as survivors and are not stored."""
         # collapse exact duplicates to their min-id representative first —
         # output-identical (see minhash_dedup) and immune to hot boilerplate
-        # groups exploding the within-batch band join
-        reps = _exact_text_reps(
+        # groups exploding the within-batch band join; sig-first on the
+        # portable path (no shuffle carries the text — _rep_signatures)
+        sig = _rep_signatures(
             df.filter(F.col(self.text_col).isNotNull()),
-            self.id_col, self.text_col)
-        sig = minhash_signatures(
-            reps, self.id_col, self.text_col,
+            self.id_col, self.text_col,
             self.shingle_k, self.num_perm, self.portable_hash,
-            unique_ids=True,
         ).persist()
 
         # (a) within-batch: greedy drop-larger-id over verified candidates
@@ -844,9 +917,8 @@ def minhash_near_dup_clusters(
     # them: each must come out as its own singleton cluster (matching the
     # all-docs closure oracle), NOT collapsed into one NULL group.
     nonnull = df.filter(F.col(text_col).isNotNull())
-    reps = _exact_text_reps(nonnull, id_col, text_col)
-    cand = minhash_lsh_candidates(reps, id_col, text_col, unique_ids=True,
-                                  **lsh_kwargs)
+    cand, _sig = _rep_candidates_with_sigs(nonnull, id_col, text_col,
+                                           **lsh_kwargs)
     verified = cand.filter(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b")
     # The cluster-assignment doc side and the expansion join need only

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from graflo_spark.ops.util import ensure_min_parallelism
+
 
 def _lloyd(x: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
     """Deterministic seeded Lloyd's k-means (numpy); returns (k, dsub)
@@ -71,9 +73,38 @@ def _lloyd(x: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
 def _topk_cut(scores: "np.ndarray", ids: "np.ndarray", k: int) -> "np.ndarray":
     """Indices of the top-k by (score desc, id asc) — the SAME tie-break
     the final global window uses, so a local cut can never discard a row
-    the global ranking would have kept (quantized ADC scores tie often)."""
+    the global ranking would have kept (quantized ADC scores tie often).
+
+    Large inputs take an O(n) prune first (r15): everything with score >=
+    the k-th largest score — a SUPERSET of the top-k under any tie-break
+    — then the exact lexsort runs on that remainder only. Selection is
+    identical to the full lexsort by construction."""
+    n = len(scores)
+    if n > 4 * k and k > 0:
+        kth = np.partition(scores, n - k)[n - k]
+        keep = np.nonzero(scores >= kth)[0]
+        order = keep[np.lexsort((ids[keep], -scores[keep]))]
+        return order[:k]
     order = np.lexsort((ids, -scores))
     return order[:k]
+
+
+# per-task temp bound for the vectorized multi-query ADC gather: chunk the
+# query axis so the (q_chunk, n, m) float64 gather stays under this
+_ADC_CHUNK_BYTES = 64 << 20
+
+
+def _adc_score_chunk(lut_chunk: "np.ndarray",
+                     code_mat: "np.ndarray") -> "np.ndarray":
+    """(q_chunk, n) ADC scores for a chunk of query LUTs against one
+    batch's code matrix — the vectorized form of the former per-query
+    ``lut[arange(m), code_mat].sum(axis=1)`` loop. The reduction runs
+    over the SAME contiguous length-m axis with the same numpy pairwise
+    algorithm, so each (query, row) score is bit-identical to the
+    per-query path's float64."""
+    m = code_mat.shape[1]
+    j_idx = np.arange(m)
+    return lut_chunk[:, j_idx[None, :], code_mat].sum(axis=2)
 
 
 @dataclass
@@ -316,28 +347,43 @@ def pq_topk(
         ]
     )
 
+    qids_arr = np.array([q for q, _ in luts], dtype=np.int64)
+    lut_all = np.stack([l for _, l in luts]) if luts else None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # running top-k per query across ALL of this task's batches:
-        # emitting per batch would inflate the shuffle by the batch count
+        # emitting per batch would inflate the shuffle by the batch count.
+        # Scores are gathered for a CHUNK of queries at once (r15): the
+        # former per-query fancy-index loop paid Q python iterations and
+        # Q separate (n, m) gathers per batch — the wall of the driver-LUT
+        # path once Q reaches the hundreds. Per-(query, row) float64
+        # scores are bit-identical (_adc_score_chunk).
         acc: dict[int, tuple] = {}
+        if lut_all is None:
+            return
+        nq, m = lut_all.shape[0], lut_all.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["id"].to_numpy()
-            code_mat = np.asarray(list(pdf["code"]), dtype=np.int64)
-            j_idx = np.arange(code_mat.shape[1])
-            for qid, lut in luts:
-                scores = lut[j_idx, code_mat].sum(axis=1)
-                if exclude_self:
-                    keep = ids != qid
-                    s, i = scores[keep], ids[keep]
-                else:
-                    s, i = scores, ids
-                if qid in acc:
-                    s = np.concatenate([acc[qid][0], s])
-                    i = np.concatenate([acc[qid][1], i])
-                top = _topk_cut(s, i, k)
-                acc[qid] = (s[top], i[top])
+            code_mat = np.ascontiguousarray(
+                np.asarray(list(pdf["code"]), dtype=np.int64))
+            n = len(ids)
+            chunk = max(1, _ADC_CHUNK_BYTES // max(1, n * m * 8))
+            for q0 in range(0, nq, chunk):
+                sc = _adc_score_chunk(lut_all[q0:q0 + chunk], code_mat)
+                for qi in range(sc.shape[0]):
+                    qid = int(qids_arr[q0 + qi])
+                    if exclude_self:
+                        keep = ids != qid
+                        s, i = sc[qi][keep], ids[keep]
+                    else:
+                        s, i = sc[qi], ids
+                    if qid in acc:
+                        s = np.concatenate([acc[qid][0], s])
+                        i = np.concatenate([acc[qid][1], i])
+                    top = _topk_cut(s, i, k)
+                    acc[qid] = (s[top], i[top])
         for qid, (s, i) in acc.items():
             yield pd.DataFrame(
                 {
@@ -395,24 +441,19 @@ def ivf_pq_topk(
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "cluster")
     )
-    # probes join FIRST: the broadcast on cluster prunes the assignment
-    # map-side to the probed n_probe/n_centroids fraction BEFORE the id
-    # shuffle joins in the codes — joining codes first would run the
-    # expensive id-join at full corpus size and discard ~all of it after
-    cand = (
-        ivf_index.assigned.select(
-            F.col("neighbor_id").alias("id"), "cluster"
-        )
-        .join(F.broadcast(probes), "cluster")
-        .join(codes, "id")
-        # self-exclusion is opt-out for external query id spaces (see
-        # pq_topk's exclude_self note)
-        .filter(
-            (F.col("id") != F.col("query_id")) if exclude_self else F.lit(True)
-        )
-        .select("query_id", F.col("id").alias("neighbor_id"), "code")
-    )
-
+    # Probe sets travel in the TASK CLOSURE, not a join (r15): the former
+    # shape broadcast-joined probes onto the assignment and then id-joined
+    # the codes in, REPLICATING every probed code row once per probing
+    # query — at the full-probe grading point that materialized a
+    # |queries| x |codes| frame through the join (4M rows at the 10x SF,
+    # 13 of the row's 16 s; guide §3.3 "explode before a join multiplies
+    # the shuffle"). The queries (and so the probes) are ALREADY bounded
+    # driver state — this function collects them for the LUTs — so the
+    # candidate frame is now ONE equi-join attaching each code row's
+    # cluster, pruned to the union of probed clusters (at scale: real
+    # partition pruning on a cluster-partitioned index), and each task
+    # scores its rows against every query probing that row's cluster,
+    # vectorized over the query axis.
     cents = [c.astype(np.float32) for c in book.centroids]
     dsub = book.dsub
     luts = {}
@@ -424,6 +465,9 @@ def ivf_pq_topk(
         luts[int(r["query_id"])] = np.stack(
             [cents[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(len(cents))]
         ).astype(np.float64)
+    probe_of: dict[int, set] = {}
+    for r in probes.collect():
+        probe_of.setdefault(int(r["query_id"]), set()).add(int(r["cluster"]))
 
     out_schema = T.StructType(
         [
@@ -433,31 +477,72 @@ def ivf_pq_topk(
         ]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[int, tuple] = {}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            for qid, grp in pdf.groupby("query_id"):
-                lut = luts[int(qid)]
-                code_mat = np.asarray(list(grp["code"]), dtype=np.int64)
-                s = lut[np.arange(code_mat.shape[1]), code_mat].sum(axis=1)
-                i = grp["neighbor_id"].to_numpy()
-                if int(qid) in acc:
-                    s = np.concatenate([acc[int(qid)][0], s])
-                    i = np.concatenate([acc[int(qid)][1], i])
-                top = _topk_cut(s, i, k)
-                acc[int(qid)] = (s[top], i[top])
-        for qid, (s, i) in acc.items():
-            yield pd.DataFrame(
-                {
-                    "query_id": qid,
-                    "neighbor_id": i,
-                    "score": s.astype(np.float64),
-                }
+    probed_clusters = sorted({c for cs in probe_of.values() for c in cs})
+    spark = queries.sparkSession
+    if not probed_clusters or not luts:
+        local = spark.createDataFrame([], out_schema)
+    else:
+        cand = (
+            ivf_index.assigned.select(
+                F.col("neighbor_id").alias("id"), "cluster"
             )
+            .filter(F.col("cluster").isin(probed_clusters))
+            .join(codes, "id")
+            .select("id", "cluster", "code")
+        )
+        # AQE coalesces the small join output to ONE partition, which
+        # would serialize the Q x n x m scoring below on one core;
+        # probe=False because probing a join output executes it (no-op
+        # at scale / off local masters)
+        cand = ensure_min_parallelism(cand, probe=False)
+        qids_arr = np.array(sorted(luts), dtype=np.int64)
+        lut_all = np.stack([luts[int(qid)] for qid in qids_arr])
+        max_cl = max(probed_clusters)
+        probe_mat = np.zeros((len(qids_arr), max_cl + 1), dtype=bool)
+        for qi, qid in enumerate(qids_arr):
+            for c in probe_of.get(int(qid), ()):
+                probe_mat[qi, c] = True
 
-    local = cand.mapInPandas(run, schema=out_schema)
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict[int, tuple] = {}
+            nq, m = lut_all.shape[0], lut_all.shape[1]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["id"].to_numpy()
+                clusters = pdf["cluster"].to_numpy()
+                # clusters above the probed range can't reach here (the
+                # scan filter), but guard the mask lookup anyway
+                clusters = np.clip(clusters, 0, max_cl)
+                code_mat = np.ascontiguousarray(
+                    np.asarray(list(pdf["code"]), dtype=np.int64))
+                n = len(ids)
+                chunk = max(1, _ADC_CHUNK_BYTES // max(1, n * m * 8))
+                for q0 in range(0, nq, chunk):
+                    sc = _adc_score_chunk(lut_all[q0:q0 + chunk], code_mat)
+                    for qi in range(sc.shape[0]):
+                        qid = int(qids_arr[q0 + qi])
+                        keep = probe_mat[q0 + qi, clusters]
+                        if exclude_self:
+                            keep = keep & (ids != qid)
+                        if not keep.any() and qid not in acc:
+                            continue
+                        s, i = sc[qi][keep], ids[keep]
+                        if qid in acc:
+                            s = np.concatenate([acc[qid][0], s])
+                            i = np.concatenate([acc[qid][1], i])
+                        top = _topk_cut(s, i, k)
+                        acc[qid] = (s[top], i[top])
+            for qid, (s, i) in acc.items():
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": i,
+                        "score": s.astype(np.float64),
+                    }
+                )
+
+        local = cand.mapInPandas(run, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )

@@ -46,7 +46,8 @@ def scoped_persist(df: DataFrame, scope: str) -> DataFrame:
     return out
 
 
-def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None,
+                           probe: bool = True) -> DataFrame:
     """Repartition up when the scan has fewer partitions than cores.
 
     Single-row-group parquet files are unsplittable, so a small benchmark
@@ -54,6 +55,15 @@ def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataF
     hashing) serialize on a single core. At production scale the input is
     already parallel and this is a no-op — the check costs only plan
     translation, no job.
+
+    ``probe=False`` skips the partition-count probe and (under a local
+    master) repartitions unconditionally. Use it when ``df`` is a JOIN or
+    aggregate output feeding a CPU-heavy Python stage: on an adaptive
+    plan, ``df.rdd`` finalizes the query stages — i.e. EXECUTES the
+    upstream shuffles — just to answer ``getNumPartitions`` (r15: the
+    ivf-pq candidate join was AQE-coalesced to ONE partition because its
+    bytes are small, serializing a Q x n x m scoring stage on one core;
+    probing it would have run the join twice).
     """
     sc = df.sparkSession.sparkContext
     # On a cluster the input is already parallel — skip even the partition
@@ -62,6 +72,8 @@ def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataF
     if not sc.master.startswith("local"):
         return df
     target = min_parts or sc.defaultParallelism
+    if not probe:
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
